@@ -1,0 +1,291 @@
+"""Minimal deterministic HTML DOM on the Python stdlib.
+
+This module is the foundation of the extraction kernel. The reference
+(DelmedigoA/langscrape) parses HTML with html5lib/lxml inside
+BeautifulSoup (``/root/reference/langscrape/html/utils.py:91-103``);
+those libraries are unavailable in this environment, so we implement a
+small, fully deterministic DOM on ``html.parser.HTMLParser``. The DOM
+defines the byte-identity contract for this engine: goldens in
+``tests/`` are frozen against *this* parser, and every pandas UDF in
+``langscrape_spark.functions`` parses with it, so extracted text is
+byte-identical across runs, partitions and cluster sizes.
+
+Design notes (public-knowledge HTML5 rules only):
+- void elements never take children and serialize as ``<br/>``;
+- a small implied-end-tag table mirrors the HTML5 tree construction
+  rules that matter for crawl corpora (``p`` closed by block starts,
+  ``li`` by ``li``, table cells/rows by their siblings);
+- ``script``/``style`` contents are captured as raw text nodes (CDATA
+  mode) exactly as html.parser reports them;
+- attribute order is preserved as parsed (documents round-trip
+  deterministically).
+
+Everything here is pure Python and runs *inside* Arrow-batched pandas
+UDFs — trees never cross the Spark boundary (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Tuple
+
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Tags whose open implicitly closes a currently-open tag (HTML5 subset).
+_BLOCK_STARTERS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "details", "div",
+        "dl", "fieldset", "figcaption", "figure", "footer", "form",
+        "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "main",
+        "menu", "nav", "ol", "p", "pre", "section", "table", "ul",
+    }
+)
+
+# tag being opened -> set of open tags it implicitly closes
+_IMPLIED_END: dict = {}
+for _t in _BLOCK_STARTERS:
+    _IMPLIED_END.setdefault(_t, set()).add("p")
+_IMPLIED_END.setdefault("li", set()).add("li")
+for _t in ("dd", "dt"):
+    _IMPLIED_END.setdefault(_t, set()).update({"dd", "dt"})
+for _t in ("td", "th"):
+    _IMPLIED_END.setdefault(_t, set()).update({"td", "th"})
+_IMPLIED_END.setdefault("tr", set()).update({"td", "th", "tr"})
+_IMPLIED_END.setdefault("tbody", set()).update({"td", "th", "tr", "thead"})
+_IMPLIED_END.setdefault("option", set()).add("option")
+
+_WS_RE = re.compile(r"\s+")
+
+
+class Node:
+    """Base DOM node."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: Optional["Element"] = None
+
+    def detach(self) -> None:
+        """Remove this node from its parent (bs4 ``extract`` analogue)."""
+        if self.parent is not None:
+            try:
+                self.parent.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+
+class Text(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data!r})"
+
+
+class Comment(Node):
+    """Comment / doctype / CDATA — the reference removes these as
+    ``PreformattedString`` (``/root/reference/feilian/soup_tools.py:29-32``)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[List[Tuple[str, Optional[str]]]] = None) -> None:
+        super().__init__()
+        self.tag = tag
+        # Preserve order; last duplicate wins (html.parser already lowercases names).
+        self.attrs: dict = {}
+        for k, v in attrs or []:
+            self.attrs[k] = v if v is not None else ""
+        self.children: List[Node] = []
+
+    # --- tree ops -------------------------------------------------
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def iter_elements(self) -> Iterator["Element"]:
+        """Pre-order element iterator (self excluded). Iterative:
+        crawl corpora contain degenerately-nested documents that would
+        blow the recursion limit inside an executor."""
+        stack: List[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                yield node
+                stack.extend(reversed(node.children))
+
+    def descendants_or_self(self) -> Iterator["Element"]:
+        yield self
+        yield from self.iter_elements()
+
+    # --- text -----------------------------------------------------
+    def get_text(self) -> str:
+        """Concatenated descendant text (bs4 ``get_text()`` analogue)."""
+        parts: List[str] = []
+        self._collect_text(parts)
+        return "".join(parts)
+
+    def _collect_text(self, parts: List[str]) -> None:
+        stack: List[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Text):
+                parts.append(node.data)
+            elif isinstance(node, Element):
+                stack.extend(reversed(node.children))
+
+    def text_content(self) -> str:
+        """lxml ``text_content()`` analogue (same concatenation)."""
+        return self.get_text()
+
+    # --- serialization ---------------------------------------------
+    def serialize(self) -> str:
+        out: List[str] = []
+        _serialize_nodes([self], out)
+        return "".join(out)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Element {self.tag} attrs={self.attrs}>"
+
+
+class Document(Element):
+    """Root container (not itself serialized as a tag)."""
+
+    def __init__(self) -> None:
+        super().__init__("#document")
+
+    def serialize(self) -> str:
+        out: List[str] = []
+        _serialize_nodes(self.children, out)
+        return "".join(out)
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+_RAW_TEXT_TAGS = frozenset({"script", "style"})
+
+
+def _serialize_nodes(nodes: List[Node], out: List[str]) -> None:
+    """Iterative serializer (explicit stack — deep nesting must not
+    recurse). Stack items are nodes to emit or literal closing strings."""
+    stack: List[object] = list(reversed(nodes))
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            out.append(item)
+        elif isinstance(item, Text):
+            parent = item.parent
+            if parent is not None and parent.tag in _RAW_TEXT_TAGS:
+                out.append(item.data)
+            else:
+                out.append(_escape_text(item.data))
+        elif isinstance(item, Comment):
+            out.append(f"<!--{item.data}-->")
+        elif isinstance(item, Element):
+            attrs = "".join(
+                f' {k}="{_escape_attr(v)}"' for k, v in item.attrs.items()
+            )
+            if item.tag in VOID_ELEMENTS and not item.children:
+                out.append(f"<{item.tag}{attrs}/>")
+            else:
+                out.append(f"<{item.tag}{attrs}>")
+                stack.append(f"</{item.tag}>")
+                stack.extend(reversed(item.children))
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Document()
+        self.stack: List[Element] = [self.root]
+
+    # -- helpers --
+    @property
+    def _top(self) -> Element:
+        return self.stack[-1]
+
+    def _implied_close(self, tag: str) -> None:
+        closes = _IMPLIED_END.get(tag)
+        if not closes:
+            return
+        while len(self.stack) > 1 and self._top.tag in closes:
+            self.stack.pop()
+
+    # -- HTMLParser callbacks --
+    def handle_starttag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
+        self._implied_close(tag)
+        el = Element(tag, attrs)
+        self._top.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
+        self._implied_close(tag)
+        self._top.append(Element(tag, attrs))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        # Find the nearest matching open tag; ignore stray end tags.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top.append(Text(data))
+
+    def handle_comment(self, data: str) -> None:
+        self._top.append(Comment(data))
+
+    def handle_decl(self, decl: str) -> None:
+        # Doctype: the reference's cleaner removes it (PreformattedString);
+        # model it as a Comment so clean_html drops it identically.
+        self._top.append(Comment("!" + decl))
+
+    def handle_pi(self, data: str) -> None:
+        self._top.append(Comment("?" + data))
+
+
+def parse(html_str: str) -> Document:
+    """Parse HTML into a :class:`Document`. Never raises on malformed
+    input (parity with html5lib's error-free guarantee)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html_str)
+        builder.close()
+    except Exception:
+        # html.parser is already tolerant; belt-and-braces: return what
+        # was built so far rather than failing the whole Arrow batch.
+        pass
+    return builder.root
+
+
+def collapse_whitespace(s: str) -> str:
+    """``re.sub(r"\\s+", " ", s).strip()`` — the final step of
+    ``clean_html_for_extraction3`` (reference ``langscrape/html/utils.py:102-103``)."""
+    return _WS_RE.sub(" ", s).strip()

@@ -1,0 +1,268 @@
+"""Byte-identity tests for the pure-Python extraction kernel.
+
+Goldens are frozen literals. They encode the reference semantics of
+``clean_html_for_extraction3`` (/root/reference/langscrape/html/
+utils.py:91-103), ``feilian.soup_tools.clean_html``
+(soup_tools.py:26-74), ``extract_by_xpath_map_from_html``
+(langscrape/html/xpath_extractor.py:47-87), ``normalize_text``
+(feilian/text_tools.py:20-48) and ``remove_control_characters``
+(feilian/etree_tools.py:19-68). Any change to the kernel that alters
+these bytes is a contract break.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from langscrape_spark.html import (
+    SENTINEL_EMPTY,
+    SENTINEL_NO_STORED,
+    SENTINEL_NO_XPATH,
+    clean_html_for_extraction,
+    collapse_whitespace,
+    convert_html_to_text,
+    ensure_list,
+    evaluate,
+    extract_by_xpath_map,
+    extract_links,
+    html_to_text,
+    normalize_text,
+    parse,
+    remove_control_characters,
+)
+
+FIXTURE_HTML = (
+    "<!DOCTYPE html><html><head><title>Page Title</title>"
+    "<script>var x = 1;</script><style>.a{color:red}</style>"
+    '<meta charset="utf-8"/></head><body>'
+    '<nav id="nav"><a href="javascript:void(0)" onclick="go()">menu</a></nav>'
+    "<!-- comment must vanish -->"
+    '<div class="article" data-tracking="zzz">'
+    '<h1 class="headline">Hello &amp; Welcome</h1>'
+    '<span class="author">By <b>Jane Doe</b></span>'
+    '<time datetime="2024-01-02">Jan 2, 2024</time>'
+    '<p>First para with <a href="/next%20page?x=1#frag">a link</a>.</p>'
+    "<p>Second&nbsp;para.</p>"
+    '<div class="empty"><span>   </span></div>'
+    "</div>"
+    '<img src="/x.png" alt="pic"/>'
+    "</body></html>"
+)
+
+GOLDEN_CLEANED = (
+    '<html><head><title>Page Title</title></head><body>'
+    '<nav id="nav"><a>menu</a></nav>'
+    '<div class="article">'
+    '<h1 class="headline">Hello &amp; Welcome</h1>'
+    '<span class="author">By <b>Jane Doe</b></span>'
+    "<time>Jan 2, 2024</time>"
+    '<p>First para with <a href="/next%20page?x=1#frag">a link</a>.</p>'
+    "<p>Second para.</p>"
+    "</div>"
+    '<img alt="pic"/>'
+    "</body></html>"
+)
+
+FIELD_MAP = {
+    "title": {"strategy": "xpath_extractor", "xpath": "//h1"},
+    "author": {"strategy": "xpath_extractor", "xpath": "//span[@class='author']"},
+    "datetime": {"strategy": "xpath_extractor", "xpath": "//time"},
+    "article_body": {"strategy": "xpath_extractor", "xpath": "//div[@class='article']/p"},
+}
+
+GOLDEN_EXTRACTED = {
+    "title": ["Hello & Welcome"],
+    "author": ["By Jane Doe"],
+    "datetime": ["Jan 2, 2024"],
+    "article_body": ["First para with a link.", "Second para."],
+}
+
+# head/title are hidden (inscriptis default profile hides <head>);
+# <span> and <time> are inline and adjacent in the source, so they share
+# a line with no separator.
+GOLDEN_TEXT = (
+    "menu\nHello & Welcome\nBy Jane DoeJan 2, 2024\n"
+    "First para with a link.\nSecond para."
+)
+
+
+class TestCleanHtml:
+    def test_golden_cleaned(self):
+        assert clean_html_for_extraction(FIXTURE_HTML) == GOLDEN_CLEANED
+
+    def test_idempotent(self):
+        once = clean_html_for_extraction(FIXTURE_HTML)
+        assert clean_html_for_extraction(once) == once
+
+    def test_interactive_elements_removed(self):
+        cleaned = clean_html_for_extraction(
+            "<div><script>x</script><p>keep</p><iframe src='x'>z</iframe></div>"
+        )
+        assert "script" not in cleaned and "iframe" not in cleaned
+        assert "keep" in cleaned
+
+    def test_empty_removal_is_post_order(self):
+        # A div that only contains a script must vanish entirely:
+        # children removed first, then the now-empty parent.
+        cleaned = clean_html_for_extraction(
+            "<body><div id='wrap'><script>x=1;</script></div><p>stay</p></body>"
+        )
+        assert "wrap" not in cleaned
+        assert cleaned == "<body><p>stay</p></body>"
+
+    def test_img_survives_empty_check_but_loses_src(self):
+        cleaned = clean_html_for_extraction('<body><p>t</p><img src="/a.png" alt="A"/></body>')
+        assert '<img alt="A"/>' in cleaned
+
+    def test_javascript_href_dropped(self):
+        cleaned = clean_html_for_extraction('<body><a href="javascript:x()">c</a></body>')
+        assert "javascript" not in cleaned and ">c</a>" in cleaned
+
+    def test_attr_whitelist(self):
+        cleaned = clean_html_for_extraction(
+            '<body><p class="c" id="i" title="t" alt="a" href="h" src="s" '
+            'style="x" onclick="y" data-z="w">text</p></body>'
+        )
+        assert cleaned == (
+            '<body><p class="c" id="i" title="t" alt="a" href="h" src="s">text</p></body>'
+        )
+
+    def test_whitespace_collapse(self):
+        assert collapse_whitespace("  a\n\t b   c ") == "a b c"
+
+
+class TestExtract:
+    def test_golden_extraction(self):
+        cleaned = clean_html_for_extraction(FIXTURE_HTML)
+        assert extract_by_xpath_map(cleaned, FIELD_MAP) == GOLDEN_EXTRACTED
+
+    def test_sentinel_empty(self):
+        out = extract_by_xpath_map("<p>x</p>", {"f": {"strategy": "xpath_extractor", "xpath": "//h9"}})
+        assert out == {"f": [SENTINEL_EMPTY]}
+
+    def test_sentinel_no_xpath(self):
+        out = extract_by_xpath_map("<p>x</p>", {"f": {"strategy": "xpath_extractor"}})
+        assert out == {"f": [SENTINEL_NO_XPATH]}
+
+    def test_sentinel_no_stored(self):
+        out = extract_by_xpath_map("<p>x</p>", {"f": {"strategy": "lm_capabilities"}})
+        assert out == {"f": [SENTINEL_NO_STORED]}
+
+    def test_lm_values_ensure_list(self):
+        out = extract_by_xpath_map(
+            "<p>x</p>", {"f": {"strategy": "lm_capabilities", "value": [" a ", "", None, 3]}}
+        )
+        assert out == {"f": ["a", "3"]}
+
+    def test_error_sentinel(self):
+        out = extract_by_xpath_map("<p>x</p>", {"f": {"strategy": "xpath_extractor", "xpath": "//h1[foo(]"}})
+        assert out["f"][0].startswith("Error: ")
+
+    def test_attr_and_text_terminals(self):
+        html = '<div><a href="/x">one</a><a href="/y">two</a></div>'
+        doc = parse(html)
+        assert evaluate(doc, "//a/@href") == ["/x", "/y"]
+        assert evaluate(doc, "//a/text()") == ["one", "two"]
+        assert evaluate(doc, "//a[2]/text()") == ["two"]
+        assert evaluate(doc, "//a[last()]/text()") == ["two"]
+        assert evaluate(doc, "//a[contains(@href,'y')]/text()") == ["two"]
+
+    def test_positional_predicate_is_per_parent(self):
+        # XPath 1.0: //p[1] = first p child of each parent.
+        html = "<div><p>a</p><p>b</p></div><div><p>c</p></div>"
+        doc = parse(html)
+        assert [e.text_content() for e in evaluate(doc, "//p[1]")] == ["a", "c"]
+
+    def test_union(self):
+        doc = parse("<div><h1>t</h1><h2>s</h2></div>")
+        assert [e.text_content() for e in evaluate(doc, "//h1 | //h2")] == ["t", "s"]
+
+    def test_ensure_list(self):
+        assert ensure_list(None) == []
+        assert ensure_list("x") == ["x"]
+        assert ensure_list(["  a ", None, "", 5]) == ["a", "5"]
+        assert ensure_list(b"bytes") == ["b'bytes'"]  # str(bytes), per reference
+        assert ensure_list(7) == ["7"]
+
+
+class TestTextify:
+    def test_golden_text(self):
+        assert html_to_text(FIXTURE_HTML) == GOLDEN_TEXT
+
+    def test_normalize_entity_table(self):
+        assert normalize_text("a&nbsp;b") == "a b"
+        assert normalize_text("x&amp;lt;y") == "x<y"  # literal table then unescape
+        assert normalize_text("q&rsquo;s &ndash; r") == "q’s – r"
+        assert normalize_text("a\xa0  b") == "a b"
+
+    def test_normalize_idempotent_on_plain(self):
+        s = "plain text already clean"
+        assert normalize_text(s) == s
+
+    def test_control_characters(self):
+        assert remove_control_characters("a\x00b\x0bc") == "abc"
+        assert remove_control_characters("keep\ttab\nnl") == "keep\ttab\nnl"
+        # Emoji round-trips through charrefs intact.
+        assert "&#128150;" in remove_control_characters("x\U0001F496y")
+
+    def test_blank_lines_dropped(self):
+        assert convert_html_to_text("<p>a</p><p></p><p>b</p>") == "a\nb"
+
+    def test_display_none_hidden(self):
+        assert convert_html_to_text('<p>a</p><div style="display: none">z</div>') == "a"
+
+    def test_table_cells_on_one_line(self):
+        txt = convert_html_to_text("<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>")
+        assert txt == "a b\nc"
+
+
+class TestLinks:
+    def test_extract_resolve_decode(self):
+        html = '<a href="/next%20page?x=1#frag">n</a><a href="mailto:a@b">m</a><a href="javascript:x">j</a>'
+        assert extract_links(html, "https://ex.com/base/") == ["https://ex.com/next page?x=1"]
+
+    def test_dedup_document_order(self):
+        html = '<a href="/a">1</a><a href="/b">2</a><a href="/a">3</a>'
+        assert extract_links(html, "https://ex.com/") == [
+            "https://ex.com/a",
+            "https://ex.com/b",
+        ]
+
+
+# --- property tests (reference's own criteria, SURVEY.md §5.2) -------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+def test_normalize_text_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefghijklmnop qrstuvwxyz.,!?",
+            min_size=1,
+            max_size=40,
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ground_truth_survives_clean(paragraphs):
+    """The reference's own pruning-correctness criterion
+    (feilian/statistical_analysis.py:145-168): cleaning must preserve
+    all ground-truth strings present in the body text."""
+    body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    html = f"<html><body><script>junk()</script><div id='a'>{body}</div></body></html>"
+    cleaned = clean_html_for_extraction(html)
+    for p in paragraphs:
+        assert collapse_whitespace(p) in cleaned
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=300))
+def test_clean_never_raises(s):
+    clean_html_for_extraction(s)
+    html_to_text(s)
