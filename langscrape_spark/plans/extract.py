@@ -1,0 +1,121 @@
+"""The flagship extraction pipeline: pages table → result table.
+
+Spark-first restatement of the reference's per-URL LangGraph pipeline
+(``/root/reference/langscrape/agent/graph.py:27-60``; lifecycle in
+SURVEY.md §3.1): the sequential per-URL for-loop becomes partition
+parallelism; fetch becomes a table scan; the ReAct XPath loop becomes a
+fixed field-map; everything except the two kernel UDFs is JVM-side
+whole-stage-codegen expressions.
+
+Stage map (reference node → here):
+- ``url_handler`` validate/route  → ``valid_url_col`` / ``is_pdf_col``
+  predicates (``langscrape/nodes/url_handler.py:19-26``);
+- ``clean_html_for_extraction3``  → ``clean_html_udf``;
+- min-HTML-length gate (3000)     → ``too_short_html`` provenance flag
+  (``url_handler.py:14-17,38-43``) — a flag, not a refetch;
+- ``feature_binder`` final extract + min-body gate (100) →
+  ``extract_fields_udf`` + ``too_short_body``
+  (``langscrape/nodes/feature_binder.py:12-40``);
+- newspaper4k fallback            → excluded (live network);
+  ``traditional_flag`` kept as an always-empty array for schema parity
+  (``feature_binder.py:23-67``);
+- ``data_collator``/``post_processor`` collate + scheme check →
+  result struct + ``is_valid_scheme``
+  (``langscrape/nodes/data_collator.py:46-62``,
+  ``langscrape/json.py:21-56``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.kernel import (
+    clean_html_udf,
+    is_pdf_col,
+    make_extract_fields_udf,
+    valid_url_col,
+)
+
+MIN_HTML_LENGTH = 3000  # reference config/default_config.yaml:35-36
+MIN_ARTICLE_BODY = 100  # reference config/default_config.yaml:38-39
+
+
+def extract_pages(
+    pages: DataFrame,
+    field_map: Dict[str, Dict[str, Any]],
+    keep_cleaned: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extraction results.
+
+    One Python stage (clean+extract fused into a single pass over each
+    Arrow batch would need one UDF; they are kept separate because
+    ``cleaned`` is itself a contract output — Spark pipelines the two
+    map-only UDFs in the same stage with no extra shuffle).
+    """
+    extract_udf = make_extract_fields_udf(field_map)
+    expected_fields = F.array_sort(
+        F.array(*[F.lit(k) for k in field_map.keys()])
+    )
+
+    df = (
+        pages
+        .withColumn("is_valid_url", valid_url_col(F.col("url")))
+        .withColumn("is_pdf", is_pdf_col(F.col("url")))
+        .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+        .withColumn("cleaned", clean_html_udf(F.col("html")))
+        .withColumn("too_short_html", F.length("cleaned") < MIN_HTML_LENGTH)
+        .withColumn("extracted", extract_udf(F.col("cleaned")))
+        .withColumn(
+            "article_body_text",
+            F.concat_ws(" ", F.col("extracted").getItem("article_body")),
+        )
+        .withColumn(
+            "too_short_body", F.length("article_body_text") < MIN_ARTICLE_BODY
+        )
+        # newspaper4k fallback excluded (live network) — schema parity only:
+        .withColumn("traditional_flag", F.array().cast("array<string>"))
+        # SchemeValidator: both-direction key-set test vs the field map
+        # (reference langscrape/json.py:21-56).
+        .withColumn(
+            "is_valid_scheme",
+            F.array_sort(F.map_keys(F.col("extracted"))) == expected_fields,
+        )
+    )
+    cols = [
+        "url",
+        "host",
+        "warc_ts",
+        "lang",
+        "is_valid_url",
+        "is_pdf",
+        "too_short_html",
+        "too_short_body",
+        "is_valid_scheme",
+        "traditional_flag",
+        "extracted",
+        "article_body_text",
+    ]
+    if keep_cleaned:
+        cols.insert(10, "cleaned")
+    return df.select(*cols)
+
+
+def collate_results(extracted: DataFrame) -> DataFrame:
+    """Final nested record, mirroring the reference's
+    ``{meta_data, extraction}`` JSON shape
+    (``langscrape/nodes/data_collator.py:46-62``) minus the
+    LLM ``summary`` block (replaced by the deterministic kernel)."""
+    return extracted.select(
+        F.col("url"),
+        F.struct(
+            F.col("url").alias("url"),
+            F.col("is_valid_url").alias("is_valid_scheme_url"),
+            F.col("is_valid_scheme"),
+            F.col("traditional_flag"),
+            F.col("too_short_html"),
+            F.col("too_short_body"),
+        ).alias("meta_data"),
+        F.col("extracted").alias("extraction"),
+    )
