@@ -1,0 +1,315 @@
+"""The distributed URL-frontier scheduler (north-rule core).
+
+Implements ``policy.py`` as pure DataFrame ops in a driver round loop
+("spark-submit rounds"), checkpointing frontier + seen-set through
+:class:`~langscrape_spark.sources.catalog.Catalog` every round so a
+killed run resumes exactly (SURVEY.md §7 Phase 2/3).
+
+Scale design (the parts that must survive 1000 executors / 10^10 urls):
+
+- **Seen-set membership**: candidates are explicitly repartitioned by
+  ``xxhash64(url)`` before a ``left_anti`` join against the seen table
+  (north rule: "explicit repartitioning by url-hash before membership
+  checks"). A JVM-side bloom filter built from the seen table
+  (``bloom_filter_agg`` / ``might_contain``) pre-filters candidates so
+  the exact anti-join shuffles only probable-new urls; the bloom's
+  false positives are removed by the anti-join, so admission is exact.
+- **Politeness with skew**: the per-host top-k window is two-phase:
+  first rank within ``(host, salt)`` where ``salt = pmod(xxhash64(url),
+  SALT_BUCKETS)`` and keep k per salt bucket, then rank the ≤ salt·k
+  survivors per host exactly. Any url in a host's true top-k is
+  necessarily in its salt bucket's top-k, so phase 1 never changes the
+  admitted set — it only bounds the rows any single window partition
+  sees, which is what kills the hot-host straggler (SURVEY.md §4.2).
+- **Robots / host-rank**: kilobyte-to-megabyte dimension tables,
+  ``F.broadcast`` joined.
+- **Fetch**: the admitted batch (≤ batch_size rows) is broadcast
+  against the pages table. In production the pages table is an Iceberg
+  table bucketed by url-hash, giving storage-partitioned joins; a live
+  crawl would replace this join with real fetches.
+- **Per-round lineage**: each round appends per-partition row counts
+  for the membership stage plus round totals to a metrics table.
+
+Everything per-row-Python lives in the two kernel UDFs
+(link extraction, url normalization); all shuffles are JVM-side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.kernel import extract_links_udf, normalize_url_udf
+from ..sources.catalog import Catalog
+from .policy import BASE_BUDGET, DEFAULT_BATCH, DEFAULT_MAX_DEPTH, DEPTH_PENALTY
+
+SALT_BUCKETS = 8
+FRONTIER_DDL = "url string, host string, depth int, priority double"
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = DEFAULT_BATCH
+    max_depth: int = DEFAULT_MAX_DEPTH
+    max_rounds: int = 100
+    seen_partitions: int = 32
+    use_bloom: bool = True
+    bloom_items: int = 1_000_000
+    bloom_bits: int = 8_388_608
+
+
+@dataclass
+class CrawlState:
+    rounds_run: int = 0
+    schedule: Optional[DataFrame] = None
+    seen: Optional[DataFrame] = None
+    metrics: List[Dict[str, Any]] = field(default_factory=list)
+
+
+def _with_policy_columns(
+    df: DataFrame, robots: DataFrame, host_rank: DataFrame
+) -> DataFrame:
+    """Insert-time policy: robots filter + priority. ``df`` must have
+    (url, depth); adds host, priority; drops disallowed urls."""
+    df = df.withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+    df = df.withColumn(
+        "path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    )
+    df = (
+        df.join(F.broadcast(robots), "host", "left")
+        .where(F.coalesce(F.col("allowed"), F.lit(True)))
+        .where(
+            ~F.coalesce(
+                F.exists(
+                    "disallow_prefixes", lambda p: F.col("path").startswith(p)
+                ),
+                F.lit(False),
+            )
+        )
+    )
+    df = df.join(F.broadcast(host_rank), "host", "left").withColumn(
+        "priority",
+        F.coalesce(F.col("rank"), F.lit(0.0)) - F.lit(DEPTH_PENALTY) * F.col("depth"),
+    )
+    return df.select("url", "host", "depth", "priority")
+
+
+def _politeness_admit(frontier: DataFrame, robots: DataFrame, batch_size: int) -> DataFrame:
+    """Two-phase per-host top-k (salted exact pre-prune), then the
+    global batch cap by the total order (priority desc, url asc)."""
+    k_col = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(BASE_BUDGET) / F.coalesce(F.col("crawl_delay"), F.lit(1.0))),
+    ).cast("int")
+    cand = frontier.join(
+        F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+    ).withColumn("k", k_col)
+
+    order = [F.desc("priority"), F.asc("url")]
+    # Phase 1: cap each (host, salt) bucket at k — exactness-preserving
+    # prune that bounds any single window partition on a hot host.
+    salted = Window.partitionBy(
+        "host", F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
+    ).orderBy(*order)
+    cand = cand.withColumn("rn_salt", F.row_number().over(salted)).where(
+        F.col("rn_salt") <= F.col("k")
+    )
+    # Phase 2: exact per-host top-k over the ≤ SALT_BUCKETS·k survivors.
+    per_host = Window.partitionBy("host").orderBy(*order)
+    cand = cand.withColumn("rn", F.row_number().over(per_host)).where(
+        F.col("rn") <= F.col("k")
+    )
+    # Global cap: distributed TakeOrdered, then seq over ≤ batch_size rows.
+    admitted = cand.select("url", "host", "depth", "priority").orderBy(*order).limit(
+        batch_size
+    )
+    seq_w = Window.orderBy(*order)  # bounded input: ≤ batch_size rows
+    return admitted.withColumn("seq", F.row_number().over(seq_w) - 1)
+
+
+_BLOOM_SQL_AVAILABLE: Optional[bool] = None
+
+
+def _bloom_sql_available(spark: SparkSession) -> bool:
+    """``bloom_filter_agg``/``might_contain`` are internal expressions;
+    registration varies by build. Detect once per process. When absent,
+    the engine still gets bloom pre-filtering from Catalyst's runtime
+    bloom-filter injection (enabled in session.py), plus the exact
+    anti-join below."""
+    global _BLOOM_SQL_AVAILABLE
+    if _BLOOM_SQL_AVAILABLE is None:
+        try:
+            _BLOOM_SQL_AVAILABLE = spark.catalog.functionExists(
+                "might_contain"
+            ) and spark.catalog.functionExists("bloom_filter_agg")
+        except Exception:
+            _BLOOM_SQL_AVAILABLE = False
+    return _BLOOM_SQL_AVAILABLE
+
+
+def _bloom_prefilter(
+    spark: SparkSession, candidates: DataFrame, seen: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Explicit JVM bloom pre-filter (used when the SQL functions are
+    registered): candidates the bloom rules out skip the exact anti-join
+    entirely; false positives fall through to it, so admission stays
+    exact."""
+    bloom_row = seen.select(
+        F.expr(
+            f"bloom_filter_agg(xxhash64(url), "
+            f"cast({cfg.bloom_items} as bigint), "
+            f"cast({cfg.bloom_bits} as bigint)) as bf"
+        )
+    ).collect()[0]
+    bf = bloom_row["bf"]
+    if bf is None:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+    bf_df = spark.createDataFrame([(bytearray(bf),)], "bf binary")
+    return candidates.join(F.broadcast(bf_df)).withColumn(
+        "maybe_seen", F.expr("might_contain(bf, xxhash64(url))")
+    ).drop("bf")
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    host_rank: DataFrame,
+    catalog: Catalog,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> CrawlState:
+    """Drive the crawl to frontier exhaustion (or ``max_rounds``),
+    checkpointing every round. Restartable: if the catalog already has
+    committed rounds, the loop resumes after the last committed one."""
+    state = CrawlState()
+
+    start_round = catalog.latest_version("frontier")
+    if start_round is None:
+        # Round -1: seed the frontier. Normalization is the same kernel
+        # function the simulator uses (byte-identical url identity).
+        seeded = (
+            seeds.select(normalize_url_udf(F.col("url")).alias("url"), F.col("depth"))
+            .where(F.col("url").isNotNull())
+            .dropDuplicates(["url"])
+        )
+        frontier0 = _with_policy_columns(seeded, robots, host_rank)
+        catalog.write("frontier", frontier0, 0)
+        catalog.write("seen", frontier0.select("url"), 0)
+        start_round = 0
+
+    for round_no in range(start_round, cfg.max_rounds):
+        t0 = time.time()
+        frontier = catalog.read("frontier")
+        if frontier is None or frontier.isEmpty():
+            break
+
+        admitted = _politeness_admit(frontier, robots, cfg.batch_size).cache()
+        n_admitted = admitted.count()
+        if n_admitted == 0:
+            break
+
+        # --- fetch (pages-table join stand-in) + link expansion -------
+        # Inner join with the tiny admitted batch broadcast: fetch
+        # misses contribute no links, and Spark can build the hash side
+        # from the broadcast batch (a left-outer here would forbid
+        # broadcasting the admitted side and force a full shuffle).
+        fetched = pages.select("url", "html").join(F.broadcast(admitted), "url", "inner")
+        links = (
+            fetched
+            .select(
+                F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .where(F.col("depth") <= cfg.max_depth)
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+        )
+
+        # --- seen membership: explicit url-hash repartition + bloom ----
+        seen = catalog.read("seen")
+        cand = links.repartition(cfg.seen_partitions, F.xxhash64("url"))
+        if cfg.use_bloom and _bloom_sql_available(spark):
+            cand = _bloom_prefilter(spark, cand, seen, cfg)
+            definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
+            to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
+            checked_new = to_check.join(
+                seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
+                "url",
+                "left_anti",
+            )
+            new_urls = definitely_new.unionByName(checked_new)
+        else:
+            new_urls = cand.join(
+                seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
+                "url",
+                "left_anti",
+            )
+
+        new_entries = _with_policy_columns(new_urls, robots, host_rank).cache()
+        n_new = new_entries.count()
+
+        # --- per-partition lineage for the membership stage ------------
+        part_counts = (
+            cand.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+
+        # --- checkpoint round r+1 state --------------------------------
+        next_frontier = (
+            frontier.join(admitted.select("url"), "url", "left_anti")
+            .unionByName(new_entries)
+        )
+        catalog.write("frontier", next_frontier, round_no + 1)
+        catalog.write(
+            "seen",
+            catalog.read("seen").unionByName(new_entries.select("url")),
+            round_no + 1,
+        )
+        catalog.append(
+            "schedule",
+            admitted.select(
+                F.lit(round_no).alias("round"), F.col("seq"), F.col("url")
+            ),
+            round_no,
+        )
+
+        round_metrics = {
+            "round": round_no,
+            "admitted": n_admitted,
+            "new_urls": n_new,
+            "membership_partitions": {
+                int(r["pid"]): int(r["count"]) for r in part_counts
+            },
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        state.metrics.append(round_metrics)
+        catalog.append(
+            "metrics",
+            spark.createDataFrame(
+                [
+                    (
+                        round_no,
+                        n_admitted,
+                        n_new,
+                        [(int(r["pid"]), int(r["count"])) for r in part_counts],
+                        round_metrics["wall_sec"],
+                    )
+                ],
+                "round int, admitted long, new_urls long, "
+                "partition_rows array<struct<pid:int,rows:long>>, wall_sec double",
+            ),
+            round_no,
+        )
+        admitted.unpersist()
+        new_entries.unpersist()
+        state.rounds_run += 1
+
+    state.schedule = catalog.read_appended("schedule")
+    state.seen = catalog.read("seen")
+    return state

@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Catalyst's runtime bloom-filter injection: builds a bloom from
+        # the selective side of a shuffle join and pushes it to the other
+        # side's scan — the engine's bloom pre-filter for the seen-set
+        # anti-join (SURVEY.md §4.1) without a hand-rolled filter.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)

@@ -1,0 +1,94 @@
+"""Versioned checkpoint tables for resumable crawl rounds.
+
+The north rule prescribes frontier + seen-set checkpointed to Iceberg
+between spark-submit rounds. Iceberg jars are not present in this
+sandbox, so this module provides the same *semantics* on plain parquet:
+
+- every logical table is a directory of immutable versioned snapshots
+  (``{root}/{name}/v{K}/`` parquet dirs);
+- a ``LATEST`` pointer file is committed via ``os.replace`` (atomic on
+  POSIX) **after** the parquet write succeeds — a crashed round leaves
+  the previous version live, so restart-from-checkpoint is exact;
+- re-running a round overwrites its snapshot then re-commits the
+  pointer — idempotent.
+
+In production the implementation swaps to Iceberg
+(``df.writeTo(name).overwritePartitions()`` + snapshot rollback);
+callers only see :class:`Catalog`. The seen-set snapshot is written
+pre-partitioned by a stable url-hash bucket so the next round's
+anti-join reads co-partitioned data (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer management -------------------------------------------------
+    def _pointer_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "LATEST")
+
+    def latest_version(self, name: str) -> Optional[int]:
+        try:
+            with open(self._pointer_path(name)) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _commit(self, name: str, version: int) -> None:
+        path = self._pointer_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, path)  # atomic pointer swap
+
+    # -- table io -----------------------------------------------------------
+    def _data_dir(self, name: str, version: int) -> str:
+        return os.path.join(self.root, name, f"v{version}")
+
+    def write(self, name: str, df: DataFrame, version: int) -> None:
+        """Write snapshot ``version`` then atomically publish it."""
+        path = self._data_dir(name, version)
+        df.write.mode("overwrite").parquet(path)
+        self._commit(name, version)
+
+    def read(self, name: str) -> Optional[DataFrame]:
+        version = self.latest_version(name)
+        if version is None:
+            return None
+        return self.spark.read.parquet(self._data_dir(name, version))
+
+    def append(self, name: str, df: DataFrame, version: int) -> None:
+        """Append-style table (results, metrics): each round writes its
+        own immutable sub-snapshot; readers union all committed rounds."""
+        path = os.path.join(self.root, name, f"r{version:06d}")
+        df.write.mode("overwrite").parquet(path)  # idempotent per round
+        self._commit(name, version)
+
+    def read_appended(self, name: str) -> Optional[DataFrame]:
+        version = self.latest_version(name)
+        if version is None:
+            return None
+        base = os.path.join(self.root, name)
+        dirs = [
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if d.startswith("r") and d != "LATEST" and int(d[1:]) <= version
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

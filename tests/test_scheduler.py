@@ -1,0 +1,135 @@
+"""Scheduler gate (SURVEY.md §5.3 / BASELINE.md): the Spark frontier
+must reproduce the sequential reference-faithful simulator exactly —
+same admitted (round, seq, url) schedule, same final seen-set — and
+resume identically from a mid-crawl checkpoint."""
+
+import pytest
+
+from langscrape_spark import synth
+from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
+from langscrape_spark.scheduler.simulator import simulate_crawl
+from langscrape_spark.sources.catalog import Catalog
+
+N_PAGES = 300
+BATCH = 40
+MAX_DEPTH = 3
+MAX_ROUNDS = 12
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synth.build_pages_df(spark, N_PAGES, partitions=4).cache()
+    pages.count()
+    seeds = synth.seeds_df(spark, N_PAGES, n_seeds=10)
+    robots = synth.robots_df(spark)
+    host_rank = synth.host_rank_df(spark)
+    return pages, seeds, robots, host_rank
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    """Pure-Python oracle run of the same crawl."""
+    # html passed as str; the Spark path decodes the binary column with
+    # the same utf-8 semantics.
+    pages = {synth.url_of(i): synth.page_html(i, N_PAGES) for i in range(N_PAGES)}
+    seeds = [synth.url_of(i * (N_PAGES // 10)) for i in range(10)]
+    seeds += ["not a url", "ftp://site.example/x",
+              f"https://{synth.host_of(0)}/docs/report.pdf"]
+    robots = {
+        f"www.site{i}.example": (
+            ["/private/", "/admin/"],
+            2.0 if i == 0 else 0.5,
+            i != 19,
+        )
+        for i in range(synth.N_HOSTS)
+    }
+    host_rank = {f"www.site{i}.example": round(1.0 - i * 0.04, 4) for i in range(synth.N_HOSTS)}
+    return simulate_crawl(
+        seeds, pages, robots, host_rank,
+        batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
+    )
+
+
+def _spark_crawl(spark, corpus, tmpdir, max_rounds=MAX_ROUNDS):
+    pages, seeds, robots, host_rank = corpus
+    catalog = Catalog(spark, str(tmpdir))
+    cfg = CrawlConfig(batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=max_rounds,
+                      seen_partitions=8)
+    state = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
+    return state, catalog
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, corpus, tmp_path_factory):
+    """One full Spark crawl shared by the read-only assertions below."""
+    return _spark_crawl(spark, corpus, tmp_path_factory.mktemp("cat"))
+
+
+def test_spark_matches_simulator(spark, crawl, oracle):
+    state, _ = crawl
+    sim_schedule, sim_seen = oracle
+
+    got_schedule = [
+        (r["round"], r["seq"], r["url"])
+        for r in state.schedule.orderBy("round", "seq").collect()
+    ]
+    assert got_schedule == sim_schedule
+
+    got_seen = {r["url"] for r in state.seen.collect()}
+    assert got_seen == sim_seen
+
+
+def test_politeness_budget_respected(spark, crawl):
+    """No host exceeds its per-round budget; the hot host (crawl_delay
+    2.0 → k=2) is throttled while others admit up to 8."""
+    state, _ = crawl
+    from pyspark.sql import functions as F
+
+    per = (
+        state.schedule
+        .withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
+        .groupBy("round", "host").count()
+    )
+    hot = per.where(F.col("host") == "www.site0.example")
+    assert hot.count() > 0
+    assert hot.agg(F.max("count")).first()[0] <= 2
+    assert per.agg(F.max("count")).first()[0] <= 8
+
+
+def test_disallowed_host_never_scheduled(spark, crawl):
+    state, _ = crawl
+    assert state.schedule.where("url like '%site19.example%'").count() == 0
+
+
+def test_resume_from_checkpoint(spark, corpus, oracle, tmp_path):
+    """Kill after 3 rounds; restart must complete to the identical
+    schedule + seen-set (SURVEY.md §5.4)."""
+    pages, seeds, robots, host_rank = corpus
+    catdir = str(tmp_path / "cat4")
+    catalog = Catalog(spark, catdir)
+    cfg_partial = CrawlConfig(batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=3,
+                              seen_partitions=8)
+    run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg_partial)
+
+    # "restart": a fresh Catalog over the same dir, full round budget
+    catalog2 = Catalog(spark, catdir)
+    cfg_full = CrawlConfig(batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
+                           seen_partitions=8)
+    state = run_crawl(spark, pages, seeds, robots, host_rank, catalog2, cfg_full)
+
+    sim_schedule, sim_seen = oracle
+    got_schedule = [
+        (r["round"], r["seq"], r["url"])
+        for r in state.schedule.orderBy("round", "seq").collect()
+    ]
+    assert got_schedule == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+
+
+def test_metrics_lineage_recorded(spark, crawl):
+    state, catalog = crawl
+    m = catalog.read_appended("metrics")
+    rows = {r["round"]: r for r in m.collect()}
+    assert len(rows) == state.rounds_run
+    assert all(r["admitted"] > 0 for r in rows.values())
+    assert all(len(r["partition_rows"]) >= 1 for r in rows.values())
