@@ -1,38 +1,488 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline operator mandated by the driver) implemented in
+``langscrape_spark``; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL. Column names and types are aligned on both sides (counts as
+BIGINT, ratios rounded to 6 dp) because the driver hash-compares
+values after sorting columns by name.
+
+Queries without an oracle entry (q16_simhash, q17_lsh_ann,
+q18_extract_kernel, q19_crawl_schedule) are the genuinely
+non-SQL-expressible ops (bit-mix fingerprints, LSH probing, the HTML
+kernel, the round-loop scheduler) — the driver records rows-only
+checks for those.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from langscrape_spark.operators import (
+    best_per_group,
+    binned_avg,
+    cosine_topk,
+    exact_dedup,
+    f1_by_group,
+    fingerprint,
+    lang_id,
+    lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    percentile_describe,
+    quality_columns,
+    simhash64,
+    stratified_sample,
+    token_count,
+    top_k_per_group,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# Fixed ANN query vector (dim 64), deterministic pattern.
+QUERY_VEC = [((d % 7) - 3) / 10.0 for d in range(64)]
+_QV_SQL = "[" + ", ".join(f"{x:.1f}" for x in QUERY_VEC) + "]::DOUBLE[]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: webtext-curation rollup over the documents table —
+    quality metrics + language-ID + fingerprint dedup, aggregated per
+    detected language. Exercises the text-analysis operator stack
+    end-to-end on sf0.001."""
+    docs = _t(spark, SF_DEFAULT, "documents")
+    q = quality_columns(docs, "text").withColumn("lang_guess", lang_id(F.col("text")))
+    q = q.withColumn("fp", fingerprint(F.col("text")))
+    return (
+        q.groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01_top1_per_group(spark, sf):
+    """Top-1 per group window (reference fragments_agent.py:224-229)."""
+    orders = _t(spark, sf, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=1,
+    )
+
+
+def q02_politeness_topk(spark, sf):
+    """Per-key budget window — the politeness-drain pattern (SURVEY §2.6)."""
+    events = _t(spark, sf, "events")
+    return top_k_per_group(
+        events.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.desc("value"), F.asc("event_id")],
+        k=3,
+    )
+
+
+def q03_outer_join_pivot(spark, sf):
+    """groupBy+pivot (SWDE attribute merge analogue, SURVEY §2.5)."""
+    events = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return events.groupBy("user_id").agg(*aggs)
+
+
+def q04_setop_eval_f1(spark, sf):
+    """TP/FP/FN → precision/recall/F1 via full-outer membership join
+    (reference fragments_agent.py:151-222)."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "value", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    predicted = li.where(F.col("l_discount") >= 0.05).select("l_linestatus", "value")
+    truth = li.where(F.col("l_returnflag") == "R").select("l_linestatus", "value")
+    return f1_by_group(predicted, truth, ["l_linestatus"])
+
+
+def q05_binned_avg(spark, sf):
+    """x//w*w binned means (reference statistical_analysis.py:55-79)."""
+    events = _t(spark, sf, "events")
+    out = binned_avg(events, "value", 10.0, ["value"])
+    return out.select(F.col("bin"), F.round("avg_value", 6).alias("avg_value"))
+
+
+def q06_percentile_describe(spark, sf):
+    """Percentile describe per group (reference statistical_analysis.py:546-554)."""
+    li = _t(spark, sf, "lineitem")
+    return percentile_describe(li, ["l_returnflag"], "l_extendedprice")
+
+
+def q07_stratified_sample(spark, sf):
+    """Deterministic stratified group sampling (reference dataset.py:98-135)."""
+    cust = _t(spark, sf, "customer")
+    return stratified_sample(cust, ["c_mktsegment"], "c_custkey", 3).select(
+        "c_mktsegment", "c_custkey", "c_name"
+    )
+
+
+def q08_exact_dedup(spark, sf):
+    """Exact dedup by normalized-text fingerprint (hash-groupBy)."""
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "fp")
+
+
+def q09_ngram_jaccard(spark, sf):
+    """N-gram Jaccard near-dup pairs via inverted shingle index."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.12)
+
+
+def q10_minhash_lsh(spark, sf):
+    """MinHash+LSH banded candidate pairs (md5-based, engine-portable)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+
+
+def q11_lang_quality(spark, sf):
+    """Language-ID + quality scoring per document."""
+    docs = _t(spark, sf, "documents")
+    q = quality_columns(docs, "text").withColumn("lang_guess", lang_id(F.col("text")))
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "lang_guess",
+    )
+
+
+def q12_token_fingerprint(spark, sf):
+    """Regex token counting + md5 document fingerprint."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_rtokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q13_cosine_topk(spark, sf):
+    """Brute-force cosine top-k over the embedding column."""
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, QUERY_VEC, k=10)
+
+
+def q14_groupagg_rollup(spark, sf):
+    """TPC-H-Q1-style codegen aggregate (token-usage rollup analogue,
+    SURVEY §2.6)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q15_best_per_group(spark, sf):
+    """best-xpath-per-field analogue: argmax row per group by
+    (f1 desc, n desc) over a derived score table."""
+    li = _t(spark, sf, "lineitem")
+    scored = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.avg("l_discount"), 6).alias("f1"),
+        F.count("*").alias("n"),
+    )
+    return best_per_group(scored, ["l_returnflag"], "f1", ["n"])
+
+
+def q16_simhash(spark, sf):
+    """SimHash64 fingerprints (bit-mix; no portable SQL oracle)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def q17_lsh_ann(spark, sf):
+    """SRP-LSH bucketed approximate top-k (scale path for q13)."""
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, QUERY_VEC, k=10, n_planes=8, probe_radius=3)
+
+
+def q18_extract_kernel(spark, sf):
+    """The HTML extraction kernel end-to-end on a synthesized corpus
+    (the engine's raison d'être; no SQL oracle — goldens live in
+    tests/test_html_kernel.py and tests/test_extract_pipeline.py)."""
+    from langscrape_spark import synth
+    from langscrape_spark.plans.extract import extract_pages
+
+    pages = synth.build_pages_df(spark, 64, partitions=4)
+    out = extract_pages(pages, synth.FIELD_MAP)
+    return out.select(
+        "url",
+        F.element_at(F.col("extracted").getItem("title"), 1).alias("title"),
+        F.element_at(F.col("extracted").getItem("datetime"), 1).alias("date_str"),
+        F.size(F.col("extracted").getItem("article_body")).alias("n_body_paras"),
+        "is_valid_scheme",
+    )
+
+
+def q19_crawl_schedule(spark, sf):
+    """One politeness round over a synthetic frontier: per-host top-k
+    admission with the salted two-phase window (scheduler equivalence
+    vs the sequential simulator is proven in tests/test_scheduler.py)."""
+    from langscrape_spark import synth
+    from langscrape_spark.scheduler.frontier import _politeness_admit, _with_policy_columns
+
+    urls = spark.createDataFrame(
+        [(synth.url_of(i), 0) for i in range(0, 400, 2)], "url string, depth int"
+    )
+    robots = synth.robots_df(spark)
+    frontier = _with_policy_columns(urls, robots, synth.host_rank_df(spark))
+    return _politeness_admit(frontier, robots, batch_size=50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_top1_per_group": q01_top1_per_group,
+        "q02_politeness_topk": q02_politeness_topk,
+        "q03_outer_join_pivot": q03_outer_join_pivot,
+        "q04_setop_eval_f1": q04_setop_eval_f1,
+        "q05_binned_avg": q05_binned_avg,
+        "q06_percentile_describe": q06_percentile_describe,
+        "q07_stratified_sample": q07_stratified_sample,
+        "q08_exact_dedup": q08_exact_dedup,
+        "q09_ngram_jaccard": q09_ngram_jaccard,
+        "q10_minhash_lsh": q10_minhash_lsh,
+        "q11_lang_quality": q11_lang_quality,
+        "q12_token_fingerprint": q12_token_fingerprint,
+        "q13_cosine_topk": q13_cosine_topk,
+        "q14_groupagg_rollup": q14_groupagg_rollup,
+        "q15_best_per_group": q15_best_per_group,
+        "q16_simhash": q16_simhash,
+        "q17_lsh_ann": q17_lsh_ann,
+        "q18_extract_kernel": q18_extract_kernel,
+        "q19_crawl_schedule": q19_crawl_schedule,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB)
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_SHINGLES3 = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(tok) - 2, 0) + 1), "
+    "i -> array_to_string(tok[i:i+2], ' '))))"
+)
+_EN_SW = "['the','and','of','to','in','is','that','for','with','was']"
+_FR_SW = "['le','la','les','de','des','et','en','une','est','que']"
+_DE_SW = "['der','die','das','und','ist','von','mit','den','nicht','ein']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_top1_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+              FROM orders) WHERE rn = 1
+        """,
+        "q02_politeness_topk": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) rn
+              FROM events) WHERE rn <= 3
+        """,
+        "q03_outer_join_pivot": """
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)  AS n_click,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)  AS n_error,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)   AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "q04_setop_eval_f1": """
+            WITH li AS (
+              SELECT l_linestatus, l_returnflag, l_discount,
+                     l_orderkey || '-' || l_linenumber AS value
+              FROM lineitem),
+            p AS (SELECT DISTINCT l_linestatus, value FROM li WHERE l_discount >= 0.05),
+            t AS (SELECT DISTINCT l_linestatus, value FROM li WHERE l_returnflag = 'R'),
+            j AS (
+              SELECT coalesce(p.l_linestatus, t.l_linestatus) AS l_linestatus,
+                     p.value AS pv, t.value AS tv
+              FROM p FULL OUTER JOIN t
+                ON p.l_linestatus = t.l_linestatus AND p.value = t.value),
+            agg AS (
+              SELECT l_linestatus,
+                     CAST(sum(CASE WHEN pv IS NOT NULL AND tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) tp,
+                     CAST(sum(CASE WHEN pv IS NOT NULL AND tv IS NULL THEN 1 ELSE 0 END) AS BIGINT) fp,
+                     CAST(sum(CASE WHEN pv IS NULL AND tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) fn
+              FROM j GROUP BY l_linestatus),
+            pr AS (
+              SELECT *,
+                round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+                round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall
+              FROM agg)
+            SELECT l_linestatus, tp, fp, fn, precision, recall,
+                   round(CASE WHEN precision + recall > 0
+                         THEN 2 * precision * recall / (precision + recall)
+                         ELSE 0.0 END, 6) AS f1
+            FROM pr
+        """,
+        "q05_binned_avg": """
+            SELECT floor(value / 10.0) * 10.0 AS bin,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "q06_percentile_describe": """
+            SELECT l_returnflag,
+                   count(l_extendedprice) AS n,
+                   round(avg(l_extendedprice), 6) AS mean,
+                   round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+                   round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q07_stratified_sample": """
+            SELECT c_mktsegment, c_custkey, c_name FROM (
+              SELECT c_mktsegment, c_custkey, c_name,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) rn
+              FROM customer) WHERE rn <= 3
+        """,
+        "q08_exact_dedup": """
+            SELECT doc_id, fp FROM (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id ASC) rn
+              FROM documents) WHERE rn = 1
+        """,
+        "q09_ngram_jaccard": f"""
+            WITH base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents WHERE doc_id < 200)),
+            ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM base),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                     count(*) AS n_common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+            FROM inter
+            WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
+        """,
+        "q10_minhash_lsh": f"""
+            WITH base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents WHERE doc_id < 200)),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> list_min(list_transform(sh, s -> md5(h || ':' || s)))) AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2] || '|' ||
+                         sg[b*4+3] || '|' || sg[b*4+4]))) AS bucket
+              FROM sig)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+            FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+            GROUP BY 1, 2
+        """,
+        "q11_lang_quality": f"""
+            WITH q AS (
+              SELECT doc_id, text, {_TOKENS} AS tok,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_chars, len(tok) AS n_tokens, n_alpha,
+                     len(list_intersect(tok, {_EN_SW})) AS s_en,
+                     len(list_intersect(tok, {_FR_SW})) AS s_fr,
+                     len(list_intersect(tok, {_DE_SW})) AS s_de
+              FROM q)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS alpha_ratio,
+                   CAST(s_en AS BIGINT) AS stopword_hits,
+                   CASE WHEN greatest(s_de, s_en, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_fr THEN 'en'
+                        ELSE 'fr' END AS lang_guess
+            FROM s
+        """,
+        "q12_token_fingerprint": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_rtokens,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "q13_cosine_topk": f"""
+            WITH q AS (SELECT {_QV_SQL} AS qv),
+            scored AS (
+              SELECT vec_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE) * qv[i]))
+                       / (sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                     6) AS cosine
+              FROM embeddings, q)
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "q14_groupagg_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q15_best_per_group": """
+            SELECT l_returnflag, l_linestatus, f1, n FROM (
+              SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY f1 DESC, n DESC) rn
+              FROM (
+                SELECT l_returnflag, l_linestatus,
+                       round(avg(l_discount), 6) AS f1,
+                       count(*) AS n
+                FROM lineitem GROUP BY l_returnflag, l_linestatus))
+            WHERE rn = 1
+        """,
+    }

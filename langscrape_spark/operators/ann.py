@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot product and norms via ``F.zip_with``/``F.aggregate`` higher-order
+  functions (JVM-side, codegen) in double precision.
+- ``lsh_topk``: the scale path — sign-random-projection LSH buckets
+  (hyperplanes derived deterministically from md5, no RNG state), then
+  exact re-ranking inside the probed buckets. At 100 TB the bucket join
+  replaces the full scan; recall is tunable by n_planes/n_probes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``.
+    Deterministic total order: (similarity desc, id asc); similarity
+    rounded to 6 decimals in the output for cross-engine comparability."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
+
+
+def _deterministic_planes(dim: int, n_planes: int) -> List[List[float]]:
+    """Hyperplanes from md5 — no RNG state, identical everywhere.
+    Component (p, d) = signed fraction from the md5 of 'p:d'."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / 2**63 - 1.0  # [-1, 1)
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, planes: List[List[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per plane."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_radius: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to SRP buckets
+    within hamming ``probe_radius`` of the query's bucket (multiprobe
+    LSH). At scale the bucket is a stored column on the embeddings
+    table: probing hamming ≤ r of 2^n_planes buckets scans a
+    ``sum(C(n,i))/2^n`` fraction of the corpus (r=3, n=8 → ~36%)
+    instead of 100%, and the probe set is an explicit bucket-key list,
+    so a bucket-partitioned table gets partition pruning. Recall/cost
+    trades via (n_planes, probe_radius)."""
+    dim = len(query_vec)
+    planes = _deterministic_planes(dim, n_planes)
+    q_bits = [
+        sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0 for plane in planes
+    ]
+    q_bucket = sum(1 << i for i, bit in enumerate(q_bits) if bit)
+
+    bucketed = df.withColumn("bucket", srp_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_radius
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,214 @@
+"""Deduplication operators for webtext corpora — exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine. Everything except
+SimHash is built from md5/array/string built-ins so it runs entirely
+JVM-side **and** is reproducible verbatim in ANSI SQL (DuckDB oracles
+in ``__spark_entry__.py``).
+
+Scale notes:
+- exact dedup is one hash-shuffle on the fingerprint;
+- MinHash/LSH: signatures are computed map-side (no shuffle); the only
+  shuffle is the band-bucket groupBy, whose keys are uniformly
+  distributed md5 prefixes — no skew by construction. Candidate pairs
+  come from buckets with >1 member, so the join never goes quadratic in
+  corpus size, only in bucket size;
+- pair generation dedupes (a<b) to avoid double counting.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint
+    (hash-groupBy; deterministic winner)."""
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + jaccard
+# --------------------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles ('a b c' strings), sorted for
+    determinism."""
+    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    n = F.size(tokens)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.array_sort(F.array_distinct(sh))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via an inverted index
+    (explode shingles → join on shingle), never a cross join.
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as an array of hex-string minima:
+    ``sig[h] = min over shingles of md5(h || ':' || shingle)``.
+    md5-hex string minima are totally ordered and identical across
+    engines (the SQL-portable variant of integer minhash)."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{h}:"), s))))
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band bucket are
+    candidates. Output (id_a, id_b, n_shared_bands), id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Spark-side; bit ops don't port cleanly to a SQL oracle)
+# --------------------------------------------------------------------------
+
+def simhash64(text: Column, k: int = 2) -> Column:
+    """64-bit SimHash over word k-shingles using xxhash64: for each bit
+    position, sum ±1 over shingle hashes and take the sign. Built from
+    JVM expressions (no Python); ~64 aggregate lambdas, acceptable for
+    a fingerprint column computed once per document."""
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_terms = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, term in enumerate(bit_terms):
+        bit_val = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+        out = out + F.when(term > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 16-bit chunks (a pair
+    within hamming ≤ max_hamming shares at least one exact chunk when
+    max_hamming < 4·... — standard pigeonhole blocking with 4 chunks
+    covers hamming ≤ 3 exactly; wider radii are screened per block)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(c)), F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF))
+                    ).alias("c")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,84 @@
+"""Evaluation operators — the feilian SWDE-style scoring layer
+(SURVEY.md §2.5/2.6/2.9) as DataFrame ops.
+
+- ``f1_by_group``: TP/FP/FN + precision/recall/F1 from exploded
+  predicted-vs-truth value sets
+  (``/root/reference/feilian/agents/fragments_agent.py:151-222``):
+  TP = values in both sets, FP = predicted only, FN = truth only —
+  a full-outer join on (key, value), i.e. the semi/anti-join pair.
+- ``best_per_group``: top-1 by (f1 desc, n_extracted desc)
+  (``fragments_agent.py:224-229``).
+- ``scheme_report``: bidirectional key-set diff
+  (``/root/reference/langscrape/json.py:21-56``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def f1_by_group(
+    predicted: DataFrame,
+    truth: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Inputs: one row per (keys..., value) on each side (already
+    exploded, distinct). Output per key group: tp, fp, fn, precision,
+    recall, f1 (0.0 where undefined, matching the reference's guard)."""
+    p = predicted.select(*key_cols, value_col).distinct().withColumn("p", F.lit(1))
+    t = truth.select(*key_cols, value_col).distinct().withColumn("t", F.lit(1))
+    joined = p.join(t, [*key_cols, value_col], "full_outer")
+    agg = joined.groupBy(*key_cols).agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("t").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("t").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("t").isNotNull(), 1).otherwise(0)).alias("fn"),
+    )
+    precision = F.when(F.col("tp") + F.col("fp") > 0,
+                       F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    recall = F.when(F.col("tp") + F.col("fn") > 0,
+                    F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    agg = agg.withColumn("precision", F.round(precision, 6)).withColumn(
+        "recall", F.round(recall, 6)
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return agg.withColumn("f1", F.round(f1, 6))
+
+
+def best_per_group(
+    scored: DataFrame,
+    group_cols: Sequence[str],
+    f1_col: str = "f1",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-1 per group by (f1 desc, tiebreaks desc) — the reference's
+    ``sort_values(...).groupby(...).first()``."""
+    order = [F.desc(f1_col)] + [F.desc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scheme_report(
+    df: DataFrame, keys_col: str, expected_keys: Sequence[str]
+) -> DataFrame:
+    """Bidirectional key-set validation: adds ``missing_keys``,
+    ``surplus_keys``, ``is_valid_scheme``."""
+    expected = F.array(*[F.lit(k) for k in sorted(expected_keys)])
+    got = F.array_sort(F.col(keys_col))
+    return (
+        df.withColumn("missing_keys", F.array_except(expected, got))
+        .withColumn("surplus_keys", F.array_except(got, expected))
+        .withColumn(
+            "is_valid_scheme",
+            (F.size("missing_keys") == 0) & (F.size("surplus_keys") == 0),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators over a document/page corpus — all pure
+JVM column expressions (whole-stage codegen; no Python in the hot
+path). These extend the reference's per-record text handling
+(SURVEY.md §2.10) with the corpus-scale operators a training-data
+pipeline needs: language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Determinism note: everything is md5/regexp/arithmetic on columns, so
+results are identical across engines — each operator has a DuckDB
+oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists (public common words). Heuristic
+# n-gram/stopword language ID per SURVEY's text-analysis mandate.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+}
+
+# BPE-ish word/number/punct tokenizer (simple enough to behave the same
+# under Java regex and RE2-style engines).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens, empty-safe (split('') yields [''] — filter)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Regex token count (BPE-ish surrogate)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def lang_scores(text: Column) -> dict:
+    w = words_col(text)
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of stopword hits; ties broken by language code ascending;
+    no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    pairs = [
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ]
+    # array_max on struct compares score first, then lang — we want ties
+    # to pick the *smallest* lang code, so compare (score, reversed lang)
+    # is overkill: instead sort desc by score then asc by lang manually.
+    best = F.aggregate(
+        F.array(*pairs),
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality metrics per document: length, whitespace-token count,
+    alpha/punct/upper ratios, stopword ratio, mean word length — the
+    standard webtext quality filters."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_ws_tokens = F.size(words_col(t))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?\"'()\[\]-]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    en_hits = F.size(
+        F.array_intersect(
+            words_col(t), F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+        )
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_ws_tokens)
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_hits", en_hits.cast("int")
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(n_ws_tokens > 0, n_alpha / n_ws_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (the rolling-hash analogue that stays engine-portable)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
