@@ -188,7 +188,7 @@ def run_crawl(
     committed rounds, the loop resumes after the last committed one."""
     state = CrawlState()
 
-    start_round = catalog.latest_version("frontier")
+    start_round = catalog.committed_round()
     if start_round is None:
         # Round -1: seed the frontier. Normalization is the same kernel
         # function the simulator uses (byte-identical url identity).
@@ -199,12 +199,17 @@ def run_crawl(
         )
         frontier0 = _with_policy_columns(seeded, robots, host_rank)
         catalog.write("frontier", frontier0, 0)
-        catalog.write("seen", frontier0.select("url"), 0)
+        # seen is a *delta* table: round k's delta holds only the urls
+        # first enqueued entering round k. Rewriting the full seen-set
+        # every round would be O(rounds · |seen|) I/O — quadratic over
+        # a crawl, unusable at a 10^10-url frontier.
+        catalog.append("seen", frontier0.select("url"), 0)
+        catalog.commit_round(0)
         start_round = 0
 
     for round_no in range(start_round, cfg.max_rounds):
         t0 = time.time()
-        frontier = catalog.read("frontier")
+        frontier = catalog.read("frontier", round_no)
         if frontier is None or frontier.isEmpty():
             break
 
@@ -231,8 +236,11 @@ def run_crawl(
         )
 
         # --- seen membership: explicit url-hash repartition + bloom ----
-        seen = catalog.read("seen")
-        cand = links.repartition(cfg.seen_partitions, F.xxhash64("url"))
+        seen = catalog.read_appended("seen", round_no)
+        # Cached: consumed by the lineage partition counts AND both
+        # bloom branches — without the cache the link-extraction UDF
+        # would re-run once per consumer.
+        cand = links.repartition(cfg.seen_partitions, F.xxhash64("url")).cache()
         if cfg.use_bloom and _bloom_sql_available(spark):
             cand = _bloom_prefilter(spark, cand, seen, cfg)
             definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
@@ -266,11 +274,7 @@ def run_crawl(
             .unionByName(new_entries)
         )
         catalog.write("frontier", next_frontier, round_no + 1)
-        catalog.write(
-            "seen",
-            catalog.read("seen").unionByName(new_entries.select("url")),
-            round_no + 1,
-        )
+        catalog.append("seen", new_entries.select("url"), round_no + 1)
         catalog.append(
             "schedule",
             admitted.select(
@@ -306,10 +310,12 @@ def run_crawl(
             ),
             round_no,
         )
+        catalog.commit_round(round_no + 1)
         admitted.unpersist()
         new_entries.unpersist()
+        cand.unpersist()
         state.rounds_run += 1
 
     state.schedule = catalog.read_appended("schedule")
-    state.seen = catalog.read("seen")
+    state.seen = catalog.read_appended("seen")
     return state

@@ -48,10 +48,25 @@ class Catalog:
 
     def _commit(self, name: str, version: int) -> None:
         path = self._pointer_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, path)  # atomic pointer swap
+
+    # -- round marker (atomic multi-table commit) ---------------------------
+    # A crawl round touches several tables (frontier, seen, schedule,
+    # metrics); the single source of truth for "which round is durable"
+    # is this marker, committed LAST. On restart the round re-executes
+    # from the marker's version: all its table writes are idempotent
+    # overwrites of versioned dirs, so a crash anywhere mid-round
+    # leaves the previous round fully live (Iceberg-snapshot
+    # semantics on plain parquet).
+    def committed_round(self) -> Optional[int]:
+        return self.latest_version("_round")
+
+    def commit_round(self, round_no: int) -> None:
+        self._commit("_round", round_no)
 
     # -- table io -----------------------------------------------------------
     def _data_dir(self, name: str, version: int) -> str:
@@ -63,8 +78,13 @@ class Catalog:
         df.write.mode("overwrite").parquet(path)
         self._commit(name, version)
 
-    def read(self, name: str) -> Optional[DataFrame]:
-        version = self.latest_version(name)
+    def read(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
+        """Read snapshot ``version`` (default: the table's own latest
+        pointer). Passing an explicit version pins a re-executed round
+        to its committed inputs even if a crashed later attempt left a
+        newer pointer behind."""
+        if version is None:
+            version = self.latest_version(name)
         if version is None:
             return None
         return self.spark.read.parquet(self._data_dir(name, version))
@@ -76,8 +96,11 @@ class Catalog:
         df.write.mode("overwrite").parquet(path)  # idempotent per round
         self._commit(name, version)
 
-    def read_appended(self, name: str) -> Optional[DataFrame]:
-        version = self.latest_version(name)
+    def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
+        """Union of all committed deltas with round ≤ ``version``
+        (default: the table's own latest pointer)."""
+        if version is None:
+            version = self.latest_version(name)
         if version is None:
             return None
         base = os.path.join(self.root, name)
