@@ -265,6 +265,107 @@ def q19_crawl_schedule(spark, sf):
     return _politeness_admit(frontier, robots, batch_size=50)
 
 
+def q20_embedding_neardup(spark, sf):
+    """Exact embedding-cosine near-dup pairs (O(n²) baseline)."""
+    from langscrape_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    # testdata embeddings are near-random (max pairwise cosine ~0.51
+    # at sf0.01), so the "near-dup" threshold is set where pairs exist.
+    return embedding_neardup_pairs(emb, 0.40)
+
+
+def q21_embedding_neardup_lsh(spark, sf):
+    """Scale path for q20: SRP-bucket equi-join candidates, exact
+    cosine confirm (rows-only; recall subset proven in
+    tests/test_training_ops.py)."""
+    from langscrape_spark.operators.ann import embedding_neardup_pairs_lsh
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs_lsh(emb, 0.40, n_planes=4)
+
+
+def q22_dom_structural_stats(spark, sf):
+    """Corpus-wide DOM node table → per-(url, tag) structural stats
+    (reference soup_tools.py:182-231 generalized; rows-only — DuckDB
+    can't parse HTML)."""
+    from langscrape_spark import synth
+    from langscrape_spark.operators.domtable import dom_nodes_table, structural_stats
+
+    pages = synth.build_pages_df(spark, 48, partitions=4)
+    return structural_stats(dom_nodes_table(pages)).orderBy("url", "tag")
+
+
+def q23_node_weights(spark, sf):
+    """Token-weighted DOM scoring as columns (reference
+    etree_token_stats.py:83-123; rows-only)."""
+    from langscrape_spark import synth
+    from langscrape_spark.operators.domtable import dom_nodes_table, node_weights
+    from pyspark.sql import Window
+
+    pages = synth.build_pages_df(spark, 48, partitions=4)
+    w = node_weights(dom_nodes_table(pages))
+    ranked = w.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("url").orderBy(F.desc("weight"), F.asc("xpath"))
+        ),
+    )
+    return ranked.where("rn <= 3").drop("rn")
+
+
+def q24_media_features(spark, sf):
+    """Multimodal plumbing end-to-end: decode → resize images, sample
+    video frames, audio features (decode is a deterministic fake —
+    see operators/multimodal.py; rows-only)."""
+    from langscrape_spark.operators import multimodal as mm
+
+    media = mm.build_media_df(spark, 60, partitions=4)
+    imgs = mm.resize_images(mm.decode_images(media), 8, 8).select(
+        "media_id", F.lit("image").alias("kind"),
+        F.md5(F.hex(F.col("pixels"))).alias("feature"),
+    )
+    frames = mm.sample_frames(media, every_n=10).groupBy("media_id").agg(
+        F.lit("video").alias("kind"),
+        F.count("*").cast("string").alias("feature"),
+    )
+    audio = mm.audio_features(media).select(
+        "media_id", F.lit("audio").alias("kind"),
+        F.col("zero_crossings").cast("string").alias("feature"),
+    )
+    return imgs.unionByName(frames).unionByName(audio)
+
+
+def q25_corr_by_group(spark, sf):
+    """Correlation per group (reference statistical_analysis.py:390-392)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
+
+
+def q26_setops_drift(spark, sf):
+    """get_feedbacks-style missing/surplus set diff (reference
+    feilian/agents/agent.py:128-135): event types a user emitted early
+    in the month but not late, and vice versa."""
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.dayofmonth("ts") <= 15, F.col("event_type")))
+        ).alias("early_types"),
+        F.array_sort(
+            F.collect_set(F.when(F.dayofmonth("ts") > 15, F.col("event_type")))
+        ).alias("late_types"),
+    )
+    return agg.select(
+        "user_id",
+        F.array_except("early_types", "late_types").alias("missing_late"),
+        F.array_except("late_types", "early_types").alias("surplus_late"),
+        F.size(F.array_union("early_types", "late_types")).alias("n_types"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -286,6 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_lsh_ann": q17_lsh_ann,
         "q18_extract_kernel": q18_extract_kernel,
         "q19_crawl_schedule": q19_crawl_schedule,
+        "q20_embedding_neardup": q20_embedding_neardup,
+        "q21_embedding_neardup_lsh": q21_embedding_neardup_lsh,
+        "q22_dom_structural_stats": q22_dom_structural_stats,
+        "q23_node_weights": q23_node_weights,
+        "q24_media_features": q24_media_features,
+        "q25_corr_by_group": q25_corr_by_group,
+        "q26_setops_drift": q26_setops_drift,
     }
 
 
@@ -464,6 +572,42 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, q)
             SELECT vec_id, cosine FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "q20_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(
+                  list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(a.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(b.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                6) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs
+            WHERE NOT isnan(cosine) AND cosine >= 0.40
+        """,
+        "q25_corr_by_group": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q26_setops_drift": """
+            WITH agg AS (
+              SELECT user_id,
+                coalesce(list_sort(list(DISTINCT event_type)
+                  FILTER (WHERE extract(day FROM ts) <= 15)), []) AS early_types,
+                coalesce(list_sort(list(DISTINCT event_type)
+                  FILTER (WHERE extract(day FROM ts) > 15)), []) AS late_types
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+              list_filter(early_types, x -> NOT list_contains(late_types, x)) AS missing_late,
+              list_filter(late_types, x -> NOT list_contains(early_types, x)) AS surplus_late,
+              len(list_distinct(list_concat(early_types, late_types))) AS n_types
+            FROM agg
         """,
         "q14_groupagg_rollup": """
             SELECT l_returnflag, l_linestatus,

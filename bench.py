@@ -54,7 +54,14 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
-def bench_crawl(spark, n_pages: int, max_rounds: int, batch_size: int) -> dict:
+def bench_crawl(
+    spark,
+    n_pages: int,
+    max_rounds: int,
+    batch_size: int,
+    n_seeds: int = 20,
+    delay_div: float = 25.0,
+) -> dict:
     """URLs scheduled+extracted/sec: politeness rounds over the synth
     frontier, then the extraction kernel over every scheduled page.
     Corpus parquet materialization happens before the clock starts."""
@@ -73,7 +80,7 @@ def bench_crawl(spark, n_pages: int, max_rounds: int, batch_size: int) -> dict:
             pages_path
         )
         pages = spark.read.parquet(pages_path)
-        seeds = synth.seeds_df(spark, n_pages)
+        seeds = synth.seeds_df(spark, n_pages, n_seeds=n_seeds)
         # Politeness budget is crawl *config*, not engine: the synth
         # robots table's delays (0.5-2.0s) model a cautious crawler and
         # would cap every round at ~160 urls regardless of cluster
@@ -81,11 +88,20 @@ def bench_crawl(spark, n_pages: int, max_rounds: int, batch_size: int) -> dict:
         # bounded by batch_size/frontier, not by the tiny host count
         # (a 10^10 frontier has millions of hosts, not 20).
         robots = synth.robots_df(spark).withColumn(
-            "crawl_delay", F.col("crawl_delay") / 25.0
+            "crawl_delay", F.col("crawl_delay") / F.lit(delay_div)
         )
         host_rank = synth.host_rank_df(spark)
         catalog = Catalog(spark, os.path.join(tmp, "catalog"))
         cfg = CrawlConfig(batch_size=batch_size, max_rounds=max_rounds)
+
+        # Steady-state kernel throughput FIRST, in a pristine session:
+        # extraction over the whole corpus, no scheduler round overhead
+        # — the dominant term at 10^10 urls where each round processes
+        # millions of pages. (Measured before the crawl: the round
+        # loop's cached/checkpoint state pollutes later measurements.)
+        t1 = time.perf_counter()
+        _materialize(extract_pages(pages, synth.FIELD_MAP))
+        extract_elapsed = time.perf_counter() - t1
 
         t0 = time.perf_counter()
         state = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
@@ -95,13 +111,6 @@ def bench_crawl(spark, n_pages: int, max_rounds: int, batch_size: int) -> dict:
         _materialize(extracted)
         n_scheduled = schedule.count()
         elapsed = time.perf_counter() - t0
-
-        # Steady-state kernel throughput: extraction over the whole
-        # corpus, no scheduler round overhead — the dominant term at
-        # 10^10 urls where each round processes millions of pages.
-        t1 = time.perf_counter()
-        _materialize(extract_pages(pages, synth.FIELD_MAP))
-        extract_elapsed = time.perf_counter() - t1
 
         return {
             "crawl_sec": round(elapsed, 3),
@@ -122,6 +131,8 @@ def main(argv) -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
     max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     batch_size = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "600"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "20"))
+    delay_div = float(os.environ.get("SPARK_GRAFT_BENCH_DELAY_DIV", "25"))
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -136,7 +147,10 @@ def main(argv) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         timings = {} if crawl_only else bench_queries(spark, sf_dir)
-        crawl = bench_crawl(spark, n_pages, max_rounds, batch_size)
+        crawl = bench_crawl(
+            spark, n_pages, max_rounds, batch_size,
+            n_seeds=n_seeds, delay_div=delay_div,
+        )
         timings["q00_crawl_extract"] = crawl["crawl_sec"]
         total = round(sum(timings.values()), 3)
         out = {

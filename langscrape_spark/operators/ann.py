@@ -110,3 +110,64 @@ def lsh_topk(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_radius
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, cosine) for
+    a < b with cosine >= threshold. The O(n^2) correctness baseline —
+    run it on a filtered slice; the scale path is the LSH variant."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        # zero-norm vectors yield NaN cosines, and Spark orders NaN
+        # above every real number — drop them explicitly.
+        .where(~F.isnan("cosine") & (F.col("cosine") >= threshold))
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: SRP-bucket equi-join generates candidate pairs, the
+    exact cosine filter keeps true near-dups. The equi-join shuffles on
+    the bucket key instead of crossing the corpus, so cost is
+    sum-over-buckets |B|^2 — at 10^10 rows pick n_planes so buckets
+    average ~10^3-10^4 rows, and salt any pathological hot bucket the
+    same way the politeness window salts hot hosts. Recall < 1 (pairs
+    split across buckets are missed); raise it with band-style multiple
+    plane sets, as minhash_lsh_pairs does for text."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    planes = _deterministic_planes(int(first["d"]), n_planes)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(~F.isnan("cosine") & (F.col("cosine") >= threshold))
+    )

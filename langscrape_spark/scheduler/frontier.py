@@ -75,10 +75,13 @@ def _with_policy_columns(
 ) -> DataFrame:
     """Insert-time policy: robots filter + priority. ``df`` must have
     (url, depth); adds host, priority; drops disallowed urls."""
-    df = df.withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+    # try_parse_url, not parse_url: under ANSI mode (Spark 4 default)
+    # parse_url THROWS on malformed urls — one bad discovered link
+    # would kill the whole round. Invalid → NULL host → dropped below.
+    df = df.withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
     df = df.withColumn(
-        "path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    )
+        "path", F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    ).where(F.col("host").isNotNull())  # simulator: host None → dropped
     df = (
         df.join(F.broadcast(robots), "host", "left")
         .where(F.coalesce(F.col("allowed"), F.lit(True)))

@@ -46,6 +46,8 @@ def test_query_matches_oracle(spark, duck, name):
     exp = _normalize(duck.sql(entry_mod.oracle_sql()[name]).df())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    if len(got) == 0:
+        return
     for c in got.columns:
         g, e = got[c], exp[c]
         if g.dtype.kind == "f" or e.dtype.kind == "f":
@@ -72,7 +74,11 @@ def test_entry_smoke(spark):
     }
 
 
-@pytest.mark.parametrize("name", ["q16_simhash", "q17_lsh_ann", "q18_extract_kernel", "q19_crawl_schedule"])
+@pytest.mark.parametrize("name", [
+    "q16_simhash", "q17_lsh_ann", "q18_extract_kernel", "q19_crawl_schedule",
+    "q21_embedding_neardup_lsh", "q22_dom_structural_stats",
+    "q23_node_weights", "q24_media_features",
+])
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
     assert df.count() > 0

@@ -1,0 +1,222 @@
+"""Training-data-pipeline operators: multimodal columns, embedding
+near-dup, and the corpus-wide DOM node table."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from langscrape_spark import synth
+from langscrape_spark.operators.ann import (
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
+)
+from langscrape_spark.operators.domtable import (
+    dom_nodes_table,
+    node_weights,
+    structural_stats,
+    xpath_for_value,
+)
+from langscrape_spark.operators.multimodal import (
+    audio_features,
+    build_media_df,
+    decode_images,
+    resize_images,
+    sample_frames,
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = build_media_df(spark, 30, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_media_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_images_shapes(media):
+    out = decode_images(media).collect()
+    assert len(out) == 10  # kinds cycle by id % 3
+    for r in out:
+        assert len(r["pixels"]) == r["width"] * r["height"]
+
+
+def test_decode_deterministic_across_runs(media):
+    a = {r["media_id"]: bytes(r["pixels"]) for r in decode_images(media).collect()}
+    b = {r["media_id"]: bytes(r["pixels"]) for r in decode_images(media).collect()}
+    assert a == b
+
+
+def test_resize_nearest_neighbor(media):
+    decoded = decode_images(media)
+    out = resize_images(decoded, 8, 8).collect()
+    assert all(len(r["pixels"]) == 64 for r in out)
+    # corner pixel (0,0) is preserved by nearest-neighbor
+    src = {r["media_id"]: bytes(r["pixels"]) for r in decoded.collect()}
+    for r in out:
+        assert r["pixels"][0] == src[r["media_id"]][0]
+
+
+def test_sample_frames_cardinality(media):
+    out = sample_frames(media, every_n=10)
+    rows = out.collect()
+    metas = {
+        r["media_id"]: r["meta"]["n_frames"]
+        for r in media.where("kind = 'video'").collect()
+    }
+    got = {}
+    for r in rows:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+    assert got == {mid: math.ceil(n / 10) for mid, n in metas.items()}
+    # distinct frames differ
+    frames = [bytes(r["pixels"]) for r in rows if r["media_id"] == rows[0]["media_id"]]
+    assert len(set(frames)) == len(frames)
+
+
+def test_audio_features(media):
+    out = audio_features(media).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_windows"] >= 1
+        assert len(r["rms"]) == r["n_windows"]
+        assert all(v >= 0 for v in r["rms"])
+        assert r["zero_crossings"] > 0
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 tight clusters + noise: ids 0-2 near e1, 10-11 near e2, rest alone
+    def v(base, eps, dim=8):
+        out = [0.0] * dim
+        out[base] = 1.0
+        out[(base + 1) % dim] = eps
+        return out
+
+    rows = [
+        (0, v(0, 0.0)), (1, v(0, 0.05)), (2, v(0, 0.1)),
+        (10, v(3, 0.0)), (11, v(3, 0.02)),
+        (20, v(5, 0.0)), (21, v(6, 0.0)),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_exact_neardup_pairs(vectors):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(vectors, 0.99).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2), (10, 11)}
+
+
+def test_lsh_neardup_subset_of_exact(vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(vectors, 0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(vectors, 0.99, n_planes=4).collect()
+    }
+    assert lsh <= exact
+    assert lsh  # clusters this tight land in one bucket
+
+
+def test_lsh_neardup_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_neardup_pairs(emb, 0.95)
+    lsh = embedding_neardup_pairs_lsh(emb, 0.95, n_planes=6)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert l <= e
+
+
+# ---------------------------------------------------------------------------
+# DOM node table
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    pages = synth.build_pages_df(spark, 12, partitions=2)
+    n = dom_nodes_table(pages).cache()
+    n.count()
+    return n
+
+
+def test_node_table_covers_all_pages(nodes):
+    assert nodes.select("url").distinct().count() == 12
+    tags = {r["tag"] for r in nodes.select("tag").distinct().collect()}
+    assert {"html", "div", "p", "h1", "a"} <= tags
+
+
+def test_node_xpaths_resolve(nodes, spark):
+    """Every emitted xpath must resolve back to exactly one element
+    with the same text — the node table is a faithful index."""
+    from langscrape_spark.html.dom import parse
+    from langscrape_spark.html.xpath import evaluate
+
+    sample = nodes.where("tag = 'h1'").limit(5).collect()
+    for r in sample:
+        page_id = int(r["url"].rsplit("article-", 1)[1].split(".")[0])
+        doc = parse(synth.page_html(page_id, 12))
+        hits = evaluate(doc, r["xpath"])
+        assert len(hits) == 1
+        assert hits[0].text_content() == r["text"]
+
+
+def test_node_weights_band_and_range(nodes):
+    w = node_weights(nodes)
+    assert w.where("n_text_tokens = 0 and weight != 0").count() == 0
+    mx = w.agg(F.max("weight")).first()[0]
+    assert 0 < mx <= 4.0  # four unit-bounded terms
+
+
+def test_weight_prefers_article_container(nodes):
+    """The heaviest in-band node of each page should be a container,
+    not an inline element — the formula's whole point."""
+    from pyspark.sql import Window
+
+    w = node_weights(nodes)
+    top = (
+        w.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.desc("weight"), F.asc("xpath"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    )
+    assert all(r["tag"] in {"div", "article", "main", "body", "p"} for r in top)
+
+
+def test_xpath_for_value_finds_headline(nodes, spark):
+    targets = spark.createDataFrame(
+        [
+            (synth.url_of(i), f"Article {i:08d}")
+            for i in range(3)
+        ],
+        "url string, target string",
+    )
+    out = {r["url"]: r["xpath"] for r in xpath_for_value(nodes, targets).collect()}
+    assert len(out) == 3
+    # best match for the title prefix is the h1 headline (or its title twin)
+    assert all("h1" in xp or "title" in xp for xp in out.values())
+
+
+def test_structural_stats(nodes):
+    s = structural_stats(nodes)
+    row = s.where("tag = 'p'").agg(F.sum("n_nodes")).first()
+    assert row[0] > 12  # several paragraphs per page
