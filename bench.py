@@ -94,6 +94,14 @@ def bench_crawl(
         catalog = Catalog(spark, os.path.join(tmp, "catalog"))
         cfg = CrawlConfig(batch_size=batch_size, max_rounds=max_rounds)
 
+        # Warm-up with one task per core slot: every python worker in
+        # the local[N] pool spawns and imports NOW, not inside the
+        # measured window (each cold worker costs ~1-2s of import; a
+        # production executor pays it once per weeks-long crawl).
+        n_cores = spark.sparkContext.defaultParallelism
+        warm = synth.build_pages_df(spark, n_cores * 32, partitions=n_cores)
+        _materialize(extract_pages(warm, synth.FIELD_MAP))
+
         # Steady-state kernel throughput FIRST, in a pristine session:
         # extraction over the whole corpus, no scheduler round overhead
         # — the dominant term at 10^10 urls where each round processes

@@ -32,9 +32,8 @@ from typing import Any, Dict, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.kernel import (
-    clean_html_udf,
     is_pdf_col,
-    make_extract_fields_udf,
+    make_clean_extract_udf,
     valid_url_col,
 )
 
@@ -49,12 +48,13 @@ def extract_pages(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extraction results.
 
-    One Python stage (clean+extract fused into a single pass over each
-    Arrow batch would need one UDF; they are kept separate because
-    ``cleaned`` is itself a contract output — Spark pipelines the two
-    map-only UDFs in the same stage with no extra shuffle).
+    One Python stage, ONE Arrow crossing: clean+extract run fused in a
+    single pandas UDF (``make_clean_extract_udf``) — semantics are
+    byte-identical to running them separately (the extractor still
+    parses the cleaned *string*), but the raw html is serialized to
+    Python exactly once instead of html→py, cleaned→jvm, cleaned→py.
     """
-    extract_udf = make_extract_fields_udf(field_map)
+    kernel_udf = make_clean_extract_udf(field_map)
     expected_fields = F.array_sort(
         F.array(*[F.lit(k) for k in field_map.keys()])
     )
@@ -63,10 +63,12 @@ def extract_pages(
         pages
         .withColumn("is_valid_url", valid_url_col(F.col("url")))
         .withColumn("is_pdf", is_pdf_col(F.col("url")))
-        .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
-        .withColumn("cleaned", clean_html_udf(F.col("html")))
+        .withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
+        .withColumn("_kernel", kernel_udf(F.col("html")))
+        .withColumn("cleaned", F.col("_kernel.cleaned"))
         .withColumn("too_short_html", F.length("cleaned") < MIN_HTML_LENGTH)
-        .withColumn("extracted", extract_udf(F.col("cleaned")))
+        .withColumn("extracted", F.col("_kernel.extracted"))
+        .drop("_kernel")
         .withColumn(
             "article_body_text",
             F.concat_ws(" ", F.col("extracted").getItem("article_body")),

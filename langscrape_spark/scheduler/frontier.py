@@ -60,6 +60,9 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_items: int = 1_000_000
     bloom_bits: int = 8_388_608
+    # Below this seen-set size the bloom pre-filter costs more (full
+    # seen scan + driver collect per round) than the shuffle it saves.
+    bloom_min_seen: int = 2_000_000
 
 
 @dataclass
@@ -210,11 +213,18 @@ def run_crawl(
         catalog.commit_round(0)
         start_round = 0
 
+    # Seen-set cardinality, maintained in the driver across rounds so
+    # bloom-vs-antijoin can be decided without a count job. One count
+    # on (re)start, then updated from each round's n_new.
+    total_seen = None
+
     for round_no in range(start_round, cfg.max_rounds):
         t0 = time.time()
         frontier = catalog.read("frontier", round_no)
-        if frontier is None or frontier.isEmpty():
+        if frontier is None:
             break
+        if total_seen is None:
+            total_seen = catalog.read_appended("seen", round_no).count()
 
         admitted = _politeness_admit(frontier, robots, cfg.batch_size).cache()
         n_admitted = admitted.count()
@@ -240,11 +250,18 @@ def run_crawl(
 
         # --- seen membership: explicit url-hash repartition + bloom ----
         seen = catalog.read_appended("seen", round_no)
-        # Cached: consumed by the lineage partition counts AND both
-        # bloom branches — without the cache the link-extraction UDF
-        # would re-run once per consumer.
+        # Cached: consumed by both bloom branches — without the cache
+        # the link-extraction UDF would re-run once per consumer.
         cand = links.repartition(cfg.seen_partitions, F.xxhash64("url")).cache()
-        if cfg.use_bloom and _bloom_sql_available(spark):
+        # The bloom pre-filter costs a full seen scan + a collect every
+        # round; below ``bloom_min_seen`` urls the exact anti-join
+        # alone is cheaper (the bloom's job is to cut *shuffle* volume,
+        # which only matters once seen dwarfs the candidate batch).
+        if (
+            cfg.use_bloom
+            and total_seen >= cfg.bloom_min_seen
+            and _bloom_sql_available(spark)
+        ):
             cand = _bloom_prefilter(spark, cand, seen, cfg)
             definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
@@ -262,14 +279,18 @@ def run_crawl(
             )
 
         new_entries = _with_policy_columns(new_urls, robots, host_rank).cache()
-        n_new = new_entries.count()
 
         # --- per-partition lineage for the membership stage ------------
+        # One job yields both the total (n_new) and the per-partition
+        # row counts of the membership stage's output (the anti-join
+        # preserves cand's url-hash partitioning, so skew shows here).
         part_counts = (
-            cand.groupBy(F.spark_partition_id().alias("pid"))
+            new_entries.groupBy(F.spark_partition_id().alias("pid"))
             .count()
             .collect()
         )
+        n_new = sum(int(r["count"]) for r in part_counts)
+        total_seen += n_new
 
         # --- checkpoint round r+1 state --------------------------------
         next_frontier = (

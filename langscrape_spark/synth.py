@@ -169,14 +169,32 @@ def build_pages_df(spark, n_pages: int, partitions: int = 32):
     )
 
 
-def seeds_df(spark, n_pages: int, n_seeds: int = 20):
-    """Seed frontier (FIXTURES.md §2): the first hosts' roots plus a
-    couple of invalid / pdf URLs to exercise validate/route paths."""
-    rows = [(url_of(i * max(1, n_pages // n_seeds)), f"seed-{i}", 0) for i in range(n_seeds)]
-    rows.append(("not a url", "seed-bad", 0))
-    rows.append(("ftp://site.example/x", "seed-ftp", 0))
-    rows.append((f"https://{host_of(0)}/docs/report.pdf", "seed-pdf", 0))
-    return spark.createDataFrame(rows, "url string, id string, depth int")
+def seeds_df(spark, n_pages: int, n_seeds: int = 20, partitions: int = 8):
+    """Seed frontier (FIXTURES.md §2): evenly spaced page urls plus a
+    couple of invalid / pdf URLs to exercise validate/route paths.
+
+    Generated distributed (``spark.range`` → ``mapInPandas``) like the
+    pages table: a driver-side ``createDataFrame`` of pickled rows
+    fans out into one tiny python-RDD task per core, whose fixed
+    serialization cost *grows* with core count — measurable even at
+    16k seeds, fatal at a 10^10-url production seed list."""
+    stride = max(1, n_pages // n_seeds)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = [(url_of(i * stride), f"seed-{i}", 0) for i in ids]
+            if 0 in ids:  # the invalid/pdf probes ride with partition 0
+                rows.append(("not a url", "seed-bad", 0))
+                rows.append(("ftp://site.example/x", "seed-ftp", 0))
+                rows.append((f"https://{host_of(0)}/docs/report.pdf", "seed-pdf", 0))
+            yield pd.DataFrame(rows, columns=["url", "id", "depth"])
+
+    num_parts = max(1, min(partitions, n_seeds // 64))
+    return (
+        spark.range(0, n_seeds, 1, num_parts)
+        .mapInPandas(gen, schema="url string, id string, depth int")
+    )
 
 
 def robots_df(spark):

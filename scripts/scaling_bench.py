@@ -58,7 +58,9 @@ def run_at(cpus: int, n_pages: int) -> dict:
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
-    levels = (8, 32)
+    levels = (
+        (int(sys.argv[2]), int(sys.argv[3])) if len(sys.argv) > 3 else (8, 32)
+    )
     results = {c: run_at(c, n_pages) for c in levels}
     n, n4 = levels
     crawl_eff = (results[n4]["urls_per_sec"] / results[n]["urls_per_sec"]) / (n4 / n)
