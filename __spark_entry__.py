@@ -269,7 +269,11 @@ def q20_embedding_neardup(spark, sf):
     """Exact embedding-cosine near-dup pairs (O(n²) baseline)."""
     from langscrape_spark.operators.ann import embedding_neardup_pairs
 
-    emb = _t(spark, sf, "embeddings")
+    # The exact variant is the O(n²) correctness baseline — bounded to
+    # a 1000-vector slice (covers all of sf0.01; keeps sf0.1's 5000
+    # vectors from exploding into 12.5M HOF dot products). The scale
+    # path is q21's LSH bucket join.
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
     # testdata embeddings are near-random (max pairwise cosine ~0.51
     # at sf0.01), so the "near-dup" threshold is set where pairs exist.
     return embedding_neardup_pairs(emb, 0.40)
@@ -366,6 +370,98 @@ def q26_setops_drift(spark, sf):
     )
 
 
+def q27_xpath_prefix_dedup(spark, sf):
+    """Corpus-wide ``deduplicate_to_prune`` (reference
+    feilian/etree_tools.py:343-356): drop any path that extends a
+    shallower kept path. Domination is transitive along prefix chains,
+    so dominated-by-any ≡ dominated-by-kept and the whole pass is one
+    self-join — no iteration. Paths synthesized from orders keys."""
+    orders = _t(spark, sf, "orders")
+    shallow = (
+        orders.where(F.col("o_custkey") % 2 == 0)
+        .select(F.concat(F.lit("/c"), F.col("o_custkey")).alias("path"))
+        .distinct()
+    )
+    deep = orders.select(
+        F.concat(
+            F.lit("/c"), F.col("o_custkey"), F.lit("/o"), F.col("o_orderkey")
+        ).alias("path")
+    )
+    paths = shallow.unionByName(deep)
+    # Scalable domination test: explode every path into its proper
+    # ancestor prefixes, then a hash left_anti equi-join against the
+    # path set — O(n·depth) rows shuffled on an equi-key, instead of
+    # the O(n²) nested-loop a `startswith` join would plan.
+    segs = F.split(F.col("path"), "/")
+    # NB: sequence(1, 0) counts DOWN in Spark — guard depth-1 paths or
+    # every root becomes its own "ancestor" and deletes itself.
+    ancestors = F.when(
+        F.size(segs) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(segs) - 2),
+            lambda i: F.concat(
+                F.lit("/"), F.array_join(F.slice(segs, 2, i), "/")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dominated = (
+        paths.select("path", F.explode(ancestors).alias("anc"))
+        .join(paths.select(F.col("path").alias("anc")), "anc", "left_semi")
+        .select("path")
+        .distinct()
+    )
+    return paths.join(dominated, "path", "left_anti")
+
+
+def q28_json_extract(spark, sf):
+    """``extract_json_block``/``from_json`` fallback chain (reference
+    langscrape/nodes/data_collator.py:10-43): pull a typed value out of
+    the json props column, NULL-safe."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def q29_ordered_distinct(spark, sf):
+    """``unique_merge`` ordered-distinct union (reference
+    feilian/agents/reducers.py:10-47): event types per user in order
+    of first occurrence (ties by type)."""
+    ev = _t(spark, sf, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    return firsts.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("first_ts", "event_type"))),
+            lambda s: s.getField("event_type"),
+        ).alias("types_in_order")
+    )
+
+
+def q30_date_rollup(spark, sf):
+    """Date scalar family (SURVEY §2.10): month/day-of-week rollup of
+    the events stream."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -394,6 +490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_media_features": q24_media_features,
         "q25_corr_by_group": q25_corr_by_group,
         "q26_setops_drift": q26_setops_drift,
+        "q27_xpath_prefix_dedup": q27_xpath_prefix_dedup,
+        "q28_json_extract": q28_json_extract,
+        "q29_ordered_distinct": q29_ordered_distinct,
+        "q30_date_rollup": q30_date_rollup,
     }
 
 
@@ -574,7 +674,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "q20_embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 1000),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(
@@ -608,6 +709,46 @@ def oracle_sql() -> dict[str, str]:
               list_filter(late_types, x -> NOT list_contains(early_types, x)) AS surplus_late,
               len(list_distinct(list_concat(early_types, late_types))) AS n_types
             FROM agg
+        """,
+        "q27_xpath_prefix_dedup": """
+            WITH shallow AS (
+              SELECT DISTINCT '/c' || o_custkey AS path
+              FROM orders WHERE o_custkey % 2 = 0),
+            deep AS (
+              SELECT '/c' || o_custkey || '/o' || o_orderkey AS path
+              FROM orders),
+            paths AS (SELECT path FROM shallow UNION ALL SELECT path FROM deep)
+            SELECT path FROM paths p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM paths q
+              WHERE p.path LIKE q.path || '/%')
+        """,
+        "q28_json_extract": """
+            WITH k AS (
+              SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT k % 10 AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM k WHERE k IS NOT NULL GROUP BY 1
+        """,
+        "q29_ordered_distinct": """
+            WITH firsts AS (
+              SELECT user_id, event_type, min(ts) AS first_ts
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id,
+                   list(event_type ORDER BY first_ts, event_type)
+                     AS types_in_order
+            FROM firsts GROUP BY user_id
+        """,
+        "q30_date_rollup": """
+            SELECT strftime(ts, '%Y-%m') AS month,
+                   dayofweek(ts) + 1 AS dow,
+                   count(*) AS n,
+                   round(avg(value), 6) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "q14_groupagg_rollup": """
             SELECT l_returnflag, l_linestatus,
