@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.kernel import (
     is_pdf_col,
     make_clean_extract_udf,
+    pdf_text_udf,
     valid_url_col,
 )
 
@@ -59,12 +60,37 @@ def extract_pages(
         F.array(*[F.lit(k) for k in field_map.keys()])
     )
 
-    df = (
+    base = (
         pages
         .withColumn("is_valid_url", valid_url_col(F.col("url")))
         .withColumn("is_pdf", is_pdf_col(F.col("url")))
         .withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
-        .withColumn("_kernel", kernel_udf(F.col("html")))
+    )
+    # PDF routing (reference is_pdf_condition, langscrape/agent/
+    # graph.py:13-17): pdf rows take the pdf-text path, html rows the
+    # clean+extract kernel. A filter-split + union, NOT a when() over
+    # both UDFs — Spark evaluates UDFs in both branches of a when(),
+    # which would run the html kernel on every pdf and vice versa.
+    html_rows = base.where(~F.col("is_pdf")).withColumn(
+        "_kernel", kernel_udf(F.col("html"))
+    )
+    pdf_rows = base.where(F.col("is_pdf")).withColumn(
+        "_kernel",
+        F.struct(
+            pdf_text_udf(F.col("html")).alias("cleaned"),
+            # pdf route has no xpath extraction: every configured field
+            # carries the reference's no-stored-value sentinel
+            # (langscrape/html/xpath_extractor.py:63-66).
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in field_map.keys()]),
+                F.array(
+                    *[F.array(F.lit("(No stored value)")) for _ in field_map]
+                ),
+            ).alias("extracted"),
+        ),
+    )
+    df = (
+        html_rows.unionByName(pdf_rows)
         .withColumn("cleaned", F.col("_kernel.cleaned"))
         .withColumn("too_short_html", F.length("cleaned") < MIN_HTML_LENGTH)
         .withColumn("extracted", F.col("_kernel.extracted"))

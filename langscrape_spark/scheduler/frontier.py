@@ -180,6 +180,63 @@ def _bloom_prefilter(
     ).drop("bf")
 
 
+_BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_positions(m_bits: int):
+    """k bit positions per url, computed JVM-side with ``xxhash64`` so
+    build and probe agree without a Python xxhash implementation."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("url"), F.lit(i)), F.lit(m_bits))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bloom_prefilter_udf(
+    spark: SparkSession, candidates: DataFrame, seen: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Bloom pre-filter for builds where ``bloom_filter_agg`` is not
+    registered: the bitset is built from the DISTINCT bit positions of
+    the seen urls (positions computed JVM-side, one shuffle of ≤
+    k·|seen| longs), packed into a numpy bitset on the driver and
+    broadcast; the probe is a vectorized bit lookup in a pandas UDF
+    over position arrays that were also computed JVM-side.
+
+    Scale note: one global bitset caps out around a few 10^9 bits of
+    driver memory (10^8-10^9 urls at ~8 bits/url). Beyond that the
+    production design is a *partitioned* bloom — one bitset per
+    url-hash bucket, built from the co-partitioned seen bucket and
+    kept alongside it in the checkpoint table — which this function's
+    contract (exact admission, false positives fall through to the
+    anti-join) already permits swapping in."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    m = cfg.bloom_bits
+    pos_rows = (
+        seen.select(F.explode(_bloom_positions(m)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m, dtype=bool)
+    if pos_rows:
+        bits[np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)] = True
+    bc = spark.sparkContext.broadcast(np.packbits(bits))
+
+    def _probe(positions):
+        bitarr = np.unpackbits(bc.value).astype(bool)
+        return positions.map(lambda ps: bool(bitarr[np.asarray(ps)].all()))
+
+    probe = pandas_udf(_probe, BooleanType())
+
+    return candidates.withColumn(
+        "maybe_seen", probe(_bloom_positions(m))
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -257,12 +314,13 @@ def run_crawl(
         # round; below ``bloom_min_seen`` urls the exact anti-join
         # alone is cheaper (the bloom's job is to cut *shuffle* volume,
         # which only matters once seen dwarfs the candidate batch).
-        if (
-            cfg.use_bloom
-            and total_seen >= cfg.bloom_min_seen
-            and _bloom_sql_available(spark)
-        ):
-            cand = _bloom_prefilter(spark, cand, seen, cfg)
+        if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
+            prefilter = (
+                _bloom_prefilter
+                if _bloom_sql_available(spark)
+                else _bloom_prefilter_udf
+            )
+            cand = prefilter(spark, cand, seen, cfg)
             definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
             checked_new = to_check.join(

@@ -1,0 +1,180 @@
+"""Hardening gates: bloom-path exactness, salting invariance,
+physical-plan shape regressions, pdf routing, crash-mid-round resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from langscrape_spark import synth
+from langscrape_spark.scheduler import frontier as frontier_mod
+from langscrape_spark.scheduler.frontier import (
+    CrawlConfig,
+    _politeness_admit,
+    _with_policy_columns,
+    run_crawl,
+)
+from langscrape_spark.scheduler.simulator import simulate_crawl
+from langscrape_spark.sources.catalog import Catalog
+
+N_PAGES = 200
+BATCH = 30
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synth.build_pages_df(spark, N_PAGES, partitions=4).cache()
+    pages.count()
+    seeds = synth.seeds_df(spark, N_PAGES, n_seeds=10)
+    robots = synth.robots_df(spark)
+    host_rank = synth.host_rank_df(spark)
+    return pages, seeds, robots, host_rank
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pages = {synth.url_of(i): synth.page_html(i, N_PAGES) for i in range(N_PAGES)}
+    seeds = [synth.url_of(i * (N_PAGES // 10)) for i in range(10)]
+    seeds += ["not a url", "ftp://site.example/x",
+              f"https://{synth.host_of(0)}/docs/report.pdf"]
+    robots = {
+        f"www.site{i}.example": (
+            ["/private/", "/admin/"], 2.0 if i == 0 else 0.5, i != 19,
+        )
+        for i in range(synth.N_HOSTS)
+    }
+    host_rank = {
+        f"www.site{i}.example": round(1.0 - i * 0.04, 4)
+        for i in range(synth.N_HOSTS)
+    }
+    return simulate_crawl(
+        seeds, pages, robots, host_rank,
+        batch_size=BATCH, max_depth=3, max_rounds=8,
+    )
+
+
+def _run(spark, corpus, tmpdir, **cfg_kwargs):
+    pages, seeds, robots, host_rank = corpus
+    catalog = Catalog(spark, str(tmpdir))
+    kw = dict(batch_size=BATCH, max_depth=3, max_rounds=8, seen_partitions=8)
+    kw.update(cfg_kwargs)
+    cfg = CrawlConfig(**kw)
+    return run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg), catalog
+
+
+def test_bloom_path_is_exact(spark, corpus, oracle, tmp_path):
+    """With the bloom pre-filter FORCED on (min-seen floor 0), the
+    schedule and seen-set must be byte-identical to the simulator —
+    bloom false positives fall through to the exact anti-join. Runs
+    whichever bloom backend this build resolves (SQL bloom_filter_agg
+    or the numpy-bitset pandas-UDF fallback)."""
+    state, _ = _run(spark, corpus, tmp_path / "bloom", bloom_min_seen=0)
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+
+
+def test_salting_never_changes_admitted_set(spark, corpus, monkeypatch):
+    """The salted two-phase politeness window is an execution detail:
+    admitted rows must be identical with 1 salt bucket (no salting)
+    and 8 (SURVEY §7: salting changes the physical plan, never the
+    admitted set)."""
+    pages, seeds, robots, host_rank = corpus
+    urls = spark.createDataFrame(
+        [(synth.url_of(i), 0) for i in range(0, N_PAGES, 2)],
+        "url string, depth int",
+    )
+    fr = _with_policy_columns(urls, robots, host_rank)
+    results = {}
+    for buckets in (1, 8):
+        monkeypatch.setattr(frontier_mod, "SALT_BUCKETS", buckets)
+        results[buckets] = sorted(
+            (r["seq"], r["url"])
+            for r in _politeness_admit(fr, robots, batch_size=40).collect()
+        )
+    assert results[1] == results[8]
+    assert len(results[1]) == 40
+
+
+def test_pdf_rows_route_to_pdf_path(spark):
+    """PDF rows take the pdf-text branch: no xpath extraction, every
+    field carries the reference's '(No stored value)' sentinel."""
+    from langscrape_spark.plans.extract import extract_pages
+
+    pages = synth.build_pages_df(spark, 4, partitions=1)
+    pdf = spark.createDataFrame(
+        [("https://www.site1.example/docs/r.pdf", None,
+          b"Report body text. More than nothing.", "", "en")],
+        synth.PAGES_DDL,
+    )
+    out = extract_pages(pages.unionByName(pdf), synth.FIELD_MAP,
+                        keep_cleaned=True).collect()
+    by_pdf = {r["is_pdf"]: r for r in out}
+    assert by_pdf[True]["extracted"]["title"] == ["(No stored value)"]
+    assert "Report body text" in by_pdf[True]["cleaned"]
+    assert by_pdf[False]["extracted"]["title"][0].startswith("Article")
+
+
+def test_extract_plan_prunes_scan_columns(spark, tmp_path):
+    """Column pruning must reach the parquet scan through the fused
+    UDF: selecting (url, extracted) reads ONLY url+html."""
+    from langscrape_spark.plans.extract import extract_pages
+
+    p = str(tmp_path / "pages")
+    synth.build_pages_df(spark, 8, partitions=1).write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = (
+        extract_pages(pages, synth.FIELD_MAP)
+        .select("url", "extracted")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "warc_ts" not in plan and "lang" not in plan, plan
+
+
+def test_top1_plan_uses_window_group_limit(spark):
+    """The politeness/top-k pattern must plan as WindowGroupLimit
+    (rank-limit pushdown: per-partition pre-prune before the full
+    window sort), not a full window over every row."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q01_top1_per_group(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_resume_after_torn_round(spark, corpus, oracle, tmp_path):
+    """Crash *between* a round's table writes and its round-marker
+    commit: the stale uncommitted files must be overwritten on resume
+    and the final state must still match the simulator exactly."""
+    pages, seeds, robots, host_rank = corpus
+    catdir = tmp_path / "torn"
+    (state, catalog) = _run(spark, corpus, catdir, max_rounds=3)
+    committed = catalog.committed_round()
+
+    # Simulate the torn round: write garbage frontier/seen for the
+    # NEXT round version without committing the round marker.
+    junk = spark.createDataFrame(
+        [("https://junk.example/x", "junk.example", 0, 9.9)],
+        "url string, host string, depth int, priority double",
+    )
+    catalog.write("frontier", junk, committed + 1)
+    catalog.append("seen", junk.select("url"), committed + 1)
+    # both writes moved the per-table pointers ahead of the marker
+    assert catalog.latest_version("frontier") == committed + 1
+    assert catalog.committed_round() == committed
+
+    state2, _ = _run(spark, corpus, catdir)
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state2.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state2.seen.collect()} == sim_seen
+    assert "junk.example" not in {r["url"] for r in state2.seen.collect()}
