@@ -136,11 +136,11 @@ def main(argv) -> None:
     crawl_only = "--crawl-only" in argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "16000"))
     max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-    batch_size = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "600"))
-    n_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "20"))
-    delay_div = float(os.environ.get("SPARK_GRAFT_BENCH_DELAY_DIV", "25"))
+    batch_size = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "4000"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "2000"))
+    delay_div = float(os.environ.get("SPARK_GRAFT_BENCH_DELAY_DIV", "100"))
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
