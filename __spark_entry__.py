@@ -462,6 +462,23 @@ def q30_date_rollup(spark, sf):
     )
 
 
+def q31_template_cluster(spark, sf):
+    """Template clustering: group pages by the md5 of their unique
+    structure skeleton (reference get_structure,
+    feilian/soup_tools.py:295-303; rows-only — DuckDB can't parse
+    HTML)."""
+    from langscrape_spark import synth
+    from langscrape_spark.operators.domtable import template_signatures
+
+    pages = synth.build_pages_df(spark, 64, partitions=4)
+    return (
+        template_signatures(pages)
+        .groupBy("template_sig")
+        .agg(F.count("*").alias("n_pages"), F.min("url").alias("example_url"))
+        .orderBy(F.desc("n_pages"), "template_sig")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_json_extract": q28_json_extract,
         "q29_ordered_distinct": q29_ordered_distinct,
         "q30_date_rollup": q30_date_rollup,
+        "q31_template_cluster": q31_template_cluster,
     }
 
 

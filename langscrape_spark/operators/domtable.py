@@ -190,3 +190,31 @@ def structural_stats(nodes: DataFrame) -> DataFrame:
             F.sum("n_text_tokens").alias("total_tokens"),
         )
     )
+
+
+def template_signatures(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → (url, template_sig): md5 of the unique
+    structure skeleton (``html/structure.py::template_signature``).
+    Grouping on the signature clusters pages by layout template — the
+    precursor to per-template xpath programs (the reference runs its
+    xpath-programming agent per SWDE site; this is the corpus-scale
+    equivalent of "which pages share a site template")."""
+    from ..html.structure import template_signature
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "template_sig": [
+                        template_signature(
+                            bytes(h).decode("utf-8", errors="replace")
+                        )
+                        for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, template_sig string"
+    )
