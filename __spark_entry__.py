@@ -479,6 +479,19 @@ def q31_template_cluster(spark, sf):
     )
 
 
+def q32_host_pagerank(spark, sf):
+    """Host-rank from the corpus link graph: weighted PageRank power
+    iteration over host→host edges (the frontier's priority signal;
+    rows-only — needs link extraction from html)."""
+    from langscrape_spark import synth
+    from langscrape_spark.operators.hostrank import host_rank_table
+
+    pages = synth.build_pages_df(spark, 256, partitions=8)
+    return host_rank_table(pages, iterations=8).orderBy(
+        F.desc("rank"), "host"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -512,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_ordered_distinct": q29_ordered_distinct,
         "q30_date_rollup": q30_date_rollup,
         "q31_template_cluster": q31_template_cluster,
+        "q32_host_pagerank": q32_host_pagerank,
     }
 
 

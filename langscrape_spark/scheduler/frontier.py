@@ -255,9 +255,24 @@ def run_crawl(
     if start_round is None:
         # Round -1: seed the frontier. Normalization is the same kernel
         # function the simulator uses (byte-identical url identity).
+        normed = seeds.select(
+            F.col("url").alias("raw_url"),
+            normalize_url_udf(F.col("url")).alias("url"),
+            F.col("depth"),
+        )
+        # invalid seeds → quarantine table, not an exception (SURVEY
+        # §2.2: a poison row must never kill the run)
+        catalog.append(
+            "quarantine",
+            normed.where(F.col("url").isNull()).select(
+                F.col("raw_url").alias("url"),
+                F.lit("invalid_url").alias("reason"),
+            ),
+            0,
+        )
         seeded = (
-            seeds.select(normalize_url_udf(F.col("url")).alias("url"), F.col("depth"))
-            .where(F.col("url").isNotNull())
+            normed.where(F.col("url").isNotNull())
+            .select("url", "depth")
             .dropDuplicates(["url"])
         )
         frontier0 = _with_policy_columns(seeded, robots, host_rank)

@@ -150,6 +150,15 @@ def test_top1_plan_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_invalid_seeds_quarantined(spark, corpus, tmp_path):
+    """Bad seed urls land in the quarantine table with a reason, and
+    never enter the frontier or seen-set."""
+    state, catalog = _run(spark, corpus, tmp_path / "quar", max_rounds=1)
+    q = {(r["url"], r["reason"]) for r in catalog.read_appended("quarantine").collect()}
+    assert ("not a url", "invalid_url") in q
+    assert not any("not a url" == r["url"] for r in state.seen.collect())
+
+
 def test_resume_after_torn_round(spark, corpus, oracle, tmp_path):
     """Crash *between* a round's table writes and its round-marker
     commit: the stale uncommitted files must be overwritten on resume

@@ -1,0 +1,90 @@
+"""robots.txt parsing and link-graph host-rank."""
+
+import pytest
+
+from langscrape_spark import synth
+from langscrape_spark.operators.hostrank import (
+    host_edges,
+    host_pagerank,
+    host_rank_table,
+)
+from langscrape_spark.sources.robots import parse_robots_txt, robots_table
+
+ROBOTS = """
+# global rules
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*junk
+Crawl-delay: 2
+
+User-agent: fastbot
+Disallow:
+Crawl-delay: 0.1
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_robots_default_agent():
+    dis, delay, allowed = parse_robots_txt(ROBOTS, "*")
+    assert dis == ["/private/", "/tmp"]  # wildcard clipped conservatively
+    assert delay == 2.0
+    assert allowed
+
+
+def test_parse_robots_specific_agents():
+    dis, delay, allowed = parse_robots_txt(ROBOTS, "fastbot")
+    assert dis == [] and delay == 0.1 and allowed
+    dis, _, allowed = parse_robots_txt(ROBOTS, "badbot")
+    assert not allowed and dis == []
+
+
+def test_parse_robots_garbage():
+    assert parse_robots_txt("", "*") == ([], None, True)
+    assert parse_robots_txt("\x00\x01 not robots at all", "*") == ([], None, True)
+
+
+def test_robots_table(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS.encode()), ("b.example", b"")],
+        "host string, body binary",
+    )
+    rows = {r["host"]: r for r in robots_table(df).collect()}
+    assert rows["a.example"]["disallow_prefixes"] == ["/private/", "/tmp"]
+    assert rows["a.example"]["crawl_delay"] == 2.0
+    assert rows["b.example"]["allowed"] and rows["b.example"]["crawl_delay"] == 1.0
+    # fastbot view of the same bodies
+    fast = {r["host"]: r for r in robots_table(df, agent="fastbot").collect()}
+    assert fast["a.example"]["crawl_delay"] == 0.1
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth.build_pages_df(spark, 200, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_host_edges_shape(spark, pages):
+    e = host_edges(pages)
+    rows = e.collect()
+    assert all(r["src_host"] != r["dst_host"] for r in rows)
+    assert all(r["weight"] >= 1.0 for r in rows)
+
+
+def test_pagerank_sums_to_one_and_deterministic(spark, pages):
+    edges = host_edges(pages).cache()
+    r1 = host_pagerank(edges, iterations=8)
+    total = r1.agg({"rank": "sum"}).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    r2 = host_pagerank(edges, iterations=8)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_hot_host_ranks_highest(spark, pages):
+    """synth routes ~30% of pages (and so of in-links) to host 0."""
+    ranked = host_rank_table(pages, iterations=8).orderBy("rank", ascending=False)
+    top = ranked.first()
+    assert top["host"] == "www.site0.example"
+    assert top["rank"] == 1.0  # max-normalized
