@@ -134,6 +134,17 @@ def test_lsh_neardup_subset_of_exact(vectors):
     assert lsh  # clusters this tight land in one bucket
 
 
+def test_blocked_neardup_equals_hof(spark):
+    """The gemm-blocked exact near-dup must reproduce the HOF pair-join
+    baseline bit-for-bit (ids, cosine rounding, NaN handling)."""
+    from langscrape_spark.operators.ann import embedding_neardup_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {tuple(r) for r in embedding_neardup_pairs(emb, 0.35).collect()}
+    b = {tuple(r) for r in embedding_neardup_pairs_blocked(emb, 0.35).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_lsh_neardup_on_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = embedding_neardup_pairs(emb, 0.95)
