@@ -221,9 +221,13 @@ def q15_best_per_group(spark, sf):
 
 
 def q16_simhash(spark, sf):
-    """SimHash64 fingerprints (bit-mix; no portable SQL oracle)."""
+    """SimHash64 fingerprints (bit-mix; no portable SQL oracle).
+    Vectorized variant — bit-identical to the expression build
+    (pinned in tests/test_training_ops.py)."""
+    from langscrape_spark.operators.dedup import simhash64_fast
+
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", simhash64_fast(F.col("text")).alias("simhash"))
 
 
 def q17_lsh_ann(spark, sf):

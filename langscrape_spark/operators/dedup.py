@@ -186,7 +186,9 @@ def simhash_near_dups(
     within hamming ≤ max_hamming shares at least one exact chunk when
     max_hamming < 4·... — standard pigeonhole blocking with 4 chunks
     covers hamming ≤ 3 exactly; wider radii are screened per block)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sh")
+    )
     chunks = sig.select(
         "id",
         "sh",
@@ -212,3 +214,33 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash64_fast(text: Column, k: int = 2) -> Column:
+    """Same SimHash as :func:`simhash64` — shingle hashes still come
+    from JVM ``xxhash64`` so values are bit-identical — but the 64
+    per-bit ±1 aggregations run as one vectorized numpy bit-unpack in
+    a pandas UDF instead of 64 codegen'd aggregate lambdas (whose
+    generated code dominates runtime)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+
+    def _sig(batch):
+        out = np.zeros(len(batch), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(batch):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits(
+                (votes > 0).astype(np.uint8), bitorder="little"
+            ).view(np.uint64)[0]
+        return pd.Series(out.view(np.int64))
+
+    return pandas_udf(_sig, LongType())(hashes)

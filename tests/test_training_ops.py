@@ -134,6 +134,19 @@ def test_lsh_neardup_subset_of_exact(vectors):
     assert lsh  # clusters this tight land in one bucket
 
 
+def test_simhash_fast_equals_expression(spark):
+    """Vectorized simhash must be bit-identical to the 64-lambda
+    expression build (hashes both come from JVM xxhash64)."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.dedup import simhash64, simhash64_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in docs.select("doc_id", simhash64(F.col("text"))).collect()}
+    b = {tuple(r) for r in docs.select("doc_id", simhash64_fast(F.col("text"))).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_blocked_neardup_equals_hof(spark):
     """The gemm-blocked exact near-dup must reproduce the HOF pair-join
     baseline bit-for-bit (ids, cosine rounding, NaN handling)."""
