@@ -63,6 +63,11 @@ class CrawlConfig:
     # Below this seen-set size the bloom pre-filter costs more (full
     # seen scan + driver collect per round) than the shuffle it saves.
     bloom_min_seen: int = 2_000_000
+    # When set, each round runs the extraction kernel over its fetched
+    # batch and appends to the catalog's "results" table — the full
+    # "scheduled+extracted per round" production shape. None keeps the
+    # scheduler extraction-free (callers extract the schedule later).
+    extract_field_map: Optional[Dict[str, Any]] = None
 
 
 @dataclass
@@ -319,6 +324,21 @@ def run_crawl(
             .groupBy("url")
             .agg(F.min("depth").alias("depth"))
         )
+
+        # --- per-round extraction (optional) ---------------------------
+        if cfg.extract_field_map is not None:
+            from ..plans.extract import extract_pages
+
+            batch_pages = pages.join(
+                F.broadcast(admitted.select("url")), "url", "inner"
+            )
+            catalog.append(
+                "results",
+                extract_pages(batch_pages, cfg.extract_field_map).withColumn(
+                    "round", F.lit(round_no)
+                ),
+                round_no,
+            )
 
         # --- seen membership: explicit url-hash repartition + bloom ----
         seen = catalog.read_appended("seen", round_no)

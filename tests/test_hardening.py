@@ -159,6 +159,35 @@ def test_invalid_seeds_quarantined(spark, corpus, tmp_path):
     assert not any("not a url" == r["url"] for r in state.seen.collect())
 
 
+def test_in_loop_extraction_matches_post_hoc(spark, corpus, tmp_path):
+    """With extract_field_map set, each round's results append must
+    equal extracting the final schedule after the fact."""
+    from langscrape_spark.plans.extract import extract_pages
+
+    pages, _, _, _ = corpus
+    state, catalog = _run(
+        spark, corpus, tmp_path / "inloop",
+        max_rounds=3, extract_field_map=synth.FIELD_MAP,
+    )
+    results = catalog.read_appended("results")
+    got = {
+        r["url"]: r["extracted"]
+        for r in results.select("url", "extracted").collect()
+    }
+    fetched = pages.join(
+        F.broadcast(state.schedule.select("url")), "url", "inner"
+    )
+    want = {
+        r["url"]: r["extracted"]
+        for r in extract_pages(fetched, synth.FIELD_MAP)
+        .select("url", "extracted")
+        .collect()
+    }
+    assert got == want and len(got) > 20
+    # rounds tag results for lineage
+    assert results.select("round").distinct().count() == state.rounds_run
+
+
 def test_resume_after_torn_round(spark, corpus, oracle, tmp_path):
     """Crash *between* a round's table writes and its round-marker
     commit: the stale uncommitted files must be overwritten on resume
