@@ -68,6 +68,10 @@ class CrawlConfig:
     # "scheduled+extracted per round" production shape. None keeps the
     # scheduler extraction-free (callers extract the schedule later).
     extract_field_map: Optional[Dict[str, Any]] = None
+    # Fold seen deltas into one base snapshot every k rounds: without
+    # compaction a months-long crawl accumulates one delta dir per
+    # round and read_appended degrades into a file-listing scan.
+    compact_every: int = 16
 
 
 @dataclass
@@ -428,6 +432,8 @@ def run_crawl(
             round_no,
         )
         catalog.commit_round(round_no + 1)
+        if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+            catalog.compact("seen", round_no + 1)
         admitted.unpersist()
         new_entries.unpersist()
         cand.unpersist()

@@ -96,18 +96,66 @@ class Catalog:
         df.write.mode("overwrite").parquet(path)  # idempotent per round
         self._commit(name, version)
 
+    # -- delta compaction ---------------------------------------------------
+    def _base_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "BASE")
+
+    def _base_info(self, name: str) -> Optional[dict]:
+        try:
+            with open(self._base_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def compact(self, name: str, version: Optional[int] = None) -> None:
+        """Fold all deltas ≤ ``version`` (default: the table's pointer)
+        into one base snapshot, Iceberg-compaction style: write the
+        combined data to a new dir, atomically commit the BASE pointer,
+        then lazily delete the superseded delta dirs (safe in any crash
+        order — readers ignore deltas ≤ BASE the instant the pointer
+        lands, and until then the old deltas are still the truth)."""
+        if version is None:
+            version = self.latest_version(name)
+        if version is None:
+            return
+        prev = self._base_info(name)
+        if prev is not None and prev["version"] >= version:
+            return  # already compacted past this point
+        df = self.read_appended(name, version)
+        if df is None:
+            return
+        dest = os.path.join(self.root, name, f"compact_v{version:06d}")
+        df.write.mode("overwrite").parquet(dest)
+        tmp = self._base_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "dir": os.path.basename(dest)}, f)
+        os.replace(tmp, self._base_path(name))  # atomic
+        base_dir = os.path.join(self.root, name)
+        for d in os.listdir(base_dir):
+            if d.startswith("r") and d != "LATEST" and int(d[1:]) <= version:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+
     def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
-        """Union of all committed deltas with round ≤ ``version``
-        (default: the table's own latest pointer)."""
+        """Union of the compacted base (if any) and all committed
+        deltas in (base_version, ``version``] (default ``version``:
+        the table's own latest pointer)."""
         if version is None:
             version = self.latest_version(name)
         if version is None:
             return None
         base = os.path.join(self.root, name)
-        dirs = [
+        info = self._base_info(name)
+        floor = -1
+        dirs = []
+        if info is not None and info["version"] <= version:
+            dirs.append(os.path.join(base, info["dir"]))
+            floor = info["version"]
+        dirs += [
             os.path.join(base, d)
             for d in sorted(os.listdir(base))
-            if d.startswith("r") and d != "LATEST" and int(d[1:]) <= version
+            if d.startswith("r")
+            and d != "LATEST"
+            and floor < int(d[1:]) <= version
         ]
         if not dirs:
             return None

@@ -159,6 +159,47 @@ def test_invalid_seeds_quarantined(spark, corpus, tmp_path):
     assert not any("not a url" == r["url"] for r in state.seen.collect())
 
 
+def test_compaction_preserves_equivalence_and_resume(spark, corpus, oracle, tmp_path):
+    """Compacting seen deltas every 2 rounds mid-crawl (plus a kill +
+    resume across the compaction boundary) must not change the
+    schedule or seen-set vs the simulator."""
+    import os
+
+    catdir = tmp_path / "compact"
+    state1, catalog = _run(spark, corpus, catdir, max_rounds=3, compact_every=2)
+    # base snapshot exists and superseded delta dirs are gone
+    assert catalog._base_info("seen") is not None
+    seen_dirs = [
+        d for d in os.listdir(catdir / "seen") if d.startswith("r") and d != "LATEST"
+    ]
+    assert all(int(d[1:]) > catalog._base_info("seen")["version"] for d in seen_dirs)
+
+    state, _ = _run(spark, corpus, catdir, compact_every=2)
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+
+
+def test_compact_idempotent_and_monotonic(spark, tmp_path):
+    from langscrape_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "c"))
+    for v in range(4):
+        cat.append("t", spark.createDataFrame([(v,)], "x int"), v)
+    cat.compact("t", 2)
+    assert {r["x"] for r in cat.read_appended("t").collect()} == {0, 1, 2, 3}
+    # re-compacting at an older version is a no-op
+    cat.compact("t", 1)
+    assert cat._base_info("t")["version"] == 2
+    cat.compact("t")  # to latest
+    assert cat._base_info("t")["version"] == 3
+    assert {r["x"] for r in cat.read_appended("t").collect()} == {0, 1, 2, 3}
+    # version-pinned read below the base still works via the base guard
+    assert cat.read_appended("t", 3).count() == 4
+
+
 def test_in_loop_extraction_matches_post_hoc(spark, corpus, tmp_path):
     """With extract_field_map set, each round's results append must
     equal extracting the final schedule after the fact."""
