@@ -48,10 +48,17 @@ def shingles(text: Column, k: int = 3) -> Column:
     determinism."""
     tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     n = F.size(tokens)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
-    )
+    # Guard n < k explicitly: sequence(1, 0) counts DOWN in Spark, and
+    # the resulting slice(tokens, 0, k) throws (array indices are
+    # 1-based) — a 2-word document must yield zero shingles, not an
+    # error.
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(sh))
 
 
@@ -118,7 +125,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+        minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
     )
     band_cols = [
         F.md5(
@@ -244,3 +251,38 @@ def simhash64_fast(text: Column, k: int = 2) -> Column:
         return pd.Series(out.view(np.int64))
 
     return pandas_udf(_sig, LongType())(hashes)
+
+
+def minhash_signature_fast(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Same signature as :func:`minhash_signature` (md5-hex string
+    minima over the same sorted distinct shingles — pinned by test),
+    computed in one pandas UDF instead of ``num_hashes`` codegen'd
+    transform+array_min expressions. hashlib.md5 and Spark's md5 agree
+    on hex output, so values are engine-identical."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    def _sig(sh_series):
+        out = []
+        for sh in sh_series:
+            if sh is None or len(sh) == 0:
+                # expression version yields array_min(empty) = NULL per
+                # slot — match it exactly
+                out.append([None] * num_hashes)
+                continue
+            sig = []
+            for h in range(num_hashes):
+                prefix = f"{h}:".encode()
+                sig.append(
+                    min(
+                        _hashlib.md5(prefix + s.encode()).hexdigest()
+                        for s in sh
+                    )
+                )
+            out.append(sig)
+        return pd.Series(out)
+
+    return pandas_udf(_sig, ArrayType(StringType()))(shingles(text, k))

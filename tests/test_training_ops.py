@@ -134,6 +134,43 @@ def test_lsh_neardup_subset_of_exact(vectors):
     assert lsh  # clusters this tight land in one bucket
 
 
+def test_minhash_fast_equals_expression(spark):
+    """Vectorized minhash signatures must equal the 16-expression
+    build value-for-value (md5-hex minima over identical shingles)."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_fast,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    short = spark.createDataFrame(
+        [(9001, "one two"), (9002, ""), (9003, "a b c d")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(short)
+    a = {r["doc_id"]: tuple(r["s"] or []) for r in
+         docs.select("doc_id", minhash_signature(F.col("text")).alias("s")).collect()}
+    b = {r["doc_id"]: tuple(r["s"] or []) for r in
+         docs.select("doc_id", minhash_signature_fast(F.col("text")).alias("s")).collect()}
+    assert a == b
+
+
+def test_shingles_short_docs_no_error(spark):
+    """Documents with fewer than k tokens must yield empty shingle
+    sets, not a slice(…, 0, k) runtime error."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",)], "text string"
+    )
+    rows = df.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 0, 0, 1]
+
+
 def test_simhash_fast_equals_expression(spark):
     """Vectorized simhash must be bit-identical to the 64-lambda
     expression build (hashes both come from JVM xxhash64)."""
