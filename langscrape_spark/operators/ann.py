@@ -154,7 +154,9 @@ def embedding_neardup_pairs_lsh(
     first = df.select(F.size(vec_col).alias("d")).first()
     planes = _deterministic_planes(int(first["d"]), n_planes)
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        srp_bucket_fast(F.col(vec_col), planes).alias("bucket"),
     )
     a = bucketed.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -234,3 +236,29 @@ def embedding_neardup_pairs_blocked(
     return df.select(id_col, vec_col).mapInPandas(
         gen, schema="id_a long, id_b long, cosine double"
     )
+
+
+def srp_bucket_fast(vec: Column, planes: List[List[float]]) -> Column:
+    """SRP bucket via one numpy gemm per Arrow batch instead of
+    n_planes HOF dot products. Sign decisions can differ from
+    :func:`srp_bucket` only for dot products within float summation
+    error of zero — harmless for bucketing (any consistent bucketing
+    is valid; candidate recall shifts by at most those boundary
+    vectors, and the exact cosine confirm is unchanged)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    p_mat = [list(map(float, row)) for row in planes]
+
+    def _bucket(vs):
+        P = np.asarray(p_mat, dtype=np.float64)
+        weights = (1 << np.arange(len(p_mat), dtype=np.uint64)).astype(np.uint64)
+        V = np.array(list(vs), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pd.Series([0] * len(vs), dtype="int64")
+        bits = (V @ P.T >= 0).astype(np.uint64)
+        return pd.Series((bits * weights).sum(axis=1).view(np.int64))
+
+    return pandas_udf(_bucket, LongType())(vec)

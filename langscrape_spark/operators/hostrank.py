@@ -74,22 +74,31 @@ def host_pagerank(
 
     ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # hosts with no out-edges leak rank mass each step; if there are
+    # none (common for link-rich web corpora), skip the per-iteration
+    # mass collect entirely — it would otherwise double the job count.
+    n_dangling = hosts.join(
+        trans.select("src_host").distinct(),
+        hosts.host == F.col("src_host"),
+        "left_anti",
+    ).count()
     for _ in range(iterations):
         contrib = (
             trans.join(ranks, trans.src_host == ranks.host)
             .groupBy("dst_host")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
         )
-        # dangling hosts (no out-edges) leak rank mass; redistribute it
-        # uniformly to keep sum(rank) = 1
-        linked_mass = (
-            ranks.join(trans.select("src_host").distinct(),
-                       ranks.host == F.col("src_host"), "left_semi")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
-        dangling = (1.0 - linked_mass) / n
+        if n_dangling:
+            linked_mass = (
+                ranks.join(trans.select("src_host").distinct(),
+                           ranks.host == F.col("src_host"), "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            dangling = (1.0 - linked_mass) / n
+        else:
+            dangling = 0.0
         ranks = (
             hosts.join(contrib, hosts.host == contrib.dst_host, "left")
             .select(
