@@ -262,3 +262,86 @@ def srp_bucket_fast(vec: Column, planes: List[List[float]]) -> Column:
         return pd.Series((bits * weights).sum(axis=1).view(np.int64))
 
     return pandas_udf(_bucket, LongType())(vec)
+
+
+def embedding_neardup_pairs_chunked(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 50_000,
+) -> DataFrame:
+    """Exact all-pairs beyond one broadcast: the corpus is split into
+    id-ordered chunks; every chunk is broadcast in turn and the blocked
+    gemm runs the streaming side against it. The a<b rule inside the
+    blocked kernel makes chunk overlaps self-deduplicating, so the
+    union over chunks is exactly the full pair set. Driver loop depth
+    is ceil(n/chunk_rows) — at 10^8 vectors with 10^5-row chunks that
+    is ~10^3 sequential broadcasts, which is where the LSH bucket join
+    takes over as the primary path and this remains the exact verifier
+    for sampled slices."""
+    ids = [r["i"] for r in df.select(F.col(id_col).alias("i")).orderBy("i").collect()]
+    if not ids:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    out = None
+    for lo in range(0, len(ids), chunk_rows):
+        chunk_ids = ids[lo : lo + chunk_rows]
+        right = df.where(
+            (F.col(id_col) >= chunk_ids[0]) & (F.col(id_col) <= chunk_ids[-1])
+        )
+        # left side: only rows that can satisfy a < b against this chunk
+        left = df.where(F.col(id_col) < chunk_ids[-1])
+        part = _blocked_against(
+            left, right, threshold, vec_col=vec_col, id_col=id_col
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _blocked_against(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked gemm of ``left`` rows against a broadcast of ``right``
+    (the single-chunk kernel behind the blocked/chunked variants)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = right.select(id_col, vec_col).collect()
+    if not rows:
+        return left.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    r_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.nan
+    r_unit = mat / norms[:, None]
+    bc = left.sparkSession.sparkContext.broadcast((r_ids, r_unit))
+
+    def gen(batches):
+        rid, runit = bc.value
+        for pdf in batches:
+            l_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(l_ids) == 0:
+                continue
+            l_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            l_norms = np.linalg.norm(l_mat, axis=1)
+            l_norms[l_norms == 0] = np.nan
+            l_unit = l_mat / l_norms[:, None]
+            sims = np.round(l_unit @ runit.T, 6)
+            li, ri = np.nonzero(
+                (sims >= threshold) & (l_ids[:, None] < rid[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": l_ids[li], "id_b": rid[ri], "cosine": sims[li, ri]}
+            )
+
+    return left.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a long, id_b long, cosine double"
+    )

@@ -2,8 +2,6 @@
 Spark frontier must still match the sequential simulator exactly when
 rounds admit hundreds of urls and the frontier holds thousands."""
 
-import pytest
-
 from langscrape_spark import synth
 from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
 from langscrape_spark.scheduler.simulator import simulate_crawl

@@ -195,6 +195,23 @@ def test_blocked_neardup_equals_hof(spark):
     assert a == b and len(a) > 0
 
 
+def test_chunked_neardup_equals_exact(spark):
+    """The chunked driver loop (3 chunks over 500 vectors) must union
+    to exactly the single-broadcast pair set — chunk overlap handling
+    and the a<b rule leave no duplicates and no gaps."""
+    from langscrape_spark.operators.ann import (
+        embedding_neardup_pairs_blocked,
+        embedding_neardup_pairs_chunked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    want = {tuple(r) for r in embedding_neardup_pairs_blocked(emb, 0.40).collect()}
+    got_df = embedding_neardup_pairs_chunked(emb, 0.40, chunk_rows=180)
+    got = [tuple(r) for r in got_df.collect()]
+    assert len(got) == len(set(got))  # no duplicate pairs
+    assert set(got) == want and want
+
+
 def test_lsh_neardup_on_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = embedding_neardup_pairs(emb, 0.95)
