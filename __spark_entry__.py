@@ -286,13 +286,13 @@ def q20_embedding_neardup(spark, sf):
 
 
 def q21_embedding_neardup_lsh(spark, sf):
-    """Scale path for q20: SRP-bucket equi-join candidates, exact
-    cosine confirm (rows-only; recall subset proven in
-    tests/test_training_ops.py)."""
+    """Scale path for q20: SRP buckets partition the corpus, per-bucket
+    gemm confirms exact cosines; n_planes derived from corpus size
+    (rows-only; recall subset proven in tests/test_training_ops.py)."""
     from langscrape_spark.operators.ann import embedding_neardup_pairs_lsh
 
     emb = _t(spark, sf, "embeddings")
-    return embedding_neardup_pairs_lsh(emb, 0.40, n_planes=4)
+    return embedding_neardup_pairs_lsh(emb, 0.40)
 
 
 def q22_dom_structural_stats(spark, sf):
@@ -368,10 +368,17 @@ def q26_setops_drift(spark, sf):
             F.collect_set(F.when(F.dayofmonth("ts") > 15, F.col("event_type")))
         ).alias("late_types"),
     )
+    # Array columns are serialized to '|'-joined strings so the driver's
+    # pandas canonicalizer (sort_values + hash) can compare them — raw
+    # list cells are unhashable there (round-1 q26/q29 failure mode).
     return agg.select(
         "user_id",
-        F.array_except("early_types", "late_types").alias("missing_late"),
-        F.array_except("late_types", "early_types").alias("surplus_late"),
+        F.array_join(
+            F.array_except("early_types", "late_types"), "|"
+        ).alias("missing_late"),
+        F.array_join(
+            F.array_except("late_types", "early_types"), "|"
+        ).alias("surplus_late"),
         F.size(F.array_union("early_types", "late_types")).alias("n_types"),
     )
 
@@ -446,10 +453,17 @@ def q29_ordered_distinct(spark, sf):
     firsts = ev.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts")
     )
+    # '|'-joined string (not array) so the driver canonicalizer can
+    # hash-compare the column; see q26 note.
     return firsts.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("first_ts", "event_type"))),
-            lambda s: s.getField("event_type"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("first_ts", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            "|",
         ).alias("types_in_order")
     )
 
@@ -743,8 +757,8 @@ def oracle_sql() -> dict[str, str]:
                   FILTER (WHERE extract(day FROM ts) > 15)), []) AS late_types
               FROM events GROUP BY user_id)
             SELECT user_id,
-              list_filter(early_types, x -> NOT list_contains(late_types, x)) AS missing_late,
-              list_filter(late_types, x -> NOT list_contains(early_types, x)) AS surplus_late,
+              coalesce(array_to_string(list_filter(early_types, x -> NOT list_contains(late_types, x)), '|'), '') AS missing_late,
+              coalesce(array_to_string(list_filter(late_types, x -> NOT list_contains(early_types, x)), '|'), '') AS surplus_late,
               len(list_distinct(list_concat(early_types, late_types))) AS n_types
             FROM agg
         """,
@@ -776,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_type, min(ts) AS first_ts
               FROM events GROUP BY user_id, event_type)
             SELECT user_id,
-                   list(event_type ORDER BY first_ts, event_type)
+                   coalesce(array_to_string(list(event_type ORDER BY first_ts, event_type), '|'), '')
                      AS types_in_order
             FROM firsts GROUP BY user_id
         """,

@@ -139,39 +139,123 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket_rows: int = 1024,
+    max_bucket_rows: int = 16384,
 ) -> DataFrame:
-    """Scale path: SRP-bucket equi-join generates candidate pairs, the
-    exact cosine filter keeps true near-dups. The equi-join shuffles on
-    the bucket key instead of crossing the corpus, so cost is
-    sum-over-buckets |B|^2 — at 10^10 rows pick n_planes so buckets
-    average ~10^3-10^4 rows, and salt any pathological hot bucket the
-    same way the politeness window salts hot hosts. Recall < 1 (pairs
-    split across buckets are missed); raise it with band-style multiple
-    plane sets, as minhash_lsh_pairs does for text."""
+    """Scale path: SRP buckets partition the corpus; all-pairs cosine
+    runs *within* each bucket as one numpy gemm (``applyInPandas`` per
+    bucket group) — never a per-pair HOF evaluation and never a cross
+    join. Recall < 1 (pairs split across buckets are missed); raise it
+    with band-style multiple plane sets, as minhash_lsh_pairs does for
+    text.
+
+    - ``n_planes=None`` derives the plane count from the corpus size so
+      buckets average ~``target_bucket_rows`` rows — a fixed default
+      (the old 4 → 16 buckets) is a cross-join in disguise at 10^10.
+    - Buckets that still exceed ``max_bucket_rows`` (mass-duplicate
+      regions, degenerate embeddings) are REFINED with extra planes —
+      per-bucket depth, like a prefix tree — so no python worker ever
+      materializes an unbounded group. Refinement loses the same class
+      of cross-bucket pairs the base bucketing does.
+    """
+    import math as _math
+
+    empty = df.sparkSession.createDataFrame(
+        [], "id_a long, id_b long, cosine double"
+    )
     first = df.select(F.size(vec_col).alias("d")).first()
-    planes = _deterministic_planes(int(first["d"]), n_planes)
+    if first is None or first["d"] is None:
+        return empty
+    dim = int(first["d"])
+    if n_planes is None:
+        n = df.count()
+        if n == 0:
+            return empty
+        n_planes = min(24, max(4, _math.ceil(_math.log2(max(n / target_bucket_rows, 1.0)))))
+    planes = _deterministic_planes(dim, n_planes)
     bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
         srp_bucket_fast(F.col(vec_col), planes).alias("bucket"),
     )
-    a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+
+    # Per-bucket adaptive refinement: hot buckets get extra sign bits.
+    hot = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket_rows)
+        .withColumn(
+            "extra_bits",
+            F.ceil(F.log2(F.col("n") / F.lit(float(max_bucket_rows)))).cast("int"),
         )
-        .where(~F.isnan("cosine") & (F.col("cosine") >= threshold))
+        .select("bucket", "extra_bits")
+    )
+    hot_rows = hot.collect()  # bounded: ≤ corpus/max_bucket_rows rows
+    if hot_rows:
+        max_extra = min(16, max(int(r["extra_bits"]) for r in hot_rows))
+        extra_planes = _deterministic_planes(dim, n_planes + max_extra)[n_planes:]
+        bucketed = (
+            bucketed.withColumn(
+                "refine", srp_bucket_fast(F.col("vec"), extra_planes)
+            )
+            .join(F.broadcast(hot), "bucket", "left")
+            .withColumn(
+                "sub",
+                F.when(
+                    F.col("extra_bits").isNotNull(),
+                    F.col("refine").bitwiseAND(
+                        F.pow(
+                            F.lit(2.0),
+                            F.least(F.col("extra_bits"), F.lit(max_extra)),
+                        ).cast("long")
+                        - 1
+                    ),
+                ).otherwise(F.lit(0)),
+            )
+            .select("id", "vec", "bucket", "sub")
+        )
+    else:
+        bucketed = bucketed.withColumn("sub", F.lit(0))
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = np.nan  # zero-norm → NaN cosine → dropped
+        unit = mat / norms[:, None]
+        outs = []
+        # row-blocked gemm keeps the sims slab bounded (~block·|B|·8B)
+        block = 1024
+        for lo in range(0, len(ids), block):
+            sims = np.round(unit[lo : lo + block] @ unit.T, 6)
+            li, ri = np.nonzero(
+                (sims >= thr) & (ids[lo : lo + block, None] < ids[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[lo + li],
+                        "id_b": ids[ri],
+                        "cosine": sims[li, ri],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed.groupBy("bucket", "sub").applyInPandas(
+        gen, schema="id_a long, id_b long, cosine double"
     )
 
 
@@ -279,20 +363,39 @@ def embedding_neardup_pairs_chunked(
     is ceil(n/chunk_rows) — at 10^8 vectors with 10^5-row chunks that
     is ~10^3 sequential broadcasts, which is where the LSH bucket join
     takes over as the primary path and this remains the exact verifier
-    for sampled slices."""
-    ids = [r["i"] for r in df.select(F.col(id_col).alias("i")).orderBy("i").collect()]
-    if not ids:
+    for sampled slices.
+
+    Chunk boundaries come from ``approxQuantile`` over the id column
+    (driver holds O(n_chunks) scalars), not from collecting every id —
+    at 10^8+ vectors an all-ids collect is gigabytes on the driver.
+    Quantile error only skews chunk *sizes* (±0.1%); coverage stays
+    exact because chunks partition the id space by half-open ranges."""
+    import math as _math
+
+    n = df.count()
+    if n == 0:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
+    n_chunks = max(1, _math.ceil(n / chunk_rows))
+    if n_chunks == 1:
+        cuts: list[float] = []
+    else:
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = df.stat.approxQuantile(id_col, probs, 0.001)
+    # half-open ranges (lo, hi]; first chunk has no lower bound, last no
+    # upper bound — every id lands in exactly one chunk.
+    bounds = [None] + cuts + [None]
     out = None
-    for lo in range(0, len(ids), chunk_rows):
-        chunk_ids = ids[lo : lo + chunk_rows]
-        right = df.where(
-            (F.col(id_col) >= chunk_ids[0]) & (F.col(id_col) <= chunk_ids[-1])
-        )
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        right = df
+        if lo is not None:
+            right = right.where(F.col(id_col) > lo)
+        if hi is not None:
+            right = right.where(F.col(id_col) <= hi)
         # left side: only rows that can satisfy a < b against this chunk
-        left = df.where(F.col(id_col) < chunk_ids[-1])
+        left = df if hi is None else df.where(F.col(id_col) < hi)
         part = _blocked_against(
             left, right, threshold, vec_col=vec_col, id_col=id_col
         )

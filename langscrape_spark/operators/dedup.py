@@ -63,28 +63,62 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via an inverted index
     (explode shingles → join on shingle), never a cross join.
-    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Hot-bucket guard: shingles appearing in more than ``max_doc_freq``
+    documents are dropped from the *candidate index* — one stop-phrase
+    shingle shared by 10^6 docs would otherwise make its posting-list
+    self-join quadratic at corpus scale. Reported Jaccard stays EXACT
+    (``array_intersect`` over the full uncapped shingle sets per
+    candidate pair); the only effect of the cap is that a pair whose
+    entire overlap is capped-out stop-shingles is not surfaced — such a
+    pair's Jaccard is bounded by n_hot/(n_a+n_b-n_hot), negligible at
+    any useful threshold. ``max_doc_freq=None`` disables the cap."""
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    ex = base.select("id", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("s")
         )
-        .agg(F.count("*").alias("n_common"))
+        # hot set is tiny (only stop-phrases exceed the cap) → broadcast
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact confirm: join the candidate pairs (small relative to the
+    # corpus) back to the full shingle arrays and intersect exactly.
+    pairs = (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                        F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                        F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     return (
-        inter.withColumn(
+        pairs.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
@@ -118,10 +152,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band bucket are
-    candidates. Output (id_a, id_b, n_shared_bands), id_a < id_b."""
+    candidates. Output (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    Hot-bucket guard: band buckets are md5-uniform for *distinct*
+    texts, but a cluster of byte-identical documents collapses into
+    one bucket whose self-join is quadratic in cluster size. Buckets
+    larger than ``max_bucket`` are excluded from pair generation —
+    at that size they are exact-duplicate clusters, which is
+    ``exact_dedup``'s job (run it first; it is one cheap hash shuffle).
+    ``max_bucket=None`` disables the guard."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -144,6 +187,14 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+    if max_bucket is not None:
+        oversized = (
+            buckets.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(oversized), "bucket", "left_anti")
     a, b2 = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -189,26 +240,38 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the 4 16-bit chunks (a pair
-    within hamming ≤ max_hamming shares at least one exact chunk when
-    max_hamming < 4·... — standard pigeonhole blocking with 4 chunks
-    covers hamming ≤ 3 exactly; wider radii are screened per block)."""
+    """Near-dup pairs by SimHash with EXACT recall at the requested
+    radius: the 64-bit signature is split into ``max_hamming + 1``
+    blocks, so by pigeonhole any pair within hamming ≤ max_hamming
+    agrees exactly on at least one block and lands in a shared bucket
+    (fixed 4×16-bit blocking only guarantees radius ≤ 3 and silently
+    under-recalled at the former default of 8 — pinned by the
+    brute-force equivalence test in test_training_ops). Narrower
+    blocks trade more candidates for recall; the exact hamming filter
+    keeps the output identical to brute force."""
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        n_blocks = 64
+    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sh")
     )
+    block_cols = []
+    for c in range(n_blocks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        block_cols.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit(mask)),
+            )
+        )
     chunks = sig.select(
         "id",
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":", F.lit(str(c)), F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF))
-                    ).alias("c")
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk"),
+        F.explode(F.array(*block_cols)).alias("chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (

@@ -71,10 +71,14 @@ def extract_pages(
     # clean+extract kernel. A filter-split + union, NOT a when() over
     # both UDFs — Spark evaluates UDFs in both branches of a when(),
     # which would run the html kernel on every pdf and vice versa.
-    html_rows = base.where(~F.col("is_pdf")).withColumn(
+    # coalesce: a NULL url yields NULL is_pdf, and ~NULL / NULL fail
+    # *both* WHEREs — the row would silently vanish from both branches.
+    # Poison rows are flagged (is_valid_url=false), never dropped.
+    pdf_flag = F.coalesce(F.col("is_pdf"), F.lit(False))
+    html_rows = base.where(~pdf_flag).withColumn(
         "_kernel", kernel_udf(F.col("html"))
     )
-    pdf_rows = base.where(F.col("is_pdf")).withColumn(
+    pdf_rows = base.where(pdf_flag).withColumn(
         "_kernel",
         F.struct(
             pdf_text_udf(F.col("html")).alias("cleaned"),

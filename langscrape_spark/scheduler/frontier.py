@@ -348,7 +348,13 @@ def run_crawl(
         seen = catalog.read_appended("seen", round_no)
         # Cached: consumed by both bloom branches — without the cache
         # the link-extraction UDF would re-run once per consumer.
-        cand = links.repartition(cfg.seen_partitions, F.xxhash64("url")).cache()
+        # Held in its own variable: the bloom branch rebinds ``cand``,
+        # so unpersisting ``cand`` at round end would release the
+        # derived DF and leak this cache one round at a time.
+        cached_cand = links.repartition(
+            cfg.seen_partitions, F.xxhash64("url")
+        ).cache()
+        cand = cached_cand
         # The bloom pre-filter costs a full seen scan + a collect every
         # round; below ``bloom_min_seen`` urls the exact anti-join
         # alone is cheaper (the bloom's job is to cut *shuffle* volume,
@@ -436,7 +442,7 @@ def run_crawl(
             catalog.compact("seen", round_no + 1)
         admitted.unpersist()
         new_entries.unpersist()
-        cand.unpersist()
+        cached_cand.unpersist()
         state.rounds_run += 1
 
     state.schedule = catalog.read_appended("schedule")

@@ -134,6 +134,11 @@ class Catalog:
         for d in os.listdir(base_dir):
             if d.startswith("r") and d != "LATEST" and int(d[1:]) <= version:
                 shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+            # Previous compacted bases are fully superseded by the new
+            # BASE pointer — without this GC every compaction leaves a
+            # full copy of the seen-set on disk (O(rounds/16 · |seen|)).
+            elif d.startswith("compact_v") and int(d[len("compact_v"):]) < version:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
 
     def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
         """Union of the compacted base (if any) and all committed

@@ -5,17 +5,23 @@
 # spark-submit resumes exactly where the previous one committed).
 #
 # Usage:
-#   scripts/submit_crawl.sh <master> <catalog_uri> <pages_table_uri> [executors]
+#   scripts/submit_crawl.sh <master> <catalog_uri> <pages_table_uri> [executors] [seeds_uri]
+#
+# seeds_uri (a parquet/csv of seed urls) is REQUIRED on the very first
+# submission — run_round.py refuses to start a crawl with an empty
+# catalog and no seeds; later rounds resume from the checkpoint and
+# ignore it.
 #
 # Two-cluster-size scaling run (N and 4N executors):
-#   scripts/submit_crawl.sh spark://head:7077 s3://bkt/cat s3://bkt/pages 32
-#   scripts/submit_crawl.sh spark://head:7077 s3://bkt/cat s3://bkt/pages 128
+#   scripts/submit_crawl.sh spark://head:7077 s3://bkt/cat s3://bkt/pages 32 s3://bkt/seeds
+#   scripts/submit_crawl.sh spark://head:7077 s3://bkt/cat s3://bkt/pages 128 s3://bkt/seeds
 set -euo pipefail
 
 MASTER="${1:?master}"
 CATALOG="${2:?catalog uri}"
 PAGES="${3:?pages table uri}"
 EXECUTORS="${4:-32}"
+SEEDS="${5:-}"
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="$(mktemp -d)/langscrape_spark.zip"
@@ -38,4 +44,5 @@ exec spark-submit \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=128 \
   "$REPO/scripts/run_round.py" \
-  --catalog "$CATALOG" --pages "$PAGES"
+  --catalog "$CATALOG" --pages "$PAGES" \
+  ${SEEDS:+--seeds "$SEEDS"}
