@@ -427,14 +427,34 @@ def q27_xpath_prefix_dedup(spark, sf):
 
 
 def q28_json_extract(spark, sf):
-    """``extract_json_block``/``from_json`` fallback chain (reference
-    langscrape/nodes/data_collator.py:10-43): pull a typed value out of
-    the json props column, NULL-safe."""
+    """``extract_json_block`` fallback chain (reference
+    langscrape/nodes/data_collator.py:10-43) over deliberately dirtied
+    JSON: rows cycle through fenced ```json blocks, noise-wrapped bare
+    objects, clean JSON, and garbage; the chain must recover the object
+    from the first three and yield '{}' (→ filtered) for the last."""
+    from langscrape_spark.operators.text import extract_json_block_col
+
     ev = _t(spark, sf, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```")),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit("model said: "), F.col("props"), F.lit(" -- done")),
+        )
+        .when(F.col("event_id") % 4 == 2, F.col("props"))
+        .otherwise(F.lit("no json anywhere here"))
+        .alias("raw"),
+    )
     return (
-        ev.select(
+        dirty.select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object(extract_json_block_col(F.col("raw")), "$.k")
+            .cast("long")
+            .alias("k"),
         )
         .where(F.col("k").isNotNull())
         .groupBy((F.col("k") % 10).alias("k_mod"))
@@ -512,6 +532,39 @@ def q32_host_pagerank(spark, sf):
     )
 
 
+def q33_clean_tags(spark, sf):
+    """``clean_tags`` vocabulary filter (reference
+    langscrape/nodes/post_processor.py:11-36, vocab langscrape/tags.py):
+    synthetic tag lists built from doc_id are stable-filtered against
+    the allowed union vocabulary — order and duplicate occurrences of
+    surviving tags preserved (list filter, NOT set intersection)."""
+    from langscrape_spark.operators.tags import clean_tags
+
+    docs = _t(spark, sf, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.array(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Jerusalem")).otherwise(
+                F.lit("Atlantis")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("Abuse")).otherwise(
+                F.lit("NotATheme")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("Hamas")).otherwise(
+                F.lit("Education")
+            ),
+            # duplicate of a surviving tag: pins dup preservation
+            F.lit("Jerusalem"),
+        ).alias("theme_tags"),
+    )
+    cleaned = clean_tags(tagged, ["theme_tags"])
+    return cleaned.select(
+        "doc_id",
+        F.array_join("theme_tags", "|").alias("kept_tags"),
+        F.size("theme_tags").alias("n_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -546,12 +599,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_date_rollup": q30_date_rollup,
         "q31_template_cluster": q31_template_cluster,
         "q32_host_pagerank": q32_host_pagerank,
+        "q33_clean_tags": q33_clean_tags,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles (DuckDB)
 # ---------------------------------------------------------------------------
+
+def _all_tags_sql() -> str:
+    """The clean_tags union vocabulary as a DuckDB list literal."""
+    from langscrape_spark.functions.tagvocab import ALL_TAGS
+
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in ALL_TAGS) + "]"
+
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _SHINGLES3 = (
@@ -776,10 +837,35 @@ def oracle_sql() -> dict[str, str]:
               WHERE p.path LIKE q.path || '/%')
         """,
         "q28_json_extract": """
-            WITH k AS (
+            WITH dirty AS (
               SELECT event_id,
-                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-              FROM events)
+                CASE
+                  WHEN event_id % 4 = 0 THEN '```json' || chr(10) || props || chr(10) || '```'
+                  WHEN event_id % 4 = 1 THEN 'model said: ' || props || ' -- done'
+                  WHEN event_id % 4 = 2 THEN props
+                  ELSE 'no json anywhere here'
+                END AS raw
+              FROM events),
+            staged AS (
+              SELECT event_id,
+                     trim(raw) AS t,
+                     trim(regexp_extract(trim(raw), '```json\\s*(.*?)```', 1, 'is')) AS fenced,
+                     regexp_extract(trim(raw), '\\{[\\s\\S]*\\}', 0) AS bare
+              FROM dirty),
+            sel AS (
+              SELECT event_id,
+                CASE
+                  WHEN t IS NULL OR t = '' THEN '{}'
+                  WHEN fenced <> '' AND json_valid(fenced) THEN fenced
+                  WHEN bare <> '' AND json_valid(bare) THEN bare
+                  WHEN json_valid(t) THEN t
+                  ELSE '{}'
+                END AS js
+              FROM staged),
+            k AS (
+              SELECT event_id,
+                     CAST(json_extract_string(js, '$.k') AS BIGINT) AS k
+              FROM sel)
             SELECT k % 10 AS k_mod,
                    count(*) AS n,
                    CAST(sum(k) AS BIGINT) AS sum_k
@@ -810,6 +896,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q33_clean_tags": f"""
+            WITH tagged AS (
+              SELECT doc_id,
+                [CASE WHEN doc_id % 3 = 0 THEN 'Jerusalem' ELSE 'Atlantis' END,
+                 CASE WHEN doc_id % 5 = 0 THEN 'Abuse' ELSE 'NotATheme' END,
+                 CASE WHEN doc_id % 7 = 0 THEN 'Hamas' ELSE 'Education' END,
+                 'Jerusalem'] AS theme_tags
+              FROM documents),
+            cleaned AS (
+              SELECT doc_id,
+                     list_filter(theme_tags,
+                                 t -> list_contains({_all_tags_sql()}, t)) AS kept
+              FROM tagged)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, '|'), '') AS kept_tags,
+                   len(kept) AS n_kept
+            FROM cleaned
         """,
         "q15_best_per_group": """
             SELECT l_returnflag, l_linestatus, f1, n FROM (

@@ -136,10 +136,17 @@ def extract_pages(
 
 def collate_results(extracted: DataFrame) -> DataFrame:
     """Final nested record, mirroring the reference's
-    ``{meta_data, extraction}`` JSON shape
-    (``langscrape/nodes/data_collator.py:46-62``) minus the
-    LLM ``summary`` block (replaced by the deterministic kernel)."""
-    return extracted.select(
+    ``{meta_data, extraction, summary}`` JSON shape
+    (``langscrape/nodes/data_collator.py:46-62``). The LLM ``summary``
+    text fields are replaced by the deterministic kernel; the
+    vocabulary-filtered tag fields ARE deterministic and pass through
+    ``clean_tags`` (reference ``post_processor.py:11-36``) whenever the
+    input carries them — every output record's tag lists contain only
+    allowed-vocabulary values."""
+    from ..operators.tags import TAG_FIELDS, clean_tags
+
+    tag_cols = [c for c in TAG_FIELDS if c in extracted.columns]
+    cols = [
         F.col("url"),
         F.struct(
             F.col("url").alias("url"),
@@ -150,4 +157,8 @@ def collate_results(extracted: DataFrame) -> DataFrame:
             F.col("too_short_body"),
         ).alias("meta_data"),
         F.col("extracted").alias("extraction"),
-    )
+    ]
+    if tag_cols:
+        extracted = clean_tags(extracted, tag_cols)
+        cols.append(F.struct(*[F.col(c) for c in tag_cols]).alias("summary"))
+    return extracted.select(*cols)
