@@ -59,7 +59,12 @@ class CrawlConfig:
     seen_partitions: int = 32
     use_bloom: bool = True
     bloom_items: int = 1_000_000
+    # Per-BUCKET bitset size for the partitioned bloom (must be a
+    # multiple of 8; 2^23 bits = 1 MiB packed per bucket).
     bloom_bits: int = 8_388_608
+    # Bucket count for the partitioned bloom; None → seen_partitions
+    # (co-partitioned with the membership anti-join).
+    bloom_buckets: Optional[int] = None
     # Below this seen-set size the bloom pre-filter costs more (full
     # seen scan + driver collect per round) than the shuffle it saves.
     bloom_min_seen: int = 2_000_000
@@ -203,47 +208,141 @@ def _bloom_positions(m_bits: int):
     )
 
 
-def _bloom_prefilter_udf(
-    spark: SparkSession, candidates: DataFrame, seen: DataFrame, cfg: CrawlConfig
-) -> DataFrame:
-    """Bloom pre-filter for builds where ``bloom_filter_agg`` is not
-    registered: the bitset is built from the DISTINCT bit positions of
-    the seen urls (positions computed JVM-side, one shuffle of ≤
-    k·|seen| longs), packed into a numpy bitset on the driver and
-    broadcast; the probe is a vectorized bit lookup in a pandas UDF
-    over position arrays that were also computed JVM-side.
+# ---------------------------------------------------------------------------
+# Partitioned bloom filter (the no-driver-collect scale path)
+# ---------------------------------------------------------------------------
+# One bitset per url-hash bucket, stored as a versioned catalog table
+# ``bloom(bucket int, bits binary)`` beside the seen checkpoint:
+# - BUILD (once, on activation or version mismatch): explode each seen
+#   url's k bit positions, distinct, pack per bucket with a grouped
+#   pandas apply — one equi-shuffle, nothing on the driver.
+# - MERGE (per round): only the round's NEW urls are folded into the
+#   stored bitsets via a cogrouped pandas apply — O(new) work, not
+#   O(|seen|).
+# - PROBE: candidates cogrouped with their bucket's bitset — the bits
+#   travel once per bucket, never once per candidate row (a plain join
+#   would replicate a MiB-scale bitset onto every row).
+# Missing bucket row ⇒ empty bitset ⇒ definitely-new: false negatives
+# are impossible by construction, and false positives fall through to
+# the exact anti-join, so admission stays exact.
 
-    Scale note: one global bitset caps out around a few 10^9 bits of
-    driver memory (10^8-10^9 urls at ~8 bits/url). Beyond that the
-    production design is a *partitioned* bloom — one bitset per
-    url-hash bucket, built from the co-partitioned seen bucket and
-    kept alongside it in the checkpoint table — which this function's
-    contract (exact admission, false positives fall through to the
-    anti-join) already permits swapping in."""
+
+def _bloom_bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+
+
+def _pack_bits(m_bits: int, positions, prev: bytes | None = None) -> bytes:
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
 
+    bits = (
+        np.unpackbits(np.frombuffer(prev, dtype=np.uint8))
+        if prev is not None
+        else np.zeros(m_bits, dtype=np.uint8)
+    )
+    if len(positions):
+        bits[np.asarray(positions, dtype=np.int64)] = 1
+    return np.packbits(bits).tobytes()
+
+
+def _build_bloom_df(urls: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    import pandas as pd
+
+    nb = cfg.bloom_buckets or cfg.seen_partitions
     m = cfg.bloom_bits
-    pos_rows = (
-        seen.select(F.explode(_bloom_positions(m)).alias("p"))
-        .distinct()
-        .collect()
+    pos = urls.select(
+        _bloom_bucket_col(nb).alias("bucket"),
+        F.explode(_bloom_positions(m)).alias("p"),
+    ).distinct()
+
+    def pack(pdf):
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bits": [_pack_bits(m, pdf["p"].to_numpy())],
+            }
+        )
+
+    return pos.groupBy("bucket").applyInPandas(pack, "bucket int, bits binary")
+
+
+def _merge_bloom_df(
+    bloom: DataFrame, new_urls: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    import pandas as pd
+
+    nb = cfg.bloom_buckets or cfg.seen_partitions
+    m = cfg.bloom_bits
+    new_pos = new_urls.select(
+        _bloom_bucket_col(nb).alias("bucket"),
+        F.explode(_bloom_positions(m)).alias("p"),
+    ).distinct()
+
+    def merge(key, bloom_pdf, pos_pdf):
+        prev = bytes(bloom_pdf["bits"].iloc[0]) if len(bloom_pdf) else None
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "bits": [_pack_bits(m, pos_pdf["p"].to_numpy(), prev)],
+            }
+        )
+
+    return (
+        bloom.groupBy("bucket")
+        .cogroup(new_pos.groupBy("bucket"))
+        .applyInPandas(merge, "bucket int, bits binary")
     )
-    bits = np.zeros(m, dtype=bool)
-    if pos_rows:
-        bits[np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)] = True
-    bc = spark.sparkContext.broadcast(np.packbits(bits))
 
-    def _probe(positions):
-        bitarr = np.unpackbits(bc.value).astype(bool)
-        return positions.map(lambda ps: bool(bitarr[np.asarray(ps)].all()))
 
-    probe = pandas_udf(_probe, BooleanType())
+def _partitioned_bloom_probe(
+    candidates: DataFrame, bloom: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
 
-    return candidates.withColumn(
-        "maybe_seen", probe(_bloom_positions(m))
+    nb = cfg.bloom_buckets or cfg.seen_partitions
+    m = cfg.bloom_bits
+    cand = candidates.withColumn("_bucket", _bloom_bucket_col(nb)).withColumn(
+        "_pos", _bloom_positions(m)
     )
+    out_cols = candidates.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def probe(key, cand_pdf, bloom_pdf):
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        out = cand_pdf[out_cols].copy()
+        if not len(bloom_pdf):
+            out["maybe_seen"] = False
+            return out
+        bits = np.unpackbits(
+            np.frombuffer(bytes(bloom_pdf["bits"].iloc[0]), dtype=np.uint8)
+        ).astype(bool)
+        out["maybe_seen"] = [
+            bool(bits[np.asarray(ps, dtype=np.int64)].all())
+            for ps in cand_pdf["_pos"]
+        ]
+        return out
+
+    return (
+        cand.groupBy("_bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def _ensure_bloom(
+    catalog: Catalog, seen: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """Return the bloom table at ``round_no``, building it from the
+    full seen set when absent or stale (first activation, or a resumed
+    run whose torn attempt left a newer uncommitted version)."""
+    if catalog.latest_version("bloom") != round_no:
+        catalog.write(
+            "bloom", _build_bloom_df(seen.select("url"), cfg), round_no, keep=4
+        )
+    return catalog.read("bloom", round_no)
 
 
 def run_crawl(
@@ -355,17 +454,17 @@ def run_crawl(
             cfg.seen_partitions, F.xxhash64("url")
         ).cache()
         cand = cached_cand
-        # The bloom pre-filter costs a full seen scan + a collect every
-        # round; below ``bloom_min_seen`` urls the exact anti-join
-        # alone is cheaper (the bloom's job is to cut *shuffle* volume,
-        # which only matters once seen dwarfs the candidate batch).
+        # Below ``bloom_min_seen`` urls the exact anti-join alone is
+        # cheaper than maintaining/probing the bloom (the bloom's job is
+        # to cut *shuffle* volume, which only matters once seen dwarfs
+        # the candidate batch).
+        bloom_df = None
         if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
-            prefilter = (
-                _bloom_prefilter
-                if _bloom_sql_available(spark)
-                else _bloom_prefilter_udf
-            )
-            cand = prefilter(spark, cand, seen, cfg)
+            if _bloom_sql_available(spark):
+                cand = _bloom_prefilter(spark, cand, seen, cfg)
+            else:
+                bloom_df = _ensure_bloom(catalog, seen, cfg, round_no)
+                cand = _partitioned_bloom_probe(cand, bloom_df, cfg)
             definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
             checked_new = to_check.join(
@@ -400,8 +499,21 @@ def run_crawl(
             frontier.join(admitted.select("url"), "url", "left_anti")
             .unionByName(new_entries)
         )
-        catalog.write("frontier", next_frontier, round_no + 1)
+        # keep=4: per-round snapshots (frontier, bloom) would otherwise
+        # grow the catalog by a full copy per round; resume needs only
+        # the committed round and its successor.
+        catalog.write("frontier", next_frontier, round_no + 1, keep=4)
         catalog.append("seen", new_entries.select("url"), round_no + 1)
+        # Incremental bloom maintenance: fold only this round's new
+        # urls into the stored bitsets (O(new) work; the build-from-
+        # full-seen path runs once on activation, never per round).
+        if bloom_df is not None:
+            catalog.write(
+                "bloom",
+                _merge_bloom_df(bloom_df, new_entries.select("url"), cfg),
+                round_no + 1,
+                keep=4,
+            )
         catalog.append(
             "schedule",
             admitted.select(

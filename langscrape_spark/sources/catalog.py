@@ -72,11 +72,24 @@ class Catalog:
     def _data_dir(self, name: str, version: int) -> str:
         return os.path.join(self.root, name, f"v{version}")
 
-    def write(self, name: str, df: DataFrame, version: int) -> None:
-        """Write snapshot ``version`` then atomically publish it."""
+    def write(
+        self, name: str, df: DataFrame, version: int, keep: Optional[int] = None
+    ) -> None:
+        """Write snapshot ``version`` then atomically publish it.
+
+        ``keep``: retain only the newest ``keep`` snapshot versions,
+        deleting older ``v*`` dirs after the pointer lands (a per-round
+        snapshot table — frontier, bloom — would otherwise grow by one
+        full copy every round). Resume needs at most the committed
+        round and its successor, so small values are safe."""
         path = self._data_dir(name, version)
         df.write.mode("overwrite").parquet(path)
         self._commit(name, version)
+        if keep is not None:
+            table_dir = os.path.join(self.root, name)
+            for d in os.listdir(table_dir):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= version - keep:
+                    shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
 
     def read(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
         """Read snapshot ``version`` (default: the table's own latest

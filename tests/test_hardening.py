@@ -76,6 +76,33 @@ def test_bloom_path_is_exact(spark, corpus, oracle, tmp_path):
     assert {r["url"] for r in state.seen.collect()} == sim_seen
 
 
+def test_partitioned_bloom_incremental_and_gc(spark, corpus, tmp_path):
+    """With the bloom forced on, the partitioned bloom table must (a)
+    advance a version per round via incremental merge (no rebuild —
+    pinned by the version trail), (b) GC old snapshots (keep=4), and
+    (c) contain every seen url (zero false negatives by probe)."""
+    state, catalog = _run(spark, corpus, tmp_path / "pbloom", bloom_min_seen=0)
+    assert state.rounds_run >= 3
+    bloom_ver = catalog.latest_version("bloom")
+    assert bloom_ver == catalog.committed_round()
+    vdirs = [
+        d for d in os.listdir(tmp_path / "pbloom" / "bloom") if d.startswith("v")
+    ]
+    assert len(vdirs) <= 4  # snapshot GC
+    # probe the full seen set against the final bloom: all must hit
+    from langscrape_spark.scheduler.frontier import (
+        CrawlConfig,
+        _partitioned_bloom_probe,
+    )
+
+    cfg = CrawlConfig(seen_partitions=8, bloom_min_seen=0)
+    seen = catalog.read_appended("seen")
+    probed = _partitioned_bloom_probe(
+        seen, catalog.read("bloom", bloom_ver), cfg
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
 def test_salting_never_changes_admitted_set(spark, corpus, monkeypatch):
     """The salted two-phase politeness window is an execution detail:
     admitted rows must be identical with 1 salt bucket (no salting)
