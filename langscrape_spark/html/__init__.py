@@ -19,7 +19,27 @@ from .extract import (
     ensure_list,
     extract_by_xpath_map,
 )
+from .css import CSSError, css_select, extract_text_by_css_selector
 from .links import extract_links, normalize_url, url_host
+from .prune import (
+    apply_trim_rules,
+    build_token_tree,
+    extract_fragments_by_weight,
+    extraction_based_pruning,
+    find_node,
+    get_common_ancestor,
+    get_node_contain_text,
+    get_node_depth,
+    get_text_content,
+    is_same_element,
+    prune_by_structure,
+    prune_by_xpath,
+    prune_to_text,
+    remove_by_xpath,
+    remove_node,
+    remove_node_until,
+    replace_with_text,
+)
 from .textify import (
     convert_html_to_text,
     html_to_text,
@@ -27,10 +47,17 @@ from .textify import (
     pdf_text_normalizer,
     remove_control_characters,
 )
-from .xpath import XPathError, evaluate, get_xpath
+from .xpath import (
+    XPathError,
+    evaluate,
+    extract_text_by_xpath,
+    get_xpath,
+    get_xpath_predicated,
+)
 
 __all__ = [
     "INTERACTIVE_ELEMENTS",
+    "CSSError",
     "Document",
     "Element",
     "Text",
@@ -38,22 +65,43 @@ __all__ = [
     "SENTINEL_NO_STORED",
     "SENTINEL_NO_XPATH",
     "XPathError",
+    "apply_trim_rules",
+    "build_token_tree",
     "clean_html_for_extraction",
     "clean_tree",
     "clean_tree_etree_mode",
     "collapse_whitespace",
     "convert_html_to_text",
+    "css_select",
     "ensure_list",
     "evaluate",
     "extract_by_xpath_map",
+    "extract_fragments_by_weight",
     "extract_html_structure",
     "extract_links",
+    "extract_text_by_css_selector",
+    "extract_text_by_xpath",
+    "extraction_based_pruning",
+    "find_node",
+    "get_common_ancestor",
+    "get_node_contain_text",
+    "get_node_depth",
+    "get_text_content",
     "get_xpath",
+    "get_xpath_predicated",
     "html_to_text",
+    "is_same_element",
     "normalize_text",
     "normalize_url",
     "parse",
     "pdf_text_normalizer",
+    "prune_by_structure",
+    "prune_by_xpath",
+    "prune_to_text",
+    "remove_by_xpath",
     "remove_control_characters",
+    "remove_node",
+    "remove_node_until",
+    "replace_with_text",
     "url_host",
 ]

@@ -82,6 +82,28 @@ def extract_by_xpath_map(
             result[key] = values or [SENTINEL_NO_STORED]
             continue
 
+        if strategy == "css_selector":
+            # optional CSS strategy (reference feilian/etree_tools.py:
+            # 460-474): same sentinel contract as the xpath path.
+            selector = None
+            if isinstance(entry, Mapping):
+                selector = entry.get("css_selector") or entry.get("selector")
+            if not isinstance(selector, str) or not selector.strip():
+                result[key] = [SENTINEL_NO_XPATH]
+                continue
+            if tree is None:
+                tree = parse(html_content)
+            from .css import css_select
+
+            try:
+                values_css = [
+                    el.text_content().strip() for el in css_select(tree, selector)
+                ]
+                result[key] = [v for v in values_css if v] or [SENTINEL_EMPTY]
+            except Exception as e:
+                result[key] = [f"Error: {e}"]
+            continue
+
         xpath = _get_xpath(entry)
         if not xpath:
             result[key] = [SENTINEL_NO_XPATH]

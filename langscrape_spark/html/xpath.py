@@ -136,8 +136,18 @@ def _split_steps(path: str) -> List[_Step]:
 _CONTAINS_RE = re.compile(
     r"^contains\(\s*(@[\w.-]+|text\(\)|\.)\s*,\s*(['\"])(.*)\2\s*\)$"
 )
+_STARTS_RE = re.compile(
+    r"^starts-with\(\s*(@[\w.-]+|text\(\)|\.)\s*,\s*(['\"])(.*)\2\s*\)$"
+)
 _EQ_RE = re.compile(r"^(@[\w.-]+|text\(\)|\.)\s*=\s*(['\"])(.*)\2$")
 _NOT_RE = re.compile(r"^not\((.*)\)$")
+# EXSLT regular-expressions namespace, as used by the reference's trim
+# rules and xpath evaluation (feilian/etree_tools.py:409-415,437-457):
+# re:test(operand, 'pattern'[, 'flags']) — flags: 'i' case-insensitive.
+_RE_TEST_RE = re.compile(
+    r"^re:test\(\s*(@[\w.-]+|text\(\)|\.)\s*,\s*"
+    r"(['\"])(.*?)\2\s*(?:,\s*(['\"])([a-z]*)\4\s*)?\)$"
+)
 
 
 def _operand_value(el: Element, operand: str) -> Optional[str]:
@@ -174,6 +184,26 @@ def _compile_pred(pred: str) -> Callable[[Element, int, int], bool]:
             lambda el, pos, last: (lambda v: v is not None and want in v)(
                 _operand_value(el, operand)
             )
+        )
+    m = _STARTS_RE.match(pred)
+    if m:
+        operand, want = m.group(1), m.group(3)
+        return (
+            lambda el, pos, last: (lambda v: v is not None and v.startswith(want))(
+                _operand_value(el, operand)
+            )
+        )
+    m = _RE_TEST_RE.match(pred)
+    if m:
+        operand, pattern, flags = m.group(1), m.group(3), m.group(5) or ""
+        try:
+            rx = re.compile(pattern, re.I if "i" in flags else 0)
+        except re.error as e:
+            raise XPathError(f"invalid re:test pattern {pattern!r}: {e}")
+        return (
+            lambda el, pos, last: (
+                lambda v: v is not None and rx.search(v) is not None
+            )(_operand_value(el, operand))
         )
     if pred.startswith("@") and re.fullmatch(r"@[\w.-]+", pred):
         name = pred[1:]
@@ -278,6 +308,92 @@ def _evaluate_path(doc: Document, path: str) -> List[XPathResult]:
         if not contexts:
             return []
     return list(contexts)
+
+
+def extract_text_by_xpath(doc: Document, xpath: str):
+    """Reference contract (``feilian/etree_tools.py:437-457``):
+    non-string xpath → ``[]``; invalid xpath → ``([], True)``; else
+    string results pass through, element results render via
+    ``convert_html_to_text(serialize)``, all normalized with
+    ``normalize_text``, blanks dropped → ``(results, False)``.
+    EXSLT ``re:test`` predicates are supported natively (the engine
+    needs no namespace registration)."""
+    from .textify import convert_html_to_text, normalize_text
+
+    if not isinstance(xpath, str):
+        return []
+    results: List[str] = []
+    try:
+        for item in evaluate(doc, xpath):
+            if item is None:
+                continue
+            if isinstance(item, str):
+                results.append(item)
+            else:
+                results.append(convert_html_to_text(item.serialize()))
+    except Exception:
+        return [], True
+    results = [normalize_text(x) for x in results]
+    results = [x.strip() for x in results if x.strip()]
+    return results, False
+
+
+def get_predicates(el: Element, with_id: bool = True, with_class: bool = True) -> str:
+    """``[@id="..."]`` / ``[@class="..."]`` predicate string for one
+    element (reference ``feilian/etree_tools.py:460-474`` —
+    ``get_predicates``): id wins over class; neither → ''."""
+    if el.attrs:
+        parts = []
+        if with_id and "id" in el.attrs:
+            parts.append(f'@id="{el.attrs["id"]}"')
+        elif with_class and "class" in el.attrs:
+            parts.append(f'@class="{el.attrs["class"]}"')
+        if parts:
+            return "[" + " and ".join(parts) + "]"
+    return ""
+
+
+def get_xpath_predicated(
+    el: Element,
+    short: bool = True,
+    with_id: bool = True,
+    with_class: bool = True,
+) -> str:
+    """Predicate-bearing xpath (reference ``feilian/etree_tools.py:
+    477-523`` — the etree ``get_xpath``): each step carries its
+    ``@id``/``@class`` predicate, position indexes count only siblings
+    with the SAME tag+predicate, and ``short=True`` short-circuits at
+    the nearest id-anchored ancestor (emitting a ``//``-prefixed
+    path) — id/class-anchored xpaths survive template shifts that break
+    purely positional ones."""
+    xpath = ""
+    node: Optional[Element] = el
+    while node is not None and not isinstance(node, Document):
+        parent = node.parent
+        if parent is None or isinstance(parent, Document):
+            xpath = f"/{node.tag}{xpath}"
+            break
+        part_str = get_predicates(node, with_id=with_id, with_class=with_class)
+        idx = 0
+        cur_idx = 0
+        for sib in parent.children:
+            if not isinstance(sib, Element):
+                continue
+            if part_str and sib.tag == node.tag and get_predicates(sib) == part_str:
+                idx += 1
+            elif not part_str and sib.tag == node.tag:
+                idx += 1
+            if sib is node:
+                cur_idx = idx
+        if idx == 1:
+            xpath = f"/{node.tag}{part_str}{xpath}"
+        else:
+            xpath = f"/{node.tag}{part_str}[{cur_idx}]{xpath}"
+        if short and node.attrs and "id" in node.attrs:
+            xpath = "/" + xpath
+            break
+        node = node.parent
+    return xpath
 
 
 def get_xpath(el: Element) -> str:

@@ -266,3 +266,73 @@ def test_ground_truth_survives_clean(paragraphs):
 def test_clean_never_raises(s):
     clean_html_for_extraction(s)
     html_to_text(s)
+
+
+# --- html5lib divergence surface (pinned, VERDICT r1 item 7) ---------------
+# bs4/html5lib are absent from this environment, so the kernel's stdlib
+# DOM *is* the byte-identity substrate (dom.py states this openly).
+# These fixtures pin the known divergence classes against the real
+# html5lib tree builder so the risk is explicit and version-controlled:
+# each test asserts THIS engine's behavior and documents what html5lib
+# would do differently.
+
+
+class TestHtml5libDivergences:
+    def test_tbodyless_table_keeps_tr_children(self):
+        """html5lib inserts an implied <tbody>, so the reference's
+        lxml tree answers //table/tr with NOTHING (rows live at
+        //table/tbody/tr). This DOM keeps rows as direct children —
+        //table/tr matches. Field maps written for the reference
+        should use //table//tr, which matches on BOTH substrates."""
+        doc = parse(
+            "<html><body><table><tr><td>a</td></tr>"
+            "<tr><td>b</td></tr></table></body></html>"
+        )
+        assert [e.tag for e in evaluate(doc, "//table/tr")] == ["tr", "tr"]
+        assert len(evaluate(doc, "//table//tr")) == 2  # portable form
+
+    def test_misnested_inline_block_adoption(self):
+        """html5lib runs the adoption-agency algorithm on
+        <b>bold <p>para</b> tail</p>: the <b> is CLOSED before the <p>
+        and re-opened inside it (two b elements). This DOM nests the
+        <p> inside the open <b> instead (one b element). Text content
+        is preserved on both; only element nesting differs."""
+        doc = parse("<html><body><b>bold <p>para</b> tail</p></body></html>")
+        body = evaluate(doc, "//body")[0]
+        assert body.serialize() == "<body><b>bold <p>para</p></b> tail</body>"
+        assert [e.text_content() for e in evaluate(doc, "//p")] == ["para"]
+        # no text is lost either way
+        assert collapse_whitespace(body.text_content()) == "bold para tail"
+
+    def test_unclosed_tags_implied_ends(self):
+        """<p>one<p>two<li>item with everything unclosed: html5lib
+        closes the open <p> at the next <p> (same here) but ALSO
+        closes it at <li> inside a list context; without list-scope
+        tracking this DOM nests the stray <li> inside the open <p>.
+        Text extraction agrees; per-element xpaths may differ."""
+        doc = parse("<html><body><div><p>one<p>two<li>item</body></html>")
+        assert [e.text_content() for e in evaluate(doc, "//p")] == [
+            "one", "twoitem",
+        ]
+        assert evaluate(doc, "//li")[0].text_content() == "item"
+
+    def test_duplicate_attributes_last_wins(self):
+        """html.parser reports duplicate attributes in order and this
+        DOM keeps the LAST occurrence; html5lib keeps the FIRST
+        (HTML5 spec: later duplicates are parse errors and dropped).
+        Pinned so any field map keying off duplicated class values
+        knows which side this engine lands on."""
+        doc = parse('<html><body><p class="x" class="y">t</p></body></html>')
+        assert evaluate(doc, "//p")[0].attrs["class"] == "y"
+
+    def test_clean_is_stable_on_divergent_markup(self):
+        """Whatever the tree shape, the cleaning pipeline must be
+        deterministic and idempotent over the divergence fixtures."""
+        for h in (
+            "<table><tr><td>a</td></tr></table>",
+            "<b>bold <p>para</b> tail</p>",
+            "<div><p>one<p>two<li>item",
+            '<p class="x" class="y">t</p>',
+        ):
+            once = clean_html_for_extraction(h)
+            assert clean_html_for_extraction(h) == once
