@@ -565,6 +565,70 @@ def q33_clean_tags(spark, sf):
     )
 
 
+def q34_swde_rank(spark, sf):
+    """SWDE-style corpus flow end-to-end (reference
+    feilian/datasets/dataset.py:92-254 + fragments_agent F1 ranking;
+    rows-only — reads a synthesized page-dir corpus): read page dirs +
+    tab-separated truth, extract candidate xpaths, F1-rank, best per
+    (category, site, field)."""
+    import os
+    import tempfile
+
+    from langscrape_spark.functions.kernel import make_extract_fields_udf
+    from langscrape_spark.operators.evalops import best_per_group, f1_by_group
+    from langscrape_spark.sources.swde import (
+        swde_ground_truth,
+        swde_pages,
+        truth_values_long,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "swde_q34_v1")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        for (cat, site), n in (("auto", "msn"), 5), (("book", "abe"), 4):
+            pdir = os.path.join(root, cat, f"{cat}-{site}({n})")
+            os.makedirs(pdir, exist_ok=True)
+            gdir = os.path.join(root, "groundtruth", cat)
+            os.makedirs(gdir, exist_ok=True)
+            tlines = ["h", "h"]
+            for i in range(n):
+                with open(os.path.join(pdir, f"{i:04d}.htm"), "w") as f:
+                    f.write(
+                        f"<html><body><h1>{cat} {site} {i}</h1>"
+                        f"<div class='x'>noise</div></body></html>"
+                    )
+                tlines.append(f"{i:04d}\t1\t{cat} {site} {i}")
+            with open(os.path.join(gdir, f"{cat}-{site}-title.txt"), "w") as f:
+                f.write("\n".join(tlines))
+        open(os.path.join(root, "_DONE"), "w").close()
+
+    pages = swde_pages(spark, root)
+    truth = swde_ground_truth(spark, os.path.join(root, "groundtruth"))
+    field_map = {
+        xp: {"strategy": "xpath_extractor", "xpath": xp}
+        for xp in ("//h1", "//div")
+    }
+    extract = make_extract_fields_udf(field_map)
+    pred = (
+        pages.select(
+            "category", "site", "page_id",
+            extract(F.decode("html", "utf-8")).alias("ex"),
+        )
+        .select("category", "site", "page_id", F.explode("ex").alias("xpath", "vs"))
+        .select("category", "site", "page_id", "xpath", F.explode("vs").alias("value"))
+        .where(~F.col("value").startswith("("))
+        .withColumn("field_name", F.lit("title"))
+    )
+    tr = truth_values_long(truth).crossJoin(
+        spark.createDataFrame([(xp,) for xp in field_map], "xpath string")
+    )
+    scored = f1_by_group(
+        pred, tr, ["category", "site", "field_name", "xpath"]
+    )
+    return best_per_group(scored, ["category", "site", "field_name"]).select(
+        "category", "site", "field_name", "xpath", "tp", "fp", "fn", "f1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -600,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_template_cluster": q31_template_cluster,
         "q32_host_pagerank": q32_host_pagerank,
         "q33_clean_tags": q33_clean_tags,
+        "q34_swde_rank": q34_swde_rank,
     }
 
 
