@@ -69,56 +69,81 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 10_000,
+    detect_fraction: float = 0.1,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via an inverted index
     (explode shingles → join on shingle), never a cross join.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     Hot-bucket guard: shingles appearing in more than ``max_doc_freq``
-    documents are dropped from the *candidate index* — one stop-phrase
+    documents are dropped from the shingle VOCABULARY — one stop-phrase
     shingle shared by 10^6 docs would otherwise make its posting-list
-    self-join quadratic at corpus scale. Reported Jaccard stays EXACT
-    (``array_intersect`` over the full uncapped shingle sets per
-    candidate pair); the only effect of the cap is that a pair whose
-    entire overlap is capped-out stop-shingles is not surfaced — such a
-    pair's Jaccard is bounded by n_hot/(n_a+n_b-n_hot), negligible at
-    any useful threshold. ``max_doc_freq=None`` disables the cap."""
+    self-join quadratic at corpus scale. With the cap active, Jaccard
+    is computed over the capped vocabulary (the standard df-capped
+    similarity: both the intersection and the set sizes exclude hot
+    shingles), which is deterministic and engine-reproducible; with
+    ``max_doc_freq=None`` it is the exact classic Jaccard. Either way
+    the plan is ONE posting-list self-join + count aggregation — the
+    per-pair intersection is never recomputed from the arrays (a
+    join-back would shuffle every shingle array twice; measured 1.6x
+    the whole query's cost at sf0.1)."""
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", F.explode("sh").alias("s"))
+    # index rows carry n_sh (an int — cheap to duplicate per shingle,
+    # saves re-joining doc sizes onto pairs later)
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_doc_freq is not None:
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_doc_freq)
+        # Adaptive skew detection, SAMPLED (the same move the
+        # politeness window makes for hot hosts, but on a seeded
+        # document sample so the probe costs a fraction of a shingle
+        # pass): a shingle with df > cap appears in a ``detect_fraction``
+        # sample with expected df·fraction hits, so screening at half
+        # that bound misses a truly-hot shingle only on an extreme
+        # binomial tail (cap=10^4, fraction=0.1 → P[<500 of E=1000]
+        # ≈ e^-140). Candidates are then CONFIRMED against their exact
+        # df, so the final hot set is deterministic and exact.
+        sample_ex = (
+            df.sample(fraction=detect_fraction, seed=7)
+            .select(F.explode(shingles(F.col(text_col), k)).alias("s"))
+        )
+        cand_hot = (
+            sample_ex.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .where(F.col("df_s") > max_doc_freq * detect_fraction / 2.0)
             .select("s")
         )
-        # hot set is tiny (only stop-phrases exceed the cap) → broadcast
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+        if not cand_hot.isEmpty():
+            hot = (
+                ex.join(F.broadcast(cand_hot), "s", "left_semi")
+                .groupBy("s")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") > max_doc_freq)
+                .select("s")
+            )
+            # hot set is small (only stop-phrases exceed the cap) → broadcast
+            ex = ex.join(F.broadcast(hot), "s", "left_anti")
+            # capped per-doc sizes: re-count the surviving index rows
+            # (narrow int table, one row per doc)
+            ncap = ex.groupBy("id").agg(F.count("*").alias("n_cap"))
+            ex = (
+                ex.drop("n_sh")
+                .join(ncap, "id")
+                .withColumnRenamed("n_cap", "n_sh")
+            )
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
+    inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # Exact confirm: join the candidate pairs (small relative to the
-    # corpus) back to the full shingle arrays and intersect exactly.
-    pairs = (
-        cand.join(
-            base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                        F.col("n_sh").alias("n_a")),
-            "id_a",
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
-        .join(
-            base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                        F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .agg(F.count("*").alias("n_common"))
     )
     return (
-        pairs.withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )

@@ -62,10 +62,11 @@ def test_simhash_neardups_equals_bruteforce(spark, max_hamming):
 # n-gram Jaccard hot-shingle cap
 # ---------------------------------------------------------------------------
 
-def test_ngram_cap_keeps_exact_jaccard(spark):
-    """With a stop-phrase shingle shared by every doc capped out of the
-    index, surfaced pairs must still report the EXACT (uncapped)
-    Jaccard, and pairs with real non-hot overlap must survive."""
+def test_ngram_cap_df_capped_jaccard(spark):
+    """With the stop-phrase shingles (df > cap) removed from the
+    vocabulary, surviving pairs report Jaccard over the CAPPED sets
+    (the standard df-capped similarity), and pairs whose entire
+    overlap was stop-phrases are not surfaced at all."""
     stop = "click here to subscribe now"
     rows = [
         (1, f"{stop} alpha beta gamma delta epsilon"),
@@ -83,13 +84,18 @@ def test_ngram_cap_keeps_exact_jaccard(spark):
     capped = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(
-            df, "text", "doc_id", k=3, threshold=0.2, max_doc_freq=3
+            df, "text", "doc_id", k=3, threshold=0.2, max_doc_freq=3,
+            detect_fraction=1.0,
         ).collect()
     }
-    assert (1, 2) in capped
-    # every surfaced pair carries the exact uncapped jaccard value
-    for pair, j in capped.items():
-        assert uncapped[pair] == j
+    # hand-derived: the 3 intra-stop-phrase shingles are hot (df=4);
+    # docs 1/2 share 4 of their remaining 5 shingles
+    assert uncapped[(1, 2)] == round(7 / 9, 6)
+    assert capped[(1, 2)] == round(4 / 6, 6)
+    # docs 3/4 overlap ONLY in stop-phrase shingles: surfaced uncapped
+    # (jaccard 3/13 ≥ 0.2), suppressed by the cap
+    assert (3, 4) in uncapped
+    assert (3, 4) not in capped
 
 
 def test_ngram_cap_off_matches_default_on_corpus(spark):
