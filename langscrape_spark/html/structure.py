@@ -101,13 +101,25 @@ def _longest_repeated_run(sigs: List[str], raws: List[str]):
     """Find the contiguous subsequence with the most *adjacent* exact
     repetitions, anchored on spans containing a class-attributed tag
     (plain ``<div><div>`` runs are ignored, per the reference). Returns
-    index spans of every repetition or None."""
+    index spans of every repetition or None.
+
+    The class-anchor test uses a prefix-sum (O(1) per span) instead of
+    rescanning each span — the former per-(i,j) scan made the whole
+    pass cubic in sibling count; backtracking compares remain bounded
+    by matched repetitions, the reference's own cost shape
+    (``feilian/tools.py:17-39``)."""
     n = len(sigs)
+    # class_prefix[j] = number of class-anchored children in raws[:j]
+    class_prefix = [0] * (n + 1)
+    for i, r in enumerate(raws):
+        class_prefix[i + 1] = class_prefix[i] + (
+            1 if _CLASS_TAG_RE.match(r) else 0
+        )
     best_count = 0
     best_spans = None
     for i in range(n):
         for j in range(i + 1, n + 1):
-            if not any(_CLASS_TAG_RE.match(r) for r in raws[i:j]):
+            if class_prefix[j] == class_prefix[i]:  # no anchored tag in span
                 continue
             seq = sigs[i:j]
             width = j - i
@@ -129,11 +141,23 @@ def collapse_repeated(el: Element) -> None:
     the whole tree): table/tbody keep their first tr, ul/ol their
     first li, runs of identically-serialized (or contiguously repeated)
     children collapse to the first occurrence. ``li`` and ``tr``-cells
-    are left alone, matching the reference's special cases."""
+    are left alone, matching the reference's special cases.
 
-    for child in [c for c in el.children if isinstance(c, Element)]:
-        collapse_repeated(child)
+    Iterative post-order (explicit stack) — degenerately nested crawl
+    pages must not blow the recursion limit inside an executor."""
+    stack: List[tuple] = [(el, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if not expanded:
+            stack.append((node, True))
+            for child in node.children:
+                if isinstance(child, Element):
+                    stack.append((child, False))
+            continue
+        _collapse_one(node)
 
+
+def _collapse_one(el: Element) -> None:
     children = list(el.children)
     if len(children) <= 1 or el.tag == "li":
         return
@@ -232,42 +256,48 @@ def _table_title(el: Element) -> Optional[str]:
 def extract_tables(root: Element, recursive: bool = False) -> List[Dict]:
     """Breadth-first scan for ``table`` elements; descent stops at each
     table (its nested tables land in ``children`` when ``recursive``).
-    Each entry: {xpath, content, title, children}."""
+    Each entry: {xpath, content, title, children}. Iterative even in
+    the recursive mode (work queue carries the destination list) —
+    adversarially nested tables must not recurse."""
     from .xpath import get_xpath
 
     out: List[Dict] = []
-    queue: List[Element] = [root]
+    # (element, sink): sink is the children-list the next table found
+    # under `element` should be appended to
+    queue: List[tuple] = [(root, out)]
     while queue:
-        el = queue.pop(0)
+        el, sink = queue.pop(0)
         if el.tag == "table":
-            children: List[Dict] = []
+            entry = {
+                "xpath": get_xpath(el),
+                "content": el.serialize().strip(),
+                "title": _table_title(el),
+                "children": [],
+            }
+            sink.append(entry)
             if recursive:
                 for c in el.children:
                     if isinstance(c, Element):
-                        children.extend(extract_tables(c, recursive=True))
-            out.append(
-                {
-                    "xpath": get_xpath(el),
-                    "content": el.serialize().strip(),
-                    "title": _table_title(el),
-                    "children": children,
-                }
-            )
+                        queue.append((c, entry["children"]))
             continue  # do not descend past a table at this layer
-        queue.extend(c for c in el.children if isinstance(c, Element))
+        queue.extend(
+            (c, sink) for c in el.children if isinstance(c, Element)
+        )
     return out
 
 
 def table_stats(tables: List[Dict]) -> Dict[str, int]:
-    """depth / count / max width over the nested table forest."""
-
-    def depth(ts: List[Dict]) -> int:
-        return 1 + max((depth(t["children"]) for t in ts), default=0) if ts else 0
-
-    def count(ts: List[Dict]) -> int:
-        return sum(1 + count(t["children"]) for t in ts)
-
-    def width(ts: List[Dict]) -> int:
-        return max([len(ts)] + [width(t["children"]) for t in ts], default=0)
-
-    return {"depth": depth(tables), "count": count(tables), "max_width": width(tables)}
+    """depth / count / max width over the nested table forest
+    (iterative — forest depth equals table-nesting depth, which a
+    hostile page can make arbitrary)."""
+    count = 0
+    max_depth = 0
+    max_width = len(tables)
+    stack: List[tuple] = [(t, 1) for t in tables]
+    while stack:
+        t, d = stack.pop()
+        count += 1
+        max_depth = max(max_depth, d)
+        max_width = max(max_width, len(t["children"]))
+        stack.extend((c, d + 1) for c in t["children"])
+    return {"depth": max_depth, "count": count, "max_width": max_width}
