@@ -499,29 +499,6 @@ def run_crawl(
             frontier.join(admitted.select("url"), "url", "left_anti")
             .unionByName(new_entries)
         )
-        # keep=4: per-round snapshots (frontier, bloom) would otherwise
-        # grow the catalog by a full copy per round; resume needs only
-        # the committed round and its successor.
-        catalog.write("frontier", next_frontier, round_no + 1, keep=4)
-        catalog.append("seen", new_entries.select("url"), round_no + 1)
-        # Incremental bloom maintenance: fold only this round's new
-        # urls into the stored bitsets (O(new) work; the build-from-
-        # full-seen path runs once on activation, never per round).
-        if bloom_df is not None:
-            catalog.write(
-                "bloom",
-                _merge_bloom_df(bloom_df, new_entries.select("url"), cfg),
-                round_no + 1,
-                keep=4,
-            )
-        catalog.append(
-            "schedule",
-            admitted.select(
-                F.lit(round_no).alias("round"), F.col("seq"), F.col("url")
-            ),
-            round_no,
-        )
-
         round_metrics = {
             "round": round_no,
             "admitted": n_admitted,
@@ -532,23 +509,53 @@ def run_crawl(
             "wall_sec": round(time.time() - t0, 3),
         }
         state.metrics.append(round_metrics)
-        catalog.append(
-            "metrics",
-            spark.createDataFrame(
-                [
-                    (
-                        round_no,
-                        n_admitted,
-                        n_new,
-                        [(int(r["pid"]), int(r["count"])) for r in part_counts],
-                        round_metrics["wall_sec"],
-                    )
-                ],
-                "round int, admitted long, new_urls long, "
-                "partition_rows array<struct<pid:int,rows:long>>, wall_sec double",
-            ),
-            round_no,
+        metrics_df = spark.createDataFrame(
+            [
+                (
+                    round_no,
+                    n_admitted,
+                    n_new,
+                    [(int(r["pid"]), int(r["count"])) for r in part_counts],
+                    round_metrics["wall_sec"],
+                )
+            ],
+            "round int, admitted long, new_urls long, "
+            "partition_rows array<struct<pid:int,rows:long>>, wall_sec double",
         )
+        sched_df = admitted.select(
+            F.lit(round_no).alias("round"), F.col("seq"), F.col("url")
+        )
+        # The four (five with bloom) checkpoint writes are independent
+        # table snapshots whose inputs are all cached — submitting them
+        # CONCURRENTLY overlaps their driver round-trips and output I/O
+        # (a serial sequence paid ~4-5 job latencies of pure driver
+        # wait per round). The round marker still commits strictly
+        # AFTER every write lands, so torn-round semantics are
+        # unchanged: a crash mid-flight leaves the previous round live.
+        # keep=4 on snapshot tables: per-round frontier/bloom copies
+        # would otherwise grow the catalog by a full copy per round;
+        # resume needs only the committed round and its successor.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: catalog.write("frontier", next_frontier, round_no + 1, keep=4),
+            lambda: catalog.append("seen", new_entries.select("url"), round_no + 1),
+            lambda: catalog.append("schedule", sched_df, round_no),
+            lambda: catalog.append("metrics", metrics_df, round_no),
+        ]
+        if bloom_df is not None:
+            # Incremental bloom maintenance: fold only this round's new
+            # urls into the stored bitsets (O(new) work; the build-from-
+            # full-seen path runs once on activation, never per round).
+            merged_bloom = _merge_bloom_df(
+                bloom_df, new_entries.select("url"), cfg
+            )
+            writes.append(
+                lambda: catalog.write("bloom", merged_bloom, round_no + 1, keep=4)
+            )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()  # re-raise any write failure before commit
         catalog.commit_round(round_no + 1)
         if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
             catalog.compact("seen", round_no + 1)
