@@ -27,6 +27,7 @@ from .prune import (
     extract_fragments_by_weight,
     extraction_based_pruning,
     find_node,
+    gen_xpath_by_text,
     get_common_ancestor,
     get_node_contain_text,
     get_node_depth,
@@ -83,6 +84,7 @@ __all__ = [
     "extract_text_by_xpath",
     "extraction_based_pruning",
     "find_node",
+    "gen_xpath_by_text",
     "get_common_ancestor",
     "get_node_contain_text",
     "get_node_depth",

@@ -298,6 +298,73 @@ def get_common_ancestor(nodes: List[Element]) -> Optional[Element]:
     return common
 
 
+def itertext_nodes(root: Element) -> Iterator[Tuple[Element, str, int]]:
+    """Document-order text segments as (parent element, raw text,
+    per-parent index) — the reference's ``itertext``
+    (``feilian/etree_tools.py:526-541``), where lxml ``.text``/``.tail``
+    segments are attributed to the enclosing parent with a running
+    per-parent index. In this DOM both map to Text children of the
+    same parent, so the index is the text-child ordinal. Iterative."""
+    counters: dict = {}
+    stack: List[Node] = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, Text):
+            parent = node.parent
+            if parent is None:
+                continue
+            idx = counters.get(id(parent), 0) + 1
+            counters[id(parent)] = idx
+            yield parent, node.data, idx
+        elif isinstance(node, Element):
+            stack.extend(reversed(node.children))
+
+
+def gen_xpath_by_text(
+    root: Element,
+    target_text: str,
+    text_suffix: bool = False,
+    short: bool = True,
+    with_id: bool = True,
+    with_class: bool = True,
+) -> List[str]:
+    """Reverse index: xpaths of the text nodes best matching
+    ``target_text`` (reference ``gen_xpath_by_text``,
+    ``feilian/etree_tools.py:544-594``): containment either way on
+    normalized text, candidates ranked by |len(raw text) −
+    len(normalized target)| (the reference's raw-vs-normalized length
+    quirk, kept), all minimum-score candidates emitted as
+    predicate-bearing xpaths, optionally with a ``/text()[i]``
+    suffix. Corpus-scale analogue: ``operators/domtable.py::
+    xpath_for_value``."""
+    from .textify import normalize_text
+    from .xpath import get_xpath_predicated
+
+    target = normalize_text(target_text)
+    results: List[Tuple[Element, int, str]] = []
+    for ele, text, idx in itertext_nodes(root):
+        processed = normalize_text(text)
+        if not processed:
+            continue
+        if target in processed or processed in target:
+            results.append((ele, idx, str(text)))
+    if not results:
+        return []
+    scores = [abs(len(in_text) - len(target)) for _, _, in_text in results]
+    min_score = min(scores)
+    xpaths: List[str] = []
+    for (ele, idx, _), score in zip(results, scores):
+        if score != min_score:
+            continue
+        xpath = get_xpath_predicated(
+            ele, short=short, with_id=with_id, with_class=with_class
+        )
+        if text_suffix:
+            xpath = f"{xpath}/text()[{idx}]" if idx > 1 else f"{xpath}/text()"
+        xpaths.append(xpath)
+    return xpaths
+
+
 # ---------------------------------------------------------------------------
 # token tree (etree_token_stats.py:14-268)
 # ---------------------------------------------------------------------------

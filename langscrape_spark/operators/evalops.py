@@ -67,6 +67,47 @@ def best_per_group(
     )
 
 
+def select_best_xpath(
+    scored: DataFrame,
+    group_cols: Sequence[str] = ("field_name",),
+    xpath_col: str = "xpath",
+    try_order_col: str = "try_order",
+    invalid_col: str = "invalid",
+    all_nonempty_col: str = "all_nonempty",
+    total_extracted_col: str = "total_extracted",
+) -> DataFrame:
+    """The reference's xpath-selection cascade
+    (``feilian/agents/agent.py:150-177``) as one ranked window.
+
+    Input: one row per tried xpath per group with
+    ``try_order`` (proposal order), ``invalid`` (any snippet reported
+    an invalid-xpath feedback), ``all_nonempty`` (every snippet
+    extracted something), ``total_extracted`` (sum of extracted value
+    counts). Cascade: prefer valid xpaths that extracted on every
+    snippet, taking the one with the FEWEST total extractions (the
+    reference's precision heuristic); else the first valid by proposal
+    order; else the first proposed. A single priority column encodes
+    all three tiers, so the whole cascade is one window — ties inside
+    tier 0 fall back to proposal order, matching the reference's
+    stable sort."""
+    priority = (
+        F.when(F.col(invalid_col), F.lit(2))
+        .when(F.col(all_nonempty_col), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    tier_key = F.when(
+        priority == 0, F.col(total_extracted_col)
+    ).otherwise(F.col(try_order_col))
+    w = Window.partitionBy(*group_cols).orderBy(
+        priority.asc(), tier_key.asc(), F.col(try_order_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def scheme_report(
     df: DataFrame, keys_col: str, expected_keys: Sequence[str]
 ) -> DataFrame:

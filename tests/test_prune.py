@@ -328,3 +328,27 @@ def test_css_selector_strategy_in_field_map():
     assert out["missing"] == ["(Empty Result)"]
     assert out["invalid"][0].startswith("Error:")
     assert out["blank"] == ["Skipped: No XPath"]
+
+
+def test_gen_xpath_by_text_predicates_and_suffix():
+    doc = parse(
+        '<html><body><div id="main"><p class="lead">Alpha beta</p>'
+        "<p>gamma</p><p>Alpha beta gamma delta epsilon zeta</p>"
+        "</div></body></html>"
+    )
+    from langscrape_spark.html.prune import gen_xpath_by_text
+
+    # best match by length difference is the short exact-ish paragraph
+    xps = gen_xpath_by_text(doc, "Alpha beta")
+    assert xps == ['//div[@id="main"]/p[@class="lead"]']
+    # the engine resolves its own output
+    assert evaluate(doc, xps[0])[0].text_content() == "Alpha beta"
+    # text_suffix: first text segment → /text(); later segments indexed
+    xps = gen_xpath_by_text(doc, "Alpha beta", text_suffix=True)
+    assert xps == ['//div[@id="main"]/p[@class="lead"]/text()']
+    doc2 = parse("<html><body><p>one<b>x</b>two needle here</p></body></html>")
+    xps = gen_xpath_by_text(doc2, "two needle here", text_suffix=True)
+    assert xps == ["/html/body/p/text()[2]"]
+    assert evaluate(doc2, xps[0]) == ["two needle here"]
+    # no match → []
+    assert gen_xpath_by_text(doc, "zzz missing") == []

@@ -137,3 +137,36 @@ def test_swde_end_to_end_xpath_ranking(spark, swde_root):
         assert got[(cat, site, "title")][1] == 1.0
         assert got[(cat, site, "price")][0] == "//span[@class='price']"
         assert got[(cat, site, "price")][1] == 1.0
+
+
+def test_select_best_xpath_cascade(spark):
+    """The reference's selection cascade (feilian/agents/agent.py:
+    150-177): drop invalid xpaths; among valid prefer those that
+    extracted on every snippet, argmin total extracted; fall back to
+    first-valid then first-proposed by proposal order."""
+    from langscrape_spark.operators.evalops import select_best_xpath
+
+    rows = [
+        # field A: xp2 invalid; xp1 and xp3 valid+nonempty — fewest
+        # total extractions (xp3) wins despite later proposal order
+        ("A", "xp1", 0, False, True, 9),
+        ("A", "xp2", 1, True, True, 1),
+        ("A", "xp3", 2, False, True, 4),
+        # field B: no xpath nonempty → first VALID by proposal order
+        ("B", "xp1", 0, True, False, 0),
+        ("B", "xp2", 1, False, False, 3),
+        ("B", "xp3", 2, False, False, 1),
+        # field C: everything invalid → first proposed
+        ("C", "xp1", 0, True, False, 0),
+        ("C", "xp2", 1, True, True, 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "field_name string, xpath string, try_order int, "
+        "invalid boolean, all_nonempty boolean, total_extracted long",
+    )
+    got = {
+        r["field_name"]: r["xpath"]
+        for r in select_best_xpath(df).collect()
+    }
+    assert got == {"A": "xp3", "B": "xp2", "C": "xp1"}
