@@ -629,6 +629,19 @@ def q34_swde_rank(spark, sf):
     )
 
 
+def q35_ivf_ann(spark, sf):
+    """IVF-flat ANN top-k (FAISS-style inverted lists; rows-only —
+    recall pinned vs brute force in tests/test_training_ops.py):
+    deterministic Lloyd centroids, nprobe nearest lists scanned, exact
+    re-rank inside them."""
+    from langscrape_spark.operators.ann import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_centroids(emb, k=16, iterations=2)
+    q = [(1.0 if i % 7 == 0 else 0.1) for i in range(64)]
+    return ivf_topk(emb, q, cents, k=10, nprobe=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_host_pagerank": q32_host_pagerank,
         "q33_clean_tags": q33_clean_tags,
         "q34_swde_rank": q34_swde_rank,
+        "q35_ivf_ann": q35_ivf_ann,
     }
 
 

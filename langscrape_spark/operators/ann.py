@@ -37,7 +37,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not '/': under Spark 4 ANSI mode even DOUBLE
+    # division by zero THROWS — one zero-norm embedding would kill the
+    # whole query. NULL cosine → dropped by every downstream filter
+    # and sorted after every real value (poison rows flagged, never
+    # fatal).
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -112,6 +117,141 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 64,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic IVF centroids: seed with the k md5-first vectors
+    (engine-portable, no RNG state), then ``iterations`` Lloyd steps —
+    assignment is one gemm per Arrow batch against the broadcast
+    centroid matrix, the mean update is a numpy groupby per partition
+    reduced on the driver (k·dim floats — kilobytes). Returns a
+    ``list[list[float]]`` of L2-normalized centroids.
+
+    Scale shape: every pass over the corpus is map-only + one tiny
+    collect of per-partition (sum, count) partials; nothing grows with
+    corpus size on the driver."""
+    import numpy as np
+
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        return []
+    cent = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0] = 1.0
+    cent = cent / norms[:, None]
+    spark = df.sparkSession
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            import pandas as pd
+
+            C = bc.value
+            sums = np.zeros_like(C)
+            counts = np.zeros(len(C), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                n = np.linalg.norm(V, axis=1)
+                n[n == 0] = 1.0
+                a = np.argmax((V / n[:, None]) @ C.T, axis=1)
+                np.add.at(sums, a, V)
+                np.add.at(counts, a, 1)
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(C)),
+                    "s": [x.tolist() for x in sums],
+                    "n": counts,
+                }
+            )
+
+        rows = (
+            df.select(vec_col)
+            .mapInPandas(partials, schema="cid int, s array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["s"])
+            counts[r["cid"]] += r["n"]
+        mask = counts > 0
+        cent[mask] = sums[mask] / counts[mask, None]
+        n = np.linalg.norm(cent, axis=1)
+        n[n == 0] = 1.0
+        cent = cent / n[:, None]
+    return [list(map(float, c)) for c in cent]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: nearest centroid by cosine (one gemm
+    per Arrow batch). At scale this column is written once and the
+    table is bucket-partitioned, so probes get partition pruning."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    C = [list(map(float, c)) for c in centroids]
+
+    def _assign(vs):
+        M = np.asarray(C, dtype=np.float64)
+        V = np.array(list(vs), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pd.Series([0] * len(vs), dtype="int32")
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((V / n[:, None]) @ M.T, axis=1).astype("int32"))
+
+    return df.withColumn("bucket", pandas_udf(_assign, IntegerType())(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: rank centroids by similarity to the
+    query, scan only the ``nprobe`` nearest inverted lists, exact
+    re-rank inside them (same scorer and total order as
+    ``cosine_topk``). With a stored/partitioned ``bucket`` column the
+    probe is an explicit IN-list filter → partition pruning; recall
+    trades via (k centroids, nprobe) exactly like FAISS IVF-flat."""
+    import numpy as np
+
+    if not centroids:
+        return cosine_topk(df, query_vec, k, vec_col, id_col)
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        qn = 1.0
+    sims = C @ (q / qn)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    assigned = df if "bucket" in df.columns else ivf_assign(df, centroids, vec_col)
+    cand = assigned.where(F.col("bucket").isin([int(b) for b in probe]))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -130,8 +270,8 @@ def embedding_neardup_pairs(
             "id_b",
             F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
-        # zero-norm vectors yield NaN cosines, and Spark orders NaN
-        # above every real number — drop them explicitly.
+        # zero-norm vectors yield NULL cosines (try_divide); the
+        # isnan guard additionally drops NaN-poisoned inputs.
         .where(~F.isnan("cosine") & (F.col("cosine") >= threshold))
     )
 

@@ -298,3 +298,72 @@ def test_structural_stats(nodes):
     s = structural_stats(nodes)
     row = s.where("tag = 'p'").agg(F.sum("n_nodes")).first()
     assert row[0] > 12  # several paragraphs per page
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_centroids_deterministic(spark):
+    from langscrape_spark.operators.ann import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ivf_centroids(emb, k=8, iterations=2)
+    b = ivf_centroids(emb, k=8, iterations=2)
+    assert a == b and len(a) == 8
+    import math
+    for c in a:  # L2-normalized
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """On clustered vectors (where IVF is meaningful) a full probe must
+    reproduce the exact top-k, and a partial probe must return a subset
+    of its own buckets with exact cosines."""
+    import numpy as np
+
+    from langscrape_spark.operators.ann import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(5, 16)) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 5] + rng.normal(scale=0.15, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x) for x in centers[2] + rng.normal(scale=0.05, size=16)]
+
+    cents = ivf_centroids(df, k=8, iterations=3)
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, query, 10).collect()]
+    # nprobe = all buckets → identical to brute force (same total order)
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(df, query, cents, 10, nprobe=8).collect()]
+    assert full == exact
+    # small probe on clustered data still recalls the top hits
+    part = {r["vec_id"] for r in ivf_topk(df, query, cents, 10, nprobe=2).collect()}
+    assert len(part & {i for i, _ in exact}) >= 8
+    # a stored bucket column short-circuits assignment
+    assigned = ivf_assign(df, cents).cache()
+    via_stored = [(r["vec_id"], r["cosine"])
+                  for r in ivf_topk(assigned, query, cents, 10, nprobe=8).collect()]
+    assert via_stored == exact
+    assigned.unpersist()
+
+
+def test_ivf_empty_and_zero_norm(spark):
+    from langscrape_spark.operators.ann import ivf_centroids, ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_centroids(empty, k=4) == []
+    assert ivf_topk(empty, [1.0, 0.0], [], k=5).count() == 0
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = ivf_centroids(zeros, k=2, iterations=1)
+    out = ivf_topk(zeros, [1.0, 0.0], cents, k=5, nprobe=2).collect()
+    assert [r["vec_id"] for r in out][0] == 2  # NaN cosine sorts after
