@@ -284,3 +284,54 @@ def test_resume_after_torn_round(spark, corpus, oracle, tmp_path):
     assert got == sim_schedule
     assert {r["url"] for r in state2.seen.collect()} == sim_seen
     assert "junk.example" not in {r["url"] for r in state2.seen.collect()}
+
+
+def test_lsh_neardup_plans_as_grouped_gemm(spark):
+    """q21's scale path must plan as a grouped pandas apply (per-bucket
+    gemm), never a join that explodes candidate pairs into rows."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q21_embedding_neardup_lsh(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_single_index_join(spark):
+    """With no hot shingles (the common case) q09 must keep the
+    round-1 plan shape: exactly one self-join of the posting list, no
+    join-back onto the shingle arrays."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q09_ngram_jaccard(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")  # AQE picks this at tiny SF
+    )
+    assert n_joins == 1, f"{n_joins} joins\n{plan[:2000]}"
+
+
+def test_clean_tags_vocab_is_folded_literal(spark):
+    """The 476-tag vocabulary must fold into the plan as a literal
+    (broadcast-equivalent) — no join, no python stage."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q33_clean_tags(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "array_contains" in plan  # the folded membership test
