@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from langscrape_spark.operators import (
     best_per_group,
@@ -642,6 +642,65 @@ def q35_ivf_ann(spark, sf):
     return ivf_topk(emb, q, cents, k=10, nprobe=6)
 
 
+def q36_select_best_xpath(spark, sf):
+    """``select_best_xpath`` cascade (reference
+    feilian/agents/agent.py:150-177) over synthetic candidates derived
+    from orders: per customer "field", candidate orders are xpath
+    proposals — invalid = priority 'low', all_nonempty = shipped
+    ('F'), score = totalprice; the 3-tier window must pick
+    valid+nonempty argmin, else first valid, else first proposed."""
+    from langscrape_spark.operators.evalops import select_best_xpath
+
+    orders = _t(spark, sf, "orders").where(F.col("o_custkey") <= 200)
+    cand = orders.select(
+        F.col("o_custkey").alias("field_name"),
+        F.col("o_orderkey").cast("string").alias("xpath"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        )
+        .alias("try_order"),
+        (F.col("o_orderpriority") == "5-LOW").alias("invalid"),
+        (F.col("o_orderstatus") == "F").alias("all_nonempty"),
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+        # Spark's cast truncates — and this column is a sort key.
+        F.floor("o_totalprice").cast("long").alias("total_extracted"),
+    )
+    return select_best_xpath(cand).select(
+        "field_name", "xpath", "try_order", "invalid", "all_nonempty",
+        "total_extracted",
+    )
+
+
+def q37_scheme_report(spark, sf):
+    """``SchemeValidator`` bidirectional key-set diff (reference
+    langscrape/json.py:21-56) over synthetic key sets built from the
+    events props: expected keys vs observed json keys per event,
+    missing/surplus serialized for the driver canonicalizer."""
+    from langscrape_spark.operators.evalops import scheme_report
+
+    ev = _t(spark, sf, "events")
+    keyed = ev.select(
+        "event_id",
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit("k")),
+                F.when(F.col("event_id") % 3 == 0, F.array(F.lit("extra")))
+                .otherwise(F.array().cast("array<string>")),
+                F.when(F.col("event_id") % 4 == 0, F.array(F.lit("ts")))
+                .otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("keys"),
+    )
+    rep = scheme_report(keyed, "keys", ["k", "ts"])
+    return rep.select(
+        "event_id",
+        F.array_join("missing_keys", "|").alias("missing_keys"),
+        F.array_join("surplus_keys", "|").alias("surplus_keys"),
+        "is_valid_scheme",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -679,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_clean_tags": q33_clean_tags,
         "q34_swde_rank": q34_swde_rank,
         "q35_ivf_ann": q35_ivf_ann,
+        "q36_select_best_xpath": q36_select_best_xpath,
+        "q37_scheme_report": q37_scheme_report,
     }
 
 
@@ -993,6 +1054,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, '|'), '') AS kept_tags,
                    len(kept) AS n_kept
             FROM cleaned
+        """,
+        "q36_select_best_xpath": """
+            WITH cand AS (
+              SELECT o_custkey AS field_name,
+                     CAST(o_orderkey AS VARCHAR) AS xpath,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) AS try_order,
+                     (o_orderpriority = '5-LOW') AS invalid,
+                     (o_orderstatus = 'F') AS all_nonempty,
+                     CAST(floor(o_totalprice) AS BIGINT) AS total_extracted
+              FROM orders WHERE o_custkey <= 200),
+            ranked AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY field_name ORDER BY
+                  CASE WHEN invalid THEN 2 WHEN all_nonempty THEN 0 ELSE 1 END,
+                  CASE WHEN NOT invalid AND all_nonempty
+                       THEN total_extracted ELSE try_order END,
+                  try_order) AS rn
+              FROM cand)
+            SELECT field_name, xpath, try_order, invalid, all_nonempty,
+                   total_extracted
+            FROM ranked WHERE rn = 1
+        """,
+        "q37_scheme_report": """
+            WITH keyed AS (
+              SELECT event_id,
+                list_distinct(list_concat(list_concat(
+                  ['k'],
+                  CASE WHEN event_id % 3 = 0 THEN ['extra'] ELSE [] END),
+                  CASE WHEN event_id % 4 = 0 THEN ['ts'] ELSE [] END)) AS keys
+              FROM events)
+            SELECT event_id,
+              coalesce(array_to_string(
+                list_filter(['k','ts'], x -> NOT list_contains(keys, x)), '|'), '')
+                AS missing_keys,
+              coalesce(array_to_string(
+                list_filter(list_sort(keys), x -> NOT list_contains(['k','ts'], x)), '|'), '')
+                AS surplus_keys,
+              (len(list_filter(['k','ts'], x -> NOT list_contains(keys, x))) = 0
+               AND len(list_filter(keys, x -> NOT list_contains(['k','ts'], x))) = 0)
+                AS is_valid_scheme
+            FROM keyed
         """,
         "q15_best_per_group": """
             SELECT l_returnflag, l_linestatus, f1, n FROM (
