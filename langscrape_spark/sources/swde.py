@@ -54,6 +54,9 @@ def swde_pages(spark: SparkSession, root: str) -> DataFrame:
         # groundtruth .txt files never match the glob; malformed paths
         # (regexp miss → '') are dropped rather than poisoning the join
         .where(F.col("page_id") != "")
+        # hidden files skipped (reference dataset_tools.py:18-32) —
+        # '.foo.htm' still matches the '*.htm' glob, so filter here
+        .where(~F.col("page_id").startswith("."))
     )
 
 

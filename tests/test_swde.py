@@ -35,6 +35,8 @@ def swde_root(tmp_path_factory):
         pdir.mkdir(parents=True)
         for i in range(n):
             (pdir / f"{i:04d}.htm").write_text(_page_html(cat, site, i))
+        # hidden file: matches the *.htm glob but must be skipped
+        (pdir / ".hidden.htm").write_text("<html><body>nope</body></html>")
         gdir = root / "groundtruth" / cat
         gdir.mkdir(parents=True, exist_ok=True)
         # attr 'title': header x2, then page_id \t count \t values
