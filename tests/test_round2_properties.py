@@ -1,0 +1,93 @@
+"""Property-style robustness gates for the round-2 operators: the
+json fallback chain always yields parseable JSON, the CSS engine
+either answers or raises CSSError (never anything else), and the
+pruning passes are idempotent — the reference's own
+"cleaning-preserves-truth" testing philosophy (SURVEY §5.2) applied
+to the new surface."""
+
+import json
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from langscrape_spark.html.css import CSSError, css_select
+from langscrape_spark.html.dom import parse
+from langscrape_spark.html.prune import (
+    extraction_based_pruning,
+    prune_to_text,
+)
+
+
+def _rand_texts(n=200, seed=13):
+    rng = random.Random(seed)
+    pieces = [
+        '{"a": 1}', "```json", "```", "{", "}", "[1,2]", '"q"', "plain",
+        "42", ":", ",", "\n", " ", "null", '{"nested": {"x": [true]}}',
+        "é中文", "'single'", '\\"',
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 8)
+        out.append(" ".join(rng.choice(pieces) for _ in range(k)))
+    out += ["", None]
+    return out
+
+
+def test_json_chain_output_always_parses(spark):
+    """For arbitrary dirty input, extract_json_block_col's output must
+    be json.loads-parseable — the chain's contract is 'a JSON value or
+    {}', never a raw fragment."""
+    from langscrape_spark.operators.text import extract_json_block_col
+    from pyspark.sql import functions as F
+
+    texts = _rand_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, raw string"
+    )
+    rows = df.select(
+        "id", extract_json_block_col(F.col("raw")).alias("js")
+    ).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        json.loads(r["js"])  # must not raise
+
+
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " .#>[]=~^$*:,'\"()-_",
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_css_engine_total(selector):
+    """css_select over arbitrary selector strings either answers or
+    raises CSSError — no other exception type escapes (the extraction
+    kernel maps CSSError to the Error: sentinel)."""
+    doc = parse('<html><body><div class="a b"><p id="x">t</p></div></body></html>')
+    try:
+        out = css_select(doc, selector)
+    except CSSError:
+        return
+    assert isinstance(out, list)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_prune_passes_idempotent(html_text):
+    """Pruning twice must equal pruning once, on arbitrary (possibly
+    garbage) markup — the passes are projections."""
+    doc = parse(html_text)
+    extraction_based_pruning(doc, ["/html/body/div"])
+    once = doc.serialize()
+    extraction_based_pruning(doc, ["/html/body/div"])
+    assert doc.serialize() == once
+
+    doc2 = parse(html_text)
+    for el in [c for c in doc2.iter_elements()][:5]:
+        prune_to_text(el)
+    once = doc2.serialize()
+    for el in [c for c in doc2.iter_elements()][:5]:
+        prune_to_text(el)
+    assert doc2.serialize() == once
