@@ -114,15 +114,21 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         if not cand_hot.isEmpty():
-            hot = (
-                ex.join(F.broadcast(cand_hot), "s", "left_semi")
-                .groupBy("s")
-                .agg(F.count("*").alias("df"))
-                .where(F.col("df") > max_doc_freq)
-                .select("s")
+            # Capped path, built over ONE explicit exchange on the
+            # shingle key: every consumer below (the window df count,
+            # the per-doc size recount, both self-join sides) contains
+            # the identical Exchange subtree, so ReuseExchange computes
+            # the shingle HOF once per action instead of once per
+            # consumer (~4 full passes in the naive broadcast-anti-join
+            # formulation). The window recomputes EXACT per-shingle df
+            # inline, so no separate confirm join is needed.
+            w_s = Window.partitionBy("s")
+            ex = (
+                ex.repartition("s")
+                .withColumn("_df", F.count("*").over(w_s))
+                .where(F.col("_df") <= max_doc_freq)
+                .drop("_df")
             )
-            # hot set is small (only stop-phrases exceed the cap) → broadcast
-            ex = ex.join(F.broadcast(hot), "s", "left_anti")
             # capped per-doc sizes: re-count the surviving index rows
             # (narrow int table, one row per doc)
             ncap = ex.groupBy("id").agg(F.count("*").alias("n_cap"))
