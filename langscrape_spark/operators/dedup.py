@@ -195,12 +195,21 @@ def minhash_lsh_pairs(
     larger than ``max_bucket`` are excluded from pair generation —
     at that size they are exact-duplicate clusters, which is
     ``exact_dedup``'s job (run it first; it is one cheap hash shuffle).
-    ``max_bucket=None`` disables the guard."""
+    ``max_bucket=None`` disables the guard.
+
+    Signatures are computed MAP-SIDE (vectorized pandas minhash, no
+    shuffle; an exploded-index groupBy-min formulation was measured
+    SLOWER at 100k docs — the index shuffle costs more than the
+    hashlib loop saves). Documents with fewer than ``k`` tokens have
+    no shingles → an all-NULL signature, and are excluded from banding
+    (hashing NULL signatures lands every short document in constant
+    band buckets, colliding them all pairwise — a quadratic bomb and
+    false-positive source at corpus scale)."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
-    )
+    ).where(F.col("sig").getItem(0).isNotNull())
     band_cols = [
         F.md5(
             F.concat_ws(

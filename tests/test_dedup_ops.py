@@ -193,3 +193,45 @@ def test_lsh_neardup_hot_bucket_refinement(spark):
     assert got  # refined buckets still surface in-bucket pairs
     for pair, cos in got.items():
         assert exact[pair] == cos
+
+
+def test_minhash_agg_signatures_equal_column_form(spark):
+    """The JVM-aggregation signature build inside minhash_lsh_pairs
+    must produce the same minima as minhash_signature_fast — pinned by
+    reconstructing the agg form directly."""
+    from langscrape_spark.operators.dedup import minhash_signature_fast, shingles
+
+    docs = spark.read.parquet(DOCS).limit(100)
+    ex = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles(F.col("text"), 3)).alias("s"),
+    )
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"h{h}")
+            for h in range(16)
+        ]
+    )
+    got = {r["id"]: [r[f"h{h}"] for h in range(16)] for r in agg.collect()}
+    want = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", minhash_signature_fast(F.col("text"), 16, 3).alias("sig")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_short_docs_generate_no_pairs(spark):
+    """Sub-k-token documents have no shingles, hence no signature and
+    no band buckets — they must NOT pair with each other (the old
+    all-NULL signatures hashed into constant buckets, colliding every
+    short doc with every other)."""
+    rows = [(1, "a"), (2, "b c"), (3, ""), (4, "x y z w same text here"),
+            (5, "x y z w same text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    assert pairs == {(4, 5)}
