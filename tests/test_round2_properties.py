@@ -91,3 +91,37 @@ def test_prune_passes_idempotent(html_text):
     for el in [c for c in doc2.iter_elements()][:5]:
         prune_to_text(el)
     assert doc2.serialize() == once
+
+
+def test_extract_pages_poison_row_principle(spark):
+    """END-TO-END poison gate: every hostile input row must yield
+    exactly one output row from the full extract_pages pipeline —
+    flagged, never dropped, never fatal (the codebase's stated
+    poison-row principle, previously tested only per-helper)."""
+    from langscrape_spark import synth
+    from langscrape_spark.plans.extract import extract_pages
+
+    hostile = [
+        # (url, warc_ts, html, text, lang)
+        (None, None, b"<p>null url</p>", "", "en"),
+        ("not a url at all", None, b"<p>bad scheme</p>", "", "en"),
+        ("https://ok.example/a", None, None, "", "en"),              # null html
+        ("https://ok.example/b", None, b"", "", "en"),               # empty html
+        ("https://ok.example/c", None, b"\x00\xff\xfe garbage \x80", "", "en"),  # junk bytes
+        ("https://ok.example/d", None, "<div>".encode() * 3000 + b"x", "", "en"),  # deep
+        ("https://ok.example/e", None,
+         "<html><body>中文 café</body></html>".encode("utf-16"),
+         "", "en"),                                                  # wrong encoding
+        ("https://ok.example/f.PDF", None, b"%PDF-1.4 junk", "", "en"),  # pdf route
+        ("https://ok.example/g", None, b"<p " + b"a" * 100_000 + b">t</p>", "", "en"),  # huge attr
+    ]
+    df = spark.createDataFrame(hostile, synth.PAGES_DDL)
+    out = extract_pages(df, synth.FIELD_MAP).collect()
+    assert len(out) == len(hostile)  # one output row per input row
+    by_url = {r["url"]: r for r in out}
+    assert by_url[None]["is_valid_url"] is False
+    assert by_url["not a url at all"]["is_valid_url"] is False
+    assert by_url["https://ok.example/f.PDF"]["is_pdf"] is True
+    # every row carries the full sentinel-complete extraction map
+    for r in out:
+        assert set(r["extracted"].keys()) == set(synth.FIELD_MAP.keys())
