@@ -583,11 +583,14 @@ def q34_swde_rank(spark, sf):
     )
 
     root = os.path.join(tempfile.gettempdir(), "swde_q34_v1")
-    if not os.path.exists(os.path.join(root, "_DONE")):
+    if not os.path.isdir(root):
+        # build under a unique temp dir, then atomic rename: a second
+        # process racing this query never observes a half-written corpus
+        build = tempfile.mkdtemp(prefix="swde_q34_build_")
         for (cat, site), n in (("auto", "msn"), 5), (("book", "abe"), 4):
-            pdir = os.path.join(root, cat, f"{cat}-{site}({n})")
+            pdir = os.path.join(build, cat, f"{cat}-{site}({n})")
             os.makedirs(pdir, exist_ok=True)
-            gdir = os.path.join(root, "groundtruth", cat)
+            gdir = os.path.join(build, "groundtruth", cat)
             os.makedirs(gdir, exist_ok=True)
             tlines = ["h", "h"]
             for i in range(n):
@@ -599,7 +602,10 @@ def q34_swde_rank(spark, sf):
                 tlines.append(f"{i:04d}\t1\t{cat} {site} {i}")
             with open(os.path.join(gdir, f"{cat}-{site}-title.txt"), "w") as f:
                 f.write("\n".join(tlines))
-        open(os.path.join(root, "_DONE"), "w").close()
+        try:
+            os.rename(build, root)
+        except OSError:
+            pass  # lost the race: the other process's corpus is identical
 
     pages = swde_pages(spark, root)
     truth = swde_ground_truth(spark, os.path.join(root, "groundtruth"))

@@ -128,8 +128,9 @@ def ivf_centroids(
     (engine-portable, no RNG state), then ``iterations`` Lloyd steps —
     assignment is one gemm per Arrow batch against the broadcast
     centroid matrix, the mean update is a numpy groupby per partition
-    reduced on the driver (k·dim floats — kilobytes). Returns a
-    ``list[list[float]]`` of L2-normalized centroids.
+    reduced on the driver (n_partitions·k rows of dim floats — MBs at
+    worst for realistic k; never proportional to corpus size). Returns
+    a ``list[list[float]]`` of L2-normalized centroids.
 
     Scale shape: every pass over the corpus is map-only + one tiny
     collect of per-partition (sum, count) partials; nothing grows with
