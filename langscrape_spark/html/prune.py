@@ -64,8 +64,7 @@ def replace_with_text(el: Element) -> None:
     """Collapse the subtree to its joined text (reference
     ``replace_with_text``: text := get_text_content, children removed)."""
     text = get_text_content(el)
-    for c in list(el.children):
-        c.detach()
+    el.clear_children()
     if text:
         el.append(Text(text))
 
@@ -105,7 +104,7 @@ def parent_xpath(xpath: str) -> str:
 
 
 def prune_by_xpath(
-    el: Element, xpath: str, includes: List[str]
+    el: Element, xpath: str, includes: List[str], _child_idx: int | None = None
 ) -> bool:
     """Reference ``prune_by_xpath``: keep nodes on a path to (or under)
     any include xpath; a node that is neither, but whose PARENT path is
@@ -126,13 +125,18 @@ def prune_by_xpath(
             had_text = any(
                 isinstance(c, Text) and c.data.strip() for c in el.children
             )
-            for c in list(el.children):
-                c.detach()
+            el.clear_children()
             if had_text:
                 el.append(Text("..."))
             parent = el.parent
             if parent is not None:
-                idx = parent.children.index(el)
+                # _child_idx (from the traversal) avoids an O(siblings)
+                # index() per pruned node — quadratic on wide lists
+                idx = (
+                    _child_idx
+                    if _child_idx is not None
+                    else parent.children.index(el)
+                )
                 if idx + 1 < len(parent.children):
                     nxt = parent.children[idx + 1]
                     if isinstance(nxt, Text) and nxt.data.strip():
@@ -141,21 +145,47 @@ def prune_by_xpath(
     return True
 
 
+def _child_steps(el: Element) -> List[Tuple[Element, str, int]]:
+    """(child, '/tag[i]', raw index in el.children) computed in ONE
+    pass — per-child ``get_xpath``/``children.index`` would rescan the
+    sibling list per node, quadratic on the 10^4-wide lists crawl
+    pages contain. Raw indexes stay valid during the pruning walk: the
+    walk clears grandchildren but never detaches the children
+    themselves."""
+    counts: dict = {}
+    for c in el.children:
+        if isinstance(c, Element):
+            counts[c.tag] = counts.get(c.tag, 0) + 1
+    order: dict = {}
+    out: List[Tuple[Element, str, int]] = []
+    for raw_i, c in enumerate(el.children):
+        if not isinstance(c, Element):
+            continue
+        idx = order.get(c.tag, 0) + 1
+        order[c.tag] = idx
+        step = f"/{c.tag}[{idx}]" if counts[c.tag] > 1 else f"/{c.tag}"
+        out.append((c, step, raw_i))
+    return out
+
+
 def extraction_based_pruning(doc: Document | Element, includes: List[str]) -> None:
     """Reference ``extraction_based_pruning``: pre-order walk applying
     :func:`prune_by_xpath`; a False return stops descending into that
-    node (its subtree was just pruned)."""
-    roots = [c for c in doc.children if isinstance(c, Element)] if isinstance(
-        doc, Document
-    ) else [doc]
-    for root in roots:
-        stack: List[Element] = [root]
-        while stack:
-            el = stack.pop()
-            if prune_by_xpath(el, get_xpath(el), includes):
-                stack.extend(
-                    reversed([c for c in el.children if isinstance(c, Element)])
+    node (its subtree was just pruned). XPaths are threaded through the
+    traversal (O(n) total) instead of recomputed per node."""
+    if isinstance(doc, Document):
+        roots = [(c, step, i) for c, step, i in _child_steps(doc)]
+    else:
+        roots = [(doc, get_xpath(doc), None)]
+    stack: List[Tuple[Element, str, int | None]] = list(reversed(roots))
+    while stack:
+        el, xp, raw_i = stack.pop()
+        if prune_by_xpath(el, xp, includes, _child_idx=raw_i):
+            stack.extend(
+                reversed(
+                    [(c, xp + step, i) for c, step, i in _child_steps(el)]
                 )
+            )
 
 
 def remove_by_xpath(doc: Document | Element, xpath: str) -> None:
@@ -222,9 +252,11 @@ def prune_by_structure(origin: Element, structure: Element) -> None:
                 si += 1
                 continue
             oc.detach()  # shrinks o.children; oi now points at the next
-        # drop surplus past the matched prefix
-        for c in list(o.children[oi:]):
-            c.detach()
+        # drop surplus past the matched prefix (O(surplus), not a
+        # detach-per-child remove loop)
+        for c in o.children[oi:]:
+            c.parent = None
+        del o.children[oi:]
 
 
 # ---------------------------------------------------------------------------
