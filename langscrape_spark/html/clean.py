@@ -79,29 +79,64 @@ def post_order_travel(node: Node, callback: Callable[[Node], None]) -> None:
             stack.append((child, False))
 
 
-def _clean_node(node: Node) -> None:
-    if isinstance(node, Comment):
-        node.detach()
-        return
-    if not isinstance(node, Element) or isinstance(node, Document):
-        return
-    if node.tag in INTERACTIVE_ELEMENTS:
-        node.detach()
-        return
-    if node.tag != "img" and node.get_text().strip() == "":
-        node.detach()
-        return
-    node.attrs = {k: v for k, v in node.attrs.items() if k in _ATTR_WHITELIST}
-    href = node.attrs.get("href")
-    if href is not None and href.startswith("javascript:"):
-        del node.attrs["href"]
-    if node.tag == "img" and "src" in node.attrs:
-        del node.attrs["src"]
+# The cleaner is THE production hot path (every page crosses it), so
+# the two naive costs are engineered out while keeping semantics
+# byte-identical (pinned by the golden suite):
+# - the emptiness test is a bottom-up memo (a node has visible text iff
+#   any SURVIVING child does) instead of re-walking the subtree with
+#   ``get_text()`` per node — the naive form copies O(depth · text)
+#   strings, gigabytes on a deep page with a large text leaf;
+# - removals are tombstones swept by the PARENT in one O(k) pass
+#   (post-order guarantees children are decided first) instead of a
+#   per-node ``detach`` whose list remove() is O(siblings) — quadratic
+#   on the 10^4-wide sibling lists crawl pages contain.
+
+
+def _sweep(el: Element, removed: set) -> None:
+    if any(id(c) in removed for c in el.children):
+        kept = [c for c in el.children if id(c) not in removed]
+        for c in el.children:
+            if id(c) in removed:
+                c.parent = None
+        el.children = kept
 
 
 def clean_tree(doc: Document) -> Document:
-    """feilian ``clean_html`` over an already-parsed tree."""
-    post_order_travel(doc, _clean_node)
+    """feilian ``clean_html`` over an already-parsed tree (reference
+    ``soup_tools.py:26-74`` semantics, traversal order included)."""
+    removed: set = set()
+    has_text: dict = {}
+
+    def cb(node: Node) -> None:
+        if isinstance(node, Comment):
+            removed.add(id(node))
+            return
+        if isinstance(node, Text):
+            has_text[id(node)] = bool(node.data.strip())
+            return
+        if not isinstance(node, Element):
+            return
+        _sweep(node, removed)
+        if isinstance(node, Document):
+            return
+        if node.tag in INTERACTIVE_ELEMENTS:
+            removed.add(id(node))
+            return
+        # children are final by post-order: visible text iff any
+        # surviving child has it (== get_text().strip() != "")
+        visible = any(has_text.get(id(c), False) for c in node.children)
+        has_text[id(node)] = visible
+        if node.tag != "img" and not visible:
+            removed.add(id(node))
+            return
+        node.attrs = {k: v for k, v in node.attrs.items() if k in _ATTR_WHITELIST}
+        href = node.attrs.get("href")
+        if href is not None and href.startswith("javascript:"):
+            del node.attrs["href"]
+        if node.tag == "img" and "src" in node.attrs:
+            del node.attrs["src"]
+
+    post_order_travel(doc, cb)
     return doc
 
 
@@ -124,21 +159,32 @@ def clean_tree_etree_mode(doc: Document, deep: bool = False) -> Document:
     removes head/title and display:none subtrees; ``deep`` drops img,
     empty nodes and *all* attributes (else whitelist ``[class, id]``)."""
 
+    removed: set = set()
+    has_text: dict = {}
+
     def cb(node: Node) -> None:
         if isinstance(node, Comment):
-            node.detach()
+            removed.add(id(node))
             return
-        if not isinstance(node, Element) or isinstance(node, Document):
+        if isinstance(node, Text):
+            has_text[id(node)] = bool(node.data.strip())
+            return
+        if not isinstance(node, Element):
+            return
+        _sweep(node, removed)
+        if isinstance(node, Document):
             return
         if node.tag in INTERACTIVE_ELEMENTS or node.tag in INVISIBLE_ELEMENTS:
-            node.detach()
+            removed.add(id(node))
             return
         if _display_none(node):
-            node.detach()
+            removed.add(id(node))
             return
+        visible = any(has_text.get(id(c), False) for c in node.children)
+        has_text[id(node)] = visible
         if deep:
-            if node.tag == "img" or node.get_text().strip() == "":
-                node.detach()
+            if node.tag == "img" or not visible:
+                removed.add(id(node))
                 return
             node.attrs = {}
         else:
@@ -157,14 +203,19 @@ def extract_html_structure(doc: Document) -> Document:
     """Structural skeleton: drop text nodes, inline elements and all
     attributes except ``class`` (reference ``feilian/soup_tools.py:77-94``)."""
 
+    removed: set = set()
+
     def cb(node: Node) -> None:
         if isinstance(node, (Text, Comment)):
-            node.detach()
+            removed.add(id(node))
             return
-        if not isinstance(node, Element) or isinstance(node, Document):
+        if not isinstance(node, Element):
+            return
+        _sweep(node, removed)
+        if isinstance(node, Document):
             return
         if node.tag in INLINE_ELEMENTS:
-            node.detach()
+            removed.add(id(node))
             return
         cls = node.attrs.get("class")
         node.attrs = {"class": cls} if cls else {}
