@@ -48,34 +48,53 @@ DEFAULT_TAG_WEIGHT = 0.5
 
 
 def _node_rows(url: str, html_str: str) -> list:
+    """Post-order node rows (reference traversal order,
+    feilian/etree_tools.py:83-113). Iterative with xpath steps threaded
+    through the walk: recursion would blow the limit on degenerately
+    nested pages, and per-node ``get_xpath`` re-scans the sibling list
+    per node — quadratic on 10^4-wide lists."""
     rows = []
+    doc = parse(html_str)
 
-    def walk(el: Element, depth: int) -> None:
-        for child in el.children:
-            if isinstance(child, Element):
-                walk(child, depth + 1)
-        # post-order emit, matching the reference traversal order
-        # (feilian/etree_tools.py:83-113)
+    def steps(parent: Element) -> list:
+        elems = [c for c in parent.children if isinstance(c, Element)]
+        counts: dict = {}
+        for c in elems:
+            counts[c.tag] = counts.get(c.tag, 0) + 1
+        order: dict = {}
+        out = []
+        for c in elems:
+            idx = order.get(c.tag, 0) + 1
+            order[c.tag] = idx
+            out.append(
+                (c, f"/{c.tag}[{idx}]" if counts[c.tag] > 1 else f"/{c.tag}")
+            )
+        return out
+
+    # post-order via (node, xpath, depth, expanded) stack
+    stack = [(c, xp, 0, False) for c, xp in reversed(steps(doc))]
+    while stack:
+        el, xp, depth, expanded = stack.pop()
+        if not expanded:
+            stack.append((el, xp, depth, True))
+            stack.extend(
+                (c, xp + step, depth + 1, False)
+                for c, step in reversed(steps(el))
+            )
+            continue
         text = el.text_content()
-        cls = el.attrs.get("class")
-        n_children = sum(1 for c in el.children if isinstance(c, Element))
         rows.append(
             (
                 url,
-                get_xpath(el),
+                xp,
                 el.tag,
-                cls,
+                el.attrs.get("class"),
                 depth,
-                n_children,
+                sum(1 for c in el.children if isinstance(c, Element)),
                 text,
                 len(text.split()),
             )
         )
-
-    doc = parse(html_str)
-    for top in doc.children:
-        if isinstance(top, Element):
-            walk(top, 0)
     return rows
 
 
