@@ -179,5 +179,49 @@ class Catalog:
             return None
         return self.spark.read.parquet(*dirs)
 
+    # -- bucketed tables -----------------------------------------------------
+    # The production design stores pages/seen as Iceberg tables bucketed
+    # by url-hash so the membership join is storage-partitioned
+    # (SURVEY.md §4.1). Spark's session catalog supports the same with
+    # parquet: a bucketed+sorted saveAsTable persists the hash
+    # partitioning, and a join of two tables bucketed on the same key
+    # plans with NO Exchange on either side (pinned by
+    # test_hardening.py::test_bucketed_tables_join_without_shuffle).
+
+    def _table_ident(self, name: str, version: int) -> str:
+        safe = name.replace("-", "_")
+        return f"{safe}_v{version}"
+
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        version: int,
+        n_buckets: int,
+        key: str = "url",
+    ) -> None:
+        """Write snapshot ``version`` as a bucketed+sorted table and
+        publish the pointer. Readers use :meth:`read_bucketed` (the
+        bucketing metadata lives in the session catalog; a plain
+        parquet read of the same files would not know about it)."""
+        ident = self._table_ident(name, version)
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", self._data_dir(name, version))
+            .saveAsTable(ident)
+        )
+        self._commit(name, version)
+
+    def read_bucketed(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
+        if version is None:
+            version = self.latest_version(name)
+        if version is None:
+            return None
+        return self.spark.table(self._table_ident(name, version))
+
     def drop(self, name: str) -> None:
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

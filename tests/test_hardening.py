@@ -335,3 +335,41 @@ def test_clean_tags_vocab_is_folded_literal(spark):
     assert "Join" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "array_contains" in plan  # the folded membership test
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The persisted-partitioning claim (SURVEY §4.1): two catalog
+    tables bucketed on url joined on url must plan with NO Exchange —
+    the storage layout IS the co-partitioning, so the seen-membership
+    join at scale reads both sides in place."""
+    from langscrape_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "bk"))
+    a = spark.createDataFrame(
+        [(synth.url_of(i), i) for i in range(500)], "url string, x int"
+    )
+    b = spark.createDataFrame(
+        [(synth.url_of(i), i * 2) for i in range(0, 500, 2)], "url string, y int"
+    )
+    cat.write_bucketed("pages_bk", a, 0, n_buckets=8)
+    cat.write_bucketed("seen_bk", b, 0, n_buckets=8)
+    left = cat.read_bucketed("pages_bk")
+    right = cat.read_bucketed("seen_bk")
+
+    # Disable broadcast so the plan shows the scale shape (at 10^10
+    # urls neither side broadcasts); restore after.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(right, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 250
+
+        anti = left.join(right, "url", "left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert anti.count() == 250
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
