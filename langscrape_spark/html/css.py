@@ -93,15 +93,54 @@ def _compile_compound(sel: str) -> Callable[[Element], bool]:
     return lambda el: all(c(el) for c in checks)
 
 
+def _tokenize(selector: str) -> List[str]:
+    """Split into compounds and '>' combinators at TOP LEVEL only —
+    whitespace inside ``[...]`` or quotes belongs to the attribute
+    selector (``a[title="read more"]`` is one compound; a naive
+    whitespace split would shear it mid-bracket)."""
+    tokens: List[str] = []
+    cur: List[str] = []
+    depth = 0
+    quote = ""
+    for ch in selector.strip():
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = ""
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and ch == ">":
+            if cur:
+                tokens.append("".join(cur))
+                cur = []
+            tokens.append(">")
+        elif depth == 0 and ch.isspace():
+            if cur:
+                tokens.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if quote or depth != 0:
+        raise CSSError(f"unbalanced quotes/brackets in {selector!r}")
+    if cur:
+        tokens.append("".join(cur))
+    return tokens
+
+
 def _parse_chain(selector: str) -> List[Tuple[str, Callable[[Element], bool]]]:
     """[(combinator, matcher)] — combinator is ' ' (descendant) or '>'
     (child); the first entry's combinator is ' ' from the root."""
-    tokens = re.split(r"\s*(>)\s*|\s+", selector.strip())
     chain: List[Tuple[str, Callable[[Element], bool]]] = []
     comb = " "
-    for tok in tokens:
-        if tok is None or tok == "":
-            continue
+    for tok in _tokenize(selector):
         if tok == ">":
             comb = ">"
             continue
@@ -116,7 +155,32 @@ def css_select(root: Document | Element, selector: str) -> List[Element]:
     """All elements matching ``selector``, in document order."""
     if not isinstance(selector, str) or not selector.strip():
         raise CSSError("empty selector")
-    chains = [_parse_chain(s) for s in selector.split(",") if s.strip()]
+    # top-level comma split (a ',' inside quotes/brackets is content)
+    groups: List[str] = []
+    cur: List[str] = []
+    depth = 0
+    quote = ""
+    for ch in selector:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            groups.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    groups.append("".join(cur))
+    chains = [_parse_chain(s) for s in groups if s.strip()]
     if not chains:
         raise CSSError(f"empty selector {selector!r}")
 

@@ -235,28 +235,25 @@ def prune_by_structure(origin: Element, structure: Element) -> None:
     assert is_same_element(origin, structure), (
         "The structure is not the same as the origin."
     )
-    # iterative lockstep (explicit stack): crawl pages nest degenerately
+    # iterative lockstep (explicit stack): crawl pages nest
+    # degenerately. Unmatched children are collected and the kept list
+    # assigned once — a detach() per mismatch would rescan the sibling
+    # list per removal, quadratic on 10^4-wide lists.
     stack: List[Tuple[Element, Element]] = [(origin, structure)]
     while stack:
         o, s = stack.pop()
         if not o.children or not s.children:
             continue
-        oi = 0
+        kept: List[Node] = []
         si = 0
-        while oi < len(o.children) and si < len(s.children):
-            oc = o.children[oi]
-            sc = s.children[si]
-            if is_same_element(oc, sc):
-                stack.append((oc, sc))
-                oi += 1
+        for oc in o.children:
+            if si < len(s.children) and is_same_element(oc, s.children[si]):
+                stack.append((oc, s.children[si]))
+                kept.append(oc)
                 si += 1
-                continue
-            oc.detach()  # shrinks o.children; oi now points at the next
-        # drop surplus past the matched prefix (O(surplus), not a
-        # detach-per-child remove loop)
-        for c in o.children[oi:]:
-            c.parent = None
-        del o.children[oi:]
+            else:
+                oc.parent = None  # dropped (mismatch or surplus)
+        o.children = kept
 
 
 # ---------------------------------------------------------------------------

@@ -254,33 +254,41 @@ def _table_title(el: Element) -> Optional[str]:
 def extract_tables(root: Element, recursive: bool = False) -> List[Dict]:
     """Breadth-first scan for ``table`` elements; descent stops at each
     table (its nested tables land in ``children`` when ``recursive``).
-    Each entry: {xpath, content, title, children}. Iterative even in
-    the recursive mode (work queue carries the destination list) —
-    adversarially nested tables must not recurse."""
+    Each entry: {xpath, content, title, children}.
+
+    Iterative without changing the recursive formulation's ORDER: each
+    job runs one full BFS appending to its own sink; a found table's
+    child subtrees are pushed as sub-jobs in LIFO-reversed order, so
+    sibling subtrees fill a shared children list strictly in document
+    order with per-subtree grouping — exactly the per-child recursive
+    call order (a single global BFS queue would interleave nested
+    tables across subtrees by depth instead)."""
     from .xpath import get_xpath
 
     out: List[Dict] = []
-    # (element, sink): sink is the children-list the next table found
-    # under `element` should be appended to
-    queue: List[tuple] = [(root, out)]
-    while queue:
-        el, sink = queue.pop(0)
-        if el.tag == "table":
-            entry = {
-                "xpath": get_xpath(el),
-                "content": el.serialize().strip(),
-                "title": _table_title(el),
-                "children": [],
-            }
-            sink.append(entry)
-            if recursive:
-                for c in el.children:
-                    if isinstance(c, Element):
-                        queue.append((c, entry["children"]))
-            continue  # do not descend past a table at this layer
-        queue.extend(
-            (c, sink) for c in el.children if isinstance(c, Element)
-        )
+    jobs: List[tuple] = [(root, out)]
+    while jobs:
+        start, sink = jobs.pop()
+        queue: List[Element] = [start]
+        while queue:
+            el = queue.pop(0)
+            if el.tag == "table":
+                entry = {
+                    "xpath": get_xpath(el),
+                    "content": el.serialize().strip(),
+                    "title": _table_title(el),
+                    "children": [],
+                }
+                sink.append(entry)
+                if recursive:
+                    subjobs = [
+                        (c, entry["children"])
+                        for c in el.children
+                        if isinstance(c, Element)
+                    ]
+                    jobs.extend(reversed(subjobs))
+                continue  # do not descend past a table at this layer
+            queue.extend(c for c in el.children if isinstance(c, Element))
     return out
 
 

@@ -137,6 +137,9 @@ def ivf_centroids(
     corpus size on the driver."""
     import numpy as np
 
+    # poison-safe: NULL/empty vectors can neither seed nor move a
+    # centroid (and would NaN the means / crash the batch gemm)
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     seed_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -161,9 +164,12 @@ def ivf_centroids(
             sums = np.zeros_like(C)
             counts = np.zeros(len(C), dtype=np.int64)
             for pdf in batches:
-                if not len(pdf):
+                vals = [
+                    v for v in pdf[vec_col] if v is not None and len(v) == C.shape[1]
+                ]
+                if not vals:
                     continue
-                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                V = np.array(vals, dtype=np.float64)
                 n = np.linalg.norm(V, axis=1)
                 n[n == 0] = 1.0
                 a = np.argmax((V / n[:, None]) @ C.T, axis=1)
@@ -202,7 +208,12 @@ def ivf_assign(
 ) -> DataFrame:
     """Add a ``bucket`` column: nearest centroid by cosine (one gemm
     per Arrow batch). At scale this column is written once and the
-    table is bucket-partitioned, so probes get partition pruning."""
+    table is bucket-partitioned, so probes get partition pruning.
+
+    Poison rows (NULL / wrong-length vectors) get bucket −1 — a list
+    no probe ever scans — and never affect the valid rows sharing
+    their Arrow batch (a whole-batch fallback would silently
+    misassign every neighbor of one bad row)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -212,12 +223,18 @@ def ivf_assign(
 
     def _assign(vs):
         M = np.asarray(C, dtype=np.float64)
-        V = np.array(list(vs), dtype=np.float64)
-        if V.ndim != 2 or len(V) == 0:
-            return pd.Series([0] * len(vs), dtype="int32")
-        n = np.linalg.norm(V, axis=1)
-        n[n == 0] = 1.0
-        return pd.Series(np.argmax((V / n[:, None]) @ M.T, axis=1).astype("int32"))
+        dim = M.shape[1]
+        vals = list(vs)
+        good = [
+            i for i, v in enumerate(vals) if v is not None and len(v) == dim
+        ]
+        out = np.full(len(vals), -1, dtype="int32")
+        if good:
+            V = np.array([vals[i] for i in good], dtype=np.float64)
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            out[good] = np.argmax((V / n[:, None]) @ M.T, axis=1).astype("int32")
+        return pd.Series(out)
 
     return df.withColumn("bucket", pandas_udf(_assign, IntegerType())(F.col(vec_col)))
 
@@ -296,17 +313,32 @@ def embedding_neardup_pairs_lsh(
     - ``n_planes=None`` derives the plane count from the corpus size so
       buckets average ~``target_bucket_rows`` rows — a fixed default
       (the old 4 → 16 buckets) is a cross-join in disguise at 10^10.
-    - Buckets that still exceed ``max_bucket_rows`` (mass-duplicate
-      regions, degenerate embeddings) are REFINED with extra planes —
-      per-bucket depth, like a prefix tree — so no python worker ever
-      materializes an unbounded group. Refinement loses the same class
-      of cross-bucket pairs the base bucketing does.
+    - Buckets that still exceed ``max_bucket_rows`` (dense clusters)
+      are REFINED with extra planes — per-bucket depth, like a prefix
+      tree. Refinement loses the same class of cross-bucket pairs the
+      base bucketing does.
+    - Groups that stay oversized AFTER refinement are clusters of
+      sign-identical vectors no projection can split (byte-identical
+      embeddings, the mass-duplicate case): like
+      ``minhash_lsh_pairs``' bucket guard, groups beyond
+      ``8·max_bucket_rows`` are EXCLUDED from pair generation — that
+      is ``exact_dedup``'s job (an identical-vector cluster of size m
+      would emit m²/2 pairs from one python worker).
+    - NULL / empty embeddings contribute no pairs (a pair with an
+      undefined cosine is meaningless) and never poison the
+      dimensionality probe or a whole Arrow batch.
     """
     import math as _math
 
     empty = df.sparkSession.createDataFrame(
         [], "id_a long, id_b long, cosine double"
     )
+    # poison-safe: NULL/empty vectors can never satisfy a cosine
+    # threshold; dropping them from the PAIR operator flags nothing
+    # but also breaks nothing (they remain in the corpus). The
+    # dimension probe must skip them too — an unfiltered .first()
+    # hitting one NULL row would silently empty the whole result.
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None or first["d"] is None:
         return empty
@@ -360,6 +392,21 @@ def embedding_neardup_pairs_lsh(
         )
     else:
         bucketed = bucketed.withColumn("sub", F.lit(0))
+
+    # Hard guard: a group still oversized after refinement is a
+    # sign-identical cluster no projection can split — exclude it
+    # (exact_dedup's territory) instead of handing one python worker
+    # an m²/2-pair explosion.
+    if hot_rows:
+        oversized = (
+            bucketed.groupBy("bucket", "sub")
+            .agg(F.count("*").alias("m"))
+            .where(F.col("m") > 8 * max_bucket_rows)
+            .select("bucket", "sub")
+        )
+        bucketed = bucketed.join(
+            F.broadcast(oversized), ["bucket", "sub"], "left_anti"
+        )
 
     import numpy as np
     import pandas as pd

@@ -103,6 +103,13 @@ def ngram_jaccard_pairs(
         # binomial tail (cap=10^4, fraction=0.1 → P[<500 of E=1000]
         # ≈ e^-140). Candidates are then CONFIRMED against their exact
         # df, so the final hot set is deterministic and exact.
+        # The binomial screening guarantee needs a healthy expected
+        # sample count (cap·fraction ≳ 20); for small caps fall back to
+        # exact full-scan detection — sampling there could flip the
+        # capped/uncapped decision run-to-run (Bernoulli sampling is
+        # partition-layout dependent).
+        if max_doc_freq * detect_fraction < 20:
+            detect_fraction = 1.0
         sample_ex = (
             df.sample(fraction=detect_fraction, seed=7)
             .select(F.explode(shingles(F.col(text_col), k)).alias("s"))

@@ -62,8 +62,10 @@ class CrawlConfig:
     # Per-BUCKET bitset size for the partitioned bloom (must be a
     # multiple of 8; 2^23 bits = 1 MiB packed per bucket).
     bloom_bits: int = 8_388_608
-    # Bucket count for the partitioned bloom; None → seen_partitions
-    # (co-partitioned with the membership anti-join).
+    # Bucket count for the partitioned bloom; None → seen_partitions.
+    # (The cogroup probe shuffles by pmod bucket id — a distinct
+    # partitioning from the anti-join's xxhash64 repartition; matching
+    # the counts keeps parallelism aligned, not exchanges shared.)
     bloom_buckets: Optional[int] = None
     # Below this seen-set size the bloom pre-filter costs more (full
     # seen scan + driver collect per round) than the shuffle it saves.
@@ -459,12 +461,20 @@ def run_crawl(
         # to cut *shuffle* volume, which only matters once seen dwarfs
         # the candidate batch).
         bloom_df = None
+        probed_cache = None
         if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
             if _bloom_sql_available(spark):
                 cand = _bloom_prefilter(spark, cand, seen, cfg)
             else:
                 bloom_df = _ensure_bloom(catalog, seen, cfg, round_no)
-                cand = _partitioned_bloom_probe(cand, bloom_df, cfg)
+                # Cached: the probe output feeds BOTH union branches
+                # below; uncached, the cogrouped pandas probe subtree
+                # would execute twice per round (only the exchanges
+                # under it are reuse-dedupable, not the python stage).
+                probed_cache = _partitioned_bloom_probe(
+                    cand, bloom_df, cfg
+                ).cache()
+                cand = probed_cache
             definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
             checked_new = to_check.join(
@@ -562,6 +572,8 @@ def run_crawl(
         admitted.unpersist()
         new_entries.unpersist()
         cached_cand.unpersist()
+        if probed_cache is not None:
+            probed_cache.unpersist()
         state.rounds_run += 1
 
     state.schedule = catalog.read_appended("schedule")

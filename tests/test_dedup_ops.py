@@ -235,3 +235,35 @@ def test_minhash_short_docs_generate_no_pairs(spark):
         for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
     }
     assert pairs == {(4, 5)}
+
+
+def test_lsh_neardup_null_embedding_is_not_fatal(spark):
+    """One NULL/empty embedding must neither crash the operator nor
+    (worse) silently empty the result via the dimension probe — the
+    valid rows' pairs are unaffected (review finding r2)."""
+    rows = [(0, None), (1, []), (2, [1.0, 0.0]), (3, [1.0, 0.001]),
+            (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(df, 0.99, n_planes=2).collect()
+    }
+    assert got == {(2, 3)}
+
+
+def test_lsh_neardup_identical_cluster_guard(spark):
+    """Sign-identical vectors can't be split by refinement: clusters
+    beyond 8x max_bucket_rows are excluded from pair generation
+    (exact_dedup's job) instead of exploding one python worker;
+    distinct near-dups elsewhere still pair."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]  # identical
+    rows += [(500, [-1.0, -2.0, -3.0, -4.1]), (501, [-1.0, -2.0, -3.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            df, 0.999, n_planes=2, max_bucket_rows=16
+        ).collect()
+    }
+    assert (500, 501) in got
+    assert all(a >= 500 for a, _ in got)  # identical cluster excluded

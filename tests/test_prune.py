@@ -352,3 +352,24 @@ def test_gen_xpath_by_text_predicates_and_suffix():
     assert evaluate(doc2, xps[0]) == ["two needle here"]
     # no match → []
     assert gen_xpath_by_text(doc, "zzz missing") == []
+
+
+def test_css_attribute_selectors_with_spaces_and_quotes():
+    """Quoted attribute values containing spaces, padded '=' forms and
+    top-level-only splitting: all valid CSS the reference's
+    lxml CSSSelector accepts (review finding: the old whitespace
+    tokenizer sheared brackets)."""
+    doc = parse(
+        '<html><body><a title="read more" href="x">one</a>'
+        '<a title="other" role="main link">two</a></body></html>'
+    )
+    assert [e.text_content() for e in css_select(doc, 'a[title="read more"]')] == ["one"]
+    assert [e.text_content() for e in css_select(doc, 'a[ title = "read more" ]')] == ["one"]
+    assert [e.text_content() for e in css_select(doc, 'a[role~="main"]')] == ["two"]
+    assert [e.text_content() for e in css_select(doc, 'body > a[title="read more"]')] == ["one"]
+    # a comma inside a quoted value is content, not a group separator
+    doc2 = parse('<html><body><p title="a,b">x</p><i>y</i></body></html>')
+    got = [e.tag for e in css_select(doc2, 'p[title="a,b"], i')]
+    assert got == ["p", "i"]
+    with pytest.raises(CSSError):
+        css_select(doc, 'a[title="unbalanced')

@@ -113,3 +113,32 @@ def test_get_structure_drops_text_and_inline():
     assert "<p" in s or "<div" in s
     assert "Article" not in s  # no text survives
     assert "<a " not in s and "<span" not in s  # inline gone
+
+
+def test_extract_tables_nested_child_order_is_per_subtree():
+    """Nested children keep per-child-subtree grouping in document
+    order (the recursive formulation's order): a deep table in the
+    FIRST child subtree precedes a shallow one in the SECOND, even
+    though a global BFS would discover the shallow one first."""
+    from langscrape_spark.html.dom import parse
+    from langscrape_spark.html.structure import extract_tables
+    from langscrape_spark.html.xpath import evaluate
+
+    # two separate direct child subtrees of the outer table: first is
+    # deep, second is shallow — per-subtree grouping keeps deepA first;
+    # a global BFS would emit shallowB first. (Within ONE subtree, BFS
+    # order still applies, matching the reference's per-child
+    # extract_tables call.)
+    html = (
+        "<table>"
+        "<div><div><table id='deepA'><tr><td>a</td></tr></table></div></div>"
+        "<div><table id='shallowB'><tr><td>b</td></tr></table></div>"
+        "</table>"
+    )
+    root = evaluate(parse(f"<html><body>{html}</body></html>"), "/html/body")[0]
+    out = extract_tables(root, recursive=True)
+    assert len(out) == 1
+    kids = out[0]["children"]
+    assert [("deepA" in k["content"], "shallowB" in k["content"]) for k in kids] == [
+        (True, False), (False, True),
+    ]
