@@ -373,3 +373,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert anti.count() == 250
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_bloom_merge_equals_rebuild(spark, tmp_path):
+    """Incremental merge is exact: OR-ing each round's new positions
+    into the stored bitsets must produce byte-identical bitsets to a
+    from-scratch build over the full url set (positions are
+    deterministic, OR is associative) — no drift over rounds."""
+    from langscrape_spark.scheduler.frontier import (
+        CrawlConfig,
+        _build_bloom_df,
+        _merge_bloom_df,
+    )
+
+    cfg = CrawlConfig(seen_partitions=4, bloom_bits=4096)
+    batches = [
+        [(synth.url_of(i),) for i in range(lo, lo + 40)]
+        for lo in (0, 40, 80)
+    ]
+    dfs = [spark.createDataFrame(b, "url string") for b in batches]
+    merged = _build_bloom_df(dfs[0], cfg)
+    for nxt in dfs[1:]:
+        merged = _merge_bloom_df(merged, nxt, cfg)
+    rebuilt = _build_bloom_df(
+        dfs[0].unionByName(dfs[1]).unionByName(dfs[2]), cfg
+    )
+    m = {r["bucket"]: bytes(r["bits"]) for r in merged.collect()}
+    b = {r["bucket"]: bytes(r["bits"]) for r in rebuilt.collect()}
+    assert m == b and len(m) > 0
