@@ -401,3 +401,19 @@ def test_partitioned_bloom_merge_equals_rebuild(spark, tmp_path):
     m = {r["bucket"]: bytes(r["bits"]) for r in merged.collect()}
     b = {r["bucket"]: bytes(r["bits"]) for r in rebuilt.collect()}
     assert m == b and len(m) > 0
+
+
+def test_bloom_active_kill_and_resume(spark, corpus, oracle, tmp_path):
+    """Kill after 3 rounds WITH the partitioned bloom forced on, then
+    resume to completion: the bloom table must resume from its
+    committed version (no false negatives sneak in across the restart)
+    and the final schedule/seen-set still match the simulator."""
+    catdir = tmp_path / "bloomresume"
+    _run(spark, corpus, catdir, max_rounds=3, bloom_min_seen=0)
+    state, catalog = _run(spark, corpus, catdir, bloom_min_seen=0)
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+    assert catalog.latest_version("bloom") == catalog.committed_round()
