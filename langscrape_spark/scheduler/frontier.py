@@ -37,6 +37,7 @@ Everything per-row-Python lives in the two kernel UDFs
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -180,11 +181,15 @@ def _bloom_prefilter(
     registered): candidates the bloom rules out skip the exact anti-join
     entirely; false positives fall through to it, so admission stays
     exact."""
+    # bloom_bits is PER-BUCKET for the partitioned path; the single
+    # global SQL bloom gets the equivalent total capacity (bits × nb),
+    # else the same config would build a ~nb× weaker filter here.
+    nb = cfg.bloom_buckets or cfg.seen_partitions
     bloom_row = seen.select(
         F.expr(
             f"bloom_filter_agg(xxhash64(url), "
             f"cast({cfg.bloom_items} as bigint), "
-            f"cast({cfg.bloom_bits} as bigint)) as bf"
+            f"cast({cfg.bloom_bits * nb} as bigint)) as bf"
         )
     ).collect()[0]
     bf = bloom_row["bf"]
@@ -213,24 +218,44 @@ def _bloom_positions(m_bits: int):
 # ---------------------------------------------------------------------------
 # Partitioned bloom filter (the no-driver-collect scale path)
 # ---------------------------------------------------------------------------
-# One bitset per url-hash bucket, stored as a versioned catalog table
-# ``bloom(bucket int, bits binary)`` beside the seen checkpoint:
-# - BUILD (once, on activation or version mismatch): explode each seen
+# One bitset per url-hash bucket, stored as a bucket-PARTITIONED
+# parquet directory beside the seen checkpoint:
+# - BUILD (once, on activation or state mismatch): explode each seen
 #   url's k bit positions, distinct, pack per bucket with a grouped
 #   pandas apply — one equi-shuffle, nothing on the driver.
-# - MERGE (per round): only the round's NEW urls are folded into the
-#   stored bitsets via a cogrouped pandas apply — O(new) work, not
-#   O(|seen|).
+# - MERGE (per round): only the buckets the round's new urls TOUCH are
+#   rewritten, via dynamic partition overwrite — per-round I/O is
+#   O(touched buckets), never O(total bloom) (a full versioned-snapshot
+#   rewrite per round would reintroduce the full-copy-per-round cost
+#   class the seen table's delta design exists to avoid).
 # - PROBE: candidates cogrouped with their bucket's bitset — the bits
 #   travel once per bucket, never once per candidate row (a plain join
 #   would replicate a MiB-scale bitset onto every row).
-# Missing bucket row ⇒ empty bitset ⇒ definitely-new: false negatives
-# are impossible by construction, and false positives fall through to
-# the exact anti-join, so admission stays exact.
+# Crash-safety: the `_STATE` marker (round + GEOMETRY: bits/buckets/k)
+# commits after the data. A torn merge leaves the bloom a SUPERSET of
+# the committed seen-set — supersets only add false positives, which
+# the exact anti-join removes, so admission stays exact in every crash
+# order. A geometry or round mismatch in `_STATE` forces a rebuild
+# (probing with the wrong modulus would produce false NEGATIVES).
+# Missing bucket dir ⇒ empty bitset ⇒ definitely-new.
+
+
+def _bloom_layout(cfg: CrawlConfig) -> tuple:
+    """(n_buckets, bits_per_bucket) — the single source of the bloom
+    geometry; build, merge and probe must all agree on it."""
+    return (cfg.bloom_buckets or cfg.seen_partitions, cfg.bloom_bits)
 
 
 def _bloom_bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+
+
+def _bucketed_positions(urls: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    nb, m = _bloom_layout(cfg)
+    return urls.select(
+        _bloom_bucket_col(nb).alias("bucket"),
+        F.explode(_bloom_positions(m)).alias("p"),
+    ).distinct()
 
 
 def _pack_bits(m_bits: int, positions, prev: bytes | None = None) -> bytes:
@@ -249,12 +274,7 @@ def _pack_bits(m_bits: int, positions, prev: bytes | None = None) -> bytes:
 def _build_bloom_df(urls: DataFrame, cfg: CrawlConfig) -> DataFrame:
     import pandas as pd
 
-    nb = cfg.bloom_buckets or cfg.seen_partitions
-    m = cfg.bloom_bits
-    pos = urls.select(
-        _bloom_bucket_col(nb).alias("bucket"),
-        F.explode(_bloom_positions(m)).alias("p"),
-    ).distinct()
+    _, m = _bloom_layout(cfg)
 
     def pack(pdf):
         return pd.DataFrame(
@@ -264,22 +284,34 @@ def _build_bloom_df(urls: DataFrame, cfg: CrawlConfig) -> DataFrame:
             }
         )
 
-    return pos.groupBy("bucket").applyInPandas(pack, "bucket int, bits binary")
+    return (
+        _bucketed_positions(urls, cfg)
+        .groupBy("bucket")
+        .applyInPandas(pack, "bucket int, bits binary")
+    )
 
 
 def _merge_bloom_df(
-    bloom: DataFrame, new_urls: DataFrame, cfg: CrawlConfig
+    bloom: DataFrame,
+    new_urls: DataFrame,
+    cfg: CrawlConfig,
+    changed_only: bool = False,
 ) -> DataFrame:
+    """OR the new urls' bit positions into the stored bitsets.
+    ``changed_only=True`` emits only buckets that received new
+    positions (the dynamic-partition-overwrite merge unit); the default
+    emits the full merged table (build ≡ merge-with-empty — pinned by
+    test_partitioned_bloom_merge_equals_rebuild)."""
     import pandas as pd
 
-    nb = cfg.bloom_buckets or cfg.seen_partitions
-    m = cfg.bloom_bits
-    new_pos = new_urls.select(
-        _bloom_bucket_col(nb).alias("bucket"),
-        F.explode(_bloom_positions(m)).alias("p"),
-    ).distinct()
+    _, m = _bloom_layout(cfg)
+    new_pos = _bucketed_positions(new_urls, cfg)
 
     def merge(key, bloom_pdf, pos_pdf):
+        if changed_only and not len(pos_pdf):
+            return pd.DataFrame({"bucket": [], "bits": []}).astype(
+                {"bucket": "int32", "bits": "object"}
+            )
         prev = bytes(bloom_pdf["bits"].iloc[0]) if len(bloom_pdf) else None
         return pd.DataFrame(
             {
@@ -301,8 +333,7 @@ def _partitioned_bloom_probe(
     import numpy as np
     import pandas as pd
 
-    nb = cfg.bloom_buckets or cfg.seen_partitions
-    m = cfg.bloom_bits
+    nb, m = _bloom_layout(cfg)
     cand = candidates.withColumn("_bucket", _bloom_bucket_col(nb)).withColumn(
         "_pos", _bloom_positions(m)
     )
@@ -321,10 +352,10 @@ def _partitioned_bloom_probe(
         bits = np.unpackbits(
             np.frombuffer(bytes(bloom_pdf["bits"].iloc[0]), dtype=np.uint8)
         ).astype(bool)
-        out["maybe_seen"] = [
-            bool(bits[np.asarray(ps, dtype=np.int64)].all())
-            for ps in cand_pdf["_pos"]
-        ]
+        # one vectorized gather for the whole group (k positions per
+        # url), not a per-row python loop — this IS the hot path
+        pos = np.vstack(cand_pdf["_pos"].to_numpy())
+        out["maybe_seen"] = bits[pos].all(axis=1)
         return out
 
     return (
@@ -334,17 +365,87 @@ def _partitioned_bloom_probe(
     )
 
 
+# -- bloom storage (bucket-partitioned dir + atomic state marker) -----------
+
+def _bloom_dir(catalog: Catalog) -> str:
+    import os
+
+    return os.path.join(catalog.root, "bloom_parts")
+
+
+def _bloom_state(catalog: Catalog):
+    import json
+    import os
+
+    try:
+        with open(os.path.join(_bloom_dir(catalog), "_STATE")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_bloom_state(catalog: Catalog, round_no: int, cfg: CrawlConfig) -> None:
+    import json
+    import os
+
+    nb, m = _bloom_layout(cfg)
+    os.makedirs(_bloom_dir(catalog), exist_ok=True)
+    path = os.path.join(_bloom_dir(catalog), "_STATE")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"round": round_no, "bits": m, "buckets": nb, "k": _BLOOM_K}, f)
+    os.replace(tmp, path)  # atomic; leading '_' keeps parquet readers away
+
+
+def _bloom_state_current(catalog: Catalog, cfg: CrawlConfig, round_no: int) -> bool:
+    nb, m = _bloom_layout(cfg)
+    return _bloom_state(catalog) == {
+        "round": round_no, "bits": m, "buckets": nb, "k": _BLOOM_K,
+    }
+
+
 def _ensure_bloom(
     catalog: Catalog, seen: DataFrame, cfg: CrawlConfig, round_no: int
 ) -> DataFrame:
-    """Return the bloom table at ``round_no``, building it from the
-    full seen set when absent or stale (first activation, or a resumed
-    run whose torn attempt left a newer uncommitted version)."""
-    if catalog.latest_version("bloom") != round_no:
-        catalog.write(
-            "bloom", _build_bloom_df(seen.select("url"), cfg), round_no, keep=4
+    """Return the bloom at ``round_no``, rebuilding from the full seen
+    set when the state marker is absent, for a different round (bloom
+    was inactive, or a torn attempt), or for a DIFFERENT GEOMETRY —
+    probing a bitset with the wrong modulus/bucket count would yield
+    false negatives, the one failure admission-exactness can't absorb."""
+    spark = seen.sparkSession
+    if not _bloom_state_current(catalog, cfg, round_no):
+        (
+            _build_bloom_df(seen.select("url"), cfg)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_bloom_dir(catalog))
         )
-    return catalog.read("bloom", round_no)
+        _write_bloom_state(catalog, round_no, cfg)
+    return spark.read.parquet(_bloom_dir(catalog))
+
+
+def _advance_bloom(
+    catalog: Catalog,
+    bloom: DataFrame,
+    new_urls: DataFrame,
+    cfg: CrawlConfig,
+    next_round: int,
+) -> None:
+    """Fold the round's new urls in and commit the state marker.
+    Only touched buckets are rewritten (dynamic partition overwrite);
+    the changed set is localCheckpoint-ed first because Spark refuses
+    to overwrite a path that appears as a source in the write's own
+    plan (the merge reads the same directory)."""
+    changed = _merge_bloom_df(
+        bloom, new_urls, cfg, changed_only=True
+    ).localCheckpoint(eager=True)
+    (
+        changed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(_bloom_dir(catalog))
+    )
+    _write_bloom_state(catalog, next_round, cfg)
 
 
 def run_crawl(
@@ -408,179 +509,188 @@ def run_crawl(
         if total_seen is None:
             total_seen = catalog.read_appended("seen", round_no).count()
 
+        # Round caches released in `finally`: an exception anywhere in
+        # the round body (including a checkpoint-write failure re-raised
+        # before commit) or the terminal empty-admission break must not
+        # leak cached batches into executor storage across retries.
         admitted = _politeness_admit(frontier, robots, cfg.batch_size).cache()
-        n_admitted = admitted.count()
-        if n_admitted == 0:
-            break
-
-        # --- fetch (pages-table join stand-in) + link expansion -------
-        # Inner join with the tiny admitted batch broadcast: fetch
-        # misses contribute no links, and Spark can build the hash side
-        # from the broadcast batch (a left-outer here would forbid
-        # broadcasting the admitted side and force a full shuffle).
-        # NOTE (measured, do not "fix"): links and the optional
-        # extraction below deliberately run SEPARATE broadcast-join
-        # scans of the pages table. Fusing them through one cached
-        # full-column batch was A/B-measured 2.5x SLOWER end-to-end —
-        # serializing html-heavy rows into executor storage costs more
-        # than the second pruned parquet scan it saves.
-        fetched = pages.select("url", "html").join(F.broadcast(admitted), "url", "inner")
-        links = (
-            fetched
-            .select(
-                F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-            .where(F.col("depth") <= cfg.max_depth)
-            .groupBy("url")
-            .agg(F.min("depth").alias("depth"))
-        )
-
-        # --- per-round extraction (optional) ---------------------------
-        if cfg.extract_field_map is not None:
-            from ..plans.extract import extract_pages
-
-            batch_pages = pages.join(
-                F.broadcast(admitted.select("url")), "url", "inner"
-            )
-            catalog.append(
-                "results",
-                extract_pages(batch_pages, cfg.extract_field_map).withColumn(
-                    "round", F.lit(round_no)
-                ),
-                round_no,
-            )
-
-        # --- seen membership: explicit url-hash repartition + bloom ----
-        seen = catalog.read_appended("seen", round_no)
-        # Cached: consumed by both bloom branches — without the cache
-        # the link-extraction UDF would re-run once per consumer.
-        # Held in its own variable: the bloom branch rebinds ``cand``,
-        # so unpersisting ``cand`` at round end would release the
-        # derived DF and leak this cache one round at a time.
-        cached_cand = links.repartition(
-            cfg.seen_partitions, F.xxhash64("url")
-        ).cache()
-        cand = cached_cand
-        # Below ``bloom_min_seen`` urls the exact anti-join alone is
-        # cheaper than maintaining/probing the bloom (the bloom's job is
-        # to cut *shuffle* volume, which only matters once seen dwarfs
-        # the candidate batch).
-        bloom_df = None
+        cached_cand = None
         probed_cache = None
-        if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
-            if _bloom_sql_available(spark):
-                cand = _bloom_prefilter(spark, cand, seen, cfg)
-            else:
-                bloom_df = _ensure_bloom(catalog, seen, cfg, round_no)
-                # Cached: the probe output feeds BOTH union branches
-                # below; uncached, the cogrouped pandas probe subtree
-                # would execute twice per round (only the exchanges
-                # under it are reuse-dedupable, not the python stage).
-                probed_cache = _partitioned_bloom_probe(
-                    cand, bloom_df, cfg
-                ).cache()
-                cand = probed_cache
-            definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
-            to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
-            checked_new = to_check.join(
-                seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
-                "url",
-                "left_anti",
-            )
-            new_urls = definitely_new.unionByName(checked_new)
-        else:
-            new_urls = cand.join(
-                seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
-                "url",
-                "left_anti",
-            )
+        new_entries = None
+        try:
+            n_admitted = admitted.count()
+            if n_admitted == 0:
+                break
 
-        new_entries = _with_policy_columns(new_urls, robots, host_rank).cache()
-
-        # --- per-partition lineage for the membership stage ------------
-        # One job yields both the total (n_new) and the per-partition
-        # row counts of the membership stage's output (the anti-join
-        # preserves cand's url-hash partitioning, so skew shows here).
-        part_counts = (
-            new_entries.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
-        n_new = sum(int(r["count"]) for r in part_counts)
-        total_seen += n_new
-
-        # --- checkpoint round r+1 state --------------------------------
-        next_frontier = (
-            frontier.join(admitted.select("url"), "url", "left_anti")
-            .unionByName(new_entries)
-        )
-        round_metrics = {
-            "round": round_no,
-            "admitted": n_admitted,
-            "new_urls": n_new,
-            "membership_partitions": {
-                int(r["pid"]): int(r["count"]) for r in part_counts
-            },
-            "wall_sec": round(time.time() - t0, 3),
-        }
-        state.metrics.append(round_metrics)
-        metrics_df = spark.createDataFrame(
-            [
-                (
-                    round_no,
-                    n_admitted,
-                    n_new,
-                    [(int(r["pid"]), int(r["count"])) for r in part_counts],
-                    round_metrics["wall_sec"],
+            # --- fetch (pages-table join stand-in) + link expansion -------
+            # Inner join with the tiny admitted batch broadcast: fetch
+            # misses contribute no links, and Spark can build the hash side
+            # from the broadcast batch (a left-outer here would forbid
+            # broadcasting the admitted side and force a full shuffle).
+            # NOTE (measured, do not "fix"): links and the optional
+            # extraction below deliberately run SEPARATE broadcast-join
+            # scans of the pages table. Fusing them through one cached
+            # full-column batch was A/B-measured 2.5x SLOWER end-to-end —
+            # serializing html-heavy rows into executor storage costs more
+            # than the second pruned parquet scan it saves.
+            fetched = pages.select("url", "html").join(F.broadcast(admitted), "url", "inner")
+            links = (
+                fetched
+                .select(
+                    F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
                 )
-            ],
-            "round int, admitted long, new_urls long, "
-            "partition_rows array<struct<pid:int,rows:long>>, wall_sec double",
-        )
-        sched_df = admitted.select(
-            F.lit(round_no).alias("round"), F.col("seq"), F.col("url")
-        )
-        # The four (five with bloom) checkpoint writes are independent
-        # table snapshots whose inputs are all cached — submitting them
-        # CONCURRENTLY overlaps their driver round-trips and output I/O
-        # (a serial sequence paid ~4-5 job latencies of pure driver
-        # wait per round). The round marker still commits strictly
-        # AFTER every write lands, so torn-round semantics are
-        # unchanged: a crash mid-flight leaves the previous round live.
-        # keep=4 on snapshot tables: per-round frontier/bloom copies
-        # would otherwise grow the catalog by a full copy per round;
-        # resume needs only the committed round and its successor.
-        from concurrent.futures import ThreadPoolExecutor
+                .where(F.col("depth") <= cfg.max_depth)
+                .groupBy("url")
+                .agg(F.min("depth").alias("depth"))
+            )
 
-        writes = [
-            lambda: catalog.write("frontier", next_frontier, round_no + 1, keep=4),
-            lambda: catalog.append("seen", new_entries.select("url"), round_no + 1),
-            lambda: catalog.append("schedule", sched_df, round_no),
-            lambda: catalog.append("metrics", metrics_df, round_no),
-        ]
-        if bloom_df is not None:
-            # Incremental bloom maintenance: fold only this round's new
-            # urls into the stored bitsets (O(new) work; the build-from-
-            # full-seen path runs once on activation, never per round).
-            merged_bloom = _merge_bloom_df(
-                bloom_df, new_entries.select("url"), cfg
+            # --- per-round extraction (optional) ---------------------------
+            if cfg.extract_field_map is not None:
+                from ..plans.extract import extract_pages
+
+                batch_pages = pages.join(
+                    F.broadcast(admitted.select("url")), "url", "inner"
+                )
+                catalog.append(
+                    "results",
+                    extract_pages(batch_pages, cfg.extract_field_map).withColumn(
+                        "round", F.lit(round_no)
+                    ),
+                    round_no,
+                )
+
+            # --- seen membership: explicit url-hash repartition + bloom ----
+            seen = catalog.read_appended("seen", round_no)
+            # Cached: consumed by both bloom branches — without the cache
+            # the link-extraction UDF would re-run once per consumer.
+            # Held in its own variable: the bloom branch rebinds ``cand``,
+            # so unpersisting ``cand`` at round end would release the
+            # derived DF and leak this cache one round at a time.
+            cached_cand = links.repartition(
+                cfg.seen_partitions, F.xxhash64("url")
+            ).cache()
+            cand = cached_cand
+            # Below ``bloom_min_seen`` urls the exact anti-join alone is
+            # cheaper than maintaining/probing the bloom (the bloom's job is
+            # to cut *shuffle* volume, which only matters once seen dwarfs
+            # the candidate batch).
+            bloom_df = None
+            if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
+                if _bloom_sql_available(spark):
+                    cand = _bloom_prefilter(spark, cand, seen, cfg)
+                else:
+                    bloom_df = _ensure_bloom(catalog, seen, cfg, round_no)
+                    # Cached: the probe output feeds BOTH union branches
+                    # below; uncached, the cogrouped pandas probe subtree
+                    # would execute twice per round (only the exchanges
+                    # under it are reuse-dedupable, not the python stage).
+                    probed_cache = _partitioned_bloom_probe(
+                        cand, bloom_df, cfg
+                    ).cache()
+                    cand = probed_cache
+                definitely_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
+                to_check = cand.where(F.col("maybe_seen")).drop("maybe_seen")
+                checked_new = to_check.join(
+                    seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
+                    "url",
+                    "left_anti",
+                )
+                new_urls = definitely_new.unionByName(checked_new)
+            else:
+                new_urls = cand.join(
+                    seen.repartition(cfg.seen_partitions, F.xxhash64("url")),
+                    "url",
+                    "left_anti",
+                )
+
+            new_entries = _with_policy_columns(new_urls, robots, host_rank).cache()
+
+            # --- per-partition lineage for the membership stage ------------
+            # One job yields both the total (n_new) and the per-partition
+            # row counts of the membership stage's output (the anti-join
+            # preserves cand's url-hash partitioning, so skew shows here).
+            part_counts = (
+                new_entries.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
             )
-            writes.append(
-                lambda: catalog.write("bloom", merged_bloom, round_no + 1, keep=4)
+            n_new = sum(int(r["count"]) for r in part_counts)
+            total_seen += n_new
+
+            # --- checkpoint round r+1 state --------------------------------
+            next_frontier = (
+                frontier.join(admitted.select("url"), "url", "left_anti")
+                .unionByName(new_entries)
             )
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            for fut in [pool.submit(w) for w in writes]:
-                fut.result()  # re-raise any write failure before commit
-        catalog.commit_round(round_no + 1)
-        if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
-            catalog.compact("seen", round_no + 1)
-        admitted.unpersist()
-        new_entries.unpersist()
-        cached_cand.unpersist()
-        if probed_cache is not None:
-            probed_cache.unpersist()
-        state.rounds_run += 1
+            round_metrics = {
+                "round": round_no,
+                "admitted": n_admitted,
+                "new_urls": n_new,
+                "membership_partitions": {
+                    int(r["pid"]): int(r["count"]) for r in part_counts
+                },
+                "wall_sec": round(time.time() - t0, 3),
+            }
+            state.metrics.append(round_metrics)
+            metrics_df = spark.createDataFrame(
+                [
+                    (
+                        round_no,
+                        n_admitted,
+                        n_new,
+                        [(int(r["pid"]), int(r["count"])) for r in part_counts],
+                        round_metrics["wall_sec"],
+                    )
+                ],
+                "round int, admitted long, new_urls long, "
+                "partition_rows array<struct<pid:int,rows:long>>, wall_sec double",
+            )
+            sched_df = admitted.select(
+                F.lit(round_no).alias("round"), F.col("seq"), F.col("url")
+            )
+            # The four (five with bloom) checkpoint writes are independent
+            # table snapshots whose inputs are all cached — submitting them
+            # CONCURRENTLY overlaps their driver round-trips and output I/O
+            # (a serial sequence paid ~4-5 job latencies of pure driver
+            # wait per round). The round marker still commits strictly
+            # AFTER every write lands, so torn-round semantics are
+            # unchanged: a crash mid-flight leaves the previous round live.
+            # keep=4 on the frontier: per-round snapshots would otherwise
+            # grow the catalog by a full copy per round; resume needs only
+            # the committed round and its successor.
+            writes = [
+                lambda: catalog.write("frontier", next_frontier, round_no + 1, keep=4),
+                lambda: catalog.append("seen", new_entries.select("url"), round_no + 1),
+                lambda: catalog.append("schedule", sched_df, round_no),
+                lambda: catalog.append("metrics", metrics_df, round_no),
+            ]
+            if bloom_df is not None:
+                # Incremental bloom maintenance: only the buckets touched
+                # by this round's new urls are rewritten (dynamic partition
+                # overwrite — O(touched), never O(total bloom)); the state
+                # marker commits after the data inside _advance_bloom.
+                writes.append(
+                    lambda: _advance_bloom(
+                        catalog, bloom_df, new_entries.select("url"),
+                        cfg, round_no + 1,
+                    )
+                )
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for fut in [pool.submit(w) for w in writes]:
+                    fut.result()  # re-raise any write failure before commit
+            catalog.commit_round(round_no + 1)
+            if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+                catalog.compact("seen", round_no + 1)
+            state.rounds_run += 1
+        finally:
+            admitted.unpersist()
+            if cached_cand is not None:
+                cached_cand.unpersist()
+            if probed_cache is not None:
+                probed_cache.unpersist()
+            if new_entries is not None:
+                new_entries.unpersist()
 
     state.schedule = catalog.read_appended("schedule")
     state.seen = catalog.read_appended("seen")

@@ -76,29 +76,36 @@ def test_bloom_path_is_exact(spark, corpus, oracle, tmp_path):
     assert {r["url"] for r in state.seen.collect()} == sim_seen
 
 
-def test_partitioned_bloom_incremental_and_gc(spark, corpus, tmp_path):
-    """With the bloom forced on, the partitioned bloom table must (a)
-    advance a version per round via incremental merge (no rebuild —
-    pinned by the version trail), (b) GC old snapshots (keep=4), and
-    (c) contain every seen url (zero false negatives by probe)."""
+def test_partitioned_bloom_incremental_and_gc(spark, corpus, tmp_path, monkeypatch):
+    """With the bloom forced on, the partitioned bloom must (a) advance
+    its state marker with the rounds via incremental merges, (b) keep
+    exactly ONE copy on disk (bucket-partitioned dir, dynamic
+    overwrite — no version accumulation), and (c) contain every seen
+    url (zero false negatives by probe). The SQL-bloom detection is
+    pinned off so the partitioned path runs on any Spark build."""
+    monkeypatch.setattr(frontier_mod, "_BLOOM_SQL_AVAILABLE", False)
     state, catalog = _run(spark, corpus, tmp_path / "pbloom", bloom_min_seen=0)
     assert state.rounds_run >= 3
-    bloom_ver = catalog.latest_version("bloom")
-    assert bloom_ver == catalog.committed_round()
-    vdirs = [
-        d for d in os.listdir(tmp_path / "pbloom" / "bloom") if d.startswith("v")
-    ]
-    assert len(vdirs) <= 4  # snapshot GC
-    # probe the full seen set against the final bloom: all must hit
     from langscrape_spark.scheduler.frontier import (
         CrawlConfig,
+        _bloom_dir,
+        _bloom_state,
         _partitioned_bloom_probe,
     )
 
+    st = _bloom_state(catalog)
+    assert st is not None and st["round"] == catalog.committed_round()
+    # one copy: only bucket=K partition dirs (plus marker/_SUCCESS)
+    entries = [
+        d for d in os.listdir(_bloom_dir(catalog))
+        if not d.startswith(("_", "."))  # markers + checksum files
+    ]
+    assert entries and all(d.startswith("bucket=") for d in entries)
+    # probe the full seen set against the final bloom: all must hit
     cfg = CrawlConfig(seen_partitions=8, bloom_min_seen=0)
     seen = catalog.read_appended("seen")
     probed = _partitioned_bloom_probe(
-        seen, catalog.read("bloom", bloom_ver), cfg
+        seen, spark.read.parquet(_bloom_dir(catalog)), cfg
     )
     assert probed.where(~F.col("maybe_seen")).count() == 0
 
@@ -416,4 +423,32 @@ def test_bloom_active_kill_and_resume(spark, corpus, oracle, tmp_path):
            for r in state.schedule.orderBy("round", "seq").collect()]
     assert got == sim_schedule
     assert {r["url"] for r in state.seen.collect()} == sim_seen
-    assert catalog.latest_version("bloom") == catalog.committed_round()
+    from langscrape_spark.scheduler.frontier import _bloom_state
+
+    assert _bloom_state(catalog)["round"] == catalog.committed_round()
+
+
+def test_bloom_geometry_change_forces_rebuild(spark, corpus, oracle, tmp_path, monkeypatch):
+    """Resuming with a DIFFERENT bloom geometry (bits/buckets) must
+    rebuild the bloom rather than probe a mismatched bitset — probing
+    with the wrong modulus yields false negatives, i.e. re-admission
+    of seen urls (review finding r2). The resumed crawl must still be
+    simulator-exact."""
+    monkeypatch.setattr(frontier_mod, "_BLOOM_SQL_AVAILABLE", False)
+    catdir = tmp_path / "geom"
+    _run(spark, corpus, catdir, max_rounds=3, bloom_min_seen=0,
+         seen_partitions=8)
+    # resume with doubled per-bucket bits and a different bucket count
+    state, catalog = _run(
+        spark, corpus, catdir, bloom_min_seen=0,
+        seen_partitions=8, bloom_bits=16384, bloom_buckets=4,
+    )
+    from langscrape_spark.scheduler.frontier import _bloom_state
+
+    st = _bloom_state(catalog)
+    assert st["bits"] == 16384 and st["buckets"] == 4
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
