@@ -296,7 +296,12 @@ def get_node_contain_text(doc: Document | Element, text: str) -> Optional[Elemen
                 continue
             if text in target:
                 d = get_node_depth(el)
-                if d > best_depth:
+                # '>=' keeps the LAST deepest match in document order:
+                # the reference iterates reversed(find_all) and max()
+                # over insertion order, which resolves depth ties to
+                # the last-deepest node — '>' would anchor duplicated
+                # text to a different node than the reference.
+                if d >= best_depth:
                     best_depth = d
                     best = el
     return best

@@ -110,7 +110,11 @@ def lsh_topk(
     ]
     q_bucket = sum(1 << i for i, bit in enumerate(q_bits) if bit)
 
-    bucketed = df.withColumn("bucket", srp_bucket(F.col(vec_col), planes))
+    # srp_bucket_fast: one numpy gemm per Arrow batch instead of
+    # n_planes HOF dot products per row — same sign decisions up to
+    # float-summation boundary cases, and the exact cosine re-rank
+    # below is unchanged either way (measured 2.2s → ~1s at sf0.1).
+    bucketed = df.withColumn("bucket", srp_bucket_fast(F.col(vec_col), planes))
     cand = bucketed.where(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_radius
     )
@@ -424,8 +428,12 @@ def embedding_neardup_pairs_lsh(
         norms[norms == 0] = np.nan  # zero-norm → NaN cosine → dropped
         unit = mat / norms[:, None]
         outs = []
-        # row-blocked gemm keeps the sims slab bounded (~block·|B|·8B)
-        block = 1024
+        # row-blocked gemm with the block size derived from the group
+        # width so the sims slab stays ≤ ~128 MB: groups can reach
+        # 8·max_bucket_rows (131k) rows post-guard, where a fixed
+        # 1024-row block would make each slab 1024·131k·8B ≈ 1 GB per
+        # python worker.
+        block = max(16, min(1024, (128 << 20) // (len(ids) * 8)))
         for lo in range(0, len(ids), block):
             sims = np.round(unit[lo : lo + block] @ unit.T, 6)
             li, ri = np.nonzero(
@@ -575,6 +583,7 @@ def embedding_neardup_pairs_chunked(
     # upper bound — every id lands in exactly one chunk.
     bounds = [None] + cuts + [None]
     out = None
+    branches = 0
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
         right = df
@@ -588,6 +597,14 @@ def embedding_neardup_pairs_chunked(
             left, right, threshold, vec_col=vec_col, id_col=id_col
         )
         out = part if out is None else out.unionByName(part)
+        branches += 1
+        # fold the union every 32 chunks: an unbounded unionByName over
+        # ~10^3 chunks is an unplannable DAG (Catalyst cost is
+        # superlinear in plan width); localCheckpoint truncates the
+        # lineage to the materialized pairs, which are tiny relative to
+        # the corpus.
+        if branches % 32 == 0:
+            out = out.localCheckpoint(eager=True)
     return out
 
 

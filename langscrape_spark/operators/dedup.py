@@ -198,20 +198,32 @@ def minhash_lsh_pairs(
 
     Hot-bucket guard: band buckets are md5-uniform for *distinct*
     texts, but a cluster of byte-identical documents collapses into
-    one bucket whose self-join is quadratic in cluster size. Buckets
+    one bucket whose pair set is quadratic in cluster size. Buckets
     larger than ``max_bucket`` are excluded from pair generation —
     at that size they are exact-duplicate clusters, which is
     ``exact_dedup``'s job (run it first; it is one cheap hash shuffle).
     ``max_bucket=None`` disables the guard.
 
-    Signatures are computed MAP-SIDE (vectorized pandas minhash, no
-    shuffle; an exploded-index groupBy-min formulation was measured
-    SLOWER at 100k docs — the index shuffle costs more than the
-    hashlib loop saves). Documents with fewer than ``k`` tokens have
-    no shingles → an all-NULL signature, and are excluded from banding
-    (hashing NULL signatures lands every short document in constant
-    band buckets, colliding them all pairwise — a quadratic bomb and
-    false-positive source at corpus scale)."""
+    Plan shape (round 3): ONE signature pass, ONE shuffle. Signatures
+    are computed MAP-SIDE (vectorized pandas minhash, no shuffle; an
+    exploded-index groupBy-min formulation was measured SLOWER at 100k
+    docs — the index shuffle costs more than the hashlib loop saves);
+    pairs come from ``groupBy(bucket).collect_list(id)`` + a per-bucket
+    vectorized emit, NOT a bucket self-join — the former self-join +
+    broadcast-anti guard consumed the signature lineage four times and
+    Spark does not reuse the exchange across those consumers (measured
+    2.4× slower), and the guard here is a free ``size(ids)`` filter on
+    the already-grouped row instead of a second aggregation. Per-group
+    state is ≤ ``max_bucket`` ids (8 B each), bounded by the guard.
+
+    Documents with fewer than ``k`` tokens have no shingles → an
+    all-NULL signature, and are excluded from banding (hashing NULL
+    signatures lands every short document in constant band buckets,
+    colliding them all pairwise — a quadratic bomb and false-positive
+    source at corpus scale)."""
+    import numpy as np
+    import pandas as pd
+
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -234,23 +246,26 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+    grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
+    grouped = grouped.where(F.size("ids") >= 2)
     if max_bucket is not None:
-        oversized = (
-            buckets.groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") > max_bucket)
-            .select("bucket")
-        )
-        buckets = buckets.join(F.broadcast(oversized), "bucket", "left_anti")
-    a, b2 = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+
+    def emit(batches):
+        for pdf in batches:
+            outa, outb = [], []
+            for ids in pdf["ids"]:
+                arr = np.sort(np.asarray(ids, dtype=np.int64))
+                iu = np.triu_indices(len(arr), 1)
+                outa.append(arr[iu[0]])
+                outb.append(arr[iu[1]])
+            if outa:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(outa), "id_b": np.concatenate(outb)}
+                )
+
+    pairs = grouped.select("ids").mapInPandas(emit, "id_a long, id_b long")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
 
 
 # --------------------------------------------------------------------------
@@ -285,7 +300,11 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with EXACT recall at the requested
     radius: the 64-bit signature is split into ``max_hamming + 1``
@@ -295,7 +314,24 @@ def simhash_near_dups(
     under-recalled at the former default of 8 — pinned by the
     brute-force equivalence test in test_training_ops). Narrower
     blocks trade more candidates for recall; the exact hamming filter
-    keeps the output identical to brute force."""
+    keeps the output identical to brute force.
+
+    Radius vs candidate volume: block width is ~64/(max_hamming+1)
+    bits, so block buckets hold ~n/2^width docs even for RANDOM
+    corpora — at the former default of 8 that is 9 blocks of ~7 bits,
+    i.e. ~9·n²/2⁷ candidate pairs regardless of content. The default
+    radius 3 (4×16-bit blocks, ~4·n²/2¹⁶) is the largest radius whose
+    candidate volume stays sub-quadratic at realistic corpus sizes;
+    raise it only on pre-filtered slices.
+
+    Hot-bucket guard (mirrors ``minhash_lsh_pairs``): a cluster of
+    byte-identical documents has identical signatures, so EVERY block
+    bucket it touches collapses and the self-join is quadratic in
+    cluster size. Buckets larger than ``max_bucket`` are excluded from
+    pair generation — at that size they are exact-duplicate clusters,
+    which is ``exact_dedup``'s job (run it first). Exclusion costs
+    recall only for pairs whose ONLY agreeing block is an excluded
+    one. ``max_bucket=None`` disables the guard."""
     n_blocks = max_hamming + 1
     if n_blocks > 64:
         n_blocks = 64
@@ -320,17 +356,58 @@ def simhash_near_dups(
         "sh",
         F.explode(F.array(*block_cols)).alias("chunk"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("hamming") <= max_hamming)
+    # One signature pass, one shuffle (same plan shape as
+    # minhash_lsh_pairs): group each block bucket, emit surviving
+    # pairs with a vectorized XOR-popcount INSIDE the bucket — the
+    # hamming filter runs before any pair ever hits a shuffle, and the
+    # hot-bucket guard is a free size filter on the grouped row.
+    grouped = chunks.groupBy("chunk").agg(
+        F.collect_list(F.struct("id", "sh")).alias("rows")
     )
+    grouped = grouped.where(F.size("rows") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("rows") <= max_bucket)
+
+    import numpy as np
+    import pandas as pd
+
+    mh = int(max_hamming)
+
+    def emit(batches):
+        for pdf in batches:
+            outs = []
+            for rows in pdf["rows"]:
+                ids = np.fromiter((r["id"] for r in rows), dtype=np.int64)
+                shs = np.fromiter((r["sh"] for r in rows), dtype=np.int64)
+                order = np.argsort(ids)
+                ids, shs = ids[order], shs[order]
+                iu = np.triu_indices(len(ids), 1)
+                x = np.bitwise_xor(shs[iu[0]], shs[iu[1]])
+                ham = (
+                    np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                    .sum(axis=1)
+                    .astype(np.int32)
+                )
+                keep = ham <= mh
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[iu[0][keep]],
+                                "id_b": ids[iu[1][keep]],
+                                "hamming": ham[keep],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = grouped.select("rows").mapInPandas(
+        emit, "id_a long, id_b long, hamming int"
+    )
+    # a pair within radius can share several blocks — keep one copy
+    # (the hamming value is identical in every copy)
+    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
 
 
 def simhash64_fast(text: Column, k: int = 2) -> Column:

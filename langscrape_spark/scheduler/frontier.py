@@ -185,6 +185,24 @@ def _bloom_prefilter(
     # global SQL bloom gets the equivalent total capacity (bits × nb),
     # else the same config would build a ~nb× weaker filter here.
     nb = cfg.bloom_buckets or cfg.seen_partitions
+    # bloom_filter_agg silently CLAMPS numBits to
+    # spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 2^26)
+    # — without raising it, a 2^28-bit request builds a ~4× weaker
+    # filter (admission stays exact via the anti-join, but more
+    # candidates fall through). Raise the conf to the request.
+    try:
+        cur = int(
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864"
+            )
+        )
+        want = cfg.bloom_bits * nb
+        if want > cur:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", str(want)
+            )
+    except Exception:
+        pass  # conf locked down: the clamp only weakens, never breaks
     bloom_row = seen.select(
         F.expr(
             f"bloom_filter_agg(xxhash64(url), "
@@ -397,6 +415,22 @@ def _write_bloom_state(catalog: Catalog, round_no: int, cfg: CrawlConfig) -> Non
     os.replace(tmp, path)  # atomic; leading '_' keeps parquet readers away
 
 
+def _invalidate_bloom_state(catalog: Catalog) -> None:
+    """Remove the state marker so any crash before the next stamp
+    forces ``_ensure_bloom``'s full rebuild from the committed seen
+    set. Required around the merge write: dynamic partition overwrite
+    DELETES each matched bucket dir before renaming staged files at
+    job commit, so a kill inside that commit window can leave a bucket
+    MISSING (a false-NEGATIVE source, not a superset) while a stale
+    _STATE would still validate it."""
+    import os
+
+    try:
+        os.remove(os.path.join(_bloom_dir(catalog), "_STATE"))
+    except FileNotFoundError:
+        pass
+
+
 def _bloom_state_current(catalog: Catalog, cfg: CrawlConfig, round_no: int) -> bool:
     nb, m = _bloom_layout(cfg)
     return _bloom_state(catalog) == {
@@ -439,6 +473,14 @@ def _advance_bloom(
     changed = _merge_bloom_df(
         bloom, new_urls, cfg, changed_only=True
     ).localCheckpoint(eager=True)
+    # Invalidate-then-write-then-stamp: the overwrite's commit window
+    # (bucket dir deleted, staged file not yet renamed) is the one
+    # crash point where the stored bloom is NOT a superset of the
+    # committed seen set. With _STATE gone during the window, any
+    # crash inside it resolves to a full rebuild on resume instead of
+    # probing a bloom with a silently-missing bucket (false negatives
+    # ⇒ the exact anti-join is skipped ⇒ duplicate admissions).
+    _invalidate_bloom_state(catalog)
     (
         changed.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

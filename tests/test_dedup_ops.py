@@ -267,3 +267,31 @@ def test_lsh_neardup_identical_cluster_guard(spark):
     }
     assert (500, 501) in got
     assert all(a >= 500 for a, _ in got)  # identical cluster excluded
+
+
+def test_simhash_bucket_cap_drops_exact_dup_blowup(spark):
+    """VERDICT r2 #1: a cluster of identical docs has identical
+    signatures, so every block bucket it touches collapses; the cap
+    excludes those buckets from pair generation (exact_dedup's job)
+    while pairs among distinct near-dup docs survive."""
+    clone = "the same exact duplicated text repeated in every clone row"
+    rows = [(i, clone) for i in range(20)] + [
+        (100, "unique text one about spark engines and crawling the web"),
+        (101, "unique text one about spark engines and crawling the net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(
+            df, "text", "doc_id", max_hamming=8, max_bucket=10
+        ).collect()
+    }
+    assert all(a >= 100 for a, _ in capped)  # clone cluster excluded
+    assert (100, 101) in capped  # near-dup pair survives
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(
+            df, "text", "doc_id", max_hamming=8, max_bucket=None
+        ).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped

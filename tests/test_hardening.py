@@ -452,3 +452,58 @@ def test_bloom_geometry_change_forces_rebuild(spark, corpus, oracle, tmp_path, m
            for r in state.schedule.orderBy("round", "seq").collect()]
     assert got == sim_schedule
     assert {r["url"] for r in state.seen.collect()} == sim_seen
+
+
+def test_bloom_crash_inside_merge_overwrite_forces_rebuild(
+    spark, corpus, oracle, tmp_path, monkeypatch
+):
+    """ADVICE r2 (medium): dynamic partition overwrite deletes each
+    matched bucket dir before renaming staged files at job commit, so a
+    kill INSIDE that commit window leaves a bucket missing — a false-
+    NEGATIVE source, not a superset. The fix invalidates _STATE before
+    the merge write; this test kills the real ``_advance_bloom`` inside
+    its parquet write (after one bucket dir is already gone) and checks
+    (a) the state marker is absent at crash time — so resume cannot
+    trust the torn bloom — and (b) the resumed crawl rebuilds and stays
+    simulator-exact."""
+    import glob
+    import shutil
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    monkeypatch.setattr(frontier_mod, "_BLOOM_SQL_AVAILABLE", False)
+    catdir = tmp_path / "mergecrash"
+    orig_parquet = DataFrameWriter.parquet
+    armed = {"on": True}
+
+    def bomb(self, path, *a, **kw):
+        if (
+            armed["on"]
+            and str(path).endswith("bloom_parts")
+            and glob.glob(str(path) + "/bucket=*")
+        ):
+            armed["on"] = False
+            victim = sorted(glob.glob(str(path) + "/bucket=*"))[0]
+            shutil.rmtree(victim)
+            raise RuntimeError("simulated kill inside overwrite commit")
+        return orig_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", bomb)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        _run(spark, corpus, catdir, bloom_min_seen=0)
+    assert not armed["on"], "merge write was never reached"
+
+    from langscrape_spark.scheduler.frontier import _bloom_state
+
+    _, catalog0 = None, Catalog(spark, str(catdir))
+    # the commit-window invariant: no state marker may exist while the
+    # bloom data is torn (a bucket dir is genuinely missing right now)
+    assert _bloom_state(catalog0) is None
+
+    state, catalog = _run(spark, corpus, catdir, bloom_min_seen=0)
+    sim_schedule, sim_seen = oracle
+    got = [(r["round"], r["seq"], r["url"])
+           for r in state.schedule.orderBy("round", "seq").collect()]
+    assert got == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+    assert _bloom_state(catalog)["round"] == catalog.committed_round()
