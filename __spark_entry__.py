@@ -297,8 +297,11 @@ def q21_embedding_neardup_lsh(spark, sf):
 
 def q22_dom_structural_stats(spark, sf):
     """Corpus-wide DOM node table → per-(url, tag) structural stats
-    (reference soup_tools.py:182-231 generalized; rows-only — DuckDB
-    can't parse HTML)."""
+    (reference soup_tools.py:182-231 generalized). Oracled: DuckDB
+    can't parse HTML, so the oracle aggregates over the FROZEN kernel
+    output (tests/fixtures/q22_dom_nodes.parquet, regenerated by
+    scripts/freeze_dom_fixtures.py) while this query computes it live
+    — the hash compare checks the aggregation and pins the kernel."""
     from langscrape_spark import synth
     from langscrape_spark.operators.domtable import dom_nodes_table, structural_stats
 
@@ -308,7 +311,9 @@ def q22_dom_structural_stats(spark, sf):
 
 def q23_node_weights(spark, sf):
     """Token-weighted DOM scoring as columns (reference
-    etree_token_stats.py:83-123; rows-only)."""
+    etree_token_stats.py:83-123). Oracled against the frozen node-table
+    fixture (see q22): the weight formula, token band, windows and
+    top-3 ranking are all re-derived independently in DuckDB SQL."""
     from langscrape_spark import synth
     from langscrape_spark.operators.domtable import dom_nodes_table, node_weights
     from pyspark.sql import Window
@@ -505,8 +510,8 @@ def q30_date_rollup(spark, sf):
 def q31_template_cluster(spark, sf):
     """Template clustering: group pages by the md5 of their unique
     structure skeleton (reference get_structure,
-    feilian/soup_tools.py:295-303; rows-only — DuckDB can't parse
-    HTML)."""
+    feilian/soup_tools.py:295-303). Oracled against the frozen
+    signature fixture (tests/fixtures/q31_template_sigs.parquet)."""
     from langscrape_spark import synth
     from langscrape_spark.operators.domtable import template_signatures
 
@@ -753,6 +758,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB)
 # ---------------------------------------------------------------------------
 
+def _fixture(name: str) -> str:
+    """Absolute path of a frozen kernel-output fixture (see
+    scripts/freeze_dom_fixtures.py). DuckDB cannot parse HTML, so the
+    q22/q23/q31 oracles aggregate over the frozen, deterministic kernel
+    outputs while the Spark queries compute the same tables live — the
+    compare checks the downstream aggregation exactly and pins the
+    kernel output."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", name
+    )
+
+
+def _tag_weight_case_sql() -> str:
+    """The node-weight tag/class table as a SQL CASE (single source:
+    operators/domtable.TAG_WEIGHTS)."""
+    from langscrape_spark.operators.domtable import (
+        DEFAULT_TAG_WEIGHT,
+        TAG_WEIGHTS,
+    )
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in TAG_WEIGHTS.items()
+    )
+    return f"CASE tag {whens} ELSE {DEFAULT_TAG_WEIGHT} END"
+
+
 def _all_tags_sql() -> str:
     """The clean_tags union vocabulary as a DuckDB list literal."""
     from langscrape_spark.functions.tagvocab import ALL_TAGS
@@ -767,8 +800,37 @@ _SHINGLES3 = (
     "i -> array_to_string(tok[i:i+2], ' '))))"
 )
 _EN_SW = "['the','and','of','to','in','is','that','for','with','was']"
-_FR_SW = "['le','la','les','de','des','et','en','une','est','que']"
-_DE_SW = "['der','die','das','und','ist','von','mit','den','nicht','ein']"
+
+
+def _lang_score_sql() -> tuple[str, str]:
+    """(score select-list, argmax CASE) for the q11 oracle, generated
+    from the SAME data the Spark operator uses
+    (operators/text.STOPWORDS / CHAR_CLASSES) — one source of truth.
+    The CASE iterates language codes ascending so ties resolve to the
+    smallest code, exactly the Spark aggregate's first-max rule."""
+    from langscrape_spark.operators.text import CHAR_CLASSES, STOPWORDS
+
+    exprs = []
+    for lang, sw in STOPWORDS.items():
+        lst = "[" + ",".join("'" + s + "'" for s in sw) + "]"
+        exprs.append((lang, f"len(list_intersect(tok, {lst}))"))
+    for lang, rng in CHAR_CLASSES.items():
+        exprs.append(
+            (lang, f"length(regexp_replace(text, '[^{rng}]', '', 'g'))")
+        )
+    select = ",\n                     ".join(
+        f"{e} AS s_{lang}" for lang, e in exprs
+    )
+    codes = sorted(lang for lang, _ in exprs)
+    all_scores = ", ".join(f"s_{c}" for c in codes)
+    whens = " ".join(
+        f"WHEN s_{c} >= greatest({all_scores}) THEN '{c}'" for c in codes
+    )
+    case = (
+        f"CASE WHEN greatest({all_scores}) <= 0 THEN 'und' {whens} "
+        "ELSE 'und' END"
+    )
+    return select, case
 
 
 def oracle_sql() -> dict[str, str]:
@@ -896,19 +958,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT doc_id, n_chars, len(tok) AS n_tokens, n_alpha,
-                     len(list_intersect(tok, {_EN_SW})) AS s_en,
-                     len(list_intersect(tok, {_FR_SW})) AS s_fr,
-                     len(list_intersect(tok, {_DE_SW})) AS s_de
+                     {_lang_score_sql()[0]}
               FROM q)
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    round(CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS alpha_ratio,
                    CAST(s_en AS BIGINT) AS stopword_hits,
-                   CASE WHEN greatest(s_de, s_en, s_fr) <= 0 THEN 'und'
-                        WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
-                        WHEN s_en >= s_fr THEN 'en'
-                        ELSE 'fr' END AS lang_guess
+                   {_lang_score_sql()[1]} AS lang_guess
             FROM s
         """,
         "q12_token_fingerprint": r"""
@@ -1113,5 +1170,46 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n
                 FROM lineitem GROUP BY l_returnflag, l_linestatus))
             WHERE rn = 1
+        """,
+        "q22_dom_structural_stats": f"""
+            SELECT url, tag,
+                   count(*) AS n_nodes,
+                   max(depth) AS max_depth,
+                   max(n_children) AS max_width,
+                   CAST(sum(n_text_tokens) AS BIGINT) AS total_tokens
+            FROM read_parquet('{_fixture("q22_dom_nodes.parquet")}')
+            GROUP BY url, tag
+        """,
+        "q23_node_weights": f"""
+            WITH w AS (
+              SELECT url, xpath, tag, depth, n_children, n_text_tokens,
+                     max(depth) OVER (PARTITION BY url) AS max_depth,
+                     max(n_children) OVER (PARTITION BY url) AS max_children,
+                     sum(n_text_tokens) OVER (PARTITION BY url) AS total_tokens
+              FROM read_parquet('{_fixture("q22_dom_nodes.parquet")}')),
+            s AS (
+              SELECT url, xpath, tag, depth, n_children, n_text_tokens,
+                CASE WHEN n_text_tokens BETWEEN 2 AND 4096 THEN
+                  -- DuckDB has no tanh(); (1 - 2/(e^2x+1)) is
+                  -- bit-adjacent (error ~1 ulp, invisible at 6 dp)
+                  round(depth / greatest(max_depth, 1)
+                        + (1.0 - 2.0 / (exp(2.0 * (CASE WHEN total_tokens > 0
+                               THEN n_text_tokens / CAST(total_tokens AS DOUBLE)
+                               ELSE 0.0 END)) + 1.0))
+                        + n_children / greatest(max_children, 1)
+                        + {_tag_weight_case_sql()}, 6)
+                ELSE 0.0 END AS weight
+              FROM w)
+            SELECT url, xpath, tag, depth, n_children, n_text_tokens, weight
+            FROM (SELECT *, row_number() OVER (PARTITION BY url
+                    ORDER BY weight DESC, xpath ASC) AS rn FROM s)
+            WHERE rn <= 3
+        """,
+        "q31_template_cluster": f"""
+            SELECT template_sig,
+                   count(*) AS n_pages,
+                   min(url) AS example_url
+            FROM read_parquet('{_fixture("q31_template_sigs.parquet")}')
+            GROUP BY template_sig
         """,
     }

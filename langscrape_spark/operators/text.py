@@ -14,12 +14,32 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Tiny per-language stopword lists (public common words). Heuristic
-# n-gram/stopword language ID per SURVEY's text-analysis mandate.
+# Per-language stopword lists (public common words; Latin-script
+# languages). Heuristic n-gram/stopword language ID per SURVEY's
+# text-analysis mandate. Scores are exact-token hits on the
+# lowercased whitespace tokens.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
     "fr": ["le", "la", "les", "de", "des", "et", "en", "une", "est", "que"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "los", "las", "una", "por", "con", "para", "como", "pero", "más"],
+    "pt": ["não", "uma", "para", "com", "por", "mais", "como", "dos", "das", "ele"],
+    "it": ["il", "di", "che", "per", "con", "non", "del", "della", "gli", "sono"],
+    "nl": ["het", "een", "van", "dat", "niet", "aan", "voor", "met", "zijn", "ook"],
+}
+
+# Script-based languages: stopword tokens don't transfer across
+# scripts, so the score is the count of characters in the script's
+# (BMP-only) unicode range — portable between Java regex and RE2, and
+# char counts compare sanely against token-hit counts in the argmax
+# (a doc must contain MORE script chars than it has Latin stopword
+# hits to win). Kanji-only Japanese text scores as zh (kanji live in
+# the CJK block); kana pushes it to ja — a documented heuristic limit.
+CHAR_CLASSES = {
+    "ru": "Ѐ-ӿ",  # Cyrillic
+    "ar": "؀-ۿ",  # Arabic
+    "zh": "一-鿿",  # CJK unified ideographs
+    "ja": "぀-ヿ",  # Hiragana + Katakana
 }
 
 # BPE-ish word/number/punct tokenizer (simple enough to behave the same
@@ -39,10 +59,13 @@ def token_count(text: Column) -> Column:
 
 def lang_scores(text: Column) -> dict:
     w = words_col(text)
-    return {
+    scores = {
         lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))
         for lang, sw in STOPWORDS.items()
     }
+    for lang, rng in CHAR_CLASSES.items():
+        scores[lang] = F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+    return scores
 
 
 def lang_id(text: Column) -> Column:

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Freeze the HTML-kernel outputs that back the q22/q23/q31 DuckDB
+oracles.
+
+DuckDB cannot parse HTML, so the kernel step (DOM explode / template
+signature) of those queries was previously uncheckable and the driver
+recorded them rows-only. The kernel inputs are the deterministic
+``synth`` corpora, so the kernel OUTPUTS are deterministic too: this
+script materializes them once into ``tests/fixtures/`` and the oracles
+aggregate over the frozen parquet while the Spark queries keep
+computing the same tables live — the comparison then checks the
+downstream aggregation exactly AND pins the kernel output (any kernel
+drift shows up as a hash mismatch).
+
+Re-run after any intentional kernel change:
+    python scripts/freeze_dom_fixtures.py
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures",
+)
+
+
+def main() -> None:
+    from langscrape_spark import synth
+    from langscrape_spark.operators.domtable import (
+        dom_nodes_table,
+        template_signatures,
+    )
+    from langscrape_spark.session import get_spark
+
+    spark = get_spark("freeze_fixtures", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(FIXDIR, exist_ok=True)
+
+    # q22/q23 corpus: 48 synth pages -> DOM node table
+    nodes = dom_nodes_table(synth.build_pages_df(spark, 48, partitions=4))
+    # q31 corpus: 64 synth pages -> template signatures
+    sigs = template_signatures(synth.build_pages_df(spark, 64, partitions=4))
+
+    for name, df in [("q22_dom_nodes", nodes), ("q31_template_sigs", sigs)]:
+        tmp = os.path.join(FIXDIR, f"_{name}_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(FIXDIR, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        print(f"wrote {dest}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,3 +95,46 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     exact = {r["vec_id"] for r in entry_mod.q13_cosine_topk(spark, SF).collect()}
     approx = {r["vec_id"] for r in entry_mod.q17_lsh_ann(spark, SF).collect()}
     assert len(exact & approx) >= 4, (exact, approx)
+
+
+def test_dom_fixtures_match_live_kernel(spark):
+    """The q22/q23/q31 oracles read FROZEN kernel outputs
+    (tests/fixtures/, scripts/freeze_dom_fixtures.py); this pins the
+    live kernel to the fixtures so drift is caught here, not as an
+    opaque driver hash mismatch. On intentional kernel changes:
+    re-run the freeze script and commit the new fixtures."""
+    import os
+
+    from langscrape_spark import synth
+    from langscrape_spark.operators.domtable import (
+        dom_nodes_table,
+        template_signatures,
+    )
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    live_nodes = {
+        tuple(r)
+        for r in dom_nodes_table(
+            synth.build_pages_df(spark, 48, partitions=4)
+        ).collect()
+    }
+    frozen_nodes = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q22_dom_nodes.parquet")
+        ).collect()
+    }
+    assert live_nodes == frozen_nodes
+    live_sigs = {
+        tuple(r)
+        for r in template_signatures(
+            synth.build_pages_df(spark, 64, partitions=4)
+        ).collect()
+    }
+    frozen_sigs = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q31_template_sigs.parquet")
+        ).collect()
+    }
+    assert live_sigs == frozen_sigs

@@ -367,3 +367,54 @@ def test_ivf_empty_and_zero_norm(spark):
     cents = ivf_centroids(zeros, k=2, iterations=1)
     out = ivf_topk(zeros, [1.0, 0.0], cents, k=5, nprobe=2).collect()
     assert [r["vec_id"] for r in out][0] == 2  # NaN cosine sorts after
+
+
+def test_lang_id_eleven_languages_and_duckdb_parity(spark):
+    """VERDICT r2 #8: lang-ID extended to 11 languages (7 stopword
+    lists + 4 script charclasses) keeping the argmax / smallest-code
+    tie / no-hits→'und' contract — checked per language AND against
+    the DuckDB formulation the q11 oracle generates from the same
+    data tables."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from langscrape_spark.operators.text import lang_id
+
+    samples = [
+        (1, "the cat and the dog ran to the house of the king", "en"),
+        (2, "le chat et la souris est dans les jardins de une maison", "fr"),
+        (3, "der hund und die katze ist von den nachbarn mit ein ball", "de"),
+        (4, "el perro corre por el parque con los amigos para una fiesta más grande", "es"),
+        (5, "não vou para casa com ele porque quero mais tempo como dos outros", "pt"),
+        (6, "il cane corre per il parco con gli amici che sono della città non troppo", "it"),
+        (7, "het huis van een man dat niet aan de straat staat met zijn hond ook", "nl"),
+        (8, "собака бежит по парку с друзьями", "ru"),
+        (9, "الكلب يركض في الحديقة مع الأصدقاء", "ar"),
+        (10, "狗在公园里跑步和朋友们一起玩耍", "zh"),
+        (11, "いぬはこうえんでともだちとあそびます", "ja"),
+        (12, "xyzzy plugh 12345", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lg"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("lg")
+        ).collect()
+    }
+    assert got == {i: lang for i, _, lang in samples}
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t) for i, t, _ in samples], columns=["doc_id", "text"]
+        ),
+    )
+    odf = con.execute(entry.oracle_sql()["q11_lang_quality"]).df()
+    assert dict(zip(odf["doc_id"], odf["lang_guess"])) == {
+        i: lang for i, _, lang in samples
+    }
