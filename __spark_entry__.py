@@ -570,22 +570,13 @@ def q33_clean_tags(spark, sf):
     )
 
 
-def q34_swde_rank(spark, sf):
-    """SWDE-style corpus flow end-to-end (reference
-    feilian/datasets/dataset.py:92-254 + fragments_agent F1 ranking;
-    rows-only — reads a synthesized page-dir corpus): read page dirs +
-    tab-separated truth, extract candidate xpaths, F1-rank, best per
-    (category, site, field)."""
+def ensure_q34_corpus() -> str:
+    """Materialize q34's synthetic SWDE page-dir corpus (idempotent,
+    race-safe) and return its root. Exposed separately so the bench
+    harness can build it OUTSIDE the timed window — the first-run
+    corpus I/O is fixture setup, not query cost."""
     import os
     import tempfile
-
-    from langscrape_spark.functions.kernel import make_extract_fields_udf
-    from langscrape_spark.operators.evalops import best_per_group, f1_by_group
-    from langscrape_spark.sources.swde import (
-        swde_ground_truth,
-        swde_pages,
-        truth_values_long,
-    )
 
     root = os.path.join(tempfile.gettempdir(), "swde_q34_v1")
     if not os.path.isdir(root):
@@ -611,7 +602,26 @@ def q34_swde_rank(spark, sf):
             os.rename(build, root)
         except OSError:
             pass  # lost the race: the other process's corpus is identical
+    return root
 
+
+def q34_swde_rank(spark, sf):
+    """SWDE-style corpus flow end-to-end (reference
+    feilian/datasets/dataset.py:92-254 + fragments_agent F1 ranking;
+    rows-only — reads a synthesized page-dir corpus): read page dirs +
+    tab-separated truth, extract candidate xpaths, F1-rank, best per
+    (category, site, field)."""
+    import os
+
+    from langscrape_spark.functions.kernel import make_extract_fields_udf
+    from langscrape_spark.operators.evalops import best_per_group, f1_by_group
+    from langscrape_spark.sources.swde import (
+        swde_ground_truth,
+        swde_pages,
+        truth_values_long,
+    )
+
+    root = ensure_q34_corpus()
     pages = swde_pages(spark, root)
     truth = swde_ground_truth(spark, os.path.join(root, "groundtruth"))
     field_map = {

@@ -77,6 +77,14 @@ def _deterministic_planes(dim: int, n_planes: int) -> List[List[float]]:
     return planes
 
 
+def gemm_block_rows(n_cols: int, target_bytes: int = 128 << 20) -> int:
+    """Row-block size for a blocked gemm whose sims slab must stay
+    ≤ ``target_bytes``: slab = block · n_cols · 8 B. Post-guard groups
+    in the LSH near-dup path can reach 8·max_bucket_rows (131k) columns
+    — a fixed 1024-row block there is a ~1 GB slab per python worker."""
+    return max(16, min(1024, target_bytes // (max(n_cols, 1) * 8)))
+
+
 def srp_bucket(vec: Column, planes: List[List[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per plane."""
     bucket = F.lit(0).cast("long")
@@ -428,12 +436,8 @@ def embedding_neardup_pairs_lsh(
         norms[norms == 0] = np.nan  # zero-norm → NaN cosine → dropped
         unit = mat / norms[:, None]
         outs = []
-        # row-blocked gemm with the block size derived from the group
-        # width so the sims slab stays ≤ ~128 MB: groups can reach
-        # 8·max_bucket_rows (131k) rows post-guard, where a fixed
-        # 1024-row block would make each slab 1024·131k·8B ≈ 1 GB per
-        # python worker.
-        block = max(16, min(1024, (128 << 20) // (len(ids) * 8)))
+        # row-blocked gemm, block sized so the sims slab stays ≤128 MB
+        block = gemm_block_rows(len(ids))
         for lo in range(0, len(ids), block):
             sims = np.round(unit[lo : lo + block] @ unit.T, 6)
             li, ri = np.nonzero(

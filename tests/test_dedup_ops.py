@@ -295,3 +295,49 @@ def test_simhash_bucket_cap_drops_exact_dup_blowup(spark):
         ).collect()
     }
     assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_gemm_block_rows_bounds_slab():
+    """The per-bucket gemm block must keep the sims slab ≤128 MB for
+    every group width up to far beyond the 8·max_bucket_rows guard
+    (VERDICT r2 #6), without degenerating below a useful batch."""
+    from langscrape_spark.operators.ann import gemm_block_rows
+
+    for n_cols in (1, 100, 1024, 16_384, 131_072, 1_000_000, 10_000_000):
+        block = gemm_block_rows(n_cols)
+        assert 16 <= block <= 1024
+        # the slab bound only applies once a single 16-row block fits
+        if n_cols * 16 * 8 <= (128 << 20):
+            assert block * n_cols * 8 <= (128 << 20), n_cols
+    # small groups keep the full 1024-row block (no needless tiny calls)
+    assert gemm_block_rows(1000) == 1024
+
+
+def test_chunked_neardup_many_chunks_bounded_plan(spark):
+    """VERDICT r2 #9: ~100 right-side chunks must still plan and run
+    (the union is folded with localCheckpoint every 32 chunks — an
+    unfolded 100-branch unionByName is an unplannable DAG at 10^3
+    chunks) and the output must equal the exact pair set."""
+    from langscrape_spark.operators.ann import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_chunked,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(25, 4)
+    rows = []
+    for i in range(500):
+        v = base[i % 25] + 0.001 * rng.randn(4)  # planted near-dups
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    chunked = embedding_neardup_pairs_chunked(
+        df, 0.999, chunk_rows=5  # 100 chunks
+    )
+    got = {(r["id_a"], r["id_b"]) for r in chunked.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, 0.999).collect()
+    }
+    assert got == want and len(want) > 0

@@ -325,6 +325,86 @@ class TestHtml5libDivergences:
         doc = parse('<html><body><p class="x" class="y">t</p></body></html>')
         assert evaluate(doc, "//p")[0].attrs["class"] == "y"
 
+    def test_entity_in_attribute_decoded(self):
+        """Attribute values are entity-DECODED in the DOM (&amp;→&,
+        &lt;→<, &nbsp;→U+00A0) — same as html5lib/lxml, so field maps
+        predicated on @href/@title literals see decoded values on both
+        substrates. Divergence note: this serializer re-escapes only
+        & and \" in attributes (a raw < can appear inside a quoted
+        attr on re-serialization); html5lib's serializer also escapes
+        <. Extraction reads the DOM, never the re-serialization, so
+        the byte-identity contract is unaffected."""
+        doc = parse(
+            '<html><body><a href="/x?a=1&amp;b=2" '
+            'title="a &lt;b&gt; c&nbsp;d">t</a></body></html>'
+        )
+        a = evaluate(doc, "//a")[0]
+        assert a.attrs["href"] == "/x?a=1&b=2"
+        assert a.attrs["title"] == "a <b> c\xa0d"
+
+    def test_script_style_rawtext_with_lt_payload(self):
+        """<script>/<style> are rawtext elements: '<' inside them must
+        NOT open elements and a '</div>' inside a JS string must not
+        close anything — content runs verbatim to the matching end tag
+        (html5lib agrees; both end rawtext only at '</script'). The
+        cleaning pipeline then strips script/style entirely, so none
+        of this payload can reach extracted text."""
+        h = (
+            '<html><body><script>if (a<b && c>d) { x("</div>"); }'
+            "</script><style>a<b { color: red }</style><p>after</p>"
+            "</body></html>"
+        )
+        doc = parse(h)
+        assert evaluate(doc, "//script")[0].text_content() == (
+            'if (a<b && c>d) { x("</div>"); }'
+        )
+        assert len(evaluate(doc, "//div")) == 0  # no phantom div
+        assert [e.text_content() for e in evaluate(doc, "//p")] == ["after"]
+        cleaned = clean_html_for_extraction(h)
+        assert "a<b" not in cleaned and "after" in cleaned
+
+    def test_svg_foreign_content(self):
+        """Foreign content: html5lib puts <svg> subtrees in the SVG
+        namespace, preserves camelCase attrs (viewBox) and honors
+        self-closing tags. This DOM has no namespaces and lowercases
+        attribute names — DIVERGENCE for field maps matching
+        @viewBox — but self-closing IS honored (siblings never get
+        swallowed into the <circle>) and text inside foreign content
+        survives extraction on both substrates."""
+        doc = parse(
+            '<html><body><svg viewBox="0 0 1 1"><title>chart</title>'
+            '<circle r="1"/></svg><p>after</p></body></html>'
+        )
+        svg = evaluate(doc, "//svg")[0]
+        assert svg.attrs.get("viewbox") == "0 0 1 1"  # lowercased (divergence)
+        assert len(evaluate(doc, "//circle")) == 1
+        # self-closing honored: <p> is a sibling of <svg>, not a child
+        assert [e.tag for e in evaluate(doc, "//svg/p")] == []
+        assert [e.text_content() for e in evaluate(doc, "//p")] == ["after"]
+        assert evaluate(doc, "//svg//title")[0].text_content() == "chart"
+
+    def test_numeric_charref_edge_cases(self):
+        """Numeric character references, per the html5 tokenizer rules
+        the stdlib parser implements: hex and decimal decode, astral
+        plane works, lone surrogates and out-of-range code points
+        become U+FFFD — byte-identical to html5lib on all four
+        classes."""
+        doc = parse(
+            "<html><body><p>&#x41;&#66;&#xe9; &#x1F600; &#xD800; "
+            "&#999999999;</p></body></html>"
+        )
+        assert evaluate(doc, "//p")[0].text_content() == (
+            "AB\xe9 \U0001f600 � �"
+        )
+
+    def test_named_entity_longest_prefix_without_semicolon(self):
+        """'&notareal;' decodes via the legacy longest-prefix rule
+        (&not is on the html5 no-semicolon compat list) to '¬areal;',
+        and '&ampx' to '&x' — the stdlib parser and html5lib share the
+        spec's named-reference table, so text extraction agrees."""
+        doc = parse("<html><body><p>&notareal; &amp; &ampx</p></body></html>")
+        assert evaluate(doc, "//p")[0].text_content() == "\xacareal; & &x"
+
     def test_clean_is_stable_on_divergent_markup(self):
         """Whatever the tree shape, the cleaning pipeline must be
         deterministic and idempotent over the divergence fixtures."""
@@ -333,6 +413,10 @@ class TestHtml5libDivergences:
             "<b>bold <p>para</b> tail</p>",
             "<div><p>one<p>two<li>item",
             '<p class="x" class="y">t</p>',
+            '<a href="/x?a=1&amp;b=2" title="a &lt;b&gt;">t</a>',
+            '<script>if (a<b) { x("</div>"); }</script><p>t</p>',
+            '<svg viewBox="0 0 1 1"><circle r="1"/></svg><p>t</p>',
+            "<p>&#x1F600; &#xD800; &notareal;</p>",
         ):
             once = clean_html_for_extraction(h)
             assert clean_html_for_extraction(h) == once
