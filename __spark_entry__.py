@@ -809,15 +809,14 @@ _SHINGLES3 = (
     "range(1, greatest(len(tok) - 2, 0) + 1), "
     "i -> array_to_string(tok[i:i+2], ' '))))"
 )
-_EN_SW = "['the','and','of','to','in','is','that','for','with','was']"
-
-
 def _lang_score_sql() -> tuple[str, str]:
     """(score select-list, argmax CASE) for the q11 oracle, generated
     from the SAME data the Spark operator uses
     (operators/text.STOPWORDS / CHAR_CLASSES) — one source of truth.
     The CASE iterates language codes ascending so ties resolve to the
-    smallest code, exactly the Spark aggregate's first-max rule."""
+    smallest code, exactly the Spark aggregate's first-max rule.
+    (Single source of truth: no SQL-side stopword literals exist —
+    they are all generated from the operator's data tables.)"""
     from langscrape_spark.operators.text import CHAR_CLASSES, STOPWORDS
 
     exprs = []
@@ -947,9 +946,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS id, {_SHINGLES3} AS sh
               FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents WHERE doc_id < 200)),
             sig AS (
+              -- Kirsch-Mitzenmacher double hash, one md5 per shingle:
+              -- min((lower + h*upper) mod 2^64); md5_number_lower/upper
+              -- are the little-endian digest halves the Spark kernel
+              -- uses. HUGEINT keeps h*upper exact; VARCHAR matches the
+              -- Spark side's decimal-string signature entries.
               SELECT id,
                      list_transform(range(0, 16),
-                       h -> list_min(list_transform(sh, s -> md5(h || ':' || s)))) AS sg
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s) AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR)) AS sg
               FROM base),
             banded AS (
               SELECT id, unnest(list_transform(range(0, 4),

@@ -86,7 +86,13 @@ def gemm_block_rows(n_cols: int, target_bytes: int = 128 << 20) -> int:
 
 
 def srp_bucket(vec: Column, planes: List[List[float]]) -> Column:
-    """Sign-random-projection bucket id: one bit per plane."""
+    """Sign-random-projection bucket id: one bit per plane.
+
+    REFERENCE-ONLY: every live path uses :func:`srp_bucket_fast` (one
+    gemm per Arrow batch); this expression form exists as the readable
+    specification and for JVM-only contexts. Sign decisions can differ
+    from the gemm form on dot products within float-summation error of
+    zero, so do NOT mix the two bucketers over one corpus."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -118,6 +124,11 @@ def lsh_topk(
     ]
     q_bucket = sum(1 << i for i, bit in enumerate(q_bits) if bit)
 
+    # poison-safe: NULL/empty vectors can never be top-k by cosine
+    # (their similarity is undefined) and a None inside the gemm
+    # bucketer's Arrow batch would kill the whole query — drop them
+    # from the CANDIDATES only (the corpus is untouched).
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     # srp_bucket_fast: one numpy gemm per Arrow batch instead of
     # n_planes HOF dot products per row — same sign decisions up to
     # float-summation boundary cases, and the exact cosine re-rank

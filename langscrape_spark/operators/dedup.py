@@ -169,15 +169,57 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+_U64 = 1 << 64
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as an array of hex-string minima:
-    ``sig[h] = min over shingles of md5(h || ':' || shingle)``.
-    md5-hex string minima are totally ordered and identical across
-    engines (the SQL-portable variant of integer minhash)."""
+    """MinHash signature via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle, split into two little-endian uint64 halves
+    (a = LE(digest[8:16]), b = LE(digest[0:8]) — exactly DuckDB's
+    ``md5_number_lower``/``md5_number_upper``), then
+
+        sig[h] = min over shingles of (a + h·b) mod 2^64
+
+    emitted as decimal strings. The former scheme hashed every shingle
+    ``num_hashes`` times (md5('h:'||s)) — 16× the md5 work for the
+    same statistical guarantees (Kirsch & Mitzenmacher 2006: double
+    hashing preserves the min-wise property for LSH purposes).
+    Numeric minima are engine-identical: numpy uint64 wraps, DuckDB
+    computes the same mod in HUGEINT, and this expression form uses
+    decimal(38,0) arithmetic (ANSI-safe: 2^64 + 15·2^64 ≪ 10^38).
+
+    This is the readable/portable EXPRESSION form; the hot path is
+    :func:`minhash_signature_fast` (bit-identical, pinned by test)."""
     sh = shingles(text, k)
+    # per-shingle (a, b) computed once, reused by every hash slot
+    def _le_u64(s: Column, pairs: range) -> Column:
+        # little-endian: least-significant byte first in the digest →
+        # reverse the hex byte pairs, then base-16 → base-10 (Spark
+        # conv is unsigned-64, exactly the range we need)
+        hexcol = F.md5(s)
+        rev = F.concat(*[F.substring(hexcol, 2 * p - 1, 2) for p in pairs])
+        return F.conv(rev, 16, 10).cast("decimal(38,0)")
+
+    ab = F.transform(
+        sh,
+        lambda s: F.struct(
+            _le_u64(s, range(16, 8, -1)).alias("a"),  # digest[8:16] LE
+            _le_u64(s, range(8, 0, -1)).alias("b"),   # digest[0:8] LE
+        ),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{h}:"), s))))
+            F.array_min(
+                F.transform(
+                    ab,
+                    # 2^64 exceeds a java long, so the modulus literal
+                    # must travel as a string and cast engine-side
+                    lambda p: F.pmod(
+                        p["a"] + F.lit(h) * p["b"],
+                        F.lit(str(_U64)).cast("decimal(38,0)"),
+                    ),
+                )
+            ).cast("string")
             for h in range(num_hashes)
         ]
     )
@@ -204,17 +246,24 @@ def minhash_lsh_pairs(
     ``exact_dedup``'s job (run it first; it is one cheap hash shuffle).
     ``max_bucket=None`` disables the guard.
 
-    Plan shape (round 3): ONE signature pass, ONE shuffle. Signatures
-    are computed MAP-SIDE (vectorized pandas minhash, no shuffle; an
-    exploded-index groupBy-min formulation was measured SLOWER at 100k
-    docs — the index shuffle costs more than the hashlib loop saves);
-    pairs come from ``groupBy(bucket).collect_list(id)`` + a per-bucket
-    vectorized emit, NOT a bucket self-join — the former self-join +
+    Plan shape (round 3): ONE signature pass; two shuffles (the bucket
+    groupBy and the final per-pair dedup — down from the old four-
+    consumer plan). Signatures are computed MAP-SIDE (vectorized
+    pandas minhash, no shuffle; an exploded-index groupBy-min
+    formulation was measured SLOWER at 100k docs — the index shuffle
+    costs more than the hashlib loop saves); pairs come from
+    ``groupBy(bucket).collect_list(id)`` + a per-bucket vectorized
+    emit, NOT a bucket self-join — the former self-join +
     broadcast-anti guard consumed the signature lineage four times and
     Spark does not reuse the exchange across those consumers (measured
     2.4× slower), and the guard here is a free ``size(ids)`` filter on
     the already-grouped row instead of a second aggregation. Per-group
-    state is ≤ ``max_bucket`` ids (8 B each), bounded by the guard.
+    grouped state is ≤ ``max_bucket`` ids; the quadratic PAIR OUTPUT
+    is yielded in bounded blocks through the mapInPandas generator
+    (Arrow streams each block out), so worker memory never holds a
+    bucket's full pair set — same streaming behavior as the old join,
+    without its recomputation. Ids keep their input type (any
+    orderable column works, not just long).
 
     Documents with fewer than ``k`` tokens have no shingles → an
     all-NULL signature, and are excluded from banding (hashing NULL
@@ -251,21 +300,44 @@ def minhash_lsh_pairs(
     if max_bucket is not None:
         grouped = grouped.where(F.size("ids") <= max_bucket)
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def emit(batches):
         for pdf in batches:
-            outa, outb = [], []
             for ids in pdf["ids"]:
-                arr = np.sort(np.asarray(ids, dtype=np.int64))
-                iu = np.triu_indices(len(arr), 1)
-                outa.append(arr[iu[0]])
-                outb.append(arr[iu[1]])
-            if outa:
-                yield pd.DataFrame(
-                    {"id_a": np.concatenate(outa), "id_b": np.concatenate(outb)}
-                )
+                # object-safe sort: ids keep their input type
+                arr = np.asarray(ids)
+                arr = arr[np.argsort(arr, kind="stable")]
+                m = len(arr)
+                # Upper-triangle pairs in ROW BLOCKS, one yielded frame
+                # per block: a 100k-id bucket has 5·10⁹ pairs — the
+                # full triu index arrays alone would be ~80 GB on one
+                # python worker. Blocking bounds peak memory at ~2M
+                # mask elements (≤2M pairs ≈ 32 MB of index arrays per
+                # block); Arrow streams each yielded block downstream,
+                # so the quadratic volume flows through Spark exactly
+                # like the old self-join's output did.
+                blk = max(16, (2 << 20) // max(m, 1))
+                col_idx = np.arange(m)
+                for lo in range(0, m - 1, blk):
+                    hi = min(lo + blk, m - 1)
+                    mask = col_idx[None, :] > np.arange(lo, hi)[:, None]
+                    ri, ci = np.nonzero(mask)
+                    if len(ri):
+                        yield pd.DataFrame(
+                            {"id_a": arr[lo + ri], "id_b": arr[ci]}
+                        )
 
-    pairs = grouped.select("ids").mapInPandas(emit, "id_a long, id_b long")
-    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+    pairs = grouped.select("ids").mapInPandas(
+        emit, f"id_a {id_type}, id_b {id_type}"
+    )
+    return (
+        # duplicate input ids sort adjacent and would pair with
+        # themselves — the old a.id < b.id join excluded those
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -372,42 +444,60 @@ def simhash_near_dups(
     import pandas as pd
 
     mh = int(max_hamming)
+    id_type = df.schema[id_col].dataType.simpleString()
+    # byte-popcount lookup table: unpackbits on a full pair set is an
+    # 8× memory blowup; LUT[bytes].sum is flat
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     def emit(batches):
         for pdf in batches:
-            outs = []
             for rows in pdf["rows"]:
-                ids = np.fromiter((r["id"] for r in rows), dtype=np.int64)
-                shs = np.fromiter((r["sh"] for r in rows), dtype=np.int64)
-                order = np.argsort(ids)
+                ids = np.asarray([r["id"] for r in rows])
+                shs = np.asarray(
+                    [r["sh"] for r in rows], dtype=np.int64
+                ).astype(np.uint64)
+                order = np.argsort(ids, kind="stable")
                 ids, shs = ids[order], shs[order]
-                iu = np.triu_indices(len(ids), 1)
-                x = np.bitwise_xor(shs[iu[0]], shs[iu[1]])
-                ham = (
-                    np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
-                    .sum(axis=1)
-                    .astype(np.int32)
-                )
-                keep = ham <= mh
-                if keep.any():
-                    outs.append(
-                        pd.DataFrame(
+                m = len(ids)
+                # blockwise hamming of rows [lo,hi) against all m
+                # columns: one yielded frame per block bounds worker
+                # memory (the radius filter runs BEFORE any pair
+                # leaves the block), exactly like the minhash emit.
+                blk = max(16, (2 << 20) // max(m, 1))
+                col_idx = np.arange(m)
+                for lo in range(0, m - 1, blk):
+                    hi = min(lo + blk, m - 1)
+                    x = shs[lo:hi, None] ^ shs[None, :]
+                    ham = (
+                        _POP[x.view(np.uint8)]
+                        .reshape(hi - lo, m, 8)
+                        .sum(axis=2, dtype=np.int32)
+                    )
+                    keep = (ham <= mh) & (
+                        col_idx[None, :] > np.arange(lo, hi)[:, None]
+                    )
+                    ri, ci = np.nonzero(keep)
+                    if len(ri):
+                        yield pd.DataFrame(
                             {
-                                "id_a": ids[iu[0][keep]],
-                                "id_b": ids[iu[1][keep]],
-                                "hamming": ham[keep],
+                                "id_a": ids[lo + ri],
+                                "id_b": ids[ci],
+                                "hamming": ham[ri, ci],
                             }
                         )
-                    )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     pairs = grouped.select("rows").mapInPandas(
-        emit, "id_a long, id_b long, hamming int"
+        emit, f"id_a {id_type}, id_b {id_type}, hamming int"
     )
     # a pair within radius can share several blocks — keep one copy
-    # (the hamming value is identical in every copy)
-    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+    # (the hamming value is identical in every copy); duplicate input
+    # ids sort adjacent and would self-pair at hamming 0 — the old
+    # a.id < b.id join excluded those
+    return (
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
 
 
 def simhash64_fast(text: Column, k: int = 2) -> Column:
@@ -441,18 +531,22 @@ def simhash64_fast(text: Column, k: int = 2) -> Column:
 
 
 def minhash_signature_fast(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Same signature as :func:`minhash_signature` (md5-hex string
-    minima over the same sorted distinct shingles — pinned by test),
-    computed in one pandas UDF instead of ``num_hashes`` codegen'd
-    transform+array_min expressions. hashlib.md5 and Spark's md5 agree
-    on hex output, so values are engine-identical."""
+    """Same signature as :func:`minhash_signature` (double-hash minima
+    over the same sorted distinct shingles — pinned by test), computed
+    in one pandas UDF: ONE hashlib.md5 per shingle, then a single
+    numpy outer add for all ``num_hashes`` slots (uint64 wraps mod
+    2^64 natively). The former per-(hash,shingle) md5 scheme did 16×
+    the digest work — at 10^10 documents the md5 loop IS the minhash
+    cost, so the kernel change is the scale win, not a micro-opt."""
     import hashlib as _hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
     def _sig(sh_series):
+        hs = np.arange(num_hashes, dtype=np.uint64)
         out = []
         for sh in sh_series:
             if sh is None or len(sh) == 0:
@@ -460,16 +554,13 @@ def minhash_signature_fast(text: Column, num_hashes: int = 16, k: int = 3) -> Co
                 # slot — match it exactly
                 out.append([None] * num_hashes)
                 continue
-            sig = []
-            for h in range(num_hashes):
-                prefix = f"{h}:".encode()
-                sig.append(
-                    min(
-                        _hashlib.md5(prefix + s.encode()).hexdigest()
-                        for s in sh
-                    )
-                )
-            out.append(sig)
+            digs = [_hashlib.md5(s.encode()).digest() for s in sh]
+            # a = LE(digest[8:16]), b = LE(digest[0:8]) — DuckDB's
+            # md5_number_lower / md5_number_upper
+            raw = np.frombuffer(b"".join(digs), dtype="<u8").reshape(-1, 2)
+            a, b = raw[:, 1], raw[:, 0]
+            mins = (a[None, :] + hs[:, None] * b[None, :]).min(axis=1)
+            out.append([str(int(v)) for v in mins])
         return pd.Series(out)
 
     return pandas_udf(_sig, ArrayType(StringType()))(shingles(text, k))

@@ -250,12 +250,16 @@ def _bloom_positions(m_bits: int):
 #   travel once per bucket, never once per candidate row (a plain join
 #   would replicate a MiB-scale bitset onto every row).
 # Crash-safety: the `_STATE` marker (round + GEOMETRY: bits/buckets/k)
-# commits after the data. A torn merge leaves the bloom a SUPERSET of
-# the committed seen-set — supersets only add false positives, which
-# the exact anti-join removes, so admission stays exact in every crash
-# order. A geometry or round mismatch in `_STATE` forces a rebuild
+# is INVALIDATED before each merge write and re-stamped after it.
+# Required because dynamic partition overwrite deletes each matched
+# bucket dir before renaming staged files at job commit — a kill
+# inside that window leaves a bucket MISSING (false negatives, NOT a
+# superset), which a stale marker would wrongly validate. With the
+# invalidate-write-stamp order, every crash point resolves to either
+# the previous committed bloom or a full rebuild from the committed
+# seen set (`test_bloom_crash_inside_merge_overwrite_forces_rebuild`).
+# A geometry or round mismatch in `_STATE` likewise forces a rebuild
 # (probing with the wrong modulus would produce false NEGATIVES).
-# Missing bucket dir ⇒ empty bitset ⇒ definitely-new.
 
 
 def _bloom_layout(cfg: CrawlConfig) -> tuple:

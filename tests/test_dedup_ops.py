@@ -196,24 +196,36 @@ def test_lsh_neardup_hot_bucket_refinement(spark):
 
 
 def test_minhash_agg_signatures_equal_column_form(spark):
-    """The JVM-aggregation signature build inside minhash_lsh_pairs
-    must produce the same minima as minhash_signature_fast — pinned by
-    reconstructing the agg form directly."""
-    from langscrape_spark.operators.dedup import minhash_signature_fast, shingles
+    """The double-hash minhash must agree across THREE independent
+    builds: the numpy kernel (minhash_signature_fast), the Spark
+    expression form (covered by test_minhash_fast_equals_expression),
+    and this pure-Python driver-side reconstruction — tokenization,
+    shingling, little-endian md5 halves and the (a + h·b) mod 2^64
+    minima all recomputed from first principles."""
+    import hashlib
+    import re
+
+    from langscrape_spark.operators.dedup import minhash_signature_fast
 
     docs = spark.read.parquet(DOCS).limit(100)
-    ex = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(shingles(F.col("text"), 3)).alias("s"),
-    )
-    agg = ex.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"h{h}")
-            for h in range(16)
+
+    def py_sig(text: str) -> list:
+        toks = [w for w in re.split(r"\s+", text.lower()) if w]
+        sh = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        if not sh:
+            return [None] * 16
+        ab = []
+        for s in sh:
+            d = hashlib.md5(s.encode()).digest()
+            ab.append(
+                (int.from_bytes(d[8:], "little"), int.from_bytes(d[:8], "little"))
+            )
+        return [
+            str(min((a + h * b) % (1 << 64) for a, b in ab)) for h in range(16)
         ]
-    )
-    got = {r["id"]: [r[f"h{h}"] for h in range(16)] for r in agg.collect()}
-    want = {
+
+    want = {r["doc_id"]: py_sig(r["text"]) for r in docs.collect()}
+    got = {
         r["doc_id"]: list(r["sig"])
         for r in docs.select(
             "doc_id", minhash_signature_fast(F.col("text"), 16, 3).alias("sig")
@@ -341,3 +353,113 @@ def test_chunked_neardup_many_chunks_bounded_plan(spark):
         for r in embedding_neardup_pairs(df, 0.999).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pair_emitters_generic_ids_and_no_self_pairs(spark):
+    """Review r3: the grouped emitters must (a) keep the id column's
+    input type (string ids are natural for a url-keyed corpus), and
+    (b) never emit self-pairs when the same id appears twice (the old
+    a.id < b.id join excluded them)."""
+    rows = [
+        ("url-a", "spark engines crawl the web with ease and speed today"),
+        ("url-b", "spark engines crawl the web with ease and speed now"),
+        ("url-b", "spark engines crawl the web with ease and speed now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    mh = minhash_lsh_pairs(df, "text", "doc_id")
+    got = [(r["id_a"], r["id_b"]) for r in mh.collect()]
+    assert all(a != b for a, b in got)
+    assert ("url-a", "url-b") in got
+    assert dict(mh.dtypes)["id_a"] == "string"
+    sh = simhash_near_dups(df, "text", "doc_id", max_hamming=8)
+    got2 = [(r["id_a"], r["id_b"]) for r in sh.collect()]
+    assert all(a != b for a, b in got2)
+    assert ("url-a", "url-b") in got2
+
+
+def test_pair_emitters_equal_python_reconstruction(spark):
+    """The grouped emit must equal a full pure-Python reconstruction
+    of the LSH contract (signatures → band buckets → per-bucket pairs
+    → shared-band counts) on a corpus with real partial-band overlaps
+    (texts differing only in one token share SOME bands)."""
+    import hashlib
+    import itertools
+    import re
+
+    rows = [(i, f"common shingle text base document alpha beta {i % 7}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+
+    def py_sig(text):
+        toks = [w for w in re.split(r"\s+", text.lower()) if w]
+        sh = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        ab = []
+        for s in sh:
+            d = hashlib.md5(s.encode()).digest()
+            ab.append((int.from_bytes(d[8:], "little"),
+                       int.from_bytes(d[:8], "little")))
+        return [str(min((a + h * b) % (1 << 64) for a, b in ab))
+                for h in range(16)]
+
+    buckets = {}
+    for i, t in rows:
+        sig = py_sig(t)
+        for b in range(4):
+            key = hashlib.md5(
+                "|".join([str(b)] + sig[b * 4:b * 4 + 4]).encode()
+            ).hexdigest()
+            buckets.setdefault(key, []).append(i)
+    shared = {}
+    for ids in buckets.values():
+        for a, b2 in itertools.combinations(sorted(ids), 2):
+            shared[(a, b2)] = shared.get((a, b2), 0) + 1
+    want = {(a, b2, n) for (a, b2), n in shared.items()}
+    assert got == want and len(want) > 500
+
+
+def test_pair_emitter_multiblock_bucket(spark):
+    """A single band bucket of 1,600 identical docs forces the
+    blockwise emitter through multiple yielded blocks (block size =
+    2M mask elements / 1600 ids ≈ 1310 rows < 1599) — the union of
+    blocks must be exactly C(1600,2) pairs, every one at 4 shared
+    bands, with no self-pairs and no duplicates."""
+    clone = "the very same duplicated text in every single clone row here"
+    df = spark.createDataFrame(
+        [(i, clone) for i in range(1600)], "doc_id long, text string"
+    )
+    out = minhash_lsh_pairs(df, "text", "doc_id")
+    from pyspark.sql import functions as SF
+
+    agg = out.agg(
+        SF.count("*").alias("n"),
+        SF.min("n_shared_bands").alias("lo"),
+        SF.max("n_shared_bands").alias("hi"),
+        SF.sum(SF.when(SF.col("id_a") >= SF.col("id_b"), 1).otherwise(0)).alias("bad"),
+    ).first()
+    assert agg["n"] == 1600 * 1599 // 2
+    assert agg["lo"] == 4 and agg["hi"] == 4 and agg["bad"] == 0
+
+
+def test_lsh_topk_survives_null_embedding(spark):
+    """Review r3: one NULL/empty embedding row must not kill lsh_topk
+    (the gemm bucketer would raise on a ragged Arrow batch) — poison
+    rows simply can't be top-k."""
+    from langscrape_spark.operators.ann import lsh_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    poison = spark.createDataFrame(
+        [(99991, None), (99992, [])],
+        "vec_id long, embedding array<double>",
+    )
+    df = emb.unionByName(poison)
+    q = [float(x) for x in emb.first()["embedding"]]
+    out = lsh_topk(df, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] < 99991 for r in rows)
