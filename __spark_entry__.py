@@ -7,11 +7,12 @@ ANSI SQL. Column names and types are aligned on both sides (counts as
 BIGINT, ratios rounded to 6 dp) because the driver hash-compares
 values after sorting columns by name.
 
-Queries without an oracle entry (q16_simhash, q17_lsh_ann,
-q18_extract_kernel, q19_crawl_schedule) are the genuinely
-non-SQL-expressible ops (bit-mix fingerprints, LSH probing, the HTML
-kernel, the round-loop scheduler) — the driver records rows-only
-checks for those.
+Queries without an oracle entry (q17_lsh_ann, q18_extract_kernel,
+q19_crawl_schedule, …) are the genuinely non-SQL-expressible ops
+(LSH probing, the HTML kernel, the round-loop scheduler) — the driver
+records rows-only checks for those. q16_simhash gained a full oracle
+in round 3: its shingle hash is the md5 lower half, which DuckDB
+reproduces via ``md5_number_lower``.
 """
 
 from __future__ import annotations
@@ -221,9 +222,11 @@ def q15_best_per_group(spark, sf):
 
 
 def q16_simhash(spark, sf):
-    """SimHash64 fingerprints (bit-mix; no portable SQL oracle).
-    Vectorized variant — bit-identical to the expression build
-    (pinned in tests/test_training_ops.py)."""
+    """SimHash64 fingerprints, DuckDB-oracled END TO END: the shingle
+    hash is the md5 lower half (``md5_number_lower`` in DuckDB), so
+    the oracle reproduces tokenize → shingle → hash → bit votes →
+    pack with zero fixtures. Vectorized variant — bit-identical to
+    the expression build (pinned in tests/test_training_ops.py)."""
     from langscrape_spark.operators.dedup import simhash64_fast
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -809,6 +812,11 @@ _SHINGLES3 = (
     "range(1, greatest(len(tok) - 2, 0) + 1), "
     "i -> array_to_string(tok[i:i+2], ' '))))"
 )
+_SHINGLES2 = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(tok) - 1, 0) + 1), "
+    "i -> array_to_string(tok[i:i+1], ' '))))"
+)
 def _lang_score_sql() -> tuple[str, str]:
     """(score select-list, argmax CASE) for the q11 oracle, generated
     from the SAME data the Spark operator uses
@@ -1187,6 +1195,37 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n
                 FROM lineitem GROUP BY l_returnflag, l_linestatus))
             WHERE rn = 1
+        """,
+        "q16_simhash": f"""
+            -- full SimHash reproduction: tokenize -> distinct 2-shingles
+            -- -> md5 lower half (the Spark kernel's hash, see
+            -- operators/dedup._md5_lower64) -> per-bit majority votes
+            -- -> little-endian pack -> signed 64-bit. Strict majority
+            -- (2*ones > n) matches the Spark votes>0 rule; empty
+            -- shingle lists pack to 0 exactly like the kernel.
+            WITH base AS (
+              SELECT doc_id, {_SHINGLES2} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok
+                    FROM documents WHERE doc_id < 100)),
+            hashed AS (
+              SELECT doc_id,
+                     list_transform(sh, s -> md5_number_lower(s)) AS hs
+              FROM base),
+            votes AS (
+              SELECT doc_id, j, len(hs) AS n,
+                     len(list_filter(hs, h -> ((h >> j) & 1) = 1)) AS ones
+              FROM hashed, UNNEST(range(0, 64)) AS t(j)),
+            packed AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN 2 * ones > n
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                       ELSE CAST(0 AS HUGEINT) END), 0) AS us
+              FROM votes GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN us >= CAST(1 AS HUGEINT) << 63
+                        THEN us - (CAST(1 AS HUGEINT) << 64)
+                        ELSE us END AS BIGINT) AS simhash
+            FROM packed
         """,
         "q22_dom_structural_stats": f"""
             SELECT url, tag,

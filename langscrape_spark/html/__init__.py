@@ -21,6 +21,7 @@ from .extract import (
 )
 from .css import CSSError, css_select, extract_text_by_css_selector
 from .links import extract_links, normalize_url, url_host
+from .minify import minify
 from .prune import (
     apply_trim_rules,
     build_token_tree,

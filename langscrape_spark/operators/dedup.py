@@ -341,16 +341,35 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
-# SimHash (Spark-side; bit ops don't port cleanly to a SQL oracle)
+# SimHash (md5-half shingle hashes — DuckDB-reproducible end to end)
 # --------------------------------------------------------------------------
 
+def _md5_lower64(s: Column) -> Column:
+    """Signed 64-bit little-endian lower md5 half — the bit pattern of
+    DuckDB's ``md5_number_lower`` (LE of ``digest[8:16]``), as a Spark
+    LONG. Reversed hex byte pairs → two 32-bit halves → wrap-combine
+    via ``shiftleft`` (bitwise, so the sign bit never overflows)."""
+    hexcol = F.md5(s)
+    rev = F.concat(*[F.substring(hexcol, 2 * p - 1, 2) for p in range(16, 8, -1)])
+    hi = F.conv(F.substring(rev, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(rev, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(text: Column, k: int = 2) -> Column:
-    """64-bit SimHash over word k-shingles using xxhash64: for each bit
-    position, sum ±1 over shingle hashes and take the sign. Built from
-    JVM expressions (no Python); ~64 aggregate lambdas, acceptable for
-    a fingerprint column computed once per document."""
+    """64-bit SimHash over word k-shingles: for each bit position, sum
+    ±1 over shingle hashes and take the sign. Built from JVM
+    expressions (no Python); ~64 aggregate lambdas, acceptable for a
+    fingerprint column computed once per document.
+
+    The shingle hash is the md5 lower half (:func:`_md5_lower64`)
+    rather than ``xxhash64`` so the whole fingerprint — tokenize →
+    shingle → hash → bit votes → pack — is reproducible in DuckDB
+    (``md5_number_lower``), which is what upgrades q16 from rows-only
+    to a hash-checked oracle. Any uniform 64-bit hash gives SimHash
+    the same statistical behavior; md5 is the engine-portable one."""
     sh = shingles(text, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, _md5_lower64)
     bit_terms = [
         F.aggregate(
             hashes,
@@ -501,25 +520,31 @@ def simhash_near_dups(
 
 
 def simhash64_fast(text: Column, k: int = 2) -> Column:
-    """Same SimHash as :func:`simhash64` — shingle hashes still come
-    from JVM ``xxhash64`` so values are bit-identical — but the 64
-    per-bit ±1 aggregations run as one vectorized numpy bit-unpack in
-    a pandas UDF instead of 64 codegen'd aggregate lambdas (whose
-    generated code dominates runtime)."""
+    """Same SimHash as :func:`simhash64` (bit-identical — pinned by
+    ``test_simhash_fast_equals_expression``), with the 64 per-bit ±1
+    aggregations run as one vectorized numpy bit-unpack in a pandas
+    UDF instead of 64 codegen'd aggregate lambdas (whose generated
+    code dominates runtime). The shingle hash is the md5 lower half
+    computed with ``hashlib`` inside the same UDF — one digest per
+    shingle, the identical convention (and cost) as the minhash
+    kernel, and DuckDB-reproducible via ``md5_number_lower``."""
+    import hashlib as _hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
-
     def _sig(batch):
         out = np.zeros(len(batch), dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(batch):
-            if hs is None or len(hs) == 0:
+        for i, sh in enumerate(batch):
+            if sh is None or len(sh) == 0:
                 continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            h = np.frombuffer(
+                b"".join(_hashlib.md5(s.encode()).digest()[8:16] for s in sh),
+                dtype="<u8",
+            )
             bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             out[i] = np.packbits(
@@ -527,7 +552,7 @@ def simhash64_fast(text: Column, k: int = 2) -> Column:
             ).view(np.uint64)[0]
         return pd.Series(out.view(np.int64))
 
-    return pandas_udf(_sig, LongType())(hashes)
+    return pandas_udf(_sig, LongType())(shingles(text, k))
 
 
 def minhash_signature_fast(text: Column, num_hashes: int = 16, k: int = 3) -> Column:

@@ -563,8 +563,16 @@ def run_crawl(
         cached_cand = None
         probed_cache = None
         new_entries = None
+        # Per-phase wall timings (driver-side diagnostics only — the
+        # metrics *table* schema is unchanged): lets the scaling bench
+        # attribute non-scaling round cost to a specific phase instead
+        # of guessing (admit window vs extraction vs membership vs
+        # checkpoint I/O).
+        phases: dict = {}
         try:
+            tp = time.time()
             n_admitted = admitted.count()
+            phases["admit"] = round(time.time() - tp, 3)
             if n_admitted == 0:
                 break
 
@@ -595,6 +603,7 @@ def run_crawl(
             if cfg.extract_field_map is not None:
                 from ..plans.extract import extract_pages
 
+                tp = time.time()
                 batch_pages = pages.join(
                     F.broadcast(admitted.select("url")), "url", "inner"
                 )
@@ -605,6 +614,7 @@ def run_crawl(
                     ),
                     round_no,
                 )
+                phases["extract"] = round(time.time() - tp, 3)
 
             # --- seen membership: explicit url-hash repartition + bloom ----
             seen = catalog.read_appended("seen", round_no)
@@ -656,11 +666,13 @@ def run_crawl(
             # One job yields both the total (n_new) and the per-partition
             # row counts of the membership stage's output (the anti-join
             # preserves cand's url-hash partitioning, so skew shows here).
+            tp = time.time()
             part_counts = (
                 new_entries.groupBy(F.spark_partition_id().alias("pid"))
                 .count()
                 .collect()
             )
+            phases["membership"] = round(time.time() - tp, 3)
             n_new = sum(int(r["count"]) for r in part_counts)
             total_seen += n_new
 
@@ -705,11 +717,33 @@ def run_crawl(
             # keep=4 on the frontier: per-round snapshots would otherwise
             # grow the catalog by a full copy per round; resume needs only
             # the committed round and its successor.
+            def _timed(name, fn):
+                def run():
+                    ts = time.time()
+                    fn()
+                    phases[f"write_{name}"] = round(time.time() - ts, 3)
+
+                return run
+
             writes = [
-                lambda: catalog.write("frontier", next_frontier, round_no + 1, keep=4),
-                lambda: catalog.append("seen", new_entries.select("url"), round_no + 1),
-                lambda: catalog.append("schedule", sched_df, round_no),
-                lambda: catalog.append("metrics", metrics_df, round_no),
+                _timed(
+                    "frontier",
+                    lambda: catalog.write(
+                        "frontier", next_frontier, round_no + 1, keep=4
+                    ),
+                ),
+                _timed(
+                    "seen",
+                    lambda: catalog.append(
+                        "seen", new_entries.select("url"), round_no + 1
+                    ),
+                ),
+                _timed(
+                    "schedule", lambda: catalog.append("schedule", sched_df, round_no)
+                ),
+                _timed(
+                    "metrics", lambda: catalog.append("metrics", metrics_df, round_no)
+                ),
             ]
             if bloom_df is not None:
                 # Incremental bloom maintenance: only the buckets touched
@@ -717,17 +751,25 @@ def run_crawl(
                 # overwrite — O(touched), never O(total bloom)); the state
                 # marker commits after the data inside _advance_bloom.
                 writes.append(
-                    lambda: _advance_bloom(
-                        catalog, bloom_df, new_entries.select("url"),
-                        cfg, round_no + 1,
+                    _timed(
+                        "bloom",
+                        lambda: _advance_bloom(
+                            catalog, bloom_df, new_entries.select("url"),
+                            cfg, round_no + 1,
+                        ),
                     )
                 )
+            tp = time.time()
             with ThreadPoolExecutor(max_workers=len(writes)) as pool:
                 for fut in [pool.submit(w) for w in writes]:
                     fut.result()  # re-raise any write failure before commit
+            phases["writes_barrier"] = round(time.time() - tp, 3)
             catalog.commit_round(round_no + 1)
             if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+                tp = time.time()
                 catalog.compact("seen", round_no + 1)
+                phases["compact"] = round(time.time() - tp, 3)
+            round_metrics["phases"] = phases
             state.rounds_run += 1
         finally:
             admitted.unpersist()

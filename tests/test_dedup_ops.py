@@ -288,8 +288,11 @@ def test_simhash_bucket_cap_drops_exact_dup_blowup(spark):
     while pairs among distinct near-dup docs survive."""
     clone = "the same exact duplicated text repeated in every clone row"
     rows = [(i, clone) for i in range(20)] + [
+        # md5-half simhash hamming distance between these two is 5
+        # (verified offline; the xxhash64-era pair drifted to 13 when
+        # the hash basis changed for the q16 DuckDB oracle)
         (100, "unique text one about spark engines and crawling the web"),
-        (101, "unique text one about spark engines and crawling the net"),
+        (101, "unique text one about spark engines and crawling the dom"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     capped = {
