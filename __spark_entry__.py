@@ -8,11 +8,14 @@ BIGINT, ratios rounded to 6 dp) because the driver hash-compares
 values after sorting columns by name.
 
 Queries without an oracle entry (q17_lsh_ann, q18_extract_kernel,
-q19_crawl_schedule, …) are the genuinely non-SQL-expressible ops
-(LSH probing, the HTML kernel, the round-loop scheduler) — the driver
-records rows-only checks for those. q16_simhash gained a full oracle
-in round 3: its shingle hash is the md5 lower half, which DuckDB
-reproduces via ``md5_number_lower``.
+q19_crawl_schedule, q21_embedding_neardup_lsh, q24_media_features,
+q34_swde_rank, q35_ivf_ann) are the genuinely non-SQL-expressible ops
+(LSH probing, the HTML kernel, the round-loop scheduler, blake2b
+media fakes, iterative Lloyd) — the driver records rows-only checks
+for those. Round-3 oracle upgrades: q16_simhash (shingle hash moved
+to the md5 lower half, which DuckDB reproduces via
+``md5_number_lower``) and q32_host_pagerank (frozen link-kernel edge
+fixture + the 8 power iterations unrolled as chained CTEs).
 """
 
 from __future__ import annotations
@@ -529,8 +532,10 @@ def q31_template_cluster(spark, sf):
 
 def q32_host_pagerank(spark, sf):
     """Host-rank from the corpus link graph: weighted PageRank power
-    iteration over host→host edges (the frontier's priority signal;
-    rows-only — needs link extraction from html)."""
+    iteration over host→host edges (the frontier's priority signal).
+    DuckDB-oracled since round 3: the link-harvest kernel output is
+    frozen to a fixture (scripts/freeze_dom_fixtures.py) and the 8
+    power iterations are unrolled as chained CTEs (_pagerank_sql)."""
     from langscrape_spark import synth
     from langscrape_spark.operators.hostrank import host_rank_table
 
@@ -725,6 +730,29 @@ def q37_scheme_report(spark, sf):
     )
 
 
+def q38_repetition_quality(spark, sf):
+    """Gopher-style repetition quality filters (top-2-gram fraction /
+    duplicate-3-gram fraction with the paper's 0.20/0.18 thresholds)
+    over the documents table — the standard LLM-training-corpus
+    repetition gate. See operators/text.repetition_stats for the
+    scale shape (two hash aggs, no windows/UDFs)."""
+    from langscrape_spark.operators.text import repetition_stats
+
+    # The sf0.1 documents parquet is a single row group → a 1-partition
+    # scan; the explode would run on one core without this split (at
+    # production scale the input arrives in many partitions already).
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rep = repetition_stats(docs, "doc_id", "text")
+    return rep.select(
+        "doc_id",
+        "top2gram_frac",
+        "dup3gram_frac",
+        F.col("repetition_flagged").cast("int").alias("repetition_flagged"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -764,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ivf_ann": q35_ivf_ann,
         "q36_select_best_xpath": q36_select_best_xpath,
         "q37_scheme_report": q37_scheme_report,
+        "q38_repetition_quality": q38_repetition_quality,
     }
 
 
@@ -783,6 +812,69 @@ def _fixture(name: str) -> str:
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", name
     )
+
+
+def _pagerank_sql(iterations: int = 8, damping: float = 0.85) -> str:
+    """q32 oracle: weighted PageRank with the power iterations unrolled
+    as chained CTEs (DuckDB's recursive CTEs disallow aggregates in the
+    recursive term, and the iteration count is fixed anyway). The edge
+    table is the frozen link-harvest kernel output
+    (tests/fixtures/q32_host_edges.parquet — regenerated by
+    scripts/freeze_dom_fixtures.py); the Spark query computes the same
+    edges live, so the compare pins the link kernel AND checks every
+    float of the iteration: per-iteration linked-mass for dangling
+    redistribution (skipped exactly like Spark when no host is
+    dangling), rank' = (1-d)/n + d*(in_rank + dangling), final
+    round(·,8) then max-normalize round(·,6) — all IEEE-double ops with
+    identical literal arithmetic, so only summation order differs
+    (absorbed by the rounding, ~1e-15 vs 1e-8)."""
+    d = repr(damping)
+    parts = [
+        f"""
+        WITH edges AS (
+          SELECT src_host, dst_host, weight
+          FROM read_parquet('{_fixture("q32_host_edges.parquet")}')),
+        hosts AS (
+          SELECT src_host AS host FROM edges
+          UNION SELECT dst_host FROM edges),
+        par AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+        outw AS (
+          SELECT src_host, sum(weight) AS out_w
+          FROM edges GROUP BY src_host),
+        trans AS (
+          SELECT e.src_host, e.dst_host, e.weight / o.out_w AS p
+          FROM edges e JOIN outw o USING (src_host)),
+        srcs AS (SELECT DISTINCT src_host FROM trans),
+        nd AS (
+          SELECT count(*) AS n_dangling FROM hosts h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM srcs s WHERE s.src_host = h.host)),
+        r0 AS (SELECT h.host, 1.0 / p.n AS rank
+               FROM hosts h CROSS JOIN par p)"""
+    ]
+    for i in range(iterations):
+        parts.append(f""",
+        m{i} AS (
+          SELECT COALESCE(sum(r.rank), 0) AS linked
+          FROM r{i} r JOIN srcs s ON s.src_host = r.host),
+        r{i + 1} AS (
+          SELECT h.host,
+                 (1.0 - {d}) / p.n + {d} * (
+                   COALESCE(c.in_rank, 0)
+                   + CASE WHEN nd.n_dangling = 0 THEN 0.0
+                          ELSE (1.0 - m.linked) / p.n END) AS rank
+          FROM hosts h
+          LEFT JOIN (
+            SELECT t.dst_host AS host, sum(t.p * r.rank) AS in_rank
+            FROM trans t JOIN r{i} r ON t.src_host = r.host
+            GROUP BY t.dst_host) c USING (host)
+          CROSS JOIN par p CROSS JOIN nd CROSS JOIN m{i} m)""")
+    parts.append(f""",
+        pr AS (SELECT host, round(rank, 8) AS rank FROM r{iterations}),
+        mx AS (SELECT max(rank) AS mxr FROM pr)
+        SELECT pr.host, round(pr.rank / mx.mxr, 6) AS rank
+        FROM pr CROSS JOIN mx""")
+    return "".join(parts)
 
 
 def _tag_weight_case_sql() -> str:
@@ -1267,5 +1359,46 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS example_url
             FROM read_parquet('{_fixture("q31_template_sigs.parquet")}')
             GROUP BY template_sig
+        """,
+        "q32_host_pagerank": _pagerank_sql(iterations=8, damping=0.85),
+        "q38_repetition_quality": f"""
+            -- Gopher repetition filters: positional (non-distinct)
+            -- word k-grams; integer counts so only the final division
+            -- is float (identical IEEE op both engines).
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            g2 AS (
+              SELECT doc_id, array_to_string(tok[i:i+1], ' ') AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(tok) - 1, 0) + 1)) AS t(i)),
+            c2 AS (SELECT doc_id, g, count(*) AS c
+                   FROM g2 GROUP BY doc_id, g),
+            s2 AS (SELECT doc_id, max(c) AS top2_cnt, sum(c) AS total2
+                   FROM c2 GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id, array_to_string(tok[i:i+2], ' ') AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(tok) - 2, 0) + 1)) AS t(i)),
+            c3 AS (SELECT doc_id, g, count(*) AS c
+                   FROM g3 GROUP BY doc_id, g),
+            s3 AS (SELECT doc_id,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3_cnt,
+                          sum(c) AS total3
+                   FROM c3 GROUP BY doc_id),
+            fr AS (
+              SELECT d.doc_id,
+                     round(COALESCE(CAST(top2_cnt AS DOUBLE)
+                                    / CAST(total2 AS DOUBLE), 0), 6)
+                       AS top2gram_frac,
+                     round(COALESCE(CAST(dup3_cnt AS DOUBLE)
+                                    / CAST(total3 AS DOUBLE), 0), 6)
+                       AS dup3gram_frac
+              FROM documents d
+              LEFT JOIN s2 ON d.doc_id = s2.doc_id
+              LEFT JOIN s3 ON d.doc_id = s3.doc_id)
+            SELECT doc_id, top2gram_frac, dup3gram_frac,
+                   CAST(top2gram_frac > 0.20 OR dup3gram_frac > 0.18
+                        AS INTEGER) AS repetition_flagged
+            FROM fr
         """,
     }

@@ -154,6 +154,12 @@ def main(argv) -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Box-load disclosure: absolute times on this shared box swing
+    # 2x with background load (see BASELINE.md round-3 post-mortem —
+    # the r2 "regression" was entirely concurrent load at round
+    # start). Recording the 1/5/15-min load averages at bench start
+    # makes a loaded run self-identifying instead of a mystery.
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
 
     from langscrape_spark.session import get_spark
 
@@ -183,6 +189,8 @@ def main(argv) -> None:
             "urls_scheduled": crawl["urls_scheduled"],
             "crawl_rounds": crawl["rounds"],
             "extract_urls_per_sec": crawl["extract_urls_per_sec"],
+            "load_avg_at_start": load_at_start,
+            "load_avg_at_end": [round(x, 2) for x in os.getloadavg()],
         }
         print(json.dumps(out))
     finally:

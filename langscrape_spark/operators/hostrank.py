@@ -76,11 +76,10 @@ def host_pagerank(
     base = (1.0 - damping) / n
     # hosts with no out-edges leak rank mass each step; if there are
     # none (common for link-rich web corpora), skip the per-iteration
-    # mass collect entirely — it would otherwise double the job count.
+    # mass term entirely.
+    srcs = trans.select("src_host").distinct()
     n_dangling = hosts.join(
-        trans.select("src_host").distinct(),
-        hosts.host == F.col("src_host"),
-        "left_anti",
+        srcs, hosts.host == F.col("src_host"), "left_anti"
     ).count()
     for _ in range(iterations):
         contrib = (
@@ -89,9 +88,14 @@ def host_pagerank(
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
         )
         if n_dangling:
+            # Driver-collected scalar, deliberately: an A/B against an
+            # in-plan 1-row broadcast cross-join (8 chained
+            # BroadcastExchange jobs through the lazy-checkpoint chain)
+            # measured 16.5s vs 6.9s for this version — the small
+            # collect also eagerly materializes the iteration's
+            # checkpoint, keeping each step's plan flat.
             linked_mass = (
-                ranks.join(trans.select("src_host").distinct(),
-                           ranks.host == F.col("src_host"), "left_semi")
+                ranks.join(srcs, ranks.host == F.col("src_host"), "left_semi")
                 .agg(F.sum("rank"))
                 .first()[0]
                 or 0.0

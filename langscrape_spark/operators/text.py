@@ -133,6 +133,89 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def ngram_list(text: Column, k: int) -> Column:
+    """Positional (NON-distinct, in-order) word k-grams — unlike
+    ``dedup.shingles`` these keep duplicates, because repetition
+    counting is the whole point."""
+    tokens = words_col(text)
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1): per document,
+    the fraction of 2-grams occupied by the single most frequent
+    2-gram and the fraction of 3-grams that occur more than once.
+    Token-count fractions rather than the paper's character fractions
+    (equivalent signal; engine-portable arithmetic), thresholds kept
+    at the paper's 0.20 / 0.18.
+
+    Scale shape: explode → two hash aggregations, both keyed on
+    (doc, gram) then doc — map-side partial aggregation absorbs
+    within-partition repeats, and a boilerplate gram shared by every
+    document is NOT a hot key because doc_id is in the grouping key.
+    No windows, no self-joins, no UDFs.
+    """
+    two = (
+        df.select(F.col(id_col), F.explode(ngram_list(F.col(text_col), 2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("top2_cnt"),
+            F.sum("c").alias("total2"),
+        )
+    )
+    three = (
+        df.select(F.col(id_col), F.explode(ngram_list(F.col(text_col), 3)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup3_cnt"
+            ),
+            F.sum("c").alias("total3"),
+        )
+    )
+    # Left joins from the corpus: documents too short for any 2-gram
+    # (or 3-gram) keep a row with zero fractions, like Gopher's
+    # "filter does not fire" semantics.
+    return (
+        df.select(id_col)
+        .join(two, id_col, "left")
+        .join(three, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("top2_cnt"), F.col("total2")), F.lit(0.0)
+                ),
+                6,
+            ).alias("top2gram_frac"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("dup3_cnt"), F.col("total3")), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup3gram_frac"),
+        )
+        .withColumn(
+            "repetition_flagged",
+            (F.col("top2gram_frac") > 0.20) | (F.col("dup3gram_frac") > 0.18),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # extract_json_block — the reference's dirty-JSON fallback chain
 # ---------------------------------------------------------------------------

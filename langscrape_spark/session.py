@@ -45,6 +45,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Diagnostics escape hatch: a crashed python worker normally
+        # reports only "exited unexpectedly"; this surfaces the worker's
+        # Python traceback (costs a signal handler per worker, so gated).
+        .config(
+            "spark.python.worker.faulthandler.enabled",
+            os.environ.get("SPARK_GRAFT_FAULTHANDLER", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -34,6 +34,7 @@ def main() -> None:
         dom_nodes_table,
         template_signatures,
     )
+    from langscrape_spark.operators.hostrank import host_edges
     from langscrape_spark.session import get_spark
 
     spark = get_spark("freeze_fixtures", master="local[8]",
@@ -45,8 +46,15 @@ def main() -> None:
     nodes = dom_nodes_table(synth.build_pages_df(spark, 48, partitions=4))
     # q31 corpus: 64 synth pages -> template signatures
     sigs = template_signatures(synth.build_pages_df(spark, 64, partitions=4))
+    # q32 corpus: 256 synth pages -> host->host weighted link edges
+    # (the PageRank input; the iterations themselves are oracled in SQL)
+    edges = host_edges(synth.build_pages_df(spark, 256, partitions=8))
 
-    for name, df in [("q22_dom_nodes", nodes), ("q31_template_sigs", sigs)]:
+    for name, df in [
+        ("q22_dom_nodes", nodes),
+        ("q31_template_sigs", sigs),
+        ("q32_host_edges", edges),
+    ]:
         tmp = os.path.join(FIXDIR, f"_{name}_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]

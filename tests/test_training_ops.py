@@ -418,3 +418,79 @@ def test_lang_id_eleven_languages_and_duckdb_parity(spark):
     assert dict(zip(odf["doc_id"], odf["lang_guess"])) == {
         i: lang for i, _, lang in samples
     }
+
+
+# ---------------------------------------------------------------------------
+# q38: Gopher repetition filters
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_planted(spark):
+    """Hand-computable corpus: a clean doc, a one-phrase loop, a short
+    doc (no 3-grams), and an empty doc."""
+    from langscrape_spark.operators.text import repetition_stats
+
+    rows = [
+        # 6 tokens, all 5 bigrams distinct, all 4 trigrams distinct
+        (0, "alpha beta gamma delta epsilon zeta"),
+        # "spam ham" x4 -> 7 bigrams, "spam ham" occurs 4x -> top2=4/7;
+        # trigrams: 6 total, each of the 2 distinct ones occurs 3x -> dup3=6/6
+        (1, "spam ham spam ham spam ham spam ham"),
+        # 2 tokens: one bigram, no trigram
+        (2, "tiny doc"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["top2gram_frac"] == pytest.approx(1 / 5, abs=1e-6)
+    assert got[0]["dup3gram_frac"] == 0.0
+    assert not got[0]["repetition_flagged"]
+    assert got[1]["top2gram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert got[1]["dup3gram_frac"] == 1.0
+    assert got[1]["repetition_flagged"]
+    assert got[2]["top2gram_frac"] == 1.0  # single bigram is the mode
+    assert got[2]["dup3gram_frac"] == 0.0
+    assert got[3]["top2gram_frac"] == 0.0 and got[3]["dup3gram_frac"] == 0.0
+    assert not got[3]["repetition_flagged"]
+
+
+def test_repetition_oracle_parity(spark):
+    """Spark vs the q38 DuckDB oracle on a small planted frame."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "spam ham spam ham spam ham spam ham"),
+        (2, "tiny doc"),
+        (3, ""),
+        (4, "one two three one two three one two four"),
+    ]
+    # call the operator directly on the frame (the qNN wrapper reads
+    # the sf dir; parity on the same rows is what matters here)
+    from langscrape_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_rows = {
+        r["doc_id"]: (
+            r["top2gram_frac"],
+            r["dup3gram_frac"],
+            int(r["repetition_flagged"]),
+        )
+        for r in repetition_stats(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    odf = con.execute(entry.oracle_sql()["q38_repetition_quality"]).df()
+    oracle_rows = {
+        int(r.doc_id): (
+            float(r.top2gram_frac),
+            float(r.dup3gram_frac),
+            int(r.repetition_flagged),
+        )
+        for r in odf.itertuples()
+    }
+    assert spark_rows == oracle_rows
