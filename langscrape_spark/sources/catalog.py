@@ -102,11 +102,26 @@ class Catalog:
             return None
         return self.spark.read.parquet(self._data_dir(name, version))
 
-    def append(self, name: str, df: DataFrame, version: int) -> None:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        version: int,
+        partition_cols: Optional[list] = None,
+    ) -> None:
         """Append-style table (results, metrics): each round writes its
-        own immutable sub-snapshot; readers union all committed rounds."""
+        own immutable sub-snapshot; readers union all committed rounds.
+
+        ``partition_cols``: write the sub-snapshot dir-partitioned on
+        these columns (e.g. the seen-set's url-hash ``bucket`` for the
+        membership bucket probe — each bucket's rows land in their own
+        ``bucket=K/`` subdir, so a reader that knows its bucket reads
+        only those files, no shuffle)."""
         path = os.path.join(self.root, name, f"r{version:06d}")
-        df.write.mode("overwrite").parquet(path)  # idempotent per round
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)  # idempotent per round
         self._commit(name, version)
 
     # -- delta compaction ---------------------------------------------------
@@ -138,7 +153,14 @@ class Catalog:
         if df is None:
             return
         dest = os.path.join(self.root, name, f"compact_v{version:06d}")
-        df.write.mode("overwrite").parquet(dest)
+        w = df.write.mode("overwrite")
+        # Preserve dir-partitioning through compaction: if the deltas
+        # were bucket-partitioned (membership bucket probe), the base
+        # must be too, or the probe's per-bucket file listing would go
+        # blind after the first compaction.
+        if "bucket" in df.columns:
+            w = w.partitionBy("bucket")
+        w.parquet(dest)
         tmp = self._base_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version, "dir": os.path.basename(dest)}, f)
@@ -153,14 +175,15 @@ class Catalog:
             elif d.startswith("compact_v") and int(d[len("compact_v"):]) < version:
                 shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
 
-    def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
-        """Union of the compacted base (if any) and all committed
-        deltas in (base_version, ``version``] (default ``version``:
-        the table's own latest pointer)."""
+    def appended_dirs(self, name: str, version: Optional[int] = None) -> list:
+        """The committed sub-snapshot dirs a ``read_appended`` at this
+        version would union: the compacted base (if any) plus the
+        deltas above it. Exposed so the membership bucket probe can
+        list per-bucket files from exactly the committed state."""
         if version is None:
             version = self.latest_version(name)
         if version is None:
-            return None
+            return []
         base = os.path.join(self.root, name)
         info = self._base_info(name)
         floor = -1
@@ -175,9 +198,42 @@ class Catalog:
             and d != "LATEST"
             and floor < int(d[1:]) <= version
         ]
+        return dirs
+
+    def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
+        """Union of the compacted base (if any) and all committed
+        deltas in (base_version, ``version``] (default ``version``:
+        the table's own latest pointer)."""
+        dirs = self.appended_dirs(name, version)
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        try:
+            return self.spark.read.parquet(*dirs)
+        except Exception:
+            # Dir-partitioned sub-snapshots (seen-set bucket layout):
+            # a multi-root read of several partitioned dirs throws
+            # CONFLICTING_DIRECTORY_STRUCTURES — each dir is its own
+            # partition root, so read them separately and union. Plan
+            # width stays bounded by compaction (≤ compact_every
+            # deltas + one base).
+            from functools import reduce
+
+            from pyspark.errors.exceptions.captured import AnalysisException
+
+            parts = []
+            for d in dirs:
+                try:
+                    parts.append(self.spark.read.parquet(d))
+                except AnalysisException as e:
+                    # A zero-row partitionBy write leaves only _SUCCESS
+                    # (no data files, no schema): a legitimate empty
+                    # delta for a round that admitted nothing — skip it.
+                    if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                        continue
+                    raise
+            if not parts:
+                return None
+            return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- bucketed tables -----------------------------------------------------
     # The production design stores pages/seen as Iceberg tables bucketed
