@@ -753,6 +753,27 @@ def q38_repetition_quality(spark, sf):
     )
 
 
+def q39_dup_clusters(spark, sf):
+    """Duplicate-cluster resolution: MinHash+LSH candidate pairs (the
+    q10 edge set) → connected components (alternating large/small
+    star) → canonical-survivor election per cluster. The second half
+    of dedup that pair generation alone doesn't give you: near-dup is
+    not transitive, so survivors must be elected per CONNECTED
+    component, not per pair."""
+    from langscrape_spark.operators.components import resolve_duplicates
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    return resolve_duplicates(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select(
+        "doc_id",
+        "canonical_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -793,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_select_best_xpath": q36_select_best_xpath,
         "q37_scheme_report": q37_scheme_report,
         "q38_repetition_quality": q38_repetition_quality,
+        "q39_dup_clusters": q39_dup_clusters,
     }
 
 
@@ -1400,5 +1422,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(top2gram_frac > 0.20 OR dup3gram_frac > 0.18
                         AS INTEGER) AS repetition_flagged
             FROM fr
+        """,
+        "q39_dup_clusters": f"""
+            -- Duplicate-cluster resolution: q10's MinHash+LSH pairs as
+            -- the edge set, transitive closure via a recursive CTE
+            -- (oracle-scale only — Spark runs large/small-star), then
+            -- min-id survivor election + cluster sizes incl. singletons.
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents WHERE doc_id < 200)),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s) AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR)) AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2] || '|' ||
+                         sg[b*4+3] || '|' || sg[b*4+4]))) AS bucket
+              FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+            sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a),
+            lab AS (
+              SELECT a AS id, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+            resolved AS (
+              SELECT d.doc_id,
+                     COALESCE(l.component, d.doc_id) AS canonical_id
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+              LEFT JOIN lab l ON d.doc_id = l.id),
+            sizes AS (
+              SELECT canonical_id, count(*) AS n
+              FROM resolved GROUP BY canonical_id)
+            SELECT r.doc_id, r.canonical_id,
+                   CAST(s.n AS BIGINT) AS cluster_size,
+                   CAST(r.doc_id = r.canonical_id AS INTEGER) AS is_canonical
+            FROM resolved r JOIN sizes s ON r.canonical_id = s.canonical_id
         """,
     }
