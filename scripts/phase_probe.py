@@ -6,7 +6,11 @@ Prints one JSON object with the per-round phase wall times recorded by
 write / compaction). Run it at two core counts (fresh process each) to
 attribute scaling loss to a specific phase instead of guessing:
 
-    python scripts/phase_probe.py <cpus> <n_pages>
+    python scripts/phase_probe.py <cpus> <n_pages> [membership]
+
+``membership`` (optional, default "shuffle"): "shuffle" or
+"bucket_probe" — A/B the two exact-membership strategies' per-round
+membership phase at the same corpus.
 
 Same corpus/config shape as ``bench.py --crawl-only`` via
 ``scripts/scaling_bench.py`` (batch = pages/2, seeds = pages/8,
@@ -28,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 262_144
+    membership = sys.argv[3] if len(sys.argv) > 3 else "shuffle"
 
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["SPARK_GRAFT_SHUFFLE"] = str(max(32, cpus))
@@ -60,6 +65,7 @@ def main() -> None:
             batch_size=n_pages // 2,
             max_rounds=2,
             extract_field_map=synth.FIELD_MAP,
+            membership=membership,
         )
 
         # python-worker warmup (one task per core slot)
@@ -77,6 +83,7 @@ def main() -> None:
                 {
                     "cpus": cpus,
                     "n_pages": n_pages,
+                    "membership": membership,
                     "crawl_sec": round(elapsed, 3),
                     "urls_scheduled": n_scheduled,
                     "urls_per_sec": round(n_scheduled / elapsed, 2),
