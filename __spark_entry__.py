@@ -244,8 +244,11 @@ def q17_lsh_ann(spark, sf):
 
 def q18_extract_kernel(spark, sf):
     """The HTML extraction kernel end-to-end on a synthesized corpus
-    (the engine's raison d'être; no SQL oracle — goldens live in
-    tests/test_html_kernel.py and tests/test_extract_pipeline.py)."""
+    (the engine's raison d'être). Oracled against the frozen kernel
+    fixture (scripts/freeze_dom_fixtures.py): Spark runs the kernel
+    LIVE; DuckDB projects the committed fixture — any kernel or
+    plumbing drift fails the value-hash. Goldens also live in
+    tests/test_html_kernel.py and tests/test_extract_pipeline.py."""
     from langscrape_spark import synth
     from langscrape_spark.plans.extract import extract_pages
 
@@ -253,9 +256,9 @@ def q18_extract_kernel(spark, sf):
     out = extract_pages(pages, synth.FIELD_MAP)
     return out.select(
         "url",
-        F.element_at(F.col("extracted").getItem("title"), 1).alias("title"),
-        F.element_at(F.col("extracted").getItem("datetime"), 1).alias("date_str"),
-        F.size(F.col("extracted").getItem("article_body")).alias("n_body_paras"),
+        F.try_element_at(F.col("extracted").getItem("title"), F.lit(1)).alias("title"),
+        F.try_element_at(F.col("extracted").getItem("datetime"), F.lit(1)).alias("date_str"),
+        F.size(F.col("extracted").getItem("article_body")).cast("long").alias("n_body_paras"),
         "is_valid_scheme",
     )
 
@@ -338,7 +341,11 @@ def q23_node_weights(spark, sf):
 def q24_media_features(spark, sf):
     """Multimodal plumbing end-to-end: decode → resize images, sample
     video frames, audio features (decode is a deterministic fake —
-    see operators/multimodal.py; rows-only)."""
+    see operators/multimodal.py). Oracled against the frozen kernel
+    outputs (scripts/freeze_dom_fixtures.py): Spark runs the decode /
+    resize / sample / feature kernels LIVE; DuckDB recomputes the
+    downstream (md5(hex(pixels)), per-video frame counts, the
+    zero-crossing projection) over the committed fixtures."""
     from langscrape_spark.operators import multimodal as mm
 
     media = mm.build_media_df(spark, 60, partitions=4)
@@ -1422,6 +1429,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(top2gram_frac > 0.20 OR dup3gram_frac > 0.18
                         AS INTEGER) AS repetition_flagged
             FROM fr
+        """,
+        "q18_extract_kernel": f"""
+            -- Extraction-kernel oracle: Spark computes the kernel
+            -- LIVE over the deterministic synth corpus; this projects
+            -- the frozen, committed kernel fixture — the driver's
+            -- value-hash compare then pins the whole html kernel +
+            -- Arrow plumbing against drift.
+            SELECT url,
+                   title_arr[1] AS title,
+                   datetime_arr[1] AS date_str,
+                   CAST(len(body_arr) AS BIGINT) AS n_body_paras,
+                   is_valid_scheme
+            FROM read_parquet('{_fixture("q18_kernel_fields.parquet")}')
+        """,
+        "q24_media_features": f"""
+            -- Multimodal oracle: the decode/resize/sample/feature
+            -- kernels are frozen fixtures; the q24 downstream
+            -- (feature hash, per-video frame count, zero-crossing
+            -- projection) is recomputed in SQL.
+            SELECT media_id, 'image' AS kind, md5(hex(pixels)) AS feature
+            FROM read_parquet('{_fixture("q24_resized.parquet")}')
+            UNION ALL
+            SELECT media_id, 'video' AS kind,
+                   CAST(count(*) AS VARCHAR) AS feature
+            FROM read_parquet('{_fixture("q24_frames.parquet")}')
+            GROUP BY media_id
+            UNION ALL
+            SELECT media_id, 'audio' AS kind,
+                   CAST(zero_crossings AS VARCHAR) AS feature
+            FROM read_parquet('{_fixture("q24_audio.parquet")}')
         """,
         "q39_dup_clusters": f"""
             -- Duplicate-cluster resolution: q10's MinHash+LSH pairs as

@@ -29,12 +29,16 @@ FIXDIR = os.path.join(
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from langscrape_spark import synth
+    from langscrape_spark.operators import multimodal as mm
     from langscrape_spark.operators.domtable import (
         dom_nodes_table,
         template_signatures,
     )
     from langscrape_spark.operators.hostrank import host_edges
+    from langscrape_spark.plans.extract import extract_pages
     from langscrape_spark.session import get_spark
 
     spark = get_spark("freeze_fixtures", master="local[8]",
@@ -50,10 +54,39 @@ def main() -> None:
     # (the PageRank input; the iterations themselves are oracled in SQL)
     edges = host_edges(synth.build_pages_df(spark, 256, partitions=8))
 
+    # q18 corpus: 64 synth pages -> extraction-kernel field map output,
+    # map flattened to typed array columns (DuckDB map extraction
+    # semantics vary by version; arrays are stable)
+    kern = extract_pages(
+        synth.build_pages_df(spark, 64, partitions=4), synth.FIELD_MAP
+    ).select(
+        "url",
+        F.col("extracted").getItem("title").alias("title_arr"),
+        F.col("extracted").getItem("datetime").alias("datetime_arr"),
+        F.col("extracted").getItem("article_body").alias("body_arr"),
+        "is_valid_scheme",
+    )
+    # q24 corpora: the three multimodal kernel outputs (decode+resize /
+    # frame-sample / audio features) on the 60-row synthetic media
+    # table; the oracle recomputes q24's downstream (md5(hex(pixels)),
+    # per-video frame counts, zero-crossing projection) in SQL
+    media = mm.build_media_df(spark, 60, partitions=4)
+    resized = mm.resize_images(mm.decode_images(media), 8, 8).select(
+        "media_id", "pixels"
+    )
+    frames = mm.sample_frames(media, every_n=10).select(
+        "media_id", "frame_idx"
+    )
+    audio = mm.audio_features(media).select("media_id", "zero_crossings")
+
     for name, df in [
         ("q22_dom_nodes", nodes),
         ("q31_template_sigs", sigs),
         ("q32_host_edges", edges),
+        ("q18_kernel_fields", kern),
+        ("q24_resized", resized),
+        ("q24_frames", frames),
+        ("q24_audio", audio),
     ]:
         tmp = os.path.join(FIXDIR, f"_{name}_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -75,10 +75,8 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", [
-    "q16_simhash", "q17_lsh_ann", "q18_extract_kernel", "q19_crawl_schedule",
-    "q21_embedding_neardup_lsh", "q22_dom_structural_stats",
-    "q23_node_weights", "q24_media_features", "q31_template_cluster",
-    "q32_host_pagerank", "q34_swde_rank", "q35_ivf_ann",
+    "q17_lsh_ann", "q19_crawl_schedule",
+    "q21_embedding_neardup_lsh", "q34_swde_rank", "q35_ivf_ann",
 ])
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
