@@ -139,6 +139,19 @@ def main() -> None:
         )
         run("embedding_lsh", embedding_neardup_pairs_lsh(embs, 0.995))
 
+        # duplicate-cluster resolution over the minhash edge set:
+        # components + survivor election (pairs recomputed inside the
+        # timed window on purpose — resolve_duplicates is the full
+        # "pairs -> dedup'd corpus" cost a pipeline pays)
+        from langscrape_spark.operators.components import resolve_duplicates
+
+        t0 = time.perf_counter()
+        resolved = resolve_duplicates(
+            docs, minhash_lsh_pairs(docs, "text", "doc_id"), id_col="doc_id"
+        )
+        counts["dup_cluster_survivors"] = resolved.where("is_canonical").count()
+        timings["dup_cluster_resolve"] = round(time.perf_counter() - t0, 2)
+
         print(
             json.dumps(
                 {
