@@ -781,6 +781,30 @@ def q39_dup_clusters(spark, sf):
     )
 
 
+_Q40_BOILER = (
+    "subscribe to our newsletter for updates and breaking news today"
+)  # exactly 10 tokens = one span, so planted chunks align across docs
+
+
+def q40_span_dedup(spark, sf):
+    """C4-style repeated-span removal: every doc_id%3==0 document gets
+    the same 10-token boilerplate prefix planted (in BOTH engines), and
+    span_dedup must strip every occurrence except the globally first
+    while re-assembling the remaining text in order."""
+    from langscrape_spark.operators.text import span_dedup
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_Q40_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(docs, "text", "doc_id", span=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -822,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_scheme_report": q37_scheme_report,
         "q38_repetition_quality": q38_repetition_quality,
         "q39_dup_clusters": q39_dup_clusters,
+        "q40_span_dedup": q40_span_dedup,
     }
 
 
@@ -1459,6 +1484,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, 'audio' AS kind,
                    CAST(zero_crossings AS VARCHAR) AS feature
             FROM read_parquet('{_fixture("q24_audio.parquet")}')
+        """,
+        "q40_span_dedup": f"""
+            -- C4-style repeated-span removal, identical semantics to
+            -- operators/text.span_dedup: non-overlapping 10-token
+            -- chunks, global first occurrence (min packed (doc,idx))
+            -- wins, documents re-assembled from surviving chunks.
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '{_Q40_BOILER} ' || text ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, {_TOKENS} AS tok FROM docs),
+            chunks AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(tok[i*10+1 : i*10+10], ' ') AS chunk
+              FROM toks,
+                   UNNEST(range(0, CAST(ceil(len(tok)/10.0) AS BIGINT))) AS t(i)),
+            hashed AS (
+              SELECT doc_id, idx, chunk, md5(chunk) AS h,
+                     doc_id * 1048576 + idx AS pk
+              FROM chunks),
+            winners AS (SELECT h, min(pk) AS mp FROM hashed GROUP BY h),
+            kept AS (
+              SELECT doc_id, idx, chunk
+              FROM hashed JOIN winners USING (h) WHERE pk = mp),
+            reb AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS td,
+                     count(*) AS kn
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS tn FROM hashed GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(reb.td, '') AS text_dedup,
+                   CAST(COALESCE(tot.tn, 0) - COALESCE(reb.kn, 0) AS BIGINT)
+                     AS n_removed
+            FROM docs d
+            LEFT JOIN reb ON d.doc_id = reb.doc_id
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
         """,
         "q39_dup_clusters": f"""
             -- Duplicate-cluster resolution: q10's MinHash+LSH pairs as

@@ -216,6 +216,84 @@ def repetition_stats(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020 §2.2 dedupe
+    "three-sentence spans"; spans here are non-overlapping ``span``-token
+    chunks since the synthetic corpora carry no sentence boundaries):
+    every occurrence of a chunk that appears anywhere else in the
+    corpus is removed EXCEPT the globally first one (minimum
+    ``(doc_id, chunk_idx)``), and documents are re-assembled from their
+    surviving chunks in order. Output: ``(id, text_dedup, n_removed)``
+    — one row per input document (fully-boilerplate docs come back
+    with empty text, not dropped, so downstream length filters make
+    the keep/drop call).
+
+    Scale shape: one explode → ``groupBy(chunk_hash).min(pos_key)``
+    (map-side partial agg; a boilerplate chunk shared by 10^8 docs is
+    ONE group, not a hot window partition) → one equi-join back on the
+    hash (the hot key matches a single winner row — no blowup) → one
+    ``groupBy(doc)`` re-assembly. No windows, no self-joins, no UDFs;
+    everything is md5/array built-ins, reproducible in ANSI SQL
+    (oracle q40).
+
+    ``pos_key`` packs (doc_id, idx) into one BIGINT; the ordering
+    matches lexicographic (doc_id, idx) while idx < 2^20, i.e. for
+    documents under ~10M tokens at span=10 — far past any real web
+    document."""
+    toks = words_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    # sequence(0, -1) counts DOWN in Spark — empty docs must yield an
+    # empty chunk array explicitly (posexplode then emits no rows)
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_arr).alias("idx", "chunk"),
+    )
+    hashed = chunks.select(
+        "id",
+        "idx",
+        "chunk",
+        F.md5("chunk").alias("h"),
+        (F.col("id") * F.lit(1 << 20) + F.col("idx")).alias("pos_key"),
+    )
+    winners = hashed.groupBy("h").agg(F.min("pos_key").alias("min_pos"))
+    kept = hashed.join(winners, "h").where(F.col("pos_key") == F.col("min_pos"))
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("kept_n"),
+    )
+    totals = hashed.groupBy("id").agg(F.count("*").alias("total_n"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .join(totals, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            (
+                F.coalesce("total_n", F.lit(0)) - F.coalesce("kept_n", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # extract_json_block — the reference's dirty-JSON fallback chain
 # ---------------------------------------------------------------------------

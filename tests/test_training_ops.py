@@ -494,3 +494,53 @@ def test_repetition_oracle_parity(spark):
         for r in odf.itertuples()
     }
     assert spark_rows == oracle_rows
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+def _span_rows(spark, rows, span=3):
+    from langscrape_spark.operators.text import span_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup(df, "text", "doc_id", span=span)
+    return {r["doc_id"]: (r["text_dedup"], r["n_removed"]) for r in out.collect()}
+
+
+def test_span_dedup_keeps_global_first_occurrence(spark):
+    rows = [
+        (1, "a b c x y z"),        # chunks: "a b c", "x y z"
+        (2, "a b c q r s"),        # "a b c" repeats -> removed here
+        (3, "q r s a b c"),        # both chunks repeat -> all removed
+    ]
+    got = _span_rows(spark, rows)
+    assert got[1] == ("a b c x y z", 0)
+    assert got[2] == ("q r s", 1)
+    assert got[3] == ("", 2)
+
+
+def test_span_dedup_first_occurrence_is_position_ordered(spark):
+    # within one doc, the earlier chunk index wins
+    rows = [(7, "p p p p p p")]  # two identical chunks "p p p"
+    got = _span_rows(spark, rows)
+    assert got[7] == ("p p p", 1)
+
+
+def test_span_dedup_partial_tail_chunk_and_empty_doc(spark):
+    rows = [(1, "a b c d"), (2, ""), (3, "   ")]
+    got = _span_rows(spark, rows)
+    assert got[1] == ("a b c d", 0)  # tail chunk "d" kept
+    assert got[2] == ("", 0)
+    assert got[3] == ("", 0)
+
+
+def test_span_dedup_reassembly_preserves_order(spark):
+    # 9 tokens -> 3 chunks; middle chunk removed (dup of doc 0's)
+    rows = [
+        (0, "m m m"),
+        (5, "a1 a2 a3 m m m b1 b2 b3"),
+    ]
+    got = _span_rows(spark, rows)
+    assert got[5] == ("a1 a2 a3 b1 b2 b3", 1)
+    assert got[0] == ("m m m", 0)
