@@ -805,6 +805,105 @@ def q40_span_dedup(spark, sf):
     return span_dedup(docs, "text", "doc_id", span=10)
 
 
+def q41_decontaminate(spark, sf):
+    """Benchmark decontamination: every doc_id%97==0 document plays the
+    role of a benchmark/eval document, its distinct 13-grams form the
+    contamination set, and decontaminate() must flag every training doc
+    sharing any of them (the donors flag themselves — exactly the
+    train/test-overlap case the procedure exists for)."""
+    from langscrape_spark.operators.contamination import decontaminate
+    from langscrape_spark.operators.text import ngram_list
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.explode(F.array_distinct(ngram_list(F.col("text"), 13))).alias("ngram")
+    )
+    out = decontaminate(docs, bench, "text", "doc_id", n=13)
+    return out.select(
+        "doc_id",
+        "n_hits",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q42_pii_scrub(spark, sf):
+    """PII redaction: emails / IPv4s / phone numbers are planted into
+    deterministic subsets of the corpus (identically in BOTH engines),
+    and pii_scrub must redact them to typed placeholders with exact
+    counts. The placement exercises ordering (an email whose host part
+    looks like an IP must redact as ONE email)."""
+    from langscrape_spark.operators.text import pii_scrub
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@10.0.0.1.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" call 555-123-4567 or 555 987 6543 today")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 11 == 0, F.lit(" served from 192.168.1.77 via 10.0.0.1.")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_scrub(docs, "text", "doc_id")
+
+
+def q43_canonical_urls(spark, sf):
+    """URL canonicalization over a deterministic url corpus built from
+    the orders table (four spellings per residue class: tracker params
+    + unsorted query + default port + fragment; non-default port;
+    hostless-path + 443; already-canonical). The oracle reimplements
+    the RFC-3986 normalization independently in DuckDB SQL."""
+    from langscrape_spark.operators.urls import canonicalize_url
+
+    k = F.col("o_orderkey")
+    url = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/Item/"),
+                k.cast("string"),
+                F.lit("?utm_source=news&b=2&a=1&gclid=xyz#sec2"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(F.lit("https://CDN.Example.com:8080/a/"), k.cast("string")),
+        )
+        .when(k % 4 == 2, F.lit("HTTPS://Example.COM:443?fbclid=abc&z=9&y=8"))
+        .otherwise(
+            F.concat(
+                F.lit("http://example.com/item/"), k.cast("string"), F.lit("?a=1")
+            )
+        )
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(k.alias("url_id"), url.alias("url"))
+        .select("url_id", canonicalize_url(F.col("url")).alias("url_canonical"))
+    )
+
+
+def q44_gopher_quality(spark, sf):
+    """The Gopher quality-gate bundle (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word fraction, stopword floor
+    + the conjunction flag) over the documents table."""
+    from langscrape_spark.operators.text import gopher_quality_flags
+
+    out = gopher_quality_flags(_t(spark, sf, "documents"), "text", "doc_id")
+    return out.withColumn("passes_gopher", F.col("passes_gopher").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -847,6 +946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_repetition_quality": q38_repetition_quality,
         "q39_dup_clusters": q39_dup_clusters,
         "q40_span_dedup": q40_span_dedup,
+        "q41_decontaminate": q41_decontaminate,
+        "q42_pii_scrub": q42_pii_scrub,
+        "q43_canonical_urls": q43_canonical_urls,
+        "q44_gopher_quality": q44_gopher_quality,
     }
 
 
@@ -997,6 +1100,14 @@ def _lang_score_sql() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from langscrape_spark.operators.text import PII_PATTERNS, STOPWORDS
+
+    # regex patterns live in the RE2 ∩ java.util.regex subset (see
+    # operators/text.PII_PATTERNS) so both engines run the SAME text
+    pii_email = PII_PATTERNS["email"]
+    pii_ipv4 = PII_PATTERNS["ipv4"]
+    pii_phone = PII_PATTERNS["phone"]
+    en_stop = "[" + ",".join("'" + s + "'" for s in STOPWORDS["en"]) + "]"
     return {
         "q01_top1_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1521,6 +1632,183 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d
             LEFT JOIN reb ON d.doc_id = reb.doc_id
             LEFT JOIN tot ON d.doc_id = tot.doc_id
+        """,
+        "q41_decontaminate": f"""
+            -- Benchmark decontamination: doc_id%97==0 docs donate their
+            -- distinct 13-grams as the eval set; n_hits counts each
+            -- doc's DISTINCT 13-grams present in that set.
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 12, 0) + 1),
+                       i -> array_to_string(tok[i:i+12], ' '))) AS gs
+              FROM toks),
+            dg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT dg.doc_id, count(*) AS n
+              FROM dg JOIN bench USING (g) GROUP BY dg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "q42_pii_scrub": f"""
+            -- PII redaction parity: same planted PII, same pattern
+            -- text (operators/text.PII_PATTERNS), same email->ip->phone
+            -- replacement order; counts taken on the text state each
+            -- pattern actually sees.
+            WITH docs AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || doc_id
+                               || '@10.0.0.1.example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-123-4567 or 555 987 6543 today'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' served from 192.168.1.77 via 10.0.0.1.'
+                          ELSE '' END AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{pii_email}', '<EMAIL>', 'g') AS ae
+              FROM docs),
+            s2 AS (
+              SELECT *, regexp_replace(ae, '{pii_ipv4}', '<IP>', 'g') AS ai
+              FROM s1)
+            SELECT doc_id,
+                   regexp_replace(ai, '{pii_phone}', '<PHONE>', 'g')
+                     AS text_clean,
+                   CAST(len(regexp_extract_all(text, '{pii_email}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(ae, '{pii_ipv4}')) AS BIGINT)
+                     AS n_ips,
+                   CAST(len(regexp_extract_all(ai, '{pii_phone}')) AS BIGINT)
+                     AS n_phones
+            FROM s2
+        """,
+        "q43_canonical_urls": """
+            -- Independent DuckDB reimplementation of the RFC-3986
+            -- normalization in operators/urls.canonicalize_url:
+            -- lowercase scheme+host, drop fragment, drop default port,
+            -- drop utm_*/gclid/fbclid params, sort the rest, empty
+            -- path -> '/'.
+            WITH urls AS (
+              SELECT o_orderkey AS url_id,
+                     CASE
+                       WHEN o_orderkey % 4 = 0 THEN
+                         'HTTP://Example.COM:80/Item/' || o_orderkey
+                         || '?utm_source=news&b=2&a=1&gclid=xyz#sec2'
+                       WHEN o_orderkey % 4 = 1 THEN
+                         'https://CDN.Example.com:8080/a/' || o_orderkey
+                       WHEN o_orderkey % 4 = 2 THEN
+                         'HTTPS://Example.COM:443?fbclid=abc&z=9&y=8'
+                       ELSE 'http://example.com/item/' || o_orderkey || '?a=1'
+                     END AS url
+              FROM orders),
+            p1 AS (
+              SELECT url_id, regexp_replace(url, '#.*$', '') AS nf FROM urls),
+            p2 AS (
+              SELECT *,
+                     lower(regexp_extract(nf,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(nf,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM p1),
+            p3 AS (
+              SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+                     substring(rest,
+                       length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+                       AS pathq
+              FROM p2),
+            p4 AS (
+              SELECT *,
+                     lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+                     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                     regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+                     CASE WHEN contains(pathq, '?')
+                          THEN regexp_replace(pathq, '^[^?]*\\?', '')
+                          ELSE '' END AS rawq
+              FROM p3),
+            p5 AS (
+              SELECT *,
+                     CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                     CASE WHEN port <> ''
+                           AND NOT ((scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443'))
+                          THEN ':' || port ELSE '' END AS portseg,
+                     array_to_string(
+                       list_sort(list_filter(string_split(rawq, '&'),
+                         p -> p <> ''
+                              AND NOT starts_with(lower(p), 'utm_')
+                              AND lower(string_split(p, '=')[1])
+                                  NOT IN ('gclid', 'fbclid'))),
+                       '&') AS cq
+              FROM p4)
+            SELECT url_id,
+                   CASE WHEN scheme = '' THEN nf
+                        ELSE scheme || '://' || host || portseg || path ||
+                             CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+                   END AS url_canonical
+            FROM p5
+        """,
+        "q44_gopher_quality": f"""
+            -- Gopher quality gates (Rae et al. 2021 Table A1); flag
+            -- computed on UNrounded ratios in both engines.
+            WITH toks AS (
+              SELECT doc_id, text, {_TOKENS} AS tok FROM documents),
+            base AS (
+              SELECT doc_id, text, tok,
+                     CAST(len(tok) AS BIGINT) AS n_words,
+                     list_sum(list_transform(tok, w -> length(w))) AS twc,
+                     len(list_filter(tok,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_w,
+                     len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_sym,
+                     list_transform(
+                       list_filter(string_split(text, chr(10)),
+                         l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''),
+                       l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')) AS lines
+              FROM toks),
+            m AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                          THEN twc / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mwl,
+                     CASE WHEN n_words > 0
+                          THEN n_alpha_w / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END AS faw,
+                     CASE WHEN n_words > 0
+                          THEN n_sym / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END AS sr,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                 l -> regexp_matches(l, '^[-*•‣▪]')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS fb,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                 l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS fe,
+                     CAST(len(list_intersect(tok, {en_stop})) AS BIGINT) AS sh
+              FROM base)
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(faw, 6) AS frac_alpha_words,
+                   round(sr, 6) AS symbol_ratio,
+                   round(fb, 6) AS frac_bullet,
+                   round(fe, 6) AS frac_ellipsis,
+                   sh AS stopword_hits,
+                   CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND mwl BETWEEN 3.0 AND 10.0
+                              AND sr < 0.1 AND fb < 0.9 AND fe < 0.3
+                              AND faw >= 0.8 AND sh >= 2
+                         THEN 1 ELSE 0 END AS INT) AS passes_gopher
+            FROM m
         """,
         "q39_dup_clusters": f"""
             -- Duplicate-cluster resolution: q10's MinHash+LSH pairs as

@@ -295,6 +295,138 @@ def span_dedup(
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction, dialect-portable patterns
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the RE2 ∩ java.util.regex common subset (char
+# classes, non-capturing groups, \b, bounded repeats — no lookaround,
+# no backreferences) so the Spark operator and the ANSI/DuckDB oracle
+# (q42) execute the SAME pattern text.
+PII_PATTERNS = {
+    # replacement order matters: emails first (an IPv4-shaped host part
+    # must redact as part of the email, not leave `<EMAIL>` + bare IP)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / US-style phone numbers to typed
+    placeholders (``<EMAIL>``/``<IP>``/``<PHONE>``) and count each —
+    the standard pre-training scrub pass. Counts are taken on the text
+    state each pattern actually sees (post-prior-replacements), so
+    counts always equal placeholders inserted.
+
+    Pure per-row ``regexp_replace``/``regexp_count`` projections —
+    whole-stage codegen, no Python, no shuffle, trivially linear at any
+    corpus size."""
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_PATTERNS["ipv4"], "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PATTERNS["phone"], "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        after_phone.alias("text_clean"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"]))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PATTERNS["ipv4"]))
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PATTERNS["phone"]))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher rule set as one projection: per-document word count,
+    mean word length, symbol-to-word ratio (``#`` and ellipses),
+    bullet-start / ellipsis-end line fractions, fraction of words with
+    an alphabetic character, and English-stopword hits — plus the
+    published pass/fail gates and their conjunction ``passes_gopher``.
+    Complements :func:`repetition_stats` (the repetition half of the
+    Gopher filters, oracle q38).
+
+    All whole-stage-codegen column expressions (split/filter/aggregate
+    HOFs + regexp counts): no UDFs, no shuffle, linear at any scale.
+    Ratios are NULL-safe for empty documents (0-word docs fail the
+    word-count gate, ratios default 0)."""
+    t = F.col(text_col)
+    words = words_col(t)
+    n_words = F.size(words).cast("long")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha_words = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.split(t, "\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", "") != "",
+    )
+    n_lines = F.size(lines)
+    trimmed = F.transform(lines, lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""))
+    n_bullet = F.size(
+        F.filter(trimmed, lambda l: l.rlike(r"^[-*•‣▪]"))
+    )
+    n_ellipsis = F.size(F.filter(trimmed, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    frac_bullet = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    frac_ellipsis = F.when(
+        n_lines > 0, n_ellipsis.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS["en"]]))
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis < 0.3)
+        & (frac_alpha_words >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha_words, 6).alias("frac_alpha_words"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(frac_bullet, 6).alias("frac_bullet"),
+        F.round(frac_ellipsis, 6).alias("frac_ellipsis"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # extract_json_block — the reference's dirty-JSON fallback chain
 # ---------------------------------------------------------------------------
 

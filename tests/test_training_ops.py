@@ -544,3 +544,137 @@ def test_span_dedup_reassembly_preserves_order(spark):
     got = _span_rows(spark, rows)
     assert got[5] == ("a1 a2 a3 b1 b2 b3", 1)
     assert got[0] == ("m m m", 0)
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url
+# ---------------------------------------------------------------------------
+
+def _canon(spark, urls):
+    from langscrape_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_url_normalizations(spark):
+    got = _canon(spark, [
+        "HTTP://Example.COM:80/Item/7?utm_source=news&b=2&a=1&gclid=xyz#sec2",
+        "https://CDN.Example.com:8080/a/9",
+        "HTTPS://Example.COM:443?fbclid=abc&z=9&y=8",
+        "http://example.com/item/3?a=1",
+    ])
+    assert got == [
+        "http://example.com/Item/7?a=1&b=2",   # path case preserved
+        "https://cdn.example.com:8080/a/9",    # non-default port kept
+        "https://example.com/?y=8&z=9",
+        "http://example.com/item/3?a=1",
+    ]
+
+
+def test_canonicalize_url_edges(spark):
+    got = _canon(spark, [
+        "http://Host",                      # no path -> '/'
+        "relative/path#frag",               # schemeless: fragment-strip only
+        "https://h/p?utm_x=1&UTM_y=2",      # utm_ match is case-insensitive
+        "http://h/p?Gclid=1&a",             # tracker key case; valueless param
+        "ftp://Mixed.Case:21/f",            # non-http scheme keeps its port
+    ])
+    assert got == [
+        "http://host/",
+        "relative/path",
+        "https://h/p",
+        "http://h/p?a",
+        "ftp://mixed.case:21/f",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from langscrape_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@sub.example.org or x@y.io now"),
+        (2, "host 10.0.0.1 and 255.255.255.255 up"),
+        (3, "call 555-123-4567 or 555 987 6543"),
+        (4, "email-with-ip-host u@10.0.0.1.example.com stays one email"),
+        (5, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pii_scrub(df, "text", "doc_id").collect()
+    }
+    assert got[1]["text_clean"] == "mail <EMAIL> or <EMAIL> now"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[2]["text_clean"] == "host <IP> and <IP> up"
+    assert got[3]["text_clean"] == "call <PHONE> or <PHONE>"
+    # ordering: the IPv4-shaped host part is consumed BY the email match
+    assert got[4]["text_clean"] == "email-with-ip-host <EMAIL> stays one email"
+    assert (got[4]["n_emails"], got[4]["n_ips"]) == (1, 0)
+    assert got[5] == {
+        "doc_id": 5, "text_clean": "clean text",
+        "n_emails": 0, "n_ips": 0, "n_phones": 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_set_semantics_and_short_docs(spark):
+    from langscrape_spark.operators.contamination import decontaminate
+
+    gram = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, gram + " tail words here"),          # hit
+            (2, (gram + " ") * 3),                   # repeated hit counts once per distinct gram
+            (3, "totally different content entirely"),
+            (4, "short doc"),                        # < n tokens -> clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(gram,)], "ngram string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, "text", "doc_id", n=5).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2][0] >= 1 and got[2][1] is True
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags
+# ---------------------------------------------------------------------------
+
+def test_gopher_flags_gates(spark):
+    from langscrape_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and " * 8  # 80 words
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipsis = "\n".join(f"line {i} trails off..." for i in range(10))
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, bullets),
+        (4, ellipsis),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, "text", "doc_id").collect()
+    }
+    assert got[1]["passes_gopher"] is True and got[1]["n_words"] == 80
+    assert got[2]["passes_gopher"] is False          # word-count floor
+    assert got[3]["frac_bullet"] == 1.0 and got[3]["passes_gopher"] is False
+    assert got[4]["frac_ellipsis"] == 1.0 and got[4]["passes_gopher"] is False
+    assert got[5]["n_words"] == 0 and got[5]["passes_gopher"] is False
