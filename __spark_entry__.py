@@ -1108,6 +1108,30 @@ def oracle_sql() -> dict[str, str]:
     pii_ipv4 = PII_PATTERNS["ipv4"]
     pii_phone = PII_PATTERNS["phone"]
     en_stop = "[" + ",".join("'" + s + "'" for s in STOPWORDS["en"]) + "]"
+
+    # q19 inputs as literals: the SAME deterministic generator rows the
+    # Spark side builds (synth.url_of / robots_df / host_rank_df) —
+    # data-independent, so embedding them keeps the oracle a genuinely
+    # independent reimplementation of the admission semantics. repr()
+    # keeps double literals bit-exact across both parsers. (Drift
+    # between these literals and synth.py is caught by the q19 parity
+    # test itself.)
+    from langscrape_spark import synth as _synth
+    from langscrape_spark.scheduler.policy import (
+        BASE_BUDGET as _BB,
+        DEPTH_PENALTY as _DP,
+    )
+
+    q19_urls = ", ".join(f"('{_synth.url_of(i)}', 0)" for i in range(0, 400, 2))
+    q19_robots = ", ".join(
+        f"('www.site{i}.example', {repr(2.0 if i == 0 else 0.5)}, "
+        f"{'TRUE' if i != 19 else 'FALSE'})"
+        for i in range(_synth.N_HOSTS)
+    )
+    q19_ranks = ", ".join(
+        f"('www.site{i}.example', {repr(round(1.0 - i * 0.04, 4))})"
+        for i in range(_synth.N_HOSTS)
+    )
     return {
         "q01_top1_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1809,6 +1833,116 @@ def oracle_sql() -> dict[str, str]:
                               AND faw >= 0.8 AND sh >= 2
                          THEN 1 ELSE 0 END AS INT) AS passes_gopher
             FROM m
+        """,
+        "q34_swde_rank": f"""
+            -- SWDE F1 ranking over FROZEN kernel fixtures (pred is the
+            -- post-sentinel-filter extraction output, truth the
+            -- exploded ground truth — scripts/freeze_dom_fixtures.py).
+            -- The Spark side computes pred LIVE from the page-dir
+            -- corpus, so this compare pins SWDE reader + extraction
+            -- kernel AND value-checks the F1/best-per-group math.
+            -- f1 is computed from the ROUNDED precision/recall,
+            -- matching operators/evalops.f1_by_group exactly.
+            WITH xp(xpath) AS (VALUES ('//h1'), ('//div')),
+            p AS (
+              SELECT DISTINCT category, site, 'title' AS field_name,
+                     xpath, value
+              FROM read_parquet('{_fixture("q34_pred.parquet")}')),
+            t AS (
+              SELECT DISTINCT tr.category, tr.site, tr.field_name,
+                     xp.xpath, tr.value
+              FROM read_parquet('{_fixture("q34_truth.parquet")}') tr
+              CROSS JOIN xp),
+            j AS (
+              SELECT coalesce(p.category, t.category) AS category,
+                     coalesce(p.site, t.site) AS site,
+                     coalesce(p.field_name, t.field_name) AS field_name,
+                     coalesce(p.xpath, t.xpath) AS xpath,
+                     p.value AS pv, t.value AS tv
+              FROM p FULL OUTER JOIN t
+                ON p.category = t.category AND p.site = t.site
+               AND p.field_name = t.field_name AND p.xpath = t.xpath
+               AND p.value = t.value),
+            agg AS (
+              SELECT category, site, field_name, xpath,
+                     CAST(sum(CASE WHEN pv IS NOT NULL AND tv IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN pv IS NOT NULL AND tv IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN pv IS NULL AND tv IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM j GROUP BY ALL),
+            pr AS (
+              SELECT *,
+                     round(CASE WHEN tp + fp > 0
+                           THEN tp / CAST(tp + fp AS DOUBLE)
+                           ELSE 0.0 END, 6) AS precision_r,
+                     round(CASE WHEN tp + fn > 0
+                           THEN tp / CAST(tp + fn AS DOUBLE)
+                           ELSE 0.0 END, 6) AS recall_r
+              FROM agg),
+            scored AS (
+              SELECT *,
+                     round(CASE WHEN precision_r + recall_r > 0
+                           THEN 2 * precision_r * recall_r
+                                / (precision_r + recall_r)
+                           ELSE 0.0 END, 6) AS f1
+              FROM pr),
+            best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY category, site, field_name
+                ORDER BY f1 DESC, xpath ASC) AS rn
+              FROM scored)
+            SELECT category, site, field_name, xpath, tp, fp, fn, f1
+            FROM best WHERE rn = 1
+        """,
+        "q19_crawl_schedule": f"""
+            -- Independent reimplementation of one politeness round
+            -- (scheduler/frontier._with_policy_columns +
+            -- _politeness_admit): robots/allowed + disallow-prefix
+            -- filter, priority = rank - DEPTH_PENALTY*depth, per-host
+            -- top-k with k = max(1, floor(BASE_BUDGET/crawl_delay)),
+            -- global cap by (priority DESC, url ASC), 0-based seq.
+            -- The Spark side's salted phase-1 window is an exactness-
+            -- preserving prune (each host's true top-k rows are top-k
+            -- within their own salt bucket), so the oracle ranks per
+            -- host directly.
+            WITH urls(url, depth) AS (VALUES {q19_urls}),
+            robots(host, crawl_delay, allowed) AS (VALUES {q19_robots}),
+            ranks(host, rank) AS (VALUES {q19_ranks}),
+            pol AS (
+              SELECT u.url, u.depth,
+                     lower(regexp_extract(u.url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                     coalesce(nullif(regexp_extract(u.url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+                       ''), '/') AS path
+              FROM urls u),
+            flt AS (
+              SELECT p.url, p.host, p.depth,
+                     coalesce(k.rank, 0.0) - {repr(_DP)} * p.depth AS priority,
+                     coalesce(r.crawl_delay, 1.0) AS crawl_delay
+              FROM pol p
+              LEFT JOIN robots r USING (host)
+              LEFT JOIN ranks k USING (host)
+              WHERE p.host <> ''
+                AND coalesce(r.allowed, TRUE)
+                AND NOT (starts_with(p.path, '/private/')
+                         OR starts_with(p.path, '/admin/'))),
+            tk AS (
+              SELECT *,
+                     greatest(1, CAST(floor({repr(_BB)} / crawl_delay)
+                                      AS INT)) AS k,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS rn
+              FROM flt),
+            adm AS (
+              SELECT url, host, depth, priority FROM tk WHERE rn <= k
+              ORDER BY priority DESC, url ASC LIMIT 50)
+            SELECT url, host, depth, priority,
+                   CAST(row_number() OVER (ORDER BY priority DESC, url ASC)
+                        - 1 AS INT) AS seq
+            FROM adm
         """,
         "q39_dup_clusters": f"""
             -- Duplicate-cluster resolution: q10's MinHash+LSH pairs as

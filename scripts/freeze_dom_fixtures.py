@@ -79,6 +79,38 @@ def main() -> None:
     )
     audio = mm.audio_features(media).select("media_id", "zero_crossings")
 
+    # q34 corpus: synthetic SWDE page dirs -> kernel xpath predictions
+    # (post sentinel-filter, exactly the q34 pred side) + exploded
+    # ground truth. The Spark query keeps computing pred LIVE from the
+    # corpus, so the driver compare against the frozen oracle input
+    # pins the SWDE reader + extraction kernel end-to-end.
+    import __spark_entry__ as entry
+
+    from langscrape_spark.functions.kernel import make_extract_fields_udf
+    from langscrape_spark.sources.swde import (
+        swde_ground_truth,
+        swde_pages,
+        truth_values_long,
+    )
+
+    q34_root = entry.ensure_q34_corpus()
+    q34_pages = swde_pages(spark, q34_root)
+    q34_extract = make_extract_fields_udf(
+        {xp: {"strategy": "xpath_extractor", "xpath": xp} for xp in ("//h1", "//div")}
+    )
+    q34_pred = (
+        q34_pages.select(
+            "category", "site", "page_id",
+            q34_extract(F.decode("html", "utf-8")).alias("ex"),
+        )
+        .select("category", "site", "page_id", F.explode("ex").alias("xpath", "vs"))
+        .select("category", "site", "page_id", "xpath", F.explode("vs").alias("value"))
+        .where(~F.col("value").startswith("("))
+    )
+    q34_truth = truth_values_long(
+        swde_ground_truth(spark, os.path.join(q34_root, "groundtruth"))
+    )
+
     for name, df in [
         ("q22_dom_nodes", nodes),
         ("q31_template_sigs", sigs),
@@ -87,6 +119,8 @@ def main() -> None:
         ("q24_resized", resized),
         ("q24_frames", frames),
         ("q24_audio", audio),
+        ("q34_pred", q34_pred),
+        ("q34_truth", q34_truth),
     ]:
         tmp = os.path.join(FIXDIR, f"_{name}_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)

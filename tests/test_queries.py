@@ -75,8 +75,7 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", [
-    "q17_lsh_ann", "q19_crawl_schedule",
-    "q21_embedding_neardup_lsh", "q34_swde_rank", "q35_ivf_ann",
+    "q17_lsh_ann", "q21_embedding_neardup_lsh", "q35_ivf_ann",
 ])
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
