@@ -16,7 +16,9 @@ token-relevant transformations on the stdlib DOM:
 - ``keep_closing_tags=True`` (every reference call site that feeds
   downstream parsing uses it) serializes all end tags;
   ``False`` omits the spec's optional end tags (``</li>``, ``</p>``,
-  ``</tr>``, …) the way ``minify_html`` does by default
+  ``</tr>``, …) the way ``minify_html`` does by default — but only
+  where the spec's followed-by condition holds, so the minified form
+  re-parses to the identical DOM
 
 Known divergences from the Rust lib (documented, not silent): no JS/CSS
 minification (``minify_js``/``minify_css`` are off in every reference
@@ -63,19 +65,82 @@ _BLOCK = frozenset(
     }
 )
 
-# End tags the HTML spec makes optional — omitted when
-# ``keep_closing_tags=False`` (minify_html's default mode).
-_OPTIONAL_END = frozenset(
+# Optional end tags (HTML spec 13.1.2.4) are omitted only when the
+# spec's FOLLOWED-BY condition holds — unconditional omission re-parses
+# to a different DOM (e.g. ``<div><p>a</p>b</div>`` → ``<div><p>ab``
+# folds the sibling text into the p). Per tag: the set of next-sibling
+# element tags before which the end tag may drop.
+_P_FOLLOWERS = frozenset(
     {
-        "body", "caption", "colgroup", "dd", "dt", "head", "html", "li",
-        "optgroup", "option", "p", "rp", "rt", "tbody", "td", "tfoot",
-        "th", "thead", "tr",
+        "address", "article", "aside", "blockquote", "details", "div",
+        "dl", "fieldset", "figcaption", "figure", "footer", "form",
+        "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
+        "main", "menu", "nav", "ol", "p", "pre", "section", "table",
+        "ul",
     }
+)
+_OMIT_BEFORE = {
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dd", "dt"}),
+    "p": _P_FOLLOWERS,
+    "rt": frozenset({"rt", "rp"}),
+    "rp": frozenset({"rt", "rp"}),
+    "optgroup": frozenset({"optgroup"}),
+    "option": frozenset({"option", "optgroup"}),
+    "thead": frozenset({"tbody", "tfoot"}),
+    "tbody": frozenset({"tbody", "tfoot"}),
+    "tfoot": frozenset(),
+    "tr": frozenset({"tr"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+}
+# Tags whose end tag may also drop when the element is the LAST child
+# of its parent (dt/thead may not; p additionally requires the parent
+# not be one of the inline-ish containers below).
+_OMIT_AT_PARENT_END = frozenset(
+    {
+        "li", "dd", "p", "rt", "rp", "optgroup", "option", "tbody",
+        "tfoot", "tr", "td", "th",
+    }
+)
+_P_END_BAD_PARENTS = frozenset(
+    {"a", "audio", "del", "ins", "map", "noscript", "video"}
+)
+# End tags omissible whenever not followed by whitespace or a comment;
+# we require the stricter "next sibling is an element or nothing".
+_OMIT_UNLESS_WS_OR_COMMENT = frozenset(
+    {"head", "body", "html", "caption", "colgroup"}
 )
 
 # HTML attribute values that stay unambiguous unquoted: non-empty, no
-# whitespace, quotes, backtick, ``=``, ``<`` or ``>``.
-_UNQUOTED_OK = re.compile(r"^[^\s\"'`=<>]+$")
+# whitespace, quotes, backtick, ``=``, ``<``, ``>`` — and no ``&``:
+# an unquoted entity-shaped suffix (``data-x=1&gt``) would DECODE on
+# re-parse (named references without ';' are still decoded at end of
+# an unquoted value); minify_html escapes these, we quote them.
+_UNQUOTED_OK = re.compile(r"^[^\s\"'`=<>&]+$")
+
+
+def _omit_end_tag(el: Element, next_sib: Optional[Node]) -> bool:
+    """Spec-conditional optional-end-tag omission: True only when
+    re-parsing the omitted form yields the identical DOM."""
+    tag = el.tag
+    if tag in _OMIT_UNLESS_WS_OR_COMMENT:
+        return next_sib is None or isinstance(next_sib, Element)
+    followers = _OMIT_BEFORE.get(tag)
+    if followers is None:
+        return False
+    if next_sib is None:
+        if tag not in _OMIT_AT_PARENT_END:
+            return False
+        if tag == "p":
+            parent = el.parent
+            return (
+                isinstance(parent, Element)
+                and parent.tag not in _P_END_BAD_PARENTS
+            )
+        return True
+    return isinstance(next_sib, Element) and next_sib.tag in followers
 
 
 def _is_block(node: Optional[Node]) -> bool:
@@ -116,23 +181,35 @@ def _squash(el: Element, preserved: bool) -> None:
 
 
 def _serialize_min(nodes: List[Node], out: List[str], keep_closing: bool) -> None:
-    stack: List[object] = list(reversed(nodes))
+    # stack holds either literal strings or (node, next_sibling) pairs —
+    # the omission rules need each element's next sibling, threaded at
+    # push time (never parent.children.index(): quadratic on wide lists)
+    stack: List[object] = []
+
+    def push_children(children: List[Node]) -> None:
+        for i in range(len(children) - 1, -1, -1):
+            nxt = children[i + 1] if i + 1 < len(children) else None
+            stack.append((children[i], nxt))
+
+    push_children(nodes)
     while stack:
         item = stack.pop()
         if isinstance(item, str):
             out.append(item)
-        elif isinstance(item, Text):
-            parent = item.parent
+            continue
+        node, next_sib = item
+        if isinstance(node, Text):
+            parent = node.parent
             if parent is not None and parent.tag in _PRESERVE:
-                out.append(item.data)
+                out.append(node.data)
             else:
-                out.append(_escape_text(item.data))
-        elif isinstance(item, Comment):
-            if item.data.startswith("!"):
-                out.append(f"<{item.data.lower()}>")
-        elif isinstance(item, Element):
+                out.append(_escape_text(node.data))
+        elif isinstance(node, Comment):
+            if node.data.startswith("!"):
+                out.append(f"<{node.data.lower()}>")
+        elif isinstance(node, Element):
             parts: List[str] = []
-            for k, v in item.attrs.items():
+            for k, v in node.attrs.items():
                 if v == "":
                     parts.append(f" {k}")
                 elif _UNQUOTED_OK.match(v):
@@ -140,14 +217,14 @@ def _serialize_min(nodes: List[Node], out: List[str], keep_closing: bool) -> Non
                 else:
                     parts.append(f' {k}="{_escape_attr(v)}"')
             attrs = "".join(parts)
-            if item.tag in VOID_ELEMENTS and not item.children:
+            if node.tag in VOID_ELEMENTS and not node.children:
                 # minify_html emits void elements without the XML slash
-                out.append(f"<{item.tag}{attrs}>")
+                out.append(f"<{node.tag}{attrs}>")
             else:
-                out.append(f"<{item.tag}{attrs}>")
-                if keep_closing or item.tag not in _OPTIONAL_END:
-                    stack.append(f"</{item.tag}>")
-                stack.extend(reversed(item.children))
+                out.append(f"<{node.tag}{attrs}>")
+                if keep_closing or not _omit_end_tag(node, next_sib):
+                    stack.append(f"</{node.tag}>")
+                push_children(node.children)
 
 
 def minify(html_str: str, keep_closing_tags: bool = False) -> str:

@@ -246,20 +246,20 @@ def minhash_lsh_pairs(
     ``exact_dedup``'s job (run it first; it is one cheap hash shuffle).
     ``max_bucket=None`` disables the guard.
 
-    Plan shape (round 3): ONE signature pass; two shuffles (the bucket
-    groupBy and the final per-pair dedup — down from the old four-
-    consumer plan). Signatures are computed MAP-SIDE (vectorized
-    pandas minhash, no shuffle; an exploded-index groupBy-min
-    formulation was measured SLOWER at 100k docs — the index shuffle
-    costs more than the hashlib loop saves); pairs come from
-    ``groupBy(bucket).collect_list(id)`` + a per-bucket vectorized
-    emit, NOT a bucket self-join — the former self-join +
-    broadcast-anti guard consumed the signature lineage four times and
-    Spark does not reuse the exchange across those consumers (measured
-    2.4× slower), and the guard here is a free ``size(ids)`` filter on
-    the already-grouped row instead of a second aggregation. Per-group
-    grouped state is ≤ ``max_bucket`` ids; the quadratic PAIR OUTPUT
-    is yielded in bounded blocks through the mapInPandas generator
+    Plan shape (round 3): ONE signature pass (the narrow signature
+    frame is persisted when the guard is on, so the pandas minhash UDF
+    never recomputes); pairs come from ``groupBy(bucket).
+    collect_list(id)`` + a per-bucket vectorized emit, NOT a bucket
+    self-join — the former self-join + broadcast-anti guard consumed
+    the signature lineage four times and Spark does not reuse the
+    exchange across those consumers (measured 2.4× slower). The guard
+    runs BEFORE the list aggregation: a counts pass (constant
+    per-group state, map-side partials) finds the hot buckets and a
+    broadcast anti-join drops their rows, so per-group aggregation
+    state is genuinely ≤ ``max_bucket`` ids — a post-hoc
+    ``size(ids)`` filter would still materialize a 10^8-doc identical
+    cluster as one multi-GB agg buffer. The quadratic PAIR OUTPUT is
+    yielded in bounded blocks through the mapInPandas generator
     (Arrow streams each block out), so worker memory never holds a
     bucket's full pair set — same streaming behavior as the old join,
     without its recomputation. Ids keep their input type (any
@@ -278,6 +278,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
     ).where(F.col("sig").getItem(0).isNotNull())
+    if max_bucket is not None:
+        # The guard's counts pass consumes the signature lineage a
+        # second time; persist the (narrow) signature frame so the
+        # pandas minhash UDF runs ONCE (storage is spillable and freed
+        # by the ContextCleaner when the result DF is released).
+        sig = sig.persist()
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -295,10 +301,24 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+    # The guard must run BEFORE the list aggregation: filtering
+    # where(size(ids) <= max_bucket) AFTER collect_list still
+    # materializes the oversized bucket's complete id list in a single
+    # non-spillable aggregation buffer (a 10^8-doc identical cluster =
+    # multi-GB in one agg row → executor OOM). A counts pass has
+    # constant per-group state, the hot set is tiny by construction
+    # (≤ corpus/max_bucket buckets), and the broadcast anti-join drops
+    # hot buckets' rows before any list exists.
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("bucket")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
     grouped = grouped.where(F.size("ids") >= 2)
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -430,6 +450,11 @@ def simhash_near_dups(
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sh")
     )
+    if max_bucket is not None:
+        # see minhash_lsh_pairs: the guard's counts pass re-consumes
+        # the signature lineage — persist the narrow (id, sh) frame so
+        # the simhash UDF runs once
+        sig = sig.persist()
     block_cols = []
     for c in range(n_blocks):
         lo, hi = bounds[c], bounds[c + 1]
@@ -447,17 +472,27 @@ def simhash_near_dups(
         "sh",
         F.explode(F.array(*block_cols)).alias("chunk"),
     )
-    # One signature pass, one shuffle (same plan shape as
+    # One signature pass (persisted when guarded — same plan shape as
     # minhash_lsh_pairs): group each block bucket, emit surviving
     # pairs with a vectorized XOR-popcount INSIDE the bucket — the
     # hamming filter runs before any pair ever hits a shuffle, and the
-    # hot-bucket guard is a free size filter on the grouped row.
+    # hot-bucket guard drops oversized buckets before the list agg.
+    # Pre-aggregation guard (see minhash_lsh_pairs): a post-hoc
+    # size(rows) filter would still build the oversized bucket's full
+    # struct list in one aggregation buffer; count first (constant
+    # state), anti-join the tiny hot set away, THEN collect.
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("chunk")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("chunk")
+        )
+        chunks = chunks.join(F.broadcast(hot), "chunk", "left_anti")
     grouped = chunks.groupBy("chunk").agg(
         F.collect_list(F.struct("id", "sh")).alias("rows")
     )
     grouped = grouped.where(F.size("rows") >= 2)
-    if max_bucket is not None:
-        grouped = grouped.where(F.size("rows") <= max_bucket)
 
     import numpy as np
     import pandas as pd

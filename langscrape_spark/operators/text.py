@@ -241,10 +241,9 @@ def span_dedup(
     everything is md5/array built-ins, reproducible in ANSI SQL
     (oracle q40).
 
-    ``pos_key`` packs (doc_id, idx) into one BIGINT; the ordering
-    matches lexicographic (doc_id, idx) while idx < 2^20, i.e. for
-    documents under ~10M tokens at span=10 — far past any real web
-    document."""
+    The winner per chunk hash is ``min(struct(id, idx))`` — struct
+    ordering is lexicographic, so this works for ANY orderable id type
+    (string url ids included), with no packing-range limit."""
     toks = words_col(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
     # sequence(0, -1) counts DOWN in Spark — empty docs must yield an
@@ -265,10 +264,13 @@ def span_dedup(
         "idx",
         "chunk",
         F.md5("chunk").alias("h"),
-        (F.col("id") * F.lit(1 << 20) + F.col("idx")).alias("pos_key"),
     )
-    winners = hashed.groupBy("h").agg(F.min("pos_key").alias("min_pos"))
-    kept = hashed.join(winners, "h").where(F.col("pos_key") == F.col("min_pos"))
+    winners = hashed.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("w")
+    )
+    kept = hashed.join(winners, "h").where(
+        (F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx"))
+    )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             " ",

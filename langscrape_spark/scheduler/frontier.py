@@ -36,6 +36,7 @@ Everything per-row-Python lives in the two kernel UDFs
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -521,6 +522,40 @@ def _seen_bucket_expr(cfg: CrawlConfig):
     return F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int")
 
 
+def _seen_layout_path(catalog: Catalog) -> str:
+    return os.path.join(catalog.root, "seen", "_BUCKET_LAYOUT")
+
+
+def _check_seen_layout(catalog: Catalog, cfg: CrawlConfig) -> None:
+    """Geometry guard for the bucket_probe seen layout: the bucket
+    count is baked into every committed dir name, so a resume with a
+    different ``seen_bucket_count``/``seen_partitions`` would probe the
+    WRONG buckets — false negatives, duplicate admissions, silent
+    schedule divergence (the same failure class the bloom's ``_STATE``
+    geometry stamp guards against). First bucketed write records the
+    count; every later write and every probe refuses on mismatch."""
+    nb = int(cfg.seen_bucket_count or cfg.seen_partitions)
+    path = _seen_layout_path(catalog)
+    try:
+        with open(path) as f:
+            recorded = int(json.load(f)["buckets"])
+    except (OSError, ValueError, KeyError):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": nb}, f)
+        os.replace(tmp, path)
+        return
+    if recorded != nb:
+        raise ValueError(
+            f"membership='bucket_probe' seen layout was written with "
+            f"{recorded} buckets but this run is configured for {nb}; "
+            f"resume with the original bucket count (or rebuild the "
+            f"seen table) — probing a mismatched layout would silently "
+            f"re-admit seen urls"
+        )
+
+
 def _append_seen(
     catalog: Catalog, urls: DataFrame, version: int, cfg: CrawlConfig
 ) -> None:
@@ -528,6 +563,7 @@ def _append_seen(
     strategy reads: flat for "shuffle", ``bucket=K/`` dir-partitioned
     (stable url-hash) for "bucket_probe"."""
     if cfg.membership == "bucket_probe":
+        _check_seen_layout(catalog, cfg)
         catalog.append(
             "seen",
             urls.select("url", _seen_bucket_expr(cfg).alias("bucket")),
@@ -738,11 +774,20 @@ def run_crawl(
             cached_cand = links.repartition(
                 cfg.seen_partitions, F.xxhash64("url")
             ).cache()
+            # Materialize the harvest under its OWN timer: the link-
+            # extraction UDF + url-hash repartition are lazy, and
+            # without this their cost lands in whichever membership
+            # action runs first — masking exactly the strategy
+            # difference the phase timers exist to expose.
+            tp = time.time()
+            cached_cand.count()
+            phases["harvest"] = round(time.time() - tp, 3)
             cand = cached_cand
             if cfg.membership == "bucket_probe":
                 # Exact check without shuffling the seen set: per-bucket
                 # direct file reads against the committed layout. The
                 # closure replaces both anti-join sites below.
+                _check_seen_layout(catalog, cfg)  # geometry guard
                 bucket_files = _seen_bucket_files(catalog, round_no)
 
                 def _exact_new(c, _bf=bucket_files):

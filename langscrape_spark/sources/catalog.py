@@ -200,6 +200,46 @@ class Catalog:
         ]
         return dirs
 
+    @staticmethod
+    def _dir_partitioned(d: str) -> bool:
+        """True if a committed sub-snapshot dir is written dir-
+        partitioned (``bucket=K/`` subdirs). Local-path fast check;
+        remote paths return False and rely on the exception fallback."""
+        if "://" in d:
+            return False
+        try:
+            return any(
+                "=" in s and os.path.isdir(os.path.join(d, s))
+                for s in os.listdir(d)
+            )
+        except OSError:
+            return False
+
+    def _read_union(self, dirs: list) -> Optional[DataFrame]:
+        """Per-dir read + union for dir-partitioned sub-snapshots: a
+        multi-root read of several partitioned dirs throws
+        CONFLICTING_DIRECTORY_STRUCTURES (each dir is its own partition
+        root). Plan width stays bounded by compaction (≤ compact_every
+        deltas + one base)."""
+        from functools import reduce
+
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        parts = []
+        for d in dirs:
+            try:
+                parts.append(self.spark.read.parquet(d))
+            except AnalysisException as e:
+                # A zero-row partitionBy write leaves only _SUCCESS
+                # (no data files, no schema): a legitimate empty
+                # delta for a round that admitted nothing — skip it.
+                if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                    continue
+                raise
+        if not parts:
+            return None
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def read_appended(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
         """Union of the compacted base (if any) and all committed
         deltas in (base_version, ``version``] (default ``version``:
@@ -207,33 +247,16 @@ class Catalog:
         dirs = self.appended_dirs(name, version)
         if not dirs:
             return None
+        # Detect the bucket layout up front (one cheap listing) instead
+        # of letting the multi-root read fail once per call — the seen
+        # table is read every round, and exception-driven fallback paid
+        # a doomed file-listing/schema pass each time.
+        if any(self._dir_partitioned(d) for d in dirs):
+            return self._read_union(dirs)
         try:
             return self.spark.read.parquet(*dirs)
         except Exception:
-            # Dir-partitioned sub-snapshots (seen-set bucket layout):
-            # a multi-root read of several partitioned dirs throws
-            # CONFLICTING_DIRECTORY_STRUCTURES — each dir is its own
-            # partition root, so read them separately and union. Plan
-            # width stays bounded by compaction (≤ compact_every
-            # deltas + one base).
-            from functools import reduce
-
-            from pyspark.errors.exceptions.captured import AnalysisException
-
-            parts = []
-            for d in dirs:
-                try:
-                    parts.append(self.spark.read.parquet(d))
-                except AnalysisException as e:
-                    # A zero-row partitionBy write leaves only _SUCCESS
-                    # (no data files, no schema): a legitimate empty
-                    # delta for a round that admitted nothing — skip it.
-                    if "UNABLE_TO_INFER_SCHEMA" in str(e):
-                        continue
-                    raise
-            if not parts:
-                return None
-            return reduce(lambda a, b: a.unionByName(b), parts)
+            return self._read_union(dirs)
 
     # -- bucketed tables -----------------------------------------------------
     # The production design stores pages/seen as Iceberg tables bucketed

@@ -166,3 +166,22 @@ def test_bucket_probe_rejects_flat_catalog(spark, corpus, tmp_path):
             spark, pages, seeds, robots, host_rank, catalog,
             CrawlConfig(max_rounds=4, membership="bucket_probe", **base),
         )
+
+
+def test_bucket_probe_geometry_change_refuses(spark, corpus, tmp_path):
+    """Resuming a bucket_probe catalog with a DIFFERENT bucket count
+    must refuse loudly: probing a mismatched layout would silently
+    re-admit seen urls (the bloom's _STATE guard, for the seen set)."""
+    pages, seeds, robots, host_rank = corpus
+    catalog = Catalog(spark, str(tmp_path))
+    cfg8 = CrawlConfig(
+        batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=2,
+        seen_partitions=8, membership="bucket_probe",
+    )
+    run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg8)
+    cfg16 = CrawlConfig(
+        batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=4,
+        seen_partitions=16, membership="bucket_probe",
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg16)

@@ -89,3 +89,41 @@ def test_minified_never_longer():
     ]
     for h in htmls:
         assert len(minify(h, keep_closing_tags=True)) <= len(h)
+
+
+def test_omission_mode_preserves_dom_structure():
+    """keep_closing_tags=False may only omit an end tag where the spec
+    allows it — the minified form must re-parse to the IDENTICAL tree
+    (tag sequence + text content), else downstream xpath/template
+    consumers see a different document."""
+    from langscrape_spark.html.dom import parse
+
+    cases = [
+        "<div><p>a</p>b</div>",              # </p> must stay: text follows
+        "<div><p>a</p><span>b</span></div>", # span not a valid p-follower
+        "<ul><li>a</li><li>b</li></ul>",     # both </li> may drop
+        "<p>a</p><p>b</p>",                  # p before p may drop
+        "<table><tr><td>1</td><td>2</td></tr><tr><td>3</td></tr></table>",
+        "<audio><p>fallback</p></audio>",    # p at end of bad parent: keep
+        "<select><option>a</option><option>b</option></select>",
+    ]
+    for h in cases:
+        out = minify(h, keep_closing_tags=False)
+        want = parse(h)
+        got = parse(out)
+        assert [e.tag for e in got.iter_elements()] == [
+            e.tag for e in want.iter_elements()
+        ], (h, out)
+        from langscrape_spark.html.textify import convert_html_to_text
+
+        assert convert_html_to_text(out) == convert_html_to_text(h), (h, out)
+
+
+def test_ampersand_attribute_values_stay_quoted():
+    """Unquoted values ending in an entity-shaped suffix would DECODE
+    on re-parse ('1&gt' -> '1>'); ampersand values must stay quoted."""
+    from langscrape_spark.html.dom import parse
+
+    out = minify('<a data-x="1&amp;gt">t</a>', keep_closing_tags=True)
+    el = next(e for e in parse(out).iter_elements() if e.tag == "a")
+    assert el.attrs["data-x"] == "1&gt", out

@@ -678,3 +678,21 @@ def test_gopher_flags_gates(spark):
     assert got[3]["frac_bullet"] == 1.0 and got[3]["passes_gopher"] is False
     assert got[4]["frac_ellipsis"] == 1.0 and got[4]["passes_gopher"] is False
     assert got[5]["n_words"] == 0 and got[5]["passes_gopher"] is False
+
+
+def test_span_dedup_string_ids(spark):
+    # regression: winner election must work for ANY orderable id type
+    # (struct-min, not numeric packing) — url-keyed corpora are normal
+    rows = [
+        ("a://1", "x y z p q r"),
+        ("b://2", "x y z k l m"),   # "x y z" repeats -> removed here
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    from langscrape_spark.operators.text import span_dedup
+
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_removed"])
+        for r in span_dedup(df, "text", "doc_id", span=3).collect()
+    }
+    assert got["a://1"] == ("x y z p q r", 0)
+    assert got["b://2"] == ("k l m", 1)
