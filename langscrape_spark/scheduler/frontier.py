@@ -101,6 +101,15 @@ class CrawlConfig:
     # seen_partitions. Size it so one bucket's url set fits a worker
     # comfortably: |seen| · ~60 B/url / buckets ≤ a few hundred MB.
     seen_bucket_count: Optional[int] = None
+    # Measured crossover for the probe (34-round soak + 262k-page A/B,
+    # BASELINE.md): below this seen-set size the per-bucket file-open
+    # overhead costs more than shuffling the whole (tiny) seen set, so
+    # membership="bucket_probe" keeps the bucketed LAYOUT from round 0
+    # but runs the exact check as the shuffle anti-join until |seen|
+    # crosses this floor. Both strategies are admission-identical
+    # (same schedule md5 over the full soak), so the switch never
+    # changes the crawl.
+    probe_min_seen: int = 200_000
 
 
 @dataclass
@@ -783,18 +792,27 @@ def run_crawl(
             cached_cand.count()
             phases["harvest"] = round(time.time() - tp, 3)
             cand = cached_cand
+            use_probe = False
             if cfg.membership == "bucket_probe":
+                # Layout validation runs EVERY round in bucket mode —
+                # geometry guard + flat-layout refusal must fire even
+                # when the seen set is still below probe_min_seen and
+                # the exact check falls back to the shuffle anti-join.
+                _check_seen_layout(catalog, cfg)
+                bucket_files = _seen_bucket_files(catalog, round_no)
+                use_probe = total_seen >= cfg.probe_min_seen
+            if use_probe:
                 # Exact check without shuffling the seen set: per-bucket
                 # direct file reads against the committed layout. The
                 # closure replaces both anti-join sites below.
-                _check_seen_layout(catalog, cfg)  # geometry guard
-                bucket_files = _seen_bucket_files(catalog, round_no)
-
                 def _exact_new(c, _bf=bucket_files):
                     return _bucket_probe_anti_join(spark, c, _bf, cfg)
 
             else:
-
+                # Shuffle anti-join — the whole seen set repartitions by
+                # url-hash each round. Measured CHEAPER below
+                # probe_min_seen (file-open overhead beats a tiny
+                # shuffle); reads the bucketed layout transparently.
                 def _exact_new(c):
                     return c.join(
                         seen.repartition(

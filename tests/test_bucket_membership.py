@@ -59,6 +59,7 @@ def _crawl(spark, corpus, tmpdir, **cfg_kwargs):
     kwargs = dict(
         batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
         seen_partitions=8, membership="bucket_probe",
+        probe_min_seen=0,  # the toy seen set must exercise the probe
     )
     kwargs.update(cfg_kwargs)
     cfg = CrawlConfig(**kwargs)
@@ -185,3 +186,15 @@ def test_bucket_probe_geometry_change_refuses(spark, corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket"):
         run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg16)
+
+
+def test_bucket_layout_with_shuffle_fallback_matches_simulator(
+    spark, corpus, oracle, tmp_path
+):
+    """Below probe_min_seen the bucketed LAYOUT stays but the exact
+    check runs as the shuffle anti-join (measured cheaper for tiny
+    seen sets) — admission must be byte-identical either way."""
+    state, _, _ = _crawl(spark, corpus, tmp_path, probe_min_seen=10**9)
+    sim_schedule, sim_seen = oracle
+    assert _schedule_of(state) == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
