@@ -904,6 +904,51 @@ def q44_gopher_quality(spark, sf):
     return out.withColumn("passes_gopher", F.col("passes_gopher").cast("int"))
 
 
+# robots.txt bodies planted per nation row, shared verbatim by the
+# Spark query and the DuckDB oracle (newlines escaped SQL-side).
+# Templates exercise: comments + mixed-case directives + empty
+# Disallow (t0), a non-star group then a consecutive-UA group
+# containing * (t1), full disallow (t2), no star group (t3), empty
+# file (t4).
+_ROBOTS_TEMPLATES = [
+    "# main rules\nUser-Agent: *\nDisallow: /private/\nCRAWL-DELAY: 2.5\n"
+    "Disallow: /tmp/  # scratch\nDisallow:\n",
+    "User-agent: Foo\nDisallow: /foo/\n\nUser-Agent: Bar\nUser-agent: *\n"
+    "Disallow: /x/\ncrawl-delay: 10\n",
+    "User-agent: *\nDisallow: /\n",
+    "User-agent: Googlebot\nDisallow: /g/\n",
+    "",
+]
+
+
+def q45_parse_robots(spark, sf):
+    """robots.txt parsing (REP subset: UA groups incl. consecutive-UA
+    runs, Disallow prefixes, Crawl-delay, comments, case-insensitive
+    directives) over deterministic planted bodies; crawl_delay_s uses
+    -1.0 as the documented no-delay sentinel so both engines emit
+    non-NULL doubles."""
+    from langscrape_spark.scheduler.robots import parse_robots_txt
+
+    k = F.col("n_nationkey")
+    txt = F.when(k % 5 == 0, F.lit(_ROBOTS_TEMPLATES[0]))
+    for i in range(1, 4):
+        txt = txt.when(k % 5 == i, F.lit(_ROBOTS_TEMPLATES[i]))
+    txt = txt.otherwise(F.lit(_ROBOTS_TEMPLATES[4]))
+    df = _t(spark, sf, "nation").select(
+        F.concat(F.lit("www.nat"), k.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    out = parse_robots_txt(df)
+    return out.select(
+        "host",
+        F.array_join("disallow_prefixes", "|").alias("prefixes"),
+        F.coalesce("crawl_delay", F.lit(-1.0)).alias("crawl_delay_s"),
+        F.col("allowed").cast("int").alias("allowed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -950,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pii_scrub": q42_pii_scrub,
         "q43_canonical_urls": q43_canonical_urls,
         "q44_gopher_quality": q44_gopher_quality,
+        "q45_parse_robots": q45_parse_robots,
     }
 
 
@@ -1132,6 +1178,18 @@ def oracle_sql() -> dict[str, str]:
         f"('www.site{i}.example', {repr(round(1.0 - i * 0.04, 4))})"
         for i in range(_synth.N_HOSTS)
     )
+
+    def _sql_text(s: str) -> str:
+        """A Python string as a DuckDB expression, newlines via
+        chr(10) so the q45 robots templates stay byte-identical on
+        both engines."""
+        if not s:
+            return "''"
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in s.split("\n")
+        )
+
+    rt = [_sql_text(t) for t in _ROBOTS_TEMPLATES]
     return {
         "q01_top1_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1895,6 +1953,70 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT category, site, field_name, xpath, tp, fp, fn, f1
             FROM best WHERE rn = 1
+        """,
+        "q45_parse_robots": f"""
+            -- robots.txt REP-subset parsing, independent DuckDB
+            -- reimplementation (scheduler/robots.py): gaps-and-islands
+            -- UA group ids, * groups' Disallow prefixes in file order,
+            -- first Crawl-delay, allowed = no '/' disallow.
+            WITH hosts AS (
+              SELECT 'www.nat' || n_nationkey || '.example' AS host,
+                     CASE n_nationkey % 5
+                       WHEN 0 THEN {rt[0]} WHEN 1 THEN {rt[1]}
+                       WHEN 2 THEN {rt[2]} WHEN 3 THEN {rt[3]}
+                       ELSE {rt[4]} END AS txt
+              FROM nation),
+            toks AS (SELECT host, string_split(txt, chr(10)) AS ls FROM hosts),
+            lines AS (
+              SELECT host, i AS idx,
+                     regexp_replace(regexp_replace(ls[i+1], '#.*$', ''),
+                                    '^\\s+|\\s+$', '', 'g') AS line
+              FROM toks, UNNEST(range(0, len(ls))) AS t(i)),
+            l1 AS (
+              SELECT *,
+                     regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua,
+                     coalesce(lag(regexp_matches(line, '(?i)^user-agent\\s*:'))
+                              OVER (PARTITION BY host ORDER BY idx),
+                              FALSE) AS prev_ua
+              FROM lines),
+            l2 AS (
+              SELECT *,
+                     sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host ORDER BY idx) AS block
+              FROM l1),
+            star AS (
+              SELECT DISTINCT host, block FROM l2
+              WHERE is_ua AND regexp_extract(line,
+                '(?i)^user-agent\\s*:\\s*(.*?)\\s*$', 1) = '*'),
+            rules AS (
+              SELECT l2.* FROM l2 JOIN star USING (host, block)
+              WHERE NOT is_ua),
+            agg AS (
+              SELECT host,
+                     coalesce(array_to_string(
+                       list(regexp_extract(line,
+                              '(?i)^disallow\\s*:\\s*(\\S*)', 1) ORDER BY idx)
+                         FILTER (WHERE regexp_matches(line, '(?i)^disallow\\s*:')
+                           AND regexp_extract(line,
+                                 '(?i)^disallow\\s*:\\s*(\\S*)', 1) <> ''),
+                       '|'), '') AS prefixes,
+                     CAST(coalesce(
+                       arg_min(regexp_extract(line,
+                         '(?i)^crawl-delay\\s*:\\s*([0-9.]+)', 1), idx)
+                         FILTER (WHERE regexp_matches(line,
+                                       '(?i)^crawl-delay\\s*:')),
+                       '-1') AS DOUBLE) AS crawl_delay_s,
+                     CASE WHEN bool_or(regexp_extract(line,
+                            '(?i)^disallow\\s*:\\s*(\\S*)', 1) = '/')
+                            FILTER (WHERE regexp_matches(line,
+                                          '(?i)^disallow\\s*:'))
+                          THEN 0 ELSE 1 END AS allowed0
+              FROM rules GROUP BY host)
+            SELECT h.host,
+                   coalesce(a.prefixes, '') AS prefixes,
+                   coalesce(a.crawl_delay_s, -1.0) AS crawl_delay_s,
+                   CAST(coalesce(a.allowed0, 1) AS INT) AS allowed
+            FROM hosts h LEFT JOIN agg a USING (host)
         """,
         "q19_crawl_schedule": f"""
             -- Independent reimplementation of one politeness round

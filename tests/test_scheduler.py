@@ -139,3 +139,28 @@ def test_metrics_lineage_recorded(spark, crawl):
         for r in rows.values()
     )
     assert any(len(r["partition_rows"]) >= 1 for r in rows.values())
+
+
+def test_parse_robots_txt_edges(spark):
+    """REP-subset edges the q45 oracle corpus doesn't cover: multiple
+    star groups merge rules in file order, first crawl-delay wins,
+    NULL body behaves as empty."""
+    from langscrape_spark.scheduler.robots import parse_robots_txt
+
+    rows = [
+        ("a.example",
+         "User-agent: *\nDisallow: /one/\nCrawl-delay: 3\n\n"
+         "User-agent: Bot\nDisallow: /bot/\n\n"
+         "User-agent: *\nDisallow: /two/\nCrawl-delay: 9\n"),
+        ("b.example", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r["host"]: r.asDict() for r in parse_robots_txt(df).collect()}
+    a = got["a.example"]
+    assert a["disallow_prefixes"] == ["/one/", "/two/"]  # /bot/ excluded
+    assert a["crawl_delay"] == 3.0  # first delay wins
+    assert a["allowed"] is True
+    b = got["b.example"]
+    assert (b["disallow_prefixes"], b["crawl_delay"], b["allowed"]) == (
+        [], None, True
+    )
