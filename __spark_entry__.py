@@ -7,15 +7,21 @@ ANSI SQL. Column names and types are aligned on both sides (counts as
 BIGINT, ratios rounded to 6 dp) because the driver hash-compares
 values after sorting columns by name.
 
-Queries without an oracle entry (q17_lsh_ann, q18_extract_kernel,
-q19_crawl_schedule, q21_embedding_neardup_lsh, q24_media_features,
-q34_swde_rank, q35_ivf_ann) are the genuinely non-SQL-expressible ops
-(LSH probing, the HTML kernel, the round-loop scheduler, blake2b
-media fakes, iterative Lloyd) — the driver records rows-only checks
-for those. Round-3 oracle upgrades: q16_simhash (shingle hash moved
-to the md5 lower half, which DuckDB reproduces via
-``md5_number_lower``) and q32_host_pagerank (frozen link-kernel edge
-fixture + the 8 power iterations unrolled as chained CTEs).
+Every query now carries an oracle. The non-SQL kernels are pinned via
+frozen-fixture oracles (the Spark side computes live; the DuckDB side
+re-derives everything downstream of a committed parquet fixture, so
+the hash compare checks the downstream logic exactly AND pins the
+kernel): q18/q22/q23/q31/q32 freeze the HTML/DOM kernel outputs
+(scripts/freeze_dom_fixtures.py), q24 the multimodal decode fakes,
+q34 the SWDE reader + extraction kernel, and — round-3 — q17/q21/q35
+freeze the ANN bucket/centroid assignments
+(scripts/freeze_ann_fixtures.py) while DuckDB re-derives the hamming
+probe, nprobe centroid ranking, within-bucket pair join, exact cosine
+and top-k order. Other round-3 oracle upgrades: q16_simhash (shingle
+hash moved to the md5 lower half, which DuckDB reproduces via
+``md5_number_lower``), q32_host_pagerank (frozen link-kernel edge
+fixture + the 8 power iterations unrolled as chained CTEs), and
+q19_crawl_schedule (deterministic generator rows embedded as VALUES).
 """
 
 from __future__ import annotations
@@ -237,7 +243,11 @@ def q16_simhash(spark, sf):
 
 
 def q17_lsh_ann(spark, sf):
-    """SRP-LSH bucketed approximate top-k (scale path for q13)."""
+    """SRP-LSH bucketed approximate top-k (scale path for q13).
+    Oracled: the bucket assignment is frozen to a fixture
+    (scripts/freeze_ann_fixtures.py); DuckDB re-derives the hamming-
+    radius probe, exact cosine and top-k order — the compare pins the
+    gemm bucketer."""
     emb = _t(spark, sf, "embeddings")
     return lsh_topk(emb, QUERY_VEC, k=10, n_planes=8, probe_radius=3)
 
@@ -296,8 +306,11 @@ def q20_embedding_neardup(spark, sf):
 
 def q21_embedding_neardup_lsh(spark, sf):
     """Scale path for q20: SRP buckets partition the corpus, per-bucket
-    gemm confirms exact cosines; n_planes derived from corpus size
-    (rows-only; recall subset proven in tests/test_training_ops.py)."""
+    gemm confirms exact cosines; n_planes derived from corpus size.
+    Oracled: the (bucket, sub) assignment is frozen to a fixture;
+    DuckDB re-derives the within-bucket pair join and cosine threshold
+    (recall-vs-q20 subset additionally proven in
+    tests/test_training_ops.py)."""
     from langscrape_spark.operators.ann import embedding_neardup_pairs_lsh
 
     emb = _t(spark, sf, "embeddings")
@@ -666,10 +679,12 @@ def q34_swde_rank(spark, sf):
 
 
 def q35_ivf_ann(spark, sf):
-    """IVF-flat ANN top-k (FAISS-style inverted lists; rows-only —
-    recall pinned vs brute force in tests/test_training_ops.py):
-    deterministic Lloyd centroids, nprobe nearest lists scanned, exact
-    re-rank inside them."""
+    """IVF-flat ANN top-k (FAISS-style inverted lists): deterministic
+    Lloyd centroids, nprobe nearest lists scanned, exact re-rank
+    inside them. Oracled: centroids + assignments are frozen to
+    fixtures; DuckDB re-derives the nprobe centroid ranking, list
+    filter, cosine and top-k order (recall additionally pinned vs
+    brute force in tests/test_training_ops.py)."""
     from langscrape_spark.operators.ann import ivf_centroids, ivf_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -1369,6 +1384,86 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM pairs
             WHERE NOT isnan(cosine) AND cosine >= 0.40
+        """,
+        # q17/q21/q35 (ANN): the numpy bucketers / Lloyd centroids are
+        # frozen to fixtures (scripts/freeze_ann_fixtures.py); DuckDB
+        # re-derives the probe-set selection, pair join, exact cosine
+        # and top-k order. The Spark side computes the assignments
+        # LIVE, so the compare pins the bucketers too. The q17 query
+        # bucket (150) is the driver-side scalar lsh_topk computes from
+        # QUERY_VEC and the md5 planes — printed by the freeze script.
+        "q17_lsh_ann": f"""
+            WITH q AS (SELECT {_QV_SQL} AS qv),
+            cand AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN read_parquet('{_fixture("q17_srp_buckets.parquet")}') b
+                ON b.vec_id = e.vec_id
+              WHERE bit_count(xor(b.bucket, 150::BIGINT)) <= 3),
+            scored AS (
+              SELECT vec_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE) * qv[i]))
+                       / (sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                     6) AS cosine
+              FROM cand, q)
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "q21_embedding_neardup_lsh": f"""
+            WITH b AS (
+              SELECT id, bucket, sub
+              FROM read_parquet('{_fixture("q21_lsh_buckets.parquet")}')),
+            e AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT l.id AS id_a, r.id AS id_b,
+                round(
+                  list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(ea.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(eb.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                6) AS cosine
+              FROM b l
+              JOIN b r ON l.bucket = r.bucket AND l.sub = r.sub
+                      AND l.id < r.id
+              JOIN e ea ON ea.vec_id = l.id
+              JOIN e eb ON eb.vec_id = r.id)
+            SELECT id_a, id_b, cosine FROM pairs
+            WHERE NOT isnan(cosine) AND cosine >= 0.40
+        """,
+        "q35_ivf_ann": f"""
+            WITH q AS (SELECT [{", ".join("1.0" if i % 7 == 0 else "0.1" for i in range(64))}]::DOUBLE[] AS qv),
+            probe AS (
+              -- centroids are L2-normalized, so ranking by dot(C, q)
+              -- equals ranking by cosine; nprobe=6 as in q35_ivf_ann
+              SELECT cid
+              FROM read_parquet('{_fixture("q35_ivf_centroids.parquet")}'), q
+              ORDER BY list_sum(list_transform(range(1, 65),
+                         i -> centroid[i] * qv[i])) DESC, cid ASC
+              LIMIT 6),
+            cand AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN read_parquet('{_fixture("q35_ivf_assign.parquet")}') a
+                ON a.vec_id = e.vec_id
+              WHERE a.bucket IN (SELECT cid FROM probe)),
+            scored AS (
+              SELECT vec_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE) * qv[i]))
+                       / (sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                     6) AS cosine
+              FROM cand, q)
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "q25_corr_by_group": """
             SELECT l_returnflag,

@@ -317,45 +317,22 @@ def embedding_neardup_pairs(
     )
 
 
-def embedding_neardup_pairs_lsh(
+def lsh_bucket_assignments(
     df: DataFrame,
-    threshold: float,
     n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_bucket_rows: int = 1024,
     max_bucket_rows: int = 16384,
-) -> DataFrame:
-    """Scale path: SRP buckets partition the corpus; all-pairs cosine
-    runs *within* each bucket as one numpy gemm (``applyInPandas`` per
-    bucket group) — never a per-pair HOF evaluation and never a cross
-    join. Recall < 1 (pairs split across buckets are missed); raise it
-    with band-style multiple plane sets, as minhash_lsh_pairs does for
-    text.
-
-    - ``n_planes=None`` derives the plane count from the corpus size so
-      buckets average ~``target_bucket_rows`` rows — a fixed default
-      (the old 4 → 16 buckets) is a cross-join in disguise at 10^10.
-    - Buckets that still exceed ``max_bucket_rows`` (dense clusters)
-      are REFINED with extra planes — per-bucket depth, like a prefix
-      tree. Refinement loses the same class of cross-bucket pairs the
-      base bucketing does.
-    - Groups that stay oversized AFTER refinement are clusters of
-      sign-identical vectors no projection can split (byte-identical
-      embeddings, the mass-duplicate case): like
-      ``minhash_lsh_pairs``' bucket guard, groups beyond
-      ``8·max_bucket_rows`` are EXCLUDED from pair generation — that
-      is ``exact_dedup``'s job (an identical-vector cluster of size m
-      would emit m²/2 pairs from one python worker).
-    - NULL / empty embeddings contribute no pairs (a pair with an
-      undefined cosine is meaningless) and never poison the
-      dimensionality probe or a whole Arrow batch.
-    """
+) -> DataFrame | None:
+    """The bucketing stage of :func:`embedding_neardup_pairs_lsh`,
+    exposed so the DuckDB oracle fixtures can freeze the exact
+    (id, bucket, sub) assignment the pair generator groups on
+    (``scripts/freeze_ann_fixtures.py``). Returns a frame with columns
+    ``(id, vec, bucket, sub)`` post-refinement and post-guard, or
+    ``None`` for an effectively-empty input."""
     import math as _math
 
-    empty = df.sparkSession.createDataFrame(
-        [], "id_a long, id_b long, cosine double"
-    )
     # poison-safe: NULL/empty vectors can never satisfy a cosine
     # threshold; dropping them from the PAIR operator flags nothing
     # but also breaks nothing (they remain in the corpus). The
@@ -364,12 +341,12 @@ def embedding_neardup_pairs_lsh(
     df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None or first["d"] is None:
-        return empty
+        return None
     dim = int(first["d"])
     if n_planes is None:
         n = df.count()
         if n == 0:
-            return empty
+            return None
         n_planes = min(24, max(4, _math.ceil(_math.log2(max(n / target_bucket_rows, 1.0)))))
     planes = _deterministic_planes(dim, n_planes)
     bucketed = df.select(
@@ -429,6 +406,58 @@ def embedding_neardup_pairs_lsh(
         )
         bucketed = bucketed.join(
             F.broadcast(oversized), ["bucket", "sub"], "left_anti"
+        )
+    return bucketed
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_bucket_rows: int = 1024,
+    max_bucket_rows: int = 16384,
+) -> DataFrame:
+    """Scale path: SRP buckets partition the corpus; all-pairs cosine
+    runs *within* each bucket as one numpy gemm (``applyInPandas`` per
+    bucket group) — never a per-pair HOF evaluation and never a cross
+    join. Recall < 1 (pairs split across buckets are missed); raise it
+    with band-style multiple plane sets, as minhash_lsh_pairs does for
+    text.
+
+    - ``n_planes=None`` derives the plane count from the corpus size so
+      buckets average ~``target_bucket_rows`` rows — a fixed default
+      (the old 4 → 16 buckets) is a cross-join in disguise at 10^10.
+    - Buckets that still exceed ``max_bucket_rows`` (dense clusters)
+      are REFINED with extra planes — per-bucket depth, like a prefix
+      tree. Refinement loses the same class of cross-bucket pairs the
+      base bucketing does.
+    - Groups that stay oversized AFTER refinement are clusters of
+      sign-identical vectors no projection can split (byte-identical
+      embeddings, the mass-duplicate case): like
+      ``minhash_lsh_pairs``' bucket guard, groups beyond
+      ``8·max_bucket_rows`` are EXCLUDED from pair generation — that
+      is ``exact_dedup``'s job (an identical-vector cluster of size m
+      would emit m²/2 pairs from one python worker).
+    - NULL / empty embeddings contribute no pairs (a pair with an
+      undefined cosine is meaningless) and never poison the
+      dimensionality probe or a whole Arrow batch.
+
+    The bucketing stage lives in :func:`lsh_bucket_assignments` (shared
+    with the oracle-fixture freezer, which pins it against DuckDB).
+    """
+    bucketed = lsh_bucket_assignments(
+        df,
+        n_planes=n_planes,
+        vec_col=vec_col,
+        id_col=id_col,
+        target_bucket_rows=target_bucket_rows,
+        max_bucket_rows=max_bucket_rows,
+    )
+    if bucketed is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
         )
 
     import numpy as np

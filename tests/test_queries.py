@@ -74,12 +74,53 @@ def test_entry_smoke(spark):
     }
 
 
-@pytest.mark.parametrize("name", [
-    "q17_lsh_ann", "q21_embedding_neardup_lsh", "q35_ivf_ann",
-])
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF)
-    assert df.count() > 0
+def test_ann_fixtures_match_live_bucketers(spark):
+    """The q17/q21/q35 oracles read FROZEN bucket/centroid assignments
+    (tests/fixtures/, scripts/freeze_ann_fixtures.py); this pins the
+    live gemm bucketers to the fixtures so drift is caught here, not
+    as an opaque driver hash mismatch. On intentional bucketer
+    changes: re-run the freeze script and commit the new fixtures."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.ann import (
+        _deterministic_planes,
+        lsh_bucket_assignments,
+        srp_bucket_fast,
+    )
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+    planes = _deterministic_planes(len(entry_mod.QUERY_VEC), 8)
+    live_srp = {
+        tuple(r)
+        for r in emb.where(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
+        .select("vec_id", srp_bucket_fast(F.col("embedding"), planes).alias("bucket"))
+        .collect()
+    }
+    frozen_srp = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q17_srp_buckets.parquet")
+        ).collect()
+    }
+    assert live_srp == frozen_srp
+
+    live_lsh = {
+        tuple(r)
+        for r in lsh_bucket_assignments(emb).select("id", "bucket", "sub").collect()
+    }
+    frozen_lsh = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q21_lsh_buckets.parquet")
+        ).collect()
+    }
+    assert live_lsh == frozen_lsh
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
