@@ -142,6 +142,55 @@ def bench_crawl(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
+    """North-rule scaling evidence inside the headline bench: the same
+    crawl job at two parallelism levels (the sandbox's N → 4N-executor
+    proxy), each in a FRESH JVM via subprocess so the legs share
+    nothing. Efficiency = (rate_4N / rate_N) / (4N/N). The legs run
+    sequentially on one box, so the within-run RATIO is the signal —
+    absolute rates carry the usual box noise, and 2→8 cores is the
+    blessed proxy band (8→32 saturates single-box memory bandwidth;
+    see BASELINE.md). Disable with SPARK_GRAFT_BENCH_SCALING=0."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    legs = {}
+    for cpus in levels:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SHUFFLE="32",
+            SPARK_GRAFT_BENCH_PAGES=str(n_pages),
+            SPARK_GRAFT_BENCH_ROUNDS="2",
+            SPARK_GRAFT_BENCH_BATCH=str(n_pages // 2),
+            SPARK_GRAFT_BENCH_SEEDS=str(n_pages // 8),
+            SPARK_GRAFT_BENCH_DELAY_DIV="500",
+            SPARK_GRAFT_BENCH_SCALING="0",  # no recursion
+        )
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(repo, "bench.py"), "--crawl-only"],
+            env=env, capture_output=True, text=True, cwd=repo,
+        )
+        if proc.returncode != 0:
+            return {"error": (proc.stderr or "leg failed")[-400:]}
+        legs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    n, n4 = levels
+    ratio = n4 / n
+    return {
+        "protocol": f"same {n_pages}-page crawl, 2 rounds, fresh JVM per level",
+        "cores": list(levels),
+        "extract_urls_per_sec": [legs[c]["extract_urls_per_sec"] for c in levels],
+        "extract_eff": round(
+            legs[n4]["extract_urls_per_sec"] / legs[n]["extract_urls_per_sec"] / ratio, 3
+        ),
+        "urls_per_sec": [legs[c]["urls_per_sec"] for c in levels],
+        "crawl_eff": round(
+            legs[n4]["urls_per_sec"] / legs[n]["urls_per_sec"] / ratio, 3
+        ),
+    }
+
+
 def main(argv) -> None:
     crawl_only = "--crawl-only" in argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -192,9 +241,15 @@ def main(argv) -> None:
             "load_avg_at_start": load_at_start,
             "load_avg_at_end": [round(x, 2) for x in os.getloadavg()],
         }
-        print(json.dumps(out))
     finally:
         spark.stop()
+    # After the main session is gone: the two-parallelism scaling legs
+    # (north-rule evidence) in fresh JVMs, nothing shared.
+    if not crawl_only and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        out["scaling"] = bench_scaling(
+            int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "32768"))
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
