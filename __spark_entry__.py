@@ -926,10 +926,10 @@ def q44_gopher_quality(spark, sf):
 # containing * (t1), full disallow (t2), no star group (t3), empty
 # file (t4).
 _ROBOTS_TEMPLATES = [
-    "# main rules\nUser-Agent: *\nDisallow: /private/\nCRAWL-DELAY: 2.5\n"
-    "Disallow: /tmp/  # scratch\nDisallow:\n",
+    "# main rules\nUser-Agent: *\nDisallow: /private/\nCRAWL-DELAY: abc\n"
+    "CRAWL-DELAY: 2.5\nDisallow: /tmp/  # scratch\nDisallow:\n",
     "User-agent: Foo\nDisallow: /foo/\n\nUser-Agent: Bar\nUser-agent: *\n"
-    "Disallow: /x/\ncrawl-delay: 10\n",
+    "Disallow: /x/\nCrawl-delay: 1.2.3\ncrawl-delay: 10\n",
     "User-agent: *\nDisallow: /\n",
     "User-agent: Googlebot\nDisallow: /g/\n",
     "",
@@ -1161,7 +1161,18 @@ def _lang_score_sql() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from langscrape_spark.operators.ann import _deterministic_planes
     from langscrape_spark.operators.text import PII_PATTERNS, STOPWORDS
+
+    # q17's query bucket, derived exactly the way lsh_topk derives it
+    # (pure-python dot signs against the md5 planes) — never a
+    # hand-copied constant, so a plane/QUERY_VEC change can't leave a
+    # silently stale literal behind a re-frozen fixture.
+    _q17_bucket = sum(
+        1 << i
+        for i, pl in enumerate(_deterministic_planes(len(QUERY_VEC), 8))
+        if sum(float(x) * p for x, p in zip(QUERY_VEC, pl)) >= 0
+    )
 
     # regex patterns live in the RE2 ∩ java.util.regex subset (see
     # operators/text.PII_PATTERNS) so both engines run the SAME text
@@ -1390,8 +1401,8 @@ def oracle_sql() -> dict[str, str]:
         # re-derives the probe-set selection, pair join, exact cosine
         # and top-k order. The Spark side computes the assignments
         # LIVE, so the compare pins the bucketers too. The q17 query
-        # bucket (150) is the driver-side scalar lsh_topk computes from
-        # QUERY_VEC and the md5 planes — printed by the freeze script.
+        # bucket is derived above (_q17_bucket) exactly as lsh_topk
+        # derives it — no hand-copied constant to go stale.
         "q17_lsh_ann": f"""
             WITH q AS (SELECT {_QV_SQL} AS qv),
             cand AS (
@@ -1399,7 +1410,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e
               JOIN read_parquet('{_fixture("q17_srp_buckets.parquet")}') b
                 ON b.vec_id = e.vec_id
-              WHERE bit_count(xor(b.bucket, 150::BIGINT)) <= 3),
+              WHERE bit_count(xor(b.bucket, {_q17_bucket}::BIGINT)) <= 3),
             scored AS (
               SELECT vec_id,
                      round(
@@ -2099,7 +2110,10 @@ def oracle_sql() -> dict[str, str]:
                        arg_min(regexp_extract(line,
                          '(?i)^crawl-delay\\s*:\\s*([0-9.]+)', 1), idx)
                          FILTER (WHERE regexp_matches(line,
-                                       '(?i)^crawl-delay\\s*:')),
+                                       '(?i)^crawl-delay\\s*:')
+                           AND TRY_CAST(regexp_extract(line,
+                             '(?i)^crawl-delay\\s*:\\s*([0-9.]+)', 1)
+                             AS DOUBLE) IS NOT NULL),
                        '-1') AS DOUBLE) AS crawl_delay_s,
                      CASE WHEN bool_or(regexp_extract(line,
                             '(?i)^disallow\\s*:\\s*(\\S*)', 1) = '/')

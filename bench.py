@@ -174,7 +174,13 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         )
         if proc.returncode != 0:
             return {"error": (proc.stderr or "leg failed")[-400:]}
-        legs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        try:
+            legs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception:  # noqa: BLE001
+            return {
+                "error": f"leg {cpus}: unparseable output: "
+                + repr(proc.stdout[-200:])
+            }
     n, n4 = levels
     ratio = n4 / n
     return {
@@ -244,11 +250,16 @@ def main(argv) -> None:
     finally:
         spark.stop()
     # After the main session is gone: the two-parallelism scaling legs
-    # (north-rule evidence) in fresh JVMs, nothing shared.
+    # (north-rule evidence) in fresh JVMs, nothing shared. NOTHING the
+    # legs do may cost the already-computed suite results their print —
+    # a leg that dies degrades to an error note in the JSON.
     if not crawl_only and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        out["scaling"] = bench_scaling(
-            int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "32768"))
-        )
+        try:
+            out["scaling"] = bench_scaling(
+                int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "32768"))
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["scaling"] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
     print(json.dumps(out))
 
 

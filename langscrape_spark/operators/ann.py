@@ -287,7 +287,11 @@ def ivf_topk(
     if qn == 0:
         qn = 1.0
     sims = C @ (q / qn)
-    probe = np.argsort(-sims)[:nprobe].tolist()
+    # stable sort: tied centroid similarities break toward the lower
+    # cid, matching the q35 oracle's 'dot DESC, cid ASC' ranking (an
+    # unstable argsort can pick a different probe set when duplicate
+    # embeddings converge two centroids to identical positions)
+    probe = np.argsort(-sims, kind="stable")[:nprobe].tolist()
     assigned = df if "bucket" in df.columns else ivf_assign(df, centroids, vec_col)
     cand = assigned.where(F.col("bucket").isin([int(b) for b in probe]))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

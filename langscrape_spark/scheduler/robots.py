@@ -38,8 +38,12 @@ def parse_robots_txt(
     """One row per input host: ``(host, disallow_prefixes, crawl_delay,
     allowed)``. ``disallow_prefixes`` keeps file order (minus empty
     ``Disallow:`` lines, which mean allow-all); ``crawl_delay`` is the
-    FIRST delay in a ``*`` group (NULL when absent — the policy layer
-    defaults it); ``allowed`` is False iff ``/`` is disallowed.
+    first PARSEABLE delay in a ``*`` group (NULL when absent — the
+    policy layer defaults it; malformed values like ``Crawl-delay:
+    abc`` or ``1.2.3`` are skipped via ``try_cast``, never thrown on —
+    one bad robots body among millions must not kill the policy job
+    under Spark 4 ANSI mode); ``allowed`` is False iff ``/`` is
+    disallowed.
     Hosts without a ``*`` group (or with empty/absent files) come back
     fully allowed with no prefixes."""
     lines = df.select(
@@ -91,11 +95,12 @@ def parse_robots_txt(
         ).alias("disallow_prefixes"),
         F.min(
             F.when(
-                F.col("line").rlike(r"(?i)^crawl-delay\s*:"),
+                F.col("line").rlike(r"(?i)^crawl-delay\s*:")
+                & delay.try_cast("double").isNotNull(),
                 F.struct(F.col("idx").alias("idx"), delay.alias("d")),
             )
         )["d"]
-        .cast("double")
+        .try_cast("double")
         .alias("crawl_delay"),
     )
     return (

@@ -88,6 +88,11 @@ def main() -> None:
             bloom_min_seen=0,  # forced on from round 0
             compact_every=4,
             membership=membership,
+            # the soak's whole point is to exercise the PROBE under
+            # maintenance churn: without this, the 200k default floor
+            # makes a 40k-page soak silently run the shuffle anti-join
+            # on both legs and the md5 comparison is vacuous
+            probe_min_seen=0,
         )
         t0 = time.perf_counter()
         state = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)

@@ -122,6 +122,30 @@ def test_ann_fixtures_match_live_bucketers(spark):
     }
     assert live_lsh == frozen_lsh
 
+    from langscrape_spark.operators.ann import ivf_assign, ivf_centroids
+
+    live_cents = ivf_centroids(emb, k=16, iterations=2)
+    frozen_cents = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q35_ivf_centroids.parquet")
+        ).collect()
+    }
+    assert len(frozen_cents) == len(live_cents)
+    for cid, cent in enumerate(live_cents):
+        assert cent == pytest.approx(frozen_cents[cid], abs=1e-12), cid
+    live_assign = {
+        tuple(r)
+        for r in ivf_assign(emb, live_cents).select("vec_id", "bucket").collect()
+    }
+    frozen_assign = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q35_ivf_assign.parquet")
+        ).collect()
+    }
+    assert live_assign == frozen_assign
+
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
     """Deterministic regression guard: with n_planes=8 / probe_radius=3
