@@ -964,6 +964,78 @@ def q45_parse_robots(spark, sf):
     )
 
 
+# robots pattern → anchored regex, the DuckDB mirror of
+# scheduler/robots.py::_rule_regex (same escape class, * → .*, trailing
+# $ anchor). Raw string: the SQL must carry '\[' etc. literally, and
+# the RE2 replacement '\\\1' = literal backslash + group 1.
+_RFC_RX_SQL = r"""'^' || replace(regexp_replace(
+                       CASE WHEN pattern LIKE '%$'
+                            THEN substr(pattern, 1, len(pattern) - 1)
+                            ELSE pattern END,
+                       '([.^+?(){}\[\]|\\$])', '\\\1', 'g'), '*', '.*')
+                     || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END"""
+
+_ROBOTS_RFC_TEMPLATES = [
+    "User-agent: *\nDisallow: /private/*.html\nAllow: /private/pub\n"
+    "Crawl-delay: 2\n",
+    "User-agent: *\nDisallow: /\nAllow: /news/\n",
+    "User-agent: *\nDisallow: /tech/article-*1.html$\nAllow: /tech/\n",
+    "User-agent: Foo\nDisallow: /foo/\n\nUser-agent: *\nAllow: /a*c\n"
+    "Disallow: /ab*\nDisallow: /a\n",
+    "",
+]
+
+_RFC_PATHS = [
+    "/private/x.html",      # t0: wildcard Disallow (rlen 15) wins
+    "/private/pub.html",    # t0: Disallow 15 beats Allow 12
+    "/private/pub",         # t0: Allow 12, wildcard regex misses
+    "/news/item",           # t1: Allow /news/ outranks Disallow /
+    "/x",                   # t1: host-kill
+    "/tech/article-11.html",  # t2: anchored Disallow 22 beats Allow 6
+    "/tech/article-11.htmlx",  # t2: $ anchor misses → Allow /tech/
+    "/abc",                 # t3: Allow /a*c (4) TIES Disallow /ab* (4) → Allow
+    "/ab",                  # t3: Disallow /ab* (4) beats /a (2)
+    "/zzz",                 # no rule matches anywhere → allowed, rlen -1
+]
+
+
+def q46_robots_decision(spark, sf):
+    """RFC 9309 §2.2.2 longest-match robots decisions (Allow/Disallow,
+    REP wildcards ``*``/trailing ``$``, most-octets wins, tie → Allow)
+    over planted rule files crossed with a fixed path probe set — the
+    exact gate `frontier._with_policy_columns` applies when the robots
+    table carries a `rules` column. win_rlen is the winning rule's
+    pattern length (−1 = no rule matched)."""
+    from langscrape_spark.scheduler.robots import (
+        parse_robots_txt,
+        robots_decision_detail,
+    )
+
+    k = F.col("n_nationkey")
+    txt = F.when(k % 5 == 0, F.lit(_ROBOTS_RFC_TEMPLATES[0]))
+    for i in range(1, 4):
+        txt = txt.when(k % 5 == i, F.lit(_ROBOTS_RFC_TEMPLATES[i]))
+    txt = txt.otherwise(F.lit(_ROBOTS_RFC_TEMPLATES[4]))
+    hosts = _t(spark, sf, "nation").select(
+        F.concat(F.lit("www.nat"), k.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    parsed = parse_robots_txt(hosts)
+    paths = hosts.select(
+        "host",
+        F.explode(F.array([F.lit(p) for p in _RFC_PATHS])).alias("path"),
+    )
+    dec = robots_decision_detail(F.col("path"), F.col("rules"))
+    return paths.join(parsed, "host", "left").select(
+        "host",
+        "path",
+        dec["allow"].cast("int").alias("allowed"),
+        dec["rlen"].cast("int").alias("win_rlen"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1011,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_canonical_urls": q43_canonical_urls,
         "q44_gopher_quality": q44_gopher_quality,
         "q45_parse_robots": q45_parse_robots,
+        "q46_robots_decision": q46_robots_decision,
     }
 
 
@@ -1216,6 +1289,8 @@ def oracle_sql() -> dict[str, str]:
         )
 
     rt = [_sql_text(t) for t in _ROBOTS_TEMPLATES]
+    rt2 = [_sql_text(t) for t in _ROBOTS_RFC_TEMPLATES]
+    rfc_paths_values = ", ".join(f"('{p}')" for p in _RFC_PATHS)
     return {
         "q01_top1_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -2126,6 +2201,90 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.crawl_delay_s, -1.0) AS crawl_delay_s,
                    CAST(coalesce(a.allowed0, 1) AS INT) AS allowed
             FROM hosts h LEFT JOIN agg a USING (host)
+        """,
+        "q46_robots_decision": f"""
+            -- RFC 9309 longest-match robots decision, independent
+            -- DuckDB reimplementation of scheduler/robots.py
+            -- (parse_robots_txt rules + robots_decision): same
+            -- gaps-and-islands parse as q45, then pattern → anchored
+            -- regex (identical escape class / star expansion as
+            -- _rule_regex), most-octets-wins with Allow on ties via
+            -- max(rlen) + bool_or at the max; no match = allowed.
+            WITH hosts AS (
+              SELECT 'www.nat' || n_nationkey || '.example' AS host,
+                     CASE n_nationkey % 5
+                       WHEN 0 THEN {rt2[0]} WHEN 1 THEN {rt2[1]}
+                       WHEN 2 THEN {rt2[2]} WHEN 3 THEN {rt2[3]}
+                       ELSE {rt2[4]} END AS txt
+              FROM nation),
+            toks AS (SELECT host, string_split(txt, chr(10)) AS ls FROM hosts),
+            lines AS (
+              SELECT host, i AS idx,
+                     regexp_replace(regexp_replace(ls[i+1], '#.*$', ''),
+                                    '^\\s+|\\s+$', '', 'g') AS line
+              FROM toks, UNNEST(range(0, len(ls))) AS t(i)),
+            l1 AS (
+              SELECT *,
+                     regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua,
+                     coalesce(lag(regexp_matches(line, '(?i)^user-agent\\s*:'))
+                              OVER (PARTITION BY host ORDER BY idx),
+                              FALSE) AS prev_ua
+              FROM lines),
+            l2 AS (
+              SELECT *,
+                     sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host ORDER BY idx) AS block
+              FROM l1),
+            star AS (
+              SELECT DISTINCT host, block FROM l2
+              WHERE is_ua AND regexp_extract(line,
+                '(?i)^user-agent\\s*:\\s*(.*?)\\s*$', 1) = '*'),
+            grules AS (
+              SELECT l2.* FROM l2 JOIN star USING (host, block)
+              WHERE NOT is_ua),
+            rr AS (
+              SELECT host, idx,
+                     CASE WHEN regexp_matches(line, '(?i)^disallow\\s*:')
+                          THEN regexp_extract(line,
+                                 '(?i)^disallow\\s*:\\s*(\\S*)', 1)
+                          ELSE regexp_extract(line,
+                                 '(?i)^allow\\s*:\\s*(\\S*)', 1) END AS pattern,
+                     (regexp_matches(line, '(?i)^allow\\s*:')
+                      AND NOT regexp_matches(line, '(?i)^disallow\\s*:'))
+                       AS allow
+              FROM grules
+              WHERE (regexp_matches(line, '(?i)^disallow\\s*:')
+                     AND regexp_extract(line,
+                           '(?i)^disallow\\s*:\\s*(\\S*)', 1) <> '')
+                 OR (regexp_matches(line, '(?i)^allow\\s*:')
+                     AND NOT regexp_matches(line, '(?i)^disallow\\s*:')
+                     AND regexp_extract(line,
+                           '(?i)^allow\\s*:\\s*(\\S*)', 1) <> '')),
+            rx AS (
+              SELECT host, pattern, allow,
+                     CAST(len(pattern) AS INT) AS rlen,
+                     {_RFC_RX_SQL} AS rx
+              FROM rr),
+            paths AS (
+              SELECT h.host, p.path
+              FROM hosts h CROSS JOIN (VALUES {rfc_paths_values}) p(path)),
+            m AS (
+              SELECT p.host, p.path, r.rlen, r.allow
+              FROM paths p JOIN rx r USING (host)
+              WHERE regexp_matches(p.path, r.rx)),
+            best AS (
+              SELECT host, path, max(rlen) AS mr
+              FROM m GROUP BY host, path),
+            dec AS (
+              SELECT m.host, m.path, b.mr, bool_or(m.allow) AS alw
+              FROM m JOIN best b
+                ON m.host = b.host AND m.path = b.path AND m.rlen = b.mr
+              GROUP BY m.host, m.path, b.mr)
+            SELECT p.host, p.path,
+                   CAST(coalesce(d.alw, TRUE) AS INT) AS allowed,
+                   CAST(coalesce(d.mr, -1) AS INT) AS win_rlen
+            FROM paths p LEFT JOIN dec d
+              ON p.host = d.host AND p.path = d.path
         """,
         "q19_crawl_schedule": f"""
             -- Independent reimplementation of one politeness round

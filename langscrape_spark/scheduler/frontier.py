@@ -132,18 +132,30 @@ def _with_policy_columns(
     df = df.withColumn(
         "path", F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     ).where(F.col("host").isNotNull())  # simulator: host None → dropped
-    df = (
-        df.join(F.broadcast(robots), "host", "left")
-        .where(F.coalesce(F.col("allowed"), F.lit(True)))
-        .where(
-            ~F.coalesce(
-                F.exists(
-                    "disallow_prefixes", lambda p: F.col("path").startswith(p)
-                ),
-                F.lit(False),
+    if "rules" in robots.columns:
+        # RFC 9309 robots table (scheduler/robots.py or
+        # sources/robots.py): gate purely on the longest-match decision
+        # — a `Disallow: /` host-kill is itself a rule, and an `Allow:`
+        # carve-out can outrank it, which the legacy boolean cannot
+        # express. One codegen fold per URL; no extra join.
+        from .robots import robots_decision
+
+        df = df.join(F.broadcast(robots), "host", "left").where(
+            robots_decision(F.col("path"), F.col("rules"))
+        )
+    else:
+        df = (
+            df.join(F.broadcast(robots), "host", "left")
+            .where(F.coalesce(F.col("allowed"), F.lit(True)))
+            .where(
+                ~F.coalesce(
+                    F.exists(
+                        "disallow_prefixes", lambda p: F.col("path").startswith(p)
+                    ),
+                    F.lit(False),
+                )
             )
         )
-    )
     df = df.join(F.broadcast(host_rank), "host", "left").withColumn(
         "priority",
         F.coalesce(F.col("rank"), F.lit(0.0)) - F.lit(DEPTH_PENALTY) * F.col("depth"),

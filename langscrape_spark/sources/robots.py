@@ -10,11 +10,17 @@ deployment can refresh the rules table from a robots-fetch pass.
 Parsing follows the original robots exclusion protocol subset the
 engine enforces (RFC 9309 semantics for grouping): the groups whose
 ``User-agent`` matches (exact agent name, else ``*``) contribute
-``Disallow`` path prefixes and ``Crawl-delay``. ``Disallow:`` with an
-empty value allows everything; a group disallowing ``/`` marks the
-host fully disallowed. Wildcard patterns (``*``/``$``) are clipped at
-the first metacharacter — a conservative over-approximation (we may
-skip more than required, never less politely).
+``Allow``/``Disallow`` path rules and ``Crawl-delay``. Rules keep
+file order and full REP wildcard patterns (``*`` any run, trailing
+``$`` anchor) in the ``rules`` column the frontier's longest-match
+gate consumes; the legacy ``disallow_prefixes`` column additionally
+clips wildcards at the first metacharacter — a conservative
+over-approximation (may skip more than required, never less politely)
+— for consumers still on the prefix gate. ``Disallow:`` with an empty
+value allows everything; a group disallowing ``/`` marks the host
+fully disallowed in the legacy ``allowed`` boolean (the rules gate
+instead lets an ``Allow:`` carve-out outrank it, per RFC 9309
+longest-match).
 """
 
 from __future__ import annotations
@@ -25,8 +31,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from ..scheduler.policy import Rule, rule_regex
+
 ROBOTS_DDL = (
     "host string, disallow_prefixes array<string>, "
+    "rules array<struct<pattern:string,regex:string,allow:boolean,"
+    "rlen:int,wild:boolean>>, "
     "crawl_delay double, allowed boolean"
 )
 
@@ -35,19 +45,20 @@ DEFAULT_CRAWL_DELAY = 1.0
 
 def parse_robots_txt(
     body: str, agent: str = "*"
-) -> Tuple[List[str], Optional[float], bool]:
-    """Returns (disallow_prefixes, crawl_delay, allowed)."""
-    groups: List[Tuple[List[str], List[str], Optional[float]]] = []
+) -> Tuple[List[str], List[Rule], Optional[float], bool]:
+    """Returns (disallow_prefixes, rules, crawl_delay, allowed); rules
+    are file-ordered ``(pattern, allow)`` across the chosen groups."""
+    groups: List[Tuple[List[str], List[Rule], Optional[float]]] = []
     cur_agents: List[str] = []
-    cur_dis: List[str] = []
+    cur_rules: List[Rule] = []
     cur_delay: Optional[float] = None
     in_group_body = False
 
     def flush() -> None:
-        nonlocal cur_agents, cur_dis, cur_delay
+        nonlocal cur_agents, cur_rules, cur_delay
         if cur_agents:
-            groups.append((cur_agents, cur_dis, cur_delay))
-        cur_agents, cur_dis, cur_delay = [], [], None
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
 
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -63,14 +74,8 @@ def parse_robots_txt(
             cur_agents.append(value.lower())
         elif key in ("disallow", "allow", "crawl-delay"):
             in_group_body = True
-            if key == "disallow" and value:
-                # clip at the first wildcard metachar (conservative)
-                for meta in ("*", "$"):
-                    idx = value.find(meta)
-                    if idx >= 0:
-                        value = value[:idx]
-                if value:
-                    cur_dis.append(value)
+            if key in ("disallow", "allow") and value:
+                cur_rules.append((value, key == "allow"))
             elif key == "crawl-delay":
                 try:
                     cur_delay = float(value)
@@ -81,15 +86,27 @@ def parse_robots_txt(
     agent = agent.lower()
     exact = [g for g in groups if agent in g[0]]
     chosen = exact or [g for g in groups if "*" in g[0]]
-    dis: List[str] = []
+    rules: List[Rule] = []
     delay: Optional[float] = None
-    for _, d, cd in chosen:
-        dis.extend(d)
+    for _, rs, cd in chosen:
+        rules.extend(rs)
         if cd is not None and (delay is None or cd > delay):
             delay = cd
+    dis: List[str] = []
+    for pattern, allow in rules:
+        if allow:
+            continue
+        # legacy prefix: clip at the first wildcard metachar
+        clipped = pattern
+        for meta in ("*", "$"):
+            idx = clipped.find(meta)
+            if idx >= 0:
+                clipped = clipped[:idx]
+        if clipped:
+            dis.append(clipped)
     allowed = "/" not in dis
     dis = [p for p in dis if p != "/"]
-    return dis, delay, allowed
+    return dis, rules, delay, allowed
 
 
 def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
@@ -104,18 +121,35 @@ def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
                 body = r.body
                 if isinstance(body, (bytes, bytearray)):
                     body = bytes(body).decode("utf-8", errors="replace")
-                dis, delay, allowed = parse_robots_txt(body or "", agent)
+                dis, rules, delay, allowed = parse_robots_txt(body or "", agent)
+                rule_structs = [
+                    {
+                        "pattern": p,
+                        "regex": rule_regex(p),
+                        "allow": a,
+                        "rlen": len(p),
+                        "wild": "*" in p or p.endswith("$"),
+                    }
+                    for p, a in rules
+                ]
                 rows.append(
                     (
                         r.host,
                         dis,
+                        rule_structs,
                         delay if delay is not None else DEFAULT_CRAWL_DELAY,
                         allowed,
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["host", "disallow_prefixes", "crawl_delay", "allowed"],
+                columns=[
+                    "host",
+                    "disallow_prefixes",
+                    "rules",
+                    "crawl_delay",
+                    "allowed",
+                ],
             )
 
     return fetched.select("host", "body").mapInPandas(gen, schema=ROBOTS_DDL)

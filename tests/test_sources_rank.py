@@ -27,22 +27,25 @@ Disallow: /
 
 
 def test_parse_robots_default_agent():
-    dis, delay, allowed = parse_robots_txt(ROBOTS, "*")
+    dis, rules, delay, allowed = parse_robots_txt(ROBOTS, "*")
     assert dis == ["/private/", "/tmp"]  # wildcard clipped conservatively
+    assert rules == [("/private/", False), ("/tmp*junk", False)]
     assert delay == 2.0
     assert allowed
 
 
 def test_parse_robots_specific_agents():
-    dis, delay, allowed = parse_robots_txt(ROBOTS, "fastbot")
-    assert dis == [] and delay == 0.1 and allowed
-    dis, _, allowed = parse_robots_txt(ROBOTS, "badbot")
-    assert not allowed and dis == []
+    dis, rules, delay, allowed = parse_robots_txt(ROBOTS, "fastbot")
+    assert dis == [] and rules == [] and delay == 0.1 and allowed
+    dis, rules, _, allowed = parse_robots_txt(ROBOTS, "badbot")
+    assert not allowed and dis == [] and rules == [("/", False)]
 
 
 def test_parse_robots_garbage():
-    assert parse_robots_txt("", "*") == ([], None, True)
-    assert parse_robots_txt("\x00\x01 not robots at all", "*") == ([], None, True)
+    assert parse_robots_txt("", "*") == ([], [], None, True)
+    assert parse_robots_txt("\x00\x01 not robots at all", "*") == (
+        [], [], None, True
+    )
 
 
 def test_robots_table(spark):
@@ -52,6 +55,9 @@ def test_robots_table(spark):
     )
     rows = {r["host"]: r for r in robots_table(df).collect()}
     assert rows["a.example"]["disallow_prefixes"] == ["/private/", "/tmp"]
+    got_rules = [(r["pattern"], r["allow"], r["wild"]) for r in rows["a.example"]["rules"]]
+    assert got_rules == [("/private/", False, False), ("/tmp*junk", False, True)]
+    assert rows["a.example"]["rules"][1]["regex"] == "^/tmp.*junk"
     assert rows["a.example"]["crawl_delay"] == 2.0
     assert rows["b.example"]["allowed"] and rows["b.example"]["crawl_delay"] == 1.0
     # fastbot view of the same bodies
