@@ -1036,6 +1036,62 @@ def q46_robots_decision(spark, sf):
     )
 
 
+_SITEMAP_TEMPLATES = [
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    " <url>\n  <loc>https://HOST/x?a=1&amp;b=2</loc>\n"
+    "  <lastmod>2026-01-02</lastmod>\n  <changefreq>daily</changefreq>\n"
+    "  <priority>0.8</priority>\n </url>\n"
+    " <url><loc> https://HOST/y </loc></url>\n"
+    " <url><priority>0.1</priority></url>\n"  # no loc → dropped
+    "</urlset>",
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    " <sitemap><loc>https://HOST/sm/a.xml</loc>"
+    "<lastmod>2025-12-31T10:00:00Z</lastmod></sitemap>\n"
+    " <sitemap>\n  <loc>https://HOST/sm/b.xml</loc>\n </sitemap>\n"
+    "</sitemapindex>",
+    "<urlset><url><loc>https://HOST/&lt;odd&gt;&quot;q&quot;</loc>"
+    "<priority>bogus</priority></url>"
+    "<url/><url><loc>https://HOST/z</loc><changefreq>never</changefreq>"
+    "</url></urlset>",
+    "garbage, not xml at all",
+]
+
+
+def q47_sitemap_entries(spark, sf):
+    """Sitemap XML parsing (sitemaps.org 0.9 subset: urlset + index
+    entries, loc/lastmod/changefreq/priority, XML entity decoding,
+    attribute-tolerant tags, document-order pos) over planted bodies —
+    the seed-discovery half of robots handling (RFC 9309 §2.4 Sitemap
+    lines point here). priority uses -1.0 as the absent/unparseable
+    sentinel so both engines emit non-NULL doubles."""
+    from langscrape_spark.sources.sitemap import parse_sitemaps
+
+    k = F.col("n_nationkey")
+    host = F.concat(F.lit("www.nat"), k.cast("string"), F.lit(".example"))
+    body = F.when(
+        k % 4 == 0, F.lit(_SITEMAP_TEMPLATES[0])
+    ).when(k % 4 == 1, F.lit(_SITEMAP_TEMPLATES[1])).when(
+        k % 4 == 2, F.lit(_SITEMAP_TEMPLATES[2])
+    ).otherwise(F.lit(_SITEMAP_TEMPLATES[3]))
+    df = _t(spark, sf, "nation").select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.regexp_replace(body, "HOST", host).alias("body"),
+    )
+    out = parse_sitemaps(df)
+    return out.select(
+        "src",
+        "kind",
+        "pos",
+        "loc",
+        "lastmod",
+        "changefreq",
+        F.coalesce("priority", F.lit(-1.0)).alias("priority_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1084,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_gopher_quality": q44_gopher_quality,
         "q45_parse_robots": q45_parse_robots,
         "q46_robots_decision": q46_robots_decision,
+        "q47_sitemap_entries": q47_sitemap_entries,
     }
 
 
@@ -1291,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
     rt = [_sql_text(t) for t in _ROBOTS_TEMPLATES]
     rt2 = [_sql_text(t) for t in _ROBOTS_RFC_TEMPLATES]
     rfc_paths_values = ", ".join(f"('{p}')" for p in _RFC_PATHS)
+    st = [_sql_text(t) for t in _SITEMAP_TEMPLATES]
     return {
         "q01_top1_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -2285,6 +2343,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.mr, -1) AS INT) AS win_rlen
             FROM paths p LEFT JOIN dec d
               ON p.host = d.host AND p.path = d.path
+        """,
+        "q47_sitemap_entries": f"""
+            -- sitemaps.org 0.9 parsing, independent DuckDB
+            -- reimplementation of sources/sitemap.py::parse_sitemaps:
+            -- entry extraction per kind (urlset <url> blocks first,
+            -- then index <sitemap> blocks, document order within
+            -- each), per-entry field regexes identical to the Spark
+            -- side (RE2∩java.regex), XML entity decode innermost-first
+            -- (amp last), entries without <loc> dropped, priority
+            -- TRY_CAST with the -1.0 sentinel.
+            WITH hosts AS (
+              SELECT 'www.nat' || n_nationkey || '.example' AS host,
+                     CASE n_nationkey % 4
+                       WHEN 0 THEN {st[0]} WHEN 1 THEN {st[1]}
+                       WHEN 2 THEN {st[2]} ELSE {st[3]} END AS tmpl
+              FROM nation),
+            b AS (
+              SELECT 'https://' || host || '/sitemap.xml' AS src,
+                     replace(tmpl, 'HOST', host) AS body
+              FROM hosts),
+            ls AS (
+              SELECT src,
+                     regexp_extract_all(coalesce(body, ''),
+                       '(?s)<url[ >].*?</url>|<url/>', 0) AS us,
+                     regexp_extract_all(coalesce(body, ''),
+                       '(?s)<sitemap[ >].*?</sitemap>', 0) AS ss
+              FROM b),
+            ex AS (
+              SELECT src, 'urlset' AS kind, i - 1 AS pos, us[i] AS entry
+              FROM ls, UNNEST(range(1, len(us) + 1)) t(i)
+              UNION ALL
+              SELECT src, 'index', len(us) + i - 1, ss[i]
+              FROM ls, UNNEST(range(1, len(ss) + 1)) t(i)),
+            sel AS (
+              SELECT src, kind, CAST(pos AS INT) AS pos,
+                     replace(replace(replace(replace(replace(replace(
+                       coalesce(regexp_extract(entry,
+                         '(?s)<loc[^>]*>\\s*(.*?)\\s*</loc>', 1), ''),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&apos;', ''''), '&#39;', ''''), '&amp;', '&')
+                       AS loc,
+                     coalesce(regexp_extract(entry,
+                       '(?s)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>', 1),
+                       '') AS lastmod,
+                     coalesce(regexp_extract(entry,
+                       '(?s)<changefreq[^>]*>\\s*(.*?)\\s*</changefreq>',
+                       1), '') AS changefreq,
+                     coalesce(TRY_CAST(regexp_extract(entry,
+                       '(?s)<priority[^>]*>\\s*(.*?)\\s*</priority>', 1)
+                       AS DOUBLE), -1.0) AS priority_s
+              FROM ex)
+            SELECT * FROM sel WHERE loc <> ''
         """,
         "q19_crawl_schedule": f"""
             -- Independent reimplementation of one politeness round

@@ -1,7 +1,8 @@
 """robots.txt parsing as a relational plan — raw fetched robots bodies
 → the per-host policy table the scheduler joins
-(``host, disallow_prefixes, crawl_delay, allowed`` — the exact shape
-``synth.robots_df`` / ``frontier._with_policy_columns`` consume).
+(``host, disallow_prefixes, rules, sitemaps, crawl_delay, allowed`` —
+the shape ``frontier._with_policy_columns`` consumes; legacy tables
+without ``rules`` keep the prefix gate).
 
 The reference never parses robots (its per-URL LLM loop has no
 politeness layer; SURVEY §2.1 notes the gap), but a 10^10-URL frontier
@@ -33,6 +34,7 @@ _UA_RE = r"(?i)^user-agent\s*:\s*(.*?)\s*$"
 _DIS_RE = r"(?i)^disallow\s*:\s*(\S*)"
 _ALLOW_RE = r"(?i)^allow\s*:\s*(\S*)"
 _DELAY_RE = r"(?i)^crawl-delay\s*:\s*([0-9.]+)"
+_SITEMAP_RE = r"(?i)^sitemap\s*:\s*(\S+)"
 
 RULES_TYPE = (
     "array<struct<pattern:string,regex:string,allow:boolean,"
@@ -152,16 +154,40 @@ def parse_robots_txt(
         .try_cast("double")
         .alias("crawl_delay"),
     )
+    # Sitemap lines are group-INDEPENDENT (RFC 9309 §2.4): collected
+    # from every line of the file, not just the * groups — a separate
+    # host-keyed aggregation joined back in (robots tables are tiny).
+    smaps = (
+        lines.where(F.col("line").rlike(_SITEMAP_RE))
+        .groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("idx").alias("idx"),
+                            F.regexp_extract("line", _SITEMAP_RE, 1).alias("u"),
+                        )
+                    )
+                ),
+                lambda s: s["u"],
+            ).alias("sitemaps")
+        )
+    )
     return (
         df.select(F.col(host_col).alias("host"))
         .distinct()
         .join(agg, "host", "left")
+        .join(smaps, "host", "left")
         .select(
             "host",
             F.coalesce(
                 "disallow_prefixes", F.array().cast("array<string>")
             ).alias("disallow_prefixes"),
             F.coalesce("rules", F.array().cast(RULES_TYPE)).alias("rules"),
+            F.coalesce("sitemaps", F.array().cast("array<string>")).alias(
+                "sitemaps"
+            ),
             F.col("crawl_delay"),
             (
                 ~F.coalesce(

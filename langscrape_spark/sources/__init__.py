@@ -1,5 +1,6 @@
 from .catalog import Catalog
 from .robots import robots_table
+from .sitemap import expand_sitemap_index, parse_sitemaps, sitemap_seeds
 from .swde import (
     swde_eval_table,
     swde_ground_truth,
@@ -9,7 +10,10 @@ from .swde import (
 
 __all__ = [
     "Catalog",
+    "expand_sitemap_index",
+    "parse_sitemaps",
     "robots_table",
+    "sitemap_seeds",
     "swde_eval_table",
     "swde_ground_truth",
     "swde_pages",

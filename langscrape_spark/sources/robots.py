@@ -37,7 +37,7 @@ ROBOTS_DDL = (
     "host string, disallow_prefixes array<string>, "
     "rules array<struct<pattern:string,regex:string,allow:boolean,"
     "rlen:int,wild:boolean>>, "
-    "crawl_delay double, allowed boolean"
+    "sitemaps array<string>, crawl_delay double, allowed boolean"
 )
 
 DEFAULT_CRAWL_DELAY = 1.0
@@ -45,10 +45,13 @@ DEFAULT_CRAWL_DELAY = 1.0
 
 def parse_robots_txt(
     body: str, agent: str = "*"
-) -> Tuple[List[str], List[Rule], Optional[float], bool]:
-    """Returns (disallow_prefixes, rules, crawl_delay, allowed); rules
-    are file-ordered ``(pattern, allow)`` across the chosen groups."""
+) -> Tuple[List[str], List[Rule], Optional[float], bool, List[str]]:
+    """Returns (disallow_prefixes, rules, crawl_delay, allowed,
+    sitemaps); rules are file-ordered ``(pattern, allow)`` across the
+    chosen groups; sitemaps are group-INDEPENDENT (RFC 9309 §2.4) and
+    keep file order across the whole file."""
     groups: List[Tuple[List[str], List[Rule], Optional[float]]] = []
+    sitemaps: List[str] = []
     cur_agents: List[str] = []
     cur_rules: List[Rule] = []
     cur_delay: Optional[float] = None
@@ -72,6 +75,13 @@ def parse_robots_txt(
                 flush()
                 in_group_body = False
             cur_agents.append(value.lower())
+        elif key == "sitemap":
+            # group-independent, but still breaks a User-agent run
+            # (mirrors the SQL parser's gaps-and-islands grouping,
+            # where any non-UA line ends the UA run)
+            in_group_body = True
+            if value:
+                sitemaps.append(value.split()[0])
         elif key in ("disallow", "allow", "crawl-delay"):
             in_group_body = True
             if key in ("disallow", "allow") and value:
@@ -106,7 +116,7 @@ def parse_robots_txt(
             dis.append(clipped)
     allowed = "/" not in dis
     dis = [p for p in dis if p != "/"]
-    return dis, rules, delay, allowed
+    return dis, rules, delay, allowed, sitemaps
 
 
 def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
@@ -121,7 +131,9 @@ def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
                 body = r.body
                 if isinstance(body, (bytes, bytearray)):
                     body = bytes(body).decode("utf-8", errors="replace")
-                dis, rules, delay, allowed = parse_robots_txt(body or "", agent)
+                dis, rules, delay, allowed, smaps = parse_robots_txt(
+                    body or "", agent
+                )
                 rule_structs = [
                     {
                         "pattern": p,
@@ -137,6 +149,7 @@ def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
                         r.host,
                         dis,
                         rule_structs,
+                        smaps,
                         delay if delay is not None else DEFAULT_CRAWL_DELAY,
                         allowed,
                     )
@@ -147,6 +160,7 @@ def robots_table(fetched: DataFrame, agent: str = "*") -> DataFrame:
                     "host",
                     "disallow_prefixes",
                     "rules",
+                    "sitemaps",
                     "crawl_delay",
                     "allowed",
                 ],

@@ -1,0 +1,136 @@
+"""Sitemap ingestion: XML sitemap bodies → frontier seed URLs.
+
+The reference crawls a hand-curated URL list and never discovers work
+(`/root/reference/scripts/run.py:63` drains a static spreadsheet); a
+10^10-URL frontier bootstraps from the sitemaps robots.txt advertises
+(RFC 9309 §2.4 ``Sitemap:`` lines → ``parse_robots_txt``'s
+``sitemaps`` column) and from per-host conventions. This module turns
+fetched sitemap bodies into rows the scheduler can seed from.
+
+Grammar: the sitemaps.org 0.9 subset that matters for seeding —
+``<urlset>`` files with ``<url>`` entries (``<loc>``, optional
+``<lastmod>``/``<changefreq>``/``<priority>``) and ``<sitemapindex>``
+files with ``<sitemap>`` entries (``<loc>``, optional ``<lastmod>``)
+— one level of index indirection resolved by re-joining the fetched
+bodies (:func:`expand_sitemap_index`). Namespaces/attributes on the
+entry tags are tolerated; ``<loc>`` values get the five XML entity
+escapes decoded (the spec REQUIRES entity-escaped URLs).
+
+Plan shape: pure codegen — ``regexp_extract_all`` per entry kind →
+``posexplode`` → per-entry field extraction; no UDFs, no shuffle
+(downstream seeding dedups/gates). Entry regexes avoid backreferences
+so the same patterns run on Java regex and RE2 (the q47 DuckDB oracle
+re-derives every row). At 10^10 URLs the body table is just another
+pages scan: sitemap files cap at 50k URLs / 50 MB uncompressed, so one
+body is one task-sized unit of work and hosts scale horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (?s): sitemap files are pretty-printed; entries span lines. Entry
+# tags may carry attributes (rare but legal). Non-greedy bodies keep
+# entries separate; no backreferences (RE2-safe for the oracle).
+_URL_ENTRY_RE = r"(?s)<url[ >].*?</url>|<url/>"
+_SMAP_ENTRY_RE = r"(?s)<sitemap[ >].*?</sitemap>"
+_LOC_RE = r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>"
+_CHANGEFREQ_RE = r"(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>"
+_PRIORITY_RE = r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>"
+
+SITEMAP_ENTRY_DDL = (
+    "src string, kind string, pos int, loc string, lastmod string, "
+    "changefreq string, priority double"
+)
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five XML 1.0 predefined entities, innermost-first so
+    ``&amp;lt;`` decodes to the literal ``&lt;`` (amp LAST)."""
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;", '"')
+    c = F.regexp_replace(c, "&apos;", "'")
+    c = F.regexp_replace(c, "&#39;", "'")
+    return F.regexp_replace(c, "&amp;", "&")
+
+
+def parse_sitemaps(
+    df: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, body:string) → one row per sitemap entry:
+    ``(src, kind, pos, loc, lastmod, changefreq, priority)``.
+
+    ``kind`` is ``urlset`` for page entries and ``index`` for nested
+    sitemap references; ``pos`` is the entry's document order within
+    its file. Entries without a ``<loc>`` are dropped (nothing to
+    fetch); ``priority`` is NULL when absent or unparseable
+    (``try_cast`` — one malformed file among millions must not kill
+    the seed job under ANSI mode)."""
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    entries = df.select(
+        F.col(url_col).alias("src"),
+        F.posexplode_outer(
+            F.concat(
+                F.transform(
+                    F.regexp_extract_all(body, F.lit(_URL_ENTRY_RE), F.lit(0)),
+                    lambda e: F.struct(
+                        F.lit("urlset").alias("kind"), e.alias("entry")
+                    ),
+                ),
+                F.transform(
+                    F.regexp_extract_all(body, F.lit(_SMAP_ENTRY_RE), F.lit(0)),
+                    lambda e: F.struct(
+                        F.lit("index").alias("kind"), e.alias("entry")
+                    ),
+                ),
+            )
+        ).alias("pos", "e"),
+    ).where(F.col("e").isNotNull())
+    entry = F.col("e")["entry"]
+    loc = _xml_unescape(F.regexp_extract(entry, _LOC_RE, 1))
+    return entries.select(
+        "src",
+        F.col("e")["kind"].alias("kind"),
+        F.col("pos").cast("int").alias("pos"),
+        loc.alias("loc"),
+        F.regexp_extract(entry, _LASTMOD_RE, 1).alias("lastmod"),
+        F.regexp_extract(entry, _CHANGEFREQ_RE, 1).alias("changefreq"),
+        F.regexp_extract(entry, _PRIORITY_RE, 1)
+        .try_cast("double")
+        .alias("priority"),
+    ).where(F.col("loc") != "")
+
+
+def expand_sitemap_index(
+    parsed: DataFrame, bodies: DataFrame, url_col: str = "sitemap_url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Resolve one level of ``<sitemapindex>`` indirection: join the
+    ``index`` entries' ``loc`` back onto the fetched bodies table and
+    parse those, unioning with the direct ``urlset`` entries. Real
+    indexes are one level deep by spec (an index must not list another
+    index); call twice to tolerate spec-violating nesting."""
+    direct = parsed.where(F.col("kind") == "urlset")
+    nested_refs = parsed.where(F.col("kind") == "index").select(
+        F.col("loc").alias(url_col)
+    )
+    nested_bodies = bodies.join(nested_refs, url_col, "left_semi")
+    nested = parse_sitemaps(nested_bodies, url_col, body_col).where(
+        F.col("kind") == "urlset"
+    )
+    return direct.unionByName(nested)
+
+
+def sitemap_seeds(entries: DataFrame) -> DataFrame:
+    """urlset entries → the (url, depth) frame `run_crawl` seeds from.
+    Distinct per url (the same page may appear in many sitemaps); the
+    frontier's insert-time policy re-applies robots/validity gates, so
+    this needs no filtering beyond the shape."""
+    return (
+        entries.where(F.col("kind") == "urlset")
+        .select(F.col("loc").alias("url"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+    )

@@ -184,7 +184,7 @@ def test_sql_and_pandas_parsers_emit_identical_rules(spark):
         for r in parse_robots_txt(df).collect()
     }
     for host, body in _BODIES:
-        _, rules, _, _ = parse_py(body)
+        _, rules, _, _, _ = parse_py(body)
         want = [
             (p, rule_regex(p), a, len(p), "*" in p or p.endswith("$"))
             for p, a in rules
@@ -229,7 +229,7 @@ def test_frontier_matches_simulator_with_rfc_rules(spark, tmp_path):
     )
     robots_dict = {}
     for host, body in bodies:
-        dis, rules, delay, allowed = parse_py(body)
+        dis, rules, delay, allowed, _ = parse_py(body)
         robots_dict[host] = (dis, delay if delay is not None else 1.0,
                              allowed, rules)
 

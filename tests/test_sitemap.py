@@ -1,0 +1,175 @@
+"""Sitemap ingestion: XML parsing, index expansion, robots.txt
+``Sitemap:`` line extraction (both parsers), and crawl seeding."""
+
+from pyspark.sql import functions as F
+
+from langscrape_spark import synth
+from langscrape_spark.scheduler.robots import parse_robots_txt as parse_sql
+from langscrape_spark.sources.robots import parse_robots_txt as parse_py
+from langscrape_spark.sources.sitemap import (
+    expand_sitemap_index,
+    parse_sitemaps,
+    sitemap_seeds,
+)
+
+_URLSET = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    " <url>\n  <loc>https://a.example/x?a=1&amp;b=2</loc>\n"
+    "  <lastmod>2026-01-02</lastmod>\n  <changefreq>daily</changefreq>\n"
+    "  <priority>0.8</priority>\n </url>\n"
+    " <url><loc> https://a.example/y </loc></url>\n"
+    " <url><priority>0.3</priority></url>\n"
+    "</urlset>"
+)
+_INDEX = (
+    "<sitemapindex>\n"
+    " <sitemap><loc>https://b.example/sm/child.xml</loc>"
+    "<lastmod>2025-12-31T10:00:00Z</lastmod></sitemap>\n"
+    "</sitemapindex>"
+)
+_CHILD = (
+    "<urlset><url><loc>https://b.example/c1</loc>"
+    "<priority>0.5</priority></url>"
+    "<url><loc>https://b.example/c2</loc></url></urlset>"
+)
+
+
+def _bodies(spark):
+    rows = [
+        ("https://a.example/sitemap.xml", _URLSET),
+        ("https://b.example/sitemap.xml", _INDEX),
+        ("https://b.example/sm/child.xml", _CHILD),
+        ("https://c.example/sitemap.xml", None),
+        ("https://d.example/sitemap.xml", "garbage not xml"),
+    ]
+    return spark.createDataFrame(rows, "sitemap_url string, body string")
+
+
+def test_parse_sitemaps_fields_and_drops(spark):
+    got = {
+        (r["src"], r["pos"]): r.asDict()
+        for r in parse_sitemaps(_bodies(spark)).collect()
+    }
+    # entity-decoded loc, trimmed, fields extracted
+    a0 = got[("https://a.example/sitemap.xml", 0)]
+    assert a0["loc"] == "https://a.example/x?a=1&b=2"
+    assert (a0["lastmod"], a0["changefreq"], a0["priority"]) == (
+        "2026-01-02", "daily", 0.8,
+    )
+    a1 = got[("https://a.example/sitemap.xml", 1)]
+    assert a1["loc"] == "https://a.example/y" and a1["priority"] is None
+    # loc-less entry dropped; garbage and NULL bodies yield nothing
+    assert len(got) == 5
+    assert not any("c.example" in s or "d.example" in s for s, _ in got)
+    # index entry typed
+    b0 = got[("https://b.example/sitemap.xml", 0)]
+    assert b0["kind"] == "index" and b0["loc"].endswith("child.xml")
+
+
+def test_expand_index_and_seeds(spark):
+    bodies = _bodies(spark)
+    top = parse_sitemaps(
+        bodies.where(F.col("sitemap_url").endswith("/sitemap.xml"))
+    )
+    flat = expand_sitemap_index(top, bodies)
+    assert {r["kind"] for r in flat.collect()} == {"urlset"}
+    seeds = sitemap_seeds(flat)
+    urls = sorted(r["url"] for r in seeds.collect())
+    assert urls == [
+        "https://a.example/x?a=1&b=2",
+        "https://a.example/y",
+        "https://b.example/c1",
+        "https://b.example/c2",
+    ]
+    assert seeds.schema["depth"].dataType.simpleString() == "int"
+
+
+_ROBOTS_WITH_SITEMAPS = (
+    "Sitemap: https://h.example/sm-top.xml\n"
+    "User-agent: a\n"
+    "Sitemap: https://h.example/sm-mid.xml\n"  # breaks the UA run
+    "User-agent: b\n"
+    "Disallow: /d\n"
+    "User-agent: *\n"
+    "Allow: /ok\n"
+    "sitemap: https://h.example/sm-low.xml  # comment\n"
+    "Sitemap:\n"  # empty → dropped
+)
+
+
+def test_robots_sitemap_lines_group_independent(spark):
+    # pandas parser
+    _, rules, _, _, smaps = parse_py(_ROBOTS_WITH_SITEMAPS)
+    assert smaps == [
+        "https://h.example/sm-top.xml",
+        "https://h.example/sm-mid.xml",
+        "https://h.example/sm-low.xml",
+    ]
+    assert rules == [("/ok", True)]  # * group only; UA-a run was broken
+    # SQL parser emits the identical list + rules
+    df = spark.createDataFrame(
+        [("h.example", _ROBOTS_WITH_SITEMAPS)], "host string, robots_txt string"
+    )
+    row = parse_sql(df).collect()[0]
+    assert list(row["sitemaps"]) == smaps
+    assert [(r["pattern"], r["allow"]) for r in row["rules"]] == rules
+
+
+def test_crawl_seeded_from_sitemaps(spark, tmp_path):
+    """robots Sitemap: lines → fetched sitemap bodies → seeds →
+    run_crawl matches the simulator given the same seed set."""
+    from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
+    from langscrape_spark.scheduler.simulator import simulate_crawl
+    from langscrape_spark.sources.catalog import Catalog
+
+    n_pages = 200
+    seed_ids = [i * (n_pages // 10) for i in range(10)]
+    locs = "".join(
+        f"<url><loc>{synth.url_of(i)}</loc></url>" for i in seed_ids
+    )
+    bodies = spark.createDataFrame(
+        [("https://www.site1.example/sitemap.xml", f"<urlset>{locs}</urlset>")],
+        "sitemap_url string, body string",
+    )
+    seeds_df = sitemap_seeds(parse_sitemaps(bodies))
+    seed_urls = sorted(r["url"] for r in seeds_df.collect())
+    assert seed_urls == sorted(synth.url_of(i) for i in seed_ids)
+
+    robots_dict = {
+        f"www.site{i}.example": (["/private/"], 1.0, True)
+        for i in range(synth.N_HOSTS)
+    }
+    host_rank = {
+        f"www.site{i}.example": round(1.0 - i * 0.04, 4)
+        for i in range(synth.N_HOSTS)
+    }
+    pages = {
+        synth.url_of(i): synth.page_html(i, n_pages) for i in range(n_pages)
+    }
+    sim_sched, sim_seen = simulate_crawl(
+        sorted(seed_urls), pages, robots_dict, host_rank,
+        batch_size=50, max_depth=2, max_rounds=3,
+    )
+    pages_df = synth.build_pages_df(spark, n_pages, partitions=4).cache()
+    pages_df.count()
+    robots_df = spark.createDataFrame(
+        [(h, list(v[0]), v[1], v[2]) for h, v in robots_dict.items()],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay double, allowed boolean",
+    )
+    rank_df = spark.createDataFrame(
+        list(host_rank.items()), "host string, rank double"
+    )
+    state = run_crawl(
+        spark, pages_df, seeds_df, robots_df, rank_df,
+        Catalog(spark, str(tmp_path / "cat")),
+        CrawlConfig(batch_size=50, max_depth=2, max_rounds=3,
+                    seen_partitions=4),
+    )
+    got = [
+        (r["round"], r["seq"], r["url"])
+        for r in state.schedule.orderBy("round", "seq").collect()
+    ]
+    assert got == sim_sched
+    pages_df.unpersist()

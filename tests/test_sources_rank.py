@@ -27,24 +27,25 @@ Disallow: /
 
 
 def test_parse_robots_default_agent():
-    dis, rules, delay, allowed = parse_robots_txt(ROBOTS, "*")
+    dis, rules, delay, allowed, smaps = parse_robots_txt(ROBOTS, "*")
     assert dis == ["/private/", "/tmp"]  # wildcard clipped conservatively
+    assert smaps == []
     assert rules == [("/private/", False), ("/tmp*junk", False)]
     assert delay == 2.0
     assert allowed
 
 
 def test_parse_robots_specific_agents():
-    dis, rules, delay, allowed = parse_robots_txt(ROBOTS, "fastbot")
+    dis, rules, delay, allowed, _ = parse_robots_txt(ROBOTS, "fastbot")
     assert dis == [] and rules == [] and delay == 0.1 and allowed
-    dis, rules, _, allowed = parse_robots_txt(ROBOTS, "badbot")
+    dis, rules, _, allowed, _ = parse_robots_txt(ROBOTS, "badbot")
     assert not allowed and dis == [] and rules == [("/", False)]
 
 
 def test_parse_robots_garbage():
-    assert parse_robots_txt("", "*") == ([], [], None, True)
+    assert parse_robots_txt("", "*") == ([], [], None, True, [])
     assert parse_robots_txt("\x00\x01 not robots at all", "*") == (
-        [], [], None, True
+        [], [], None, True, []
     )
 
 
