@@ -1092,6 +1092,62 @@ def q47_sitemap_entries(spark, sf):
     )
 
 
+_REVISIT_AS_OF = "2026-08-17"
+_REVISIT_FREQS = [
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+    "sometimes", "",
+]
+
+
+def q48_revisit_schedule(spark, sf):
+    """Re-crawl scheduling from sitemap freshness metadata: changefreq
+    → revisit interval, lastmod (date or W3C timestamp or garbage) →
+    next-due date, staleness-scaled refresh priority. Pure DATE
+    arithmetic (sources/sitemap.py::revisit_schedule) so both engines
+    agree without timezone semantics; sentinels: interval −1 and date
+    1970-01-01 = 'never'."""
+    from langscrape_spark.sources.sitemap import revisit_schedule
+
+    k = F.col("c_custkey")
+    lastmod = (
+        F.when(k % 5 == 0, F.lit(""))
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("2026-07-"), F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+            ),
+        )
+        .when(k % 5 == 2, F.lit("2026-08-01T07:00:00Z"))
+        .when(k % 5 == 3, F.lit("not a date"))
+        .otherwise(
+            F.concat(F.lit("2024-01-0"), ((k % 9) + 1).cast("string"))
+        )
+    )
+    freq = F.element_at(
+        F.array([F.lit(x) for x in _REVISIT_FREQS]), (k % 9 + 1).cast("int")
+    )
+    entries = _t(spark, sf, "customer").select(
+        F.lit("urlset").alias("kind"),
+        F.concat(F.lit("https://rev.example/p"), k.cast("string")).alias("loc"),
+        lastmod.alias("lastmod"),
+        freq.alias("changefreq"),
+        F.when(k % 4 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((k % 10).cast("double") / 10.0, 1))
+        .alias("priority"),
+    )
+    out = revisit_schedule(entries, _REVISIT_AS_OF)
+    return out.select(
+        "url",
+        F.coalesce(F.col("lastmod_date").cast("string"), F.lit("1970-01-01"))
+        .alias("lastmod_d"),
+        F.coalesce("interval_days", F.lit(-1)).alias("interval_d"),
+        F.coalesce(F.col("next_due").cast("string"), F.lit("1970-01-01"))
+        .alias("next_due_d"),
+        F.col("overdue").cast("int").alias("overdue"),
+        "refresh_priority",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1141,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_parse_robots": q45_parse_robots,
         "q46_robots_decision": q46_robots_decision,
         "q47_sitemap_entries": q47_sitemap_entries,
+        "q48_revisit_schedule": q48_revisit_schedule,
     }
 
 
@@ -2366,9 +2423,9 @@ def oracle_sql() -> dict[str, str]:
             ls AS (
               SELECT src,
                      regexp_extract_all(coalesce(body, ''),
-                       '(?s)<url[ >].*?</url>|<url/>', 0) AS us,
+                       '(?s)<url[\\s>].*?</url>|<url/>', 0) AS us,
                      regexp_extract_all(coalesce(body, ''),
-                       '(?s)<sitemap[ >].*?</sitemap>', 0) AS ss
+                       '(?s)<sitemap[\\s>].*?</sitemap>', 0) AS ss
               FROM b),
             ex AS (
               SELECT src, 'urlset' AS kind, i - 1 AS pos, us[i] AS entry
@@ -2395,6 +2452,70 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE), -1.0) AS priority_s
               FROM ex)
             SELECT * FROM sel WHERE loc <> ''
+        """,
+        "q48_revisit_schedule": """
+            -- revisit scheduling, independent DuckDB reimplementation
+            -- of sources/sitemap.py::revisit_schedule: lastmod parsed
+            -- by its first 10 chars (TRY_CAST), changefreq → interval
+            -- days (never → NULL, unknown/absent → 7), next_due =
+            -- lastmod + interval (unknown lastmod → due at as_of,
+            -- never wins over unknown lastmod), refresh_priority =
+            -- coalesce(priority, 0.5) * (1 + min(days_overdue,30)/30).
+            -- Pure DATE arithmetic; same sentinels as the Spark side.
+            WITH e AS (
+              SELECT c_custkey AS k,
+                     'https://rev.example/p' || c_custkey AS url,
+                     CASE c_custkey % 5
+                       WHEN 0 THEN ''
+                       WHEN 1 THEN '2026-07-' ||
+                         lpad(CAST((c_custkey % 28) + 1 AS VARCHAR), 2, '0')
+                       WHEN 2 THEN '2026-08-01T07:00:00Z'
+                       WHEN 3 THEN 'not a date'
+                       ELSE '2024-01-0' ||
+                         CAST((c_custkey % 9) + 1 AS VARCHAR) END AS lastmod,
+                     (['always','hourly','daily','weekly','monthly',
+                       'yearly','never','sometimes',''])
+                       [CAST(c_custkey % 9 AS INT) + 1] AS changefreq,
+                     CASE WHEN c_custkey % 4 = 0 THEN NULL
+                          ELSE round(CAST(c_custkey % 10 AS DOUBLE) / 10.0,
+                                     1) END AS priority
+              FROM customer),
+            c1 AS (
+              SELECT url,
+                     TRY_CAST(substr(lastmod, 1, 10) AS DATE) AS lastmod_date,
+                     lower(changefreq) AS freq, priority
+              FROM e),
+            c2 AS (
+              SELECT *,
+                     CASE freq WHEN 'never' THEN NULL
+                               WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
+                               WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7
+                               WHEN 'monthly' THEN 30 WHEN 'yearly' THEN 365
+                               ELSE 7 END AS interval_days
+              FROM c1),
+            c3 AS (
+              SELECT *,
+                     CASE WHEN freq = 'never' THEN NULL
+                          WHEN lastmod_date IS NULL THEN DATE '2026-08-17'
+                          ELSE lastmod_date + interval_days END AS next_due
+              FROM c2),
+            c4 AS (
+              SELECT *, greatest(0, coalesce(
+                       date_diff('day', next_due, DATE '2026-08-17'), 0))
+                       AS days_overdue
+              FROM c3)
+            SELECT url,
+                   CAST(coalesce(lastmod_date, DATE '1970-01-01') AS VARCHAR)
+                     AS lastmod_d,
+                   CAST(coalesce(interval_days, -1) AS INT) AS interval_d,
+                   CAST(coalesce(next_due, DATE '1970-01-01') AS VARCHAR)
+                     AS next_due_d,
+                   CAST(coalesce(next_due <= DATE '2026-08-17', FALSE) AS INT)
+                     AS overdue,
+                   round(coalesce(priority, 0.5) *
+                         (1.0 + CAST(least(days_overdue, 30) AS DOUBLE)
+                          / 30.0), 6) AS refresh_priority
+            FROM c4
         """,
         "q19_crawl_schedule": f"""
             -- Independent reimplementation of one politeness round

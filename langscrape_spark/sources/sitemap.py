@@ -32,8 +32,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 # (?s): sitemap files are pretty-printed; entries span lines. Entry
 # tags may carry attributes (rare but legal). Non-greedy bodies keep
 # entries separate; no backreferences (RE2-safe for the oracle).
-_URL_ENTRY_RE = r"(?s)<url[ >].*?</url>|<url/>"
-_SMAP_ENTRY_RE = r"(?s)<sitemap[ >].*?</sitemap>"
+_URL_ENTRY_RE = r"(?s)<url[\s>].*?</url>|<url/>"
+_SMAP_ENTRY_RE = r"(?s)<sitemap[\s>].*?</sitemap>"
 _LOC_RE = r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>"
 _LASTMOD_RE = r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>"
 _CHANGEFREQ_RE = r"(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>"
@@ -121,6 +121,83 @@ def expand_sitemap_index(
         F.col("kind") == "urlset"
     )
     return direct.unionByName(nested)
+
+
+# sitemaps.org <changefreq> → revisit interval in days. "always" and
+# "hourly" are sub-daily → 0 (due the day after lastmod at the latest);
+# "never" → no time-based revisit (archive URLs).
+_FREQ_DAYS = {
+    "always": 0,
+    "hourly": 0,
+    "daily": 1,
+    "weekly": 7,
+    "monthly": 30,
+    "yearly": 365,
+}
+DEFAULT_REVISIT_DAYS = 7
+DEFAULT_PRIORITY = 0.5  # the sitemaps.org default when <priority> absent
+
+
+def revisit_schedule(entries: DataFrame, as_of: str) -> DataFrame:
+    """urlset entries → when each URL is next due for a re-fetch:
+    ``(url, lastmod_date, interval_days, next_due, overdue,
+    refresh_priority)``.
+
+    Deliberately date-granular (``as_of`` is ``YYYY-MM-DD``): sitemap
+    ``lastmod`` values mix bare dates and full W3C timestamps across
+    timezones, and a 10^10-URL refresh queue is drained in daily
+    politeness rounds anyway — day resolution sidesteps cross-engine
+    timezone semantics entirely (every comparison here is pure DATE
+    arithmetic, reproducible in ANSI SQL). Semantics:
+
+    - ``lastmod`` parses by its first 10 chars (``try_cast`` — garbage
+      never throws); unparseable/absent lastmod → due immediately at
+      ``as_of`` (we know nothing about freshness);
+    - interval = ``changefreq`` per :data:`_FREQ_DAYS` (case-
+      insensitive), absent/unknown → ``DEFAULT_REVISIT_DAYS``,
+      ``never`` → NULL next_due, never overdue;
+    - ``refresh_priority`` = the advertised priority (default 0.5)
+      scaled by staleness, ``p · (1 + min(days_overdue, 30)/30)`` — an
+      overdue high-priority page outranks a fresh one, capped so an
+      abandoned sitemap cannot monopolize the refresh budget. Feed it
+      to the frontier as the ``host_rank`` analog for re-crawl rounds.
+    """
+    as_of_d = F.to_date(F.lit(as_of))
+    e = entries.where(F.col("kind") == "urlset")
+    lastmod_d = F.substring("lastmod", 1, 10).try_cast("date")
+    freq = F.lower(F.col("changefreq"))
+    interval = F.when(freq == "never", F.lit(None).cast("int"))
+    for name, days in _FREQ_DAYS.items():
+        interval = interval.when(freq == name, F.lit(days))
+    interval = interval.otherwise(F.lit(DEFAULT_REVISIT_DAYS))
+    # "never" wins even over an unknown lastmod; otherwise unknown
+    # lastmod = due immediately.
+    next_due = (
+        F.when(freq == "never", F.lit(None).cast("date"))
+        .when(lastmod_d.isNull(), as_of_d)
+        .otherwise(F.date_add(lastmod_d, interval))
+    )
+    # coalesce inside greatest: Spark's greatest SKIPS NULLs but other
+    # engines return NULL — pin the "never due" case to 0 explicitly
+    days_overdue = F.greatest(
+        F.lit(0), F.coalesce(F.datediff(as_of_d, next_due), F.lit(0))
+    )
+    pr = F.coalesce(F.col("priority"), F.lit(DEFAULT_PRIORITY))
+    return e.select(
+        F.col("loc").alias("url"),
+        lastmod_d.alias("lastmod_date"),
+        interval.alias("interval_days"),
+        next_due.alias("next_due"),
+        F.coalesce(next_due <= as_of_d, F.lit(False)).alias("overdue"),
+        F.round(
+            pr
+            * (
+                F.lit(1.0)
+                + F.least(days_overdue, F.lit(30)).cast("double") / F.lit(30.0)
+            ),
+            6,
+        ).alias("refresh_priority"),
+    )
 
 
 def sitemap_seeds(entries: DataFrame) -> DataFrame:

@@ -116,6 +116,57 @@ def test_robots_sitemap_lines_group_independent(spark):
     assert [(r["pattern"], r["allow"]) for r in row["rules"]] == rules
 
 
+def test_revisit_schedule_semantics(spark):
+    """changefreq→interval, lastmod→next_due, staleness-scaled
+    priority; sentinels for 'never' and unknown lastmod."""
+    from langscrape_spark.sources.sitemap import revisit_schedule
+
+    rows = [
+        # fresh daily page: due tomorrow, not overdue
+        ("urlset", "u/daily-fresh", "2026-08-17", "daily", 0.8),
+        # stale weekly page: due 2026-08-08, 9 days overdue
+        ("urlset", "u/weekly-stale", "2026-08-01T09:30:00Z", "WEEKLY", None),
+        # never → no due date, never overdue, priority unscaled
+        ("urlset", "u/never", "2020-01-01", "never", 0.9),
+        # unknown lastmod → due immediately (0 days overdue)
+        ("urlset", "u/nolastmod", "garbage", None, 0.2),
+        # ancient page: overdue scaling capped at 30 days → 2x
+        ("urlset", "u/ancient", "2020-01-01", "daily", 0.5),
+        # unknown changefreq → default 7-day interval
+        ("urlset", "u/oddfreq", "2026-08-10", "sometimes", None),
+        # index rows are not revisit targets
+        ("index", "u/index", "2026-08-01", "daily", 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "kind string, loc string, lastmod string, "
+        "changefreq string, priority double",
+    )
+    got = {
+        r["url"]: r.asDict()
+        for r in revisit_schedule(df, "2026-08-17").collect()
+    }
+    assert set(got) == {
+        "u/daily-fresh", "u/weekly-stale", "u/never", "u/nolastmod",
+        "u/ancient", "u/oddfreq",
+    }
+    f = got["u/daily-fresh"]
+    assert str(f["next_due"]) == "2026-08-18" and not f["overdue"]
+    assert f["refresh_priority"] == 0.8  # 0 days overdue → unscaled
+    w = got["u/weekly-stale"]
+    assert (str(w["next_due"]), w["interval_days"]) == ("2026-08-08", 7)
+    assert w["overdue"]
+    assert w["refresh_priority"] == round(0.5 * (1 + 9 / 30), 6)
+    n = got["u/never"]
+    assert n["next_due"] is None and n["interval_days"] is None
+    assert not n["overdue"] and n["refresh_priority"] == 0.9
+    u = got["u/nolastmod"]
+    assert u["lastmod_date"] is None and str(u["next_due"]) == "2026-08-17"
+    assert u["overdue"] and u["refresh_priority"] == 0.2  # due today, 0 over
+    assert got["u/ancient"]["refresh_priority"] == 1.0  # 0.5 * capped 2x
+    assert got["u/oddfreq"]["interval_days"] == 7
+
+
 def test_crawl_seeded_from_sitemaps(spark, tmp_path):
     """robots Sitemap: lines → fetched sitemap bodies → seeds →
     run_crawl matches the simulator given the same seed set."""
