@@ -933,6 +933,12 @@ _ROBOTS_TEMPLATES = [
     "User-agent: *\nDisallow: /\n",
     "User-agent: Googlebot\nDisallow: /g/\n",
     "",
+    # RFC 9309 grouping pins: the blank line and the unknown Host:
+    # directive do NOT end the UA run (so * and Bar share one group and
+    # the * agent gets /m/), and the FIRST parseable delay in file
+    # order wins across the two * groups (4, not 9).
+    "User-agent: *\n\nHost: x.example\nUser-agent: Bar\nDisallow: /m/\n"
+    "Crawl-delay: 4\nUser-agent: *\nCrawl-delay: 9\n",
 ]
 
 
@@ -945,10 +951,10 @@ def q45_parse_robots(spark, sf):
     from langscrape_spark.scheduler.robots import parse_robots_txt
 
     k = F.col("n_nationkey")
-    txt = F.when(k % 5 == 0, F.lit(_ROBOTS_TEMPLATES[0]))
-    for i in range(1, 4):
-        txt = txt.when(k % 5 == i, F.lit(_ROBOTS_TEMPLATES[i]))
-    txt = txt.otherwise(F.lit(_ROBOTS_TEMPLATES[4]))
+    txt = F.when(k % 6 == 0, F.lit(_ROBOTS_TEMPLATES[0]))
+    for i in range(1, 5):
+        txt = txt.when(k % 6 == i, F.lit(_ROBOTS_TEMPLATES[i]))
+    txt = txt.otherwise(F.lit(_ROBOTS_TEMPLATES[5]))
     df = _t(spark, sf, "nation").select(
         F.concat(F.lit("www.nat"), k.cast("string"), F.lit(".example")).alias(
             "host"
@@ -977,7 +983,7 @@ _RFC_RX_SQL = r"""'^' || replace(regexp_replace(
 
 _ROBOTS_RFC_TEMPLATES = [
     "User-agent: *\nDisallow: /private/*.html\nAllow: /private/pub\n"
-    "Crawl-delay: 2\n",
+    "Disallow: /*?sessionid=\nCrawl-delay: 2\n",
     "User-agent: *\nDisallow: /\nAllow: /news/\n",
     "User-agent: *\nDisallow: /tech/article-*1.html$\nAllow: /tech/\n",
     "User-agent: Foo\nDisallow: /foo/\n\nUser-agent: *\nAllow: /a*c\n"
@@ -996,6 +1002,8 @@ _RFC_PATHS = [
     "/abc",                 # t3: Allow /a*c (4) TIES Disallow /ab* (4) → Allow
     "/ab",                  # t3: Disallow /ab* (4) beats /a (2)
     "/zzz",                 # no rule matches anywhere → allowed, rlen -1
+    "/s?sessionid=1",       # t0: query-string Disallow /*?sessionid= fires
+    "/private/pub?x=1",     # t0: Allow 12 prefix-matches through the query
 ]
 
 
@@ -2257,17 +2265,25 @@ def oracle_sql() -> dict[str, str]:
             -- first Crawl-delay, allowed = no '/' disallow.
             WITH hosts AS (
               SELECT 'www.nat' || n_nationkey || '.example' AS host,
-                     CASE n_nationkey % 5
+                     CASE n_nationkey % 6
                        WHEN 0 THEN {rt[0]} WHEN 1 THEN {rt[1]}
                        WHEN 2 THEN {rt[2]} WHEN 3 THEN {rt[3]}
-                       ELSE {rt[4]} END AS txt
+                       WHEN 4 THEN {rt[4]} ELSE {rt[5]} END AS txt
               FROM nation),
             toks AS (SELECT host, string_split(txt, chr(10)) AS ls FROM hosts),
-            lines AS (
+            lines0 AS (
               SELECT host, i AS idx,
                      regexp_replace(regexp_replace(ls[i+1], '#.*$', ''),
                                     '^\\s+|\\s+$', '', 'g') AS line
               FROM toks, UNNEST(range(0, len(ls))) AS t(i)),
+            -- RFC 9309: only directive lines are part of the grammar;
+            -- blank lines and unknown directives (Host:, …) do not end
+            -- a User-agent run (mirrors the Spark parser's
+            -- significant-line filter before gaps-and-islands)
+            lines AS (
+              SELECT * FROM lines0
+              WHERE regexp_matches(line,
+                '(?i)^(user-agent|disallow|allow|crawl-delay|sitemap)\\s*:')),
             l1 AS (
               SELECT *,
                      regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua,
@@ -2333,11 +2349,15 @@ def oracle_sql() -> dict[str, str]:
                        ELSE {rt2[4]} END AS txt
               FROM nation),
             toks AS (SELECT host, string_split(txt, chr(10)) AS ls FROM hosts),
-            lines AS (
+            lines0 AS (
               SELECT host, i AS idx,
                      regexp_replace(regexp_replace(ls[i+1], '#.*$', ''),
                                     '^\\s+|\\s+$', '', 'g') AS line
               FROM toks, UNNEST(range(0, len(ls))) AS t(i)),
+            lines AS (
+              SELECT * FROM lines0
+              WHERE regexp_matches(line,
+                '(?i)^(user-agent|disallow|allow|crawl-delay|sitemap)\\s*:')),
             l1 AS (
               SELECT *,
                      regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua,

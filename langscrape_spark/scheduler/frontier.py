@@ -129,8 +129,23 @@ def _with_policy_columns(
     # parse_url THROWS on malformed urls — one bad discovered link
     # would kill the whole round. Invalid → NULL host → dropped below.
     df = df.withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
+    # RFC 9309 matches rules against path + optional query ('Disallow:
+    # /*?sessionid=' must fire), so the match target keeps the query
+    # string; an empty '?' is dropped like urlparse does. The simulator
+    # mirrors this in its enqueue() target. nullif: a pathless url
+    # ('https://h?a=1') parses to PATH='' (not NULL) — it must become
+    # '/' like urlparse's `path or "/"`, or the two targets diverge.
+    path_c = F.coalesce(
+        F.nullif(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
+    query_c = F.try_parse_url(F.col("url"), F.lit("QUERY"))
     df = df.withColumn(
-        "path", F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+        "path",
+        F.when(
+            query_c.isNotNull() & (query_c != ""),
+            F.concat(path_c, F.lit("?"), query_c),
+        ).otherwise(path_c),
     ).where(F.col("host").isNotNull())  # simulator: host None → dropped
     if "rules" in robots.columns:
         # RFC 9309 robots table (scheduler/robots.py or

@@ -81,6 +81,18 @@ def parse_robots_txt(
             "line"
         ),
     )
+    # RFC 9309 grammar: only DIRECTIVE lines participate in grouping —
+    # blank lines, comments-only lines and unknown directives (Host:,
+    # Clean-param:, …) are "lines not part of the grammar" and MUST NOT
+    # end a User-agent run (the RFC ABNF allows emptyline between
+    # startgrouplines; real files stack UA lines around junk). The
+    # pandas parser (sources/robots.py) ignores those lines the same
+    # way, so the two parsers group identically.
+    lines = lines.where(
+        F.col("line").rlike(
+            r"(?i)^(user-agent|disallow|allow|crawl-delay|sitemap)\s*:"
+        )
+    )
     is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
     w = Window.partitionBy("host").orderBy("idx")
     # gaps-and-islands: +1 at the START of each consecutive UA run, so
@@ -217,9 +229,12 @@ def robots_decision_detail(path: Column, rules: Column) -> Column:
     )
 
     def step(acc: Column, r: Column) -> Column:
-        m = F.when(r["wild"], F.regexp_like(path, r["regex"])).otherwise(
-            path.startswith(r["pattern"])
-        )
+        # empty patterns never match (both parsers filter them out, but
+        # a hand-built rules array must not turn '' into a
+        # match-everything rlen-0 rule — the Python mirror skips them)
+        m = (F.coalesce(r["rlen"], F.lit(0)) > 0) & F.when(
+            r["wild"], F.regexp_like(path, r["regex"])
+        ).otherwise(path.startswith(r["pattern"]))
         better = (r["rlen"] > acc["rlen"]) | (
             (r["rlen"] == acc["rlen"]) & r["allow"]
         )

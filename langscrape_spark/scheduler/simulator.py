@@ -45,7 +45,12 @@ def simulate_crawl(
         host = url_host(norm)
         if host is None:
             return
-        path = urlparse(norm).path or "/"
+        # RFC 9309 match target = path + optional query (mirrors
+        # frontier._with_policy_columns; '?sessionid=' rules must fire)
+        parts = urlparse(norm)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
         if not robots_allows(host, path, robots):
             return
         if depth > max_depth:

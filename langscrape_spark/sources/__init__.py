@@ -1,6 +1,11 @@
 from .catalog import Catalog
 from .robots import robots_table
-from .sitemap import expand_sitemap_index, parse_sitemaps, sitemap_seeds
+from .sitemap import (
+    expand_sitemap_index,
+    parse_sitemaps,
+    revisit_schedule,
+    sitemap_seeds,
+)
 from .swde import (
     swde_eval_table,
     swde_ground_truth,
@@ -12,6 +17,7 @@ __all__ = [
     "Catalog",
     "expand_sitemap_index",
     "parse_sitemaps",
+    "revisit_schedule",
     "robots_table",
     "sitemap_seeds",
     "swde_eval_table",

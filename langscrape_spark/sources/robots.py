@@ -25,6 +25,7 @@ longest-match).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
@@ -76,9 +77,12 @@ def parse_robots_txt(
                 in_group_body = False
             cur_agents.append(value.lower())
         elif key == "sitemap":
-            # group-independent, but still breaks a User-agent run
-            # (mirrors the SQL parser's gaps-and-islands grouping,
-            # where any non-UA line ends the UA run)
+            # group-independent, but still breaks a User-agent run —
+            # like every recognized non-UA directive; blank lines and
+            # unknown directives (Host:, …) are NOT part of the REP
+            # grammar and leave the run open (RFC 9309 §2.2.2), the
+            # same grouping the SQL parser's significant-line filter
+            # + gaps-and-islands produces
             in_group_body = True
             if value:
                 sitemaps.append(value.split()[0])
@@ -86,11 +90,16 @@ def parse_robots_txt(
             in_group_body = True
             if key in ("disallow", "allow") and value:
                 cur_rules.append((value, key == "allow"))
-            elif key == "crawl-delay":
-                try:
-                    cur_delay = float(value)
-                except ValueError:
-                    pass
+            elif key == "crawl-delay" and cur_delay is None:
+                # FIRST parseable delay wins (the SQL parser takes min
+                # by line idx); extract the leading numeric run like
+                # the SQL regex so "2.5 extra" parses as 2.5 in both
+                m = re.match(r"[0-9.]+", value)
+                if m:
+                    try:
+                        cur_delay = float(m.group(0))
+                    except ValueError:
+                        pass
     flush()
 
     agent = agent.lower()
@@ -100,7 +109,10 @@ def parse_robots_txt(
     delay: Optional[float] = None
     for _, rs, cd in chosen:
         rules.extend(rs)
-        if cd is not None and (delay is None or cd > delay):
+        # groups are disjoint file-order line ranges, so the first
+        # group with a delay holds the file's first parseable delay —
+        # identical to the SQL parser's min-by-idx across * groups
+        if delay is None and cd is not None:
             delay = cd
     dis: List[str] = []
     for pattern, allow in rules:

@@ -28,6 +28,7 @@ body is one task-sized unit of work and hosts scale horizontally.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StructType
 
 # (?s): sitemap files are pretty-printed; entries span lines. Entry
 # tags may carry attributes (rare but legal). Non-greedy bodies keep
@@ -39,6 +40,7 @@ _LASTMOD_RE = r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>"
 _CHANGEFREQ_RE = r"(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>"
 _PRIORITY_RE = r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>"
 
+# The enforced output contract of parse_sitemaps (applied via .to()).
 SITEMAP_ENTRY_DDL = (
     "src string, kind string, pos int, loc string, lastmod string, "
     "changefreq string, priority double"
@@ -100,27 +102,32 @@ def parse_sitemaps(
         F.regexp_extract(entry, _PRIORITY_RE, 1)
         .try_cast("double")
         .alias("priority"),
-    ).where(F.col("loc") != "")
+    ).where(F.col("loc") != "").to(StructType.fromDDL(SITEMAP_ENTRY_DDL))
 
 
 def expand_sitemap_index(
     parsed: DataFrame, bodies: DataFrame, url_col: str = "sitemap_url",
-    body_col: str = "body",
+    body_col: str = "body", levels: int = 1,
 ) -> DataFrame:
-    """Resolve one level of ``<sitemapindex>`` indirection: join the
-    ``index`` entries' ``loc`` back onto the fetched bodies table and
-    parse those, unioning with the direct ``urlset`` entries. Real
+    """Resolve ``<sitemapindex>`` indirection: join the ``index``
+    entries' ``loc`` back onto the fetched bodies table, parse those,
+    and union their ``urlset`` entries with the direct ones. Real
     indexes are one level deep by spec (an index must not list another
-    index); call twice to tolerate spec-violating nesting."""
-    direct = parsed.where(F.col("kind") == "urlset")
-    nested_refs = parsed.where(F.col("kind") == "index").select(
-        F.col("loc").alias(url_col)
-    )
-    nested_bodies = bodies.join(nested_refs, url_col, "left_semi")
-    nested = parse_sitemaps(nested_bodies, url_col, body_col).where(
-        F.col("kind") == "urlset"
-    )
-    return direct.unionByName(nested)
+    index); pass ``levels=2`` (or more) to tolerate spec-violating
+    nesting — each extra level re-joins the index entries the previous
+    parse surfaced, so a two-deep chain A→B→C seeds C's URLs. Bounded
+    iteration also makes index CYCLES harmless (a self-listing index
+    just re-parses ``levels`` times and contributes nothing new)."""
+    out = parsed.where(F.col("kind") == "urlset")
+    refs = parsed.where(F.col("kind") == "index")
+    for _ in range(levels):
+        nested_bodies = bodies.join(
+            refs.select(F.col("loc").alias(url_col)), url_col, "left_semi"
+        )
+        nested = parse_sitemaps(nested_bodies, url_col, body_col)
+        out = out.unionByName(nested.where(F.col("kind") == "urlset"))
+        refs = nested.where(F.col("kind") == "index")
+    return out
 
 
 # sitemaps.org <changefreq> → revisit interval in days. "always" and

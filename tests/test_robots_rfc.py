@@ -270,3 +270,134 @@ def test_frontier_matches_simulator_with_rfc_rules(spark, tmp_path):
     got_seen = {r["url"] for r in state.seen.collect()}
     assert got_seen == sim_seen
     pages_df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 grouping: non-grammar lines leave the UA run open;
+# first parseable Crawl-delay wins; empty patterns never match
+# ---------------------------------------------------------------------------
+
+_GROUPING_BODIES = [
+    # blank line + unknown Host: between UA lines: * and Bar share one
+    # group (the * agent inherits /m/); first parseable delay in file
+    # order wins across the two * groups (4, not 9)
+    (
+        "g1.example",
+        "User-agent: *\n\nHost: x.example\nUser-agent: Bar\nDisallow: /m/\n"
+        "Crawl-delay: 4\nUser-agent: *\nCrawl-delay: 9\n",
+    ),
+    # comment-only and unknown Clean-param: lines inside a group body
+    # do not end the group either
+    (
+        "g2.example",
+        "User-agent: *\nDisallow: /a/\n# note\nClean-param: ref\n"
+        "Disallow: /b/\n",
+    ),
+    # a recognized directive (Sitemap) DOES end a UA run: the second
+    # UA line starts a fresh group that alone carries /z/
+    (
+        "g3.example",
+        "User-agent: Foo\nSitemap: https://g3.example/sm.xml\n"
+        "User-agent: *\nDisallow: /z/\n",
+    ),
+    # malformed first delay skipped; '2.5 extra' parses its leading
+    # numeric run; later well-formed delays lose to the first parseable
+    (
+        "g4.example",
+        "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 2.5 extra\n"
+        "Crawl-delay: 1\n",
+    ),
+]
+
+
+def test_grouping_and_delay_parity_sql_vs_pandas(spark):
+    """RFC 9309 §2.2.2: blank lines / unknown directives are not part
+    of the grammar and MUST NOT end a User-agent run — both parsers
+    group identically, and both take the first parseable delay."""
+    df = spark.createDataFrame(
+        _GROUPING_BODIES, "host string, robots_txt string"
+    )
+    got = {r["host"]: r for r in parse_robots_txt(df).collect()}
+    for host, body in _GROUPING_BODIES:
+        dis, rules, delay, allowed, smaps = parse_py(body)
+        r = got[host]
+        assert [(s["pattern"], s["allow"]) for s in r["rules"]] == rules, host
+        assert list(r["disallow_prefixes"]) == dis, host
+        assert r["crawl_delay"] == delay, host
+        assert list(r["sitemaps"]) == smaps, host
+        assert r["allowed"] == allowed, host
+    # pinned absolute semantics, not just parity
+    _, r1, d1, _, _ = parse_py(_GROUPING_BODIES[0][1])
+    assert r1 == [("/m/", False)] and d1 == 4.0
+    _, r2, _, _, _ = parse_py(_GROUPING_BODIES[1][1])
+    assert r2 == [("/a/", False), ("/b/", False)]
+    _, r3, _, _, s3 = parse_py(_GROUPING_BODIES[2][1])
+    assert r3 == [("/z/", False)] and s3 == ["https://g3.example/sm.xml"]
+    _, _, d4, _, _ = parse_py(_GROUPING_BODIES[3][1])
+    assert d4 == 2.5
+
+
+def test_decision_empty_pattern_never_matches(spark):
+    """A hand-built rules array with pattern '' must not become a
+    match-everything rlen-0 Disallow — both the codegen fold and the
+    Python mirror skip it (parsers filter such rules out upstream)."""
+    assert robots_decision_py("/x", [("", False)])
+    structs = [
+        {"pattern": "", "regex": "^", "allow": False, "rlen": 0, "wild": False}
+    ]
+    df = spark.createDataFrame(
+        [("/x", structs)], f"path string, rules {RULES_TYPE}"
+    )
+    row = df.select(
+        robots_decision(F.col("path"), F.col("rules")).alias("a")
+    ).first()
+    assert row["a"] is True
+
+
+def test_policy_match_target_includes_query(spark):
+    """The robots match target is path + optional query (RFC 9309
+    matches '/*?sessionid=' style rules); empty '?' dropped, fragments
+    excluded, pathless urls normalized to '/' — frontier and simulator
+    mirror agree url-by-url."""
+    from langscrape_spark.html.links import normalize_url, url_host
+    from langscrape_spark.scheduler.frontier import _with_policy_columns
+    from langscrape_spark.scheduler.policy import robots_allows
+    from urllib.parse import urlparse
+
+    body = "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /priv/\n"
+    robots_df = parse_robots_txt(
+        spark.createDataFrame(
+            [("h.example", body)], "host string, robots_txt string"
+        )
+    )
+    dis, rules, delay, allowed, _ = parse_py(body)
+    robots_dict = {"h.example": (dis, delay or 1.0, allowed, rules)}
+    urls = [
+        "https://h.example/a?sessionid=1",  # blocked: query in target
+        "https://h.example/a?x=1",          # allowed: query differs
+        "https://h.example/a?",             # allowed: empty query dropped
+        "https://h.example/a#sessionid=1",  # allowed: fragment ≠ query
+        "https://h.example?sessionid=1",    # blocked: pathless → /?sessionid=
+        "https://h.example/priv/p?x=1",     # blocked: prefix matches thru query
+    ]
+    df = spark.createDataFrame([(u, 0) for u in urls], "url string, depth int")
+    rank = spark.createDataFrame(
+        [("h.example", 1.0)], "host string, rank double"
+    )
+    got = {r["url"] for r in _with_policy_columns(df, robots_df, rank).collect()}
+    # the Python mirror (simulator enqueue target construction)
+    want = set()
+    for u in urls:
+        norm = normalize_url(u)
+        parts = urlparse(norm)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        if robots_allows(url_host(norm), path, robots_dict):
+            want.add(u)
+    assert got == want
+    assert got == {
+        "https://h.example/a?x=1",
+        "https://h.example/a?",
+        "https://h.example/a#sessionid=1",
+    }

@@ -224,3 +224,40 @@ def test_crawl_seeded_from_sitemaps(spark, tmp_path):
     ]
     assert got == sim_sched
     pages_df.unpersist()
+
+
+_INDEX_A = (  # index → index → urlset: spec-violating two-deep chain
+    "<sitemapindex><sitemap>"
+    "<loc>https://e.example/sm/mid.xml</loc></sitemap></sitemapindex>"
+)
+_INDEX_MID = (
+    "<sitemapindex><sitemap>"
+    "<loc>https://e.example/sm/leaf.xml</loc></sitemap></sitemapindex>"
+)
+_LEAF = "<urlset><url><loc>https://e.example/deep</loc></url></urlset>"
+_CYCLE = (  # a self-listing index must terminate, contributing nothing
+    "<sitemapindex><sitemap>"
+    "<loc>https://f.example/sitemap.xml</loc></sitemap></sitemapindex>"
+)
+
+
+def test_expand_index_multilevel_and_cycle(spark):
+    rows = [
+        ("https://e.example/sitemap.xml", _INDEX_A),
+        ("https://e.example/sm/mid.xml", _INDEX_MID),
+        ("https://e.example/sm/leaf.xml", _LEAF),
+        ("https://f.example/sitemap.xml", _CYCLE),
+    ]
+    bodies = spark.createDataFrame(rows, "sitemap_url string, body string")
+    top = parse_sitemaps(
+        bodies.where(F.col("sitemap_url").endswith("/sitemap.xml"))
+    )
+    # one level (the spec-legal default) resolves A→mid but not the
+    # deeper leaf; two levels seed it; the cycle contributes nothing
+    # at any level and terminates
+    one = expand_sitemap_index(top, bodies)
+    assert [r["loc"] for r in one.collect()] == []
+    two = expand_sitemap_index(top, bodies, levels=2)
+    assert [r["loc"] for r in two.collect()] == ["https://e.example/deep"]
+    three = expand_sitemap_index(top, bodies, levels=3)
+    assert [r["loc"] for r in three.collect()] == ["https://e.example/deep"]
