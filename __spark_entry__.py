@@ -1156,6 +1156,67 @@ def q48_revisit_schedule(spark, sf):
     )
 
 
+def q49_warc_ingest(spark, sf):
+    """Common-Crawl WARC ingestion end-to-end (sources/warc.py): one
+    deterministic archive per nation key k — a warcinfo record plus
+    three responses whose bodies embed the record magic (a framing
+    trap for delimiter-splitting parsers); per file one response is a
+    404 and one is application/json, both of which the pages
+    projection must drop. Length-framed parse → HTTP split → charset
+    decode → pages table; ts_epoch carries the WARC-Date instant
+    timezone-free so both engines hash identical longs."""
+    import pandas as pd
+
+    from langscrape_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc,
+        warc_pages,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                recs = [
+                    {"type": "warcinfo", "payload": b"software: synthetic\r\n"}
+                ]
+                for i in range(3):
+                    body = (
+                        f"<html><title>doc {k}-{i}</title>"
+                        f"<p>WARC/1.0 payload {k * 31 + i}</p></html>"
+                    ).encode()
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"https://www.nat{k}.example/p{i}",
+                            "date": f"2026-01-0{i + 1}T00:00:0{k % 10}Z",
+                            "status": 200 if (k + i) % 4 else 404,
+                            "ctype": "text/html; charset=utf-8"
+                            if i < 2
+                            else "application/json",
+                            "body": body,
+                        }
+                    )
+                rows.append((f"mem://nat{k}.warc", build_warc_bytes(recs)))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = (
+        _t(spark, sf, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .mapInPandas(gen, schema="path string, content binary")
+    )
+    pages = warc_pages(parse_warc(files))
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+        "http_status",
+        "mime",
+        F.length("html").alias("html_len"),
+        F.substring("html", 1, 30).alias("html_head"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1206,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_robots_decision": q46_robots_decision,
         "q47_sitemap_entries": q47_sitemap_entries,
         "q48_revisit_schedule": q48_revisit_schedule,
+        "q49_warc_ingest": q49_warc_ingest,
     }
 
 
@@ -2632,5 +2694,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n AS BIGINT) AS cluster_size,
                    CAST(r.doc_id = r.canonical_id AS INTEGER) AS is_canonical
             FROM resolved r JOIN sizes s ON r.canonical_id = s.canonical_id
+        """,
+        "q49_warc_ingest": """
+            -- Expected pages rows re-derived straight from the WARC
+            -- generator's formulas (sources/warc.py is exercised on
+            -- the Spark side: framing walk, HTTP split, charset
+            -- decode, 2xx/text-html projection — any framing or
+            -- header-parse bug breaks url/len/head/epoch here).
+            -- Kept records: i in {0,1} (i=2 is application/json) and
+            -- (k+i) % 4 <> 0 (else the response is a 404).
+            WITH ks AS (SELECT n_nationkey AS k FROM nation),
+            ex AS (
+              SELECT k, i,
+                     'https://www.nat' || k || '.example/p' || i AS url,
+                     CAST(epoch(make_timestamp(2026, 1, CAST(i + 1 AS INT),
+                                               0, 0, CAST(k % 10 AS DOUBLE)))
+                          AS BIGINT) AS ts_epoch,
+                     '<html><title>doc ' || k || '-' || i ||
+                       '</title><p>WARC/1.0 payload ' || (k * 31 + i) ||
+                       '</p></html>' AS body
+              FROM ks, UNNEST(range(0, 3)) t(i)
+              WHERE i < 2 AND (k + i) % 4 <> 0)
+            SELECT url, ts_epoch,
+                   200 AS http_status,
+                   'text/html' AS mime,
+                   CAST(len(body) AS INT) AS html_len,
+                   substr(body, 1, 30) AS html_head
+            FROM ex
         """,
     }

@@ -1,0 +1,139 @@
+"""WARC ingestion: ISO 28500 framing, HTTP payload split, charset
+decode, gzip members, dirty-input tolerance, and the pages-table
+projection (`sources/warc.py`)."""
+
+import gzip
+
+from langscrape_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc,
+    read_warc,
+    warc_pages,
+)
+
+_RECORDS = [
+    {"type": "warcinfo", "payload": b"software: synthetic\r\n"},
+    {
+        "type": "request",
+        "uri": "https://a.example/x",
+        "payload": b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+    },
+    {
+        "type": "response",
+        "uri": "https://a.example/x",
+        "date": "2026-01-02T03:04:05Z",
+        "rid": "<urn:uuid:1>",
+        "status": 200,
+        "ctype": "text/html; charset=utf-8",
+        # framing trap: the BODY contains the record magic — a
+        # delimiter-splitting parser would tear the archive here
+        "body": b"<html><p>all about WARC/1.0\r\n\r\nWARC/1.0 files</p></html>",
+    },
+    {
+        "type": "response",
+        "uri": "https://a.example/latin",
+        "date": "2026-01-02T03:04:06Z",
+        "status": 200,
+        "ctype": "text/html; charset=ISO-8859-1",
+        "body": b"<html>caf\xe9</html>",  # é in latin-1
+    },
+    {
+        "type": "response",
+        "uri": "https://a.example/gone",
+        "date": "2026-01-02T03:04:07Z",
+        "status": 404,
+        "ctype": "text/html",
+        "body": b"<html>gone</html>",
+    },
+    {
+        "type": "response",
+        "uri": "https://a.example/data.json",
+        "date": "2026-01-02T03:04:08Z",
+        "status": 200,
+        "ctype": "application/json",
+        "body": b'{"not": "html"}',
+    },
+]
+
+
+def _df(spark, data: bytes, path="mem://f.warc"):
+    return spark.createDataFrame([(path, data)], "path string, content binary")
+
+
+def test_framing_and_http_split(spark):
+    rows = {
+        r["record_idx"]: r
+        for r in parse_warc(_df(spark, build_warc_bytes(_RECORDS))).collect()
+    }
+    assert len(rows) == 6
+    assert rows[0]["warc_type"] == "warcinfo" and rows[0]["http_status"] is None
+    assert rows[1]["warc_type"] == "request"
+    r2 = rows[2]
+    assert r2["target_uri"] == "https://a.example/x"
+    assert r2["http_status"] == 200
+    assert r2["http_content_type"] == "text/html; charset=utf-8"
+    # the WARC/1.0 inside the body did not tear framing
+    assert bytes(r2["body"]) == _RECORDS[2]["body"]
+    assert "WARC/1.0 files" in r2["body_text"]
+    # charset honored: latin-1 é decodes to the right codepoint
+    assert rows[3]["body_text"] == "<html>café</html>"
+    assert rows[4]["http_status"] == 404
+    assert rows[5]["http_content_type"] == "application/json"
+
+
+def test_pages_projection_shape_and_filters(spark):
+    pages = warc_pages(parse_warc(_df(spark, build_warc_bytes(_RECORDS))))
+    got = pages.collect()
+    # only the two 2xx text/html responses survive
+    assert sorted(r["url"] for r in got) == [
+        "https://a.example/latin",
+        "https://a.example/x",
+    ]
+    assert [f.name for f in pages.schema.fields[:5]] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    by_url = {r["url"]: r for r in got}
+    assert by_url["https://a.example/x"]["warc_ts"] is not None
+    assert by_url["https://a.example/latin"]["html"] == "<html>café</html>"
+    assert by_url["https://a.example/x"]["text"] is None
+
+
+def test_gzip_members_and_file_scan(spark, tmp_path):
+    """Common-Crawl layout: one gzip member per record, concatenated;
+    read back through the real binaryFile scan."""
+    data = b"".join(
+        gzip.compress(build_warc_bytes([r])) for r in _RECORDS
+    )
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(data)
+    recs = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    assert recs.count() == 6
+    assert warc_pages(recs).count() == 2
+
+
+def test_dirty_inputs_never_throw(spark):
+    ok = build_warc_bytes([_RECORDS[2]])
+    cases = [
+        b"",                                  # empty file
+        b"leading garbage\r\n" + ok,          # junk before first magic
+        ok[:-30],                             # truncated final record
+        b"\x1f\x8b broken gzip header",       # undecodable gzip
+        # missing Content-Length: boundary-scan fallback still finds
+        # the next record
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nfree payload\r\n\r\n" + ok,
+    ]
+    for i, data in enumerate(cases):
+        rows = parse_warc(_df(spark, data, path=f"mem://c{i}")).collect()
+        if i == 0:
+            assert rows == []
+        if i in (1, 4):
+            # the well-formed response record is recovered
+            assert any(r["http_status"] == 200 for r in rows), i
+    # obs-fold continuation header + case-insensitive names
+    folded = (
+        b"WARC/1.0\r\nwarc-type: response\r\n"
+        b"WARC-Target-URI: https://f.example/\r\n\tcontinued\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    r = parse_warc(_df(spark, folded)).collect()[0]
+    assert r["target_uri"] == "https://f.example/ continued"
