@@ -1217,6 +1217,54 @@ def q49_warc_ingest(spark, sf):
     )
 
 
+def q50_url_traps(spark, sf):
+    """Crawl-trap detection (operators/urls.py::detect_url_traps):
+    synthetic urls planted over orders keys — a calendar template
+    (/cal/<N>/<N>/<N>, many spellings collapsing to few distinct
+    urls), an article template (/a/<N>.html), a static tag page, and
+    a session-id explosion (/p?sid=K — the query strips out of the
+    template, so one template accumulates every sid spelling). Two
+    hash aggregations; is_trap = n_urls ≥ 300 AND share ≥ 0.3 of the
+    host's distinct urls."""
+    from langscrape_spark.operators.urls import detect_url_traps
+
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("www.site"), (k % 7).cast("string"), F.lit(".example")
+    )
+    base = F.concat(F.lit("https://"), host)
+    url = (
+        F.when(
+            k % 5 < 2,
+            F.concat(
+                base,
+                F.lit("/cal/2026/"),
+                ((k % 12) + 1).cast("string"),
+                F.lit("/"),
+                ((k % 28) + 1).cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(base, F.lit("/a/"), k.cast("string"), F.lit(".html")),
+        )
+        .when(k % 5 == 3, F.concat(base, F.lit("/tag/best")))
+        .otherwise(
+            F.concat(base, F.lit("/p?sid="), k.cast("string"))
+        )
+    )
+    df = _t(spark, sf, "orders").select(url.alias("url"))
+    out = detect_url_traps(df, min_urls=300, share_threshold=0.3)
+    return out.select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        F.round("share", 6).alias("share"),
+        F.col("is_trap").cast("int").alias("is_trap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1268,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_sitemap_entries": q47_sitemap_entries,
         "q48_revisit_schedule": q48_revisit_schedule,
         "q49_warc_ingest": q49_warc_ingest,
+        "q50_url_traps": q50_url_traps,
     }
 
 
@@ -2721,5 +2770,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(body) AS INT) AS html_len,
                    substr(body, 1, 30) AS html_head
             FROM ex
+        """,
+        "q50_url_traps": """
+            -- Independent DuckDB re-derivation of the crawl-trap
+            -- detector: urls rebuilt from the same orders-key
+            -- formulas, template = lower path (query/fragment
+            -- stripped, '' → '/'), hex runs ≥8 → <H> BEFORE digit
+            -- runs → <N>, then the two-level distinct-count
+            -- aggregation and the n≥300 ∧ share≥0.3 trap gate.
+            WITH u AS (
+              SELECT 'www.site' || (o_orderkey % 7) || '.example' AS host,
+                     CASE
+                       WHEN o_orderkey % 5 < 2 THEN
+                         'https://www.site' || (o_orderkey % 7) ||
+                         '.example/cal/2026/' || (o_orderkey % 12 + 1) ||
+                         '/' || (o_orderkey % 28 + 1)
+                       WHEN o_orderkey % 5 = 2 THEN
+                         'https://www.site' || (o_orderkey % 7) ||
+                         '.example/a/' || o_orderkey || '.html'
+                       WHEN o_orderkey % 5 = 3 THEN
+                         'https://www.site' || (o_orderkey % 7) ||
+                         '.example/tag/best'
+                       ELSE
+                         'https://www.site' || (o_orderkey % 7) ||
+                         '.example/p?sid=' || o_orderkey
+                     END AS url
+              FROM orders),
+            t AS (
+              SELECT host, url,
+                     regexp_replace(regexp_replace(
+                       lower(coalesce(nullif(regexp_extract(url,
+                         '^[a-z]+://[^/?#]+([^?#]*)', 1), ''), '/')),
+                       '[0-9a-f]{8,}', '<H>', 'g'),
+                       '[0-9]+', '<N>', 'g') AS template
+              FROM u),
+            pt AS (
+              SELECT host, template, count(DISTINCT url) AS n_urls
+              FROM t GROUP BY host, template),
+            ph AS (
+              SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+              FROM pt GROUP BY host)
+            SELECT pt.host, pt.template, pt.n_urls, ph.host_urls,
+                   round(pt.n_urls::DOUBLE / ph.host_urls, 6) AS share,
+                   CAST(pt.n_urls >= 300 AND
+                        pt.n_urls::DOUBLE / ph.host_urls >= 0.3
+                        AS INT) AS is_trap
+            FROM pt JOIN ph USING (host)
         """,
     }

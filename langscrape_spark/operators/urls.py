@@ -76,3 +76,101 @@ def canonicalize_url(url: Column) -> Column:
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
     )
     return F.when(scheme == "", no_frag).otherwise(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection (URL-template explosion)
+# ---------------------------------------------------------------------------
+
+def url_template(url: Column) -> Column:
+    """Collapse a url to its path TEMPLATE — the signature that groups
+    "the same page generator": scheme/host/query/fragment dropped,
+    lowercase path, long hex runs (ids, session tokens; ≥8 chars)
+    → ``<H>`` first, then digit runs → ``<N>``. ``/cal/2026/07/15``
+    and ``/cal/2011/01/03`` both become ``/cal/<N>/<N>/<N>`` — one
+    group, however many million spellings exist.
+
+    Pure codegen (try_parse_url + two regexp_replace); the hex class
+    must run BEFORE the digit class or ``deadbeef123`` tears into
+    ``deadbeef<N>``. Reproducible in ANSI SQL (oracle q50)."""
+    path = F.lower(
+        F.coalesce(
+            F.nullif(F.try_parse_url(url, F.lit("PATH")), F.lit("")),
+            F.lit("/"),
+        )
+    )
+    no_hex = F.regexp_replace(path, r"[0-9a-f]{8,}", "<H>")
+    return F.regexp_replace(no_hex, r"[0-9]+", "<N>")
+
+
+def detect_url_traps(
+    df,
+    url_col: str = "url",
+    min_urls: int = 1000,
+    share_threshold: float = 0.5,
+):
+    """Per-(host, template) explosion detector for the frontier: a
+    crawler trap (calendar pages, faceted search, session-id spellings)
+    shows up as ONE template generating an outsized share of a host's
+    distinct urls. Returns ``(host, template, n_urls, host_urls,
+    share, is_trap)``; feed the flagged rows to :func:`trap_filter`
+    to stop admitting the trap's urls.
+
+    is_trap = ``n_urls ≥ min_urls`` AND ``share ≥ share_threshold``.
+    Both knobs matter: a big site legitimately has a dominant article
+    template (high share, but so is the whole host — raise min_urls),
+    while a trap's template count grows without bound round over
+    round (run the detector per round on the cumulative seen set and
+    the thresholds become a growth gate).
+
+    Scale shape: two hash aggregations, both keyed by (host[,template])
+    — equi-key shuffles with map-side partial counts; a hot host is
+    one group per template, never one partition per url. The result is
+    tiny (distinct templates, not urls) and broadcast-joinable back
+    onto the frontier. No UDFs, no windows, no driver collect."""
+    u = F.col(url_col)
+    t = df.select(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))).alias("host"),
+        url_template(u).alias("template"),
+        u.alias("_u"),
+    ).where(F.col("host").isNotNull())
+    per_tmpl = t.groupBy("host", "template").agg(
+        F.countDistinct("_u").alias("n_urls")
+    )
+    per_host = per_tmpl.groupBy("host").agg(
+        F.sum("n_urls").alias("host_urls")
+    )
+    out = per_tmpl.join(per_host, "host")
+    share = F.try_divide(F.col("n_urls"), F.col("host_urls"))
+    return out.select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        share.alias("share"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (share >= F.lit(share_threshold))
+        ).alias("is_trap"),
+    )
+
+
+def trap_filter(frontier, traps, url_col: str = "url"):
+    """Drop frontier urls whose (host, template) is a flagged trap —
+    a broadcast anti-join (the traps table is distinct templates,
+    tiny by construction). Opt-in like canonicalize_url: admission
+    semantics stay simulator-verified unless the caller engages it."""
+    u = F.col(url_col)
+    keyed = frontier.withColumn(
+        "_trap_host", F.lower(F.try_parse_url(u, F.lit("HOST")))
+    ).withColumn("_trap_tmpl", url_template(u))
+    flagged = traps.where(F.col("is_trap")).select(
+        F.col("host").alias("_trap_host"),
+        F.col("template").alias("_trap_tmpl"),
+    )
+    return (
+        keyed.join(
+            F.broadcast(flagged), ["_trap_host", "_trap_tmpl"], "left_anti"
+        )
+        .drop("_trap_host", "_trap_tmpl")
+    )

@@ -696,3 +696,56 @@ def test_span_dedup_string_ids(spark):
     }
     assert got["a://1"] == ("x y z p q r", 0)
     assert got["b://2"] == ("k l m", 1)
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection (url_template / detect_url_traps / trap_filter)
+# ---------------------------------------------------------------------------
+
+
+def test_url_template_classes(spark):
+    from langscrape_spark.operators.urls import url_template
+
+    cases = [
+        ("https://h/cal/2026/07/15", "/cal/<N>/<N>/<N>"),
+        ("https://h/cal/2011/01/03?x=1", "/cal/<N>/<N>/<N>"),
+        ("https://h/a/123.html", "/a/<N>.html"),
+        # hex run collapses BEFORE digits (no tearing into deadbeef<N>)
+        ("https://h/s/deadbeef1234", "/s/<H>"),
+        ("https://h/Mixed/CASE", "/mixed/case"),
+        ("https://h", "/"),            # pathless → '/'
+        ("https://h/plain", "/plain"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["t"] for r in df.select(url_template(F.col("url")).alias("t")).collect()
+    ]
+    assert got == [t for _, t in cases]
+
+
+def test_detect_url_traps_and_filter(spark):
+    from langscrape_spark.operators.urls import detect_url_traps, trap_filter
+
+    urls = (
+        # calendar trap: 40 distinct urls, one template, dominates host
+        [f"https://trap.example/cal/2026/{m}/{d}" for m in range(1, 5)
+         for d in range(1, 11)]
+        + [f"https://trap.example/about{i}" for i in range(3)]
+        # healthy host: same template count but below min_urls
+        + [f"https://ok.example/a/{i}.html" for i in range(10)]
+        # duplicate spellings must not double-count (countDistinct)
+        + ["https://trap.example/cal/2026/1/1"] * 5
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    traps = detect_url_traps(df, min_urls=20, share_threshold=0.5)
+    rows = {(r["host"], r["template"]): r for r in traps.collect()}
+    cal = rows[("trap.example", "/cal/<N>/<N>/<N>")]
+    assert cal["n_urls"] == 40 and cal["host_urls"] == 43
+    assert cal["is_trap"]
+    assert not rows[("ok.example", "/a/<N>.html")]["is_trap"]
+    assert not rows[("trap.example", "/about<N>")]["is_trap"]
+    # the filter drops exactly the flagged template's urls
+    kept = [r["url"] for r in trap_filter(df, traps).collect()]
+    assert all("/cal/" not in u for u in kept)
+    assert sum("about" in u for u in kept) == 3
+    assert sum("ok.example" in u for u in kept) == 10
