@@ -1265,6 +1265,61 @@ def q50_url_traps(spark, sf):
     )
 
 
+def q51_cdx_fetch_plan(spark, sf):
+    """CDX index ingestion → selective-fetch planning (sources/cdx.py):
+    deterministic CDXJ lines planted over supplier keys (every 11th
+    line corrupt — must drop, not throw; mixed mimes and statuses),
+    parsed with pure codegen (split + from_json + try_casts), filtered
+    to 200/text/html captures, then grouped into one row per WARC
+    archive with offset-sorted byte ranges — the read plan that lets a
+    100 TB pipeline fetch only matching records. ranges serialize to
+    'offset:length|…' so both engines hash scalars."""
+    from langscrape_spark.sources.cdx import fetch_plan, parse_cdx
+
+    k = F.col("s_suppkey")
+    json_part = F.concat(
+        F.lit('{"url": "https://s'), k.cast("string"),
+        F.lit('.example/", "mime": "'),
+        F.when(k % 3 == 0, F.lit("application/pdf")).otherwise(
+            F.lit("text/html")
+        ),
+        F.lit('", "status": "'),
+        F.when(k % 5 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit('", "digest": "D'), k.cast("string"),
+        F.lit('", "length": "'), ((k % 7 + 1) * 10).cast("string"),
+        F.lit('", "offset": "'), (k * 100).cast("string"),
+        F.lit('", "filename": "w'), (k % 4).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    line = F.when(k % 11 == 0, F.lit("corrupt cdx line")).otherwise(
+        F.concat(
+            F.lit("example)/s"), k.cast("string"),
+            F.lit(" 2026010203040"), (k % 10).cast("string"),
+            F.lit(" "), json_part,
+        )
+    )
+    lines = _t(spark, sf, "supplier").select(line.alias("value"))
+    captures = parse_cdx(lines).where(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    return fetch_plan(captures).select(
+        "filename",
+        "n_records",
+        "total_bytes",
+        F.array_join(
+            F.transform(
+                "ranges",
+                lambda r: F.concat(
+                    r["offset"].cast("string"),
+                    F.lit(":"),
+                    r["length"].cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("ranges_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1317,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_revisit_schedule": q48_revisit_schedule,
         "q49_warc_ingest": q49_warc_ingest,
         "q50_url_traps": q50_url_traps,
+        "q51_cdx_fetch_plan": q51_cdx_fetch_plan,
     }
 
 
@@ -2816,5 +2872,27 @@ def oracle_sql() -> dict[str, str]:
                         pt.n_urls::DOUBLE / ph.host_urls >= 0.3
                         AS INT) AS is_trap
             FROM pt JOIN ph USING (host)
+        """,
+        "q51_cdx_fetch_plan": """
+            -- CDX fetch-plan re-derivation from the generator's
+            -- formulas: surviving captures are the non-corrupt
+            -- (k%11<>0), 200-status (k%5<>0), text/html (k%3<>0)
+            -- lines; per archive (k%4) the ranges concatenate in
+            -- (offset, length) order — any parse/typing/grouping bug
+            -- on the Spark side breaks counts, bytes, or range order.
+            WITH ks AS (
+              SELECT s_suppkey AS k FROM supplier
+              WHERE s_suppkey % 11 <> 0 AND s_suppkey % 5 <> 0
+                AND s_suppkey % 3 <> 0),
+            r AS (
+              SELECT 'w' || (k % 4) || '.warc.gz' AS filename,
+                     k * 100 AS off, (k % 7 + 1) * 10 AS len
+              FROM ks)
+            SELECT filename,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(len) AS BIGINT) AS total_bytes,
+                   string_agg(off || ':' || len, '|'
+                              ORDER BY off, len) AS ranges_s
+            FROM r GROUP BY filename
         """,
     }

@@ -4,6 +4,8 @@ projection (`sources/warc.py`)."""
 
 import gzip
 
+from pyspark.sql import functions as F
+
 from langscrape_spark.sources.warc import (
     build_warc_bytes,
     parse_warc,
@@ -137,3 +139,59 @@ def test_dirty_inputs_never_throw(spark):
     )
     r = parse_warc(_df(spark, folded)).collect()[0]
     assert r["target_uri"] == "https://f.example/ continued"
+
+
+# ---------------------------------------------------------------------------
+# CDX index ingestion (sources/cdx.py)
+# ---------------------------------------------------------------------------
+
+_CDX_LINES = [
+    'org,example)/x 20260102030405 {"url": "https://example.org/x", '
+    '"mime": "text/html", "status": "200", "digest": "AAA", '
+    '"length": "100", "offset": "0", "filename": "w1.warc.gz"}',
+    'org,example)/y 20260102030406 {"url": "https://example.org/y", '
+    '"mime": "text/html", "status": "200", "digest": "BBB", '
+    '"length": "50", "offset": "300", "filename": "w1.warc.gz"}',
+    # second record earlier in the file: fetch_plan must offset-sort
+    'org,example)/z 20260102030407 {"url": "https://example.org/z", '
+    '"mime": "application/pdf", "status": "200", "digest": "CCC", '
+    '"length": "70", "offset": "120", "filename": "w1.warc.gz"}',
+    'com,other)/ 20260102030408 {"url": "https://other.com/", '
+    '"mime": "text/html", "status": "404", "digest": "DDD", '
+    '"length": "10", "offset": "0", "filename": "w2.warc.gz"}',
+    "short line",                       # too few fields → dropped
+    "a b {broken json",                 # invalid JSON → dropped
+    'x)/q notatimestamp {"url": "https://q.example/", "mime": "m", '
+    '"status": "x", "length": "y", "offset": "5", '
+    '"filename": "w3.warc.gz"}',        # ts/status/length null out
+]
+
+
+def test_parse_cdx_types_and_tolerance(spark):
+    from langscrape_spark.sources.cdx import parse_cdx
+
+    df = spark.createDataFrame([(l,) for l in _CDX_LINES], "value string")
+    got = {r["url"]: r for r in parse_cdx(df).collect()}
+    assert len(got) == 5  # two malformed lines dropped
+    x = got["https://example.org/x"]
+    assert (x["surt"], x["status"], x["length"], x["offset"]) == (
+        "org,example)/x", 200, 100, 0,
+    )
+    assert x["ts"] is not None and x["ts"].year == 2026
+    q = got["https://q.example/"]
+    assert q["ts"] is None and q["status"] is None and q["length"] is None
+    assert q["offset"] == 5
+
+
+def test_fetch_plan_groups_and_sorts(spark):
+    from langscrape_spark.sources.cdx import fetch_plan, parse_cdx
+
+    df = spark.createDataFrame([(l,) for l in _CDX_LINES], "value string")
+    captures = parse_cdx(df).where(F.col("status") == 200)
+    plan = {r["filename"]: r for r in fetch_plan(captures).collect()}
+    w1 = plan["w1.warc.gz"]
+    assert w1["n_records"] == 3 and w1["total_bytes"] == 220
+    assert [(r["offset"], r["length"]) for r in w1["ranges"]] == [
+        (0, 100), (120, 70), (300, 50),
+    ]
+    assert "w2.warc.gz" not in plan  # 404 filtered upstream
