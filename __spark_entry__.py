@@ -1320,6 +1320,43 @@ def q51_cdx_fetch_plan(spark, sf):
     )
 
 
+def q52_anchor_rollup(spark, sf):
+    """Anchor-text link-graph rollup (operators/linkgraph.py): per
+    target, in-degree, distinct source hosts, and the top-3 anchor
+    terms (count-desc, term-asc). The edge table is synthesized
+    deterministically from the documents table — 3 out-edges per doc,
+    anchors = 3-word windows of the doc text — with the identical
+    formulas in the DuckDB oracle, so the compare value-checks both
+    aggregations and the term ranking. The kernel-side edge harvest
+    (html/links.py::extract_links_with_anchors → link_edges) is
+    pytest-verified on real HTML in tests/test_linkgraph.py."""
+    from langscrape_spark.operators.linkgraph import anchor_rollup
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    legs = []
+    for j in (1, 2, 3):
+        legs.append(
+            docs.select(
+                F.concat(
+                    F.lit("https://h"),
+                    (d % 17).cast("string"),
+                    F.lit(".example.com/p/"),
+                    d.cast("string"),
+                ).alias("src_url"),
+                F.concat(
+                    F.lit("https://site.example.com/page/"),
+                    ((d * 7 + j * 13) % 100).cast("string"),
+                ).alias("dst_url"),
+                F.array_join(
+                    F.slice(F.split(F.col("text"), " "), j, 3), " "
+                ).alias("anchor"),
+            )
+        )
+    edges = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return anchor_rollup(edges, k=3).orderBy("dst_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1373,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_warc_ingest": q49_warc_ingest,
         "q50_url_traps": q50_url_traps,
         "q51_cdx_fetch_plan": q51_cdx_fetch_plan,
+        "q52_anchor_rollup": q52_anchor_rollup,
     }
 
 
@@ -2894,5 +2932,50 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(off || ':' || len, '|'
                               ORDER BY off, len) AS ranges_s
             FROM r GROUP BY filename
+        """,
+        "q52_anchor_rollup": """
+            -- Independent re-implementation of the anchor rollup:
+            -- edges from the same deterministic formulas, then
+            -- in-degree / distinct-host / term-frequency-top-3 via
+            -- DuckDB windows + ordered list agg. Any tokenizer,
+            -- ranking, tie-break, or host-extraction divergence on
+            -- the Spark side breaks the value hash.
+            WITH edges AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS src_url,
+                     'https://site.example.com/page/'
+                       || ((doc_id * 7 + j * 13) % 100) AS dst_url,
+                     array_to_string(list_slice(
+                       string_split(text, ' '), j, j + 2), ' ') AS anchor
+              FROM documents, (VALUES (1), (2), (3)) AS js(j)),
+            base AS (
+              SELECT dst_url, CAST(count(*) AS BIGINT) AS in_degree,
+                     CAST(count(DISTINCT lower(regexp_replace(
+                       regexp_extract(src_url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', ''))) AS BIGINT) AS n_src_hosts
+              FROM edges GROUP BY dst_url),
+            terms AS (
+              SELECT dst_url, t.term
+              FROM edges, UNNEST(list_filter(
+                string_split_regex(lower(anchor), '[^a-z0-9]+'),
+                x -> x <> '')) AS t(term)),
+            tc AS (
+              SELECT dst_url, term, count(*) AS n
+              FROM terms GROUP BY dst_url, term),
+            ranked AS (
+              SELECT dst_url, term, row_number() OVER (
+                       PARTITION BY dst_url
+                       ORDER BY n DESC, term) AS rk
+              FROM tc),
+            top AS (
+              SELECT dst_url,
+                     array_to_string(list(term ORDER BY rk), '|')
+                       AS top_terms
+              FROM ranked WHERE rk <= 3 GROUP BY dst_url)
+            SELECT b.dst_url, b.in_degree, b.n_src_hosts,
+                   coalesce(top.top_terms, '') AS top_terms
+            FROM base b LEFT JOIN top USING (dst_url)
+            ORDER BY b.dst_url
         """,
     }

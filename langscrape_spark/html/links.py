@@ -67,3 +67,37 @@ def extract_links(html_str: str, base_url: str) -> List[str]:
             seen.add(norm)
             out.append(norm)
     return out
+
+
+def extract_links_with_anchors(
+    html_str: str, base_url: str
+) -> List[Tuple[str, str]]:
+    """Out-links WITH their anchor text: ``(url, anchor)`` pairs.
+
+    Same href walk, resolution, and normalization as
+    ``extract_links`` (reference ``feilian/soup_tools.py:13-23``
+    decode_url href/src walk); the anchor is the <a> subtree's
+    whitespace-collapsed text content. Unlike ``extract_links``,
+    duplicate targets are KEPT — a page linking the same target twice
+    with different anchors contributes two edges, which is exactly the
+    signal the anchor rollup aggregates (anchor term frequency per
+    target). Feeds ``operators/linkgraph.py::link_edges``.
+    """
+    from .dom import collapse_whitespace
+
+    doc = parse(html_str)
+    out: List[Tuple[str, str]] = []
+    for el in doc.iter_elements():
+        if el.tag != "a":
+            continue
+        href = el.attrs.get("href")
+        if not href:
+            continue
+        href = unquote(href).strip()
+        if not href or any(href.lower().startswith(s) for s in _SKIP_SCHEMES):
+            continue
+        absolute = urljoin(base_url, href)
+        norm = normalize_url(absolute)
+        if norm:
+            out.append((norm, collapse_whitespace(el.get_text())))
+    return out

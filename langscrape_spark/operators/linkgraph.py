@@ -1,0 +1,140 @@
+"""Link-graph edge table + anchor-text rollup.
+
+Web-scale rankers and query-generation pipelines aggregate the
+*anchor text* of in-links per target page (in-degree, distinct source
+hosts, most frequent anchor terms) — the classic anchor-text signal.
+The reference never builds a link graph (its URL list is static,
+``/root/reference/scripts/run.py:53-63``); this extends its link
+decode walk (``feilian/soup_tools.py:13-23``, already generalized in
+``html/links.py``) into the edge/rollup operators a crawl corpus
+needs, alongside the host-level PageRank in ``operators/hostrank.py``.
+
+Scale shape (the part that matters at 10^10 edges):
+
+- ``link_edges`` is one Arrow crossing over the pages table (the html
+  column is already in flight for extraction) — no shuffle; the edge
+  table is written partitioned however the caller likes.
+- ``anchor_rollup`` is two equi-key hash aggregations plus one
+  bounded window.  In-degree / distinct-host counts are plain
+  ``groupBy(dst)`` with map-side partial aggregation — a target with
+  10^8 in-links is ONE reduce group holding two counters, never a
+  materialized neighborhood.  Term ranking groups by ``(dst, term)``
+  first (same partial-agg property), so the per-``dst`` window that
+  picks the top-k anchors runs over *distinct terms per target* —
+  vocabulary-bounded, not in-degree-bounded — and plans as
+  WindowGroupLimit under the row_number filter.  No self-joins, no
+  collect_list over raw edges, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages → link-graph edge table ``(src_url, dst_url, anchor)``.
+
+    One ``mapInPandas`` crossing (Arrow-batched, SURVEY §2.12 UDF
+    discipline); duplicate targets per page are kept — each <a> is one
+    edge, and its anchor text is the payload the rollup counts.
+    ``html`` may be string or binary (decoded latin-1-tolerantly, the
+    same rule the extraction plan uses for non-UTF bytes).
+    """
+    from ..html.links import extract_links_with_anchors
+
+    out_schema = "src_url string, dst_url string, anchor string"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None or url is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                for dst, anchor in extract_links_with_anchors(html, url):
+                    rows.append((url, dst, anchor))
+            yield pd.DataFrame(rows, columns=["src_url", "dst_url", "anchor"])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, out_schema)
+
+
+def _host(col):
+    """Host of a url, JVM-side (lowercased netloc sans port)."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            ":[0-9]+$",
+            "",
+        )
+    )
+
+
+def anchor_terms(anchor_col) -> "F.Column":
+    """Anchor text → lowercase alphanumeric terms (array column)."""
+    return F.filter(
+        F.split(F.lower(anchor_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def anchor_rollup(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text features from a link-graph edge table.
+
+    Returns one row per ``dst_url``:
+
+    - ``in_degree``     — number of in-edges
+    - ``n_src_hosts``   — distinct source hosts (the spam-resistant
+      variant of in-degree)
+    - ``top_terms``     — the k most frequent anchor terms,
+      ``|``-joined, count-desc then term-asc (deterministic); ``''``
+      when no in-edge carries a non-empty anchor.
+
+    Two hash aggregations + one vocabulary-bounded window (module
+    docstring has the 10^10-edge argument).
+    """
+    base = edges.groupBy(F.col(dst_col).alias("dst_url")).agg(
+        F.count("*").alias("in_degree"),
+        F.count_distinct(_host(F.col(src_col))).alias("n_src_hosts"),
+    )
+
+    term_counts = (
+        edges.select(
+            F.col(dst_col).alias("dst_url"),
+            F.explode(anchor_terms(F.col(anchor_col))).alias("term"),
+        )
+        .groupBy("dst_url", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n"), F.asc("term"))
+    top = (
+        term_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .groupBy("dst_url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "term"))),
+                    lambda s: s["term"],
+                ),
+                "|",
+            ).alias("top_terms")
+        )
+    )
+    return base.join(top, "dst_url", "left").select(
+        "dst_url",
+        "in_degree",
+        "n_src_hosts",
+        F.coalesce("top_terms", F.lit("")).alias("top_terms"),
+    )

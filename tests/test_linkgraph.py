@@ -1,0 +1,87 @@
+"""Anchor-text link-graph: kernel harvest + rollup operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from langscrape_spark.html.links import extract_links_with_anchors
+from langscrape_spark.operators.linkgraph import anchor_rollup, link_edges
+
+
+class TestAnchorHarvest:
+    def test_anchors_collapse_whitespace_and_keep_duplicates(self):
+        html = """
+        <p><a href="/a">  First   <b>Link</b> </a>
+           <a href="/a">second link</a>
+           <a href="/b"><img src="x.png"></a>
+           <a href="javascript:void(0)">skip</a>
+           <a>no href</a></p>
+        """
+        got = extract_links_with_anchors(html, "https://ex.com/base/")
+        assert got == [
+            ("https://ex.com/a", "First Link"),
+            ("https://ex.com/a", "second link"),  # duplicate target kept
+            ("https://ex.com/b", ""),  # image link: empty anchor
+        ]
+
+    def test_resolution_and_normalization_match_extract_links(self):
+        from langscrape_spark.html.links import extract_links
+
+        html = '<a href="next%20page?x=1#frag">n</a><a href="HTTP://EX.COM/Y">y</a>'
+        urls = [u for u, _ in extract_links_with_anchors(html, "https://ex.com/base/")]
+        assert urls == extract_links(html, "https://ex.com/base/")
+
+
+class TestAnchorRollup:
+    @pytest.fixture(scope="class")
+    def edges(self, spark):
+        rows = [
+            ("https://a.com/1", "https://t.com/x", "Spark engine docs"),
+            ("https://a.com/2", "https://t.com/x", "spark ENGINE"),
+            ("https://b.com/1", "https://t.com/x", "engine!"),
+            ("https://b.com:8080/2", "https://t.com/y", ""),
+        ]
+        return spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+
+    def test_rollup_counts_hosts_and_topk(self, edges):
+        out = {r["dst_url"]: r for r in anchor_rollup(edges, k=2).collect()}
+        x = out["https://t.com/x"]
+        assert x["in_degree"] == 3
+        assert x["n_src_hosts"] == 2  # a.com, b.com
+        # engine:3 > spark:2 > docs:1 — k=2 keeps engine|spark
+        assert x["top_terms"] == "engine|spark"
+        y = out["https://t.com/y"]
+        assert y["in_degree"] == 1
+        assert y["n_src_hosts"] == 1  # port stripped from b.com:8080
+        assert y["top_terms"] == ""  # empty anchor → no terms row
+
+    def test_tie_break_is_term_ascending(self, spark):
+        rows = [("s", "d", "beta alpha")]
+        df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+        assert anchor_rollup(df, k=2).collect()[0]["top_terms"] == "alpha|beta"
+
+
+class TestLinkEdges:
+    def test_pages_to_edges_via_kernel(self, spark):
+        html = (
+            '<a href="/p/1">One Two</a><a href="/p/1">one</a>'
+            '<a href="/p/2">Other</a>'
+        )
+        pages = spark.createDataFrame(
+            [("https://h.com/root", html), ("https://h.com/none", "<p>no links</p>")],
+            "url string, html string",
+        )
+        edges = link_edges(pages).orderBy("dst_url", "anchor").collect()
+        assert [(e["src_url"], e["dst_url"], e["anchor"]) for e in edges] == [
+            ("https://h.com/root", "https://h.com/p/1", "One Two"),
+            ("https://h.com/root", "https://h.com/p/1", "one"),
+            ("https://h.com/root", "https://h.com/p/2", "Other"),
+        ]
+        rolled = anchor_rollup(link_edges(pages)).orderBy("dst_url").collect()
+        assert rolled[0]["top_terms"] == "one|two"
+
+    def test_binary_html_column(self, spark):
+        pages = spark.createDataFrame(
+            [("https://h.com/", b'<a href="/z">Z</a>')], "url string, html binary"
+        )
+        out = link_edges(pages).collect()
+        assert out[0]["dst_url"] == "https://h.com/z"
