@@ -1357,6 +1357,36 @@ def q52_anchor_rollup(spark, sf):
     return anchor_rollup(edges, k=3).orderBy("dst_url")
 
 
+def q53_ppl_buckets(spark, sf):
+    """CCNet-style perplexity bucketing (operators/text.py): train an
+    add-alpha unigram LM on the corpus (top-24 vocab so the OOV path
+    is live — the corpus has 31 types), score every document with
+    exp(-mean ln p), bucket head/middle/tail at per-language exact
+    terciles. The DuckDB oracle re-derives the vocabulary (count-desc
+    token-asc top-24), the smoothing denominator, the OOV logp, the
+    per-doc average, and quantile_cont cutoffs — any divergence in LM
+    math, tie-breaks, or boundary comparisons breaks the value hash.
+    Bucketing compares round(ppl,6) on both sides so sub-1e-6 float
+    noise cannot flip a boundary row."""
+    from langscrape_spark.operators.text import (
+        perplexity_score,
+        ppl_buckets,
+        unigram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lm, oov_logp = unigram_lm(docs, vocab_size=24, alpha=0.5)
+    scored = perplexity_score(docs, lm, oov_logp)
+    out = ppl_buckets(scored, group_cols=("lang",), mode="exact")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("ppl", 6).alias("ppl"),
+        "ppl_bucket",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1411,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_url_traps": q50_url_traps,
         "q51_cdx_fetch_plan": q51_cdx_fetch_plan,
         "q52_anchor_rollup": q52_anchor_rollup,
+        "q53_ppl_buckets": q53_ppl_buckets,
     }
 
 
@@ -2977,5 +3008,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(top.top_terms, '') AS top_terms
             FROM base b LEFT JOIN top USING (dst_url)
             ORDER BY b.dst_url
+        """,
+        "q53_ppl_buckets": f"""
+            -- Independent re-derivation of the CCNet-style unigram-LM
+            -- perplexity pipeline: vocabulary selection (count desc,
+            -- token asc, top 24), add-alpha smoothing with
+            -- denom = total + alpha*(V+1) over ALL occurrences, OOV
+            -- logp = ln(alpha/denom), per-doc avg logp, ppl =
+            -- exp(-avg), per-language quantile_cont terciles on
+            -- round(ppl,6). Spark side: operators/text.py unigram_lm
+            -- / perplexity_score / ppl_buckets(mode='exact').
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+            counts AS (
+              SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS total,
+                     count(*) AS n_types FROM counts),
+            consts AS (
+              SELECT total + 0.5 * (least(24, n_types) + 1) AS denom
+              FROM tot),
+            lm AS (
+              SELECT token, ln((c + 0.5) / denom) AS logp
+              FROM (SELECT token, c FROM counts
+                    ORDER BY c DESC, token LIMIT 24), consts),
+            perdoc AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     avg(coalesce(lm.logp,
+                       (SELECT ln(0.5 / denom) FROM consts))) AS avg_logp
+              FROM toks t LEFT JOIN lm USING (token)
+              GROUP BY t.doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang, p.n_tokens,
+                     round(exp(-p.avg_logp), 6) AS ppl
+              FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+            cuts AS (
+              SELECT lang, quantile_cont(ppl, 1.0/3) AS c1,
+                     quantile_cont(ppl, 2.0/3) AS c2
+              FROM scored WHERE ppl IS NOT NULL GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.n_tokens, s.ppl,
+                   CASE WHEN s.ppl IS NULL THEN NULL
+                        WHEN s.ppl <= c.c1 THEN 'head'
+                        WHEN s.ppl <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored s LEFT JOIN cuts c USING (lang)
+            ORDER BY s.doc_id
         """,
     }

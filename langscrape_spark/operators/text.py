@@ -504,3 +504,141 @@ def extract_json_block_parsed(text: Column, schema: str) -> Column:
     """Convenience: run the fallback chain, then ``from_json`` into a
     typed struct/map (NULL fields where keys are absent)."""
     return F.from_json(extract_json_block_col(text), schema)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data").
+# CCNet scores each document with a language-model perplexity and
+# splits the corpus into head/middle/tail quality buckets at the
+# per-language perplexity terciles. The public pipeline uses a
+# KenLM 5-gram model; here the LM is a corpus-trained add-alpha
+# unigram model so the whole path stays deterministic, engine-portable
+# (DuckDB-oracled), and dependency-free — the scoring/bucketing
+# plumbing is identical for any token->logp table you broadcast in.
+#
+# Scale shape (100 TB): the LM build is one explode + equi-key count
+# agg (map-side combined, shuffle is distinct-types-sized, not
+# corpus-sized) + a TakeOrderedAndProject top-V (partial top-V per
+# partition — never a single-partition window). Scoring broadcasts
+# the vocab-bounded LM (V rows, MBs) so the corpus-side join is
+# map-side; the per-doc groupBy shuffles ~1 row per doc per partition
+# after partial aggregation because a doc's exploded tokens stay in
+# the partition that exploded them. Bucketing broadcasts 2 cutoffs
+# per language.
+
+
+def unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+):
+    """Train an add-alpha unigram LM on the corpus.
+
+    Returns ``(lm, oov_logp)``: ``lm`` is a ``(token, logp)``
+    DataFrame over the top-``vocab_size`` tokens (count desc, token
+    asc — deterministic at the boundary), ``oov_logp`` the log-prob
+    every out-of-vocabulary token scores.
+
+    ``p(t) = (c_t + alpha) / (total + alpha * (V + 1))`` with
+    ``total`` = ALL token occurrences (in- and out-of-vocab) and
+    ``V`` = min(vocab_size, distinct types); OOV gets ``c_t = 0``.
+    Mass does not sum to exactly 1 when tokens fall outside the vocab
+    — irrelevant for ranking/bucketing, stated for honesty.
+
+    The type-count frame is persisted so the corpus is tokenized once
+    (the totals action and the top-V selection both consume it).
+    """
+    import math
+
+    toks = docs.select(F.explode(words_col(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    row = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    v = min(vocab_size, int(row["n_types"]))
+    denom = float(total) + alpha * (v + 1)
+    lm = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(vocab_size)
+        .select(
+            "token",
+            F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+        )
+    )
+    return lm, math.log(alpha / denom)
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram perplexity ``exp(-mean ln p(token))``.
+
+    Broadcast-joins the vocab-bounded LM against the exploded corpus
+    (map-side; no corpus shuffle) and reduces per doc. Docs with zero
+    tokens keep NULL ``n_tokens``/``ppl`` (CCNet drops them; callers
+    choose). Natural-log perplexity — monotone in any base, and the
+    bucketing below is rank-based so the base never matters.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("token")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))).alias("avg_logp"),
+        )
+        .select(id_col, "n_tokens", F.exp(-F.col("avg_logp")).alias("ppl"))
+    )
+    return docs.join(per_doc, id_col, "left")
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    group_cols=("lang",),
+    ppl_col: str = "ppl",
+    mode: str = "approx",
+) -> DataFrame:
+    """CCNet head/middle/tail buckets at per-group perplexity terciles.
+
+    ``mode='exact'`` uses SQL ``percentile`` (matches DuckDB
+    ``quantile_cont`` — same linear interpolation; q06 proved the
+    parity) — one reduce per group holding that group's values, fine
+    for cutoff computation at test scale. ``mode='approx'`` uses
+    ``percentile_approx`` (mergeable sketch, the 100 TB path — cutoff
+    placement shifts within sketch error but the bucket SEMANTICS are
+    unchanged). Cutoffs are computed on ``round(ppl, 6)`` and compared
+    against the same rounding so engine float noise below 1e-6 cannot
+    flip a boundary row. NULL ppl keeps a NULL bucket.
+    """
+    groups = list(group_cols)
+    ppl_r = F.round(F.col(ppl_col), 6)
+    fn = "percentile" if mode == "exact" else "percentile_approx"
+    cuts = (
+        scored.where(F.col(ppl_col).isNotNull())
+        .select(*groups, ppl_r.alias("_ppl_r"))
+        .groupBy(*groups)
+        .agg(
+            F.expr(f"{fn}(_ppl_r, cast(1 as double)/3)").alias("_c1"),
+            F.expr(f"{fn}(_ppl_r, cast(2 as double)/3)").alias("_c2"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(cuts), groups, "left")
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+            .when(ppl_r <= F.col("_c1"), F.lit("head"))
+            .when(ppl_r <= F.col("_c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_c1", "_c2")
+    )

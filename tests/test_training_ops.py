@@ -749,3 +749,94 @@ def test_detect_url_traps_and_filter(spark):
     assert all("/cal/" not in u for u in kept)
     assert sum("about" in u for u in kept) == 3
     assert sum("ok.example" in u for u in kept) == 10
+
+
+# -- CCNet-style unigram-LM perplexity bucketing (operators/text.py) --
+
+
+def test_unigram_lm_math_and_oov(spark):
+    from langscrape_spark.operators.text import perplexity_score, unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "zz zz zz")],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> vocab {a (3), zz (3)} tie broken count desc then
+    # token asc... counts: a=3, zz=3, b=2, c=1 -> top2 = a, zz.
+    lm, oov = unigram_lm(docs, vocab_size=2, alpha=0.5)
+    got = {r["token"]: r["logp"] for r in lm.collect()}
+    total, v = 9.0, 2
+    denom = total + 0.5 * (v + 1)
+    assert set(got) == {"a", "zz"}
+    assert got["a"] == pytest.approx(math.log(3.5 / denom))
+    assert oov == pytest.approx(math.log(0.5 / denom))
+
+    scored = perplexity_score(docs, lm, oov)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    # doc 1: tokens a,a,b -> mean(ln p(a), ln p(a), oov)
+    exp1 = math.exp(-(2 * math.log(3.5 / denom) + math.log(0.5 / denom)) / 3)
+    assert rows[1]["ppl"] == pytest.approx(exp1)
+    assert rows[1]["n_tokens"] == 3
+    # doc 3 is pure-vocab (zz): ppl = denom/3.5 = 3.0 exactly, and it
+    # scores LOWER than the OOV-containing doc 1
+    assert rows[3]["ppl"] == pytest.approx(math.exp(-math.log(3.5 / denom)))
+    assert rows[3]["ppl"] < rows[1]["ppl"]
+
+
+def test_unigram_lm_vocab_tiebreak_deterministic(spark):
+    from langscrape_spark.operators.text import unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "m z b m z b")], "doc_id long, text string"
+    )
+    lm, _ = unigram_lm(docs, vocab_size=2, alpha=0.5)
+    # all three tokens tie at c=2; token-asc keeps b, m
+    assert sorted(r["token"] for r in lm.collect()) == ["b", "m"]
+
+
+def test_perplexity_empty_doc_null_and_buckets(spark):
+    from langscrape_spark.operators.text import (
+        perplexity_score,
+        ppl_buckets,
+        unigram_lm,
+    )
+
+    rows = [(i, "en", "common common rare%d" % (i % 7)) for i in range(30)]
+    rows.append((99, "en", "   "))  # whitespace-only -> no tokens
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lm, oov = unigram_lm(docs, vocab_size=4, alpha=0.5)
+    scored = perplexity_score(docs, lm, oov)
+    out = {r["doc_id"]: r for r in ppl_buckets(scored, mode="exact").collect()}
+    assert out[99]["ppl"] is None and out[99]["ppl_bucket"] is None
+    buckets = {r["ppl_bucket"] for i, r in out.items() if i != 99}
+    assert buckets <= {"head", "middle", "tail"} and "head" in buckets
+    # every non-null row got a bucket
+    assert all(r["ppl_bucket"] for i, r in out.items() if i != 99)
+
+
+def test_ppl_buckets_approx_mode_runs_and_orders(spark):
+    """The 100 TB path (percentile_approx sketch cutoffs): buckets are
+    rank-consistent — every head ppl <= every middle ppl <= every tail
+    ppl within a language group."""
+    from langscrape_spark.operators.text import (
+        perplexity_score,
+        ppl_buckets,
+        unigram_lm,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "fr", "w%d w%d common" % (i % 11, i % 5))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lm, oov = unigram_lm(docs, vocab_size=8, alpha=0.5)
+    out = ppl_buckets(perplexity_score(docs, lm, oov), mode="approx")
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], []).append((rank[r["ppl_bucket"]], r["ppl"]))
+    for lang, pairs in by_lang.items():
+        for b, p in pairs:
+            for b2, p2 in pairs:
+                if b < b2:
+                    assert p <= p2, (lang, b, p, b2, p2)
