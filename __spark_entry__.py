@@ -1387,6 +1387,46 @@ def q53_ppl_buckets(spark, sf):
     ).orderBy("doc_id")
 
 
+def q54_crawl_delta(spark, sf):
+    """Crawl-snapshot delta + per-host change rates
+    (operators/snapshots.py): two snapshots are synthesized
+    deterministically from the documents table — drop doc_id%11 urls
+    (gone), append ' updated' to doc_id%7 texts (changed), add
+    doc_id%13 urls shifted by +10000 (new) — and the DuckDB oracle
+    re-derives the fingerprints, the full-outer status classification,
+    and the per-host rollup with change_rate = changed/(changed+
+    unchanged). Any divergence in fingerprinting, outer-join status
+    logic, host extraction, or the NULL-safe rate breaks the hash."""
+    from langscrape_spark.operators.snapshots import (
+        crawl_delta,
+        host_change_rates,
+    )
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def url_of(key):
+        return F.concat(
+            F.lit("https://h"),
+            (key % 17).cast("string"),
+            F.lit(".example.com/p/"),
+            key.cast("string"),
+        )
+
+    old = docs.select(url_of(d).alias("url"), F.col("text"))
+    kept = docs.where(d % 11 != 0).select(
+        url_of(d).alias("url"),
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(d % 13 == 0).select(
+        url_of(d + 10000).alias("url"), F.col("text")
+    )
+    delta = crawl_delta(old, kept.unionByName(added))
+    return host_change_rates(delta).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1442,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_cdx_fetch_plan": q51_cdx_fetch_plan,
         "q52_anchor_rollup": q52_anchor_rollup,
         "q53_ppl_buckets": q53_ppl_buckets,
+        "q54_crawl_delta": q54_crawl_delta,
     }
 
 
@@ -3053,5 +3094,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM scored s LEFT JOIN cuts c USING (lang)
             ORDER BY s.doc_id
+        """,
+        "q54_crawl_delta": """
+            -- Independent re-derivation of the crawl-snapshot delta:
+            -- same generator formulas (gone %11, changed %7 ' updated',
+            -- new %13 +10000), canonical md5 fingerprint, full-outer
+            -- status classification, per-host rollup with a NULL-safe
+            -- change rate. Spark: operators/snapshots.py crawl_delta /
+            -- host_change_rates.
+            WITH old AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS url,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) AS fp
+              FROM documents),
+            new AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS url,
+                     md5(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                            ELSE text END), '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT 'https://h' || ((doc_id + 10000) % 17)
+                       || '.example.com/p/' || (doc_id + 10000),
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g')))
+              FROM documents WHERE doc_id % 13 = 0),
+            o2 AS (SELECT url, min(fp) AS old_fp FROM old GROUP BY url),
+            n2 AS (SELECT url, min(fp) AS new_fp FROM new GROUP BY url),
+            delta AS (
+              SELECT url,
+                     CASE WHEN old_fp IS NULL THEN 'new'
+                          WHEN new_fp IS NULL THEN 'gone'
+                          WHEN old_fp = new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o2 FULL OUTER JOIN n2 USING (url)),
+            hosted AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host, status
+              FROM delta),
+            agg AS (
+              SELECT host,
+                CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gone,
+                CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_unchanged
+              FROM hosted GROUP BY host)
+            SELECT host, n_new, n_gone, n_changed, n_unchanged,
+                   CASE WHEN n_changed + n_unchanged = 0 THEN NULL
+                        ELSE round(CAST(n_changed AS DOUBLE)
+                               / (n_changed + n_unchanged), 6)
+                   END AS change_rate
+            FROM agg ORDER BY host
         """,
     }

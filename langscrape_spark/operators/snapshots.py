@@ -1,0 +1,116 @@
+"""Crawl-snapshot deltas: what changed between two crawls.
+
+An incremental crawler needs, per re-crawl, the set of NEW urls (seen
+now, not before), GONE urls (seen before, missing now), CHANGED pages
+(same url, different content fingerprint) and UNCHANGED pages — and,
+rolled up per host, a change *rate* that drives the revisit scheduler
+(``operators/urls.py``-style freshness tiers; q48's sitemap-based
+schedule is the other input). This extends the engine's versioned
+catalog (``sources/catalog.py`` keeps every crawl round addressable)
+with the cross-snapshot comparison a 100 TB refresh pipeline runs
+between crawls.
+
+Scale shape: ONE full-outer equi-key join on url — both sides are
+corpus-sized, so the shuffle is unavoidable and correct; when both
+snapshots live in the bucketed catalog layout (bucketed by url,
+``sources/catalog.py::write_bucketed``) the join plans shuffle-free,
+the same property the membership joins already exploit. The per-host
+rollup is a second equi-key hash agg whose output is hosts-sized
+(bounded, broadcastable into the scheduler).
+
+Fingerprints reuse ``operators/text.py::fingerprint`` (md5 of
+whitespace-normalized lowercase text) so "changed" means content
+change, not markup/whitespace noise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint
+
+
+def _host(col):
+    """Host of a url, JVM-side (lowercased netloc sans port)."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            ":[0-9]+$",
+            "",
+        )
+    )
+
+
+def crawl_delta(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    fp_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-url delta between two crawl snapshots.
+
+    Returns ``(url, host, status, old_fp, new_fp)`` with ``status`` in
+    ``new | gone | changed | unchanged``. If ``fp_col`` is given the
+    snapshots already carry a fingerprint column (the catalog stores
+    one); otherwise it is computed from ``text_col`` on both sides
+    with the engine's canonical ``fingerprint``.
+
+    Duplicate urls within a snapshot are collapsed to one row first
+    (min fingerprint — deterministic) so the outer join cannot
+    fan out; a crawl snapshot is logically keyed by url anyway.
+    """
+    def one(df: DataFrame, out: str) -> DataFrame:
+        fp = F.col(fp_col) if fp_col else fingerprint(F.col(text_col))
+        return (
+            df.select(F.col(url_col).alias("url"), fp.alias(out))
+            .groupBy("url")
+            .agg(F.min(out).alias(out))
+        )
+
+    o = one(old_pages, "old_fp")
+    n = one(new_pages, "new_fp")
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("new"))
+        .when(F.col("new_fp").isNull(), F.lit("gone"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "url", _host(F.col("url")).alias("host"), status.alias("status"),
+        "old_fp", "new_fp",
+    )
+
+
+def host_change_rates(delta: DataFrame) -> DataFrame:
+    """Per-host rollup of a ``crawl_delta`` frame.
+
+    ``(host, n_new, n_gone, n_changed, n_unchanged, change_rate)``
+    where ``change_rate = changed / (changed + unchanged)`` — the
+    fraction of *revisited* pages that actually changed, which is the
+    number a revisit scheduler converts into a crawl interval
+    (high-churn hosts get short intervals). NULL when the host had no
+    revisited pages this round (all new/gone) — ``try_divide`` keeps
+    ANSI mode from throwing.
+
+    One hash agg, hosts-sized output.
+    """
+    c = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0))  # noqa: E731
+    agg = delta.groupBy("host").agg(
+        c("new").alias("n_new"),
+        c("gone").alias("n_gone"),
+        c("changed").alias("n_changed"),
+        c("unchanged").alias("n_unchanged"),
+    )
+    return agg.withColumn(
+        "change_rate",
+        F.round(
+            F.try_divide(
+                F.col("n_changed"), F.col("n_changed") + F.col("n_unchanged")
+            ),
+            6,
+        ),
+    )

@@ -840,3 +840,61 @@ def test_ppl_buckets_approx_mode_runs_and_orders(spark):
             for b2, p2 in pairs:
                 if b < b2:
                     assert p <= p2, (lang, b, p, b2, p2)
+
+
+# -- crawl-snapshot delta (operators/snapshots.py) --
+
+
+def test_crawl_delta_statuses_and_dup_collapse(spark):
+    from langscrape_spark.operators.snapshots import (
+        crawl_delta,
+        host_change_rates,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("https://a.example/1", "same text"),
+            ("https://a.example/2", "old text"),
+            ("https://a.example/3", "going away"),
+            # duplicate url in one snapshot must collapse, not fan out
+            ("https://a.example/1", "same text"),
+            ("https://B.example:8080/x", "only-old"),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.example/1", "same   TEXT"),  # ws/case-normalized
+            ("https://a.example/2", "new text"),
+            ("https://a.example/9", "brand new"),
+        ],
+        "url string, text string",
+    )
+    delta = {r["url"]: r for r in crawl_delta(old, new).collect()}
+    assert len(delta) == 5  # dup collapsed
+    assert delta["https://a.example/1"]["status"] == "unchanged"
+    assert delta["https://a.example/2"]["status"] == "changed"
+    assert delta["https://a.example/3"]["status"] == "gone"
+    assert delta["https://a.example/9"]["status"] == "new"
+    assert delta["https://B.example:8080/x"]["host"] == "b.example"  # port stripped
+
+    rates = {r["host"]: r for r in host_change_rates(crawl_delta(old, new)).collect()}
+    a = rates["a.example"]
+    assert (a["n_new"], a["n_gone"], a["n_changed"], a["n_unchanged"]) == (1, 1, 1, 1)
+    assert a["change_rate"] == pytest.approx(0.5)
+    # host with zero revisited pages -> NULL rate, no ANSI throw
+    assert rates["b.example"]["change_rate"] is None
+
+
+def test_crawl_delta_precomputed_fp_column(spark):
+    from langscrape_spark.operators.snapshots import crawl_delta
+
+    old = spark.createDataFrame(
+        [("https://h.example/1", "f1")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("https://h.example/1", "f2")], "url string, fp string"
+    )
+    rows = crawl_delta(old, new, fp_col="fp").collect()
+    assert rows[0]["status"] == "changed"
+    assert rows[0]["old_fp"] == "f1" and rows[0]["new_fp"] == "f2"
