@@ -1427,6 +1427,41 @@ def q54_crawl_delta(spark, sf):
     return host_change_rates(delta).orderBy("host")
 
 
+def q55_boilerplate_removal(spark, sf):
+    """Per-host boilerplate line removal (operators/boilerplate.py):
+    pages are synthesized from documents with planted lines — a nav
+    line on every page (share 1.0, removed), a copyright line per host
+    (1.0, removed), 'subscribe now' on doc_id%2 pages (~0.5, removed
+    at threshold 0.4), 'related posts' on doc_id%3 pages (~0.33, KEPT
+    — below the gate), 'deal of the day' only on host h0's pages
+    (removed on h0 only — the per-host scoping the operator exists
+    for). The DuckDB oracle re-derives line explosion, distinct-page
+    shares, the gate, the anti-join, and order-preserving reassembly."""
+    from langscrape_spark.operators.boilerplate import remove_boilerplate
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("NAV home about contact"), nl, F.col("text"), nl,
+        F.lit("Copyright h"), (d % 17).cast("string"), F.lit(" 2026"),
+        F.when(d % 2 == 0, F.concat(nl, F.lit("subscribe now"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(nl, F.lit("related posts"))).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(nl, F.lit("deal of the day"))).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 17).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (d % 17).cast("string")).alias("host"),
+        text.alias("text"),
+    )
+    return remove_boilerplate(
+        pages, min_pages=5, share_threshold=0.4
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1483,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_anchor_rollup": q52_anchor_rollup,
         "q53_ppl_buckets": q53_ppl_buckets,
         "q54_crawl_delta": q54_crawl_delta,
+        "q55_boilerplate_removal": q55_boilerplate_removal,
     }
 
 
@@ -3152,5 +3188,64 @@ def oracle_sql() -> dict[str, str]:
                                / (n_changed + n_unchanged), 6)
                    END AS change_rate
             FROM agg ORDER BY host
+        """,
+        "q55_boilerplate_removal": """
+            -- Independent re-derivation of per-host boilerplate line
+            -- removal: plant the same lines, explode with ordinality,
+            -- distinct-page share per (host, line), gate n>=5 AND
+            -- round(share,6)>=0.4, anti-join, order-preserving
+            -- reassembly. Spark: operators/boilerplate.py.
+            WITH pages AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS url,
+                     'h' || (doc_id % 17) AS host,
+                     'NAV home about contact' || chr(10) || text
+                       || chr(10) || 'Copyright h' || (doc_id % 17)
+                       || ' 2026'
+                       || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'subscribe now' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'related posts' ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0
+                            THEN chr(10) || 'deal of the day' ELSE '' END
+                       AS text
+              FROM documents),
+            lines AS (
+              SELECT url, host,
+                     generate_subscripts(l, 1) AS pos, unnest(l) AS line
+              FROM (SELECT url, host, string_split(text, chr(10)) AS l
+                    FROM pages)),
+            nl AS (
+              SELECT * FROM lines
+              WHERE regexp_replace(line, '\\s+', '', 'g') <> ''),
+            per_line AS (
+              SELECT host, line, count(DISTINCT url) AS n_pages
+              FROM nl GROUP BY host, line),
+            per_host AS (
+              SELECT host, count(DISTINCT url) AS host_pages
+              FROM nl GROUP BY host),
+            bp AS (
+              SELECT host, line
+              FROM per_line JOIN per_host USING (host)
+              WHERE n_pages >= 5
+                AND round(n_pages * 1.0 / host_pages, 6) >= 0.4),
+            kept AS (SELECT nl.* FROM nl ANTI JOIN bp USING (host, line)),
+            reasm AS (
+              SELECT url,
+                     array_to_string(list(line ORDER BY pos), chr(10))
+                       AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY url),
+            tot AS (
+              SELECT url, count(*) AS n_lines FROM nl GROUP BY url)
+            SELECT p.url, p.host,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0)
+                     AS BIGINT) AS n_removed
+            FROM (SELECT DISTINCT url, host FROM pages) p
+            LEFT JOIN reasm r USING (url)
+            LEFT JOIN tot t USING (url)
+            ORDER BY p.url
         """,
     }

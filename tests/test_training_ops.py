@@ -898,3 +898,64 @@ def test_crawl_delta_precomputed_fp_column(spark):
     rows = crawl_delta(old, new, fp_col="fp").collect()
     assert rows[0]["status"] == "changed"
     assert rows[0]["old_fp"] == "f1" and rows[0]["new_fp"] == "f2"
+
+
+# -- per-host boilerplate line removal (operators/boilerplate.py) --
+
+
+def test_boilerplate_per_host_scoping_and_order(spark):
+    from langscrape_spark.operators.boilerplate import remove_boilerplate
+
+    # 'daily deals' is a footer on every page of host a (removed there)
+    # but body text on ONE page of host b (kept there).
+    rows = []
+    for i in range(6):
+        rows.append(
+            (f"https://a.example/{i}", "a.example",
+             f"body a{i}\ndaily deals")
+        )
+    rows.append(("https://b.example/0", "b.example",
+                 "daily deals\nunique b text"))
+    for i in range(1, 6):
+        rows.append((f"https://b.example/{i}", "b.example", f"body b{i}"))
+    pages = spark.createDataFrame(rows, "url string, host string, text string")
+    out = {r["url"]: r for r in
+           remove_boilerplate(pages, min_pages=5, share_threshold=0.5).collect()}
+    assert len(out) == 12
+    assert out["https://a.example/0"]["clean_text"] == "body a0"
+    assert out["https://a.example/0"]["n_removed"] == 1
+    # host-b page keeps the SAME line host-a lost (per-host scoping),
+    # and line order is preserved
+    assert out["https://b.example/0"]["clean_text"] == "daily deals\nunique b text"
+    assert out["https://b.example/0"]["n_removed"] == 0
+
+
+def test_boilerplate_distinct_page_counting_and_empty_page(spark):
+    from langscrape_spark.operators.boilerplate import (
+        detect_boilerplate_lines,
+        page_lines,
+        remove_boilerplate,
+    )
+
+    # one page repeats 'promo' 10 times; only 2 distinct pages carry it
+    rows = [
+        ("https://c.example/0", "c.example", "\n".join(["promo"] * 10)),
+        ("https://c.example/1", "c.example", "promo\nreal content"),
+        ("https://c.example/2", "c.example", "other"),
+        ("https://c.example/3", "c.example", "   \n\t"),  # blank-only page
+    ]
+    pages = spark.createDataFrame(rows, "url string, host string, text string")
+    bp = detect_boilerplate_lines(
+        page_lines(pages), min_pages=3, share_threshold=0.5
+    ).collect()
+    assert bp == []  # 2 distinct pages < min_pages=3 despite 11 rows
+    out = {r["url"]: r for r in
+           remove_boilerplate(pages, min_pages=2, share_threshold=0.5).collect()}
+    # with min_pages=2, promo (2/3 pages with lines) is boilerplate;
+    # page 0 becomes empty but STAYS a row
+    assert out["https://c.example/0"]["clean_text"] == ""
+    assert out["https://c.example/0"]["n_kept"] == 0
+    assert out["https://c.example/0"]["n_removed"] == 10
+    # blank-only page is preserved with zero counts
+    assert out["https://c.example/3"]["n_kept"] == 0
+    assert out["https://c.example/3"]["n_removed"] == 0
