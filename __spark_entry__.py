@@ -1462,6 +1462,35 @@ def q55_boilerplate_removal(spark, sf):
     ).orderBy("url")
 
 
+def q56_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py): target =
+    src0/src1 documents, raw = the other 18 sources; hashed-bigram
+    (md5-lower64 pmod 256) feature distributions with add-0.5
+    smoothing; per-doc log-weight = sum of log ratios; Gumbel top-50
+    without replacement with deterministic md5-derived noise. The
+    DuckDB oracle re-derives bucketing (md5_number_lower % 256 — the
+    power-of-2 modulus makes unsigned mod equal Spark's signed pmod),
+    both distributions, the smoothing, the per-doc sum, the Gumbel
+    keys, and the top-k cut."""
+    from langscrape_spark.operators.dsir import (
+        dsir_resample,
+        dsir_weights,
+        feature_log_ratio,
+    )
+
+    docs = _t(spark, sf, "documents")
+    is_target = F.col("source").isin("src0", "src1")
+    target, raw = docs.where(is_target), docs.where(~is_target)
+    lr = feature_log_ratio(target, raw, n=2, num_buckets=256, alpha=0.5)
+    w = dsir_weights(raw, lr, n=2, num_buckets=256)
+    return dsir_resample(w, k=50).select(
+        "doc_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1519,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ppl_buckets": q53_ppl_buckets,
         "q54_crawl_delta": q54_crawl_delta,
         "q55_boilerplate_removal": q55_boilerplate_removal,
+        "q56_dsir_select": q56_dsir_select,
     }
 
 
@@ -3247,5 +3277,66 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN reasm r USING (url)
             LEFT JOIN tot t USING (url)
             ORDER BY p.url
+        """,
+        "q56_dsir_select": f"""
+            -- Independent re-derivation of DSIR selection: hashed
+            -- bigram buckets via md5_number_lower % 256 (power-of-2
+            -- modulus == Spark's signed pmod bit pattern), add-0.5
+            -- smoothed target/raw distributions over the FULL bucket
+            -- space, per-doc log-ratio sums, Gumbel keys from
+            -- md5('g:'||id) low 32 bits, top-50. Spark:
+            -- operators/dsir.py.
+            WITH grams_t AS (
+              SELECT CAST(md5_number_lower(g) % 256 AS BIGINT) AS bucket
+              FROM (SELECT {_TOKENS} AS tok FROM documents
+                    WHERE source IN ('src0', 'src1')),
+                   UNNEST(list_transform(
+                     range(1, greatest(len(tok) - 1, 0) + 1),
+                     i -> array_to_string(tok[i:i+1], ' '))) AS u(g)),
+            grams_r AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(g) % 256 AS BIGINT) AS bucket
+              FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents
+                    WHERE source NOT IN ('src0', 'src1')),
+                   UNNEST(list_transform(
+                     range(1, greatest(len(tok) - 1, 0) + 1),
+                     i -> array_to_string(tok[i:i+1], ' '))) AS u(g)),
+            ct AS (SELECT bucket, count(*) AS c FROM grams_t
+                   GROUP BY bucket),
+            cr AS (SELECT bucket, count(*) AS c FROM grams_r
+                   GROUP BY bucket),
+            tots AS (
+              SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE)
+                        FROM ct) AS tt,
+                     (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE)
+                        FROM cr) AS tr),
+            lr AS (
+              SELECT b.bucket,
+                     ln((coalesce(ct.c, 0) + 0.5) / (tt + 0.5 * 256))
+                   - ln((coalesce(cr.c, 0) + 0.5) / (tr + 0.5 * 256))
+                       AS log_ratio
+              FROM (SELECT CAST(range AS BIGINT) AS bucket
+                    FROM range(256)) b
+              LEFT JOIN ct USING (bucket)
+              LEFT JOIN cr USING (bucket), tots),
+            dw AS (
+              SELECT r.doc_id,
+                     CAST(count(g.bucket) AS BIGINT) AS n_features,
+                     coalesce(sum(lr.log_ratio), 0.0) AS log_weight
+              FROM (SELECT doc_id FROM documents
+                    WHERE source NOT IN ('src0', 'src1')) r
+              LEFT JOIN grams_r g USING (doc_id)
+              LEFT JOIN lr ON g.bucket = lr.bucket
+              GROUP BY r.doc_id),
+            keyed AS (
+              SELECT doc_id, n_features, log_weight,
+                     log_weight - ln(-ln(
+                       (md5_number_lower('g:' || CAST(doc_id AS VARCHAR))
+                          % 4294967296 + 0.5) / 4294967296.0))
+                       AS gumbel_key
+              FROM dw)
+            SELECT doc_id, n_features, round(log_weight, 6) AS log_weight,
+                   round(gumbel_key, 6) AS gumbel_key
+            FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
         """,
     }

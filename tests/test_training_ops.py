@@ -959,3 +959,78 @@ def test_boilerplate_distinct_page_counting_and_empty_page(spark):
     # blank-only page is preserved with zero counts
     assert out["https://c.example/3"]["n_kept"] == 0
     assert out["https://c.example/3"]["n_removed"] == 0
+
+
+# -- DSIR importance resampling (operators/dsir.py) --
+
+
+def test_dsir_bucket_parity_with_duckdb(spark):
+    import duckdb
+
+    from langscrape_spark.operators.dsir import hashed_ngram_buckets
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("one",), ("",)], "text string"
+    )
+    got = [r[0] for r in
+           df.select(hashed_ngram_buckets(F.col("text"), 2, 256)).collect()]
+    con = duckdb.connect()
+    exp = con.sql("""
+        SELECT list_transform(
+          list_transform(range(1, greatest(len(tok)-1, 0)+1),
+                         i -> array_to_string(tok[i:i+1], ' ')),
+          g -> CAST(md5_number_lower(g) % 256 AS BIGINT))
+        FROM (SELECT list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                                 x -> x <> '') AS tok
+              FROM (VALUES ('the quick brown fox'), ('one'), (''))
+                   AS v(t))
+    """).fetchall()
+    assert got == [e[0] for e in exp]
+    assert got[1] == [] and got[2] == []  # sub-n docs yield no grams
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from langscrape_spark.operators.dsir import (
+        dsir_resample,
+        dsir_weights,
+        feature_log_ratio,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)]
+        + [(200 + i, "noise%d junk%d filler" % (i, i)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    lr = feature_log_ratio(target, raw, n=2, num_buckets=64, alpha=0.5)
+    w = dsir_weights(raw, lr, n=2, num_buckets=64)
+    rows = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    assert len(rows) == 10
+    # every target-like raw doc outweighs every noise doc
+    assert min(rows[100 + i] for i in range(5)) > max(
+        rows[200 + i] for i in range(5)
+    )
+    # Gumbel top-3 is deterministic across runs
+    a = [r["doc_id"] for r in dsir_resample(w, 3).collect()]
+    b = [r["doc_id"] for r in dsir_resample(w, 3).collect()]
+    assert a == b and len(a) == 3
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from langscrape_spark.operators.dsir import (
+        dsir_weights,
+        feature_log_ratio,
+    )
+
+    target = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(2, "a b"), (3, ""), (4, "solo")], "doc_id long, text string"
+    )
+    lr = feature_log_ratio(target, raw, n=2, num_buckets=32, alpha=0.5)
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, lr, n=2, num_buckets=32).collect()}
+    assert rows[3]["log_weight"] == 0.0 and rows[3]["n_features"] == 0
+    assert rows[4]["log_weight"] == 0.0 and rows[4]["n_features"] == 0
+    assert rows[2]["n_features"] == 1
