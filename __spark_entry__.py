@@ -1491,6 +1491,57 @@ def q56_dsir_select(spark, sf):
     )
 
 
+_Q58_BUDGETS = {f"src{i}": 400 * (i % 4 + 1) for i in range(19)}  # src19 dropped
+
+
+def q57_shard_pack(spark, sf):
+    """Deterministic token-budget shard packing
+    (operators/sharding.py): md5-ordered corpus, 2000-token shards,
+    a doc belongs to the shard its START offset falls in. The Spark
+    side computes the global running sum with the two-level
+    parallel-prefix decomposition (per-bucket window + broadcast
+    bucket offsets — never a single-partition global window); the
+    DuckDB oracle uses a plain global window cumsum, so the compare
+    proves the decomposition exactly equals the global scan."""
+    from langscrape_spark.operators.sharding import pack_shards
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(words_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_shards(docs, "n_tokens", 2000)
+        .select("doc_id", "n_tokens", "shard_start", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+def q58_mixture_select(spark, sf):
+    """Per-source mixture budgeting (operators/sharding.py): each
+    source gets a token budget (400/800/1200/1600 cycling; src19 has
+    none and is dropped), documents are taken in md5 order while
+    their start offset is inside the budget. Same two-level cumsum as
+    q57 but grouped per source; the oracle re-derives budgets, the
+    per-source global cumsum, the prefix rule, and the inner-join
+    drop."""
+    from langscrape_spark.operators.sharding import mixture_select
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = mixture_select(docs, _Q58_BUDGETS)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "source_cum",
+        F.col("selected").cast("int").alias("selected"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1549,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_crawl_delta": q54_crawl_delta,
         "q55_boilerplate_removal": q55_boilerplate_removal,
         "q56_dsir_select": q56_dsir_select,
+        "q57_shard_pack": q57_shard_pack,
+        "q58_mixture_select": q58_mixture_select,
     }
 
 
@@ -3338,5 +3391,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_features, round(log_weight, 6) AS log_weight,
                    round(gumbel_key, 6) AS gumbel_key
             FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+        """,
+        "q57_shard_pack": f"""
+            -- Plain global window cumsum over the md5 order — the
+            -- ground truth the Spark side's two-level parallel prefix
+            -- sum (operators/sharding.py::distributed_cumsum) must
+            -- equal exactly.
+            WITH d AS (
+              SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     md5('s:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM d)
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS shard_start,
+                   CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)
+                     AS shard_id
+            FROM c ORDER BY doc_id
+        """,
+        "q58_mixture_select": f"""
+            -- Per-source budgets (400/800/1200/1600 cycling, src19
+            -- absent -> dropped by the inner join), per-source global
+            -- cumsum in md5 order, prefix rule start < budget.
+            WITH budgets(source, budget) AS (VALUES
+              {", ".join(f"('src{i}', {400 * (i % 4 + 1)})" for i in range(19))}),
+            d AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     md5('s:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS source_cum
+              FROM d)
+            SELECT c.doc_id, c.source, c.n_tokens,
+                   CAST(c.source_cum AS BIGINT) AS source_cum,
+                   CAST(CASE WHEN c.source_cum - c.n_tokens < b.budget
+                        THEN 1 ELSE 0 END AS INT) AS selected
+            FROM c JOIN budgets b USING (source)
+            ORDER BY c.doc_id
         """,
     }

@@ -1,0 +1,141 @@
+"""Deterministic corpus sharding and mixture budgeting.
+
+The last mile of a training-data pipeline: (1) give the corpus a
+deterministic global order (md5 of the id — a reproducible shuffle),
+(2) pack documents into fixed-token-budget shards in that order, and
+(3) cut per-source token budgets so the final mixture matches target
+proportions. All three need a GLOBAL running token sum — the textbook
+Spark trap, because ``sum().over(Window.orderBy(key))`` with no
+partitioning collapses to a single partition.
+
+This module computes the global cumsum in two levels instead:
+
+* bucket = first byte of the order key (256 uniform ranges, since the
+  key is md5) — a per-(group, bucket) window cumsum runs fully
+  parallel;
+* bucket offsets = per-bucket token totals (a 256-rows-per-group
+  frame) cumulated by a window over that TINY frame and broadcast
+  back.
+
+``global_cum = bucket_offset + within_bucket_cum`` is exact (integer
+sums), so the DuckDB oracle can verify it against a plain global
+window cumsum while the Spark plan never funnels the corpus through
+one partition. The decomposition is the standard parallel-prefix-sum
+shape (Blelloch scan) expressed relationally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def order_key(id_col: Column, salt: str = "s:") -> Column:
+    """Deterministic shuffle key: md5 of the salted id. Uniform, so
+    its first byte makes 256 balanced range buckets."""
+    return F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    out: str = "cum",
+) -> DataFrame:
+    """Running sum of ``value_col`` over ``key_col`` order (within
+    each group), without a single-partition global window.
+
+    ``key_col`` must be an md5-hex key (``order_key``); its first two
+    hex chars form the range bucket. Adds ``out`` = inclusive running
+    sum.
+    """
+    g = list(group_cols)
+    df = df.withColumn(
+        "_bk", F.conv(F.substring(F.col(key_col), 1, 2), 16, 10).cast("int")
+    )
+    w_in = (
+        Window.partitionBy(*g, "_bk")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(value_col).over(w_in)
+    totals = df.groupBy(*g, "_bk").agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        *g, "_bk", (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_off")
+    )
+    return (
+        df.join(F.broadcast(offsets), g + ["_bk"])
+        .withColumn(out, (F.col("_off") + within).cast("long"))
+        .drop("_bk", "_off")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    tokens_col: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    key_col: Optional[str] = None,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget shard.
+
+    Documents are laid out in deterministic md5 order (or by an
+    existing ``key_col``) and a document belongs to the shard its
+    START offset falls in: ``shard_id = floor((cum - tokens) /
+    shard_tokens)``. A document longer than the budget still lands in
+    exactly one shard (writers handle the spill; assignment stays
+    total and deterministic). Adds ``shard_id`` and ``shard_start``.
+    """
+    if key_col is None:
+        docs = docs.withColumn("_key", order_key(F.col(id_col)))
+        key_col = "_key"
+    cum = distributed_cumsum(docs, tokens_col, key_col)
+    return (
+        cum.withColumn("shard_start", (F.col("cum") - F.col(tokens_col)).cast("long"))
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("shard_start") / F.lit(shard_tokens)).cast("long"),
+        )
+        .drop("cum", *(["_key"] if key_col == "_key" else []))
+    )
+
+
+def mixture_select(
+    docs: DataFrame,
+    budgets: dict,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut each source's documents to a token budget, deterministically.
+
+    ``budgets`` maps source -> max tokens. Within each source,
+    documents are taken in md5 order while their START offset is
+    inside the budget (so a source always contributes at least one
+    document if its budget is > 0 — matching how shard packing treats
+    straddlers). Sources missing from ``budgets`` are dropped.
+    Adds ``selected`` (boolean); callers filter or audit.
+    """
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())],
+        f"{source_col} string, _budget long",
+    )
+    keyed = docs.withColumn("_key", order_key(F.col(id_col)))
+    cum = distributed_cumsum(keyed, tokens_col, "_key", group_cols=[source_col])
+    return (
+        cum.join(F.broadcast(bdf), source_col)
+        .withColumn(
+            "selected",
+            (F.col("cum") - F.col(tokens_col)) < F.col("_budget"),
+        )
+        .drop("_key", "_budget")
+        .withColumnRenamed("cum", "source_cum")
+    )

@@ -1034,3 +1034,87 @@ def test_dsir_empty_doc_scores_zero(spark):
     assert rows[3]["log_weight"] == 0.0 and rows[3]["n_features"] == 0
     assert rows[4]["log_weight"] == 0.0 and rows[4]["n_features"] == 0
     assert rows[2]["n_features"] == 1
+
+
+# -- deterministic sharding / mixture budgeting (operators/sharding.py) --
+
+
+def test_distributed_cumsum_equals_naive(spark):
+    from langscrape_spark.operators.sharding import (
+        distributed_cumsum,
+        order_key,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 37 + 1).alias("v"),
+            order_key(F.col("id")).alias("k"),
+        )
+        .repartition(16)
+    )
+    got = {r["id"]: r["cum"] for r in distributed_cumsum(df, "v", "k").collect()}
+    rows = sorted(df.collect(), key=lambda r: r["k"])
+    run = 0
+    for r in rows:
+        run += r["v"]
+        assert got[r["id"]] == run
+    # grouped: independent running sums per group
+    gdf = df.withColumn("g", (F.col("id") % 3).cast("string"))
+    got_g = {
+        r["id"]: r["cum"]
+        for r in distributed_cumsum(gdf, "v", "k", group_cols=["g"]).collect()
+    }
+    runs = {}
+    for r in sorted(gdf.collect(), key=lambda r: r["k"]):
+        runs[r["g"]] = runs.get(r["g"], 0) + r["v"]
+        assert got_g[r["id"]] == runs[r["g"]]
+
+
+def test_pack_shards_straddler_and_determinism(spark):
+    from langscrape_spark.operators.sharding import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, 700) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = pack_shards(docs, "n_tokens", 2000)
+    rows = sorted(out.collect(), key=lambda r: r["shard_start"])
+    # starts are 0,700,...,6300; shard = floor(start/2000): sizes vary
+    # but every doc has exactly one shard and starts are contiguous
+    assert [r["shard_start"] for r in rows] == [700 * i for i in range(10)]
+    assert [r["shard_id"] for r in rows] == [700 * i // 2000 for i in range(10)]
+    # deterministic across runs
+    again = sorted(pack_shards(docs, "n_tokens", 2000).collect(),
+                   key=lambda r: r["shard_start"])
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+    # a doc longer than the budget still lands in exactly one shard
+    big = spark.createDataFrame(
+        [(1, 5000), (2, 100)], "doc_id long, n_tokens long"
+    )
+    brows = {r["doc_id"]: r for r in pack_shards(big, "n_tokens", 2000).collect()}
+    assert {r["shard_id"] for r in brows.values()} <= {0, 1, 2, 3}
+    assert len(brows) == 2
+
+
+def test_mixture_select_prefix_and_drop(spark):
+    from langscrape_spark.operators.sharding import mixture_select
+
+    docs = spark.createDataFrame(
+        [(i, "a", 300) for i in range(10)]
+        + [(100 + i, "b", 300) for i in range(5)]
+        + [(200, "zzz-unbudgeted", 300)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = mixture_select(docs, {"a": 1000, "b": 1}, tokens_col="n_tokens")
+    rows = out.collect()
+    assert all(r["source"] != "zzz-unbudgeted" for r in rows)  # dropped
+    sel_a = [r for r in rows if r["source"] == "a" and r["selected"]]
+    sel_b = [r for r in rows if r["source"] == "b" and r["selected"]]
+    # budget 1000 / 300-token docs: starts 0,300,600,900 < 1000 -> 4 docs
+    assert len(sel_a) == 4
+    # tiny budget still admits exactly the first doc (start 0 < 1)
+    assert len(sel_b) == 1
+    # prefix property: selected docs are exactly the lowest source_cum
+    cums = sorted(r["source_cum"] for r in rows if r["source"] == "a")
+    assert sorted(r["source_cum"] for r in sel_a) == cums[:4]
