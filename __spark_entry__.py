@@ -3143,7 +3143,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT dst_url, CAST(count(*) AS BIGINT) AS in_degree,
                      CAST(count(DISTINCT lower(regexp_replace(
                        regexp_extract(src_url,
-                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
                        ':[0-9]+$', ''))) AS BIGINT) AS n_src_hosts
               FROM edges GROUP BY dst_url),
             terms AS (
@@ -3251,7 +3251,7 @@ def oracle_sql() -> dict[str, str]:
               FROM o2 FULL OUTER JOIN n2 USING (url)),
             hosted AS (
               SELECT lower(regexp_replace(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
                        ':[0-9]+$', '')) AS host, status
               FROM delta),
             agg AS (

@@ -10,16 +10,16 @@ is the per-host variant: a line is boilerplate on host H when it
 appears on >= ``min_pages`` of H's pages AND on >= ``share_threshold``
 of them.
 
-Scale shape (100 TB): one posexplode (narrow), two equi-key hash aggs
-— per-(host, line-hash) distinct-page counts, per-host page counts,
-both map-side combined; the boilerplate set is
+Scale shape (100 TB): three corpus passes, each a narrow posexplode
+feeding an equi-key hash agg — per-(host, line) distinct-page counts
+and per-host page counts for detection (different grouping keys, so
+the two cannot fuse), then one rewrite pass. The boilerplate set is
 (hosts x distinct boilerplate lines)-sized, orders of magnitude
-smaller than the corpus, and joins back as a broadcast (or equi-key
-shuffle when a caller disables the hint for a pathological vocabulary)
-LEFT ANTI against the exploded lines. Reassembly is one groupBy(url)
-— a url's lines never left the partition that exploded them, so the
-map-side partial delivers one row per url per partition and the
-shuffle is documents-sized, not lines-sized.
+smaller than the corpus, and joins back as a broadcast flag join
+against the exploded lines. Reassembly, kept-counts and line totals
+come out of ONE groupBy(url) — a url's lines never left the partition
+that exploded them, so the map-side partial delivers one row per url
+per partition and the shuffle is documents-sized, not lines-sized.
 """
 
 from __future__ import annotations
@@ -39,13 +39,17 @@ def page_lines(
     Lines are used verbatim (no normalization) so removal is exact;
     whitespace-only lines are dropped here — they carry no signal and
     an all-blank "boilerplate" line would make reassembly semantics
-    silly. ``pos`` preserves original order for reassembly.
+    silly. ``pos`` preserves original order for reassembly. ``sep`` is
+    a LITERAL separator (quoted with ``\\Q…\\E`` before it reaches the
+    regex-based split, so ``'|'`` or ``'.'`` split where intended).
     """
     return (
         pages.select(
             F.col(url_col).alias("url"),
             F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + sep + "\\E")
+            ).alias("pos", "line"),
         )
         .where(F.regexp_replace(F.col("line"), r"\s+", "") != "")
     )
@@ -101,31 +105,59 @@ def remove_boilerplate(
     ``n_kept = 0`` (callers typically drop those). Pages whose text
     had no non-blank lines at all are preserved the same way (they
     still appear, empty) so the output stays one row per input page.
+    Duplicate url rows in the input collapse to one deterministic row
+    first (min (host, text) struct) — the same guard
+    ``snapshots.crawl_delta`` applies, so unioned crawl rounds cannot
+    double every line through the explode.
+
+    Pass accounting (a corpus pass = one split+posexplode of every
+    page): detection needs two (per-(host,line) distinct-page counts
+    and per-host page counts — different grouping keys, so exchange
+    reuse cannot fuse them), the rewrite one more, joined against the
+    broadcast boilerplate set and reduced in a SINGLE groupBy that
+    yields clean_text, n_kept, and n_lines together. Callers looping
+    many thresholds over one corpus should persist ``pages`` (or
+    ``page_lines(...)``) upstream — this function deliberately does
+    not pin corpus-sized state itself.
     """
-    lines = page_lines(pages, url_col, host_col, text_col, sep)
-    bp = detect_boilerplate_lines(lines, min_pages, share_threshold)
-    kept = lines.join(
-        F.broadcast(bp.select("host", "line")), ["host", "line"], "left_anti"
+    collapsed = (
+        pages.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(host_col).alias("host"),
+                    F.col(text_col).alias("text"),
+                )
+            ).alias("_s")
+        )
+        .select("url", F.col("_s.host").alias("host"), F.col("_s.text").alias("text"))
     )
-    reassembled = kept.groupBy("url").agg(
-        F.first("host").alias("host"),
+    lines = page_lines(collapsed, "url", "host", "text", sep)
+    bp = detect_boilerplate_lines(lines, min_pages, share_threshold)
+    flagged = lines.join(
+        F.broadcast(
+            bp.select("host", "line").withColumn("_bp", F.lit(True))
+        ),
+        ["host", "line"],
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("_bp").isNull(), F.struct("pos", "line")
+    )  # NULL structs vanish from collect_list -> only body lines remain
+    reassembled = flagged.groupBy("url").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["line"],
             ),
             sep,
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(kept_struct).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
-    totals = lines.groupBy("url").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        pages.select(
-            F.col(url_col).alias("url"), F.col(host_col).alias("host")
-        )
-        .distinct()
-        .join(reassembled.drop("host"), "url", "left")
-        .join(totals, "url", "left")
+        collapsed.select("url", "host")
+        .join(reassembled, "url", "left")
         .select(
             "url",
             "host",

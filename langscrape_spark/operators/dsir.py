@@ -75,38 +75,41 @@ def feature_log_ratio(
     ``ln p_target(b) - ln q_raw(b)`` with add-alpha smoothing over the
     fixed bucket space (every bucket exists in the output, hit or not,
     so scoring never needs an OOV branch).
+
+    Each corpus is scanned exactly ONCE: the count agg output is at
+    most ``num_buckets`` rows, so it is collected and re-seeded as a
+    small DataFrame — downstream consumers (the broadcast in
+    ``dsir_weights``) can materialize the log-ratio table without
+    re-running the corpus explode, and nothing stays persisted.
+    ``log`` is still evaluated by Spark so engine float parity is
+    unchanged.
     """
 
-    def counts(df: DataFrame, out: str) -> DataFrame:
-        return (
+    def counts(df: DataFrame) -> dict:
+        rows = (
             df.select(
                 F.explode(
                     hashed_ngram_buckets(F.col(text_col), n, num_buckets)
                 ).alias("bucket")
             )
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(out))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
 
-    spark = target_docs.sparkSession
-    all_buckets = spark.range(num_buckets).select(
-        F.col("id").alias("bucket")
+    ct, cr = counts(target_docs), counts(raw_docs)
+    denom_t = float(sum(ct.values())) + alpha * num_buckets
+    denom_r = float(sum(cr.values())) + alpha * num_buckets
+    base = target_docs.sparkSession.createDataFrame(
+        [(b, ct.get(b, 0), cr.get(b, 0)) for b in range(num_buckets)],
+        "bucket long, ct long, cr long",
     )
-    t = counts(target_docs, "ct")
-    r = counts(raw_docs, "cr")
-    joined = (
-        all_buckets.join(t, "bucket", "left").join(r, "bucket", "left")
-    )
-    # totals are two scalar aggs over bucket-sized frames (cheap)
-    tt = t.agg(F.sum("ct")).collect()[0][0] or 0
-    tr = r.agg(F.sum("cr")).collect()[0][0] or 0
-    denom_t = float(tt) + alpha * num_buckets
-    denom_r = float(tr) + alpha * num_buckets
-    return joined.select(
+    return base.select(
         "bucket",
         (
-            F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
-            - F.log((F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+            F.log((F.col("ct") + F.lit(alpha)) / F.lit(denom_t))
+            - F.log((F.col("cr") + F.lit(alpha)) / F.lit(denom_r))
         ).alias("log_ratio"),
     )
 

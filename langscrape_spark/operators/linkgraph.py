@@ -65,15 +65,7 @@ def link_edges(
     return pages.select(url_col, html_col).mapInPandas(gen, out_schema)
 
 
-def _host(col):
-    """Host of a url, JVM-side (lowercased netloc sans port)."""
-    return F.lower(
-        F.regexp_replace(
-            F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-            ":[0-9]+$",
-            "",
-        )
-    )
+from .urls import host_of as _host  # shared definition keeps host keys joinable
 
 
 def anchor_terms(anchor_col) -> "F.Column":

@@ -32,15 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from .text import fingerprint
 
 
-def _host(col):
-    """Host of a url, JVM-side (lowercased netloc sans port)."""
-    return F.lower(
-        F.regexp_replace(
-            F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-            ":[0-9]+$",
-            "",
-        )
-    )
+from .urls import host_of as _host  # shared definition keeps host keys joinable
 
 
 def crawl_delta(

@@ -547,26 +547,37 @@ def unigram_lm(
     Mass does not sum to exactly 1 when tokens fall outside the vocab
     — irrelevant for ranking/bucketing, stated for honesty.
 
-    The type-count frame is persisted so the corpus is tokenized once
-    (the totals action and the top-V selection both consume it).
+    The type-count frame is persisted only while this function runs
+    (totals action + top-V selection), then unpersisted — no pinned
+    state outlives the call. The top-V rows (bounded by
+    ``vocab_size``, the whole point of a vocab cap) are collected and
+    re-seeded as a small DataFrame; ``logp`` is still computed by
+    Spark's ``log`` so engine float parity is unchanged.
     """
     import math
 
     toks = docs.select(F.explode(words_col(F.col(text_col))).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
-    row = counts.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
-    ).collect()[0]
+    try:
+        row = counts.agg(
+            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+        ).collect()[0]
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("token"))
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
     total = int(row["total"] or 0)
     v = min(vocab_size, int(row["n_types"]))
     denom = float(total) + alpha * (v + 1)
-    lm = (
-        counts.orderBy(F.desc("c"), F.asc("token"))
-        .limit(vocab_size)
-        .select(
-            "token",
-            F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
-        )
+    lm_counts = docs.sparkSession.createDataFrame(
+        [(r["token"], int(r["c"])) for r in top], "token string, c long"
+    )
+    lm = lm_counts.select(
+        "token",
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
     )
     return lm, math.log(alpha / denom)
 
@@ -619,6 +630,8 @@ def ppl_buckets(
     against the same rounding so engine float noise below 1e-6 cannot
     flip a boundary row. NULL ppl keeps a NULL bucket.
     """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     groups = list(group_cols)
     ppl_r = F.round(F.col(ppl_col), 6)
     fn = "percentile" if mode == "exact" else "percentile_approx"

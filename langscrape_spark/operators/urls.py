@@ -82,6 +82,27 @@ def canonicalize_url(url: Column) -> Column:
 # Crawl-trap detection (URL-template explosion)
 # ---------------------------------------------------------------------------
 
+
+def host_of(url_col: Column) -> Column:
+    """Lowercased host of a url — scheme, userinfo (``user:pw@``) and
+    port stripped. Same answer as ``F.lower(F.try_parse_url(url,
+    'HOST'))`` but built from a regex BOTH engines share, so DuckDB
+    oracles can mirror it exactly (RE2 supports the non-capturing
+    userinfo group). The single shared definition keeps host keys
+    joinable across the trap/pagerank/link-graph/snapshot tables."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(
+                url_col,
+                r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)",
+                1,
+            ),
+            ":[0-9]+$",
+            "",
+        )
+    )
+
+
 def url_template(url: Column) -> Column:
     """Collapse a url to its path TEMPLATE — the signature that groups
     "the same page generator": scheme/host/query/fragment dropped,

@@ -1118,3 +1118,53 @@ def test_mixture_select_prefix_and_drop(spark):
     # prefix property: selected docs are exactly the lowest source_cum
     cums = sorted(r["source_cum"] for r in rows if r["source"] == "a")
     assert sorted(r["source_cum"] for r in sel_a) == cums[:4]
+
+
+def test_host_of_strips_userinfo_and_port(spark):
+    from langscrape_spark.operators.urls import host_of
+
+    df = spark.createDataFrame(
+        [("https://user:pw@H.Example:8080/x",),
+         ("https://plain.example/y",),
+         ("not a url",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(host_of(F.col("url"))).collect()]
+    assert got == ["h.example", "plain.example", ""]
+
+
+def test_boilerplate_duplicate_url_rows_collapse(spark):
+    from langscrape_spark.operators.boilerplate import remove_boilerplate
+
+    rows = [(f"https://d.example/{i}", "d.example", f"body {i}\nfooter")
+            for i in range(5)]
+    # the same url appears twice (e.g. two crawl rounds unioned)
+    rows.append(("https://d.example/0", "d.example", "body 0\nfooter"))
+    pages = spark.createDataFrame(rows, "url string, host string, text string")
+    out = {r["url"]: r for r in
+           remove_boilerplate(pages, min_pages=4, share_threshold=0.5).collect()}
+    assert len(out) == 5
+    r0 = out["https://d.example/0"]
+    # no doubled lines: one body line kept, one footer removed
+    assert r0["clean_text"] == "body 0"
+    assert (r0["n_kept"], r0["n_removed"]) == (1, 1)
+
+
+def test_ppl_buckets_rejects_unknown_mode(spark):
+    from langscrape_spark.operators.text import ppl_buckets
+
+    df = spark.createDataFrame([(1, "en", 2.0)],
+                               "doc_id long, lang string, ppl double")
+    with pytest.raises(ValueError):
+        ppl_buckets(df, mode="Exact")
+
+
+def test_page_lines_literal_separator(spark):
+    from langscrape_spark.operators.boilerplate import page_lines
+
+    pages = spark.createDataFrame(
+        [("u", "h", "alpha|beta|gamma")], "url string, host string, text string"
+    )
+    got = [r["line"] for r in
+           page_lines(pages, sep="|").orderBy("pos").collect()]
+    assert got == ["alpha", "beta", "gamma"]  # '|' must not be a regex
