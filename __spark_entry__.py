@@ -1387,22 +1387,10 @@ def q53_ppl_buckets(spark, sf):
     ).orderBy("doc_id")
 
 
-def q54_crawl_delta(spark, sf):
-    """Crawl-snapshot delta + per-host change rates
-    (operators/snapshots.py): two snapshots are synthesized
-    deterministically from the documents table — drop doc_id%11 urls
-    (gone), append ' updated' to doc_id%7 texts (changed), add
-    doc_id%13 urls shifted by +10000 (new) — and the DuckDB oracle
-    re-derives the fingerprints, the full-outer status classification,
-    and the per-host rollup with change_rate = changed/(changed+
-    unchanged). Any divergence in fingerprinting, outer-join status
-    logic, host extraction, or the NULL-safe rate breaks the hash."""
-    from langscrape_spark.operators.snapshots import (
-        crawl_delta,
-        host_change_rates,
-    )
-
-    docs = _t(spark, sf, "documents")
+def _q54_snapshots(docs):
+    """The deterministic two-snapshot generator shared by q54/q60:
+    gone = doc_id%11, changed = doc_id%7 (' updated' suffix), new =
+    doc_id%13 shifted +10000; 17 hosts."""
     d = F.col("doc_id")
 
     def url_of(key):
@@ -1423,8 +1411,57 @@ def q54_crawl_delta(spark, sf):
     added = docs.where(d % 13 == 0).select(
         url_of(d + 10000).alias("url"), F.col("text")
     )
-    delta = crawl_delta(old, kept.unionByName(added))
-    return host_change_rates(delta).orderBy("host")
+    return old, kept.unionByName(added)
+
+
+def q54_crawl_delta(spark, sf):
+    """Crawl-snapshot delta + per-host change rates
+    (operators/snapshots.py): two snapshots are synthesized
+    deterministically from the documents table — drop doc_id%11 urls
+    (gone), append ' updated' to doc_id%7 texts (changed), add
+    doc_id%13 urls shifted by +10000 (new) — and the DuckDB oracle
+    re-derives the fingerprints, the full-outer status classification,
+    and the per-host rollup with change_rate = changed/(changed+
+    unchanged). Any divergence in fingerprinting, outer-join status
+    logic, host extraction, or the NULL-safe rate breaks the hash."""
+    from langscrape_spark.operators.snapshots import (
+        crawl_delta,
+        host_change_rates,
+    )
+
+    old, new = _q54_snapshots(_t(spark, sf, "documents"))
+    return host_change_rates(crawl_delta(old, new)).orderBy("host")
+
+
+def q60_revisit_priority(spark, sf):
+    """Composite revisit scheduling (operators/snapshots.py::
+    revisit_priority): q54's per-host change rates joined with a
+    deterministic host-rank dimension (host h3 deliberately missing —
+    rank coalesces to 0), priority = 0.6*rate + 0.4*rank with the
+    0.5 unknown-churn default, interval_days = max(1,
+    round(30*(1-priority))). The oracle re-derives the entire chain —
+    delta, rates, ranks, weights, rounding, clamp."""
+    from langscrape_spark.operators.snapshots import (
+        crawl_delta,
+        host_change_rates,
+        revisit_priority,
+    )
+
+    docs = _t(spark, sf, "documents")
+    old, new = _q54_snapshots(docs)
+    rates = host_change_rates(crawl_delta(old, new))
+    k = F.col("doc_id") % 17
+    ranks = (
+        docs.where(k != 3)
+        .select(
+            F.concat(
+                F.lit("h"), k.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            (((k * 37) % 101) / F.lit(100.0)).alias("rank_score"),
+        )
+        .distinct()
+    )
+    return revisit_priority(rates, ranks).orderBy("host")
 
 
 def q55_boilerplate_removal(spark, sf):
@@ -1542,6 +1579,25 @@ def q58_mixture_select(spark, sf):
     ).orderBy("doc_id")
 
 
+def q59_bm25_search(spark, sf):
+    """Inverted index + Okapi BM25 top-20 (operators/search.py) for
+    the query 'hash scan table zzzmissing' (three corpus terms + one
+    absent term, which must contribute nothing). Postings stay
+    exploded rows — never collect_list per term — and query scoring
+    touches only the query terms' postings. The DuckDB oracle
+    re-derives tf, df, idf, the length normalization, the score sum,
+    and the tie-broken top-k cut."""
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    out = bm25_topk(postings, doc_lens, "hash scan table zzzmissing", k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1602,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_dsir_select": q56_dsir_select,
         "q57_shard_pack": q57_shard_pack,
         "q58_mixture_select": q58_mixture_select,
+        "q59_bm25_search": q59_bm25_search,
+        "q60_revisit_priority": q60_revisit_priority,
     }
 
 
@@ -1749,6 +1807,63 @@ def _lang_score_sql() -> tuple[str, str]:
         "ELSE 'und' END"
     )
     return select, case
+
+
+# Shared oracle fragment: the q54 snapshot-delta CTE chain (old/new
+# snapshots -> per-url status -> per-host rollup + NULL-safe rate).
+# q60 composes revisit priorities on top of the same `rates` CTE.
+_Q54_RATES_CTES = """old AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS url,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) AS fp
+              FROM documents),
+            new AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
+                       || doc_id AS url,
+                     md5(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                            ELSE text END), '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT 'https://h' || ((doc_id + 10000) % 17)
+                       || '.example.com/p/' || (doc_id + 10000),
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g')))
+              FROM documents WHERE doc_id % 13 = 0),
+            o2 AS (SELECT url, min(fp) AS old_fp FROM old GROUP BY url),
+            n2 AS (SELECT url, min(fp) AS new_fp FROM new GROUP BY url),
+            delta AS (
+              SELECT url,
+                     CASE WHEN old_fp IS NULL THEN 'new'
+                          WHEN new_fp IS NULL THEN 'gone'
+                          WHEN old_fp = new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o2 FULL OUTER JOIN n2 USING (url)),
+            hosted AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
+                       ':[0-9]+$', '')) AS host, status
+              FROM delta),
+            agg AS (
+              SELECT host,
+                CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gone,
+                CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_unchanged
+              FROM hosted GROUP BY host),
+            rates AS (
+              SELECT host, n_new, n_gone, n_changed, n_unchanged,
+                     CASE WHEN n_changed + n_unchanged = 0 THEN NULL
+                          ELSE round(CAST(n_changed AS DOUBLE)
+                                 / (n_changed + n_unchanged), 6)
+                     END AS change_rate
+              FROM agg)"""
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3214,63 +3329,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s LEFT JOIN cuts c USING (lang)
             ORDER BY s.doc_id
         """,
-        "q54_crawl_delta": """
+        "q54_crawl_delta": f"""
             -- Independent re-derivation of the crawl-snapshot delta:
             -- same generator formulas (gone %11, changed %7 ' updated',
             -- new %13 +10000), canonical md5 fingerprint, full-outer
             -- status classification, per-host rollup with a NULL-safe
             -- change rate. Spark: operators/snapshots.py crawl_delta /
-            -- host_change_rates.
-            WITH old AS (
-              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
-                       || doc_id AS url,
-                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
-                       'g'))) AS fp
-              FROM documents),
-            new AS (
-              SELECT 'https://h' || (doc_id % 17) || '.example.com/p/'
-                       || doc_id AS url,
-                     md5(trim(regexp_replace(lower(
-                       CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
-                            ELSE text END), '\\s+', ' ', 'g'))) AS fp
-              FROM documents WHERE doc_id % 11 <> 0
-              UNION ALL
-              SELECT 'https://h' || ((doc_id + 10000) % 17)
-                       || '.example.com/p/' || (doc_id + 10000),
-                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
-                       'g')))
-              FROM documents WHERE doc_id % 13 = 0),
-            o2 AS (SELECT url, min(fp) AS old_fp FROM old GROUP BY url),
-            n2 AS (SELECT url, min(fp) AS new_fp FROM new GROUP BY url),
-            delta AS (
-              SELECT url,
-                     CASE WHEN old_fp IS NULL THEN 'new'
-                          WHEN new_fp IS NULL THEN 'gone'
-                          WHEN old_fp = new_fp THEN 'unchanged'
-                          ELSE 'changed' END AS status
-              FROM o2 FULL OUTER JOIN n2 USING (url)),
-            hosted AS (
-              SELECT lower(regexp_replace(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1),
-                       ':[0-9]+$', '')) AS host, status
-              FROM delta),
-            agg AS (
-              SELECT host,
-                CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_new,
-                CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_gone,
-                CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_changed,
-                CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
-                  END) AS BIGINT) AS n_unchanged
-              FROM hosted GROUP BY host)
+            -- host_change_rates. CTE chain shared with q60.
+            WITH {_Q54_RATES_CTES}
             SELECT host, n_new, n_gone, n_changed, n_unchanged,
-                   CASE WHEN n_changed + n_unchanged = 0 THEN NULL
-                        ELSE round(CAST(n_changed AS DOUBLE)
-                               / (n_changed + n_unchanged), 6)
-                   END AS change_rate
-            FROM agg ORDER BY host
+                   change_rate
+            FROM rates ORDER BY host
         """,
         "q55_boilerplate_removal": """
             -- Independent re-derivation of per-host boilerplate line
@@ -3436,5 +3505,61 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS selected
             FROM c JOIN budgets b USING (source)
             ORDER BY c.doc_id
+        """,
+        "q59_bm25_search": f"""
+            -- Independent BM25: tf/df/idf/length-norm/sum/top-k all
+            -- re-derived. The absent query term ('zzzmissing') must
+            -- contribute nothing. Spark: operators/search.py.
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            postings AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY term, doc_id),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            consts AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+            q(term) AS (VALUES ('hash'), ('scan'), ('table'),
+                               ('zzzmissing')),
+            hits AS (SELECT p.* FROM postings p JOIN q USING (term)),
+            dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM hits GROUP BY term),
+            scored AS (
+              SELECT h.doc_id,
+                     sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                         * h.tf
+                         / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                       AS score
+              FROM hits h
+              JOIN dfs d USING (term)
+              JOIN dl l USING (doc_id), consts c
+              GROUP BY h.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "q60_revisit_priority": f"""
+            -- Revisit scheduling composed on the shared q54 rate CTEs:
+            -- deterministic rank dimension (h3 missing -> rank 0),
+            -- priority = 0.6*coalesce(rate, 0.5) + 0.4*rank,
+            -- interval = max(1, round(30*(1-priority))). Spark:
+            -- operators/snapshots.py revisit_priority.
+            WITH {_Q54_RATES_CTES},
+            ranks AS (
+              SELECT DISTINCT
+                     'h' || (doc_id % 17) || '.example.com' AS host,
+                     ((doc_id % 17) * 37 % 101) / 100.0 AS rank_score
+              FROM documents WHERE doc_id % 17 <> 3),
+            pr AS (
+              SELECT r.host,
+                     round(0.6 * coalesce(r.change_rate, 0.5)
+                           + 0.4 * coalesce(k.rank_score, 0.0), 6)
+                       AS priority
+              FROM rates r LEFT JOIN ranks k USING (host))
+            SELECT host, priority,
+                   CAST(greatest(1, CAST(round(30.0 * (1.0 - priority), 0)
+                     AS BIGINT)) AS BIGINT) AS interval_days
+            FROM pr ORDER BY host
         """,
     }

@@ -1,0 +1,116 @@
+"""Full-text search over the corpus: inverted index + BM25 ranking.
+
+A crawl corpus is only useful if you can query it; this gives the
+engine the classic IR pair — a term-postings inverted index and
+Okapi BM25 top-k retrieval — expressed relationally so Catalyst owns
+the physical plan.
+
+Scale shape (100 TB):
+
+* ``build_inverted_index`` is one explode + two equi-key hash aggs:
+  per-(term, doc) term frequencies (map-side combined — a doc's
+  repeated term collapses in its own partition), then per-term
+  document frequencies. Postings stay EXPLODED rows ``(term, doc_id,
+  tf)`` — never ``collect_list`` per term, because a stopword's
+  postings list is corpus-sized and a single non-spillable agg buffer
+  holding it is the collect_list OOM class this repo already evicted
+  from the dedup paths.
+* ``bm25_topk`` touches only the query's own postings: the terms
+  table is a handful of rows, broadcast; the postings scan
+  predicate-pushes ``term IN (...)``; scoring is one docs-sized
+  groupBy and a ``TakeOrderedAndProject`` top-k. The corpus is never
+  rescanned at query time.
+
+BM25 (k1, b defaults per Robertson/Sparck Jones convention):
+``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+``score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*len_d/avg_len))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import words_col
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Returns ``(postings, doc_lens)``: postings = ``(term, doc_id,
+    tf)`` exploded rows; doc_lens = ``(doc_id, dl)`` whitespace-token
+    lengths. Both are plain DataFrames a caller can write as bucketed
+    tables (bucket by term / doc_id) for shuffle-free query joins."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_lens
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document ids for a free-text query.
+
+    Corpus constants (N, avg doc length) are two scalar aggs over the
+    doc_lens frame (docs-sized, cheap); per-term df comes from an agg
+    over ONLY the query terms' postings. Duplicate query terms count
+    once (standard bag-of-words query with binary query weights).
+    Deterministic tie-break on doc_id.
+    """
+    spark = postings.sparkSession
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = postings.join(F.broadcast(tdf), "term")
+    df_tbl = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        hits.join(F.broadcast(df_tbl), "term")
+        .join(doc_lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

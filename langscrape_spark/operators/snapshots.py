@@ -106,3 +106,49 @@ def host_change_rates(delta: DataFrame) -> DataFrame:
             6,
         ),
     )
+
+
+def revisit_priority(
+    change_rates: DataFrame,
+    host_ranks: DataFrame,
+    w_change: float = 0.6,
+    w_rank: float = 0.4,
+    default_change: float = 0.5,
+    max_interval_days: int = 30,
+) -> DataFrame:
+    """Convert per-host churn + importance into a re-crawl schedule.
+
+    ``priority = w_change * change_rate + w_rank * rank_score`` —
+    hosts that change often and matter most get re-crawled first.
+    A host with no revisited pages yet (NULL ``change_rate`` from
+    :func:`host_change_rates`) gets ``default_change`` (unknown churn
+    is treated as moderate, not zero, so brand-new hosts are not
+    starved); a host missing from ``host_ranks`` scores rank 0.
+    ``interval_days = max(1, round(max_interval_days * (1 -
+    priority)))`` is the scheduler-facing output.
+
+    Both inputs are hosts-sized, so this is a broadcastable dimension
+    join — the one part of the revisit loop that is NOT corpus-scale.
+    """
+    pr = F.round(
+        F.lit(w_change)
+        * F.coalesce(F.col("change_rate"), F.lit(default_change))
+        + F.lit(w_rank) * F.coalesce(F.col("rank_score"), F.lit(0.0)),
+        6,
+    )
+    return (
+        change_rates.join(F.broadcast(host_ranks), "host", "left")
+        .withColumn("priority", pr)
+        .withColumn(
+            "interval_days",
+            F.greatest(
+                F.lit(1),
+                F.round(
+                    F.lit(float(max_interval_days))
+                    * (F.lit(1.0) - F.col("priority")),
+                    0,
+                ).cast("long"),
+            ).cast("long"),
+        )
+        .select("host", "priority", "interval_days")
+    )

@@ -1168,3 +1168,67 @@ def test_page_lines_literal_separator(spark):
     got = [r["line"] for r in
            page_lines(pages, sep="|").orderBy("pos").collect()]
     assert got == ["alpha", "beta", "gamma"]  # '|' must not be a regex
+
+
+# -- inverted index / BM25 (operators/search.py) --
+
+
+def test_bm25_ranking_and_missing_terms(spark):
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "engine room only"),
+            (4, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, doc_lens = build_inverted_index(docs)
+    # tf sanity: repeated term collapses into one posting with tf=3
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in postings.collect()}
+    assert p[("spark", 1)] == 3 and p[("engine", 3)] == 1
+
+    top = bm25_topk(postings, doc_lens, "spark", k=10).collect()
+    ids = [r["doc_id"] for r in top]
+    assert ids[0] in (1, 2) and set(ids) == {1, 2}  # only matching docs
+    # doc 2 (short, tf=1) vs doc 1 (tf=3 but longer): tf wins here
+    assert ids[0] == 1
+
+    # absent term contributes nothing; all-absent query is empty
+    assert bm25_topk(postings, doc_lens, "zzz", k=5).count() == 0
+    both = {r["doc_id"]: r["score"] for r in
+            bm25_topk(postings, doc_lens, "spark zzz", k=5).collect()}
+    only = {r["doc_id"]: r["score"] for r in
+            bm25_topk(postings, doc_lens, "spark", k=5).collect()}
+    assert both == only
+    # duplicate query terms count once
+    dup = {r["doc_id"]: r["score"] for r in
+           bm25_topk(postings, doc_lens, "spark spark", k=5).collect()}
+    assert dup == only
+    # empty query yields an empty, correctly-typed frame
+    assert bm25_topk(postings, doc_lens, "   ", k=5).count() == 0
+
+
+def test_revisit_priority_defaults_and_clamp(spark):
+    from langscrape_spark.operators.snapshots import revisit_priority
+
+    rates = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", None), ("d", 0.5)],
+        "host string, change_rate double",
+    )
+    ranks = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("d", 0.5)],
+        "host string, rank_score double",
+    )
+    out = {r["host"]: r for r in revisit_priority(rates, ranks).collect()}
+    assert out["a"]["priority"] == 1.0 and out["a"]["interval_days"] == 1  # clamp
+    assert out["b"]["priority"] == 0.0 and out["b"]["interval_days"] == 30
+    # NULL rate -> 0.5 default; missing rank -> 0
+    assert out["c"]["priority"] == pytest.approx(0.3)
+    assert out["d"]["priority"] == pytest.approx(0.5)
+    assert out["d"]["interval_days"] == 15
