@@ -286,3 +286,67 @@ def build_warc_bytes(records: List[dict]) -> bytes:
         hdrs.append(b"Content-Length: %d" % len(payload))
         out += _CRLF.join(hdrs) + _HDR_END + payload + _HDR_END
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WET-style conversion output (the write side of the archive story)
+# ---------------------------------------------------------------------------
+
+
+def wet_record(
+    url: Column, text: Column, date: Column = None
+) -> Column:
+    """One WARC/1.0 ``conversion`` record (WET) as a STRING column —
+    pure JVM concat, no UDF. ``Content-Length`` is the UTF-8 octet
+    length of the payload (``octet_length``), which is what the
+    length-framed reader walks; the record id is a deterministic
+    md5-derived urn so re-runs emit byte-identical archives. The
+    trailing ``\\r\\n\\r\\n`` separator is NOT included — the writer
+    supplies it as the sink's ``lineSep`` so framing stays exact."""
+    payload = F.coalesce(text, F.lit(""))
+    d = date if date is not None else F.lit("2026-01-01T00:00:00Z")
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        d,
+        F.lit("\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(url),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+    )
+
+
+def write_wet(
+    pages: DataFrame,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str = None,
+    compress: bool = False,
+) -> None:
+    """Write pages as WET (WARC conversion) archive part-files.
+
+    One output file per partition — the same file-per-task model the
+    reader exploits (each part is independently parseable, so 10⁵
+    parts re-read as 10⁵ parallel tasks with no shuffle in either
+    direction). Uses the text sink with ``lineSep='\\r\\n\\r\\n'`` so
+    every record, including the last, is terminated exactly per the
+    ISO 28500 framing the reader walks; payloads may legally contain
+    ``WARC/1.0`` or blank lines — the reader is length-framed, so the
+    roundtrip is exact (pinned by ``test_warc.py``). ``compress=True``
+    writes ``.gz`` parts (whole-file gzip, which ``read_warc``'s
+    ``_maybe_gunzip`` already handles)."""
+    rec = wet_record(
+        F.col(url_col),
+        F.col(text_col),
+        F.col(date_col) if date_col else None,
+    )
+    writer = pages.select(rec.alias("value")).write.option(
+        "lineSep", "\r\n\r\n"
+    )
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.mode("overwrite").text(path)

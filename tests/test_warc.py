@@ -195,3 +195,65 @@ def test_fetch_plan_groups_and_sorts(spark):
         (0, 100), (120, 70), (300, 50),
     ]
     assert "w2.warc.gz" not in plan  # 404 filtered upstream
+
+
+def test_wet_roundtrip_exact(spark, tmp_path):
+    from langscrape_spark.sources.warc import read_warc, write_wet
+
+    rows = [
+        ("https://a.example/1", "plain text body"),
+        # framing traps: payload contains the magic, blank lines, and
+        # a fake Content-Length header — the length-framed reader must
+        # not tear on any of them
+        ("https://a.example/2",
+         "WARC/1.0\r\nContent-Length: 9999\r\n\r\nnot a record"),
+        # multibyte: Content-Length must be octets, not chars
+        ("https://a.example/3", "café 中文 text"),
+        ("https://a.example/4", ""),  # empty payload
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    write_wet(pages.repartition(2), out)
+    back = read_warc(spark, out + "/part-*")
+    got = {r["target_uri"]: r for r in back.collect()}
+    assert len(got) == 4
+    for url, text in rows:
+        r = got[url]
+        assert r["warc_type"] == "conversion"
+        assert r["body_text"] == text, url
+        assert r["content_length"] == len(text.encode("utf-8"))
+        assert r["http_status"] is None  # no HTTP envelope in WET
+
+
+def test_wet_gzip_parts_roundtrip(spark, tmp_path):
+    from langscrape_spark.sources.warc import read_warc, write_wet
+
+    pages = spark.createDataFrame(
+        [(f"https://g.example/{i}", f"doc {i}") for i in range(20)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "wetgz")
+    write_wet(pages.repartition(3), out, compress=True)
+    back = read_warc(spark, out + "/part-*")
+    assert back.count() == 20
+    assert {r["body_text"] for r in back.collect()} == {
+        f"doc {i}" for i in range(20)
+    }
+
+
+def test_wet_deterministic_bytes(spark, tmp_path):
+    import glob
+
+    from langscrape_spark.sources.warc import write_wet
+
+    pages = spark.createDataFrame(
+        [("https://d.example/x", "stable")], "url string, text string"
+    )
+    outs = []
+    for name in ("w1", "w2"):
+        p = str(tmp_path / name)
+        write_wet(pages.coalesce(1), p)
+        (f,) = glob.glob(p + "/part-*")
+        outs.append(open(f, "rb").read())
+    assert outs[0] == outs[1]
+    assert outs[0].endswith(b"\r\n\r\n")  # last record properly terminated
