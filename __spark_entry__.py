@@ -1515,7 +1515,13 @@ def q56_dsir_select(spark, sf):
         feature_log_ratio,
     )
 
-    docs = _t(spark, sf, "documents")
+    # testdata parquet is ONE row group -> a 1-partition scan; the
+    # operator runs three corpus passes (two count aggs + scoring),
+    # each per-gram md5 work, so give it the cores. Real deployments
+    # inherit the table's real partitioning.
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     is_target = F.col("source").isin("src0", "src1")
     target, raw = docs.where(is_target), docs.where(~is_target)
     lr = feature_log_ratio(target, raw, n=2, num_buckets=256, alpha=0.5)
