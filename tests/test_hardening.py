@@ -507,3 +507,53 @@ def test_bloom_crash_inside_merge_overwrite_forces_rebuild(
     assert got == sim_schedule
     assert {r["url"] for r in state.seen.collect()} == sim_seen
     assert _bloom_state(catalog)["round"] == catalog.committed_round()
+
+
+def test_distributed_cumsum_plan_never_single_partitions_the_corpus(spark):
+    """The two-level prefix sum's scale contract: the corpus-sized
+    window partitions by the key bucket (parallel), and the ONLY
+    single-partition exchange in the plan feeds the 256-row offsets
+    window — never the data."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.sharding import (
+        distributed_cumsum,
+        order_key,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v"),
+        order_key(F.col("id")).alias("k"),
+    )
+    plan = (
+        distributed_cumsum(df, "v", "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # corpus window is bucket-partitioned
+    assert "windowspecdefinition(_bk" in plan, plan
+    # exactly one SinglePartition exchange (the offsets branch, which
+    # is fed by a hash AGGREGATE — bounded at 256 rows — not raw data)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_bm25_plan_broadcasts_query_and_takes_ordered(spark):
+    """bm25_topk's scale contract: query terms and per-term dfs join
+    as broadcasts, and the top-k is TakeOrderedAndProject (partial
+    top-k per partition), never a global sort."""
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, doc_lens = build_inverted_index(docs)
+    plan = (
+        bm25_topk(postings, doc_lens, "hash scan table", k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
