@@ -1604,6 +1604,24 @@ def q59_bm25_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q61_more_like_this(spark, sf):
+    """Doc-to-doc retrieval (operators/search.py::more_like_this):
+    top-15 documents by TF-IDF cosine to doc 7, itself excluded. The
+    DuckDB oracle re-derives postings, the corpus-wide idf, full-vector
+    norms, the shared-terms-only dot product, the exclusion, and the
+    tie-broken cut (measured boundary gaps ~1e-4, far above engine
+    float noise)."""
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        more_like_this,
+    )
+
+    docs = _t(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    out = more_like_this(postings, doc_lens, 7, k=15)
+    return out.select("doc_id", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1666,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_mixture_select": q58_mixture_select,
         "q59_bm25_search": q59_bm25_search,
         "q60_revisit_priority": q60_revisit_priority,
+        "q61_more_like_this": q61_more_like_this,
     }
 
 
@@ -3567,5 +3586,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(1, CAST(round(30.0 * (1.0 - priority), 0)
                      AS BIGINT)) AS BIGINT) AS interval_days
             FROM pr ORDER BY host
+        """,
+        "q61_more_like_this": f"""
+            -- Independent TF-IDF cosine: postings, corpus idf,
+            -- full-vector norms, shared-term dot, exclusion, top-15.
+            -- Spark: operators/search.py::more_like_this.
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            postings AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY term, doc_id),
+            consts AS (
+              SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+              FROM postings),
+            q AS (SELECT term, tf AS q_tf FROM postings WHERE doc_id = 7),
+            dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM postings WHERE term IN (SELECT term FROM q)
+              GROUP BY term),
+            dots AS (
+              SELECT p.doc_id,
+                     sum(q.q_tf * ln(c.n / d.df) * p.tf * ln(c.n / d.df))
+                       AS dot
+              FROM postings p
+              JOIN q USING (term) JOIN dfs d USING (term), consts c
+              GROUP BY p.doc_id),
+            alldfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM postings GROUP BY term),
+            norms AS (
+              SELECT doc_id,
+                     sqrt(sum((tf * ln(c.n / df)) * (tf * ln(c.n / df))))
+                       AS norm
+              FROM postings JOIN alldfs USING (term), consts c
+              GROUP BY doc_id),
+            qn AS (SELECT norm AS v FROM norms WHERE doc_id = 7)
+            SELECT d.doc_id,
+                   round(d.dot / (nm.norm * (SELECT v FROM qn)), 6)
+                     AS cosine
+            FROM dots d JOIN norms nm USING (doc_id)
+            WHERE d.doc_id <> 7
+            ORDER BY d.dot / (nm.norm * (SELECT v FROM qn)) DESC, d.doc_id
+            LIMIT 15
         """,
     }

@@ -114,3 +114,88 @@ def bm25_topk(
         .agg(F.sum("part").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def doc_norms(postings: DataFrame, n_docs: int) -> DataFrame:
+    """Per-document TF-IDF L2 norms ``(doc_id, norm)`` for cosine
+    scoring: ``w(t,d) = tf * ln(N/df)`` (idf floored at 0 via N>=df).
+    One postings-sized pass: a broadcast join of the df table (terms-
+    sized after its own agg) then a per-doc reduce."""
+    dfs = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        postings.join(dfs, "term")
+        .select("doc_id", (w * w).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum("w2")).alias("norm"))
+    )
+
+
+def more_like_this(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Doc-to-doc retrieval: top-k documents by TF-IDF cosine
+    similarity to ``query_doc_id`` (itself excluded).
+
+    Scale shape: the query doc's own postings are a bounded handful of
+    rows — collected and re-broadcast (same move as BM25's query
+    terms), so candidate generation touches ONLY postings of terms the
+    query doc contains (predicate-pushed semi-join), never the full
+    matrix. df counts come from an agg over those candidate postings'
+    terms joined against the full postings (terms-sized). Norms are
+    corpus-wide but postings-sized to build and cacheable across
+    queries. The dot-product accumulate is one docs-sized groupBy;
+    the cut is ``TakeOrderedAndProject``.
+
+    Cosine = dot(q, d) / (|q| |d|) with ``w(t,·) = tf * ln(N/df)``.
+    Documents sharing no term with the query never appear (their
+    cosine is exactly 0).
+    """
+    spark = postings.sparkSession
+    n_docs = doc_lens.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, cosine double")
+    q_terms = postings.where(
+        F.col("doc_id") == F.lit(query_doc_id)
+    ).select("term", F.col("tf").alias("q_tf"))
+    rows = q_terms.collect()  # bounded: one document's distinct terms
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, cosine double")
+    q_tbl = spark.createDataFrame(rows, "term string, q_tf long")
+
+    hits = postings.join(F.broadcast(q_tbl), "term")
+    dfs = postings.join(
+        F.broadcast(q_tbl.select("term")), "term", "left_semi"
+    ).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    dots = (
+        hits.join(F.broadcast(dfs), "term")
+        .select(
+            "doc_id",
+            (F.col("q_tf") * idf * F.col("tf") * idf).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("dot"))
+    )
+    norms = doc_norms(postings, n_docs)
+    q_norm = norms.where(F.col("doc_id") == F.lit(query_doc_id)).collect()
+    qn = float(q_norm[0]["norm"]) if q_norm else 0.0
+    if qn == 0.0:
+        return spark.createDataFrame([], "doc_id long, cosine double")
+    return (
+        dots.where(F.col("doc_id") != F.lit(query_doc_id))
+        .join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.try_divide(F.col("dot"), F.col("norm") * F.lit(qn)).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1232,3 +1232,30 @@ def test_revisit_priority_defaults_and_clamp(spark):
     assert out["c"]["priority"] == pytest.approx(0.3)
     assert out["d"]["priority"] == pytest.approx(0.5)
     assert out["d"]["interval_days"] == 15
+
+
+def test_more_like_this_semantics(spark):
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        more_like_this,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),       # identical -> cosine 1.0
+            (3, "alpha beta other words"),  # partial overlap
+            (4, "totally disjoint tokens"),  # no shared term -> absent
+        ],
+        "doc_id long, text string",
+    )
+    postings, doc_lens = build_inverted_index(docs)
+    out = {r["doc_id"]: r["cosine"] for r in
+           more_like_this(postings, doc_lens, 1, k=10).collect()}
+    assert 1 not in out               # self excluded
+    assert 4 not in out               # zero-overlap never appears
+    assert out[2] == pytest.approx(1.0)
+    assert 0.0 < out[3] < 1.0
+    # unknown query doc -> empty frame, correct schema
+    empty = more_like_this(postings, doc_lens, 999, k=5)
+    assert empty.count() == 0 and empty.columns == ["doc_id", "cosine"]
