@@ -1622,6 +1622,24 @@ def q61_more_like_this(spark, sf):
     return out.select("doc_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q62_bigram_ppl(spark, sf):
+    """Interpolated bigram-LM perplexity (operators/text.py::
+    bigram_ppl): top-24 vocab with <unk> closure, add-0.5 smoothing,
+    lam=0.75 interpolation (chosen so 1-lam is float-exact in both
+    engines), first token scored by the unigram. The DuckDB oracle
+    re-derives vocabulary, <unk> mapping, bigram/context counts,
+    conditional probabilities, interpolation, and the per-doc mean."""
+    from langscrape_spark.operators.text import bigram_ppl
+
+    docs = _t(spark, sf, "documents")
+    out = bigram_ppl(docs, vocab_size=24, alpha=0.5, lam=0.75)
+    return out.select(
+        "doc_id",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1685,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bm25_search": q59_bm25_search,
         "q60_revisit_priority": q60_revisit_priority,
         "q61_more_like_this": q61_more_like_this,
+        "q62_bigram_ppl": q62_bigram_ppl,
     }
 
 
@@ -3628,5 +3647,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id <> 7
             ORDER BY d.dot / (nm.norm * (SELECT v FROM qn)) DESC, d.doc_id
             LIMIT 15
+        """,
+        "q62_bigram_ppl": f"""
+            -- Independent interpolated bigram LM: vocab/<unk> closure,
+            -- bigram + context counts, p_bi = (c+0.5)/(ctx+0.5(V+1)),
+            -- score = ln(0.75 p_bi + 0.25 p_uni) (first token pure
+            -- unigram), ppl = exp(-mean). Spark: operators/text.py
+            -- bigram_ppl.
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(tok, 1) AS pos,
+                     unnest(tok) AS t
+              FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+            counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                           count(*) AS n_types FROM counts),
+            consts AS (
+              SELECT total + 0.5 * (least(24, n_types) + 1) AS denom_u,
+                     0.5 * (least(24, n_types) + 1) AS a_v
+              FROM tot),
+            vocab AS (SELECT t FROM counts ORDER BY c DESC, t LIMIT 24),
+            m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN t IN (SELECT t FROM vocab)
+                          THEN t ELSE '<unk>' END AS w
+              FROM toks),
+            uni AS (
+              SELECT w, (count(*) + 0.5) / (SELECT denom_u FROM consts)
+                       AS p_uni
+              FROM m GROUP BY w),
+            pairs AS (
+              SELECT doc_id, pos, w,
+                     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM m),
+            big AS (
+              SELECT w1, w, count(*) AS cb FROM pairs
+              WHERE w1 IS NOT NULL GROUP BY w1, w),
+            ctx AS (SELECT w1, sum(cb) AS cctx FROM big GROUP BY w1),
+            scored AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.w1 IS NULL THEN ln(u.p_uni)
+                          ELSE ln(0.75 * ((coalesce(b.cb, 0) + 0.5)
+                                   / (coalesce(c.cctx, 0)
+                                      + (SELECT a_v FROM consts)))
+                                  + 0.25 * u.p_uni) END AS logp
+              FROM pairs p
+              JOIN uni u USING (w)
+              LEFT JOIN big b ON p.w1 = b.w1 AND p.w = b.w
+              LEFT JOIN ctx c ON p.w1 = c.w1),
+            perdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     exp(-avg(logp)) AS ppl
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, p.n_terms, round(p.ppl, 6) AS ppl
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -655,3 +655,109 @@ def ppl_buckets(
         )
         .drop("_c1", "_c2")
     )
+
+
+def bigram_ppl(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity — the step from
+    :func:`unigram_lm` toward CCNet's KenLM n-gram scoring, still
+    deterministic and engine-portable.
+
+    Model: tokens outside the top-``vocab_size`` unigram vocabulary
+    map to ``<unk>`` (so the event space is closed, V+1 symbols);
+    ``p_uni(w) = (c_w + a) / (total + a(V+1))`` over mapped tokens;
+    ``p_bi(w2|w1) = (c_w1w2 + a) / (ctx_w1 + a(V+1))`` where ``ctx_w1``
+    counts bigram occurrences starting with w1; the first token of a
+    document scores ``p_uni``, every later token scores
+    ``lam * p_bi + (1-lam) * p_uni``; ``ppl = exp(-mean ln p)``.
+
+    Scale shape: one explode with position; vocabulary mapping is a
+    broadcast left join (V rows); the bigram pairing is a lag window
+    partitioned BY DOCUMENT (every doc is its own group — fully
+    parallel, no global window); bigram/context counts are equi-key
+    hash aggs; the score join on (w1, w2) is an equi-key shuffle
+    against the bigram table — the LM table at corpus scale is itself
+    big, so it is NOT broadcast (the unigram table is). Per-doc reduce
+    shuffles ~1 row/doc/partition after partial aggregation.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        row = counts.agg(
+            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+        ).collect()[0]
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    total = int(row["total"] or 0)
+    v = min(vocab_size, int(row["n_types"]))
+    denom_u = float(total) + alpha * (v + 1)
+    vocab = spark.createDataFrame(
+        [(r["tok"], int(r["c"])) for r in top], "tok string, c long"
+    )
+
+    mapped = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_semi") \
+        .withColumn("w", F.col("tok"))
+    unk = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_anti") \
+        .withColumn("w", F.lit("<unk>"))
+    m = mapped.unionByName(unk).select(id_col, "pos", "w")
+
+    # unigram probs over MAPPED tokens (<unk> mass aggregated)
+    uni = m.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).select(
+        "w",
+        ((F.col("cu") + F.lit(alpha)) / F.lit(denom_u)).alias("p_uni"),
+    )
+
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    pairs = m.withColumn("w1", F.lag("w").over(wdoc))
+    big = pairs.where(F.col("w1").isNotNull()).groupBy("w1", "w").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+
+    scored = (
+        pairs.join(F.broadcast(uni), "w")
+        .join(big, ["w1", "w"], "left")
+        .join(ctx, "w1", "left")
+        .withColumn(
+            "p_bi",
+            (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("cctx"), F.lit(0)) + F.lit(alpha * (v + 1))),
+        )
+        .withColumn(
+            "logp",
+            F.when(F.col("w1").isNull(), F.log(F.col("p_uni"))).otherwise(
+                F.log(
+                    F.lit(lam) * F.col("p_bi")
+                    + F.lit(1.0 - lam) * F.col("p_uni")
+                )
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.exp(-F.avg("logp")).alias("ppl"),
+            ),
+            id_col,
+            "left",
+        )
+    )

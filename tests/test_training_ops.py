@@ -1259,3 +1259,47 @@ def test_more_like_this_semantics(spark):
     # unknown query doc -> empty frame, correct schema
     empty = more_like_this(postings, doc_lens, 999, k=5)
     assert empty.count() == 0 and empty.columns == ["doc_id", "cosine"]
+
+
+def test_bigram_ppl_hand_computed(spark):
+    from langscrape_spark.operators.text import bigram_ppl
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_ppl(docs, vocab_size=2, alpha=0.5, lam=0.75).collect()}
+    # counts: a=4, b=2; V=2; denom_u = 6 + 0.5*3 = 7.5; aV = 1.5
+    p_a, p_b = 4.5 / 7.5, 2.5 / 7.5
+    # bigrams: (a,b):2 (b,a):1 (a,a):1; ctx a=3, b=1
+    bi_ba = (2 + 0.5) / (3 + 1.5)   # p(b|a)
+    bi_ab = (1 + 0.5) / (1 + 1.5)   # p(a|b)
+    bi_aa = (1 + 0.5) / (3 + 1.5)   # p(a|a)
+    lp1 = [
+        math.log(p_a),
+        math.log(0.75 * bi_ba + 0.25 * p_b),
+        math.log(0.75 * bi_ab + 0.25 * p_a),
+        math.log(0.75 * bi_ba + 0.25 * p_b),
+    ]
+    assert out[1]["n_terms"] == 4
+    assert out[1]["ppl"] == pytest.approx(math.exp(-sum(lp1) / 4))
+    lp2 = [math.log(p_a), math.log(0.75 * bi_aa + 0.25 * p_a)]
+    assert out[2]["ppl"] == pytest.approx(math.exp(-sum(lp2) / 2))
+    # token-less doc stays a row with NULL score
+    assert out[3]["ppl"] is None and out[3]["n_terms"] is None
+
+
+def test_bigram_ppl_unk_closure(spark):
+    from langscrape_spark.operators.text import bigram_ppl
+
+    # vocab_size=1 -> only 'x' in vocab; everything else is <unk>,
+    # including unseen continuations — scores stay finite and nonzero
+    docs = spark.createDataFrame(
+        [(1, "x y z x q"), (2, "x x x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_ppl(docs, vocab_size=1, alpha=0.5, lam=0.75).collect()}
+    assert all(r["ppl"] is not None and r["ppl"] > 0 for r in out.values())
+    # the all-in-vocab doc is more predictable -> lower perplexity
+    assert out[2]["ppl"] < out[1]["ppl"]
