@@ -1598,7 +1598,9 @@ def q59_bm25_search(spark, sf):
         build_inverted_index,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-row-group testdata -> 1-partition scan (see q56 note)
     postings, doc_lens = build_inverted_index(docs)
     out = bm25_topk(postings, doc_lens, "hash scan table zzzmissing", k=20)
     return out.select("doc_id", F.round("score", 6).alias("score"))
@@ -1616,7 +1618,9 @@ def q61_more_like_this(spark, sf):
         more_like_this,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-row-group testdata -> 1-partition scan (see q56 note)
     postings, doc_lens = build_inverted_index(docs)
     out = more_like_this(postings, doc_lens, 7, k=15)
     return out.select("doc_id", F.round("cosine", 6).alias("cosine"))
@@ -1631,7 +1635,9 @@ def q62_bigram_ppl(spark, sf):
     conditional probabilities, interpolation, and the per-doc mean."""
     from langscrape_spark.operators.text import bigram_ppl
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-row-group testdata -> 1-partition scan (see q56 note)
     out = bigram_ppl(docs, vocab_size=24, alpha=0.5, lam=0.75)
     return out.select(
         "doc_id",
