@@ -60,6 +60,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``_t`` but repartitioned to the session's core count — the
+    sf0.1 testdata parquet is ONE row group, so an unrepartitioned scan
+    is a single partition and any multi-pass per-row-expensive operator
+    runs single-core. Real deployments inherit real table partitioning;
+    this is a testdata artifact workaround."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1515,13 +1526,7 @@ def q56_dsir_select(spark, sf):
         feature_log_ratio,
     )
 
-    # testdata parquet is ONE row group -> a 1-partition scan; the
-    # operator runs three corpus passes (two count aggs + scoring),
-    # each per-gram md5 work, so give it the cores. Real deployments
-    # inherit the table's real partitioning.
-    docs = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_parallel(spark, sf, "documents")
     is_target = F.col("source").isin("src0", "src1")
     target, raw = docs.where(is_target), docs.where(~is_target)
     lr = feature_log_ratio(target, raw, n=2, num_buckets=256, alpha=0.5)
@@ -1598,9 +1603,7 @@ def q59_bm25_search(spark, sf):
         build_inverted_index,
     )
 
-    docs = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-row-group testdata -> 1-partition scan (see q56 note)
+    docs = _t_parallel(spark, sf, "documents")
     postings, doc_lens = build_inverted_index(docs)
     out = bm25_topk(postings, doc_lens, "hash scan table zzzmissing", k=20)
     return out.select("doc_id", F.round("score", 6).alias("score"))
@@ -1618,9 +1621,7 @@ def q61_more_like_this(spark, sf):
         more_like_this,
     )
 
-    docs = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-row-group testdata -> 1-partition scan (see q56 note)
+    docs = _t_parallel(spark, sf, "documents")
     postings, doc_lens = build_inverted_index(docs)
     out = more_like_this(postings, doc_lens, 7, k=15)
     return out.select("doc_id", F.round("cosine", 6).alias("cosine"))
@@ -1635,9 +1636,7 @@ def q62_bigram_ppl(spark, sf):
     conditional probabilities, interpolation, and the per-doc mean."""
     from langscrape_spark.operators.text import bigram_ppl
 
-    docs = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-row-group testdata -> 1-partition scan (see q56 note)
+    docs = _t_parallel(spark, sf, "documents")
     out = bigram_ppl(docs, vocab_size=24, alpha=0.5, lam=0.75)
     return out.select(
         "doc_id",
@@ -3586,8 +3585,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN dfs d USING (term)
               JOIN dl l USING (doc_id), consts c
               GROUP BY h.doc_id)
-            SELECT doc_id, round(score, 6) AS score FROM scored
-            ORDER BY score DESC, doc_id LIMIT 20
+            SELECT doc_id, round(score, 6) AS score FROM (
+              SELECT doc_id, score FROM scored
+              ORDER BY score DESC, doc_id LIMIT 20)
+            -- outer round AFTER the cut: DuckDB binds ORDER BY to a
+            -- same-named alias, and Spark selects the top-k on the
+            -- UNROUNDED score — the cut must match at full precision.
         """,
         "q60_revisit_priority": f"""
             -- Revisit scheduling composed on the shared q54 rate CTEs:

@@ -182,19 +182,25 @@ def more_like_this(
         .groupBy("doc_id")
         .agg(F.sum("part").alias("dot"))
     )
+    # the query doc's norm stays IN-PLAN (a 1-row broadcast cross
+    # join) rather than being collected — collecting it would run the
+    # whole corpus-wide norms job once just to read one scalar and
+    # then recompute it inside the returned plan. A zero/absent query
+    # norm makes the broadcast side empty, which empties the result
+    # with the right schema.
     norms = doc_norms(postings, n_docs)
-    q_norm = norms.where(F.col("doc_id") == F.lit(query_doc_id)).collect()
-    qn = float(q_norm[0]["norm"]) if q_norm else 0.0
-    if qn == 0.0:
-        return spark.createDataFrame([], "doc_id long, cosine double")
+    qn_tbl = norms.where(
+        (F.col("doc_id") == F.lit(query_doc_id)) & (F.col("norm") > 0)
+    ).select(F.col("norm").alias("_qn"))
     return (
         dots.where(F.col("doc_id") != F.lit(query_doc_id))
         .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn_tbl))
         .select(
             "doc_id",
-            F.try_divide(F.col("dot"), F.col("norm") * F.lit(qn)).alias(
-                "cosine"
-            ),
+            F.try_divide(
+                F.col("dot"), F.col("norm") * F.col("_qn")
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(k)

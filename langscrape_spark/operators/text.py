@@ -712,11 +712,16 @@ def bigram_ppl(
         [(r["tok"], int(r["c"])) for r in top], "tok string, c long"
     )
 
-    mapped = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_semi") \
-        .withColumn("w", F.col("tok"))
-    unk = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_anti") \
-        .withColumn("w", F.lit("<unk>"))
-    m = mapped.unionByName(unk).select(id_col, "pos", "w")
+    # one broadcast LEFT join maps to <unk> in a single corpus scan
+    # (a semi+anti pair would re-explode the corpus twice)
+    vmark = vocab.select("tok").withColumn("_v", F.lit(True))
+    m = toks.join(F.broadcast(vmark), "tok", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("w"),
+    )
 
     # unigram probs over MAPPED tokens (<unk> mass aggregated)
     uni = m.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).select(

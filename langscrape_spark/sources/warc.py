@@ -304,14 +304,23 @@ def wet_record(
     trailing ``\\r\\n\\r\\n`` separator is NOT included — the writer
     supplies it as the sink's ``lineSep`` so framing stays exact."""
     payload = F.coalesce(text, F.lit(""))
-    d = date if date is not None else F.lit("2026-01-01T00:00:00Z")
+    d = date if date is not None else F.lit(None).cast("string")
+    # NULL-proof every concat input: F.concat propagates NULL, and a
+    # NULL record string would make the text sink silently drop the
+    # row (an archive that loses pages without an error). NULL urls
+    # become an empty URI header — visible junk beats silent loss;
+    # callers should filter them upstream.
+    u = F.coalesce(url, F.lit(""))
+    d = F.coalesce(d, F.lit("2026-01-01T00:00:00Z"))
     return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        url,
+        u,
         F.lit("\r\nWARC-Date: "),
         d,
+        # id hashes url AND date so two captures of the same url get
+        # distinct ids (ISO 28500 wants record ids globally unique)
         F.lit("\r\nWARC-Record-ID: <urn:md5:"),
-        F.md5(url),
+        F.md5(F.concat(u, F.lit("|"), d)),
         F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
         F.octet_length(payload).cast("string"),
         F.lit("\r\n\r\n"),

@@ -257,3 +257,30 @@ def test_wet_deterministic_bytes(spark, tmp_path):
         outs.append(open(f, "rb").read())
     assert outs[0] == outs[1]
     assert outs[0].endswith(b"\r\n\r\n")  # last record properly terminated
+
+
+def test_wet_null_url_date_never_drop_rows(spark, tmp_path):
+    from langscrape_spark.sources.warc import read_warc, write_wet
+
+    pages = spark.createDataFrame(
+        [("https://n.example/1", "ok", "2026-02-02T00:00:00Z"),
+         (None, "null url body", "2026-02-02T00:00:00Z"),
+         ("https://n.example/3", "null date body", None)],
+        "url string, text string, fetch_ts string",
+    )
+    out = str(tmp_path / "wetnull")
+    write_wet(pages.coalesce(1), out, date_col="fetch_ts")
+    back = read_warc(spark, out + "/part-*").collect()
+    assert len(back) == 3  # nothing silently dropped
+    bodies = {r["body_text"] for r in back}
+    assert bodies == {"ok", "null url body", "null date body"}
+    # same url at two dates -> distinct record ids
+    two = spark.createDataFrame(
+        [("https://n.example/x", "v1", "2026-01-01T00:00:00Z"),
+         ("https://n.example/x", "v2", "2026-01-02T00:00:00Z")],
+        "url string, text string, fetch_ts string",
+    )
+    out2 = str(tmp_path / "wetdup")
+    write_wet(two.coalesce(1), out2, date_col="fetch_ts")
+    ids = [r["record_id"] for r in read_warc(spark, out2 + "/part-*").collect()]
+    assert len(set(ids)) == 2
