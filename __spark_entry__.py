@@ -1645,6 +1645,37 @@ def q62_bigram_ppl(spark, sf):
     ).orderBy("doc_id")
 
 
+_Q63_PASSAGE_A = " ".join(f"exdupa{i}" for i in range(25))  # 25 tokens
+_Q63_PASSAGE_B = " ".join(f"exdupb{i}" for i in range(22))  # 22 tokens
+
+
+def q63_exact_substring(spark, sf):
+    """ExactSubstr dedup (Lee et al. 2022 suffix-array dedup,
+    distributed as sliding 20-token window hashing —
+    operators/dedup.py::exact_substring_dedup): a 25-token passage is
+    appended to every doc_id%5==0 document and a 22-token passage
+    prepended to every doc_id%7==0 document (in BOTH engines); every
+    occurrence except the globally first must come out as ONE merged
+    removed span. The DuckDB oracle re-derives window hashes, winner
+    election, the gaps-and-islands span merge, per-token removal and
+    ordered reassembly."""
+    from langscrape_spark.operators.dedup import exact_substring_dedup
+
+    docs = _t_parallel(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(_Q63_PASSAGE_B + " ")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" " + _Q63_PASSAGE_A)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return exact_substring_dedup(docs, k=20).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1709,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_revisit_priority": q60_revisit_priority,
         "q61_more_like_this": q61_more_like_this,
         "q62_bigram_ppl": q62_bigram_ppl,
+        "q63_exact_substring": q63_exact_substring,
     }
 
 
@@ -3709,6 +3741,78 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY doc_id)
             SELECT d.doc_id, p.n_terms, round(p.ppl, 6) AS ppl
             FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "q63_exact_substring": f"""
+            -- ExactSubstr dedup re-derived: sliding 20-token window
+            -- md5s, min-(doc,pos) winner election, gaps-and-islands
+            -- merge of loser windows into maximal spans, per-token
+            -- removal + ordered reassembly. Same planted passages as
+            -- the Spark side.
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN '{_Q63_PASSAGE_B} ' ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' {_Q63_PASSAGE_A}' ELSE '' END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, {_TOKENS} AS tok FROM docs),
+            occ AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(tok[i+1 : i+20], ' ')) AS h
+              FROM toks,
+                   UNNEST(range(0, greatest(len(tok) - 19, 0))) AS t(i)),
+            winners AS (
+              SELECT h, min(doc_id * 1048576 + pos) AS mp,
+                     count(*) AS cnt
+              FROM occ GROUP BY h),
+            losers AS (
+              SELECT o.doc_id, o.pos, o.pos + 20 AS e
+              FROM occ o JOIN winners w USING (h)
+              WHERE w.cnt >= 2 AND o.doc_id * 1048576 + o.pos <> w.mp),
+            isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pos > coalesce(
+                            max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS ni
+              FROM losers),
+            isl2 AS (
+              SELECT doc_id, pos, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, island),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS idx, tok[i] AS t
+              FROM toks, UNNEST(range(1, len(tok) + 1)) AS u(i)),
+            kept AS (
+              SELECT tp.doc_id, tp.idx, tp.t
+              FROM tokpos tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND s.s <= tp.idx AND tp.idx < s.e)),
+            reb AS (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS td
+              FROM kept GROUP BY doc_id),
+            stats AS (
+              SELECT doc_id, sum(e - s) AS nrem, count(*) AS nsp
+              FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(reb.td, '') AS text_dedup,
+                   CAST(coalesce(st.nrem, 0) AS BIGINT)
+                     AS n_tokens_removed,
+                   CAST(coalesce(st.nsp, 0) AS BIGINT)
+                     AS n_spans_removed
+            FROM docs d
+            LEFT JOIN reb ON d.doc_id = reb.doc_id
+            LEFT JOIN stats st ON d.doc_id = st.doc_id
             ORDER BY d.doc_id
         """,
     }

@@ -624,3 +624,131 @@ def minhash_signature_fast(text: Column, num_hashes: int = 16, k: int = 3) -> Co
         return pd.Series(out)
 
     return pandas_udf(_sig, ArrayType(StringType()))(shingles(text, k))
+
+
+# --------------------------------------------------------------------------
+# exact-substring span removal (suffix-array dedup, distributed form)
+# --------------------------------------------------------------------------
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """ExactSubstr cross-document duplicated-substring removal (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" §4.1: delete every substring of >= k tokens that occurs
+    more than once in the corpus, keeping one occurrence). The
+    reference algorithm builds a corpus-wide suffix array — inherently
+    sequential and RAM-bound; the distributed equivalent is sliding
+    k-token window hashing: a window whose text occurs at more than
+    one (doc, pos) is a duplicated-substring occurrence, the globally
+    first occurrence (``min(struct(id, pos))`` — any orderable id
+    type) survives, every other occurrence is deleted from its
+    document. Overlapping/adjacent deleted windows merge into maximal
+    spans, so a copied 200-token paragraph comes out as ONE span —
+    exactly the maximal repeat the suffix array would report — and
+    documents are re-assembled from their surviving tokens in order.
+
+    Output: one row per input doc —
+    ``(id_col, text_dedup, n_tokens_removed, n_spans_removed)``.
+    Docs shorter than ``k`` tokens pass through untouched (no windows).
+    Text is whitespace-normalized/lowercased by tokenization, like
+    ``span_dedup``. When the first occurrence of substring A overlaps
+    a non-first occurrence of a different substring B inside the same
+    doc, B's deletion wins for the shared tokens (union-of-deletions
+    semantics; the suffix-array reference makes the same class of
+    tie-break arbitrarily).
+
+    Scale shape (100 TB):
+    - windows explode to ~n_tokens rows — the same order the suffix
+      array itself holds — but ONLY ``(id, pos, md5)`` ever shuffles:
+      the 32-char hash is computed inside the per-row ``transform``,
+      window strings are never materialized corpus-wide (naive
+      windowing would shuffle k x corpus bytes);
+    - winner election is ``groupBy(h).agg(min(struct), count)`` with
+      map-side partial agg — a boilerplate window shared by 10^8 docs
+      is ONE reduce group, never a hot partition;
+    - the loser join back on ``h`` matches exactly one winner row per
+      hash — no fanout on hot windows;
+    - span merging is a gaps-and-islands window partitioned BY
+      DOCUMENT (every doc its own group — fully parallel, never a
+      global window);
+    - merged spans collect to a per-doc array (bounded by the doc's
+      own token count, the bound the doc row already pays) and join
+      back docs-sized; reassembly is one in-row indexed ``filter`` —
+      no token-level shuffle.
+    """
+    from .text import words_col
+
+    toks = words_col(F.col(text_col))
+    n = F.size(toks)
+    # per-window md5 built inside the transform: only hashes leave the row
+    win_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_hashes).alias("pos", "h"),
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w"),
+        F.count("*").alias("cnt"),
+    )
+    losers = (
+        occ.join(winners, "h")
+        .where(
+            (F.col("cnt") >= 2)
+            & ~((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        )
+        .select("id", "pos", (F.col("pos") + F.lit(k)).alias("end"))
+    )
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    run_max_end = F.max("end").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = losers.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(run_max_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy("id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    spans_doc = spans.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    return (
+        base.join(spans_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("toks"),
+                    lambda t, i: ~F.exists(
+                        sp, lambda s: (s["s"] <= i) & (i < s["e"])
+                    ),
+                ),
+            ).alias("text_dedup"),
+            F.aggregate(
+                sp,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + (s["e"] - s["s"]),
+            ).alias("n_tokens_removed"),
+            F.size(sp).cast("long").alias("n_spans_removed"),
+        )
+    )

@@ -466,3 +466,96 @@ def test_lsh_topk_survives_null_embedding(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["vec_id"] < 99991 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022 ExactSubstr, round 3)
+# ---------------------------------------------------------------------------
+
+def _wtext(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestExactSubstringDedup:
+    K = 20
+    PASSAGE = _wtext("p", 25)   # 25-token cross-doc passage
+    PASSAGE2 = _wtext("q", 22)  # second passage, also repeated in-doc
+
+    def _run(self, spark, rows, k=K):
+        from langscrape_spark.operators.dedup import exact_substring_dedup
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: r
+            for r in exact_substring_dedup(df, k=k).collect()
+        }
+
+    def test_cross_doc_passage_removed_exactly_once(self, spark):
+        """First (min id, pos) occurrence survives; every other doc
+        loses exactly the passage — as ONE merged span, even though 6
+        overlapping windows flagged it (the boundary windows that mix
+        passage + per-doc context hash uniquely and are NOT flagged)."""
+        rows = [
+            (1, f"alpha beta {self.PASSAGE} gamma {_wtext('a', 30)}"),
+            (2, f"start2 {self.PASSAGE} {_wtext('b', 30)}"),
+            (3, f"{_wtext('c', 30)} {self.PASSAGE}"),
+        ]
+        out = self._run(spark, rows)
+        assert out[1]["n_tokens_removed"] == 0
+        assert self.PASSAGE in out[1]["text_dedup"]
+        for d in (2, 3):
+            assert out[d]["n_tokens_removed"] == 25
+            assert out[d]["n_spans_removed"] == 1
+            assert "p0" not in out[d]["text_dedup"]
+        # survivors keep their own context tokens intact
+        assert out[2]["text_dedup"].startswith("start2 b0 b1")
+        assert out[3]["text_dedup"].endswith("c28 c29")
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        rows = [(7, f"{self.PASSAGE2} mid {_wtext('z', 25)} {self.PASSAGE2}")]
+        out = self._run(spark, rows)
+        assert out[7]["n_tokens_removed"] == 22
+        assert out[7]["n_spans_removed"] == 1
+        assert out[7]["text_dedup"].startswith("q0 q1")
+        assert out[7]["text_dedup"].endswith("z23 z24")
+
+    def test_two_separate_spans(self, spark):
+        rows = [
+            (1, f"{self.PASSAGE} {_wtext('x', 25)} {self.PASSAGE2}"),
+            (2, f"{_wtext('y', 5)} {self.PASSAGE} {_wtext('w', 25)} "
+                f"{self.PASSAGE2} tail2"),
+        ]
+        out = self._run(spark, rows)
+        assert out[2]["n_spans_removed"] == 2
+        assert out[2]["n_tokens_removed"] == 25 + 22
+        kept = out[2]["text_dedup"].split()
+        assert kept == (
+            _wtext("y", 5).split() + _wtext("w", 25).split() + ["tail2"]
+        )
+
+    def test_short_and_clean_docs_untouched(self, spark):
+        rows = [
+            (1, "tiny doc below the window size"),
+            (2, _wtext("u", 40)),
+            (3, ""),
+        ]
+        out = self._run(spark, rows)
+        for d in (1, 2, 3):
+            assert out[d]["n_tokens_removed"] == 0
+            assert out[d]["n_spans_removed"] == 0
+        assert out[2]["text_dedup"] == _wtext("u", 40)
+        assert out[3]["text_dedup"] == ""
+
+    def test_adjacent_windows_merge(self, spark):
+        """A 60-token duplicated block = 41 flagged windows collapsing
+        to one span of exactly 60 tokens."""
+        block = _wtext("m", 60)
+        rows = [
+            (1, f"{block} {_wtext('a', 25)}"),
+            (2, f"{_wtext('b', 25)} {block}"),
+        ]
+        out = self._run(spark, rows)
+        assert out[1]["n_tokens_removed"] == 0
+        assert out[2]["n_tokens_removed"] == 60
+        assert out[2]["n_spans_removed"] == 1
+        assert out[2]["text_dedup"] == _wtext("b", 25)
