@@ -1676,6 +1676,39 @@ def q63_exact_substring(spark, sf):
     return exact_substring_dedup(docs, k=20).orderBy("doc_id")
 
 
+def q64_host_quality(spark, sf):
+    """Host-level quality rollup + whole-host keep/drop
+    (operators/hostquality.py, RefinedWeb-style): the ``source``
+    column plays the host role, a page is "bad" when it has under 60
+    words, and a host is kept when it has <3 pages (low evidence) or
+    bad_share <= 0.6 — computed on the UNrounded share in both
+    engines. The DuckDB oracle re-derives word counts, the language
+    argmax (same generated fragment as q11), both host aggregations,
+    the majority-language window with its tie-break, and the gate."""
+    from langscrape_spark.operators.hostquality import (
+        host_quality_rollup,
+        page_quality_signals,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("source").alias("host"), "text"
+    )
+    pages = page_quality_signals(docs)
+    out = host_quality_rollup(
+        pages, bad=F.col("n_words") < 60, min_pages=3, max_bad_share=0.6
+    )
+    return out.select(
+        "host",
+        "n_pages",
+        "n_bad",
+        F.round("bad_share", 6).alias("bad_share"),
+        F.round("mean_words", 6).alias("mean_words"),
+        "majority_lang",
+        F.round("majority_lang_share", 6).alias("majority_lang_share"),
+        F.col("host_keep").cast("int").alias("host_keep"),
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1741,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_more_like_this": q61_more_like_this,
         "q62_bigram_ppl": q62_bigram_ppl,
         "q63_exact_substring": q63_exact_substring,
+        "q64_host_quality": q64_host_quality,
     }
 
 
@@ -3814,5 +3848,49 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN reb ON d.doc_id = reb.doc_id
             LEFT JOIN stats st ON d.doc_id = st.doc_id
             ORDER BY d.doc_id
+        """,
+        "q64_host_quality": f"""
+            -- Host-level quality rollup: word counts + language argmax
+            -- (same generated fragment as q11), two host aggregations,
+            -- the majority-language window (ties -> smallest code),
+            -- and the keep gate on the UNrounded bad share.
+            WITH q AS (
+              SELECT doc_id, source AS host, text, {_TOKENS} AS tok
+              FROM documents),
+            s AS (
+              SELECT doc_id, host, CAST(len(tok) AS BIGINT) AS n_words,
+                     {_lang_score_sql()[0]}
+              FROM q),
+            l AS (
+              SELECT doc_id, host, n_words,
+                     {_lang_score_sql()[1]} AS lang
+              FROM s),
+            per AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                     CAST(sum(CASE WHEN n_words < 60 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bad,
+                     avg(n_words) AS mean_words
+              FROM l GROUP BY host),
+            lc AS (
+              SELECT host, lang, count(*) AS lang_n
+              FROM l GROUP BY host, lang),
+            maj AS (
+              SELECT host, lang, lang_n,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY lang_n DESC, lang) AS rn
+              FROM lc)
+            SELECT p.host, p.n_pages, p.n_bad,
+                   round(p.n_bad / CAST(p.n_pages AS DOUBLE), 6)
+                     AS bad_share,
+                   round(p.mean_words, 6) AS mean_words,
+                   m.lang AS majority_lang,
+                   round(m.lang_n / CAST(p.n_pages AS DOUBLE), 6)
+                     AS majority_lang_share,
+                   CAST(CASE WHEN p.n_pages < 3
+                              OR p.n_bad / CAST(p.n_pages AS DOUBLE)
+                                 <= 0.6
+                         THEN 1 ELSE 0 END AS INT) AS host_keep
+            FROM per p JOIN maj m ON p.host = m.host AND m.rn = 1
+            ORDER BY p.host
         """,
     }

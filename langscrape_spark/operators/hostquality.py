@@ -1,0 +1,115 @@
+"""Host-level quality rollup and whole-host filtering.
+
+Web-scale curation pipelines (RefinedWeb / Penedo et al. 2023 §3.1,
+CCNet's per-domain statistics) make keep/drop decisions at the HOST
+level, not just per page: a host whose pages are overwhelmingly
+low-quality (template farms, crawl traps, machine-generated spam)
+is dropped wholesale, while low-evidence hosts (too few pages to
+judge) pass through. This module provides the per-page signal
+projection, the host rollup with a caller-supplied "bad page"
+predicate, and the broadcast host filter.
+
+Scale shape (100 TB):
+- :func:`page_quality_signals` is ONE whole-stage-codegen projection
+  (Gopher metrics + language-ID are split/filter/aggregate HOFs and
+  regexp counts) — no UDFs, no shuffle;
+- :func:`host_quality_rollup` is two equi-key hash aggregations on
+  the host key with map-side partial aggregation — a host with 10^8
+  pages is one reduce group, never a hot partition — plus a
+  hosts×langs-sized window for the majority language (partitioned by
+  host, fully parallel) and a hosts-sized join; the result is
+  hosts-sized and broadcastable;
+- :func:`filter_by_host_quality` is a broadcast LEFT SEMI join — the
+  page corpus never shuffles to be filtered.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import gopher_quality_flags, lang_id
+
+
+def page_quality_signals(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-page signal frame ``(id, host, n_words, gopher metrics,
+    passes_gopher, lang)`` — the standard input shape for
+    :func:`host_quality_rollup`. One codegen projection, no shuffle."""
+    flags = gopher_quality_flags(
+        df, text_col, id_col, keep_cols=(host_col, text_col)
+    )
+    return flags.withColumn("lang", lang_id(F.col(text_col))).drop(text_col)
+
+
+def host_quality_rollup(
+    pages: DataFrame,
+    host_col: str = "host",
+    bad: Optional[Column] = None,
+    min_pages: int = 3,
+    max_bad_share: float = 0.5,
+) -> DataFrame:
+    """Aggregate per-page signals to one row per host and decide
+    ``host_keep``.
+
+    ``bad`` is the caller's bad-page predicate evaluated over the
+    ``pages`` columns (default: the full Gopher conjunction fails —
+    ``~passes_gopher``; real pipelines substitute their own, e.g.
+    perplexity-tail membership or a length floor). A host is kept when
+    it has too few pages to judge (``n_pages < min_pages``) or its bad
+    share is within ``max_bad_share`` — low-evidence hosts must pass
+    through, RefinedWeb's convention, so a brand-new host is never
+    starved by one bad page.
+
+    Output: ``(host, n_pages, n_bad, bad_share, mean_words,
+    majority_lang, majority_lang_share, host_keep)`` — hosts-sized,
+    broadcastable. Ratios are exact small-integer divisions, so they
+    reproduce bit-for-bit in ANSI SQL (oracle q64). Majority-language
+    ties break to the lexicographically smallest code."""
+    if bad is None:
+        bad = ~F.col("passes_gopher")
+    per = pages.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.avg("n_words").alias("mean_words"),
+    )
+    lc = pages.groupBy(host_col, "lang").agg(F.count("*").alias("lang_n"))
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("lang_n").desc(), F.col("lang").asc()
+    )
+    maj = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            host_col,
+            F.col("lang").alias("majority_lang"),
+            F.col("lang_n").alias("maj_n"),
+        )
+    )
+    bad_share = F.col("n_bad") / F.col("n_pages")
+    return per.join(maj, host_col).select(
+        host_col,
+        "n_pages",
+        "n_bad",
+        bad_share.alias("bad_share"),
+        "mean_words",
+        "majority_lang",
+        (F.col("maj_n") / F.col("n_pages")).alias("majority_lang_share"),
+        (
+            (F.col("n_pages") < min_pages) | (bad_share <= max_bad_share)
+        ).alias("host_keep"),
+    )
+
+
+def filter_by_host_quality(
+    df: DataFrame, rollup: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Keep only pages on kept hosts: broadcast LEFT SEMI join — the
+    corpus side never shuffles."""
+    kept = rollup.where(F.col("host_keep")).select(host_col)
+    return df.join(F.broadcast(kept), host_col, "left_semi")

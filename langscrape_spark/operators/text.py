@@ -12,6 +12,8 @@ oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Per-language stopword lists (public common words; Latin-script
@@ -355,6 +357,7 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The Gopher rule set as one projection: per-document word count,
     mean word length, symbol-to-word ratio (``#`` and ellipses),
@@ -417,6 +420,7 @@ def gopher_quality_flags(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(frac_alpha_words, 6).alias("frac_alpha_words"),

@@ -1303,3 +1303,82 @@ def test_bigram_ppl_unk_closure(spark):
     assert all(r["ppl"] is not None and r["ppl"] > 0 for r in out.values())
     # the all-in-vocab doc is more predictable -> lower perplexity
     assert out[2]["ppl"] < out[1]["ppl"]
+
+
+# ---------------------------------------------------------------------------
+# host-level quality rollup + whole-host filtering (round 3, q64)
+# ---------------------------------------------------------------------------
+
+def _hq_pages(spark):
+    """Planted page-signal corpus: hostA all-short (bad under the
+    n_words<6 predicate), hostB mostly fine, hostC low-evidence (2
+    pages, both bad), hostD an exact en/de language tie."""
+    from langscrape_spark.operators.hostquality import page_quality_signals
+
+    en = "the and of to in is " * 2          # 12 words, en stopwords
+    de = "der die das und ist von " * 2      # 12 words, de stopwords
+    short = "tiny page"                      # 2 words -> bad
+    rows = (
+        [(i, "hostA", short) for i in range(5)]
+        + [(10 + i, "hostB", en) for i in range(4)]
+        + [(20, "hostB", short)]
+        + [(30, "hostC", short), (31, "hostC", short)]
+        + [(40, "hostD", en), (41, "hostD", de)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    return page_quality_signals(df)
+
+
+def test_host_rollup_gates_and_low_evidence(spark):
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.hostquality import host_quality_rollup
+
+    out = {
+        r["host"]: r
+        for r in host_quality_rollup(
+            _hq_pages(spark), bad=F.col("n_words") < 6, max_bad_share=0.5
+        ).collect()
+    }
+    # hostA: 5 pages, all bad -> dropped
+    assert out["hostA"]["n_pages"] == 5 and out["hostA"]["n_bad"] == 5
+    assert out["hostA"]["bad_share"] == 1.0 and not out["hostA"]["host_keep"]
+    # hostB: 1/5 bad -> kept
+    assert out["hostB"]["bad_share"] == 0.2 and out["hostB"]["host_keep"]
+    # hostC: 2 pages (< min_pages=3), all bad -> kept anyway
+    assert out["hostC"]["n_bad"] == 2 and out["hostC"]["host_keep"]
+    # majority language + exact share; tie on hostD resolves to 'de'
+    assert out["hostB"]["majority_lang"] == "en"
+    assert out["hostB"]["majority_lang_share"] == 0.8
+    assert out["hostD"]["majority_lang"] == "de"
+    assert out["hostD"]["majority_lang_share"] == 0.5
+    # mean words is the exact integer-sum average
+    assert out["hostB"]["mean_words"] == (12 * 4 + 2) / 5
+
+
+def test_host_filter_is_broadcast_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.hostquality import (
+        filter_by_host_quality,
+        host_quality_rollup,
+    )
+
+    pages = _hq_pages(spark)
+    roll = host_quality_rollup(
+        pages, bad=F.col("n_words") < 6, max_bad_share=0.5
+    )
+    kept = filter_by_host_quality(pages, roll)
+    hosts = {r["host"] for r in kept.select("host").distinct().collect()}
+    assert hosts == {"hostB", "hostC", "hostD"}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_host_rollup_default_bad_is_gopher(spark):
+    """Default predicate = Gopher conjunction fails; the planted short
+    pages all fail, so every host's n_bad equals n_pages."""
+    from langscrape_spark.operators.hostquality import host_quality_rollup
+
+    out = host_quality_rollup(_hq_pages(spark)).collect()
+    assert all(r["n_bad"] == r["n_pages"] for r in out)
