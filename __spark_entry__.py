@@ -1709,6 +1709,50 @@ def q64_host_quality(spark, sf):
     ).orderBy("host")
 
 
+def q65_chunk_documents(spark, sf):
+    """Document chunking (operators/text.py::chunk_documents):
+    40-token segments with 8-token overlap (stride 32), every token
+    covered, short tail chunk, empty docs emit no rows. The DuckDB
+    oracle re-derives the chunk count formula, starts, slices and
+    lengths."""
+    from langscrape_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, max_tokens=40, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_Q66_MOJI_A = " donâ€™t say â€œnaÃ¯veâ€¦"
+_Q66_MOJI_B = " cafÃ© Ã¼ber â€“ okÂ\xa0fin"
+
+
+def q66_mojibake(spark, sf):
+    """Mojibake repair (operators/text.py::fix_mojibake /
+    mojibake_count, the high-frequency ftfy subset): artifacts planted
+    into deterministic doc subsets (identically in BOTH engines), the
+    literal replace chain and the per-state occurrence counts
+    re-derived by the oracle from the SAME MOJIBAKE_MAP table."""
+    from langscrape_spark.operators.text import fix_mojibake, mojibake_count
+
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_Q66_MOJI_A))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_Q66_MOJI_B))
+        .otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return docs.select(
+        "doc_id",
+        mojibake_count(F.col("text")).alias("n_mojibake"),
+        fix_mojibake(F.col("text")).alias("text_fixed"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1775,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_bigram_ppl": q62_bigram_ppl,
         "q63_exact_substring": q63_exact_substring,
         "q64_host_quality": q64_host_quality,
+        "q65_chunk_documents": q65_chunk_documents,
+        "q66_mojibake": q66_mojibake,
     }
 
 
@@ -1922,6 +1968,32 @@ def _lang_score_sql() -> tuple[str, str]:
         "ELSE 'und' END"
     )
     return select, case
+
+
+def _mojibake_sql(src_cte: str) -> tuple[str, int]:
+    """Chained-CTE mojibake repair generated from the operator's
+    MOJIBAKE_MAP (single source of truth — no SQL-side literals exist):
+    CTE ``s{{i}}`` counts pattern i on the text state AFTER patterns
+    0..i-1 were applied (mojibake_count's convention) and carries a
+    running total. Returns (cte_chain, final_index); the caller
+    selects ``acc{{n}}`` / ``t{{n}}`` from ``s{{n}}``."""
+    from langscrape_spark.operators.text import MOJIBAKE_MAP
+
+    ctes = [
+        f"s0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS acc0, text AS t0 "
+        f"FROM {src_cte})"
+    ]
+    for i, (bad, good) in enumerate(MOJIBAKE_MAP, start=1):
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"acc{i - 1} + CAST((length(t{i - 1}) - "
+            f"length(replace(t{i - 1}, '{b}', ''))) / {len(bad)} "
+            f"AS BIGINT) AS acc{i}, "
+            f"replace(t{i - 1}, '{b}', '{g}') AS t{i} FROM s{i - 1})"
+        )
+    return ",\n            ".join(ctes), len(MOJIBAKE_MAP)
 
 
 # Shared oracle fragment: the q54 snapshot-delta CTE chain (old/new
@@ -3892,5 +3964,43 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS INT) AS host_keep
             FROM per p JOIN maj m ON p.host = m.host AND m.rn = 1
             ORDER BY p.host
+        """,
+        "q65_chunk_documents": f"""
+            -- Document chunking: 40-token segments, 8-token overlap
+            -- (stride 32); chunk-count formula, starts, slices and
+            -- tail lengths re-derived.
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            par AS (
+              SELECT doc_id, tok, len(tok) AS n,
+                     CASE WHEN len(tok) <= 0 THEN 0
+                          WHEN len(tok) <= 40 THEN 1
+                          ELSE CAST(floor((len(tok) - 40 + 31) / 32.0)
+                                    AS BIGINT) + 1
+                     END AS nc
+              FROM toks)
+            SELECT doc_id, i AS chunk_idx,
+                   CAST(least(40, n - i * 32) AS BIGINT) AS n_tokens,
+                   array_to_string(tok[i*32+1 : i*32+40], ' ')
+                     AS chunk_text
+            FROM par, UNNEST(range(0, nc)) AS t(i)
+            ORDER BY doc_id, chunk_idx
+        """,
+        "q66_mojibake": f"""
+            -- Mojibake repair: replace chain + per-state counts
+            -- generated from operators/text.MOJIBAKE_MAP (single
+            -- source of truth), same planted artifacts.
+            WITH docs AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN '{_Q66_MOJI_A}'
+                                  WHEN doc_id % 3 = 1
+                                  THEN '{_Q66_MOJI_B}'
+                                  ELSE '' END AS text
+              FROM documents),
+            {_mojibake_sql('docs')[0]}
+            SELECT doc_id, acc{_mojibake_sql('docs')[1]} AS n_mojibake,
+                   t{_mojibake_sql('docs')[1]} AS text_fixed
+            FROM s{_mojibake_sql('docs')[1]}
+            ORDER BY doc_id
         """,
     }

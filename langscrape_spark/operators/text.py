@@ -770,3 +770,124 @@ def bigram_ppl(
             "left",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking — max-token segments with overlap
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split every document into ``max_tokens``-token segments where
+    consecutive segments share ``overlap`` tokens — the standard
+    embedding / pretraining preparation for long documents (a 10^6
+    -token page cannot ride a fixed context window whole). Every token
+    is covered; the last chunk may be shorter; empty docs emit no
+    chunks (the output is a CHUNK table keyed ``(id, chunk_idx)``, not
+    a doc table).
+
+    Output: ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+
+    Scale shape: one in-row ``transform`` + ``posexplode`` — no
+    shuffle, no UDFs; output bytes ≈ corpus x max_tokens/stride (the
+    overlap duplication factor — callers pick ``overlap`` knowing the
+    write amplification). A 10^6-token document fans out in its own
+    map task; no key ever concentrates."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = words_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= max_tokens, F.lit(1))
+        .otherwise(
+            F.floor((n - max_tokens + stride - 1) / F.lit(stride)).cast("int")
+            + F.lit(1)
+        )
+    )
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, max_tokens)
+                ).alias("chunk_text"),
+                F.least(F.lit(max_tokens), n - i * stride)
+                .cast("long")
+                .alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<chunk_text:string,n_tokens:long>>")
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair — UTF-8-read-as-Latin-1 artifacts (ftfy-style subset)
+# ---------------------------------------------------------------------------
+
+# Ordered literal replacements (NOT regexes — applied with plain
+# replace() so the same table drives both engines verbatim). The
+# 3-char punctuation artifacts go first; the 2-char accented-letter
+# pairs never overlap them. Single source of truth: the q66 oracle
+# generates its replace chain from this table.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Â ", " "),  # Â + nbsp -> space
+]
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the common UTF-8-decoded-as-Latin-1 artifacts (the
+    high-frequency subset of what ftfy fixes in web crawls). Pure
+    literal ``replace`` chain — whole-stage codegen, no regex engine
+    differences to reconcile."""
+    out = text
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_count(text: Column) -> Column:
+    """Number of mojibake artifact occurrences, counted on the text
+    state each replacement actually sees (same convention as
+    :func:`pii_scrub`): occurrences of pattern i are counted after
+    patterns 0..i-1 were applied, so the total equals the number of
+    replacements :func:`fix_mojibake` performs."""
+    total = F.lit(0).cast("long")
+    cur = text
+    for bad, good in MOJIBAKE_MAP:
+        hits = (
+            (F.length(cur) - F.length(F.replace(cur, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        total = total + hits
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    return total

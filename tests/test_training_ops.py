@@ -1382,3 +1382,91 @@ def test_host_rollup_default_bad_is_gopher(spark):
 
     out = host_quality_rollup(_hq_pages(spark)).collect()
     assert all(r["n_bad"] == r["n_pages"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (round 3, q65)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token covered, consecutive chunks share exactly `overlap`
+    tokens, last chunk short, empty docs emit nothing."""
+    import pytest as _pytest
+    from langscrape_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, max_tokens=40, overlap=8)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in d1] == [40, 40, 36]
+    toks = [r["chunk_text"].split() for r in d1]
+    # stride 32: chunk i starts at token 32*i
+    assert toks[1][0] == "w32" and toks[2][0] == "w64"
+    # consecutive chunks share exactly the 8 overlap tokens
+    assert toks[0][-8:] == toks[1][:8]
+    assert toks[1][-8:] == toks[2][:8]
+    # full coverage, in order
+    merged = toks[0] + toks[1][8:] + toks[2][8:]
+    assert merged == text.split()
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 2
+    assert not [r for r in rows if r["doc_id"] == 3]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_chunk_documents_exact_boundary(spark):
+    """n == max_tokens -> exactly one chunk; n == max_tokens+1 -> two."""
+    from langscrape_spark.operators.text import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, mk(40)), (2, mk(41))], ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=40, overlap=8)
+    counts = {
+        r["doc_id"]: r["c"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (round 3, q66)
+# ---------------------------------------------------------------------------
+
+def test_mojibake_fix_and_count(spark):
+    from langscrape_spark.operators.text import fix_mojibake, mojibake_count
+
+    dirty = "donâ€™t say â€œnaÃ¯veâ€¦ cafÃ© xÂ y"
+    df = spark.createDataFrame([(1, dirty), (2, "clean plain text")], ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            fix_mojibake(F.col("text")).alias("fixed"),
+            mojibake_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1]["fixed"] == "don’t say “naïve… café x y"
+    assert out[1]["n"] == 6
+    assert out[2]["fixed"] == "clean plain text" and out[2]["n"] == 0
+
+
+def test_mojibake_fix_idempotent(spark):
+    """The repaired characters never re-match any artifact pattern."""
+    from langscrape_spark.operators.text import fix_mojibake, mojibake_count
+
+    dirty = "cafÃ© â€™ Ã¼ber"
+    df = spark.createDataFrame([(1, dirty)], ["id", "text"])
+    once = df.select(fix_mojibake(F.col("text")).alias("text"))
+    twice = once.select(
+        fix_mojibake(F.col("text")).alias("t2"),
+        mojibake_count(F.col("text")).alias("n2"),
+    ).first()
+    assert twice["t2"] == once.first()["text"]
+    assert twice["n2"] == 0
