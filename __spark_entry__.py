@@ -1690,7 +1690,7 @@ def q64_host_quality(spark, sf):
         page_quality_signals,
     )
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _t_parallel(spark, sf, "documents").select(
         "doc_id", F.col("source").alias("host"), "text"
     )
     pages = page_quality_signals(docs)
