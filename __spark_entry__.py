@@ -1753,6 +1753,34 @@ def q66_mojibake(spark, sf):
     ).orderBy("doc_id")
 
 
+def q67_nb_quality(spark, sf):
+    """Hashed-feature Naive-Bayes quality classifier
+    (operators/classifier.py — the fastText/CCNet/FineWeb-Edu curation
+    stage with closed-form, oracle-reproducible weights): silver
+    labels from a length gate (n_words >= 60), trained on the
+    doc_id%3==0 split, scored over the WHOLE corpus. The DuckDB
+    oracle re-derives tokens, md5%256 buckets, per-class smoothed
+    likelihoods, the doc-level prior, per-doc score sums and the
+    round-6 decision boundary."""
+    from langscrape_spark.operators.classifier import nb_score, nb_train
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t_parallel(spark, sf, "documents").select("doc_id", "text")
+    labeled = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "text",
+        (F.size(words_col(F.col("text"))) >= 60).alias("label"),
+    )
+    model = nb_train(labeled, n=1, num_buckets=256)
+    out = nb_score(docs, model, n=1, num_buckets=256)
+    return out.select(
+        "doc_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        F.round("score", 6).alias("score"),
+        (F.round("score", 6) > 0).cast("int").alias("pred"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1821,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_host_quality": q64_host_quality,
         "q65_chunk_documents": q65_chunk_documents,
         "q66_mojibake": q66_mojibake,
+        "q67_nb_quality": q67_nb_quality,
     }
 
 
@@ -4002,5 +4031,64 @@ def oracle_sql() -> dict[str, str]:
                    t{_mojibake_sql('docs')[1]} AS text_fixed
             FROM s{_mojibake_sql('docs')[1]}
             ORDER BY doc_id
+        """,
+        "q67_nb_quality": f"""
+            -- Hashed-feature multinomial NB: silver length labels on
+            -- the doc_id%3==0 split, md5%256 unigram buckets (power-
+            -- of-2 so signed pmod == unsigned %), add-0.5 smoothing
+            -- over the full bucket space, doc prior, per-doc log-odds,
+            -- decision on the ROUNDED score (both engines).
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            train AS (
+              SELECT doc_id, tok,
+                     CASE WHEN len(tok) >= 60 THEN 1 ELSE 0 END AS y
+              FROM toks WHERE doc_id % 3 = 0),
+            feat AS (
+              SELECT y, CAST(md5_number_lower(t) % 256 AS BIGINT)
+                       AS bucket
+              FROM train, UNNEST(tok) AS u(t)),
+            cc AS (
+              SELECT bucket,
+                     sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+              FROM feat GROUP BY bucket),
+            tot AS (
+              SELECT CAST(coalesce(sum(c1), 0) AS DOUBLE) AS n1,
+                     CAST(coalesce(sum(c0), 0) AS DOUBLE) AS n0
+              FROM cc),
+            dc AS (
+              SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS d1,
+                     CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS d0
+              FROM train),
+            model AS (
+              SELECT b.range AS bucket,
+                     ln((coalesce(cc.c1, 0) + 0.5) / (t.n1 + 0.5 * 256))
+                     - ln((coalesce(cc.c0, 0) + 0.5) / (t.n0 + 0.5 * 256))
+                       AS llr
+              FROM range(256) b
+              LEFT JOIN cc ON cc.bucket = b.range
+              CROSS JOIN tot t),
+            prior AS (
+              SELECT ln(d1 / (d1 + d0)) - ln(d0 / (d1 + d0)) AS lp
+              FROM dc),
+            docfeat AS (
+              SELECT doc_id, CAST(md5_number_lower(t) % 256 AS BIGINT)
+                       AS bucket
+              FROM toks, UNNEST(tok) AS u(t)),
+            scored AS (
+              SELECT d.doc_id, count(*) AS nf, sum(m.llr) AS s
+              FROM docfeat d JOIN model m USING (bucket)
+              GROUP BY d.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_features,
+                   round(coalesce(sc.s, 0) + p.lp, 6) AS score,
+                   CAST(CASE WHEN round(coalesce(sc.s, 0) + p.lp, 6) > 0
+                        THEN 1 ELSE 0 END AS INT) AS pred
+            FROM toks t
+            LEFT JOIN scored sc ON sc.doc_id = t.doc_id
+            CROSS JOIN prior p
+            ORDER BY t.doc_id
         """,
     }

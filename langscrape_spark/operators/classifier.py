@@ -1,0 +1,153 @@
+"""Hashed-feature multinomial Naive Bayes quality classifier.
+
+The fastText-style linear quality classifier is a standard stage in
+web-corpus curation (CCNet trains one against Wikipedia, FineWeb-Edu
+against LLM-graded seeds; langscrape's LLM grader plays the same role
+per-page — ``langscrape/nodes/data_collator.py`` routes pages by an
+LLM quality verdict). Multinomial NB over hashed token buckets is the
+deterministic, one-pass-trainable member of that family: scoring is a
+linear scan ``score(x) = log_prior + sum_f count_f(x) * llr_f`` —
+exactly a fastText linear model whose weights come from closed-form
+counts instead of SGD, which makes it reproducible bit-for-bit in the
+DuckDB oracle (no iterative float drift).
+
+Scale shape (100 TB): training is one explode + equi-key count agg
+whose output is ``2 * num_buckets`` rows (the hashed vocabulary is the
+point — no giant vocab table), collected driver-side and re-seeded as
+a small frame exactly like :func:`dsir.feature_log_ratio`; the labeled
+set is the SMALL side by construction (curation classifiers train on
+10^4-10^6 seeds, score 10^10 pages). Scoring broadcasts the
+``num_buckets``-sized weight table against the exploded corpus —
+map-side join, per-doc reduce shuffles ~1 row/doc/partition after
+partial aggregation. No UDFs anywhere; the hash is the md5 lower half
+(DuckDB ``md5_number_lower``) with a power-of-2 bucket count so
+Spark's signed ``pmod`` equals DuckDB's unsigned ``%``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dsir import hashed_ngram_buckets
+
+
+def nb_train(
+    labeled_docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n: int = 1,
+    num_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Train on a labeled frame (``label_col`` boolean-ish: casts to
+    int, 1 = positive). Returns the broadcastable model as a
+    ``num_buckets``-row frame ``(bucket, llr, log_prior)``:
+
+    - ``llr_b  = ln((c1_b + a) / (N1 + a*B)) - ln((c0_b + a) / (N0 + a*B))``
+      (add-alpha multinomial likelihood ratio per hashed bucket),
+    - ``log_prior = ln(d1 / d) - ln(d0 / d)`` (doc-level class prior,
+      replicated on every row so the model stays ONE broadcast table).
+
+    Token counts use occurrence multiplicity (multinomial NB, same
+    bag-of-hashed-features convention as DSIR). The labeled set is
+    scanned twice (token counts + doc counts) — it is the small side.
+    Smoothing is over the full fixed bucket space, so scoring has no
+    OOV branch and every bucket exists in the model.
+    """
+    lab = labeled_docs.select(
+        F.col(label_col).cast("int").alias("y"), F.col(text_col).alias("t")
+    )
+    tok_rows = (
+        lab.select(
+            "y",
+            F.explode(hashed_ngram_buckets(F.col("t"), n, num_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("y", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    doc_rows = lab.groupBy("y").agg(F.count(F.lit(1)).alias("d")).collect()
+    c1 = {int(r["bucket"]): int(r["c"]) for r in tok_rows if r["y"] == 1}
+    c0 = {int(r["bucket"]): int(r["c"]) for r in tok_rows if r["y"] != 1}
+    d1 = sum(int(r["d"]) for r in doc_rows if r["y"] == 1)
+    d0 = sum(int(r["d"]) for r in doc_rows if r["y"] != 1)
+    if d1 == 0 or d0 == 0:
+        raise ValueError(
+            f"nb_train needs both classes in the labeled set (pos={d1}, "
+            f"neg={d0})"
+        )
+    n1 = sum(c1.values())
+    n0 = sum(c0.values())
+    base = labeled_docs.sparkSession.createDataFrame(
+        [(b, c1.get(b, 0), c0.get(b, 0)) for b in range(num_buckets)],
+        "bucket long, c1 long, c0 long",
+    )
+    # ln evaluated by Spark (not python math.log) for engine float
+    # parity with the oracle's ln() — same discipline as DSIR.
+    denom1 = F.lit(float(n1)) + F.lit(alpha) * F.lit(num_buckets)
+    denom0 = F.lit(float(n0)) + F.lit(alpha) * F.lit(num_buckets)
+    prior = F.log(F.lit(float(d1)) / F.lit(float(d1 + d0))) - F.log(
+        F.lit(float(d0)) / F.lit(float(d1 + d0))
+    )
+    return base.select(
+        "bucket",
+        (
+            F.log((F.col("c1") + F.lit(alpha)) / denom1)
+            - F.log((F.col("c0") + F.lit(alpha)) / denom0)
+        ).alias("llr"),
+        prior.alias("log_prior"),
+    )
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Score every document with the trained model:
+    ``(id, n_features, score, pred)`` where ``score`` is the class
+    log-odds ``log_prior + sum(llr over feature occurrences)`` and
+    ``pred = score > 0``. Empty docs score exactly ``log_prior``
+    (kept — the downstream gate decides).
+
+    The model broadcast-joins the exploded corpus map-side; the
+    per-doc sum shuffles one partial row per doc per partition.
+    ``n``/``num_buckets`` must match training — the model is just a
+    weight table and cannot check.
+    """
+    feats = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), n, num_buckets)
+        ).alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_features"),
+            (
+                F.sum(F.coalesce("llr", F.lit(0.0)))
+                + F.first("log_prior", ignorenulls=True)
+            ).alias("score"),
+        )
+    )
+    # a doc whose every row missed the model (impossible by
+    # construction — smoothing fills all buckets — but explode_outer
+    # NULL-bucket rows for empty docs carry no log_prior) still needs
+    # the prior: re-join the constant from the model head.
+    prior = model.select(F.first("log_prior").alias("_lp")).limit(1)
+    return (
+        scored.crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_features",
+            F.coalesce("score", F.col("_lp")).alias("score"),
+        )
+        .withColumn("pred", F.col("score") > 0)
+    )

@@ -1470,3 +1470,87 @@ def test_mojibake_fix_idempotent(spark):
     ).first()
     assert twice["t2"] == once.first()["text"]
     assert twice["n2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature Naive Bayes quality classifier (round 3, q67)
+# ---------------------------------------------------------------------------
+
+def _nb_corpus(spark):
+    """20 labeled docs with a planted vocabulary signal: positive docs
+    speak 'alpha' words, negative docs 'spam' words, with shared
+    neutral filler."""
+    rows = []
+    for i in range(10):
+        rows.append(
+            (i, 1, f"alpha{i % 3} quality prose useful filler{i % 4} text")
+        )
+        rows.append(
+            (100 + i, 0, f"spam{i % 3} casino pills junk filler{i % 4} text")
+        )
+    return spark.createDataFrame(rows, ["doc_id", "label", "text"])
+
+
+def test_nb_classifier_learns_planted_signal(spark):
+    """Held-out docs using the class vocabularies score on the right
+    side of 0; the score IS prior + sum(llr) (checked on an empty
+    doc: exactly the prior)."""
+    from langscrape_spark.operators.classifier import nb_score, nb_train
+
+    model = nb_train(_nb_corpus(spark), num_buckets=64)
+    held = spark.createDataFrame(
+        [
+            (1000, "alpha0 alpha1 quality useful"),
+            (1001, "spam0 casino junk pills"),
+            (1002, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_score(held, model, num_buckets=64).collect()
+    }
+    assert out[1000]["score"] > 0 and out[1000]["pred"]
+    assert out[1001]["score"] < 0 and not out[1001]["pred"]
+    # empty doc: no features -> score == log_prior (balanced set -> 0)
+    assert out[1002]["n_features"] == 0
+    assert abs(out[1002]["score"]) < 1e-12
+
+
+def test_nb_classifier_prior_shifts_empty_docs(spark):
+    """Unbalanced classes move the empty-doc score to the prior
+    log-odds, not 0."""
+    import math
+
+    from langscrape_spark.operators.classifier import nb_score, nb_train
+
+    df = _nb_corpus(spark).where("doc_id < 5 or doc_id >= 100")  # 5 pos, 10 neg
+    model = nb_train(df, num_buckets=64)
+    out = nb_score(
+        spark.createDataFrame([(1, "")], ["doc_id", "text"]),
+        model,
+        num_buckets=64,
+    ).first()
+    assert abs(out["score"] - (math.log(5 / 15) - math.log(10 / 15))) < 1e-12
+
+
+def test_nb_train_requires_both_classes(spark):
+    import pytest as _pytest
+
+    from langscrape_spark.operators.classifier import nb_train
+
+    one_class = _nb_corpus(spark).where("label = 1")
+    with _pytest.raises(ValueError, match="both classes"):
+        nb_train(one_class, num_buckets=64)
+
+
+def test_nb_score_plans_as_broadcast_join(spark):
+    """The model side must broadcast — the corpus never shuffles for
+    the join (only the per-doc partial agg)."""
+    from langscrape_spark.operators.classifier import nb_score, nb_train
+
+    model = nb_train(_nb_corpus(spark), num_buckets=64)
+    out = nb_score(_nb_corpus(spark).drop("label"), model, num_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
