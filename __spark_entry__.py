@@ -1781,6 +1781,49 @@ def q67_nb_quality(spark, sf):
     ).orderBy("doc_id")
 
 
+def q68_page_filter(spark, sf):
+    """Domain-blocklist + badword curation gate
+    (operators/filters.py — UT1-style subdomain-matching blocklist via
+    suffix-chain equi-join, C4-style badword ratio): hosts and badword
+    hits planted deterministically (identically in BOTH engines);
+    the DuckDB oracle re-derives suffix chains, longest-match entry,
+    token hits, the NULL-safe ratio and the keep gate on the UNrounded
+    ratio."""
+    from langscrape_spark.operators.filters import page_filter
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".badtld.xyz")).otherwise(
+                F.lit(".example.com")
+            ),
+        ).alias("host"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(" casino casino pills")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bl = spark.createDataFrame(
+        [("src2.example.com",), ("badtld.xyz",), ("cdn.src7.example.com",)],
+        "domain string",
+    )
+    bw = spark.createDataFrame([("casino",), ("pills",)], "word string")
+    out = page_filter(docs, bl, bw, max_badword_ratio=0.02)
+    return out.select(
+        "doc_id",
+        "host",
+        F.coalesce("blocked_domain", F.lit("")).alias("blocked_domain"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_badwords").cast("long").alias("n_badwords"),
+        F.round("badword_ratio", 6).alias("badword_ratio"),
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1850,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_chunk_documents": q65_chunk_documents,
         "q66_mojibake": q66_mojibake,
         "q67_nb_quality": q67_nb_quality,
+        "q68_page_filter": q68_page_filter,
     }
 
 
@@ -4090,5 +4134,60 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scored sc ON sc.doc_id = t.doc_id
             CROSS JOIN prior p
             ORDER BY t.doc_id
+        """,
+        "q68_page_filter": f"""
+            -- Blocklist + badword gate: suffix chains, longest
+            -- (most-specific) matching entry, token hits against the
+            -- wordlist, NULL-safe ratio, keep on the UNrounded ratio.
+            WITH docs AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+                     || source ||
+                     (CASE WHEN doc_id % 5 = 0 THEN '.badtld.xyz'
+                           ELSE '.example.com' END) AS host,
+                     text || CASE WHEN doc_id % 6 = 0
+                                  THEN ' casino casino pills'
+                                  ELSE '' END AS text
+              FROM documents),
+            bl(domain) AS (VALUES ('src2.example.com'), ('badtld.xyz'),
+                                  ('cdn.src7.example.com')),
+            bw(word) AS (VALUES ('casino'), ('pills')),
+            sp AS (
+              SELECT doc_id, string_split(host, '.') AS parts FROM docs),
+            sfx AS (
+              SELECT doc_id, array_to_string(parts[i:], '.') AS sfx
+              FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+            best AS (
+              SELECT doc_id, sfx AS blocked_domain,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY length(sfx) DESC) AS rn
+              FROM sfx s JOIN bl b ON s.sfx = b.domain),
+            toks AS (SELECT doc_id, {_TOKENS} AS tok FROM docs),
+            tw AS (SELECT doc_id, t FROM toks, UNNEST(tok) AS u(t)),
+            stats AS (
+              SELECT tw.doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN b.word IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_badwords
+              FROM tw LEFT JOIN bw b ON tw.t = b.word
+              GROUP BY tw.doc_id)
+            SELECT d.doc_id, d.host,
+                   coalesce(b.blocked_domain, '') AS blocked_domain,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.n_badwords, 0) AS BIGINT)
+                     AS n_badwords,
+                   round(s.n_badwords
+                         / CAST(nullif(s.n_tokens, 0) AS DOUBLE), 6)
+                     AS badword_ratio,
+                   CAST(CASE WHEN b.blocked_domain IS NULL
+                         AND coalesce(s.n_badwords
+                             / CAST(nullif(s.n_tokens, 0) AS DOUBLE), 0)
+                             <= 0.02
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM docs d
+            LEFT JOIN (SELECT doc_id, blocked_domain FROM best
+                       WHERE rn = 1) b ON b.doc_id = d.doc_id
+            LEFT JOIN stats s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

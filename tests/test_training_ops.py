@@ -1554,3 +1554,73 @@ def test_nb_score_plans_as_broadcast_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# blocklist + badword page filter (round 3, q68)
+# ---------------------------------------------------------------------------
+
+def test_blocklist_subdomain_matching(spark):
+    """Exact + subdomain matches block; a host that merely ENDS with
+    the entry string ('notexample.com') does not; longest (most
+    specific) entry wins."""
+    from langscrape_spark.operators.filters import blocklist_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "example.com"),
+            (2, "ads.example.com"),
+            (3, "notexample.com"),
+            (4, "deep.ads.example.com"),
+            (5, "clean.org"),
+        ],
+        ["doc_id", "host"],
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",)], "domain string"
+    )
+    out = {r["doc_id"]: r["blocked_domain"] for r in blocklist_match(docs, bl).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "ads.example.com"  # most specific, not example.com
+    assert out[3] is None
+    assert out[4] == "ads.example.com"
+    assert out[5] is None
+
+
+def test_badword_stats_multiplicity_and_empty(spark):
+    from langscrape_spark.operators.filters import badword_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Casino night casino CASINO fun"), (2, ""), (3, "clean text")],
+        ["doc_id", "text"],
+    )
+    bw = spark.createDataFrame([("casino",)], "word string")
+    out = {r["doc_id"]: r for r in badword_stats(docs, bw).collect()}
+    assert out[1]["n_badwords"] == 3  # lowercased occurrences
+    assert out[1]["n_tokens"] == 5
+    assert out[2]["n_tokens"] == 0 and out[2]["badword_ratio"] is None
+    assert out[3]["n_badwords"] == 0 and out[3]["badword_ratio"] == 0.0
+
+
+def test_page_filter_gate_and_broadcast_plan(spark):
+    from langscrape_spark.operators.filters import page_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ads.bad.com", "fine text here"),
+            (2, "good.com", "casino casino casino casino"),
+            (3, "good.com", "one casino in twenty words " + "w " * 14),
+            (4, "good.com", ""),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    bw = spark.createDataFrame([("casino",)], "word string")
+    out = page_filter(docs, bl, bw, max_badword_ratio=0.1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert not rows[1]["keep"]          # blocked domain
+    assert not rows[2]["keep"]          # ratio 1.0
+    assert rows[3]["keep"]              # 1/19 < 0.1
+    assert rows[4]["keep"]              # token-less passes badword gate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
