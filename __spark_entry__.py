@@ -1824,6 +1824,70 @@ def q68_page_filter(spark, sf):
     ).orderBy("doc_id")
 
 
+def q69_page_meta(spark, sf):
+    """JVM-side page-metadata projection (html/meta.py — title /
+    description / OpenGraph / canonical / robots-meta as pure codegen
+    regexp columns, the metadata-index fast path that never parses the
+    DOM): deterministic html synthesized from documents in BOTH
+    engines; the oracle mirrors every regex, the entity-decode chain
+    (&amp; last) and the robots token tests."""
+    from langscrape_spark.html.meta import meta_columns
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(" #"),
+        d.cast("string"),
+        F.lit(" &amp; notes</title>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="'),
+                F.substring("text", 1, 40),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG &quot;'),
+                F.col("source"),
+                F.lit('&quot;">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://'),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                d.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.lit('<meta name="robots" content="noindex, nofollow">')
+        )
+        .when(d % 7 == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = _t(spark, sf, "documents").select("doc_id", html.alias("html"))
+    out = meta_columns(pages)
+    return out.select(
+        "doc_id",
+        "title",
+        "meta_description",
+        "og_title",
+        "canonical_url",
+        F.col("noindex").cast("int").alias("noindex"),
+        F.col("nofollow").cast("int").alias("nofollow"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1894,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_mojibake": q66_mojibake,
         "q67_nb_quality": q67_nb_quality,
         "q68_page_filter": q68_page_filter,
+        "q69_page_meta": q69_page_meta,
     }
 
 
@@ -4189,5 +4254,69 @@ def oracle_sql() -> dict[str, str]:
                        WHERE rn = 1) b ON b.doc_id = d.doc_id
             LEFT JOIN stats s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "q69_page_meta": """
+            -- Metadata projection: same synthesized html, same
+            -- regexes, same 5-entity decode chain (&amp; LAST so
+            -- &amp;lt; decodes to the literal &lt;), same robots
+            -- token tests.
+            WITH pages AS (
+              SELECT doc_id,
+                '<html><head><title>' || source || ' #'
+                || CAST(doc_id AS VARCHAR) || ' &amp; notes</title>'
+                || CASE WHEN doc_id % 2 = 0 THEN
+                     '<meta name="description" content="'
+                     || substr(text, 1, 40) || '">' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0 THEN
+                     '<meta property="og:title" content="OG &quot;'
+                     || source || '&quot;">' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN
+                     '<link rel="canonical" href="https://' || source
+                     || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                     || '">' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN
+                     '<meta name="robots" content="noindex, nofollow">'
+                   WHEN doc_id % 7 = 1 THEN
+                     '<meta name="robots" content="index, follow">'
+                   ELSE '' END
+                || '</head><body><p>' || text || '</p></body></html>'
+                AS html
+              FROM documents),
+            ext AS (
+              SELECT doc_id,
+                regexp_extract(html,
+                  '<title[^>]*>([^<]*)</title>', 1) AS title_raw,
+                regexp_extract(html,
+                  '<meta\\s+name="description"\\s+content="([^"]*)"',
+                  1) AS desc_raw,
+                regexp_extract(html,
+                  '<meta\\s+property="og:title"\\s+content="([^"]*)"',
+                  1) AS og_raw,
+                regexp_extract(html,
+                  '<link\\s+rel="canonical"\\s+href="([^"]*)"', 1)
+                  AS canonical_url,
+                regexp_extract(lower(html),
+                  '<meta\\s+name="robots"\\s+content="([^"]*)"', 1)
+                  AS robots
+              FROM pages)
+            SELECT doc_id,
+              replace(replace(replace(replace(replace(title_raw,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&amp;', '&') AS title,
+              replace(replace(replace(replace(replace(desc_raw,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&amp;', '&') AS meta_description,
+              replace(replace(replace(replace(replace(og_raw,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&amp;', '&') AS og_title,
+              canonical_url,
+              CAST(CASE WHEN regexp_matches(robots,
+                   '(^|[\\s,])noindex($|[\\s,])')
+                   THEN 1 ELSE 0 END AS INT) AS noindex,
+              CAST(CASE WHEN regexp_matches(robots,
+                   '(^|[\\s,])nofollow($|[\\s,])')
+                   THEN 1 ELSE 0 END AS INT) AS nofollow
+            FROM ext
+            ORDER BY doc_id
         """,
     }

@@ -1624,3 +1624,62 @@ def test_page_filter_gate_and_broadcast_plan(spark):
     assert rows[4]["keep"]              # token-less passes badword gate
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# JVM-side page metadata projection (round 3, q69)
+# ---------------------------------------------------------------------------
+
+def test_meta_columns_quote_styles_and_entities(spark):
+    from langscrape_spark.html.meta import meta_columns
+
+    html = (
+        "<html><head><title>A &amp;lt; B &amp; C</title>"
+        "<meta name='description' content='single &quot;quoted&quot;'>"
+        '<meta property="og:title" content="OG title">'
+        "<link rel='canonical' href='https://x.com/a'>"
+        "</head><body></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup at all")], ["id", "html"])
+    out = {r["id"]: r for r in meta_columns(df).collect()}
+    # &amp;lt; decodes to the literal &lt; (amp replaced LAST)
+    assert out[1]["title"] == "A &lt; B & C"
+    assert out[1]["meta_description"] == 'single "quoted"'
+    assert out[1]["og_title"] == "OG title"
+    assert out[1]["canonical_url"] == "https://x.com/a"
+    assert out[2]["title"] == "" and out[2]["canonical_url"] == ""
+
+
+def test_meta_robots_token_boundaries(spark):
+    from langscrape_spark.html.meta import meta_columns
+
+    rows = [
+        (1, '<meta name="robots" content="noindex,nofollow">'),
+        (2, '<meta name="robots" content="NOINDEX">'),       # case-insensitive
+        (3, '<meta name="robots" content="nonoindex">'),     # not a token
+        (4, '<meta name="robots" content="index, follow">'),
+        (5, ""),
+    ]
+    out = {r["id"]: r for r in meta_columns(
+        spark.createDataFrame(rows, ["id", "html"])).collect()}
+    assert out[1]["noindex"] and out[1]["nofollow"]
+    assert out[2]["noindex"]
+    assert not out[3]["noindex"]
+    assert not out[4]["noindex"] and not out[4]["nofollow"]
+    assert not out[5]["noindex"]
+
+
+def test_meta_columns_binary_html_pure_codegen(spark):
+    """Accepts the pages table's binary html; plans as a single
+    codegen projection — no Python eval, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.html.meta import meta_columns
+
+    df = spark.createDataFrame(
+        [("<title>bin</title>",)], ["s"]
+    ).select(F.encode("s", "utf-8").alias("html"))
+    out = meta_columns(df)
+    assert out.first()["title"] == "bin"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
