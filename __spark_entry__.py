@@ -1888,6 +1888,40 @@ def q69_page_meta(spark, sf):
     ).orderBy("doc_id")
 
 
+def q70_split_leakage(spark, sf):
+    """Leakage-safe dataset splitting + audit (operators/splits.py):
+    hosts hash into train/val/test with exact-binary-fraction
+    boundaries (0.75/0.875), a cross-host duplicate passage is planted
+    on doc_id%97==0 (BOTH engines), and the audit counts docs whose
+    fingerprint crosses splits. The oracle re-derives the md5 split-u,
+    the CASE boundaries, fingerprints, the >1-split fp set and the
+    per-split rollup."""
+    from langscrape_spark.operators.splits import (
+        assign_split,
+        split_leakage_audit,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.lit("shared leak passage that mirrors across hosts"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    split = assign_split(
+        docs, "host", {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    out = split_leakage_audit(split)
+    return out.select(
+        "split",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_leaked_docs").cast("long").alias("n_leaked_docs"),
+    ).orderBy("split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1959,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_nb_quality": q67_nb_quality,
         "q68_page_filter": q68_page_filter,
         "q69_page_meta": q69_page_meta,
+        "q70_split_leakage": q70_split_leakage,
     }
 
 
@@ -4318,5 +4353,40 @@ def oracle_sql() -> dict[str, str]:
                    THEN 1 ELSE 0 END AS INT) AS nofollow
             FROM ext
             ORDER BY doc_id
+        """,
+        "q70_split_leakage": """
+            -- Host-hash splits (u = (md5_lower64('split:'||host) %
+            -- 2^32 + .5)/2^32, exact-binary boundaries .75/.875),
+            -- planted cross-host duplicate, per-split leak counts.
+            WITH docs AS (
+              SELECT doc_id, source AS host,
+                     CASE WHEN doc_id % 97 = 0 THEN
+                       'shared leak passage that mirrors across hosts'
+                     ELSE text END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, host, text,
+                     CASE
+                       WHEN ((md5_number_lower('split:' || host)
+                              % 4294967296) + 0.5) / 4294967296.0
+                            < 0.75 THEN 'train'
+                       WHEN ((md5_number_lower('split:' || host)
+                              % 4294967296) + 0.5) / 4294967296.0
+                            < 0.875 THEN 'val'
+                       ELSE 'test'
+                     END AS split,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS fp
+              FROM docs),
+            leaked AS (
+              SELECT fp FROM s GROUP BY fp
+              HAVING count(DISTINCT split) > 1)
+            SELECT s.split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN l.fp IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_leaked_docs
+            FROM s LEFT JOIN leaked l ON s.fp = l.fp
+            GROUP BY s.split
+            ORDER BY s.split
         """,
     }

@@ -1,0 +1,105 @@
+"""Leakage-safe train/validation/test splitting.
+
+Splitting a web corpus by *document* leaks: near-duplicate pages of the
+same site land on both sides of the split and inflate eval numbers
+(the failure benchmark-decontamination papers measure — see
+``operators/contamination.py`` for the cross-benchmark variant). The
+standard guard is GROUP-level assignment: hash the *host* (or any
+dedup-cluster key — ``operators/components.resolve_duplicates``'s
+``canonical_id`` composes directly), so every page of a group lands in
+exactly one split. ``split_leakage_audit`` then measures what the
+group key did NOT capture (cross-host mirrors), which is the number to
+drive an extra dedup round on.
+
+Scale shape (100 TB): assignment is a pure codegen projection (one
+md5 + a literal CASE chain — no shuffle, no lookup table, stable under
+re-runs and late-arriving data because the hash owns the decision).
+The audit is two equi-key hash aggs (fp-sized, then splits-sized).
+
+Determinism/parity: ``u = (md5_lower64(salt || key) mod 2^32 + 0.5)
+/ 2^32`` — the DSIR Gumbel-u construction, reproducible bit-for-bit in
+DuckDB (``md5_number_lower % 2^32``; power-of-2 modulus so Spark's
+signed ``pmod`` agrees). Cumulative boundaries must be float-exact in
+both engines: pass weights whose partial sums are exact binary
+fractions (0.75/0.125/0.125), or embed ``repr()`` of the partial sums
+in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _md5_lower64
+from .text import fingerprint
+
+_TWO32 = 4294967296
+
+
+def split_u(key: Column, salt: str = "split:") -> Column:
+    """Uniform (0,1) hash of the group key — the split decision."""
+    return (
+        F.pmod(
+            _md5_lower64(F.concat(F.lit(salt), key.cast("string"))),
+            F.lit(_TWO32),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_TWO32))
+
+
+def assign_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "split:",
+) -> DataFrame:
+    """Append a ``split`` column: every row whose ``group_col`` hashes
+    into the same (0,1) point gets the same name; ``weights`` insertion
+    order fixes the interval layout (partial sums are the boundaries;
+    the last split absorbs the rounding tail)."""
+    u = split_u(F.col(group_col), salt)
+    names = list(weights)
+    bounds: list[float] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append(acc)
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    # nested whens built innermost-last so earlier splits win — the
+    # loop above rebuilds the CASE u < b1 ... < b2 ... ELSE last chain.
+    return df.withColumn("split", expr)
+
+
+def split_leakage_audit(
+    split_docs: DataFrame,
+    text_col: str = "text",
+    fp_col: str | None = None,
+) -> DataFrame:
+    """Per-split rollup with the leakage count:
+    ``(split, n_docs, n_leaked_docs)`` where a doc is leaked
+    when its content fingerprint also occurs in a DIFFERENT split —
+    exactly the duplication the group key failed to contain. Uses
+    ``fp_col`` if given, else ``text.fingerprint`` of ``text_col``."""
+    fp = F.col(fp_col) if fp_col else fingerprint(F.col(text_col))
+    d = split_docs.withColumn("_fp", fp)
+    leaked = (
+        d.groupBy("_fp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("_fp")
+    )
+    # the leaked-fp set is audit-sized (leaks are the anomaly) — small
+    # enough to broadcast; if an audit ever finds corpus-scale leakage
+    # the right response is a dedup round, not a bigger join.
+    flagged = (
+        d.join(F.broadcast(leaked), "_fp", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked_docs"))
+    )
+    base = d.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return base.join(flagged, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
+    )

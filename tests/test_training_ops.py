@@ -1683,3 +1683,69 @@ def test_meta_columns_binary_html_pure_codegen(spark):
     assert out.first()["title"] == "bin"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits (round 3, q70)
+# ---------------------------------------------------------------------------
+
+def test_assign_split_group_atomic_and_codegen(spark):
+    """Every doc of a host lands in ONE split; assignment is a pure
+    projection (no shuffle, no Python)."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.splits import assign_split
+
+    rows = [(i, f"host{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    out = assign_split(df, "host", {"train": 0.75, "val": 0.125, "test": 0.125})
+    per_host = (
+        out.groupBy("host")
+        .agg(F.count_distinct("split").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 for r in per_host)
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").count().withColumnRenamed("count", "cnt").collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > counts.get("val", 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_assign_split_deterministic_and_salted(spark):
+    from langscrape_spark.operators.splits import assign_split
+
+    df = spark.createDataFrame([(i, f"h{i}") for i in range(200)], ["id", "host"])
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r["host"]: r["split"] for r in assign_split(df, "host", w).collect()}
+    s2 = {r["host"]: r["split"] for r in assign_split(df, "host", w).collect()}
+    assert s1 == s2
+    s3 = {r["host"]: r["split"] for r in assign_split(df, "host", w, salt="other:").collect()}
+    assert s1 != s3  # salt moves assignments
+
+
+def test_split_leakage_audit_finds_planted_dup(spark):
+    from langscrape_spark.operators.splits import (
+        assign_split,
+        split_leakage_audit,
+    )
+
+    rows = [(i, f"host{i}", f"unique text number {i}") for i in range(100)]
+    # plant the same passage on many hosts -> it must cross splits
+    for i in range(0, 100, 10):
+        rows[i] = (i, f"host{i}", "the mirrored passage")
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = split_leakage_audit(
+        assign_split(df, "host", {"train": 0.5, "val": 0.25, "test": 0.25})
+    )
+    agg = {r["split"]: r for r in out.collect()}
+    assert sum(r["n_docs"] for r in agg.values()) == 100
+    assert sum(r["n_leaked_docs"] for r in agg.values()) == 10
+    # a clean corpus audits clean
+    clean = split_leakage_audit(
+        assign_split(
+            spark.createDataFrame(rows[1:4], ["doc_id", "host", "text"]),
+            "host", {"train": 0.5, "test": 0.5},
+        )
+    )
+    assert all(r["n_leaked_docs"] == 0 for r in clean.collect())
