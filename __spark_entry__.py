@@ -1922,6 +1922,39 @@ def q70_split_leakage(spark, sf):
     ).orderBy("split")
 
 
+def q71_containment(spark, sf):
+    """Shingle-containment near-dup pairs
+    (operators/dedup.py::ngram_containment_pairs — Broder containment,
+    the asymmetric overlap Jaccard misses): each doc_id%9==0 document
+    gets its successor's full text appended (BOTH engines), so the
+    successor is wholly contained (c=1.0) while Jaccard stays low. The
+    oracle re-derives shingles, the posting self-join, both directional
+    ratios and the max-gate."""
+    from langscrape_spark.operators.dedup import ngram_containment_pairs
+
+    d1 = _t(spark, sf, "documents").select("doc_id", "text").alias("d1")
+    d2 = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("nid"), F.col("text").alias("ntext")
+    ).alias("d2")
+    docs = (
+        d1.join(d2, F.col("nid") == F.col("doc_id") + 1, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 9 == 0) & F.col("ntext").isNotNull(),
+                F.concat_ws(" ", "text", "ntext"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .where(F.col("doc_id") < 200)
+    )
+    out = ngram_containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=None
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -1994,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_page_filter": q68_page_filter,
         "q69_page_meta": q69_page_meta,
         "q70_split_leakage": q70_split_leakage,
+        "q71_containment": q71_containment,
     }
 
 
@@ -4388,5 +4422,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s LEFT JOIN leaked l ON s.fp = l.fp
             GROUP BY s.split
             ORDER BY s.split
+        """,
+        "q71_containment": f"""
+            -- Broder containment over the same planted wrapper docs:
+            -- shingles, posting self-join, directional ratios, max
+            -- gate on the UNrounded value.
+            WITH aug AS (
+              SELECT d1.doc_id,
+                     CASE WHEN d1.doc_id % 9 = 0 AND d2.text IS NOT NULL
+                          THEN d1.text || ' ' || d2.text
+                          ELSE d1.text END AS text
+              FROM documents d1
+              LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id < 200),
+            base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM aug)),
+            ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM base),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a,
+                     b.n_sh AS n_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(n_common / CAST(n_a AS DOUBLE), 6) AS c_a_in_b,
+                   round(n_common / CAST(n_b AS DOUBLE), 6) AS c_b_in_a,
+                   round(greatest(n_common / CAST(n_a AS DOUBLE),
+                                  n_common / CAST(n_b AS DOUBLE)), 6)
+                     AS containment
+            FROM inter
+            WHERE greatest(n_common / CAST(n_a AS DOUBLE),
+                           n_common / CAST(n_b AS DOUBLE)) >= 0.8
+            ORDER BY id_a, id_b
         """,
     }

@@ -87,6 +87,31 @@ def ngram_jaccard_pairs(
     per-pair intersection is never recomputed from the arrays (a
     join-back would shuffle every shingle array twice; measured 1.6x
     the whole query's cost at sf0.1)."""
+    inter = _shingle_pair_counts(
+        df, text_col, id_col, k, max_doc_freq, detect_fraction
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
+    detect_fraction: float,
+) -> DataFrame:
+    """Shared inverted-index pair generator for the set-overlap family
+    (Jaccard / containment): ``(id_a, id_b, n_a, n_b, n_common)`` with
+    ``id_a < id_b`` — one posting-list self-join, df-capped per the
+    guard documented on :func:`ngram_jaccard_pairs`."""
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -145,7 +170,7 @@ def ngram_jaccard_pairs(
                 .withColumnRenamed("n_cap", "n_sh")
             )
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -155,13 +180,45 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = 10_000,
+    detect_fraction: float = 0.1,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder 1997's ``containment(A,B) = |A ∩ B| / |A|``): catches the
+    pairs Jaccard structurally misses — a short document quoted whole
+    inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but
+    containment 1.0. The standard use is killing wrapper pages (an
+    article republished inside a portal template) and quote-mirrors.
+
+    Output: ``(id_a, id_b, c_a_in_b, c_b_in_a, containment)`` with
+    ``id_a < id_b``, kept when ``containment = max(c_a_in_b, c_b_in_a)
+    >= threshold``. Same single posting-list self-join + count plan as
+    :func:`ngram_jaccard_pairs` (shared generator, same df-cap guard);
+    docs with fewer than ``k`` tokens have no shingles and never pair.
+    """
+    inter = _shingle_pair_counts(
+        df, text_col, id_col, k, max_doc_freq, detect_fraction
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("n_common") / F.col("n_a")).alias("c_a_in_b"),
+        (F.col("n_common") / F.col("n_b")).alias("c_b_in_a"),
+    ).withColumn("containment", F.greatest("c_a_in_b", "c_b_in_a"))
+    return out.where(F.col("containment") >= threshold).select(
+        "id_a",
+        "id_b",
+        F.round("c_a_in_b", 6).alias("c_a_in_b"),
+        F.round("c_b_in_a", 6).alias("c_b_in_a"),
+        F.round("containment", 6).alias("containment"),
     )
 
 

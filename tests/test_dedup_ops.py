@@ -559,3 +559,54 @@ class TestExactSubstringDedup:
         assert out[2]["n_tokens_removed"] == 60
         assert out[2]["n_spans_removed"] == 1
         assert out[2]["text_dedup"] == _wtext("b", 25)
+
+
+def test_containment_catches_wrapper_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment 1.0,
+    Jaccard small — the asymmetric case the operator exists for."""
+    from langscrape_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = " ".join(f"w{i}" for i in range(60)) + " " + short
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_pairs(df, "text", "doc_id", k=3, threshold=0.9)
+    rows = cont.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0 and r["c_a_in_b"] == 1.0
+    assert r["c_b_in_a"] < 0.1
+    # Jaccard at the same bar finds nothing
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.9)
+    assert jac.count() == 0
+
+
+def test_containment_short_docs_never_pair(spark):
+    from langscrape_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "two words"), (3, "")], ["doc_id", "text"]
+    )
+    assert ngram_containment_pairs(df, "text", "doc_id", k=3).count() == 0
+
+
+def test_containment_shares_df_cap_guard(spark):
+    """The df-capped vocabulary applies to containment too: a boiler-
+    plate shingle in every doc is evicted, so disjoint docs that share
+    ONLY boilerplate never pair."""
+    from langscrape_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "copyright footer text"
+    rows = [(i, f"unique{i} body{i} words{i} " + boiler) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_containment_pairs(
+        df, "text", "doc_id", k=3, threshold=0.5,
+        max_doc_freq=5, detect_fraction=1.0,
+    )
+    assert out.count() == 0
