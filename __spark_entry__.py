@@ -1955,6 +1955,61 @@ def q71_containment(spark, sf):
     return out.orderBy("id_a", "id_b")
 
 
+def q72_c4_clean(spark, sf):
+    """C4 line-level cleaning (operators/c4.py — terminal punctuation,
+    min-words, javascript/policy-phrase line drops, lorem-ipsum /
+    curly-brace / min-sentences page gates): multi-line pages
+    synthesized identically in BOTH engines; the oracle re-derives
+    line flags, page flags, counts and the order-preserving kept-line
+    reassembly."""
+    from langscrape_spark.operators.c4 import c4_clean
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("Good opening sentence about "),
+        F.col("source"),
+        F.lit(" topics here."),
+        nl,
+        F.substring("text", 1, 60),
+        nl,
+        F.lit("Short line."),
+        F.when(
+            d % 3 == 0,
+            F.concat(nl, F.lit("Please enable JavaScript to continue viewing.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(nl, F.lit("This site uses cookies for tracking purposes.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(nl, F.lit("Lorem ipsum dolor sit amet obviously.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(nl, F.lit("function body { returns nothing here }.")),
+        ).otherwise(F.lit("")),
+        nl,
+        F.lit("Another valid closing sentence appears right here."),
+        F.when(
+            d % 2 == 0,
+            F.concat(nl, F.lit("A third proper sentence for the count rule.")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", text.alias("text"))
+    out = c4_clean(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("has_lorem").cast("int").alias("has_lorem"),
+        F.col("has_brace").cast("int").alias("has_brace"),
+        F.col("page_keep").cast("int").alias("page_keep"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2028,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_page_meta": q69_page_meta,
         "q70_split_leakage": q70_split_leakage,
         "q71_containment": q71_containment,
+        "q72_c4_clean": q72_c4_clean,
     }
 
 
@@ -4454,5 +4510,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE greatest(n_common / CAST(n_a AS DOUBLE),
                            n_common / CAST(n_b AS DOUBLE)) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "q72_c4_clean": """
+            -- C4 line rules over the same synthesized pages: terminal
+            -- punctuation, >=5 words, javascript/policy-phrase drops,
+            -- lorem/brace/min-3-kept page gates, ordered reassembly.
+            WITH pages AS (
+              SELECT doc_id,
+                'Good opening sentence about ' || source
+                || ' topics here.' || chr(10)
+                || substr(text, 1, 60) || chr(10) || 'Short line.'
+                || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                   'Please enable JavaScript to continue viewing.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                   'This site uses cookies for tracking purposes.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                   'Lorem ipsum dolor sit amet obviously.' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                   'function body { returns nothing here }.' ELSE '' END
+                || chr(10)
+                || 'Another valid closing sentence appears right here.'
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                   'A third proper sentence for the count rule.'
+                   ELSE '' END AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                     unnest(l) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                    FROM pages)),
+            fl AS (
+              SELECT doc_id, pos, line,
+                (regexp_matches(line, '[.!?"”]\\s*$')
+                 AND len(list_filter(
+                       regexp_split_to_array(line, '\\s+'),
+                       x -> x <> '')) >= 5
+                 AND NOT contains(lower(line), 'javascript')
+                 AND NOT contains(lower(line), 'terms of use')
+                 AND NOT contains(lower(line), 'privacy policy')
+                 AND NOT contains(lower(line), 'cookie policy')
+                 AND NOT contains(lower(line), 'uses cookies'))
+                AS keep
+              FROM lines),
+            pg AS (
+              SELECT doc_id,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM pages),
+            roll AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     coalesce(array_to_string(
+                       list(line ORDER BY pos) FILTER (WHERE keep),
+                       chr(10)), '') AS clean_text
+              FROM fl GROUP BY doc_id)
+            SELECT r.doc_id, r.n_lines, r.n_kept,
+                   CAST(CASE WHEN p.has_lorem THEN 1 ELSE 0 END AS INT)
+                     AS has_lorem,
+                   CAST(CASE WHEN p.has_brace THEN 1 ELSE 0 END AS INT)
+                     AS has_brace,
+                   CAST(CASE WHEN NOT p.has_lorem AND NOT p.has_brace
+                              AND r.n_kept >= 3
+                        THEN 1 ELSE 0 END AS INT) AS page_keep,
+                   r.clean_text
+            FROM roll r JOIN pg p ON p.doc_id = r.doc_id
+            ORDER BY r.doc_id
         """,
     }

@@ -1749,3 +1749,71 @@ def test_split_leakage_audit_finds_planted_dup(spark):
         )
     )
     assert all(r["n_leaked_docs"] == 0 for r in clean.collect())
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (round 3, q72)
+# ---------------------------------------------------------------------------
+
+def test_c4_line_rules(spark):
+    from langscrape_spark.operators.c4 import c4_clean
+
+    page = "\n".join(
+        [
+            "This is a proper first sentence right here.",
+            "no terminal punctuation on this line at all",
+            "Too short.",
+            "Please enable JavaScript to continue with it.",
+            "We updated our privacy policy again yesterday folks.",
+            'A quoted ending counts as terminal punctuation "indeed."',
+            "A final ordinary sentence closes the page properly.",
+        ]
+    )
+    out = c4_clean(
+        spark.createDataFrame([(1, page)], ["doc_id", "text"])
+    ).first()
+    assert out["n_lines"] == 7
+    assert out["n_kept"] == 3
+    assert out["page_keep"]
+    assert out["clean_text"].split("\n") == [
+        "This is a proper first sentence right here.",
+        'A quoted ending counts as terminal punctuation "indeed."',
+        "A final ordinary sentence closes the page properly.",
+    ]
+
+
+def test_c4_page_gates(spark):
+    from langscrape_spark.operators.c4 import c4_clean
+
+    good = "\n".join(
+        [f"Sentence number {i} is perfectly fine here." for i in range(4)]
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nlorem ipsum dolor sit."),
+        (3, good + "\nif (x) { y(); }"),
+        (4, "Only one good sentence lives on this page."),
+        (5, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["page_keep"]
+    assert not out[2]["page_keep"] and out[2]["has_lorem"]
+    assert not out[3]["page_keep"] and out[3]["has_brace"]
+    assert not out[4]["page_keep"] and out[4]["n_kept"] == 1
+    assert not out[5]["page_keep"] and out[5]["clean_text"] == ""
+
+
+def test_c4_single_shuffle_no_join(spark):
+    """One documents-sized groupBy; page flags ride the explode —
+    no join, no second pass."""
+    from langscrape_spark.operators.c4 import c4_clean
+
+    df = spark.createDataFrame([(1, "A fine sentence here today okay.")],
+                               ["doc_id", "text"])
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "EvalPython" not in plan
