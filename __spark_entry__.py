@@ -2010,6 +2010,42 @@ def q72_c4_clean(spark, sf):
     ).orderBy("doc_id")
 
 
+_Q73_FARM = [
+    (f"farm{a}", f"farm{b}") for a in range(4) for b in range(4) if a != b
+] + [("farm0", "h1"), ("farm1", "h2")]
+
+
+def q73_link_farms(spark, sf):
+    """Link-farm detection by reciprocal-edge share
+    (operators/linkgraph.py::reciprocal_link_stats): an organic
+    pseudo-random host graph derived from documents plus a planted
+    4-host reciprocal clique (identical in BOTH engines); the oracle
+    re-derives dedup, degrees, the reversed-pair semi-join and the
+    share gate."""
+    from langscrape_spark.operators.linkgraph import reciprocal_link_stats
+
+    organic = _t(spark, sf, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst_host"),
+    )
+    farm = spark.createDataFrame(_Q73_FARM, "src_host string, dst_host string")
+    out = reciprocal_link_stats(
+        organic.unionByName(farm), min_out=3, min_recip_share=0.6
+    )
+    return out.select(
+        "host",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("in_deg").cast("long").alias("in_deg"),
+        F.col("n_recip").cast("long").alias("n_recip"),
+        F.round("recip_share", 6).alias("recip_share"),
+        F.col("is_farm").cast("int").alias("is_farm"),
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2084,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_split_leakage": q70_split_leakage,
         "q71_containment": q71_containment,
         "q72_c4_clean": q72_c4_clean,
+        "q73_link_farms": q73_link_farms,
     }
 
 
@@ -4578,5 +4615,39 @@ def oracle_sql() -> dict[str, str]:
                    r.clean_text
             FROM roll r JOIN pg p ON p.doc_id = r.doc_id
             ORDER BY r.doc_id
+        """,
+        "q73_link_farms": f"""
+            -- Reciprocal-share link-farm detection over the same
+            -- organic graph + planted clique: dedup, self-loop drop,
+            -- degrees, reversed-pair reciprocity, unrounded gate.
+            WITH farm(src, dst) AS (VALUES
+              {", ".join(f"('{a}', '{b}')" for a, b in _Q73_FARM)}),
+            raw AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL SELECT src, dst FROM farm),
+            e AS (
+              SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst),
+            rc AS (
+              SELECT e.src, count(*) AS n_recip
+              FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+              GROUP BY e.src)
+            SELECT od.src AS host,
+                   CAST(od.out_deg AS BIGINT) AS out_deg,
+                   CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(coalesce(rc.n_recip, 0) AS BIGINT) AS n_recip,
+                   round(coalesce(rc.n_recip, 0)
+                         / CAST(od.out_deg AS DOUBLE), 6) AS recip_share,
+                   CAST(CASE WHEN od.out_deg >= 3
+                              AND coalesce(rc.n_recip, 0)
+                                  / CAST(od.out_deg AS DOUBLE) >= 0.6
+                        THEN 1 ELSE 0 END AS INT) AS is_farm
+            FROM od
+            LEFT JOIN idg ON idg.dst = od.src
+            LEFT JOIN rc ON rc.src = od.src
+            ORDER BY host
         """,
     }

@@ -130,3 +130,62 @@ def anchor_rollup(
         "n_src_hosts",
         F.coalesce("top_terms", F.lit("")).alias("top_terms"),
     )
+
+
+def reciprocal_link_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    min_out: int = 3,
+    min_recip_share: float = 0.6,
+) -> DataFrame:
+    """Link-farm detection by reciprocal-edge share (the classic
+    link-exchange signature: TrustRank/anti-spam literature — farms
+    trade links, so a farm host's outlinks overwhelmingly point at
+    hosts that link straight back; organic hosts' reciprocity is low).
+    The flag feeds the frontier the same way ``detect_url_traps`` does:
+    a broadcastable host list the scheduler can anti-join.
+
+    Input: host-level edge rows (duplicates fine — deduped here;
+    self-loops dropped). Output, one row per host with outlinks:
+    ``(host, out_deg, in_deg, n_recip, recip_share, is_farm)`` where
+    ``recip_share = n_recip / out_deg`` over DISTINCT host pairs and
+    ``is_farm = out_deg >= min_out AND recip_share >= min_recip_share``
+    (gated on the unrounded share).
+
+    Scale shape: dedup is one (src,dst) hash agg; degrees are two
+    hosts-sized aggs; reciprocity is ONE edge-sized equi-join on the
+    reversed composite key — every path map-side-combines, a 10^8-edge
+    hub is one reduce group, and nothing is ever materialized per
+    neighborhood."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    stats = (
+        out_deg.join(in_deg.withColumnRenamed("dst", "src"), "src", "left")
+        .join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "out_deg",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        )
+    )
+    share = F.col("n_recip") / F.col("out_deg")
+    return stats.withColumn("recip_share", share).withColumn(
+        "is_farm",
+        (F.col("out_deg") >= F.lit(min_out))
+        & (share >= F.lit(min_recip_share)),
+    )

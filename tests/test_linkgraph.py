@@ -85,3 +85,39 @@ class TestLinkEdges:
         )
         out = link_edges(pages).collect()
         assert out[0]["dst_url"] == "https://h.com/z"
+
+
+def test_reciprocal_link_stats_clique_vs_organic(spark):
+    """A 3-host clique flags as a farm; a star (hub with one-way
+    outlinks) does not; self-loops and duplicate edges are ignored."""
+    from langscrape_spark.operators.linkgraph import reciprocal_link_stats
+
+    edges = [
+        # clique a<->b<->c<->a
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+        ("c", "a"),
+        ("a", "b"),          # duplicate
+        ("a", "a"),          # self-loop
+        # hub: one-way out to 4 targets, nobody links back
+        ("hub", "t1"), ("hub", "t2"), ("hub", "t3"), ("hub", "t4"),
+        # one organic backlink pair below min_out
+        ("t1", "x"), ("x", "t1"),
+    ]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    out = {r["host"]: r for r in reciprocal_link_stats(
+        df, min_out=2, min_recip_share=0.6).collect()}
+    assert out["a"]["out_deg"] == 2 and out["a"]["n_recip"] == 2
+    assert out["a"]["is_farm"] and out["b"]["is_farm"] and out["c"]["is_farm"]
+    assert out["hub"]["out_deg"] == 4 and out["hub"]["n_recip"] == 0
+    assert not out["hub"]["is_farm"]
+    assert out["t1"]["n_recip"] == 1 and not out["t1"]["is_farm"]  # out_deg 1 < min_out
+    assert "t2" not in out  # no outlinks -> no row
+
+
+def test_reciprocal_link_stats_plans_equi_joins(spark):
+    from langscrape_spark.operators.linkgraph import reciprocal_link_stats
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")],
+                               ["src_host", "dst_host"])
+    plan = reciprocal_link_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
