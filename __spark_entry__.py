@@ -2046,6 +2046,54 @@ def q73_link_farms(spark, sf):
     ).orderBy("host")
 
 
+def q74_change_similarity(spark, sf):
+    """Per-URL snapshot change similarity
+    (operators/snapshots.py::url_change_similarity — shingle Jaccard
+    computed row-locally after ONE url-keyed join, the granularity
+    crawl_delta's binary fingerprint lacks): the new snapshot is
+    derived from documents with identical mutations in BOTH engines;
+    the oracle re-derives shingles, list intersection, the NULL-safe
+    ratio and the class ladder (identical checked as inter == union,
+    never float equality)."""
+    from langscrape_spark.operators.snapshots import url_change_similarity
+
+    base = _t(spark, sf, "documents").select(
+        F.concat(F.lit("https://s/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "doc_id",
+        "text",
+    )
+    new = base.select(
+        "url",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("xy"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" freshly appended update sentence words")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("completely rewritten page number "),
+                F.col("doc_id").cast("string"),
+                F.lit(" with new content"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = url_change_similarity(base.select("url", "text"), new)
+    return out.select(
+        "url",
+        F.col("n_sh_old").cast("long").alias("n_sh_old"),
+        F.col("n_sh_new").cast("long").alias("n_sh_new"),
+        F.round("similarity", 6).alias("similarity"),
+        "change_class",
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2121,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_containment": q71_containment,
         "q72_c4_clean": q72_c4_clean,
         "q73_link_farms": q73_link_farms,
+        "q74_change_similarity": q74_change_similarity,
     }
 
 
@@ -4649,5 +4698,52 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN idg ON idg.dst = od.src
             LEFT JOIN rc ON rc.src = od.src
             ORDER BY host
+        """,
+        "q74_change_similarity": f"""
+            -- Snapshot change similarity: same mutations, shingles,
+            -- row-local intersection, identical == (inter = union),
+            -- thresholds on the unrounded rational.
+            WITH oldp AS (
+              SELECT 'https://s/' || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents),
+            newp AS (
+              SELECT 'https://s/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 97 = 0 THEN 'xy'
+                          WHEN doc_id % 3 = 0 THEN text ||
+                            ' freshly appended update sentence words'
+                          WHEN doc_id % 3 = 1 THEN
+                            'completely rewritten page number '
+                            || CAST(doc_id AS VARCHAR)
+                            || ' with new content'
+                          ELSE text END AS text
+              FROM documents),
+            so AS (
+              SELECT url, {_SHINGLES3} AS sh
+              FROM (SELECT url, text, {_TOKENS} AS tok FROM oldp)),
+            sn AS (
+              SELECT url, {_SHINGLES3} AS sh
+              FROM (SELECT url, text, {_TOKENS} AS tok FROM newp)),
+            jj AS (
+              SELECT so.url, len(so.sh) AS n_old, len(sn.sh) AS n_new,
+                     len(list_intersect(so.sh, sn.sh)) AS inter
+              FROM so JOIN sn ON so.url = sn.url)
+            SELECT url,
+                   CAST(n_old AS BIGINT) AS n_sh_old,
+                   CAST(n_new AS BIGINT) AS n_sh_new,
+                   round(inter / CAST(nullif(n_old + n_new - inter, 0)
+                                      AS DOUBLE), 6) AS similarity,
+                   CASE WHEN n_old = 0 OR n_new = 0 THEN 'empty'
+                        WHEN inter = n_old + n_new - inter
+                          THEN 'identical'
+                        WHEN inter / CAST(n_old + n_new - inter
+                                          AS DOUBLE) >= 0.7
+                          THEN 'minor'
+                        WHEN inter / CAST(n_old + n_new - inter
+                                          AS DOUBLE) >= 0.2
+                          THEN 'major'
+                        ELSE 'rewritten' END AS change_class
+            FROM jj
+            ORDER BY url
         """,
     }

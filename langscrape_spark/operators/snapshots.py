@@ -152,3 +152,61 @@ def revisit_priority(
         )
         .select("host", "priority", "interval_days")
     )
+
+
+def url_change_similarity(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k: int = 3,
+    minor_threshold: float = 0.7,
+    rewrite_threshold: float = 0.2,
+) -> DataFrame:
+    """HOW MUCH a revisited page changed — the granularity
+    :func:`crawl_delta`'s binary changed/unchanged fingerprint lacks
+    and the revisit scheduler wants (a page that rewrites wholesale
+    each visit deserves a shorter interval than one that touches a
+    timestamp).
+
+    Per url present in BOTH snapshots: shingle Jaccard between old and
+    new text plus a class — ``identical`` (1.0), ``minor``
+    (>= minor_threshold), ``major`` (>= rewrite_threshold),
+    ``rewritten`` (below), ``empty`` (either side too short to
+    shingle; similarity is 0.0 one-sided, NULL when both are).
+    Thresholds cut on the UNrounded exact rational (engine-portable).
+
+    Scale shape: ONE url-keyed equi-join (shuffle-free from the
+    bucketed catalog layout, exactly like ``crawl_delta``), then the
+    intersection is computed ROW-LOCALLY with ``array_intersect`` on
+    the two shingle sets — the pairing is given by the url, so no
+    posting-list machinery, no second shuffle, no UDF.
+    """
+    from .dedup import shingles
+
+    o = old_pages.select(
+        F.col(url_col).alias("url"),
+        shingles(F.col(text_col), k).alias("sh_old"),
+    )
+    n = new_pages.select(
+        F.col(url_col).alias("url"),
+        shingles(F.col(text_col), k).alias("sh_new"),
+    )
+    j = o.join(n, "url")
+    inter = F.size(F.array_intersect("sh_old", "sh_new"))
+    union = F.size("sh_old") + F.size("sh_new") - inter
+    sim = F.try_divide(inter, union)
+    return j.select(
+        "url",
+        F.size("sh_old").alias("n_sh_old"),
+        F.size("sh_new").alias("n_sh_new"),
+        sim.alias("similarity"),
+        F.when(
+            (F.size("sh_old") == 0) | (F.size("sh_new") == 0), F.lit("empty")
+        )
+        .when(sim == 1.0, F.lit("identical"))
+        .when(sim >= F.lit(minor_threshold), F.lit("minor"))
+        .when(sim >= F.lit(rewrite_threshold), F.lit("major"))
+        .otherwise(F.lit("rewritten"))
+        .alias("change_class"),
+    )

@@ -1817,3 +1817,51 @@ def test_c4_single_shuffle_no_join(spark):
                                ["doc_id", "text"])
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot change similarity (round 3, q74)
+# ---------------------------------------------------------------------------
+
+def test_url_change_similarity_classes(spark):
+    from langscrape_spark.operators.snapshots import url_change_similarity
+
+    body = " ".join(f"w{i}" for i in range(40))
+    old = spark.createDataFrame(
+        [
+            ("u1", body),
+            ("u2", body),
+            ("u3", body),
+            ("u4", body),
+            ("u5", "tiny"),
+            ("u6", body),          # only in old -> no output row
+        ],
+        ["url", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", body),                                   # identical
+            ("u2", body + " small appended tail words"),    # minor
+            ("u3", " ".join(f"x{i}" for i in range(40))),   # rewritten
+            ("u4", body[: len(body) // 2] + " " + " ".join(f"y{i}" for i in range(15))),  # major-ish
+            ("u5", "tiny"),                                 # empty (no shingles)
+            ("u7", body),          # only in new -> no output row
+        ],
+        ["url", "text"],
+    )
+    out = {r["url"]: r for r in url_change_similarity(old, new).collect()}
+    assert set(out) == {"u1", "u2", "u3", "u4", "u5"}
+    assert out["u1"]["change_class"] == "identical" and out["u1"]["similarity"] == 1.0
+    assert out["u2"]["change_class"] == "minor"
+    assert out["u3"]["change_class"] == "rewritten" and out["u3"]["similarity"] == 0.0
+    assert out["u4"]["change_class"] in ("major", "minor")
+    assert out["u5"]["change_class"] == "empty" and out["u5"]["similarity"] is None
+
+
+def test_url_change_similarity_single_join_no_udf(spark):
+    from langscrape_spark.operators.snapshots import url_change_similarity
+
+    df = spark.createDataFrame([("u", "a b c d e")], ["url", "text"])
+    plan = url_change_similarity(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Join") <= 2  # one logical join (SMJ prints once)
