@@ -42,8 +42,10 @@ TERMINAL_PUNCT_RE = '[.!?"”]\\s*$'
 
 def c4_line_keep(line: Column, min_words: int = 5) -> Column:
     """The per-line C4 verdict as one codegen boolean."""
+    from .text import words_col
+
     lower = F.lower(line)
-    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+    n_words = F.size(words_col(line))
     keep = (
         line.rlike(TERMINAL_PUNCT_RE)
         & (n_words >= F.lit(min_words))
@@ -70,8 +72,13 @@ def c4_clean(
     lower_text = F.lower(F.col(text_col))
     exploded = docs.select(
         F.col(id_col),
-        lower_text.contains("lorem ipsum").alias("has_lorem"),
-        F.col(text_col).contains("{").alias("has_brace"),
+        # NULL text must yield boolean flags (contains(NULL) is NULL)
+        F.coalesce(
+            lower_text.contains("lorem ipsum"), F.lit(False)
+        ).alias("has_lorem"),
+        F.coalesce(
+            F.col(text_col).contains("{"), F.lit(False)
+        ).alias("has_brace"),
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
             "pos", "line"
         ),

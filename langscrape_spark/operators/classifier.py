@@ -69,6 +69,13 @@ def nb_train(
         .collect()
     )
     doc_rows = lab.groupBy("y").agg(F.count(F.lit(1)).alias("d")).collect()
+    if any(r["y"] is None for r in doc_rows):
+        n_null = sum(int(r["d"]) for r in doc_rows if r["y"] is None)
+        raise ValueError(
+            f"nb_train: {n_null} labeled rows have a NULL label (usually "
+            "a failed silver-labeling join) — refusing to fold them into "
+            "a class"
+        )
     c1 = {int(r["bucket"]): int(r["c"]) for r in tok_rows if r["y"] == 1}
     c0 = {int(r["bucket"]): int(r["c"]) for r in tok_rows if r["y"] != 1}
     d1 = sum(int(r["d"]) for r in doc_rows if r["y"] == 1)

@@ -31,9 +31,15 @@ from .text import words_col
 
 def host_suffix_chain(host: Column) -> Column:
     """``a.b.c`` -> ``['a.b.c', 'b.c', 'c']`` — every suffix a
-    blocklist entry could match. Empty/NULL hosts yield their literal
-    single-element chain (no match unless the blocklist contains it)."""
-    parts = F.split(host, r"\.")
+    blocklist entry could match. Userinfo and an explicit port are
+    stripped first (``url_host``/netloc producers keep them; a
+    blocklist entry must still match ``ads.example.com:8080``).
+    Empty/NULL hosts yield their literal single-element chain (no
+    match unless the blocklist contains it)."""
+    bare = F.regexp_replace(
+        F.regexp_replace(host, r"^[^/@]*@", ""), r":\d+$", ""
+    )
+    parts = F.split(bare, r"\.")
     n = F.size(parts)
     return F.transform(
         F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(parts, i, n), ".")
@@ -83,9 +89,14 @@ def badword_stats(
         F.col(id_col),
         F.explode_outer(words_col(F.col(text_col))).alias("tok"),
     )
+    # real wordlists carry duplicates after lowercasing/merging — a
+    # duplicate entry must not fan the left join out (it would inflate
+    # n_tokens AND n_badwords).
     marked = toks.join(
         F.broadcast(
-            badwords.select(F.col("word").alias("tok"), F.lit(1).alias("hit"))
+            badwords.select(F.col("word").alias("tok"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
         ),
         "tok",
         "left",

@@ -204,7 +204,7 @@ def url_change_similarity(
         F.when(
             (F.size("sh_old") == 0) | (F.size("sh_new") == 0), F.lit("empty")
         )
-        .when(sim == 1.0, F.lit("identical"))
+        .when(inter == union, F.lit("identical"))
         .when(sim >= F.lit(minor_threshold), F.lit("minor"))
         .when(sim >= F.lit(rewrite_threshold), F.lit("major"))
         .otherwise(F.lit("rewritten"))

@@ -55,7 +55,12 @@ def assign_split(
     """Append a ``split`` column: every row whose ``group_col`` hashes
     into the same (0,1) point gets the same name; ``weights`` insertion
     order fixes the interval layout (partial sums are the boundaries;
-    the last split absorbs the rounding tail)."""
+    the last split absorbs the rounding tail).
+
+    Rows with a NULL group key get split NULL — visible, never
+    silently folded into a split (a NULL host usually means an
+    unparseable URL; the caller decides whether to drop or bucket
+    them)."""
     u = split_u(F.col(group_col), salt)
     names = list(weights)
     bounds: list[float] = []
@@ -68,6 +73,9 @@ def assign_split(
         expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
     # nested whens built innermost-last so earlier splits win — the
     # loop above rebuilds the CASE u < b1 ... < b2 ... ELSE last chain.
+    expr = F.when(
+        F.col(group_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(expr)
     return df.withColumn("split", expr)
 
 

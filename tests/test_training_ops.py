@@ -1865,3 +1865,73 @@ def test_url_change_similarity_single_join_no_udf(spark):
     plan = url_change_similarity(df, df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert plan.count("Join") <= 2  # one logical join (SMJ prints once)
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (round 3)
+# ---------------------------------------------------------------------------
+
+def test_badword_stats_duplicate_wordlist_entries(spark):
+    """Duplicate wordlist entries must not fan out the join."""
+    from langscrape_spark.operators.filters import badword_stats
+
+    docs = spark.createDataFrame([(1, "casino fun")], ["doc_id", "text"])
+    bw = spark.createDataFrame([("casino",), ("casino",)], "word string")
+    r = badword_stats(docs, bw).first()
+    assert r["n_tokens"] == 2 and r["n_badwords"] == 1
+    assert r["badword_ratio"] == 0.5
+
+
+def test_blocklist_matches_hosts_with_port_or_userinfo(spark):
+    from langscrape_spark.operators.filters import blocklist_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ads.example.com:8080"),
+            (2, "user@ads.example.com"),
+            (3, "clean.org:443"),
+        ],
+        ["doc_id", "host"],
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    out = {r["doc_id"]: r["blocked_domain"] for r in blocklist_match(docs, bl).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "example.com"
+    assert out[3] is None
+
+
+def test_assign_split_null_group_key_is_visible(spark):
+    from langscrape_spark.operators.splits import assign_split
+
+    df = spark.createDataFrame(
+        [(1, "h1"), (2, None)], ["doc_id", "host"]
+    )
+    out = {r["doc_id"]: r["split"] for r in assign_split(
+        df, "host", {"train": 0.5, "test": 0.5}).collect()}
+    assert out[1] in ("train", "test")
+    assert out[2] is None
+
+
+def test_nb_train_rejects_null_labels(spark):
+    import pytest as _pytest
+
+    from langscrape_spark.operators.classifier import nb_train
+
+    df = spark.createDataFrame(
+        [(1, True, "good words"), (2, False, "bad words"), (3, None, "meh")],
+        ["doc_id", "label", "text"],
+    )
+    with _pytest.raises(ValueError, match="NULL label"):
+        nb_train(df, num_buckets=16)
+
+
+def test_c4_null_text_yields_boolean_flags(spark):
+    from langscrape_spark.operators.c4 import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    r = c4_clean(df, min_kept_lines=0).first()
+    assert r["has_lorem"] is False and r["has_brace"] is False
+    assert r["n_lines"] == 0 and r["clean_text"] == ""
+    assert r["page_keep"] is True  # min_kept_lines=0, no gates tripped
