@@ -2094,6 +2094,59 @@ def q74_change_similarity(spark, sf):
     ).orderBy("url")
 
 
+def q75_score_calibration(spark, sf):
+    """Classifier-score calibration table
+    (operators/classifier.py::calibration_table — equal-mass quantile
+    bands over a quality score with per-band volume/positive-share,
+    the curve a FineWeb-style pipeline picks its keep-threshold from):
+    score = alpha_ratio, silver label = length >= 300 (BOTH engines);
+    the oracle re-derives the exact quantile cutoffs (quantile_cont ==
+    Spark percentile, q06-proven), the strictly-below bin rule on
+    round-6 scores, and the band rollup."""
+    from langscrape_spark.operators.classifier import calibration_table
+    from langscrape_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    scored = quality_columns(docs).select(
+        "doc_id",
+        (F.length("text") >= 300).alias("label"),
+        F.col("alpha_ratio").alias("score"),
+    )
+    out = calibration_table(scored, n_bins=5, mode="exact")
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round("score_min", 6).alias("score_min"),
+        F.round("score_max", 6).alias("score_max"),
+        F.round("pos_share", 6).alias("pos_share"),
+    ).orderBy("bin")
+
+
+def q76_robust_outliers(spark, sf):
+    """Per-language robust length-outlier gate
+    (operators/text.py::robust_outliers — median/MAD per group, flag
+    |x − med| > k·MAD; the heavy-tail-safe length filter curation
+    pipelines run per language). Value = length(text), groups = lang,
+    k = 3. The oracle re-derives both percentile passes with
+    quantile_cont (exact parity proven by q06/q53), the broadcast-back
+    join, and the NULL/degenerate-MAD semantics."""
+    from langscrape_spark.operators.text import robust_outliers
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n")
+    )
+    out = robust_outliers(docs, "n", group_cols=("lang",), k=3.0)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "is_outlier",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2170,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_c4_clean": q72_c4_clean,
         "q73_link_farms": q73_link_farms,
         "q74_change_similarity": q74_change_similarity,
+        "q75_score_calibration": q75_score_calibration,
+        "q76_robust_outliers": q76_robust_outliers,
     }
 
 
@@ -4745,5 +4800,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'rewritten' END AS change_class
             FROM jj
             ORDER BY url
+        """,
+        "q75_score_calibration": """
+            -- Calibration bands: alpha-ratio score, length>=300 silver
+            -- label, exact quantile cutoffs on round-6 scores, bin =
+            -- count of cutoffs strictly below, band rollup.
+            WITH s AS (
+              SELECT CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+                       AS y,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^A-Za-z]', '',
+                                             'g'))
+                       / CAST(length(text) AS DOUBLE)
+                       ELSE 0 END, 6) AS sv
+              FROM documents),
+            cuts AS (
+              SELECT quantile_cont(sv,
+                [CAST(1 AS DOUBLE)/5, CAST(2 AS DOUBLE)/5,
+                 CAST(3 AS DOUBLE)/5, CAST(4 AS DOUBLE)/5]) AS c
+              FROM s),
+            b AS (
+              SELECT y, sv,
+                     len(list_filter(c, x -> x < sv)) AS bin
+              FROM s CROSS JOIN cuts)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   round(min(sv), 6) AS score_min,
+                   round(max(sv), 6) AS score_max,
+                   round(sum(y) / CAST(count(*) AS DOUBLE), 6)
+                     AS pos_share
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        "q76_robust_outliers": """
+            -- Per-lang median/MAD length gate: two exact percentile
+            -- passes (quantile_cont == Spark percentile), broadcast
+            -- back, flag |x-med| > 3*MAD; MAD=0 groups flag nothing,
+            -- NULL values keep NULL flags.
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) AS DOUBLE) AS x
+              FROM documents),
+            med AS (
+              SELECT lang, quantile_cont(x, 0.5) AS med
+              FROM d WHERE x IS NOT NULL GROUP BY lang),
+            mad AS (
+              SELECT d.lang,
+                     quantile_cont(abs(d.x - med.med), 0.5) AS mad
+              FROM d JOIN med USING (lang)
+              WHERE d.x IS NOT NULL GROUP BY d.lang),
+            s AS (SELECT med.lang, med.med, mad.mad
+                  FROM med JOIN mad USING (lang))
+            SELECT d.doc_id, d.lang, CAST(d.x AS BIGINT) AS n,
+                   round(s.med, 6) AS med, round(s.mad, 6) AS mad,
+                   CASE WHEN d.x IS NULL THEN NULL
+                        ELSE (s.mad > 0
+                              AND abs(d.x - s.med) > 3.0 * s.mad)
+                   END AS is_outlier
+            FROM d LEFT JOIN s ON d.lang = s.lang
+            ORDER BY doc_id
         """,
     }

@@ -891,3 +891,54 @@ def mojibake_count(text: Column) -> Column:
         total = total + hits
         cur = F.replace(cur, F.lit(bad), F.lit(good))
     return total
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols=("lang",),
+    k: float = 3.0,
+    mode: str = "exact",
+) -> DataFrame:
+    """Per-group robust outlier flag via median/MAD (the
+    length-distribution gate curation pipelines run per language —
+    mean/stddev break on the heavy-tailed doc-length distributions web
+    corpora actually have; median ± k·MAD does not).
+
+    Appends ``med``, ``mad`` (median absolute deviation) and
+    ``is_outlier = |x - med| > k * MAD`` per ``group_cols``.
+    ``mode='exact'`` uses SQL ``percentile`` (DuckDB ``quantile_cont``
+    parity); ``'approx'`` the mergeable-sketch path for 100 TB.
+    Degenerate groups (MAD = 0, over half the group at the median)
+    flag nothing — a spread of zero makes every deviation infinite
+    sigmas and the gate meaningless; NULL values keep NULL flags.
+
+    Scale shape: two groups-sized percentile reduces (the second over
+    ``|x - med|`` after a broadcast join of the first — MAD is not
+    algebraic, the second pass is irreducible), both broadcast back;
+    no corpus-sized shuffle.
+    """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    fn = "percentile" if mode == "exact" else "percentile_approx"
+    groups = list(group_cols)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull())
+    med = (
+        base.select(*groups, x.alias("_x"))
+        .groupBy(*groups)
+        .agg(F.expr(f"{fn}(_x, cast(0.5 as double))").alias("med"))
+    )
+    mad = (
+        base.join(F.broadcast(med), groups)
+        .select(*groups, F.abs(x - F.col("med")).alias("_d"))
+        .groupBy(*groups)
+        .agg(F.expr(f"{fn}(_d, cast(0.5 as double))").alias("mad"))
+    )
+    stats = med.join(mad, groups)
+    return df.join(F.broadcast(stats), groups, "left").withColumn(
+        "is_outlier",
+        F.when(x.isNull(), F.lit(None).cast("boolean")).otherwise(
+            (F.col("mad") > 0) & (F.abs(x - F.col("med")) > F.lit(k) * F.col("mad"))
+        ),
+    )

@@ -1935,3 +1935,98 @@ def test_c4_null_text_yields_boolean_flags(spark):
     assert r["has_lorem"] is False and r["has_brace"] is False
     assert r["n_lines"] == 0 and r["clean_text"] == ""
     assert r["page_keep"] is True  # min_kept_lines=0, no gates tripped
+
+
+# ---------------------------------------------------------------------------
+# score calibration (round 3, q75)
+# ---------------------------------------------------------------------------
+
+def test_calibration_table_math(spark):
+    """10 docs, scores 1..10, positives at the top: 5 equal-mass bins,
+    monotone pos_share, exact counts."""
+    from langscrape_spark.operators.classifier import calibration_table
+
+    rows = [(i, i >= 8, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "score"])
+    out = {r["bin"]: r for r in calibration_table(df, n_bins=5).collect()}
+    assert sum(r["n"] for r in out.values()) == 10
+    assert sum(r["n_pos"] for r in out.values()) == 3
+    shares = [out[b]["pos_share"] for b in sorted(out)]
+    assert shares == sorted(shares)          # monotone for this data
+    assert out[max(out)]["pos_share"] == 1.0
+
+
+def test_calibration_excludes_nulls_and_ties_collapse_left(spark):
+    from langscrape_spark.operators.classifier import calibration_table
+
+    rows = [(1, True, 1.0), (2, False, 1.0), (3, True, 1.0),
+            (4, None, 5.0), (5, True, None), (6, False, 2.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "score"])
+    out = calibration_table(df, n_bins=2).collect()
+    assert sum(r["n"] for r in out) == 4      # NULL label/score excluded
+    # the tied 1.0 scores all collapse into the lowest band
+    low = min(out, key=lambda r: r["bin"])
+    assert low["n"] == 3
+
+
+def test_calibration_approx_mode_runs(spark):
+    from langscrape_spark.operators.classifier import calibration_table
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, float(i)) for i in range(100)],
+        ["doc_id", "label", "score"],
+    )
+    out = calibration_table(df, n_bins=4, mode="approx").collect()
+    assert sum(r["n"] for r in out) == 100
+
+
+# ---------------------------------------------------------------------------
+# robust median/MAD outlier gate (round 3, q76)
+# ---------------------------------------------------------------------------
+
+def test_robust_outliers_math(spark):
+    """en: values 1..9 plus a 1000 spike — med 5.5, MAD 2.5 (exact
+    interpolated percentiles over the 10 values incl. the spike),
+    only the spike is beyond med ± 3*MAD."""
+    from langscrape_spark.operators.text import robust_outliers
+
+    rows = [(i, "en", float(v)) for i, v in enumerate(list(range(1, 10)) + [1000])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    out = {r["doc_id"]: r for r in robust_outliers(df, "v").collect()}
+    assert out[0]["med"] == 5.5
+    assert out[0]["mad"] == 2.5
+    flagged = sorted(k for k, r in out.items() if r["is_outlier"])
+    assert flagged == [9]
+    # 9 -> v=1000: |1000-5.5| > 7.5; 1 -> v=2: |2-5.5|=3.5 <= 7.5
+    assert out[1]["is_outlier"] is False
+
+
+def test_robust_outliers_degenerate_and_null(spark):
+    """MAD=0 group (majority at the median) flags nothing; NULL value
+    keeps a NULL flag; groups are independent."""
+    from langscrape_spark.operators.text import robust_outliers
+
+    rows = (
+        [(i, "de", 7.0) for i in range(6)]          # constant -> MAD 0
+        + [(10, "de", 1e9)]                          # extreme, still MAD 0
+        + [(20, "fr", None)]                         # NULL value
+        + [(21, "fr", 1.0), (22, "fr", 2.0), (23, "fr", 3.0)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    out = {r["doc_id"]: r for r in robust_outliers(df, "v").collect()}
+    assert all(out[i]["is_outlier"] is False for i in list(range(6)) + [10])
+    assert out[10]["mad"] == 0.0
+    assert out[20]["is_outlier"] is None
+    assert out[21]["mad"] == 1.0 and out[21]["is_outlier"] is False
+
+
+def test_robust_outliers_approx_mode_runs(spark):
+    from langscrape_spark.operators.text import robust_outliers
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", float(i % 50)) for i in range(200)],
+        ["doc_id", "lang", "v"],
+    )
+    out = robust_outliers(df, "v", mode="approx").collect()
+    assert len(out) == 200
+    assert all(r["med"] is not None for r in out)
