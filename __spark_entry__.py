@@ -2057,12 +2057,21 @@ def q74_change_similarity(spark, sf):
     never float equality)."""
     from langscrape_spark.operators.snapshots import url_change_similarity
 
-    base = _t(spark, sf, "documents").select(
-        F.concat(F.lit("https://s/"), F.col("doc_id").cast("string")).alias(
-            "url"
-        ),
-        "doc_id",
-        "text",
+    # Repartition by the join key up front: the sf0.1 parquet is one
+    # row group (single-partition scan), and shingling every doc twice
+    # on one core dominated the query (11.6s -> ~1.3s measured at 32
+    # cores); hashing on url lets both snapshot branches and the
+    # url-keyed join share the one exchange.
+    base = (
+        _t(spark, sf, "documents")
+        .select(
+            F.concat(
+                F.lit("https://s/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            "doc_id",
+            "text",
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "url")
     )
     new = base.select(
         "url",
