@@ -2156,6 +2156,27 @@ def q76_robust_outliers(spark, sf):
     ).orderBy("doc_id")
 
 
+def q77_semdedup(spark, sf):
+    """SemDeDup (operators/ann.py::semdedup — k-means cluster the
+    embedding space, judge near-dups only within clusters, greedy
+    keep-first rule): k=16 / 2 Lloyd iterations matches the frozen
+    q35 IVF fixture, so the oracle reads the SAME (vec_id, cluster)
+    map the freezer pinned and re-derives the within-cluster pairwise
+    cosine, the earlier-id max and the keep rule in SQL — the driver
+    compare therefore pins the live Lloyd/assign path AND checks the
+    dedup logic exactly."""
+    from langscrape_spark.operators.ann import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    out = semdedup(emb, threshold=0.35, k=16, iterations=2)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("max_sim_earlier", 6).alias("max_sim_earlier"),
+        "keep",
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2234,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_change_similarity": q74_change_similarity,
         "q75_score_calibration": q75_score_calibration,
         "q76_robust_outliers": q76_robust_outliers,
+        "q77_semdedup": q77_semdedup,
     }
 
 
@@ -4868,5 +4890,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM d LEFT JOIN s ON d.lang = s.lang
             ORDER BY doc_id
+        """,
+        "q77_semdedup": f"""
+            -- SemDeDup over the FROZEN q35 IVF cluster map: pairwise
+            -- cosine within cluster (round-6, numpy-gemm parity proven
+            -- by q20), max over strictly-earlier ids, keep = no
+            -- earlier neighbor >= 0.35. Zero-norm vectors yield NaN
+            -- cosines which are excluded (NULL max); singleton
+            -- clusters have NULL max.
+            WITH a AS (
+              SELECT vec_id, bucket AS cluster
+              FROM read_parquet('{_fixture("q35_ivf_assign.parquet")}')),
+            j AS (
+              SELECT a.vec_id AS id, a.cluster,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+            sims AS (
+              SELECT x.id, x.cluster,
+                round(
+                  list_sum(list_transform(range(1, len(x.v) + 1),
+                                          i -> x.v[i] * y.v[i]))
+                  / (sqrt(list_sum(list_transform(x.v, q -> q*q)))
+                     * sqrt(list_sum(list_transform(y.v, q -> q*q)))),
+                6) AS c
+              FROM j x JOIN j y
+                ON x.cluster = y.cluster AND y.id < x.id),
+            mx AS (
+              SELECT id, cluster, max(c) AS max_sim_earlier
+              FROM sims WHERE NOT isnan(c) GROUP BY id, cluster)
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                   round(mx.max_sim_earlier, 6) AS max_sim_earlier,
+                   coalesce(mx.max_sim_earlier < 0.35, TRUE) AS keep
+            FROM a LEFT JOIN mx ON a.vec_id = mx.id
+            ORDER BY a.vec_id
         """,
     }

@@ -701,3 +701,116 @@ def _blocked_against(
     return left.select(id_col, vec_col).mapInPandas(
         gen, schema="id_a long, id_b long, cosine double"
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    k: int | None = None,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cluster_rows: int = 8192,
+    max_cluster_rows: int = 65536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then judge near-duplicates only WITHIN each cluster — the
+    canonical way to run embedding dedup when all-pairs (even
+    LSH-bucketed) is too coarse or the corpus needs semantic rather
+    than sign-pattern locality.
+
+    Per row returns ``(id, cluster, max_sim_earlier, keep)`` where
+    ``max_sim_earlier`` is the max cosine (round-6, like every cosine
+    path here) to any SAME-CLUSTER row with a SMALLER id and ``keep =
+    max_sim_earlier is NULL or < threshold`` — the paper's greedy
+    keep-first rule (NOT connected components: if a~b and b~c but
+    a!~c, b and c both drop and a survives; ``resolve_duplicates`` is
+    the transitive alternative). Deterministic: md5-seeded Lloyd
+    (:func:`ivf_centroids`), id order as the keep priority.
+
+    Scale shape: ``iterations`` map-only corpus passes for centroids
+    (driver holds k·dim floats), one gemm-batch assignment pass, then
+    ONE shuffle on the cluster id and a per-cluster blocked gemm
+    (sims slab ≤128 MB via :func:`gemm_block_rows`). ``k=None``
+    derives ceil(n / target_cluster_rows) — fixing k while the corpus
+    grows is the same cross-join-in-disguise the LSH path's derived
+    plane count guards against; clusters beyond ``max_cluster_rows``
+    raise with that guidance (a silently skipped cluster would flip
+    every one of its rows to keep=True).
+
+    Poison rows (NULL / wrong-dim / zero-norm vectors) keep
+    ``cluster=-1`` / NULL similarity / keep=True: cosine is undefined
+    there, so SemDeDup has no evidence to drop them — route them to
+    the text paths (``exact_dedup`` catches byte-identical blobs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k is None:
+        n = df.count()
+        k = max(16, min(4096, -(-n // target_cluster_rows)))
+    cents = ivf_centroids(df, k=k, iterations=iterations,
+                          vec_col=vec_col, id_col=id_col)
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, max_sim_earlier double, keep boolean"
+        )
+    assigned = ivf_assign(df, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), F.col("bucket").alias("cluster"),
+        F.col(vec_col).alias("vec"),
+    )
+    thr, dim = float(threshold), len(cents[0])
+    cap = int(max_cluster_rows)
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        cluster = int(pdf["cluster"].iloc[0])
+        if cluster < 0 or len(ids) == 1:
+            # poison cluster (or singleton): nothing to compare against
+            return pd.DataFrame({
+                "id": ids,
+                "cluster": np.full(len(ids), cluster, dtype="int32"),
+                "max_sim_earlier": pd.array([pd.NA] * len(ids),
+                                            dtype="Float64"),
+                "keep": np.ones(len(ids), dtype=bool),
+            })
+        if len(ids) > cap:
+            raise ValueError(
+                f"semdedup cluster {cluster} has {len(ids)} rows > "
+                f"max_cluster_rows={cap}; raise k (or lower "
+                f"target_cluster_rows) so clusters stay gemm-sized"
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(list(pdf["vec"].iloc[order]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        zero = norms == 0
+        norms[zero] = np.nan  # zero-norm -> NaN sims -> excluded below
+        unit = mat / norms[:, None]
+        best = np.full(len(ids), -np.inf)
+        block = gemm_block_rows(len(ids))
+        for lo in range(0, len(ids), block):
+            sims = np.round(unit[lo : lo + block] @ unit.T, 6)
+            # only earlier (strictly smaller) ids count; NaN never wins max
+            sims[ids[lo : lo + block, None] <= ids[None, :]] = -np.inf
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            best[lo : lo + block] = sims.max(axis=1)
+        max_sim = np.where(np.isfinite(best), best, np.nan)
+        keep = ~(max_sim >= thr)  # NaN compares False -> keep
+        return pd.DataFrame({
+            "id": ids,
+            "cluster": np.full(len(ids), cluster, dtype="int32"),
+            # nullable Float64: no-earlier-neighbor is SQL NULL, not NaN
+            "max_sim_earlier": pd.array(
+                [pd.NA if np.isnan(v) else v for v in max_sim],
+                dtype="Float64",
+            ),
+            "keep": keep,
+        })
+
+    out = assigned.groupBy("cluster").applyInPandas(
+        gen, schema="id long, cluster int, max_sim_earlier double, keep boolean"
+    )
+    return out.select(
+        F.col("id").alias(id_col), "cluster", "max_sim_earlier", "keep"
+    )

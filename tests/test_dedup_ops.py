@@ -610,3 +610,87 @@ def test_containment_shares_df_cap_guard(spark):
         max_doc_freq=5, detect_fraction=1.0,
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 3, q77)
+# ---------------------------------------------------------------------------
+
+def _unit(*xs):
+    import math
+    n = math.sqrt(sum(x * x for x in xs))
+    return [x / n for x in xs]
+
+
+def test_semdedup_greedy_keep_first_not_transitive(spark):
+    """a~b and b~c but a!~c: greedy keep-first drops BOTH b and c
+    (b due a; c due b even though b was dropped) — the paper's rule,
+    deliberately different from connected-components survivor
+    election. One cluster forced via k=1."""
+    from langscrape_spark.operators.ann import semdedup
+    import math
+
+    # angles 0, 25deg, 50deg: cos(25)=.906, cos(50)=.643 -> t=0.8
+    def ang(d):
+        r = math.radians(d)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    df = spark.createDataFrame(
+        [(1, ang(0)), (2, ang(25)), (3, ang(50))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(df, threshold=0.8, k=1, iterations=1).collect()}
+    assert out[1]["keep"] is True and out[1]["max_sim_earlier"] is None
+    assert out[2]["keep"] is False          # ~a
+    assert out[3]["keep"] is False          # ~b (even though b dropped)
+    assert abs(out[3]["max_sim_earlier"] - round(math.cos(math.radians(25)), 6)) < 1e-9
+
+
+def test_semdedup_poison_and_zero_norm_rows_kept(spark):
+    from langscrape_spark.operators.ann import semdedup
+
+    df = spark.createDataFrame(
+        [(1, _unit(1.0, 0.0)), (2, _unit(1.0, 0.01)),
+         (3, None), (4, [0.0, 0.0]), (5, [1.0])],   # NULL, zero-norm, wrong dim
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(df, threshold=0.9, k=1, iterations=1).collect()}
+    assert len(out) == 5
+    assert out[2]["keep"] is False           # near-dup of 1
+    for vid in (3, 4, 5):
+        assert out[vid]["keep"] is True
+        assert out[vid]["max_sim_earlier"] is None
+    assert out[3]["cluster"] == -1 and out[5]["cluster"] == -1
+
+
+def test_semdedup_oversized_cluster_raises(spark):
+    from langscrape_spark.operators.ann import semdedup
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, _unit(1.0, float(i) * 1e-6)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(df, threshold=0.99, k=1, iterations=1,
+                 max_cluster_rows=8).collect()
+
+
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """k=None derives cluster count from corpus size (fixed k is a
+    cross-join in disguise at scale)."""
+    from langscrape_spark.operators.ann import semdedup
+
+    df = spark.createDataFrame(
+        [(i, _unit(float(i % 7 + 1), float(i % 11 + 1), float(i % 13 + 1)))
+         for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(df, threshold=1.1, iterations=1,
+                   target_cluster_rows=50).collect()
+    assert len(out) == 300
+    # threshold > 1 can never fire: everything kept
+    assert all(r["keep"] for r in out)
+    assert len({r["cluster"] for r in out}) >= 2
