@@ -2177,6 +2177,26 @@ def q77_semdedup(spark, sf):
     ).orderBy("vec_id")
 
 
+def q78_pmi_collocations(spark, sf):
+    """Top-100 adjacent-bigram collocations by PMI
+    (operators/text.py::pmi_collocations — the word2vec-style phrase
+    mining pass): the oracle re-derives tokens, array-local pairing,
+    both count aggs, the min-count gate, the identically-associated
+    ln ratio, and the unrounded-PMI top-k cut with (w1, w2)
+    tie-break."""
+    from langscrape_spark.operators.text import pmi_collocations
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, min_count=5, top_k=100).select(
+        "w1",
+        "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        "pmi",
+    ).orderBy(F.desc("pmi"), "w1", "w2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2256,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_score_calibration": q75_score_calibration,
         "q76_robust_outliers": q76_robust_outliers,
         "q77_semdedup": q77_semdedup,
+        "q78_pmi_collocations": q78_pmi_collocations,
     }
 
 
@@ -4924,5 +4945,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(mx.max_sim_earlier < 0.35, TRUE) AS keep
             FROM a LEFT JOIN mx ON a.vec_id = mx.id
             ORDER BY a.vec_id
+        """,
+        "q78_pmi_collocations": r"""
+            -- PMI collocations: tokens, index-based adjacent pairing,
+            -- min-count gate, ln((c_xy/N_pairs)/((c_x/N_tok)*(c_y/
+            -- N_tok))) with the SAME association order as the Spark
+            -- expression, top-100 cut on UNROUNDED pmi (alias-shadow
+            -- trap: round only outside the ordering subquery).
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '\s+'),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            uni AS (
+              SELECT u.w, count(*) AS c
+              FROM t, unnest(t.toks) AS u(w) GROUP BY u.w),
+            p AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(range(1, len(toks))) AS r(i)),
+            bi AS (
+              SELECT w1, w2, count(*) AS c_xy
+              FROM p GROUP BY w1, w2 HAVING count(*) >= 5),
+            tot AS (
+              SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tok,
+                     CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE)
+                       AS n_pairs
+              FROM t),
+            scored AS (
+              SELECT bi.w1, bi.w2, bi.c_xy, ux.c AS c_x, uy.c AS c_y,
+                     ln((bi.c_xy / tot.n_pairs)
+                        / ((ux.c / tot.n_tok) * (uy.c / tot.n_tok)))
+                       AS pmi_raw
+              FROM bi
+              JOIN uni ux ON ux.w = bi.w1
+              JOIN uni uy ON uy.w = bi.w2
+              CROSS JOIN tot),
+            sel AS (
+              SELECT * FROM scored
+              ORDER BY pmi_raw DESC, w1, w2 LIMIT 100)
+            SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(c_x AS BIGINT) AS c_x,
+                   CAST(c_y AS BIGINT) AS c_y,
+                   round(pmi_raw, 6) AS pmi
+            FROM sel ORDER BY pmi_raw DESC, w1, w2
         """,
     }

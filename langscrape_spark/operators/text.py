@@ -942,3 +942,79 @@ def robust_outliers(
             (F.col("mad") > 0) & (F.abs(x - F.col("med")) > F.lit(k) * F.col("mad"))
         ),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the phrase-mining pass (Mikolov et al. 2013 §4 uses
+    exactly this to decide which word pairs become single tokens)
+    that tokenizer construction and boilerplate analysis both want
+    from a webtext corpus.
+
+    ``PMI(x,y) = ln( (c_xy / N_pairs) / ((c_x / N_tok) * (c_y /
+    N_tok)) )`` over lowercased whitespace tokens; pairs under
+    ``min_count`` are dropped first (PMI is noise at tiny counts — a
+    singleton pair of two singleton words scores huge), then the
+    top-``top_k`` cut orders by UNrounded PMI desc with (w1, w2) as
+    the deterministic tie-break; the reported pmi is round-6.
+
+    Scale shape: the pairing is ARRAY-local (slice + zip_with on the
+    token array — no window, no per-doc shuffle, unlike the lag
+    window :func:`bigram_ppl` needs for its positional semantics);
+    then two equi-key hash aggs (bigram counts, unigram counts), two
+    equi-key joins of the bigram table against the vocab-sized
+    unigram table (NOT broadcast — webtext vocabularies are
+    heavy-tailed and large; AQE may still convert), one 1-row totals
+    broadcast, and a ``TakeOrderedAndProject`` top-k. Nothing keeps
+    per-doc state.
+    """
+    toks = words_col(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    base = docs.select(F.col(id_col), toks.alias("_toks"), pairs.alias("_pairs"))
+    uni = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        base.select(F.explode("_pairs").alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    totals = base.select(
+        F.sum(F.size("_toks")).alias("n_tok"),
+        F.sum(F.size("_pairs")).alias("n_pairs"),
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_xy") / F.col("n_pairs"))
+                / ((F.col("c_x") / F.col("n_tok")) * (F.col("c_y") / F.col("n_tok")))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", F.round("pmi", 6).alias("pmi"))
+    )

@@ -2030,3 +2030,60 @@ def test_robust_outliers_approx_mode_runs(spark):
     out = robust_outliers(df, "v", mode="approx").collect()
     assert len(out) == 200
     assert all(r["med"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 3, q78)
+# ---------------------------------------------------------------------------
+
+def test_pmi_collocations_math(spark):
+    """'new york' appears 3x in an 11-token corpus: c_xy=3, c_x=c_y=3,
+    N_pairs=9 (6+3 across two docs), N_tok=11 ->
+    PMI = ln((3/9)/((3/11)^2))."""
+    import math
+    from langscrape_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york visit the city"),
+         (2, "new york is big")],
+        ["doc_id", "text"],
+    )
+    out = pmi_collocations(docs, min_count=3, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["c_xy"], r["c_x"], r["c_y"]) == ("new", "york", 3, 3, 3)
+    assert r["pmi"] == round(math.log((3 / 9) / ((3 / 11) * (3 / 11))), 6)
+
+
+def test_pmi_min_count_gate_and_short_docs(spark):
+    """Pairs under min_count drop even with huge PMI; empty and
+    one-token docs contribute no pairs (and no slice error)."""
+    from langscrape_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "rare pairing"), (2, "solo"), (3, ""), (4, None),
+         (5, "a b a b a b")],
+        ["doc_id", "text"],
+    )
+    out = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("rare", "pairing") not in pairs           # count 1 < 2
+    assert ("a", "b") in pairs and ("b", "a") in pairs
+
+
+def test_pmi_topk_tiebreak_deterministic(spark):
+    """Symmetric corpus: equal-PMI pairs cut by (w1, w2) ascending."""
+    from langscrape_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "x y . z w .") for i in range(5)], ["doc_id", "text"]
+    )
+    out = pmi_collocations(docs, min_count=5, top_k=2).collect()
+    # 'x y' and 'z w' have identical count profiles -> identical PMI;
+    # ('. z' and 'y .' likewise lower); cut keeps the 2 highest, and
+    # within the tie (w1,w2) ascending picks deterministically.
+    assert [(r["w1"], r["w2"]) for r in out] == sorted(
+        [(r["w1"], r["w2"]) for r in out]
+    ) or out[0]["pmi"] > out[1]["pmi"]
+    again = pmi_collocations(docs, min_count=5, top_k=2).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
