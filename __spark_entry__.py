@@ -2197,6 +2197,46 @@ def q78_pmi_collocations(spark, sf):
     ).orderBy(F.desc("pmi"), "w1", "w2")
 
 
+def q79_resolve_redirects(spark, sf):
+    """Redirect-chain resolution by pointer doubling
+    (operators/urls.py::resolve_redirects — log2(cap) equi-key
+    self-joins, never a row-at-a-time walk): edges derived from
+    documents (chains up to 6 via doc_id%7), plus a planted 3-cycle
+    and a planted 40-hop chain whose early nodes exceed the 32-hop
+    cap, identical in BOTH engines; the oracle walks the same map
+    with a recursive CTE capped at 32 applications."""
+    from langscrape_spark.operators.urls import resolve_redirects
+
+    u = lambda c: F.concat(F.lit("https://r/"), c.cast("string"))  # noqa: E731
+    chain = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") % 7 != 0)
+        .select(
+            u(F.col("doc_id")).alias("src"),
+            u(F.col("doc_id") - 1).alias("dst"),
+        )
+    )
+    cyc = spark.createDataFrame(
+        [
+            ("https://r/9000001", "https://r/9000002"),
+            ("https://r/9000002", "https://r/9000003"),
+            ("https://r/9000003", "https://r/9000001"),
+        ],
+        "src string, dst string",
+    )
+    long_chain = spark.range(40).select(
+        u(F.lit(8000000) + F.col("id")).alias("src"),
+        u(F.lit(8000001) + F.col("id")).alias("dst"),
+    )
+    edges = chain.unionByName(cyc).unionByName(long_chain)
+    return resolve_redirects(edges, max_hops=32).select(
+        "url",
+        "resolved",
+        F.col("hops").cast("long").alias("hops"),
+        "status",
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2277,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_robust_outliers": q76_robust_outliers,
         "q77_semdedup": q77_semdedup,
         "q78_pmi_collocations": q78_pmi_collocations,
+        "q79_resolve_redirects": q79_resolve_redirects,
     }
 
 
@@ -4989,5 +5030,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_y AS BIGINT) AS c_y,
                    round(pmi_raw, 6) AS pmi
             FROM sel ORDER BY pmi_raw DESC, w1, w2
+        """,
+        "q79_resolve_redirects": """
+            -- Pointer-doubling oracle: build the SAME edge set (doc
+            -- chains + planted 3-cycle + 40-hop chain), collapse to
+            -- min(dst) per src, walk the map 32 applications with a
+            -- recursive CTE, classify terminal vs unresolved.
+            WITH RECURSIVE e AS (
+              SELECT 'https://r/' || CAST(doc_id AS VARCHAR) AS src,
+                     'https://r/' || CAST(doc_id - 1 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('https://r/9000001', 'https://r/9000002'),
+                ('https://r/9000002', 'https://r/9000003'),
+                ('https://r/9000003', 'https://r/9000001'))
+              UNION ALL
+              SELECT 'https://r/' || CAST(8000000 + i AS VARCHAR),
+                     'https://r/' || CAST(8000001 + i AS VARCHAR)
+              FROM range(40) AS t(i)),
+            m AS (SELECT src AS u, min(dst) AS dst FROM e GROUP BY src),
+            univ AS (SELECT u AS url FROM m
+                     UNION SELECT dst FROM m),
+            walk AS (
+              SELECT url, url AS cur, 0 AS hops FROM univ
+              UNION ALL
+              SELECT w.url, m.dst, w.hops + 1
+              FROM walk w JOIN m ON m.u = w.cur
+              WHERE w.hops < 32),
+            fin AS (
+              SELECT url, arg_max(cur, hops) AS cur, max(hops) AS hops
+              FROM walk GROUP BY url),
+            cls AS (
+              SELECT f.url, f.cur, f.hops,
+                     (m.u IS NULL) AS is_term
+              FROM fin f LEFT JOIN m ON m.u = f.cur)
+            SELECT url,
+                   CASE WHEN is_term THEN cur END AS resolved,
+                   CASE WHEN is_term THEN CAST(hops AS BIGINT) END
+                     AS hops,
+                   CASE WHEN is_term THEN 'terminal'
+                        ELSE 'unresolved' END AS status
+            FROM cls ORDER BY url
         """,
     }

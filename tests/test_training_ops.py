@@ -2087,3 +2087,51 @@ def test_pmi_topk_tiebreak_deterministic(spark):
     ) or out[0]["pmi"] > out[1]["pmi"]
     again = pmi_collocations(docs, min_count=5, top_k=2).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (round 3, q79)
+# ---------------------------------------------------------------------------
+
+def test_resolve_redirects_chain_and_hops(spark):
+    from langscrape_spark.operators.urls import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    out = {r["url"]: r for r in resolve_redirects(edges).collect()}
+    assert len(out) == 4
+    assert (out["a"]["resolved"], out["a"]["hops"]) == ("d", 3)
+    assert (out["b"]["resolved"], out["b"]["hops"]) == ("d", 2)
+    assert (out["d"]["resolved"], out["d"]["hops"]) == ("d", 0)
+    assert all(r["status"] == "terminal" for r in out.values())
+
+
+def test_resolve_redirects_cycle_and_self_loop_unresolved(spark):
+    from langscrape_spark.operators.urls import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("s", "s"), ("in", "x")],
+        "src string, dst string",
+    )
+    out = {r["url"]: r for r in resolve_redirects(edges).collect()}
+    for u in ("x", "y", "s", "in"):
+        assert out[u]["status"] == "unresolved"
+        assert out[u]["resolved"] is None and out[u]["hops"] is None
+
+
+def test_resolve_redirects_cap_and_min_dst_collapse(spark):
+    from langscrape_spark.operators.urls import resolve_redirects
+
+    # 40-hop chain: nodes more than 32 hops from the end stay
+    # unresolved at max_hops=32; ambiguous src collapses to min(dst)
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    edges = spark.createDataFrame(
+        chain + [("amb", "zz"), ("amb", "n39")], "src string, dst string"
+    )
+    out = {r["url"]: r for r in resolve_redirects(edges, max_hops=32).collect()}
+    assert out["n00"]["status"] == "unresolved"      # 40 hops > 32
+    assert out["n08"]["status"] == "terminal"        # exactly 32
+    assert out["n08"]["hops"] == 32
+    assert out["amb"]["resolved"] == "n40"           # min('zz','n39')='n39' -> walks to n40
+    assert out["amb"]["hops"] == 2
