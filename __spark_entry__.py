@@ -2237,6 +2237,45 @@ def q79_resolve_redirects(spark, sf):
     ).orderBy("url")
 
 
+def q80_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprint table (operators/dedup.py::
+    winnow_fingerprints — the MOSS local-similarity fingerprint:
+    8-gram md5 hashes masked to 63 bits, leftmost-min of each 6-hash
+    window): the oracle re-derives the gram list, the window slide,
+    the min pick, the position arithmetic and the distinct in DuckDB
+    list functions — a full value-level pin of the kernel."""
+    from langscrape_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return winnow_fingerprints(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "fp",
+    ).orderBy("doc_id", "pos", "fp")
+
+
+def q81_winnow_overlap(spark, sf):
+    """Local-overlap pairs from winnowing fingerprints
+    (operators/dedup.py::winnow_overlap_pairs): 16-gram / 8-window
+    fingerprints, distinct per doc, one posting-list self-join,
+    containment normalization n_common/min(n_a,n_b), cut at rounded
+    overlap >= 0.2 (both engines filter the ROUNDED value so ulp
+    noise cannot flip the cut). The df-cap guard (10k docs/fp) cannot
+    trigger on 500 docs, so the oracle omits the window; the guard
+    itself is unit-tested with a planted hot fingerprint. Testdata
+    parquet is one row group, so the per-row-expensive gram kernel
+    needs the `_t_parallel` repartitioned scan or it runs one-core."""
+    from langscrape_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t_parallel(spark, sf, "documents").select("doc_id", "text")
+    return (
+        winnow_overlap_pairs(docs, k=16, w=8, min_shared=2)
+        .where(F.col("overlap") >= 0.2)
+        .select("id_a", "id_b", "n_common", "overlap")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2318,6 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_semdedup": q77_semdedup,
         "q78_pmi_collocations": q78_pmi_collocations,
         "q79_resolve_redirects": q79_resolve_redirects,
+        "q80_winnow_fingerprints": q80_winnow_fingerprints,
+        "q81_winnow_overlap": q81_winnow_overlap,
     }
 
 
@@ -5072,5 +5113,79 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN is_term THEN 'terminal'
                         ELSE 'unresolved' END AS status
             FROM cls ORDER BY url
+        """,
+        "q80_winnow_fingerprints": """
+            -- Winnowing kernel re-derivation: 8-gram md5 lower halves
+            -- masked to 63 bits (signed/unsigned order parity with the
+            -- Spark longs), leftmost-min per 6-hash window, distinct
+            -- (doc_id, pos, fp).
+            WITH base AS (
+              SELECT doc_id, lower(text) AS t
+              FROM documents WHERE doc_id < 40),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN length(t) - 7 >= 1 THEN
+                  list_transform(range(1, CAST(length(t) - 6 AS BIGINT)),
+                    i -> CAST(CAST(md5_number_lower(
+                             substr(t, CAST(i AS INT), 8)) AS HUGEINT)
+                          % (CAST(1 AS HUGEINT) << 63) AS BIGINT))
+                ELSE CAST([] AS BIGINT[]) END AS g
+              FROM base),
+            picks AS (
+              SELECT DISTINCT doc_id,
+                CAST(j + list_position(
+                       list_slice(g, CAST(j AS INT), CAST(j + 5 AS INT)),
+                       list_min(list_slice(g, CAST(j AS INT),
+                                           CAST(j + 5 AS INT)))) - 1
+                     AS BIGINT) AS pos,
+                list_min(list_slice(g, CAST(j AS INT),
+                                    CAST(j + 5 AS INT))) AS fp
+              FROM grams,
+                   UNNEST(range(1, greatest(len(g) - 5, 1) + 1)) AS t(j)
+              WHERE len(g) >= 1)
+            SELECT doc_id, pos, fp FROM picks
+            ORDER BY doc_id, pos, fp
+        """,
+        "q81_winnow_overlap": """
+            -- Winnow overlap pairs: 16-gram / 8-window fingerprints,
+            -- distinct per doc, posting-list self-join, containment
+            -- normalization, cut on the ROUNDED overlap.
+            WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN length(t) - 15 >= 1 THEN
+                  list_transform(range(1, CAST(length(t) - 14 AS BIGINT)),
+                    i -> CAST(CAST(md5_number_lower(
+                             substr(t, CAST(i AS INT), 16)) AS HUGEINT)
+                          % (CAST(1 AS HUGEINT) << 63) AS BIGINT))
+                ELSE CAST([] AS BIGINT[]) END AS g
+              FROM base),
+            picks AS (
+              SELECT DISTINCT doc_id,
+                list_min(list_slice(g, CAST(j AS INT),
+                                    CAST(j + 7 AS INT))) AS fp
+              FROM grams,
+                   UNNEST(range(1, greatest(len(g) - 7, 1) + 1)) AS t(j)
+              WHERE len(g) >= 1),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_fp FROM picks GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM picks a JOIN picks b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(p.n_common AS BIGINT) AS n_common,
+                     round(p.n_common / least(sa.n_fp, sb.n_fp), 6)
+                       AS overlap
+              FROM pairs p
+              JOIN sizes sa ON sa.doc_id = p.id_a
+              JOIN sizes sb ON sb.doc_id = p.id_b
+              WHERE p.n_common >= 2)
+            SELECT id_a, id_b, n_common, overlap
+            FROM scored WHERE overlap >= 0.2
+            ORDER BY id_a, id_b
         """,
     }

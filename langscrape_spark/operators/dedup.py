@@ -809,3 +809,178 @@ def exact_substring_dedup(
             F.size(sp).cast("long").alias("n_spans_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 6,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every character k-gram, slide a
+    w-hash window, keep the LEFTMOST minimum of each window, emit the
+    distinct ``(doc_id, pos, fp)`` picks. The guarantee that makes it
+    the local-similarity fingerprint (vs SimHash's global one): any
+    substring shared between two documents of length ≥ w + k − 1
+    contributes at least one IDENTICAL fingerprint to both — so a
+    fingerprint equi-join finds partial overlaps (quoted passages,
+    plagiarized sections) that whole-document signatures dilute away.
+
+    Density is ~2/(w+1) of positions, so the fingerprint table is a
+    bounded fraction of corpus characters; downstream joins are
+    equi-key on ``fp``.
+
+    Scale shape: entirely JVM array HOFs (transform/slice/array_min —
+    no UDF, no shuffle before the final distinct); the k-gram hash is
+    :func:`_md5_lower64` masked to 63 bits so the whole pipeline is
+    DuckDB-reproducible (``md5_number_lower % 2^63``) — the mask
+    matters because the window minimum is an ORDER comparison and
+    Spark longs are signed where DuckDB's hash is unsigned; clearing
+    the sign bit makes both engines rank identically. Docs shorter
+    than k emit nothing; docs with fewer than w k-grams form one
+    window (the standard short-document convention). Ties inside a
+    window pick the leftmost minimum — deterministic and
+    engine-portable.
+
+    Kernel shape: the gram hashing runs in ONE Arrow-batched pandas
+    pass (`mapInPandas`) — hashlib md5 is bit-identical to both
+    Spark's `F.md5` and DuckDB's `md5_number_lower` (LE of
+    digest[8:16], sign bit cleared), and the window minimum is a
+    vectorized numpy `sliding_window_view` argmin (argmin's
+    first-occurrence rule IS the leftmost tie-break). Lower-casing
+    stays JVM-side (`F.lower` before the UDF) so engine `lower()`
+    parity is never a UDF concern. The first cut of this kernel was
+    pure JVM array HOFs (transform/slice/array_min); at ~12 string
+    expressions per gram it benched ~8 s for 10M grams at 32 cores —
+    the pandas pass is the same trade that won for simhash/minhash.
+    Per-doc `np.unique` makes the output distinct map-side, so the
+    operator has NO shuffle at all; ASCII texts (the common webtext
+    case after lowering) hash via one bulk encode + byte slicing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, pos long, fp long"
+    )
+    mask = 0x7FFFFFFFFFFFFFFF
+
+    def _winnow_batches(batches):
+        import hashlib
+
+        def doc_picks(text):
+            if text is None:
+                return None
+            n_g = len(text) - k + 1
+            if n_g < 1:
+                return None
+            if text.isascii():
+                raw = text.encode()
+                hashes = [
+                    int.from_bytes(
+                        hashlib.md5(raw[i:i + k]).digest()[8:16], "little"
+                    ) & mask
+                    for i in range(n_g)
+                ]
+            else:
+                hashes = [
+                    int.from_bytes(
+                        hashlib.md5(text[i:i + k].encode()).digest()[8:16],
+                        "little",
+                    ) & mask
+                    for i in range(n_g)
+                ]
+            arr = np.asarray(hashes, dtype=np.int64)
+            if n_g <= w:
+                j = int(arr.argmin())
+                return np.array([[j + 1, arr[j]]], dtype=np.int64)
+            wins = np.lib.stride_tricks.sliding_window_view(arr, w)
+            am = wins.argmin(axis=1)  # first occurrence == leftmost min
+            pos = np.arange(len(am), dtype=np.int64) + am + 1
+            picks = np.stack([pos, arr[pos - 1]], axis=1)
+            return np.unique(picks, axis=0)
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf["_t"]):
+                p = doc_picks(text)
+                if p is None:
+                    continue
+                ids.extend([doc_id] * len(p))
+                poss.append(p[:, 0])
+                fps.append(p[:, 1])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "pos": np.concatenate(poss) if poss else
+                       np.array([], dtype=np.int64),
+                "fp": np.concatenate(fps) if fps else
+                      np.array([], dtype=np.int64),
+            })
+
+    base = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_t")
+    )
+    return base.mapInPandas(_winnow_batches, schema=out_schema)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 6,
+    min_shared: int = 2,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints: two
+    documents sharing ``min_shared`` or more distinct fingerprints are
+    emitted with an overlap score ``n_common / min(n_a, n_b)`` (the
+    containment normalization — right for partial overlap, where the
+    smaller document may be wholly quoted inside the larger one).
+
+    Scale shape mirrors :func:`_shingle_pair_counts`: one posting-list
+    self-join on the fingerprint key, never a cross join, with a
+    df-cap guard — a fingerprint present in more than ``max_doc_freq``
+    documents (boilerplate: headers, license blocks shared corpus-wide)
+    is dropped from the vocabulary before the join, since its posting
+    list alone would contribute df² candidate pairs. The cap uses an
+    exact in-window df count over one explicit exchange on ``fp``
+    (ReuseExchange then serves the window, the size recount and both
+    join sides from a single shuffle). Winnowing already bounds the
+    table to ~2/(w+1) of corpus characters, so the join input is a
+    fraction of the shingle-index equivalents."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    w_fp = Window.partitionBy("fp")
+    ex = (
+        fps.repartition("fp")
+        .withColumn("_df", F.count("*").over(w_fp))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_fp"))
+    ex = ex.join(sizes, "id")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_fp").alias("n_a"),
+            F.col("b.n_fp").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap"),
+        )
+    )

@@ -694,3 +694,90 @@ def test_semdedup_auto_k_scales_with_corpus(spark):
     # threshold > 1 can never fire: everything kept
     assert all(r["keep"] for r in out)
     assert len({r["cluster"] for r in out}) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 3: MOSS local-similarity fingerprint)
+# ---------------------------------------------------------------------------
+
+def _winnow_brute(text: str, k: int, w: int) -> set:
+    """Reference winnowing in plain Python (Schleimer et al. 2003,
+    leftmost-min tie-break), hashes via the same masked md5 lower half
+    (little-endian bytes 8:16, sign bit cleared)."""
+    import hashlib
+    import struct
+
+    t = text.lower()
+    grams = [
+        struct.unpack("<q", hashlib.md5(t[i:i + k].encode()).digest()[8:16])[0]
+        & 0x7FFFFFFFFFFFFFFF
+        for i in range(len(t) - k + 1)
+    ]
+    if not grams:
+        return set()
+    picks = set()
+    for j in range(max(1, len(grams) - w + 1)):
+        window = grams[j:j + w]
+        mn = min(window)
+        picks.add((j + window.index(mn) + 1, mn))  # 1-based pos
+    return picks
+
+
+def test_winnow_matches_bruteforce(spark):
+    from langscrape_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (1, "aaaaaaaaaaaaaaaaaaaaaa"),          # all-equal grams: tie-break path
+        (2, "short"),                            # < k chars: no grams
+        (3, "exactlen8"),                        # 2 grams, fewer than w: one window
+        (4, ""),                                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=8, w=6).collect()
+    }
+    want = {
+        (i, p, h) for i, t in rows for (p, h) in _winnow_brute(t, 8, 6)
+    }
+    assert got == want
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing contract: any shared substring of length
+    >= w + k - 1 leaves at least one identical fingerprint in both
+    documents."""
+    from langscrape_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 6
+    shared = "zqxwvuty" * 4  # 32 chars >= w + k - 1 = 13, collision-proof
+    df = spark.createDataFrame(
+        [
+            (0, "left padding text then " + shared + " and a tail here"),
+            (1, "completely different prefix " + shared + " other suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=k, w=w)
+    a = {r["fp"] for r in fps.where("doc_id = 0").collect()}
+    b = {r["fp"] for r in fps.where("doc_id = 1").collect()}
+    assert a & b, "shared 32-char substring must share a fingerprint"
+
+
+def test_winnow_overlap_hot_fp_guard(spark):
+    """A fingerprint shared corpus-wide (planted boilerplate) must be
+    dropped from the posting list by the df cap instead of generating
+    df^2 pairs."""
+    from langscrape_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "universal boilerplate header that every page carries"
+    rows = [(i, boiler + f" unique-{i}-" + "x" * (17 + i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_overlap_pairs(
+        df, k=16, w=4, min_shared=1, max_doc_freq=1000
+    )
+    capped = winnow_overlap_pairs(df, k=16, w=4, min_shared=1, max_doc_freq=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un > 0
+    assert n_cap < n_un, "df cap must remove boilerplate-only pairs"
