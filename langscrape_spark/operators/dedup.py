@@ -817,6 +817,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 6,
+    with_positions: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
     2003, the MOSS algorithm): hash every character k-gram, slide a
@@ -832,17 +833,25 @@ def winnow_fingerprints(
     bounded fraction of corpus characters; downstream joins are
     equi-key on ``fp``.
 
-    Scale shape: entirely JVM array HOFs (transform/slice/array_min —
-    no UDF, no shuffle before the final distinct); the k-gram hash is
-    :func:`_md5_lower64` masked to 63 bits so the whole pipeline is
-    DuckDB-reproducible (``md5_number_lower % 2^63``) — the mask
-    matters because the window minimum is an ORDER comparison and
-    Spark longs are signed where DuckDB's hash is unsigned; clearing
-    the sign bit makes both engines rank identically. Docs shorter
-    than k emit nothing; docs with fewer than w k-grams form one
-    window (the standard short-document convention). Ties inside a
-    window pick the leftmost minimum — deterministic and
-    engine-portable.
+    The k-gram hash is the md5 lower half masked to 63 bits so the
+    whole pipeline is DuckDB-reproducible (``md5_number_lower %
+    2^63``) — the mask matters because the window minimum is an ORDER
+    comparison and Spark longs are signed where DuckDB's hash is
+    unsigned; clearing the sign bit makes both engines rank
+    identically. Docs shorter than k emit nothing; docs with fewer
+    than w k-grams form one window (the standard short-document
+    convention). Ties inside a window pick the leftmost minimum —
+    deterministic and engine-portable. Rows with a NULL id are
+    dropped JVM-side before the kernel: a null id is useless to every
+    downstream equi-join, and filtering it keeps integer id batches
+    free of nulls, which would otherwise force Arrow→pandas onto
+    lossy float64 (ids above 2^53 would corrupt silently).
+
+    ``with_positions=False`` switches the output to per-doc DISTINCT
+    fingerprints ``(id, n_fp, fp)`` with the doc's distinct-fp count
+    duplicated per row (the ``n_sh`` move from the shingle index) —
+    the overlap join consumes exactly that shape and skips both the
+    ``distinct()`` exchange and a separate sizes groupBy+join.
 
     Kernel shape: the gram hashing runs in ONE Arrow-batched pandas
     pass (`mapInPandas`) — hashlib md5 is bit-identical to both
@@ -863,17 +872,17 @@ def winnow_fingerprints(
     import pandas as pd
 
     id_field = docs.schema[id_col]
+    id_ddl = f"`{id_col}` {id_field.dataType.simpleString()}"
     out_schema = (
-        f"`{id_col}` {id_field.dataType.simpleString()}, pos long, fp long"
+        f"{id_ddl}, n_fp long, fp long" if not with_positions
+        else f"{id_ddl}, pos long, fp long"
     )
     mask = 0x7FFFFFFFFFFFFFFF
 
     def _winnow_batches(batches):
         import hashlib
 
-        def doc_picks(text):
-            if text is None:
-                return None
+        def doc_grams(text):
             n_g = len(text) - k + 1
             if n_g < 1:
                 return None
@@ -893,8 +902,15 @@ def winnow_fingerprints(
                     ) & mask
                     for i in range(n_g)
                 ]
-            arr = np.asarray(hashes, dtype=np.int64)
-            if n_g <= w:
+            return np.asarray(hashes, dtype=np.int64)
+
+        def doc_picks(text):
+            if text is None:
+                return None
+            arr = doc_grams(text)
+            if arr is None:
+                return None
+            if len(arr) <= w:
                 j = int(arr.argmin())
                 return np.array([[j + 1, arr[j]]], dtype=np.int64)
             wins = np.lib.stride_tricks.sliding_window_view(arr, w)
@@ -904,23 +920,34 @@ def winnow_fingerprints(
             return np.unique(picks, axis=0)
 
         for pdf in batches:
-            ids, poss, fps = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf["_t"]):
+            # dtype-preserving id fan-out: index the ORIGINAL pandas
+            # column by row position instead of re-materializing a
+            # Series (which would silently widen through the batch
+            # dtype on mixed batches)
+            rows, aux, fps = [], [], []
+            for rowno, text in enumerate(pdf["_t"]):
                 p = doc_picks(text)
                 if p is None:
                     continue
-                ids.extend([doc_id] * len(p))
-                poss.append(p[:, 0])
-                fps.append(p[:, 1])
+                if with_positions:
+                    rows.extend([rowno] * len(p))
+                    aux.append(p[:, 0])
+                    fps.append(p[:, 1])
+                else:
+                    uf = np.unique(p[:, 1])
+                    rows.extend([rowno] * len(uf))
+                    aux.append(np.full(len(uf), len(uf), dtype=np.int64))
+                    fps.append(uf)
+            ids = pdf[id_col].iloc[rows].reset_index(drop=True)
+            empty = np.array([], dtype=np.int64)
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                "pos": np.concatenate(poss) if poss else
-                       np.array([], dtype=np.int64),
-                "fp": np.concatenate(fps) if fps else
-                      np.array([], dtype=np.int64),
+                id_col: ids,
+                ("pos" if with_positions else "n_fp"):
+                    np.concatenate(aux) if aux else empty,
+                "fp": np.concatenate(fps) if fps else empty,
             })
 
-    base = docs.select(
+    base = docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col), F.lower(F.col(text_col)).alias("_t")
     )
     return base.mapInPandas(_winnow_batches, schema=out_schema)
@@ -934,6 +961,7 @@ def winnow_overlap_pairs(
     w: int = 6,
     min_shared: int = 2,
     max_doc_freq: int = 10_000,
+    detect_fraction: float = 0.1,
 ) -> DataFrame:
     """Local-overlap candidate pairs from winnowing fingerprints: two
     documents sharing ``min_shared`` or more distinct fingerprints are
@@ -946,24 +974,47 @@ def winnow_overlap_pairs(
     df-cap guard — a fingerprint present in more than ``max_doc_freq``
     documents (boilerplate: headers, license blocks shared corpus-wide)
     is dropped from the vocabulary before the join, since its posting
-    list alone would contribute df² candidate pairs. The cap uses an
-    exact in-window df count over one explicit exchange on ``fp``
-    (ReuseExchange then serves the window, the size recount and both
-    join sides from a single shuffle). Winnowing already bounds the
+    list alone would contribute df² candidate pairs. The cap is GATED
+    by the same sampled hot-key probe as the shingle family (a seeded
+    doc sample is re-winnowed and screened at half the scaled cap;
+    small caps fall back to exact detection): the common no-boilerplate
+    corpus skips the window sort entirely, and when it does trigger the
+    exact in-window df count runs over one explicit exchange on ``fp``
+    that ReuseExchange shares with the size recount and both join
+    sides. The per-doc distinct and the doc sizes both come map-side
+    from the kernel's ``with_positions=False`` shape — no ``distinct``
+    exchange, no sizes groupBy+join. Winnowing already bounds the
     table to ~2/(w+1) of corpus characters, so the join input is a
     fraction of the shingle-index equivalents."""
-    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w).select(
-        F.col(id_col).alias("id"), "fp"
-    ).distinct()
-    w_fp = Window.partitionBy("fp")
-    ex = (
-        fps.repartition("fp")
-        .withColumn("_df", F.count("*").over(w_fp))
-        .where(F.col("_df") <= max_doc_freq)
-        .drop("_df")
-    )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_fp"))
-    ex = ex.join(sizes, "id")
+    ex = winnow_fingerprints(
+        docs, text_col, id_col, k=k, w=w, with_positions=False
+    ).select(F.col(id_col).alias("id"), "n_fp", "fp")
+    if max_doc_freq is not None:
+        if max_doc_freq * detect_fraction < 20:
+            detect_fraction = 1.0
+        cand_hot = (
+            winnow_fingerprints(
+                docs.sample(fraction=detect_fraction, seed=7),
+                text_col, id_col, k=k, w=w, with_positions=False,
+            )
+            .groupBy("fp").agg(F.count("*").alias("df_fp"))
+            .where(F.col("df_fp") > max_doc_freq * detect_fraction / 2.0)
+            .select("fp")
+        )
+        if not cand_hot.isEmpty():
+            w_fp = Window.partitionBy("fp")
+            ex = (
+                ex.repartition("fp")
+                .withColumn("_df", F.count("*").over(w_fp))
+                .where(F.col("_df") <= max_doc_freq)
+                .drop("_df")
+            )
+            ncap = ex.groupBy("id").agg(F.count("*").alias("n_cap"))
+            ex = (
+                ex.drop("n_fp")
+                .join(ncap, "id")
+                .withColumnRenamed("n_cap", "n_fp")
+            )
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
