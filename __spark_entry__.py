@@ -2276,6 +2276,30 @@ def q81_winnow_overlap(spark, sf):
     )
 
 
+def q82_zipf_stats(spark, sf):
+    """Vocabulary frequency profile (operators/text.py::zipf_stats):
+    top-100 tokens with rank / cumulative coverage share plus
+    vocab-size / hapax / total-token constants. The global rank is a
+    TakeOrderedAndProject (the vocabulary is never sorted through one
+    partition); only the bounded top-k rows see a window."""
+    from langscrape_spark.operators.text import zipf_stats
+
+    return zipf_stats(_t(spark, sf, "documents"), top_k=100)
+
+
+def q83_tfidf_keywords(spark, sf):
+    """Top-3 tf-idf keywords per document (operators/text.py::
+    tfidf_keywords): smoothed idf ln((N+1)/(df+1))+1, per-doc
+    row_number cut on the UNROUNDED score with token tie-break; df
+    derives from the tf frame so the exploded corpus aggregates
+    once; N joins as a 1-row broadcast."""
+    from langscrape_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 200), k=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2359,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_resolve_redirects": q79_resolve_redirects,
         "q80_winnow_fingerprints": q80_winnow_fingerprints,
         "q81_winnow_overlap": q81_winnow_overlap,
+        "q82_zipf_stats": q82_zipf_stats,
+        "q83_tfidf_keywords": q83_tfidf_keywords,
     }
 
 
@@ -5187,5 +5213,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, n_common, overlap
             FROM scored WHERE overlap >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "q82_zipf_stats": """
+            -- Zipf/vocab coverage: top-100 tokens by (count desc,
+            -- token asc) with cumulative coverage share and corpus
+            -- constants duplicated per row.
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            tf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+            consts AS (
+              SELECT count(*) AS vocab_size,
+                     sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax_count,
+                     sum(cnt) AS total_tokens
+              FROM tf),
+            top AS (
+              SELECT w, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, w) AS rank
+              FROM tf ORDER BY cnt DESC, w LIMIT 100),
+            cum AS (
+              SELECT rank, w, cnt,
+                     sum(cnt) OVER (ORDER BY rank) AS cum_count
+              FROM top)
+            SELECT CAST(rank AS BIGINT) AS rank, w AS token,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(cum_count AS BIGINT) AS cum_count,
+                   round(cum_count / total_tokens, 6) AS cum_share,
+                   CAST(vocab_size AS BIGINT) AS vocab_size,
+                   CAST(hapax_count AS BIGINT) AS hapax_count,
+                   CAST(total_tokens AS BIGINT) AS total_tokens
+            FROM cum, consts ORDER BY rank
+        """,
+        "q83_tfidf_keywords": """
+            -- Per-doc top-3 tf-idf keywords: smoothed idf, per-doc
+            -- row_number cut on the UNROUNDED score (round only in
+            -- the projection), token tie-break.
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents WHERE doc_id < 200),
+            tf AS (
+              SELECT doc_id, w, count(*) AS tf
+              FROM tok GROUP BY doc_id, w),
+            dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+            n AS (SELECT count(*) AS n_docs
+                  FROM documents WHERE doc_id < 200),
+            scored AS (
+              SELECT t.doc_id, t.w, t.tf, d.df,
+                     t.tf * (ln((n_docs + 1) / (d.df + 1)) + 1.0) AS s
+              FROM tf t JOIN dfx d USING (w) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, w) AS rn
+              FROM scored)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rn, w AS token,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   round(s, 6) AS score
+            FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
         """,
     }

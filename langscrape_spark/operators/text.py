@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Per-language stopword lists (public common words; Latin-script
 # languages). Heuristic n-gram/stopword language ID per SURVEY's
@@ -1017,4 +1017,115 @@ def pmi_collocations(
         scored.orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
         .select("w1", "w2", "c_xy", "c_x", "c_y", F.round("pmi", 6).alias("pmi"))
+    )
+
+
+def zipf_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Vocabulary frequency profile for tokenizer/vocab design: the
+    ``top_k`` most frequent tokens with rank, count, cumulative count
+    and cumulative share of all corpus tokens, plus corpus-level
+    constants (vocabulary size, hapax-legomena count, total tokens)
+    duplicated per row so one table answers "how big a vocab covers
+    X% of the corpus".
+
+    Scale shape: ONE explode+groupBy shuffle builds the term-count
+    frame; its Exchange is shared by both consumers (the top-k sort
+    and the vocab-level aggregate) via ReuseExchange. The global rank
+    is a ``TakeOrderedAndProject`` — the corpus-sized vocabulary is
+    NEVER sorted through one partition; only the bounded top-k rows
+    see a window (for the running coverage sum), and the corpus
+    constants arrive as a 1-row broadcast crossJoin, never a collect.
+    Ordering is deterministic: count desc, token asc.
+    """
+    tf = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    consts = tf.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum("cnt").alias("total_tokens"),
+    )
+    top = tf.orderBy(F.desc("cnt"), "w").limit(top_k)
+    w_rank = Window.orderBy(F.desc("cnt"), "w")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "cum_count",
+            F.sum("cnt").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cum_count").cast("long").alias("cum_count"),
+            F.round(F.col("cum_count") / F.col("total_tokens"), 6).alias(
+                "cum_share"
+            ),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("hapax_count").cast("long").alias("hapax_count"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("rank")
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k tf-idf keywords per document (document tagging / topic
+    surrogate): ``score = tf * (ln((N+1)/(df+1)) + 1)`` with the
+    smoothed idf, cut per document by the UNROUNDED score (rounding
+    happens only in the output so ulp noise cannot flip the cut),
+    ties broken by token asc.
+
+    Scale shape: tf is one (doc, token) groupBy; df is one token
+    groupBy over the SAME exploded frame (shared Exchange); the
+    tf×idf join stays a shuffle join (webtext vocabularies don't
+    broadcast); N rides in as a 1-row broadcast crossJoin so the doc
+    count never hits the driver; the per-doc top-k is a
+    ``row_number`` window partitioned by doc — parallel by
+    construction, no global sort.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    # df derives FROM tf (rows per token == docs containing it), so the
+    # exploded frame is aggregated once and df is a narrow re-agg
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w_doc = Window.partitionBy(id_col).orderBy(F.desc("_score"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") <= k)
+        .select(
+            id_col,
+            F.col("rn").cast("long").alias("rn"),
+            F.col("w").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("_score", 6).alias("score"),
+        )
+        .orderBy(id_col, "rn")
     )

@@ -2135,3 +2135,80 @@ def test_resolve_redirects_cap_and_min_dst_collapse(spark):
     assert out["n08"]["hops"] == 32
     assert out["amb"]["resolved"] == "n40"           # min('zz','n39')='n39' -> walks to n40
     assert out["amb"]["hops"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Zipf / vocab coverage (q82) and tf-idf keywords (q83)
+# ---------------------------------------------------------------------------
+
+def test_zipf_stats_hand_math(spark):
+    from langscrape_spark.operators.text import zipf_stats
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b x"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["rank"]: r for r in zipf_stats(df, top_k=2).collect()}
+    # counts: a=4, b=3, c=1, x=1 -> vocab 4, hapax 2, total 9
+    assert rows[1]["token"] == "a" and rows[1]["cnt"] == 4
+    assert rows[2]["token"] == "b" and rows[2]["cnt"] == 3
+    assert rows[2]["cum_count"] == 7
+    assert rows[2]["cum_share"] == round(7 / 9, 6)
+    for r in rows.values():
+        assert r["vocab_size"] == 4
+        assert r["hapax_count"] == 2
+        assert r["total_tokens"] == 9
+
+
+def test_zipf_stats_tie_break_is_token_asc(spark):
+    from langscrape_spark.operators.text import zipf_stats
+
+    df = spark.createDataFrame(
+        [(0, "z q z q m")], "doc_id long, text string"
+    )
+    out = zipf_stats(df, top_k=3).collect()
+    # q and z tie at 2: q first (token asc), then z, then m
+    assert [r["token"] for r in out] == ["q", "z", "m"]
+
+
+def test_tfidf_keywords_hand_math(spark):
+    import math
+
+    from langscrape_spark.operators.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "cherry shared shared"),
+            (2, "durian shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rn"]): r for r in tfidf_keywords(df, k=2).collect()}
+    idf = lambda df_t: math.log((3 + 1) / (df_t + 1)) + 1.0
+    # doc 0: apple tf=2 df=1 beats banana/shared
+    r = out[(0, 1)]
+    assert r["token"] == "apple" and r["tf"] == 2 and r["df"] == 1
+    assert r["score"] == round(2 * idf(1), 6)
+    # doc 1: shared tf=2 but df=3 (idf ~ ln(1)+1 = 1) -> score 2.0;
+    # cherry tf=1 df=1 -> ln(2)+1 ~ 1.693 -> shared wins rank 1
+    assert out[(1, 1)]["token"] == "shared"
+    assert out[(1, 1)]["score"] == round(2 * idf(3), 6)
+    assert out[(1, 2)]["token"] == "cherry"
+    # doc 2 has exactly 2 tokens -> both ranked
+    assert out[(2, 1)]["token"] == "durian"
+    assert out[(2, 2)]["token"] == "shared"
+
+
+def test_tfidf_keywords_short_docs_and_ties(spark):
+    from langscrape_spark.operators.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(0, "bb aa"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, k=3).collect()
+    # empty/null docs emit nothing; identical (tf, df) ties break token asc
+    assert [(r["doc_id"], r["rn"], r["token"]) for r in out] == [
+        (0, 1, "aa"), (0, 2, "bb")
+    ]
