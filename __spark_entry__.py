@@ -2300,6 +2300,66 @@ def q83_tfidf_keywords(spark, sf):
     )
 
 
+_BPE_WC_SQL = """
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents)
+    WHERE NOT contains(w, chr(31)) GROUP BY w
+"""
+
+_BPE_TOK_SQL = """
+    SELECT doc_id, w FROM (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents)
+    WHERE NOT contains(w, chr(31))
+"""
+
+
+def _bpe_oracle(kind: str) -> str:
+    """BPE oracles are BUILT (unrolled 8-round CTE chains) by the
+    operator module so the DuckDB fold stays next to its Spark twin."""
+    from langscrape_spark.operators.bpe import (
+        bpe_encode_oracle_sql,
+        bpe_oracle_sql,
+    )
+
+    if kind == "train":
+        return bpe_oracle_sql(_BPE_WC_SQL, n_merges=8)
+    return bpe_encode_oracle_sql(_BPE_WC_SQL, _BPE_TOK_SQL, n_merges=8)
+
+
+def q84_bpe_train(spark, sf):
+    """Distributed BPE merge training (operators/bpe.py::bpe_train):
+    8 merge rules learned from the word-frequency table — the corpus
+    is touched once; every round runs over the bounded vocabulary
+    frame with an array-local zip_with pairing, a TakeOrderedAndProject
+    argmax (ONE row to the driver per round) and a string-fold merge
+    apply. The oracle unrolls the 8 rounds as chained DuckDB CTEs and
+    re-runs the SAME fold via list_reduce — every rule value-checked."""
+    from langscrape_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t_parallel(spark, sf, "documents"), n_merges=8)
+
+
+def q85_bpe_encode(spark, sf):
+    """BPE tokenizer application (operators/bpe.py::bpe_encode_stats):
+    after training 8 merges, every document is tokenized via the
+    SEGMENTED-VOCAB equi-join (documents are never re-folded token by
+    token — the trainer already segmented every distinct word), and
+    per-doc fertility stats (n_words / n_chars / n_syms / compression)
+    come from one groupBy. Oracle: the same unrolled rounds INCLUDING
+    the final vocabulary, then the same join+aggregate."""
+    from langscrape_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(
+        _t_parallel(spark, sf, "documents"), n_merges=8
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2385,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_winnow_overlap": q81_winnow_overlap,
         "q82_zipf_stats": q82_zipf_stats,
         "q83_tfidf_keywords": q83_tfidf_keywords,
+        "q84_bpe_train": q84_bpe_train,
+        "q85_bpe_encode": q85_bpe_encode,
     }
 
 
@@ -5274,4 +5336,6 @@ def oracle_sql() -> dict[str, str]:
                    round(s, 6) AS score
             FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
         """,
+        "q84_bpe_train": _bpe_oracle("train"),
+        "q85_bpe_encode": _bpe_oracle("encode"),
     }

@@ -2212,3 +2212,80 @@ def test_tfidf_keywords_short_docs_and_ties(spark):
     assert [(r["doc_id"], r["rn"], r["token"]) for r in out] == [
         (0, 1, "aa"), (0, 2, "bb")
     ]
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training / encoding (q84/q85)
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_textbook_merges(spark):
+    """The Sennrich et al. toy corpus: es -> est -> lo -> low."""
+    from langscrape_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower"),
+         (1, "newest newest newest newest newest newest widest widest widest")],
+        "doc_id long, text string")
+    out = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=4).collect()]
+    assert out == [("e", "s", "es", 9), ("es", "t", "est", 9),
+                   ("l", "o", "lo", 7), ("lo", "w", "low", 7)]
+
+
+def test_bpe_merge_run_parity(spark):
+    """'aaaa' merging (a,a) left-to-right gives [aa][aa]; 'aaa' gives
+    [aa][a] — the fold must not double-merge through its own output."""
+    from langscrape_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa")], "doc_id long, text string")
+    rules = bpe_train(docs, n_merges=2).collect()
+    # round 1: (a,a) count = 3 (aaaa) + 2 (aaa) = 5
+    assert (rules[0]["lhs"], rules[0]["rhs"], rules[0]["pair_count"]) == (
+        "a", "a", 5)
+    # after round 1: aaaa -> [aa,aa], aaa -> [aa,a]
+    # round 2 pairs: (aa,aa)=1, (aa,a)=1 -> tie breaks (a asc, b asc):
+    # ('aa','a') < ('aa','aa')
+    assert (rules[1]["lhs"], rules[1]["rhs"], rules[1]["pair_count"]) == (
+        "aa", "a", 1)
+
+
+def test_bpe_train_early_stop(spark):
+    """Single-char words have no pairs: the loop stops instead of
+    emitting null rules."""
+    from langscrape_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=5).count() == 0
+
+
+def test_bpe_encode_stats_hand_math(spark):
+    from langscrape_spark.operators.bpe import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "low"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, n_merges=2).collect()}
+    # merges: (l,o) cnt 4, then (lo,w) cnt 4 -> low=[low], lower=[low,e,r]
+    assert set(out) == {0, 1}          # empty/null docs drop out
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_chars"], r0["n_syms"]) == (3, 11, 5)
+    assert r0["compression"] == round(11 / 5, 6)
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_chars"], r1["n_syms"]) == (1, 3, 1)
+    assert r1["compression"] == 3.0
+
+
+def test_bpe_separator_words_excluded(spark):
+    """Words containing U+001F are dropped from training AND encoding
+    (the fold separator must never occur inside a symbol)."""
+    from langscrape_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab a\x1fb cd")], "doc_id long, text string")
+    rules = bpe_train(docs, n_merges=1).collect()
+    assert (rules[0]["lhs"], rules[0]["rhs"], rules[0]["pair_count"]) == (
+        "a", "b", 2)  # the separator word contributes nothing
+    enc = bpe_encode_stats(docs, n_merges=1).collect()[0]
+    assert enc["n_words"] == 3  # ab, ab, cd
