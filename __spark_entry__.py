@@ -2360,6 +2360,24 @@ def q85_bpe_encode(spark, sf):
     ).orderBy("doc_id")
 
 
+def q86_pq_ann(spark, sf):
+    """Product-quantization ADC top-k (operators/ann.py::pq_codebooks
+    / pq_encode / pq_adc_topk — Jégou et al. 2011): per-subspace L2
+    codebooks (md5-seeded deterministic Lloyd, ONE corpus pass per
+    iteration for all subspaces), vectors compressed to m codes, and
+    the query scored as m table lookups per vector — no float vector
+    read at query time. Oracled via frozen codebook/code fixtures
+    (scripts/freeze_ann_fixtures.py): DuckDB re-derives the ADC
+    table, the code-lookup sums and the top-k order, while Spark
+    computes codebooks AND codes LIVE — the compare pins the subspace
+    Lloyd and the encoder."""
+    from langscrape_spark.operators.ann import pq_adc_topk, pq_codebooks
+
+    emb = _t(spark, sf, "embeddings")
+    cbs = pq_codebooks(emb, m=8, ksub=16, iterations=2)
+    return pq_adc_topk(emb, QUERY_VEC, cbs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2447,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_tfidf_keywords": q83_tfidf_keywords,
         "q84_bpe_train": q84_bpe_train,
         "q85_bpe_encode": q85_bpe_encode,
+        "q86_pq_ann": q86_pq_ann,
     }
 
 
@@ -5338,4 +5357,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q84_bpe_train": _bpe_oracle("train"),
         "q85_bpe_encode": _bpe_oracle("encode"),
+        "q86_pq_ann": f"""
+            -- PQ/ADC over frozen fixtures: the m x ksub subvector-L2^2
+            -- table from the frozen codebooks, the per-vector ADC sum
+            -- from the frozen codes, round-6 + id tie-break top-k
+            -- (the q35 ANN oracle protocol). Spark computes codebooks
+            -- and codes live; the compare pins them.
+            WITH q AS (SELECT {_QV_SQL} AS qv),
+            tab AS (
+              SELECT sub, cid,
+                list_sum(list_transform(range(1, 9),
+                  i -> (qv[CAST(sub * 8 + i AS INT)]
+                        - centroid[CAST(i AS INT)])
+                       * (qv[CAST(sub * 8 + i AS INT)]
+                          - centroid[CAST(i AS INT)]))) AS d
+              FROM read_parquet('{_fixture("q86_pq_codebooks.parquet")}'), q),
+            codes AS (
+              SELECT vec_id, codes
+              FROM read_parquet('{_fixture("q86_pq_codes.parquet")}')
+              WHERE codes IS NOT NULL),
+            expand AS (
+              SELECT vec_id, CAST(j - 1 AS INT) AS sub,
+                     codes[CAST(j AS INT)] AS code
+              FROM codes, UNNEST(range(1, len(codes) + 1)) AS t(j)),
+            adc AS (
+              SELECT e.vec_id, round(sum(t.d), 6) AS adc
+              FROM expand e
+              JOIN tab t ON t.sub = e.sub AND t.cid = e.code
+              GROUP BY e.vec_id)
+            SELECT vec_id, adc FROM adc
+            ORDER BY adc ASC, vec_id ASC LIMIT 10
+        """,
     }

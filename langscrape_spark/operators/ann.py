@@ -814,3 +814,205 @@ def semdedup(
     return out.select(
         F.col("id").alias(id_col), "cluster", "max_sim_earlier", "keep"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — memory-bounded ANN
+# --------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic PQ codebooks (Jégou/Douze/Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector is split
+    into ``m`` subvectors and each subspace gets its own ``ksub``-way
+    L2 k-means codebook, so a vector stores as ``m`` small codes
+    (here m bytes at ksub ≤ 256) instead of dim floats — the memory
+    move that makes billion-vector ANN fit on a cluster.
+
+    Same scale/determinism shape as :func:`ivf_centroids`: seeds are
+    the ksub md5-first vectors (no RNG state), every Lloyd pass over
+    the corpus is ONE ``mapInPandas`` handling all m subspaces (m
+    small gemms per Arrow batch — never m corpus passes), and the
+    driver only ever sees per-partition (sum, count) partials of size
+    m·ksub·dsub. Unlike IVF the codebooks are plain L2 (no
+    normalization): PQ approximates Euclidean geometry, and the ADC
+    scorer below is L2².
+
+    Returns ``list[m][ksub][dsub]`` of centroids. Requires dim % m
+    == 0 (raises otherwise, checked on the first seed row). NULL /
+    wrong-length vectors neither seed nor move centroids.
+    """
+    import numpy as np
+
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    if not seed_rows:
+        return []
+    dim = len(seed_rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (m, ksub, dsub) — every subspace seeded from the same md5-first
+    # rows (their respective slices)
+    seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    cent = np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    spark = df.sparkSession
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            import pandas as pd
+
+            C = bc.value  # (m, ksub, dsub)
+            m_, k_, d_ = C.shape
+            sums = np.zeros_like(C)
+            counts = np.zeros((m_, k_), dtype=np.int64)
+            for pdf in batches:
+                vals = [
+                    v for v in pdf[vec_col]
+                    if v is not None and len(v) == m_ * d_
+                ]
+                if not vals:
+                    continue
+                V = np.array(vals, dtype=np.float64)
+                for s in range(m_):
+                    Vs = V[:, s * d_:(s + 1) * d_]
+                    # argmin ||v - c||^2 = argmax (2 v.c - ||c||^2)
+                    d2 = (
+                        (Vs * Vs).sum(1)[:, None]
+                        - 2.0 * (Vs @ C[s].T)
+                        + (C[s] * C[s]).sum(1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], a, Vs)
+                    np.add.at(counts[s], a, 1)
+            yield pd.DataFrame({
+                "sub": np.repeat(np.arange(m_), k_),
+                "cid": np.tile(np.arange(k_), m_),
+                "s": [x.tolist() for x in sums.reshape(m_ * k_, d_)],
+                "n": counts.reshape(m_ * k_),
+            })
+
+        rows = (
+            df.select(vec_col)
+            .mapInPandas(partials, schema="sub int, cid int, s array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(cent.shape[:2], dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["cid"]] += np.asarray(r["s"])
+            counts[r["sub"], r["cid"]] += r["n"]
+        mask = counts > 0
+        cent[mask] = sums[mask] / counts[mask][:, None]
+    return [[list(map(float, c)) for c in sub] for sub in cent]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``codes`` column (``array<int>``, length m): per
+    subspace, the L2-nearest codebook entry — one set of m small
+    gemms per Arrow batch against the broadcast codebooks. At scale
+    this is the compressed representation you persist; the raw
+    vectors are only consulted for optional exact re-ranks. Poison
+    rows (NULL / wrong-length) get NULL codes and never affect batch
+    neighbors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = [[list(map(float, c)) for c in sub] for sub in codebooks]
+
+    def _enc(vs):
+        M = np.asarray(C, dtype=np.float64)  # (m, ksub, dsub)
+        m_, k_, d_ = M.shape
+        vals = list(vs)
+        out = [None] * len(vals)
+        good = [
+            i for i, v in enumerate(vals) if v is not None and len(v) == m_ * d_
+        ]
+        if good:
+            V = np.array([vals[i] for i in good], dtype=np.float64)
+            codes = np.empty((len(good), m_), dtype=np.int64)
+            for s in range(m_):
+                Vs = V[:, s * d_:(s + 1) * d_]
+                d2 = (
+                    (Vs * Vs).sum(1)[:, None]
+                    - 2.0 * (Vs @ M[s].T)
+                    + (M[s] * M[s]).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            for row, i in enumerate(good):
+                out[i] = [int(x) for x in codes[row]]
+        return pd.Series(out)
+
+    return df.withColumn(
+        "codes", pandas_udf(_enc, ArrayType(IntegerType()))(F.col(vec_col))
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: the query builds
+    an m×ksub table of exact subvector L2² distances ONCE
+    (driver-side, broadcast as a literal), and every database vector
+    scores as the sum of m table lookups on its codes — no float
+    vector is read at query time. Scoring is a JVM fold over the code
+    array (index order, engine-portable); output is ``(vec_id, adc)``
+    ascending by the ROUNDED round-6 distance with id tie-break (the
+    q35 oracle protocol). Rows with NULL codes (poison vectors) are
+    excluded."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m_, k_, d_ = C.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if q.shape[0] != m_ * d_:
+        raise ValueError("query dim mismatch")
+    # exact per-subspace L2^2 table — tiny (m*ksub doubles)
+    tab = [
+        [float(((q[s * d_:(s + 1) * d_] - C[s][c]) ** 2).sum())
+         for c in range(k_)]
+        for s in range(m_)
+    ]
+    tab_lit = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in tab
+    ])
+    enc = df if "codes" in df.columns else pq_encode(df, codebooks, vec_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m_)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(tab_lit, i),
+            F.element_at(F.col("codes"), i) + 1,
+        ),
+    )
+    return (
+        enc.where(F.col("codes").isNotNull())
+        .select(F.col(id_col), F.round(adc, 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

@@ -85,11 +85,28 @@ def main() -> None:
     )
     assign = ivf_assign(emb, cents).select("vec_id", "bucket")
 
+    # q86: PQ codebooks (m=8, ksub=16, 2 iterations, matching
+    # q86_pq_ann) + per-vector codes. The oracle re-derives the ADC
+    # table from the frozen codebooks and the ADC sums/top-k from the
+    # frozen codes; Spark computes both LIVE, so the compare pins the
+    # subspace Lloyd and the encoder.
+    from langscrape_spark.operators.ann import pq_codebooks, pq_encode
+
+    cbs = pq_codebooks(emb, m=8, ksub=16, iterations=2)
+    cb_df = spark.createDataFrame(
+        [(s, c, cbs[s][c]) for s in range(len(cbs))
+         for c in range(len(cbs[s]))],
+        "sub int, cid int, centroid array<double>",
+    )
+    codes_df = pq_encode(emb, cbs).select("vec_id", "codes")
+
     for name, df in [
         ("q17_srp_buckets", q17),
         ("q21_lsh_buckets", q21),
         ("q35_ivf_centroids", cent_df),
         ("q35_ivf_assign", assign),
+        ("q86_pq_codebooks", cb_df),
+        ("q86_pq_codes", codes_df),
     ]:
         tmp = os.path.join(FIXDIR, f"_{name}_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -200,3 +200,37 @@ def test_dom_fixtures_match_live_kernel(spark):
         ).collect()
     }
     assert live_sigs == frozen_sigs
+
+
+def test_pq_fixtures_match_live(spark):
+    """Pins the live PQ subspace-Lloyd + encoder to the frozen q86
+    fixtures (same contract as test_ann_fixtures_match_live_bucketers:
+    drift surfaces here, not as a driver hash mismatch)."""
+    import os
+
+    from langscrape_spark.operators.ann import pq_codebooks, pq_encode
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    live = pq_codebooks(emb, m=8, ksub=16, iterations=2)
+    frozen = {
+        (r["sub"], r["cid"]): list(r["centroid"])
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q86_pq_codebooks.parquet")
+        ).collect()
+    }
+    assert len(frozen) == 8 * 16
+    for s in range(8):
+        for c in range(16):
+            assert live[s][c] == pytest.approx(frozen[(s, c)], abs=1e-12)
+    live_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, live).select("vec_id", "codes").collect()
+    }
+    frozen_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(
+            os.path.join(fixdir, "q86_pq_codes.parquet")
+        ).collect()
+    }
+    assert live_codes == frozen_codes

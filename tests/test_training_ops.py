@@ -2289,3 +2289,107 @@ def test_bpe_separator_words_excluded(spark):
         "a", "b", 2)  # the separator word contributes nothing
     enc = bpe_encode_stats(docs, n_merges=1).collect()[0]
     assert enc["n_words"] == 3  # ab, ab, cd
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (q86)
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(n_clusters=4, per=30, dim=16, spread=0.02):
+    """Deterministic well-separated clusters: PQ must recall these."""
+    import numpy as np
+
+    rng = []
+    centers = np.eye(n_clusters, dim) * 3.0
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for j in range(per):
+            # deterministic small jitter from a hash-free formula
+            jit = np.array(
+                [((i * 31 + d * 7) % 11 - 5) * spread for d in range(dim)]
+            )
+            rows.append((i, (centers[c] + jit).tolist()))
+            i += 1
+    del rng
+    return rows
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """On well-separated clusters, ADC top-k must recall the exact L2
+    top-k (PQ loses nothing when subspace structure exists — the
+    random-corpus low recall is a data property, not an operator
+    bug)."""
+    import numpy as np
+
+    from langscrape_spark.operators.ann import pq_adc_topk, pq_codebooks
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_codebooks(df, m=4, ksub=8, iterations=3)
+    q = rows[5][1]  # a member of cluster 0
+    top = pq_adc_topk(df, q, cbs, k=10).collect()
+    V = np.array([r[1] for r in rows])
+    d = ((V - np.array(q)) ** 2).sum(1)
+    exact = {rows[i][0] for i in np.argsort(d, kind="stable")[:10]}
+    approx = {r["vec_id"] for r in top}
+    # all ADC hits must come from the query's cluster (ids 0..29)
+    assert all(v < 30 for v in approx)
+    assert len(exact & approx) >= 8
+
+
+def test_pq_adc_exact_on_codebook_points(spark):
+    """A vector that IS a codebook reconstruction has ADC == exact
+    L2^2 to the query (table lookups are exact per-subspace
+    distances)."""
+    import numpy as np
+
+    from langscrape_spark.operators.ann import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_codebooks(df, m=4, ksub=8, iterations=2)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, cbs).select("vec_id", "codes").collect()
+    }
+    q = [0.1] * 16
+    adc = {r["vec_id"]: r["adc"] for r in pq_adc_topk(df, q, cbs, k=120).collect()}
+    C = np.asarray(cbs)
+    for vid in [0, 40, 75, 110]:
+        recon = np.concatenate([C[s][codes[vid][s]] for s in range(4)])
+        want = float(((np.array(q) - recon) ** 2).sum())
+        assert adc[vid] == pytest.approx(want, abs=1e-6)
+
+
+def test_pq_guards(spark):
+    """dim % m != 0 raises; poison rows get NULL codes and are
+    excluded from ADC; empty input yields empty codebooks."""
+    import pytest as _pytest
+
+    from langscrape_spark.operators.ann import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq_codebooks(df, m=5, ksub=4, iterations=1)
+    cbs = pq_codebooks(df, m=4, ksub=8, iterations=1)
+    pois = spark.createDataFrame(
+        [(1000, None), (1001, [1.0] * 3)], "vec_id long, embedding array<double>"
+    )
+    both = df.unionByName(pois)
+    enc = pq_encode(both, cbs)
+    got = {r["vec_id"]: r["codes"] for r in enc.where("vec_id >= 1000").collect()}
+    assert got == {1000: None, 1001: None}
+    top = pq_adc_topk(both, [0.0] * 16, cbs, k=200).collect()
+    assert all(r["vec_id"] < 1000 for r in top)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pq_codebooks(empty, m=4, ksub=8) == []
