@@ -2300,21 +2300,28 @@ def q83_tfidf_keywords(spark, sf):
     )
 
 
-_BPE_WC_SQL = """
-    SELECT w, count(*) AS cnt FROM (
-      SELECT unnest(list_filter(
-               regexp_split_to_array(lower(text), '\\s+'),
-               x -> x <> '')) AS w
-      FROM documents)
+def _tok_sql(cols: str = "", where: str = "") -> str:
+    """THE DuckDB twin of ``operators/text.py::words_col``
+    (whitespace tokens of the lowercased text, empties filtered) —
+    every oracle that tokenizes (q82/q83/q84/q85) must build on this
+    one definition so a tokenizer change cannot silently diverge a
+    subset of them."""
+    proj = f"{cols}, " if cols else ""
+    return (
+        f"SELECT {proj}unnest(list_filter("
+        f"regexp_split_to_array(lower(text), '\\s+'),"
+        f" x -> x <> '')) AS w FROM documents"
+        + (f" {where}" if where else "")
+    )
+
+
+_BPE_WC_SQL = f"""
+    SELECT w, count(*) AS cnt FROM ({_tok_sql()})
     WHERE NOT contains(w, chr(31)) GROUP BY w
 """
 
-_BPE_TOK_SQL = """
-    SELECT doc_id, w FROM (
-      SELECT doc_id, unnest(list_filter(
-               regexp_split_to_array(lower(text), '\\s+'),
-               x -> x <> '')) AS w
-      FROM documents)
+_BPE_TOK_SQL = f"""
+    SELECT doc_id, w FROM ({_tok_sql("doc_id")})
     WHERE NOT contains(w, chr(31))
 """
 
@@ -5295,15 +5302,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE overlap >= 0.2
             ORDER BY id_a, id_b
         """,
-        "q82_zipf_stats": """
+        "q82_zipf_stats": f"""
             -- Zipf/vocab coverage: top-100 tokens by (count desc,
             -- token asc) with cumulative coverage share and corpus
             -- constants duplicated per row.
-            WITH tok AS (
-              SELECT unnest(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
-                       x -> x <> '')) AS w
-              FROM documents),
+            WITH tok AS ({_tok_sql()}),
             tf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
             consts AS (
               SELECT count(*) AS vocab_size,
@@ -5327,15 +5330,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(total_tokens AS BIGINT) AS total_tokens
             FROM cum, consts ORDER BY rank
         """,
-        "q83_tfidf_keywords": """
+        "q83_tfidf_keywords": f"""
             -- Per-doc top-3 tf-idf keywords: smoothed idf, per-doc
             -- row_number cut on the UNROUNDED score (round only in
             -- the projection), token tie-break.
-            WITH tok AS (
-              SELECT doc_id, unnest(list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
-                       x -> x <> '')) AS w
-              FROM documents WHERE doc_id < 200),
+            WITH tok AS ({_tok_sql("doc_id", "WHERE doc_id < 200")}),
             tf AS (
               SELECT doc_id, w, count(*) AS tf
               FROM tok GROUP BY doc_id, w),

@@ -820,6 +820,22 @@ def semdedup(
 # Product quantization (Jégou et al. 2011) — memory-bounded ANN
 # --------------------------------------------------------------------------
 
+def _pq_argmin(Vs, Cs):
+    """L2-nearest codebook entry per row of ``Vs`` against subspace
+    codebook ``Cs`` — THE shared distance/tie-break kernel of trainer
+    and encoder (argmin of the expanded ||v−c||²; numpy argmin's
+    first-occurrence rule is the deterministic tie-break). Keep both
+    callers on this helper or they can silently disagree."""
+    import numpy as np
+
+    d2 = (
+        (Vs * Vs).sum(1)[:, None]
+        - 2.0 * (Vs @ Cs.T)
+        + (Cs * Cs).sum(1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
+
+
 def pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -845,8 +861,13 @@ def pq_codebooks(
     scorer below is L2².
 
     Returns ``list[m][ksub][dsub]`` of centroids. Requires dim % m
-    == 0 (raises otherwise, checked on the first seed row). NULL /
-    wrong-length vectors neither seed nor move centroids.
+    == 0 (raises otherwise). NULL / wrong-length vectors neither seed
+    nor move centroids — the corpus dim is the MODE of the collected
+    seed-candidate lengths, and candidates of any other length are
+    discarded before seeding (a ragged md5-first sample would
+    otherwise crash the seed stack, and a short poison row landing
+    first would silently redefine dim); if poison thins the seed set
+    the codebook just starts with fewer than ksub entries.
     """
     import numpy as np
 
@@ -859,10 +880,12 @@ def pq_codebooks(
     )
     if not seed_rows:
         return []
-    dim = len(seed_rows[0][vec_col])
+    lengths = [len(r[vec_col]) for r in seed_rows]
+    dim = max(set(lengths), key=lambda d: (lengths.count(d), -d))
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    seed_rows = [r for r in seed_rows if len(r[vec_col]) == dim]
     # (m, ksub, dsub) — every subspace seeded from the same md5-first
     # rows (their respective slices)
     seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
@@ -889,13 +912,7 @@ def pq_codebooks(
                 V = np.array(vals, dtype=np.float64)
                 for s in range(m_):
                     Vs = V[:, s * d_:(s + 1) * d_]
-                    # argmin ||v - c||^2 = argmax (2 v.c - ||c||^2)
-                    d2 = (
-                        (Vs * Vs).sum(1)[:, None]
-                        - 2.0 * (Vs @ C[s].T)
-                        + (C[s] * C[s]).sum(1)[None, :]
-                    )
-                    a = np.argmin(d2, axis=1)
+                    a = _pq_argmin(Vs, C[s])
                     np.add.at(sums[s], a, Vs)
                     np.add.at(counts[s], a, 1)
             yield pd.DataFrame({
@@ -931,16 +948,22 @@ def pq_encode(
     this is the compressed representation you persist; the raw
     vectors are only consulted for optional exact re-ranks. Poison
     rows (NULL / wrong-length) get NULL codes and never affect batch
-    neighbors."""
+    neighbors. Empty codebooks (empty/all-poison corpus) encode
+    every row to NULL codes."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    C = [[list(map(float, c)) for c in sub] for sub in codebooks]
+    if not codebooks:
+        return df.withColumn(
+            "codes", F.lit(None).cast("array<int>")
+        )
+    # ndarray once, captured by the closure (pickles fine) — not
+    # rebuilt from nested lists on every Arrow batch
+    M = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
 
     def _enc(vs):
-        M = np.asarray(C, dtype=np.float64)  # (m, ksub, dsub)
         m_, k_, d_ = M.shape
         vals = list(vs)
         out = [None] * len(vals)
@@ -951,13 +974,7 @@ def pq_encode(
             V = np.array([vals[i] for i in good], dtype=np.float64)
             codes = np.empty((len(good), m_), dtype=np.int64)
             for s in range(m_):
-                Vs = V[:, s * d_:(s + 1) * d_]
-                d2 = (
-                    (Vs * Vs).sum(1)[:, None]
-                    - 2.0 * (Vs @ M[s].T)
-                    + (M[s] * M[s]).sum(1)[None, :]
-                )
-                codes[:, s] = np.argmin(d2, axis=1)
+                codes[:, s] = _pq_argmin(V[:, s * d_:(s + 1) * d_], M[s])
             for row, i in enumerate(good):
                 out[i] = [int(x) for x in codes[row]]
         return pd.Series(out)
@@ -983,9 +1000,14 @@ def pq_adc_topk(
     array (index order, engine-portable); output is ``(vec_id, adc)``
     ascending by the ROUNDED round-6 distance with id tie-break (the
     q35 oracle protocol). Rows with NULL codes (poison vectors) are
-    excluded."""
+    excluded; empty codebooks (empty/all-poison corpus) yield an
+    empty result with the output schema."""
     import numpy as np
 
+    if not codebooks:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("adc")
+        ).where(F.lit(False))
     C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m_, k_, d_ = C.shape
     q = np.asarray(list(query_vec), dtype=np.float64)

@@ -2299,7 +2299,6 @@ def _clustered_vecs(n_clusters=4, per=30, dim=16, spread=0.02):
     """Deterministic well-separated clusters: PQ must recall these."""
     import numpy as np
 
-    rng = []
     centers = np.eye(n_clusters, dim) * 3.0
     rows = []
     i = 0
@@ -2311,7 +2310,6 @@ def _clustered_vecs(n_clusters=4, per=30, dim=16, spread=0.02):
             )
             rows.append((i, (centers[c] + jit).tolist()))
             i += 1
-    del rng
     return rows
 
 
@@ -2393,3 +2391,26 @@ def test_pq_guards(spark):
     assert all(r["vec_id"] < 1000 for r in top)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert pq_codebooks(empty, m=4, ksub=8) == []
+    # empty codebooks: encode -> NULL codes, ADC -> empty result
+    enc0 = pq_encode(df, [])
+    assert enc0.where("codes IS NOT NULL").count() == 0
+    out0 = pq_adc_topk(df, [0.0] * 16, [], k=5)
+    assert out0.columns == ["vec_id", "adc"] and out0.count() == 0
+
+
+def test_pq_seed_poison_does_not_redefine_dim(spark):
+    """A short poison row landing among the md5-first seed candidates
+    must neither crash the seed stack (ragged array) nor silently
+    redefine the corpus dim — the dim is the MODE of the candidate
+    lengths and off-dim candidates are discarded."""
+    from langscrape_spark.operators.ann import pq_codebooks, pq_encode
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(
+        rows + [(5000, [9.9] * 4)], "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(df, m=4, ksub=8, iterations=1)
+    assert len(cbs) == 4 and all(len(c) == 4 for sub in cbs for c in sub)
+    enc = pq_encode(df, cbs)
+    assert enc.where("vec_id = 5000").collect()[0]["codes"] is None
+    assert enc.where("vec_id < 120 AND codes IS NULL").count() == 0
