@@ -2385,6 +2385,38 @@ def q86_pq_ann(spark, sf):
     return pq_adc_topk(emb, QUERY_VEC, cbs, k=10)
 
 
+def q87_hll_distinct(spark, sf):
+    """Deterministic HyperLogLog distinct-token estimate per source
+    (operators/sketch.py::hll_distinct, p=8) next to the exact
+    countDistinct and the relative error — the mergeable-sketch way
+    to count distincts at 100 TB without shuffling every distinct
+    value. The md5-arithmetic definition is reproduced bit-for-bit in
+    the oracle (bucket = low 8 bits, rank via length(bin(w)),
+    linear-counting small-range correction)."""
+    from langscrape_spark.operators.sketch import hll_distinct
+    from langscrape_spark.operators.text import words_col
+
+    toks = _t(spark, sf, "documents").select(
+        "source", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    est = hll_distinct(toks, "w", ["source"], p=8)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("w").alias("exact")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.col("exact").cast("long").alias("exact"),
+            "est",
+            F.round(
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2473,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_bpe_train": q84_bpe_train,
         "q85_bpe_encode": q85_bpe_encode,
         "q86_pq_ann": q86_pq_ann,
+        "q87_hll_distinct": q87_hll_distinct,
     }
 
 
@@ -5386,5 +5419,43 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY e.vec_id)
             SELECT vec_id, adc FROM adc
             ORDER BY adc ASC, vec_id ASC LIMIT 10
+        """,
+        "q87_hll_distinct": f"""
+            -- Deterministic HLL (p=8, m=256): md5 lower half masked
+            -- to 63 bits, bucket = low 8 bits, rank = 56 -
+            -- length(bin(h >> 8)) with the w=0 case explicit,
+            -- register merge = max, linear counting below 2.5m with
+            -- empty registers. rel_error derives from the ROUNDED
+            -- estimate in both engines.
+            WITH tok AS ({_tok_sql("source")}),
+            hashed AS (
+              SELECT source,
+                CAST(CAST(md5_number_lower(w) AS HUGEINT)
+                     % (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS h
+              FROM tok WHERE w IS NOT NULL),
+            regs AS (
+              SELECT source, h % 256 AS bk,
+                max(CASE WHEN (h >> 8) = 0 THEN 56
+                    ELSE 56 - length(bin(h >> 8)) END) AS reg
+              FROM hashed GROUP BY source, h % 256),
+            stats AS (
+              SELECT source, count(*) AS present,
+                     sum(power(2.0, -reg)) AS zp
+              FROM regs GROUP BY source),
+            est AS (
+              SELECT source,
+                round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                             / (zp + (256 - present)) <= 2.5 * 256
+                           AND (256 - present) > 0
+                      THEN 256 * ln(256 / (256 - present))
+                      ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                           / (zp + (256 - present)) END, 6) AS est
+              FROM stats),
+            exact AS (
+              SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact
+              FROM tok GROUP BY source)
+            SELECT e.source, x.exact, e.est,
+                   round(abs(e.est - x.exact) / x.exact, 6) AS rel_error
+            FROM est e JOIN exact x USING (source) ORDER BY e.source
         """,
     }

@@ -2414,3 +2414,65 @@ def test_pq_seed_poison_does_not_redefine_dim(spark):
     enc = pq_encode(df, cbs)
     assert enc.where("vec_id = 5000").collect()[0]["codes"] is None
     assert enc.where("vec_id < 120 AND codes IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (q87)
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_at_known_cardinality(spark):
+    """m=256 gives ~1.04/sqrt(256) = 6.5% typical error; assert a
+    conservative 15% at 10k distinct values (deterministic hash, so
+    this is a regression pin, not a statistical gamble)."""
+    from langscrape_spark.operators.sketch import hll_distinct
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    est = hll_distinct(df, "v", p=8).collect()[0]["est"]
+    assert abs(est - 10_000) / 10_000 < 0.15, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny sets fall into the linear-counting branch and come out
+    near-exact."""
+    from langscrape_spark.operators.sketch import hll_distinct
+
+    df = spark.range(50).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("v")
+    )
+    est = hll_distinct(df, "v", p=8).collect()[0]["est"]
+    assert abs(est - 50) <= 3, est
+
+
+def test_hll_duplicates_and_nulls_ignored(spark):
+    """Duplicates don't move the estimate (register max is idempotent)
+    and NULLs are ignored like count(DISTINCT)."""
+    from langscrape_spark.operators.sketch import hll_distinct
+
+    base = spark.range(500).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("v")
+    )
+    dup = base.unionAll(base).unionAll(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    e1 = hll_distinct(base, "v", p=8).collect()[0]["est"]
+    e2 = hll_distinct(dup, "v", p=8).collect()[0]["est"]
+    assert e1 == e2
+
+
+def test_hll_grouped_matches_per_group_runs(spark):
+    """Grouped estimation must equal running the sketch per group —
+    the (group, bucket) keying cannot leak values across groups."""
+    from langscrape_spark.operators.sketch import hll_distinct
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("t-"), F.col("id")).alias("v"),
+    )
+    grouped = {
+        r["g"]: r["est"] for r in hll_distinct(df, "v", ["g"], p=8).collect()
+    }
+    for g in range(3):
+        solo = hll_distinct(df.where(F.col("g") == g), "v", p=8).collect()[0]["est"]
+        assert grouped[g] == solo, g
