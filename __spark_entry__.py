@@ -2417,6 +2417,25 @@ def q87_hll_distinct(spark, sf):
     )
 
 
+def q88_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram perplexity (operators/text.py::
+    kneser_ney_ppl): continuation-probability backoff with absolute
+    discount D=0.75 (exact in binary — no cross-engine float drift),
+    add-0.5 smoothed continuation so doc-initial-only words never hit
+    ln(0), same top-24 <unk> vocab closure as q62. The oracle
+    re-derives vocabulary, bigram/context/continuation counts, the
+    discounted interpolation and the per-doc mean."""
+    from langscrape_spark.operators.text import kneser_ney_ppl
+
+    docs = _t_parallel(spark, sf, "documents")
+    out = kneser_ney_ppl(docs, vocab_size=24)
+    return out.select(
+        "doc_id",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2506,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_bpe_encode": q85_bpe_encode,
         "q86_pq_ann": q86_pq_ann,
         "q87_hll_distinct": q87_hll_distinct,
+        "q88_kneser_ney": q88_kneser_ney,
     }
 
 
@@ -5457,5 +5477,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.source, x.exact, e.est,
                    round(abs(e.est - x.exact) / x.exact, 6) AS rel_error
             FROM est e JOIN exact x USING (source) ORDER BY e.source
+        """,
+        "q88_kneser_ney": f"""
+            -- Interpolated Kneser-Ney bigram LM: same vocab/<unk>
+            -- closure as q62; continuation counts N1+(.w), forward
+            -- N1+(w1.), D=0.75 absolute discount, add-0.5 smoothed
+            -- p_cont; first token scores p_cont; ppl = exp(-mean ln).
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(tok, 1) AS pos,
+                     unnest(tok) AS t
+              FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+            counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            tot AS (SELECT count(*) AS n_uni_types FROM counts),
+            vocab AS (SELECT t FROM counts ORDER BY c DESC, t LIMIT 24),
+            vv AS (SELECT least(24, n_uni_types) + 1 AS vp1 FROM tot),
+            m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN t IN (SELECT t FROM vocab)
+                          THEN t ELSE '<unk>' END AS w
+              FROM toks),
+            pairs AS (
+              SELECT doc_id, pos, w,
+                     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM m),
+            big AS (
+              SELECT w1, w, count(*) AS cb FROM pairs
+              WHERE w1 IS NOT NULL GROUP BY w1, w),
+            ctx AS (SELECT w1, sum(cb) AS cctx, count(*) AS n1p_fw
+                    FROM big GROUP BY w1),
+            bw AS (SELECT w, count(*) AS n1p_bw FROM big GROUP BY w),
+            types AS (SELECT count(*) AS n_types FROM big),
+            pcont AS (
+              SELECT d.w,
+                     (coalesce(b.n1p_bw, 0) + 0.5)
+                       / ((SELECT n_types FROM types)
+                          + 0.5 * (SELECT vp1 FROM vv)) AS p_cont
+              FROM (SELECT DISTINCT w FROM m) d
+              LEFT JOIN bw b USING (w)),
+            scored AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.w1 IS NULL THEN ln(pc.p_cont)
+                          ELSE ln(
+                            greatest(coalesce(b.cb, 0) - 0.75, 0.0)
+                              / c.cctx
+                            + (0.75 * c.n1p_fw / c.cctx) * pc.p_cont)
+                     END AS logp
+              FROM pairs p
+              JOIN pcont pc USING (w)
+              LEFT JOIN big b ON p.w1 = b.w1 AND p.w = b.w
+              LEFT JOIN ctx c ON p.w1 = c.w1),
+            perdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     exp(-avg(logp)) AS ppl
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, p.n_terms, round(p.ppl, 6) AS ppl
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -661,6 +661,46 @@ def ppl_buckets(
     )
 
 
+def _vocab_mapped(docs, text_col, id_col, vocab_size):
+    """Shared vocab-closure stage of the bigram LMs: top-``vocab_size``
+    tokens by (count desc, token asc), everything else mapped to
+    ``<unk>`` via ONE broadcast LEFT join over a single corpus
+    explode (a semi+anti pair would re-explode the corpus twice).
+    Returns ``(m, v, total)``: the mapped ``(id, pos, w)`` frame, the
+    effective vocab size, and the corpus token count."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        row = counts.agg(
+            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+        ).collect()[0]
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    total = int(row["total"] or 0)
+    v = min(vocab_size, int(row["n_types"]))
+    vocab = spark.createDataFrame(
+        [(r["tok"],) for r in top], "tok string"
+    )
+    vmark = vocab.withColumn("_v", F.lit(True))
+    m = toks.join(F.broadcast(vmark), "tok", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("w"),
+    )
+    return m, v, total
+
+
 def bigram_ppl(
     docs: DataFrame,
     text_col: str = "text",
@@ -690,42 +730,8 @@ def bigram_ppl(
     big, so it is NOT broadcast (the unigram table is). Per-doc reduce
     shuffles ~1 row/doc/partition after partial aggregation.
     """
-    from pyspark.sql import Window
-
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(words_col(F.col(text_col))).alias("pos", "tok"),
-    )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    try:
-        row = counts.agg(
-            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
-        ).collect()[0]
-        top = (
-            counts.orderBy(F.desc("c"), F.asc("tok"))
-            .limit(vocab_size)
-            .collect()
-        )
-    finally:
-        counts.unpersist()
-    total = int(row["total"] or 0)
-    v = min(vocab_size, int(row["n_types"]))
+    m, v, total = _vocab_mapped(docs, text_col, id_col, vocab_size)
     denom_u = float(total) + alpha * (v + 1)
-    vocab = spark.createDataFrame(
-        [(r["tok"], int(r["c"])) for r in top], "tok string, c long"
-    )
-
-    # one broadcast LEFT join maps to <unk> in a single corpus scan
-    # (a semi+anti pair would re-explode the corpus twice)
-    vmark = vocab.select("tok").withColumn("_v", F.lit(True))
-    m = toks.join(F.broadcast(vmark), "tok", "left").select(
-        id_col,
-        "pos",
-        F.when(F.col("_v").isNotNull(), F.col("tok"))
-        .otherwise(F.lit("<unk>"))
-        .alias("w"),
-    )
 
     # unigram probs over MAPPED tokens (<unk> mass aggregated)
     uni = m.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).select(
@@ -769,6 +775,107 @@ def bigram_ppl(
             id_col,
             "left",
         )
+    )
+
+
+def kneser_ney_ppl(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    discount: float = 0.75,
+    cont_alpha: float = 0.5,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothing KenLM defaults to, one step
+    past :func:`bigram_ppl`'s plain interpolation: instead of raw
+    unigram frequency, the backoff distribution is the CONTINUATION
+    probability (in how many distinct contexts does this word appear),
+    which stops high-frequency-but-context-locked tokens ("francisco")
+    from stealing backoff mass.
+
+    Model (same ``<unk>`` vocab closure as :func:`bigram_ppl`):
+
+    * ``p_cont(w) = (N1+(·w) + a) / (N_bigram_types + a(V+1))`` —
+      add-``a`` smoothed so doc-initial-only words never hit ln(0);
+    * ``λ(w1) = D · N1+(w1·) / c(w1·)``;
+    * ``p_kn(w|w1) = max(c(w1,w) − D, 0)/c(w1·) + λ(w1)·p_cont(w)``;
+    * first token scores ``p_cont``; ``ppl = exp(−mean ln p)``.
+
+    ``D = 0.75`` is exact in binary (3/4), so the discount introduces
+    no cross-engine float drift; all counts are integers.
+
+    Scale shape mirrors :func:`bigram_ppl`: lag window partitioned BY
+    DOCUMENT, equi-key hash aggs for bigram/context/continuation
+    counts, ``p_cont`` rides a broadcast (≤ V+1 rows), the score join
+    on (w1, w) stays a shuffle join against the corpus-scale bigram
+    table, and the 1-row type total joins as a broadcast crossJoin —
+    nothing corpus-sized touches the driver.
+    """
+    m, v, _ = _vocab_mapped(docs, text_col, id_col, vocab_size)
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    pairs = m.withColumn("w1", F.lag("w").over(wdoc))
+    big = pairs.where(F.col("w1").isNotNull()).groupBy("w1", "w").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("cb").alias("cctx"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    bw = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    types = big.agg(F.count(F.lit(1)).alias("n_types"))
+    p_cont = (
+        bw.join(F.broadcast(types))
+        .select(
+            "w",
+            (
+                (F.col("n1p_bw") + F.lit(cont_alpha))
+                / (F.col("n_types") + F.lit(cont_alpha) * (v + 1))
+            ).alias("p_cont"),
+        )
+    )
+    # words never seen as a bigram CONTINUATION (doc-initial-only)
+    # still need p_cont: the smoothed zero from the same denominator
+    zero_cont = (
+        m.select("w").distinct()
+        .join(bw, "w", "left_anti")
+        .join(F.broadcast(types))
+        .select(
+            "w",
+            (
+                F.lit(cont_alpha)
+                / (F.col("n_types") + F.lit(cont_alpha) * (v + 1))
+            ).alias("p_cont"),
+        )
+    )
+    p_cont = p_cont.unionByName(zero_cont)
+    scored = (
+        pairs.join(F.broadcast(p_cont), "w")
+        .join(big, ["w1", "w"], "left")
+        .join(ctx, "w1", "left")
+        .withColumn(
+            "p_kn",
+            F.greatest(
+                F.coalesce(F.col("cb"), F.lit(0)) - F.lit(discount),
+                F.lit(0.0),
+            )
+            / F.col("cctx")
+            + (F.lit(discount) * F.col("n1p_fw") / F.col("cctx"))
+            * F.col("p_cont"),
+        )
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("w1").isNull(), F.log(F.col("p_cont"))
+            ).otherwise(F.log(F.col("p_kn"))),
+        )
+    )
+    return docs.select(id_col).join(
+        scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.exp(-F.avg("logp")).alias("ppl"),
+        ),
+        id_col,
+        "left",
     )
 
 

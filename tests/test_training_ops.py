@@ -2476,3 +2476,84 @@ def test_hll_grouped_matches_per_group_runs(spark):
     for g in range(3):
         solo = hll_distinct(df.where(F.col("g") == g), "v", p=8).collect()[0]["est"]
         assert grouped[g] == solo, g
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity (q88)
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_hand_math(spark):
+    """Full hand derivation on a 2-doc corpus (vocab covers all
+    types, no <unk>)."""
+    import math
+
+    from langscrape_spark.operators.text import kneser_ney_ppl
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_ppl(docs, vocab_size=10).collect()}
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> n_types=3
+    # ctx: a -> cctx=3, n1p_fw=2 ; b -> cctx=1, n1p_fw=1
+    # N1+(.b)=1 (a), N1+(.a)=1 (b), N1+(.c)=1 (a); V=3, vp1=4
+    denom = 3 + 0.5 * 4
+    pc = {w: (1 + 0.5) / denom for w in "abc"}
+    D = 0.75
+    def pkn(cb, cctx, fw, w):
+        return max(cb - D, 0) / cctx + (D * fw / cctx) * pc[w]
+    # doc 0: a(first, pc[a]), b|a, a|b, b|a
+    lp0 = [math.log(pc["a"]), math.log(pkn(2, 3, 2, "b")),
+           math.log(pkn(1, 1, 1, "a")), math.log(pkn(2, 3, 2, "b"))]
+    want0 = round(math.exp(-sum(lp0) / 4), 6)
+    assert out[0]["n_terms"] == 4
+    assert out[0]["ppl"] == pytest.approx(want0, abs=2e-6)
+    # doc 1: a(first), c|a
+    lp1 = [math.log(pc["a"]), math.log(pkn(1, 3, 2, "c"))]
+    want1 = round(math.exp(-sum(lp1) / 2), 6)
+    assert out[1]["ppl"] == pytest.approx(want1, abs=2e-6)
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The francisco effect: 'locked' is FREQUENT but always follows
+    the same context, while 'free' appears after many contexts —
+    continuation probability must rank free > locked even though raw
+    frequency says otherwise."""
+    from langscrape_spark.operators.text import kneser_ney_ppl
+
+    # 'locked' appears 6x, always after 'san'; 'free' 3x after 3
+    # different contexts
+    docs = spark.createDataFrame(
+        [(0, "san locked san locked san locked"),
+         (1, "san locked san locked san locked"),
+         (2, "one free two free three free")],
+        "doc_id long, text string",
+    )
+    # score two synthetic one-bigram docs against the SAME corpus:
+    # unseen context 'zzz' forces pure-backoff behavior... instead
+    # compare p_cont directly through doc ppls of (x free) vs
+    # (x locked) with x a shared frequent context
+    probe = spark.createDataFrame(
+        [(10, "one free"), (11, "one locked")], "doc_id long, text string"
+    )
+    both = docs.unionByName(probe)
+    out = {r["doc_id"]: r["ppl"] for r in
+           kneser_ney_ppl(both, vocab_size=50).collect()}
+    # (one, free) is an OBSERVED bigram; (one, locked) backs off to
+    # p_cont(locked) which is low despite locked's high frequency
+    assert out[10] < out[11]
+
+
+def test_kneser_ney_doc_initial_only_word_no_log_zero(spark):
+    """A word that only ever starts documents has N1+(.w)=0; the
+    smoothed continuation keeps ln finite."""
+    import math
+
+    from langscrape_spark.operators.text import kneser_ney_ppl
+
+    docs = spark.createDataFrame(
+        [(0, "zqstart a b"), (1, "zqstart a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_ppl(docs, vocab_size=10).collect()}
+    assert out[0]["ppl"] is not None and math.isfinite(out[0]["ppl"])
+    assert out[2]["ppl"] is None  # empty doc: left-join null like q62
