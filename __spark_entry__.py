@@ -2396,7 +2396,7 @@ def q87_hll_distinct(spark, sf):
     from langscrape_spark.operators.sketch import hll_distinct
     from langscrape_spark.operators.text import words_col
 
-    toks = _t(spark, sf, "documents").select(
+    toks = _t_parallel(spark, sf, "documents").select(
         "source", F.explode(words_col(F.col("text"))).alias("w")
     )
     est = hll_distinct(toks, "w", ["source"], p=8)

@@ -67,16 +67,22 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(64 - p)).otherwise(
         F.lit(64 - p) - F.length(F.bin(w))
     )
+    # NULL values flow through with a NULL bucket instead of a row
+    # filter: their register row is skipped by count(col)/sum below,
+    # so a group whose values are ALL NULL still surfaces — with
+    # every register empty, linear counting gives m·ln(m/m) = 0,
+    # exactly count(DISTINCT)'s answer for that group.
     regs = (
-        df.where(F.col(value_col).isNotNull())
-        .select(*g, F.pmod(h, F.lit(m)).alias("_bk"), rho.alias("_rho"))
+        df.select(*g, F.pmod(h, F.lit(m)).alias("_bk"), rho.alias("_rho"))
         .groupBy(*g, "_bk")
         .agg(F.max("_rho").alias("_reg"))
     )
     alpha = _alpha(m)
     stats = regs.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_zp"),
+        F.count(F.col("_bk")).alias("_present"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("_reg"))), F.lit(0.0)
+        ).alias("_zp"),
     )
     v = F.lit(m) - F.col("_present")  # empty registers
     z = F.col("_zp") + v.cast("double")

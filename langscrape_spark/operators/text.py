@@ -823,31 +823,21 @@ def kneser_ney_ppl(
     )
     bw = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_bw"))
     types = big.agg(F.count(F.lit(1)).alias("n_types"))
+    # one left join covers both cases: words never seen as a bigram
+    # CONTINUATION (doc-initial-only) coalesce to the smoothed zero —
+    # the same shape as the oracle's pcont CTE
     p_cont = (
-        bw.join(F.broadcast(types))
-        .select(
-            "w",
-            (
-                (F.col("n1p_bw") + F.lit(cont_alpha))
-                / (F.col("n_types") + F.lit(cont_alpha) * (v + 1))
-            ).alias("p_cont"),
-        )
-    )
-    # words never seen as a bigram CONTINUATION (doc-initial-only)
-    # still need p_cont: the smoothed zero from the same denominator
-    zero_cont = (
         m.select("w").distinct()
-        .join(bw, "w", "left_anti")
+        .join(bw, "w", "left")
         .join(F.broadcast(types))
         .select(
             "w",
             (
-                F.lit(cont_alpha)
+                (F.coalesce(F.col("n1p_bw"), F.lit(0)) + F.lit(cont_alpha))
                 / (F.col("n_types") + F.lit(cont_alpha) * (v + 1))
             ).alias("p_cont"),
         )
     )
-    p_cont = p_cont.unionByName(zero_cont)
     scored = (
         pairs.join(F.broadcast(p_cont), "w")
         .join(big, ["w1", "w"], "left")

@@ -2557,3 +2557,18 @@ def test_kneser_ney_doc_initial_only_word_no_log_zero(spark):
     out = {r["doc_id"]: r for r in kneser_ney_ppl(docs, vocab_size=10).collect()}
     assert out[0]["ppl"] is not None and math.isfinite(out[0]["ppl"])
     assert out[2]["ppl"] is None  # empty doc: left-join null like q62
+
+
+def test_hll_all_null_group_estimates_zero(spark):
+    """A group whose values are all NULL must surface with estimate 0
+    (count(DISTINCT) semantics), not vanish from the output."""
+    from langscrape_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, None), (1, None)],
+        "g long, v string",
+    )
+    out = {r["g"]: r["est"] for r in hll_distinct(df, "v", ["g"], p=8).collect()}
+    assert set(out) == {0, 1}
+    assert out[1] == 0.0
+    assert abs(out[0] - 2) <= 1
