@@ -2436,6 +2436,40 @@ def q88_kneser_ney(spark, sf):
     ).orderBy("doc_id")
 
 
+def q89_count_min(spark, sf):
+    """Count-Min frequency sketch (operators/sketch.py::cm_build /
+    cm_estimate, d=4 × width=256): token frequencies compressed to a
+    1024-counter table, point-queried for the exact top-20 tokens
+    next to their true counts and the (always ≥ 0) overestimate. All
+    integer arithmetic, so the oracle reproduces the sketch EXACTLY —
+    no rounding anywhere."""
+    from langscrape_spark.operators.sketch import cm_build, cm_estimate
+    from langscrape_spark.operators.text import words_col
+
+    toks = _t_parallel(spark, sf, "documents").select(
+        F.explode(words_col(F.col("text"))).alias("w")
+    )
+    sk = cm_build(toks, "w", d=4, width=256)
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "w")
+        .limit(20)
+    )
+    return (
+        cm_estimate(top, sk, "w", d=4, width=256)
+        .select(
+            F.col("w").alias("token"),
+            F.col("exact").cast("long").alias("exact"),
+            "est",
+            (F.col("est") - F.col("exact")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.desc("exact"), "token")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2526,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_pq_ann": q86_pq_ann,
         "q87_hll_distinct": q87_hll_distinct,
         "q88_kneser_ney": q88_kneser_ney,
+        "q89_count_min": q89_count_min,
     }
 
 
@@ -5533,5 +5568,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, p.n_terms, round(p.ppl, 6) AS ppl
             FROM documents d LEFT JOIN perdoc p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "q89_count_min": f"""
+            -- Count-Min sketch re-derived exactly (pure integers):
+            -- 4 row-salted md5 buckets ('cm' || i || ':' || w, masked
+            -- low 63 bits, % 256), counter sums, min-of-4 point query
+            -- for the exact top-20 tokens.
+            WITH tok AS ({_tok_sql()}),
+            sketch AS (
+              SELECT i AS row,
+                CAST(CAST(md5_number_lower('cm' || i || ':' || w)
+                     AS HUGEINT) % (CAST(1 AS HUGEINT) << 63)
+                     AS BIGINT) % 256 AS bucket,
+                count(*) AS cnt
+              FROM tok, UNNEST([0, 1, 2, 3]) AS u(i)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT w, count(*) AS exact FROM tok
+              GROUP BY w ORDER BY exact DESC, w LIMIT 20),
+            probe AS (
+              SELECT t.w, t.exact, i AS row,
+                CAST(CAST(md5_number_lower('cm' || i || ':' || t.w)
+                     AS HUGEINT) % (CAST(1 AS HUGEINT) << 63)
+                     AS BIGINT) % 256 AS bucket
+              FROM top t, UNNEST([0, 1, 2, 3]) AS u(i)),
+            est AS (
+              SELECT p.w, p.exact, min(coalesce(s.cnt, 0)) AS est
+              FROM probe p
+              LEFT JOIN sketch s USING (row, bucket)
+              GROUP BY p.w, p.exact)
+            SELECT w AS token, CAST(exact AS BIGINT) AS exact,
+                   CAST(est AS BIGINT) AS est,
+                   CAST(est - exact AS BIGINT) AS overestimate
+            FROM est ORDER BY exact DESC, token
         """,
     }

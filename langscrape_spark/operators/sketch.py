@@ -91,3 +91,85 @@ def hll_distinct(
         (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
     ).otherwise(raw)
     return stats.select(*g, F.round(est, 6).alias(out))
+
+
+def _cm_hash(value, row: int, width: int):
+    """Row-salted md5 bucket for the Count-Min sketch — the same
+    masked md5-lower64 convention as HLL, salted with the row index
+    so the d hash functions are independent; power-of-two width keeps
+    signed pmod == unsigned %."""
+    h = _md5_lower64(
+        F.concat(F.lit(f"cm{row}:"), value.cast("string"))
+    ).bitwiseAND(F.lit(_MASK63))
+    return F.pmod(h, F.lit(width))
+
+
+def cm_build(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    ``value_col`` occurrence frequencies: ``d`` salted hash rows ×
+    ``width`` counters, returned as the ``(row, bucket, cnt)`` counter
+    frame (≤ d·width rows regardless of corpus size — the sketch
+    contract). All arithmetic is integer, so the DuckDB oracle
+    reproduces it EXACTLY, not just at round-6.
+
+    Scale shape: one stack-explode to ``d`` rows per occurrence, one
+    (row, bucket) groupBy whose key space is d·width — map-side
+    partial sums collapse everything early, and sketches built over
+    partitions/days/sources merge by plain counter addition. NULLs
+    are ignored, matching frequency-of-value semantics."""
+    v = F.col(value_col)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"), _cm_hash(v, i, width).alias("bucket")
+        )
+        for i in range(d)
+    ])
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(rows).alias("_rb"))
+        .groupBy(
+            F.col("_rb.row").alias("row"),
+            F.col("_rb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    d: int = 4,
+    width: int = 256,
+    out: str = "est",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: the
+    Count-Min estimate is the MINIMUM of the ``d`` counters the item
+    hashes to (never an underestimate; overestimates bounded by
+    e/width · total with probability 1 − e^−d). ``d``/``width`` must
+    match the build. The sketch side is ≤ d·width rows, so it rides a
+    broadcast join; missing counters read as 0."""
+    v = F.col(value_col)
+    probes = items.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"), _cm_hash(v, i, width).alias("bucket")
+            )
+            for i in range(d)
+        ])).alias("_rb"),
+    ).select("*", F.col("_rb.row").alias("row"),
+             F.col("_rb.bucket").alias("bucket")).drop("_rb")
+    keep = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(*keep)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out)
+        )
+    )

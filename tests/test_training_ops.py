@@ -2572,3 +2572,57 @@ def test_hll_all_null_group_estimates_zero(spark):
     assert set(out) == {0, 1}
     assert out[1] == 0.0
     assert abs(out[0] - 2) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (q89)
+# ---------------------------------------------------------------------------
+
+def test_count_min_never_underestimates(spark):
+    from langscrape_spark.operators.sketch import cm_build, cm_estimate
+
+    toks = spark.range(5_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 300)).alias("w")
+    )
+    sk = cm_build(toks, "w", d=4, width=64)  # narrow: force collisions
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    out = cm_estimate(exact, sk, "w", d=4, width=64).collect()
+    assert len(out) == 300
+    assert all(r["est"] >= r["exact"] for r in out)
+    # error bound sanity: e/width * total with d=4 holds with huge
+    # margin for the vast majority; assert the median overestimate is
+    # within the bound (deterministic hash -> a regression pin)
+    errs = sorted(r["est"] - r["exact"] for r in out)
+    assert errs[len(errs) // 2] <= (2.718281828 / 64) * 5_000
+
+
+def test_count_min_merge_is_addition(spark):
+    """Sketches over two halves summed counter-wise equal the sketch
+    of the union — the mergeability contract."""
+    from langscrape_spark.operators.sketch import cm_build
+
+    df = spark.range(2_000).select(
+        F.concat(F.lit("v"), (F.col("id") % 97)).alias("w"),
+        (F.col("id") < 1_000).alias("first_half"),
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"]
+             for r in cm_build(df, "w", d=2, width=32).collect()}
+    a = {(r["row"], r["bucket"]): r["cnt"]
+         for r in cm_build(df.where("first_half"), "w", d=2, width=32).collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"]
+         for r in cm_build(df.where("NOT first_half"), "w", d=2, width=32).collect()}
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_count_min_unseen_item_and_nulls(spark):
+    from langscrape_spark.operators.sketch import cm_build, cm_estimate
+
+    toks = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "w string"
+    )
+    sk = cm_build(toks, "w", d=4, width=256)
+    assert sum(r["cnt"] for r in sk.where("row = 0").collect()) == 3  # NULL ignored
+    probe = spark.createDataFrame([("zzz-unseen",)], "w string")
+    est = cm_estimate(probe, sk, "w", d=4, width=256).collect()[0]["est"]
+    assert est == 0  # no collisions at width 256 with 2 distinct items
