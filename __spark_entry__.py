@@ -2446,16 +2446,18 @@ def q89_count_min(spark, sf):
     from langscrape_spark.operators.sketch import cm_build, cm_estimate
     from langscrape_spark.operators.text import words_col
 
-    toks = _t_parallel(spark, sf, "documents").select(
-        F.explode(words_col(F.col("text"))).alias("w")
-    )
-    sk = cm_build(toks, "w", d=4, width=256)
-    top = (
-        toks.groupBy("w")
+    # single corpus explode: aggregate once to (w, exact), then the
+    # sketch builds from the WEIGHTED counts (identical counters —
+    # bucket sums are plain additions) and the top-20 cuts the same
+    # frame
+    counts = (
+        _t_parallel(spark, sf, "documents")
+        .select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact"))
-        .orderBy(F.desc("exact"), "w")
-        .limit(20)
     )
+    sk = cm_build(counts, "w", d=4, width=256, weight_col="exact")
+    top = counts.orderBy(F.desc("exact"), "w").limit(20)
     return (
         cm_estimate(top, sk, "w", d=4, width=256)
         .select(

@@ -104,11 +104,25 @@ def _cm_hash(value, row: int, width: int):
     return F.pmod(h, F.lit(width))
 
 
+def _cm_probes(value, d: int, width: int):
+    """The d (row, bucket) probes of one value, as an array of
+    structs — THE shared hash shape of build and estimate; if the two
+    ever hashed differently, every estimate would silently read
+    unrelated counters."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("row"), _cm_hash(value, i, width).alias("bucket")
+        )
+        for i in range(d)
+    ])
+
+
 def cm_build(
     df: DataFrame,
     value_col: str,
     d: int = 4,
     width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
     ``value_col`` occurrence frequencies: ``d`` salted hash rows ×
@@ -117,26 +131,26 @@ def cm_build(
     contract). All arithmetic is integer, so the DuckDB oracle
     reproduces it EXACTLY, not just at round-6.
 
+    With ``weight_col`` each input row counts as that many
+    occurrences — so the sketch can be built from an ALREADY
+    AGGREGATED (value, count) frame without re-scanning the corpus
+    (identical counters, since the bucket sums are plain additions).
+
     Scale shape: one stack-explode to ``d`` rows per occurrence, one
     (row, bucket) groupBy whose key space is d·width — map-side
     partial sums collapse everything early, and sketches built over
     partitions/days/sources merge by plain counter addition. NULLs
     are ignored, matching frequency-of-value semantics."""
     v = F.col(value_col)
-    rows = F.array(*[
-        F.struct(
-            F.lit(i).alias("row"), _cm_hash(v, i, width).alias("bucket")
-        )
-        for i in range(d)
-    ])
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
         df.where(v.isNotNull())
-        .select(F.explode(rows).alias("_rb"))
+        .select(w.alias("_cm_w"), F.explode(_cm_probes(v, d, width)).alias("_rb"))
         .groupBy(
             F.col("_rb.row").alias("row"),
             F.col("_rb.bucket").alias("bucket"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_cm_w").cast("long").alias("cnt"))
     )
 
 
@@ -148,28 +162,38 @@ def cm_estimate(
     width: int = 256,
     out: str = "est",
 ) -> DataFrame:
-    """Point-query the sketch for every row of ``items``: the
+    """Point-query the sketch for EVERY row of ``items`` (duplicates
+    preserved — output cardinality equals input cardinality): the
     Count-Min estimate is the MINIMUM of the ``d`` counters the item
     hashes to (never an underestimate; overestimates bounded by
     e/width · total with probability 1 − e^−d). ``d``/``width`` must
     match the build. The sketch side is ≤ d·width rows, so it rides a
-    broadcast join; missing counters read as 0."""
+    broadcast join; missing counters read as 0. Internal columns are
+    ``_cm_``-prefixed so user columns named row/bucket/cnt survive;
+    ``out`` must not collide with an items column."""
+    if out in items.columns:
+        raise ValueError(f"out column {out!r} already exists in items")
     v = F.col(value_col)
-    probes = items.select(
-        "*",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("row"), _cm_hash(v, i, width).alias("bucket")
-            )
-            for i in range(d)
-        ])).alias("_rb"),
-    ).select("*", F.col("_rb.row").alias("row"),
-             F.col("_rb.bucket").alias("bucket")).drop("_rb")
-    keep = [c for c in items.columns]
+    probes = items.withColumn(
+        "_cm_rid", F.monotonically_increasing_id()
+    ).select(
+        "*", F.explode(_cm_probes(v, d, width)).alias("_rb")
+    ).select(
+        *items.columns, "_cm_rid",
+        F.col("_rb.row").alias("_cm_row"),
+        F.col("_rb.bucket").alias("_cm_bucket"),
+    )
+    sk = sketch.select(
+        F.col("row").alias("_cm_row"),
+        F.col("bucket").alias("_cm_bucket"),
+        F.col("cnt").alias("_cm_cnt"),
+    )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-        .groupBy(*keep)
+        probes.join(F.broadcast(sk), ["_cm_row", "_cm_bucket"], "left")
+        .groupBy("_cm_rid", *items.columns)
         .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out)
+            F.min(F.coalesce(F.col("_cm_cnt"), F.lit(0)))
+            .cast("long").alias(out)
         )
+        .drop("_cm_rid")
     )

@@ -2626,3 +2626,33 @@ def test_count_min_unseen_item_and_nulls(spark):
     probe = spark.createDataFrame([("zzz-unseen",)], "w string")
     est = cm_estimate(probe, sk, "w", d=4, width=256).collect()[0]["est"]
     assert est == 0  # no collisions at width 256 with 2 distinct items
+
+
+def test_count_min_estimate_preserves_duplicates_and_columns(spark):
+    """Duplicate item rows each get an output row; user columns named
+    row/bucket/cnt survive; weighted build equals occurrence build."""
+    import pytest as _pytest
+
+    from langscrape_spark.operators.sketch import cm_build, cm_estimate
+
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "w string"
+    )
+    sk = cm_build(toks, "w", d=3, width=64)
+    # weighted build from pre-aggregated counts: identical counters
+    wsk = cm_build(
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")),
+        "w", d=3, width=64, weight_col="cnt",
+    )
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, wsk.collect()))
+    items = spark.createDataFrame(
+        [("a", 1, 9), ("a", 2, 9), ("b", 3, 9)],
+        "w string, row int, cnt int",
+    )
+    out = cm_estimate(items, sk, "w", d=3, width=64).collect()
+    assert len(out) == 3  # duplicates in (w) preserved, columns intact
+    assert {(r["w"], r["row"], r["est"]) for r in out} == {
+        ("a", 1, 5), ("a", 2, 5), ("b", 3, 2)
+    }
+    with _pytest.raises(ValueError):
+        cm_estimate(items, sk, "w", d=3, width=64, out="cnt")
