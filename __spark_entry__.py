@@ -2290,9 +2290,9 @@ def q82_zipf_stats(spark, sf):
 def q83_tfidf_keywords(spark, sf):
     """Top-3 tf-idf keywords per document (operators/text.py::
     tfidf_keywords): smoothed idf ln((N+1)/(df+1))+1, per-doc
-    row_number cut on the UNROUNDED score with token tie-break; df
-    derives from the tf frame so the exploded corpus aggregates
-    once; N joins as a 1-row broadcast."""
+    row_number cut on the UNROUNDED score with token tie-break; df is
+    an in-flight window over one token exchange so the corpus is
+    exploded exactly once; N joins as a 1-row broadcast."""
     from langscrape_spark.operators.text import tfidf_keywords
 
     return tfidf_keywords(

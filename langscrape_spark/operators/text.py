@@ -1187,24 +1187,25 @@ def tfidf_keywords(
     happens only in the output so ulp noise cannot flip the cut),
     ties broken by token asc.
 
-    Scale shape: tf is one (doc, token) groupBy; df is one token
-    groupBy over the SAME exploded frame (shared Exchange); the
-    tf×idf join stays a shuffle join (webtext vocabularies don't
-    broadcast); N rides in as a 1-row broadcast crossJoin so the doc
-    count never hits the driver; the per-doc top-k is a
-    ``row_number`` window partitioned by doc — parallel by
-    construction, no global sort.
+    Scale shape: ONE corpus explode — tf is the (doc, token) groupBy,
+    and df comes from an in-flight ``count().over(partitionBy(w))``
+    window on the same frame after one explicit exchange on the token
+    (a separate df aggregate re-derived the whole explode, because
+    column pruning makes the two subtrees non-identical and defeats
+    ReuseExchange — verified on the executed plan); N rides in as a
+    1-row broadcast crossJoin so the doc count never hits the driver;
+    the per-doc top-k is a ``row_number`` window partitioned by doc —
+    parallel by construction, no global sort.
     """
     toks = docs.select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
     )
     tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives FROM tf (rows per token == docs containing it), so the
-    # exploded frame is aggregated once and df is a narrow re-agg
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_tok = Window.partitionBy("w")
     scored = (
-        tf.join(df_t, "w")
+        tf.repartition("w")
+        .withColumn("df", F.count("*").over(w_tok))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_score",
