@@ -2396,12 +2396,18 @@ def q87_hll_distinct(spark, sf):
     from langscrape_spark.operators.sketch import hll_distinct
     from langscrape_spark.operators.text import words_col
 
-    toks = _t_parallel(spark, sf, "documents").select(
-        "source", F.explode(words_col(F.col("text"))).alias("w")
+    # one corpus explode: registers depend only on DISTINCT values,
+    # so both the sketch and the exact count derive from the same
+    # (source, w) aggregation
+    uniq = (
+        _t_parallel(spark, sf, "documents")
+        .select("source", F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    est = hll_distinct(toks, "w", ["source"], p=8)
-    exact = toks.groupBy("source").agg(
-        F.countDistinct("w").alias("exact")
+    est = hll_distinct(uniq, "w", ["source"], p=8)
+    exact = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact")
     )
     return (
         est.join(exact, "source")
