@@ -2478,6 +2478,19 @@ def q89_count_min(spark, sf):
     )
 
 
+def q90_entropy_profile(spark, sf):
+    """Shannon-entropy quality profile (operators/text.py::
+    entropy_profile): per-doc token entropy, char entropy and
+    type-token ratio — the cheap degenerate-text screens (stuffing,
+    base64 blobs) that length gates miss. Both engines use the
+    identity H = ln(n) − Σc·ln(c)/n over the SAME (doc, symbol)
+    count aggregation, so the shuffled rows are distinct symbols,
+    not corpus tokens."""
+    from langscrape_spark.operators.text import entropy_profile
+
+    return entropy_profile(_t_parallel(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2569,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_hll_distinct": q87_hll_distinct,
         "q88_kneser_ney": q88_kneser_ney,
         "q89_count_min": q89_count_min,
+        "q90_entropy_profile": q90_entropy_profile,
     }
 
 
@@ -5609,5 +5623,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(est AS BIGINT) AS est,
                    CAST(est - exact AS BIGINT) AS overestimate
             FROM est ORDER BY exact DESC, token
+        """,
+        "q90_entropy_profile": f"""
+            -- Shannon entropy via H = ln(n) - sum(c*ln c)/n over the
+            -- same (doc, symbol) count aggregation as Spark; char
+            -- stream strips whitespace first (testdata is ASCII so
+            -- '.'-extraction == Spark's split('')). Low-entropy gate
+            -- compares the ROUNDED token entropy.
+            WITH tok AS ({_tok_sql("doc_id")}),
+            tc AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM tok GROUP BY doc_id, w),
+            th AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+                     round(ln(CAST(sum(c) AS DOUBLE))
+                           - sum(c * ln(CAST(c AS DOUBLE))) / sum(c),
+                           6) AS token_entropy
+              FROM tc GROUP BY doc_id),
+            chr_s AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       regexp_replace(lower(text), '\\s+', '', 'g'),
+                       '.')) AS s
+              FROM documents),
+            cc AS (
+              SELECT doc_id, s, count(*) AS c
+              FROM chr_s GROUP BY doc_id, s),
+            chh AS (
+              SELECT doc_id,
+                     round(ln(CAST(sum(c) AS DOUBLE))
+                           - sum(c * ln(CAST(c AS DOUBLE))) / sum(c),
+                           6) AS char_entropy
+              FROM cc GROUP BY doc_id)
+            SELECT d.doc_id, t.n_tokens, t.n_types, t.ttr,
+                   t.token_entropy, c.char_entropy,
+                   CAST(t.token_entropy < 2.5 AS INT) AS is_low_entropy
+            FROM documents d
+            LEFT JOIN th t USING (doc_id)
+            LEFT JOIN chh c USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -1227,3 +1227,80 @@ def tfidf_keywords(
         )
         .orderBy(id_col, "rn")
     )
+
+
+def entropy_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_entropy_bits: float = 2.5,
+) -> DataFrame:
+    """Per-document Shannon-entropy quality profile: token entropy,
+    character entropy and type-token ratio — the standard cheap
+    screens for degenerate machine text (keyword stuffing, repeated
+    boilerplate, base64 blobs) that length/stopword gates miss.
+
+    Entropy uses the shuffle-friendly identity
+    ``H = ln(n) − (Σ c·ln c)/n`` so each explode needs only ONE
+    (doc, symbol) count aggregation followed by a per-doc sum — both
+    get Spark's map-side partial aggregation, so at 100 TB the
+    shuffled rows are per-doc *distinct* symbols, not corpus tokens.
+    Char entropy strips whitespace first (layout is not content).
+    ``is_low_entropy`` compares the ROUNDED token entropy so the gate
+    is reproducible cross-engine.
+    """
+
+    def _sym_entropy(sym_df: DataFrame, out: str) -> DataFrame:
+        counts = sym_df.groupBy(id_col, "s").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy(id_col).agg(
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias(out),
+            F.sum("c").cast("long").alias(f"_n_{out}"),
+            F.count(F.lit(1)).cast("long").alias(f"_types_{out}"),
+        )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("s"),
+    )
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""),
+                    "",
+                ),
+                lambda ch: ch != "",
+            )
+        ).alias("s"),
+    )
+    tok_h = _sym_entropy(toks, "token_entropy")
+    chr_h = _sym_entropy(chars, "char_entropy")
+    return (
+        docs.select(id_col)
+        .join(tok_h, id_col, "left")
+        .join(chr_h, id_col, "left")
+        .select(
+            id_col,
+            F.col("_n_token_entropy").alias("n_tokens"),
+            F.col("_types_token_entropy").alias("n_types"),
+            F.round(
+                F.col("_types_token_entropy")
+                / F.col("_n_token_entropy").cast("double"),
+                6,
+            ).alias("ttr"),
+            "token_entropy",
+            "char_entropy",
+            (F.col("token_entropy") < low_entropy_bits)
+            .cast("int")
+            .alias("is_low_entropy"),
+        )
+        .orderBy(id_col)
+    )

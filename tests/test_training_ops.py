@@ -2656,3 +2656,51 @@ def test_count_min_estimate_preserves_duplicates_and_columns(spark):
     }
     with _pytest.raises(ValueError):
         cm_estimate(items, sk, "w", d=3, width=64, out="cnt")
+
+
+# ---------------------------------------------------------------------------
+# Entropy quality profile (q90)
+# ---------------------------------------------------------------------------
+
+def test_entropy_profile_hand_case(spark):
+    """'a a b b' → H_tok = ln2; uniform chars → H_char = ln(n_distinct);
+    a constant doc has entropy 0 and trips the low-entropy gate."""
+    import math
+
+    from langscrape_spark.operators.text import entropy_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b b"),
+            (2, "x x x x x x"),
+            (3, "ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in entropy_profile(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4 and r1["n_types"] == 2
+    assert abs(r1["token_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert r1["ttr"] == 0.5
+    # chars of doc1 after whitespace strip: aabb → ln 2 as well
+    assert abs(r1["char_entropy"] - round(math.log(2), 6)) < 1e-9
+    r2 = rows[2]
+    assert r2["token_entropy"] == 0.0 and r2["is_low_entropy"] == 1
+    r3 = rows[3]  # 4 distinct chars, uniform → ln 4
+    assert abs(r3["char_entropy"] - round(math.log(4), 6)) < 1e-9
+    assert r3["token_entropy"] == round(math.log(2), 6)
+
+
+def test_entropy_profile_null_and_empty_text(spark):
+    """Empty/whitespace-only docs keep their row with NULL entropies."""
+    from langscrape_spark.operators.text import entropy_profile
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in entropy_profile(docs).collect()}
+    assert len(rows) == 3
+    assert rows[1]["token_entropy"] is None
+    assert rows[2]["n_tokens"] is None
+    assert rows[3]["token_entropy"] == 0.0 and rows[3]["n_tokens"] == 1
