@@ -2491,6 +2491,29 @@ def q90_entropy_profile(spark, sf):
     return entropy_profile(_t_parallel(spark, sf, "documents"))
 
 
+def q91_query_likelihood(spark, sf):
+    """Dirichlet-smoothed query-likelihood retrieval (operators/
+    search.py::query_likelihood_topk, μ=100): language-model ranking
+    next to q59's BM25, with the postings-only decomposition so
+    absent query terms never materialize per-doc rows. The oracle
+    computes the NAIVE cross form ``Σ qtf·ln((tf+μ·p_c)/(dl+μ))`` —
+    proving the decomposition exact (round-6). Duplicate query term
+    ('hash' twice) exercises the qtf weighting."""
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        query_likelihood_topk,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    out = query_likelihood_topk(
+        postings, doc_lens, "hash join hash scan", k=12, mu=100.0
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2583,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_kneser_ney": q88_kneser_ney,
         "q89_count_min": q89_count_min,
         "q90_entropy_profile": q90_entropy_profile,
+        "q91_query_likelihood": q91_query_likelihood,
     }
 
 
@@ -5665,5 +5689,39 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN th t USING (doc_id)
             LEFT JOIN chh c USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "q91_query_likelihood": f"""
+            -- Naive Dirichlet query likelihood (μ=100): every doc ×
+            -- every corpus-present query term, ln((tf+μ·cf/|C|)/(dl+μ))
+            -- weighted by qtf — the exact form whose postings-only
+            -- decomposition the Spark operator runs. Cut on the
+            -- UNROUNDED score, round outside.
+            WITH tok AS ({_tok_sql("doc_id")}),
+            post AS (
+              SELECT doc_id, w AS term, count(*) AS tf
+              FROM tok GROUP BY doc_id, w),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            ctot AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM post),
+            q(term, qtf) AS (VALUES ('hash', 2), ('join', 1), ('scan', 1)),
+            cf AS (
+              SELECT q.term, q.qtf, sum(p.tf) AS cf
+              FROM q JOIN post p USING (term)
+              GROUP BY q.term, q.qtf),
+            scored AS (
+              SELECT d.doc_id,
+                     sum(c.qtf * ln(
+                       (coalesce(p.tf, 0)
+                          + 100.0 * (c.cf / (SELECT c FROM ctot)))
+                       / (d.dl + 100.0))) AS raw
+              FROM dl d
+              CROSS JOIN cf c
+              LEFT JOIN post p
+                ON p.doc_id = d.doc_id AND p.term = c.term
+              GROUP BY d.doc_id),
+            top AS (
+              SELECT doc_id, raw FROM scored
+              ORDER BY raw DESC, doc_id LIMIT 12)
+            SELECT doc_id, round(raw, 6) AS score
+            FROM top ORDER BY raw DESC, doc_id
         """,
     }

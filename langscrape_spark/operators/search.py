@@ -28,6 +28,8 @@ BM25 (k1, b defaults per Robertson/Sparck Jones convention):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import words_col
@@ -203,5 +205,92 @@ def more_like_this(
             ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def query_likelihood_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    k: int = 10,
+    mu: float = 100.0,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai/Lafferty LM
+    retrieval): ``score(d) = Σ_t qtf·ln((tf + μ·p(t|C)) / (dl + μ))``
+    with ``p(t|C) = cf_t / |C|``. Query terms absent from the corpus
+    are dropped (their smoothed probability is 0 for every document,
+    a constant −∞ that carries no ranking information).
+
+    Scale shape: the standard postings-only decomposition —
+    ``score = Σ_t qtf·ln(μ·p_c) + Σ_{t∈q∩d} qtf·ln(1 + tf/(μ·p_c))
+    − |q|·ln(dl + μ)`` — so the corpus-sized work is ONE broadcast
+    semi-join of the query terms against postings (predicate-pushed)
+    plus a docs-sized join on doc_lens; documents never need a row
+    per *absent* query term, which is what makes the naive
+    cross-join form unrunnable at 100 TB. The query constant rides
+    in-plan as a 1-row broadcast crossJoin; |C| is one scalar agg.
+    """
+    spark = postings.sparkSession
+    counts: dict[str, int] = {}
+    for t in query.lower().split():
+        if t:
+            counts[t] = counts.get(t, 0) + 1
+    if not counts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    q_tbl = spark.createDataFrame(
+        sorted(counts.items()), "term string, qtf long"
+    )
+    c_tot = postings.agg(F.sum("tf")).collect()[0][0]
+    if not c_tot:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    hits = postings.join(F.broadcast(q_tbl), "term")
+    # collection frequency per query term, from the already-filtered
+    # postings (cf sums the term's FULL postings — hits has them all).
+    # Bounded collect: ≤ |query terms| rows — same move as
+    # more_like_this's query-postings collect.
+    cf_rows = (
+        hits.groupBy("term", "qtf").agg(F.sum("tf").alias("cf")).collect()
+    )
+    if not cf_rows:
+        # no query term occurs in the corpus: the smoothed likelihood
+        # is undefined (0 for every doc) — no ranking information
+        return spark.createDataFrame([], "doc_id long, score double")
+    pc_tbl = spark.createDataFrame(
+        [(r["term"], r["qtf"], r["cf"] / float(c_tot)) for r in cf_rows],
+        "term string, qtf long, p_c double",
+    )
+    q_const = sum(
+        r["qtf"] * math.log(mu * (r["cf"] / float(c_tot)))
+        for r in sorted(cf_rows, key=lambda r: r["term"])
+    )
+    q_len = sum(r["qtf"] for r in cf_rows)
+    matched = (
+        hits.join(F.broadcast(pc_tbl), ["term", "qtf"])
+        .select(
+            "doc_id",
+            (
+                F.col("qtf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("tf") / (F.lit(mu) * F.col("p_c"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("match_score"))
+    )
+    return (
+        doc_lens.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(q_const)
+                + F.coalesce(F.col("match_score"), F.lit(0.0))
+                - F.lit(float(q_len)) * F.log(F.col("dl") + F.lit(mu))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

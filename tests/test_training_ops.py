@@ -2704,3 +2704,67 @@ def test_entropy_profile_null_and_empty_text(spark):
     assert rows[1]["token_entropy"] is None
     assert rows[2]["n_tokens"] is None
     assert rows[3]["token_entropy"] == 0.0 and rows[3]["n_tokens"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query likelihood (q91)
+# ---------------------------------------------------------------------------
+
+def test_query_likelihood_hand_case(spark):
+    """Two-doc corpus, μ=2, query 'a c zzz': zzz (cf=0) is dropped and
+    scores equal the naive Σ ln((tf+μ·cf/|C|)/(dl+μ)) computed by hand."""
+    import math
+
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        query_likelihood_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    postings, doc_lens = build_inverted_index(docs)
+    out = {
+        r["doc_id"]: r["score"]
+        for r in query_likelihood_topk(
+            postings, doc_lens, "a c zzz", k=10, mu=2.0
+        ).collect()
+    }
+    exp1 = math.log(2.8 / 5) + math.log(0.4 / 5)
+    exp2 = math.log(0.8 / 4) + math.log(1.4 / 4)
+    assert abs(out[1] - exp1) < 1e-9
+    assert abs(out[2] - exp2) < 1e-9
+    assert out[2] > out[1]
+
+
+def test_query_likelihood_qtf_and_empty(spark):
+    """Duplicate query terms double their contribution; empty / fully
+    out-of-vocabulary queries return an empty frame with the schema."""
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        query_likelihood_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a")], "doc_id long, text string"
+    )
+    postings, doc_lens = build_inverted_index(docs)
+    single = {
+        r["doc_id"]: r["score"]
+        for r in query_likelihood_topk(
+            postings, doc_lens, "a", mu=1.0
+        ).collect()
+    }
+    double = {
+        r["doc_id"]: r["score"]
+        for r in query_likelihood_topk(
+            postings, doc_lens, "a a", mu=1.0
+        ).collect()
+    }
+    for d in (1, 2):
+        assert abs(double[d] - 2 * single[d]) < 1e-9
+    empty = query_likelihood_topk(postings, doc_lens, "   ")
+    assert empty.columns == ["doc_id", "score"] and empty.count() == 0
+    oov = query_likelihood_topk(postings, doc_lens, "zzz qqq", mu=1.0)
+    # every term out-of-vocabulary -> no ranking information -> empty
+    assert oov.columns == ["doc_id", "score"] and oov.count() == 0
