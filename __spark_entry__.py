@@ -2514,6 +2514,35 @@ def q91_query_likelihood(spark, sf):
     ).orderBy(F.desc("score"), "doc_id")
 
 
+def q92_phrase_search(spark, sf):
+    """Positional phrase search (operators/search.py::
+    positional_postings / phrase_match): the corpus's top trigram
+    (deterministic count-desc/lexicographic pick) located via
+    start-position-aligned postings joins — each join side filtered
+    to ONE term's postings so the cost tracks the rarest term, never
+    the corpus. The oracle re-derives the trigram with windows and
+    counts occurrences directly (0-based positions to match
+    posexplode)."""
+    from langscrape_spark.operators.search import (
+        phrase_match,
+        positional_postings,
+        top_trigram,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    phrase = top_trigram(docs)
+    out = phrase_match(positional_postings(docs), phrase)
+    return (
+        out.select(
+            F.lit(" ".join(phrase)).alias("phrase"),
+            "doc_id",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2607,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_count_min": q89_count_min,
         "q90_entropy_profile": q90_entropy_profile,
         "q91_query_likelihood": q91_query_likelihood,
+        "q92_phrase_search": q92_phrase_search,
     }
 
 
@@ -5723,5 +5753,33 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY raw DESC, doc_id LIMIT 12)
             SELECT doc_id, round(raw, 6) AS score
             FROM top ORDER BY raw DESC, doc_id
+        """,
+        "q92_phrase_search": f"""
+            -- Top corpus trigram by lead() windows (count desc, then
+            -- lexicographic), then per-doc occurrence counts. DuckDB
+            -- subscripts are 1-based; Spark posexplode is 0-based —
+            -- positions normalized to 0-based here.
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos,
+                     unnest(tok) AS w
+              FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+            tri AS (
+              SELECT doc_id, pos, w AS w1,
+                     lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w2,
+                     lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w3
+              FROM toks),
+            top AS (
+              SELECT w1, w2, w3 FROM tri WHERE w3 IS NOT NULL
+              GROUP BY w1, w2, w3
+              ORDER BY count(*) DESC, w1, w2, w3 LIMIT 1)
+            SELECT
+              (SELECT w1 || ' ' || w2 || ' ' || w3 FROM top) AS phrase,
+              t.doc_id,
+              CAST(count(*) AS BIGINT) AS n_occurrences,
+              CAST(min(t.pos) AS BIGINT) AS first_pos
+            FROM tri t JOIN top USING (w1, w2, w3)
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
     }

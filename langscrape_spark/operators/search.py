@@ -294,3 +294,82 @@ def query_likelihood_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted index ``(term, doc_id, pos)`` — the
+    structure phrase/proximity queries need (tf-only postings cannot
+    distinguish 'new york' from 'york new'). One posexplode; writable
+    bucketed by term for shuffle-free phrase joins."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_match(
+    positional: DataFrame,
+    phrase_terms: list,
+) -> DataFrame:
+    """Exact-phrase occurrences via start-position alignment: term i's
+    postings shifted to ``start = pos − i`` and chain-joined on
+    ``(doc_id, start)`` — every join side is pre-filtered to ONE
+    term's postings (predicate pushed to the index scan), so the work
+    is proportional to the rarest term's postings, never the corpus.
+    Returns ``(doc_id, n_occurrences, first_pos)``.
+    """
+    spark = positional.sparkSession
+    if not phrase_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, n_occurrences long, first_pos long"
+        )
+    aligned = None
+    for i, t in enumerate(phrase_terms):
+        leg = positional.where(F.col("term") == F.lit(t)).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        aligned = leg if aligned is None else aligned.join(
+            leg, ["doc_id", "start"]
+        )
+    return (
+        aligned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("start").alias("first_pos"),
+        )
+    )
+
+
+def top_trigram(docs: DataFrame, text_col: str = "text") -> list:
+    """The corpus's most frequent token trigram (count desc, then
+    lexicographic) as a 3-element list — a deterministic, data-derived
+    phrase for the phrase-search surface. Per-doc windows only (no
+    global sort until the final bounded top-1)."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "w"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.select(
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w).alias("w2"),
+            F.lead("w", 2).over(w).alias("w3"),
+        )
+        .where(F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2", "w3")
+        .limit(1)
+        .collect()
+    )
+    if not tri:
+        return []
+    r = tri[0]
+    return [r["w1"], r["w2"], r["w3"]]

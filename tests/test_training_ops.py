@@ -2768,3 +2768,49 @@ def test_query_likelihood_qtf_and_empty(spark):
     oov = query_likelihood_topk(postings, doc_lens, "zzz qqq", mu=1.0)
     # every term out-of-vocabulary -> no ranking information -> empty
     assert oov.columns == ["doc_id", "score"] and oov.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (q92)
+# ---------------------------------------------------------------------------
+
+def test_phrase_match_counts_and_positions(spark):
+    """Overlapping occurrences all count ('a a a' contains 'a a'
+    twice); 0-based first position; docs without the phrase absent."""
+    from langscrape_spark.operators.search import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x new york city new york"),
+            (2, "york new"),
+            (3, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = positional_postings(docs)
+    ny = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match(pos, ["new", "york"]).collect()
+    }
+    assert ny == {1: (2, 1)}  # doc2 has the reversed pair only
+    aa = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match(pos, ["a", "a"]).collect()
+    }
+    assert aa == {3: (2, 0)}
+    assert phrase_match(pos, []).count() == 0
+
+
+def test_top_trigram_deterministic_tiebreak(spark):
+    """All trigrams unique (count 1) -> lexicographically smallest."""
+    from langscrape_spark.operators.search import top_trigram
+
+    docs = spark.createDataFrame(
+        [(1, "b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert top_trigram(docs) == ["a", "b", "c"]
+    empty = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert top_trigram(empty) == []
