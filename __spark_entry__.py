@@ -2543,6 +2543,51 @@ def q92_phrase_search(spark, sf):
     )
 
 
+def q93_cocitation(spark, sf):
+    """Co-citation + bibliographic coupling (operators/linkgraph.py::
+    cocitation_coupling, fanout cap 10, min strength 2) over an
+    organic pseudo-random host graph derived from documents
+    (identical in BOTH engines, q73's pattern) plus a planted hub
+    (links all 20 hosts — must be excluded from co-citation by the
+    out-cap) and a planted sink (linked by all 20 — excluded from
+    coupling by the in-cap). The oracle re-derives dedup, the degree
+    caps, both pair self-joins and the strength gate."""
+    from langscrape_spark.operators.linkgraph import cocitation_coupling
+
+    k = F.col("doc_id") % 20
+    j = F.floor(F.col("doc_id") / 20)
+    docs = _t(spark, sf, "documents")
+    organic = docs.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), ((k + j * j) % 20).cast("string")).alias(
+            "dst_host"
+        ),
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("h"), ((k * 7 + 3) % 20).cast("string")).alias(
+                "src_host"
+            ),
+            F.concat(
+                F.lit("h"), ((k * 13 + 5) % 20).cast("string")
+            ).alias("dst_host"),
+        )
+    )
+    hub = spark.range(20).select(
+        F.lit("hubx").alias("src_host"),
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("dst_host"),
+    )
+    sink = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("src_host"),
+        F.lit("sinkx").alias("dst_host"),
+    )
+    out = cocitation_coupling(
+        organic.unionByName(hub).unionByName(sink),
+        max_fanout=10,
+        min_strength=2,
+    )
+    return out.orderBy("host_a", "host_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2637,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_entropy_profile": q90_entropy_profile,
         "q91_query_likelihood": q91_query_likelihood,
         "q92_phrase_search": q92_phrase_search,
+        "q93_cocitation": q93_cocitation,
     }
 
 
@@ -5781,5 +5827,52 @@ def oracle_sql() -> dict[str, str]:
               CAST(min(t.pos) AS BIGINT) AS first_pos
             FROM tri t JOIN top USING (w1, w2, w3)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q93_cocitation": """
+            -- Same derived host graph + planted hub/sink; degree caps
+            -- (>10) re-derived, then both canonical pair self-joins.
+            WITH raw AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id % 20
+                                  + (doc_id // 20) * (doc_id // 20)) % 20
+                            AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR),
+                     'h' || CAST((doc_id % 20 * 13 + 5) % 20 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'hubx', 'h' || CAST(r AS VARCHAR) FROM range(20) t(r)
+              UNION ALL
+              SELECT 'h' || CAST(r AS VARCHAR), 'sinkx' FROM range(20) t(r)
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            eco AS (
+              SELECT * FROM e WHERE src NOT IN (
+                SELECT src FROM e GROUP BY src HAVING count(*) > 10)),
+            ecp AS (
+              SELECT * FROM e WHERE dst NOT IN (
+                SELECT dst FROM e GROUP BY dst HAVING count(*) > 10)),
+            co AS (
+              SELECT a.dst AS host_a, b.dst AS host_b,
+                     count(*) AS cocitation
+              FROM eco a JOIN eco b
+                ON a.src = b.src AND a.dst < b.dst
+              GROUP BY 1, 2),
+            coup AS (
+              SELECT c.src AS host_a, d.src AS host_b,
+                     count(*) AS coupling
+              FROM ecp c JOIN ecp d
+                ON c.dst = d.dst AND c.src < d.src
+              GROUP BY 1, 2)
+            SELECT coalesce(co.host_a, coup.host_a) AS host_a,
+                   coalesce(co.host_b, coup.host_b) AS host_b,
+                   CAST(coalesce(cocitation, 0) AS BIGINT) AS cocitation,
+                   CAST(coalesce(coupling, 0) AS BIGINT) AS coupling
+            FROM co FULL OUTER JOIN coup
+              ON co.host_a = coup.host_a AND co.host_b = coup.host_b
+            WHERE coalesce(cocitation, 0) >= 2
+               OR coalesce(coupling, 0) >= 2
+            ORDER BY 1, 2
         """,
     }

@@ -189,3 +189,99 @@ def reciprocal_link_stats(
         (F.col("out_deg") >= F.lit(min_out))
         & (share >= F.lit(min_recip_share)),
     )
+
+
+def cocitation_coupling(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_fanout: int = 64,
+    min_strength: int = 2,
+) -> DataFrame:
+    """Co-citation and bibliographic coupling over the host graph —
+    the two classic link-based relatedness measures (Small 1973 /
+    Kessler 1963; the backbone of 'related sites' and template-family
+    grouping): ``cocitation(a, b)`` counts hosts linking to BOTH a and
+    b; ``coupling(a, b)`` counts hosts that both a and b link to.
+
+    Scale shape: both are postings-style self-joins — group the
+    deduped edge list by the shared endpoint and pair within the
+    group. A hub endpoint makes that quadratic, so both directions
+    carry a fanout cap (``max_fanout``, applied with a degree
+    aggregate + semi-join): a directory page linking 10^4 hosts
+    co-cites everything and carries no relatedness signal — the
+    standard cap from the co-citation literature, and the same
+    hot-bucket guard shape as the dedup paths. Pair emission joins
+    on the shared endpoint only (equi-key, map-side combinable);
+    output pairs are canonical (a < b) with ``min_strength`` gating.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    # broadcast the HOT endpoints (over-cap, few by construction) and
+    # anti-join — broadcasting the allow-list would ship most of the
+    # host table; same guard shape as dedup.py's hot-bucket pass
+    hot_src = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .where(F.col("od") > max_fanout)
+        .select("src")
+    )
+    hot_dst = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("idg"))
+        .where(F.col("idg") > max_fanout)
+        .select("dst")
+    )
+    e_co = e.join(F.broadcast(hot_src), "src", "left_anti")
+    e_cp = e.join(F.broadcast(hot_dst), "dst", "left_anti")
+
+    a, b = e_co.alias("a"), e_co.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("host_a"), F.col("b.dst").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cocitation"))
+    )
+    c, d = e_cp.alias("c"), e_cp.alias("d")
+    coup = (
+        c.join(
+            d,
+            (F.col("c.dst") == F.col("d.dst"))
+            & (F.col("c.src") < F.col("d.src")),
+        )
+        .groupBy(
+            F.col("c.src").alias("host_a"), F.col("d.src").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("coupling"))
+    )
+    return (
+        co.join(coup, ["host_a", "host_b"], "full_outer")
+        .select(
+            "host_a",
+            "host_b",
+            F.coalesce("cocitation", F.lit(0)).cast("long").alias(
+                "cocitation"
+            ),
+            F.coalesce("coupling", F.lit(0)).cast("long").alias(
+                "coupling"
+            ),
+        )
+        .where(
+            (F.col("cocitation") >= min_strength)
+            | (F.col("coupling") >= min_strength)
+        )
+    )

@@ -121,3 +121,52 @@ def test_reciprocal_link_stats_plans_equi_joins(spark):
                                ["src_host", "dst_host"])
     plan = reciprocal_link_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Co-citation / bibliographic coupling (q93)
+# ---------------------------------------------------------------------------
+
+def test_cocitation_coupling_hand_graph(spark):
+    """s1->{a,b,c}, s2->{a,b}: cocitation(a,b)=2 (both srcs), (a,c) and
+    (b,c)=1 (below min_strength 2 -> filtered unless coupling rescues);
+    coupling(s1,s2)=2 via shared {a,b}."""
+    from langscrape_spark.operators.linkgraph import cocitation_coupling
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "a"), ("s1", "b"), ("s1", "c"),
+            ("s2", "a"), ("s2", "b"),
+            ("s2", "a"),           # duplicate must dedup
+            ("x", "x"),            # self-loop dropped
+        ],
+        "src_host string, dst_host string",
+    )
+    rows = {
+        (r["host_a"], r["host_b"]): (r["cocitation"], r["coupling"])
+        for r in cocitation_coupling(edges, min_strength=2).collect()
+    }
+    assert rows == {("a", "b"): (2, 0), ("s1", "s2"): (0, 2)}
+
+
+def test_cocitation_fanout_cap_excludes_hubs(spark):
+    """A src over the fanout cap contributes no co-citation pairs; a
+    dst over the cap contributes no coupling pairs."""
+    from langscrape_spark.operators.linkgraph import cocitation_coupling
+
+    hub = [("hub", f"d{i}") for i in range(5)]
+    organic = [("s1", "d0"), ("s1", "d1"), ("s2", "d0"), ("s2", "d1")]
+    edges = spark.createDataFrame(
+        hub + organic, "src_host string, dst_host string"
+    )
+    rows = {
+        (r["host_a"], r["host_b"]): (r["cocitation"], r["coupling"])
+        for r in cocitation_coupling(
+            edges, max_fanout=4, min_strength=2
+        ).collect()
+    }
+    # hub (out-deg 5 > 4) excluded from co-citation; d0/d1 (in-deg 3)
+    # fine for coupling between s1/s2 (hub still couples via capped dsts
+    # d2..d4? no - those have in-degree 1, only hub links them)
+    assert rows[("d0", "d1")] == (2, 0)
+    assert rows[("s1", "s2")][1] == 2
