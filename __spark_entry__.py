@@ -2543,17 +2543,30 @@ def q92_phrase_search(spark, sf):
     )
 
 
-def q93_cocitation(spark, sf):
-    """Co-citation + bibliographic coupling (operators/linkgraph.py::
-    cocitation_coupling, fanout cap 10, min strength 2) over an
-    organic pseudo-random host graph derived from documents
-    (identical in BOTH engines, q73's pattern) plus a planted hub
-    (links all 20 hosts — must be excluded from co-citation by the
-    out-cap) and a planted sink (linked by all 20 — excluded from
-    coupling by the in-cap). The oracle re-derives dedup, the degree
-    caps, both pair self-joins and the strength gate."""
-    from langscrape_spark.operators.linkgraph import cocitation_coupling
+_HOSTGRAPH_RAW_SQL = """
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id % 20
+                                  + (doc_id // 20) * (doc_id // 20)) % 20
+                            AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR),
+                     'h' || CAST((doc_id % 20 * 13 + 5) % 20 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'hubx', 'h' || CAST(r AS VARCHAR) FROM range(20) t(r)
+              UNION ALL
+              SELECT 'h' || CAST(r AS VARCHAR), 'sinkx' FROM range(20) t(r)
+"""
 
+
+def _host_graph(spark, sf):
+    """The deterministic pseudo-random host graph shared by the
+    link-analysis queries (q93/q94/q95/q96): organic edges derived
+    from documents plus a planted hub (links every host) and sink
+    (linked by every host). ``_HOSTGRAPH_RAW_SQL`` is its DuckDB
+    twin; self-loops/dups are NOT removed here — each operator owns
+    its own hygiene."""
     k = F.col("doc_id") % 20
     j = F.floor(F.col("doc_id") / 20)
     docs = _t(spark, sf, "documents")
@@ -2580,12 +2593,46 @@ def q93_cocitation(spark, sf):
         F.concat(F.lit("h"), F.col("id").cast("string")).alias("src_host"),
         F.lit("sinkx").alias("dst_host"),
     )
+    return organic.unionByName(hub).unionByName(sink)
+
+
+def q93_cocitation(spark, sf):
+    """Co-citation + bibliographic coupling (operators/linkgraph.py::
+    cocitation_coupling, fanout cap 10, min strength 2) over an
+    organic pseudo-random host graph derived from documents
+    (identical in BOTH engines, q73's pattern) plus a planted hub
+    (links all 20 hosts — must be excluded from co-citation by the
+    out-cap) and a planted sink (linked by all 20 — excluded from
+    coupling by the in-cap). The oracle re-derives dedup, the degree
+    caps, both pair self-joins and the strength gate."""
+    from langscrape_spark.operators.linkgraph import cocitation_coupling
+
     out = cocitation_coupling(
-        organic.unionByName(hub).unionByName(sink),
-        max_fanout=10,
-        min_strength=2,
+        _host_graph(spark, sf), max_fanout=10, min_strength=2
     )
     return out.orderBy("host_a", "host_b")
+
+
+def _hits_oracle() -> str:
+    """HITS oracle is BUILT (unrolled 6-iteration CTE chain) by the
+    operator module so the DuckDB power iteration stays next to its
+    Spark twin (the _bpe_oracle pattern)."""
+    from langscrape_spark.operators.hostrank import hits_oracle_sql
+
+    return hits_oracle_sql(_HOSTGRAPH_RAW_SQL, iterations=6)
+
+
+def q94_hits(spark, sf):
+    """Kleinberg HITS (operators/hostrank.py::hits, 6 iterations, L1
+    normalization) over the shared derived host graph — the planted
+    hubx must surface as the top hub and sinkx as a top authority.
+    The oracle is the SAME power iteration unrolled as chained CTEs
+    (hits_oracle_sql), proving every join/sum/normalize exact at
+    round-6 — the first oracled iterative graph query (q32's
+    PageRank predates the pattern)."""
+    from langscrape_spark.operators.hostrank import hits
+
+    return hits(_host_graph(spark, sf), iterations=6).orderBy("host")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2683,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_query_likelihood": q91_query_likelihood,
         "q92_phrase_search": q92_phrase_search,
         "q93_cocitation": q93_cocitation,
+        "q94_hits": q94_hits,
     }
 
 
@@ -5828,24 +5876,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tri t JOIN top USING (w1, w2, w3)
             GROUP BY t.doc_id ORDER BY t.doc_id
         """,
-        "q93_cocitation": """
+        "q93_cocitation": f"""
             -- Same derived host graph + planted hub/sink; degree caps
             -- (>10) re-derived, then both canonical pair self-joins.
-            WITH raw AS (
-              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
-                     'h' || CAST((doc_id % 20
-                                  + (doc_id // 20) * (doc_id // 20)) % 20
-                            AS VARCHAR) AS dst
-              FROM documents
-              UNION ALL
-              SELECT 'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR),
-                     'h' || CAST((doc_id % 20 * 13 + 5) % 20 AS VARCHAR)
-              FROM documents
-              UNION ALL
-              SELECT 'hubx', 'h' || CAST(r AS VARCHAR) FROM range(20) t(r)
-              UNION ALL
-              SELECT 'h' || CAST(r AS VARCHAR), 'sinkx' FROM range(20) t(r)
-            ),
+            WITH raw AS ({_HOSTGRAPH_RAW_SQL}),
             e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
             eco AS (
               SELECT * FROM e WHERE src NOT IN (
@@ -5875,4 +5909,5 @@ def oracle_sql() -> dict[str, str]:
                OR coalesce(coupling, 0) >= 2
             ORDER BY 1, 2
         """,
+        "q94_hits": _hits_oracle(),
     }

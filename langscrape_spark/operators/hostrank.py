@@ -129,3 +129,112 @@ def host_rank_table(pages: DataFrame, iterations: int = 12) -> DataFrame:
     if not mx:
         return pr
     return pr.select("host", F.round(F.col("rank") / F.lit(mx), 6).alias("rank"))
+
+
+def hits(edges: DataFrame, iterations: int = 6) -> DataFrame:
+    """Kleinberg HITS over the host graph: ``(host, authority, hub)``
+    by fixed-iteration power iteration with L1 normalization after
+    every half-step (deterministic — no convergence test, no
+    sampling). Complements PageRank: authorities are where content
+    concentrates (fetch-priority signal), hubs are the directory
+    pages whose outlinks seed frontiers.
+
+    Scale shape: same as ``host_pagerank`` — the deduped host edge
+    list is cached once; each half-step is ONE equi-key join +
+    grouped sum (map-side combinable), the normalizer is a bounded
+    scalar collect that doubles as the iteration's checkpoint
+    materializer (the A/B'd pattern from host_pagerank), and lineage
+    is truncated per half-step so the plan stays flat at any
+    iteration count. Score frames stay SPARSE (hosts with zero score
+    are absent) until the final outer join.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .cache()
+    )
+    if hosts.count() == 0:
+        return spark.createDataFrame(
+            [], "host string, authority double, hub double"
+        )
+
+    hub = hosts.select("host", F.lit(1.0).alias("s"))
+    auth = None
+
+    def _half_step(scores: DataFrame, join_on: str, out_key: str):
+        raw = (
+            e.join(scores, e[join_on] == scores.host)
+            .groupBy(e[out_key].alias("host"))
+            .agg(F.sum("s").alias("s"))
+        ).localCheckpoint(eager=False)
+        tot = raw.agg(F.sum("s")).first()[0]  # bounded scalar; also
+        # eagerly materializes the half-step's checkpoint
+        return raw.select("host", (F.col("s") / F.lit(tot)).alias("s"))
+
+    for _ in range(iterations):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+
+    return (
+        hosts.join(auth.withColumnRenamed("s", "_a"), "host", "left")
+        .join(hub.withColumnRenamed("s", "_h"), "host", "left")
+        .select(
+            "host",
+            F.round(F.coalesce("_a", F.lit(0.0)), 6).alias("authority"),
+            F.round(F.coalesce("_h", F.lit(0.0)), 6).alias("hub"),
+        )
+    )
+
+
+def hits_oracle_sql(raw_edges_sql: str, iterations: int = 6) -> str:
+    """The DuckDB twin of ``hits``: the power iteration unrolled as
+    chained CTEs (the bpe_oracle_sql pattern), one a/h CTE pair per
+    half-step with the L1 normalizer as a scalar subquery — proving
+    the Spark loop's joins, grouped sums and normalization exact at
+    round-6."""
+    # every CTE MATERIALIZED: without it DuckDB inlines each
+    # reference, and the h{i} -> a{i} -> h{i-1} chain doubles the
+    # inlined tree per iteration (2^(2k) scans of the base table —
+    # observed as an fd blowup at 6 iterations)
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "h0 AS MATERIALIZED (SELECT host, 1.0 AS s FROM hosts),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"a{i}r AS MATERIALIZED (SELECT e.dst AS host, sum(h.s) AS s"
+            f" FROM e JOIN h{i - 1} h ON e.src = h.host GROUP BY e.dst),",
+            f"a{i} AS MATERIALIZED (SELECT host,"
+            f" s / (SELECT sum(s) FROM a{i}r) AS s FROM a{i}r),",
+            f"h{i}r AS MATERIALIZED (SELECT e.src AS host, sum(a.s) AS s"
+            f" FROM e JOIN a{i} a ON e.dst = a.host GROUP BY e.src),",
+            f"h{i} AS MATERIALIZED (SELECT host,"
+            f" s / (SELECT sum(s) FROM h{i}r) AS s FROM h{i}r),",
+        ]
+    n = iterations
+    parts.append(
+        "fin AS (SELECT hosts.host,"
+        f" round(coalesce(a.s, 0), 6) AS authority,"
+        f" round(coalesce(h.s, 0), 6) AS hub"
+        f" FROM hosts LEFT JOIN a{n} a ON hosts.host = a.host"
+        f" LEFT JOIN h{n} h ON hosts.host = h.host)"
+    )
+    return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"

@@ -170,3 +170,36 @@ def test_cocitation_fanout_cap_excludes_hubs(spark):
     # d2..d4? no - those have in-degree 1, only hub links them)
     assert rows[("d0", "d1")] == (2, 0)
     assert rows[("s1", "s2")][1] == 2
+
+
+# ---------------------------------------------------------------------------
+# HITS (q94)
+# ---------------------------------------------------------------------------
+
+def test_hits_star_graph_analytic(spark):
+    """hub -> {a,b,c}: the only hub is 'hub' (score 1), authorities
+    split evenly (1/3 each) at every iteration — analytic fixed point."""
+    from langscrape_spark.operators.hostrank import hits
+
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("hub", "c")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: (r["authority"], r["hub"]) for r in hits(edges, 3).collect()}
+    assert rows["hub"] == (0.0, 1.0)
+    for h in "abc":
+        assert abs(rows[h][0] - round(1 / 3, 6)) < 1e-9
+        assert rows[h][1] == 0.0
+
+
+def test_hits_empty_and_selfloop(spark):
+    from langscrape_spark.operators.hostrank import hits
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    assert hits(empty).count() == 0
+    loops = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "src_host string, dst_host string"
+    )
+    rows = {r["host"]: (r["authority"], r["hub"]) for r in hits(loops, 2).collect()}
+    # self-loop dropped: pure 2-node chain
+    assert rows == {"a": (0.0, 1.0), "b": (1.0, 0.0)}
