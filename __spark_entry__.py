@@ -2635,6 +2635,31 @@ def q94_hits(spark, sf):
     return hits(_host_graph(spark, sf), iterations=6).orderBy("host")
 
 
+_TRUST_SEEDS = ["h0", "h1", "h2", "h3"]
+
+
+def _trustrank_oracle() -> str:
+    from langscrape_spark.operators.hostrank import trustrank_oracle_sql
+
+    return trustrank_oracle_sql(
+        _HOSTGRAPH_RAW_SQL, _TRUST_SEEDS, damping=0.85, iterations=8
+    )
+
+
+def q95_trustrank(spark, sf):
+    """TrustRank (operators/hostrank.py::trustrank, 4 seeds, d=0.85,
+    8 iterations): seed-personalized PageRank where dangling mass
+    (sinkx — the graph's only sink) teleports back to the seed set.
+    The oracle unrolls the same iteration as MATERIALIZED CTEs with
+    the dangling scalar per round; seed-term literals are interpolated
+    via repr() so 1−d keeps its exact float value in both engines."""
+    from langscrape_spark.operators.hostrank import trustrank
+
+    return trustrank(
+        _host_graph(spark, sf), _TRUST_SEEDS, damping=0.85, iterations=8
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2731,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_phrase_search": q92_phrase_search,
         "q93_cocitation": q93_cocitation,
         "q94_hits": q94_hits,
+        "q95_trustrank": q95_trustrank,
     }
 
 
@@ -5910,4 +5936,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "q94_hits": _hits_oracle(),
+        "q95_trustrank": _trustrank_oracle(),
     }

@@ -238,3 +238,162 @@ def hits_oracle_sql(raw_edges_sql: str, iterations: int = 6) -> str:
         f" LEFT JOIN h{n} h ON hosts.host = h.host)"
     )
     return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen): PageRank
+    personalized on a hand-vetted seed set — trust flows out of the
+    seeds along out-links, so link-farm hosts that inflate plain
+    PageRank stay near zero unless a trusted host (transitively)
+    links to them. ``(host, trust, is_seed)``; dangling mass is
+    redistributed to the SEED set (the paper's teleport vector), not
+    uniformly like host_pagerank.
+
+    Scale shape mirrors ``host_pagerank``: transition probabilities
+    precomputed and cached; each iteration is one equi-key join +
+    grouped sum plus a bounded dangling-mass scalar collect (which
+    doubles as the previous iteration's checkpoint materializer);
+    trust frames stay SPARSE — unreachable hosts never materialize
+    rows until the final outer join. The new-trust merge is a
+    2-source UNION-then-sum, exact cross-engine because IEEE
+    addition is commutative (only associativity breaks, and each
+    group has ≤2 rows).
+    """
+    spark = edges.sparkSession
+    if not seeds:
+        return spark.createDataFrame(
+            [], "host string, trust double, is_seed int"
+        )
+    e = (
+        edges.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .cache()
+    )
+    if hosts.count() == 0:
+        return spark.createDataFrame(
+            [], "host string, trust double, is_seed int"
+        )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    trans = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("p"))
+        .cache()
+    )
+    trans.count()
+    srcs = trans.select("src").distinct().cache()
+
+    s0 = 1.0 / len(seeds)
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(seeds)], "host string"
+    ).cache()
+    t = seed_df.select("host", F.lit(s0).alias("s"))
+    base = 1.0 - damping
+    for _ in range(iterations):
+        contrib = (
+            trans.join(t, trans.src == t.host)
+            .groupBy(trans.dst.alias("host"))
+            .agg(
+                (F.lit(damping) * F.sum(F.col("s") * F.col("p"))).alias(
+                    "v"
+                )
+            )
+        )
+        dang = (
+            t.join(srcs, t.host == srcs.src, "left_anti")
+            .agg(F.sum("s"))
+            .first()[0]
+            or 0.0
+        )  # bounded scalar; also materializes the previous iteration
+        seed_v = base * s0 + damping * dang * s0
+        seed_rows = seed_df.select("host", F.lit(seed_v).alias("v"))
+        t = (
+            contrib.unionByName(seed_rows)
+            .groupBy("host")
+            .agg(F.sum("v").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+
+    is_seed = F.coalesce(
+        F.when(F.col("_s").isNotNull(), F.lit(1)), F.lit(0)
+    )
+    return (
+        hosts.join(t.withColumnRenamed("s", "_t"), "host", "left")
+        .join(
+            seed_df.select("host", F.lit(1).alias("_s")), "host", "left"
+        )
+        .select(
+            "host",
+            F.round(F.coalesce("_t", F.lit(0.0)), 6).alias("trust"),
+            is_seed.alias("is_seed"),
+        )
+    )
+
+
+def trustrank_oracle_sql(
+    raw_edges_sql: str,
+    seeds: list,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> str:
+    """DuckDB twin of ``trustrank``: the seeded power iteration
+    unrolled as MATERIALIZED CTE chains (each t{i} is referenced by
+    both the next contrib join and the dangling scalar — without
+    materialization the inlined tree doubles per iteration)."""
+    s0 = 1.0 / len(seeds)
+    seed_vals = ", ".join(f"('{s}')" for s in sorted(seeds))
+    d, b = repr(damping), repr(1.0 - damping)
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "od AS MATERIALIZED (SELECT src, count(*) AS od"
+        " FROM e GROUP BY src),",
+        "trans AS MATERIALIZED (SELECT e.src, e.dst,"
+        " 1.0 / od.od AS p FROM e JOIN od ON e.src = od.src),",
+        f"seeds AS MATERIALIZED (SELECT * FROM (VALUES {seed_vals})"
+        " s(host)),",
+        f"t0 AS MATERIALIZED (SELECT host, {repr(s0)} AS s FROM seeds),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"g{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS dang"
+            f" FROM t{i - 1} WHERE host NOT IN (SELECT src FROM e)),",
+            f"c{i} AS MATERIALIZED (SELECT tr.dst AS host,"
+            f" {d} * sum(t.s * tr.p) AS v"
+            f" FROM trans tr JOIN t{i - 1} t ON tr.src = t.host"
+            " GROUP BY tr.dst),",
+            f"t{i} AS MATERIALIZED (SELECT host, sum(v) AS s FROM ("
+            f"SELECT host, v FROM c{i} UNION ALL"
+            f" SELECT host, {b} * {repr(s0)}"
+            f" + {d} * (SELECT dang FROM g{i}) * {repr(s0)} AS v"
+            " FROM seeds) u GROUP BY host),",
+        ]
+    n = iterations
+    parts.append(
+        "fin AS (SELECT hosts.host,"
+        " round(coalesce(t.s, 0), 6) AS trust,"
+        " CASE WHEN hosts.host IN (SELECT host FROM seeds)"
+        " THEN 1 ELSE 0 END AS is_seed"
+        f" FROM hosts LEFT JOIN t{n} t ON hosts.host = t.host)"
+    )
+    return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"

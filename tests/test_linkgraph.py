@@ -203,3 +203,45 @@ def test_hits_empty_and_selfloop(spark):
     rows = {r["host"]: (r["authority"], r["hub"]) for r in hits(loops, 2).collect()}
     # self-loop dropped: pure 2-node chain
     assert rows == {"a": (0.0, 1.0), "b": (1.0, 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (q95)
+# ---------------------------------------------------------------------------
+
+def test_trustrank_seed_chain_hand_case(spark):
+    """seed -> a -> b, 1 iteration, d=0.85: trust(seed)=0.15 (teleport
+    only), trust(a)=0.85·1.0 (full seed mass), b untouched after one
+    step. Mass conservation: totals stay 1 each iteration."""
+    from langscrape_spark.operators.hostrank import trustrank
+
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b")], "src_host string, dst_host string"
+    )
+    rows = {
+        r["host"]: (r["trust"], r["is_seed"])
+        for r in trustrank(edges, ["seed"], iterations=1).collect()
+    }
+    assert rows["seed"] == (0.15, 1)
+    assert rows["a"] == (0.85, 0)
+    assert rows["b"] == (0.0, 0)
+
+    r8 = trustrank(edges, ["seed"], iterations=8)
+    total = sum(r["trust"] for r in r8.collect())
+    assert abs(total - 1.0) < 1e-4  # dangling b teleports back to seed
+
+
+def test_trustrank_untrusted_component_stays_zero(spark):
+    """A disconnected spam clique gets exactly zero trust — the
+    property that distinguishes TrustRank from PageRank."""
+    from langscrape_spark.operators.hostrank import trustrank
+
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: r["trust"] for r in trustrank(edges, ["seed"], iterations=6).collect()}
+    assert rows["spam1"] == 0.0 and rows["spam2"] == 0.0
+    # a is dangling: its mass teleports back to the seed each round,
+    # steady state ~0.29 — positive, well above the spam clique
+    assert rows["a"] > 0.2
