@@ -2660,6 +2660,61 @@ def q95_trustrank(spark, sf):
     ).orderBy("host")
 
 
+_COMMUNITY_RAW_SQL = """
+              SELECT 'a' || CAST(doc_id % 8 AS VARCHAR) AS src,
+                     'a' || CAST((doc_id % 8 + doc_id // 8) % 8
+                            AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'b' || CAST(doc_id % 8 AS VARCHAR),
+                     'b' || CAST((doc_id % 8 + 3 * (doc_id // 8) + 1) % 8
+                            AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'a0', 'b0'
+"""
+
+
+def _lpa_oracle() -> str:
+    from langscrape_spark.operators.components import (
+        label_propagation_oracle_sql,
+    )
+
+    return label_propagation_oracle_sql(_COMMUNITY_RAW_SQL, iterations=4)
+
+
+def q96_label_propagation(spark, sf):
+    """Majority label propagation (operators/components.py::
+    label_propagation, 4 rounds, self-vote, min-label tie-break) on
+    two dense derived host families joined by ONE bridge edge — one
+    connected component but two communities, the distinction
+    connected_components cannot make. Pure integer/string arithmetic;
+    the oracle unrolls identical vote/adopt rounds as MATERIALIZED
+    CTEs."""
+    from langscrape_spark.operators.components import label_propagation
+
+    docs = _t(spark, sf, "documents")
+    k = F.col("doc_id") % 8
+    j = F.floor(F.col("doc_id") / 8)
+    fam_a = docs.select(
+        F.concat(F.lit("a"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("a"), ((k + j) % 8).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    fam_b = docs.select(
+        F.concat(F.lit("b"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("b"), ((k + 3 * j + 1) % 8).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    bridge = spark.createDataFrame(
+        [("a0", "b0")], "src_host string, dst_host string"
+    )
+    edges = fam_a.unionByName(fam_b).unionByName(bridge)
+    return label_propagation(edges, iterations=4).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2757,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_cocitation": q93_cocitation,
         "q94_hits": q94_hits,
         "q95_trustrank": q95_trustrank,
+        "q96_label_propagation": q96_label_propagation,
     }
 
 
@@ -5937,4 +5993,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q94_hits": _hits_oracle(),
         "q95_trustrank": _trustrank_oracle(),
+        "q96_label_propagation": _lpa_oracle(),
     }

@@ -180,3 +180,125 @@ def resolve_duplicates(
         "cluster_size",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iterations: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous majority label propagation
+    (Raghavan et al. 2007), the cheap complement to
+    ``connected_components``: components find *reachability*
+    clusters, LPA finds *densely-linked* ones — two host families
+    joined by one bridge edge are ONE component but TWO communities.
+    Deterministic variant: every node votes with all neighbor labels
+    plus its own (self-vote), adopting the most frequent label with
+    ties broken by the smallest label — pure integer/string
+    arithmetic, so the unrolled-CTE oracle matches exactly (no float
+    anywhere).
+
+    Scale shape: the symmetrized edge list is cached once; each round
+    is ONE equi-key join (neighbor → label), one (host, label) count
+    aggregation (map-side combinable — a hub's repeated neighbor
+    labels collapse before the shuffle), and a per-host
+    ``row_number`` window (partitioned by host, parallel by
+    construction). Neighbor lists are never materialized as arrays;
+    a 10^6-degree hub is one reduce group. ``localCheckpoint`` per
+    round keeps the plan flat.
+
+    Returns ``(host, community, community_size)``.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    hosts = (
+        e.select(F.col("a").alias("host"))
+        .unionByName(e.select(F.col("b").alias("host")))
+        .distinct()
+        .cache()
+    )
+    und = (
+        e.select(F.col("a").alias("host"), F.col("b").alias("nb"))
+        .unionByName(
+            e.select(F.col("b").alias("host"), F.col("a").alias("nb"))
+        )
+        .unionByName(
+            hosts.select("host", F.col("host").alias("nb"))
+        )
+        .distinct()
+        .cache()
+    )
+    und.count()
+
+    labels = hosts.select("host", F.col("host").alias("lab"))
+    w = Window.partitionBy("host").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(iterations):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("host", "nb"), "nb"
+            )
+            .groupBy("host", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("host", "lab")
+            .localCheckpoint(eager=False)
+        )
+
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "lab").select(
+        "host",
+        F.col("lab").alias("community"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )
+
+
+def label_propagation_oracle_sql(
+    raw_edges_sql: str, iterations: int = 4
+) -> str:
+    """DuckDB twin of ``label_propagation``: the vote/adopt rounds
+    unrolled as MATERIALIZED CTEs (same exponential-inlining hazard
+    as the hostrank builders) with identical tie-breaks."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT a AS host FROM e UNION ALL SELECT b FROM e)),",
+        "und AS MATERIALIZED (SELECT DISTINCT host, nb FROM ("
+        "SELECT a AS host, b AS nb FROM e"
+        " UNION ALL SELECT b, a FROM e"
+        " UNION ALL SELECT host, host FROM hosts)),",
+        "l0 AS MATERIALIZED (SELECT host, host AS lab FROM hosts),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"v{i} AS MATERIALIZED (SELECT u.host, l.lab,"
+            f" count(*) AS c FROM und u JOIN l{i - 1} l"
+            " ON u.nb = l.host GROUP BY u.host, l.lab),",
+            f"l{i} AS MATERIALIZED (SELECT host, lab FROM ("
+            "SELECT host, lab, row_number() OVER (PARTITION BY host"
+            f" ORDER BY c DESC, lab) AS rn FROM v{i}) WHERE rn = 1),",
+        ]
+    n = iterations
+    parts.append(
+        f"sizes AS (SELECT lab, count(*) AS sz FROM l{n} GROUP BY lab)"
+    )
+    return (
+        "\n".join(parts)
+        + f"\nSELECT l.host, l.lab AS community,"
+        f" CAST(s.sz AS BIGINT) AS community_size"
+        f" FROM l{n} l JOIN sizes s USING (lab) ORDER BY l.host"
+    )

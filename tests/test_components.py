@@ -108,3 +108,45 @@ def test_non_convergence_raises(spark):
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iterations=1)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (q96)
+# ---------------------------------------------------------------------------
+
+def test_lpa_two_cliques_one_bridge(spark):
+    """Two triangles joined by one bridge: one component, but LPA finds
+    two communities (labels collapse to each family's min host)."""
+    from langscrape_spark.operators.components import label_propagation
+
+    # 4-cliques: a 3-clique is too small — the bridge node's in-family
+    # votes (2 + self) exactly tie its adopted-min-label votes and the
+    # min tie-break keeps it cross-family
+    clique = lambda p: [
+        (f"{p}{i}", f"{p}{j}") for i in range(4) for j in range(i + 1, 4)
+    ]
+    edges = spark.createDataFrame(
+        clique("a") + clique("b") + [("a0", "b0")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: (r["community"], r["community_size"])
+            for r in label_propagation(edges, iterations=4).collect()}
+    assert {rows[f"a{i}"][0] for i in range(4)} == {"a0"}
+    assert {rows[f"b{i}"][0] for i in range(4)} == {"b0"}
+    assert rows["a0"][1] == 4 and rows["b1"][1] == 4
+
+
+def test_lpa_isolated_self_vote_and_determinism(spark):
+    """A node with only a self-loop keeps its own label; two runs are
+    byte-identical (deterministic tie-breaks)."""
+    from langscrape_spark.operators.components import label_propagation
+
+    edges = spark.createDataFrame(
+        [("solo", "solo"), ("x", "y")], "src_host string, dst_host string"
+    )
+    out1 = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    out2 = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    assert out1 == out2
+    d = {h: c for h, c, _ in out1}
+    assert d["solo"] == "solo"
+    assert d["x"] == d["y"] == "x"
