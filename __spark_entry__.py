@@ -2715,6 +2715,40 @@ def q96_label_propagation(spark, sf):
     return label_propagation(edges, iterations=4).orderBy("host")
 
 
+def q97_int8_ann(spark, sf):
+    """Int8-quantized ANN (operators/ann.py::int8_quantize /
+    int8_ann_topk): symmetric per-vector quantization of the
+    normalized embedding (4× scan compression at 100 TB), integer
+    dot products, approximate-cosine top-12 joined back to the exact
+    cosine with the quantization error. The oracle re-derives the
+    normalize→scale→round-half-up encode, the integer dots and the
+    cut with identical list folds."""
+    from langscrape_spark.operators.ann import (
+        cosine_sim,
+        int8_ann_topk,
+        int8_quantize,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    top = int8_ann_topk(int8_quantize(emb), QUERY_VEC, k=12)
+    qcol = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    exact = emb.select(
+        "vec_id", cosine_sim(F.col("embedding"), qcol).alias("_exact")
+    )
+    return (
+        top.join(exact, "vec_id")
+        .select(
+            "vec_id",
+            F.round("approx_cosine", 6).alias("approx_cosine"),
+            F.round("_exact", 6).alias("exact_cosine"),
+            F.round(F.abs(F.col("approx_cosine") - F.col("_exact")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy(F.desc("approx_cosine"), "vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2813,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_hits": q94_hits,
         "q95_trustrank": q95_trustrank,
         "q96_label_propagation": q96_label_propagation,
+        "q97_int8_ann": q97_int8_ann,
     }
 
 
@@ -5994,4 +6029,63 @@ def oracle_sql() -> dict[str, str]:
         "q94_hits": _hits_oracle(),
         "q95_trustrank": _trustrank_oracle(),
         "q96_label_propagation": _lpa_oracle(),
+        "q97_int8_ann": f"""
+            -- int8 encode re-derived: normalize, scale = 127/max|x̂|,
+            -- round-half-up (floor(x+0.5) — engine-portable), integer
+            -- dots (exact), approx = dot/(s_a·s_q). The query rides
+            -- the SAME encode pipeline as vec_id −1. Exact cosine in
+            -- q13's proven form; cut on the unrounded approx.
+            WITH qv AS (SELECT {_QV_SQL} AS v),
+            base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings
+              UNION ALL
+              SELECT CAST(-1 AS BIGINT), v FROM qv),
+            n1 AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x)))
+                       AS nrm
+              FROM base),
+            n2 AS (
+              SELECT vec_id,
+                     list_transform(v, x -> x / nrm) AS xhat
+              FROM n1 WHERE nrm > 0),
+            n3 AS (
+              SELECT vec_id, xhat,
+                     127.0 / list_max(list_transform(xhat,
+                       x -> abs(x))) AS scale
+              FROM n2),
+            enc AS (
+              SELECT vec_id, scale,
+                     list_transform(xhat, x ->
+                       CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+              FROM n3),
+            qe AS (SELECT * FROM enc WHERE vec_id = -1),
+            raw AS (
+              SELECT e.vec_id,
+                     CAST(list_sum(list_transform(range(1, 65),
+                            i -> e.q[i] * qe.q[i])) AS DOUBLE)
+                       / (e.scale * qe.scale) AS approx
+              FROM enc e, qe WHERE e.vec_id >= 0),
+            top AS (
+              SELECT vec_id, approx FROM raw
+              ORDER BY approx DESC, vec_id LIMIT 12),
+            ex AS (
+              SELECT vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * qv.v[i]))
+                     / (sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qv.v,
+                            x -> x * x)))) AS exact
+              FROM embeddings, qv)
+            SELECT t.vec_id,
+                   round(t.approx, 6) AS approx_cosine,
+                   round(ex.exact, 6) AS exact_cosine,
+                   round(abs(t.approx - ex.exact), 6) AS abs_err
+            FROM top t JOIN ex USING (vec_id)
+            ORDER BY round(t.approx, 6) DESC, t.vec_id
+        """,
     }

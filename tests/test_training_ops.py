@@ -2814,3 +2814,62 @@ def test_top_trigram_deterministic_tiebreak(spark):
     assert top_trigram(docs) == ["a", "b", "c"]
     empty = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     assert top_trigram(empty) == []
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN (q97)
+# ---------------------------------------------------------------------------
+
+def test_int8_quantize_codes_and_reconstruction(spark):
+    """Codes live in [-127, 127]; the max-|component| dimension hits
+    exactly ±127; approx cosine reconstructs the exact one closely; a
+    zero vector gets NULL scale/codes."""
+    from langscrape_spark.operators.ann import int8_quantize
+
+    rows = [
+        (1, [3.0, 4.0, 0.0]),
+        (2, [-1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in int8_quantize(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ).collect()
+    }
+    # v1 normalized = (0.6, 0.8, 0) -> scale = 127/0.8, codes
+    # floor((0.6,0.8,0)*158.75+0.5) = (95, 127, 0)
+    assert out[1]["qvec"] == [95, 127, 0]
+    assert abs(out[1]["scale"] - 127 / 0.8) < 1e-9
+    assert out[2]["qvec"] == [-127, 0, 0]
+    assert out[3]["scale"] is None and out[3]["qvec"] is None
+
+
+def test_int8_ann_matches_exact_ranking(spark):
+    """On well-separated vectors the int8 top-k ordering equals the
+    exact cosine ordering and the approx error is tiny."""
+    import math
+
+    from langscrape_spark.operators.ann import (
+        cosine_sim,
+        int8_ann_topk,
+        int8_quantize,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    query = list(map(float, vecs[5] + 0.01 * rng.normal(size=16)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    top = int8_ann_topk(int8_quantize(df), query, k=5).collect()
+    assert top[0]["vec_id"] == 5  # the planted near-duplicate wins
+    # approx within 2% of exact for every returned row
+    qn = math.sqrt(sum(x * x for x in query))
+    for r in top:
+        v = vecs[r["vec_id"]]
+        exact = float(np.dot(v, query)) / (float(np.linalg.norm(v)) * qn)
+        assert abs(r["approx_cosine"] - exact) < 0.02
