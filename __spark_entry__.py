@@ -2483,8 +2483,9 @@ def q90_entropy_profile(spark, sf):
     entropy_profile): per-doc token entropy, char entropy and
     type-token ratio — the cheap degenerate-text screens (stuffing,
     base64 blobs) that length gates miss. Both engines use the
-    identity H = ln(n) − Σc·ln(c)/n over the SAME (doc, symbol)
-    count aggregation, so the shuffled rows are distinct symbols,
+    identity H = log2(n) − Σc·log2(c)/n (BITS — matching the
+    low_entropy_bits gate) over the SAME (doc, symbol) count
+    aggregation, so the shuffled rows are distinct symbols,
     not corpus tokens."""
     from langscrape_spark.operators.text import entropy_profile
 
@@ -5890,7 +5891,8 @@ def oracle_sql() -> dict[str, str]:
             FROM est ORDER BY exact DESC, token
         """,
         "q90_entropy_profile": f"""
-            -- Shannon entropy via H = ln(n) - sum(c*ln c)/n over the
+            -- Shannon entropy in BITS via H = log2(n) -
+            -- sum(c*log2 c)/n over the
             -- same (doc, symbol) count aggregation as Spark; char
             -- stream strips whitespace first (testdata is ASCII so
             -- '.'-extraction == Spark's split('')). Low-entropy gate
@@ -5904,8 +5906,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(c) AS BIGINT) AS n_tokens,
                      CAST(count(*) AS BIGINT) AS n_types,
                      round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
-                     round(ln(CAST(sum(c) AS DOUBLE))
-                           - sum(c * ln(CAST(c AS DOUBLE))) / sum(c),
+                     round(log2(CAST(sum(c) AS DOUBLE))
+                           - sum(c * log2(CAST(c AS DOUBLE))) / sum(c),
                            6) AS token_entropy
               FROM tc GROUP BY doc_id),
             chr_s AS (
@@ -5919,8 +5921,8 @@ def oracle_sql() -> dict[str, str]:
               FROM chr_s GROUP BY doc_id, s),
             chh AS (
               SELECT doc_id,
-                     round(ln(CAST(sum(c) AS DOUBLE))
-                           - sum(c * ln(CAST(c AS DOUBLE))) / sum(c),
+                     round(log2(CAST(sum(c) AS DOUBLE))
+                           - sum(c * log2(CAST(c AS DOUBLE))) / sum(c),
                            6) AS char_entropy
               FROM cc GROUP BY doc_id)
             SELECT d.doc_id, t.n_tokens, t.n_types, t.ttr,

@@ -148,25 +148,12 @@ def hits(edges: DataFrame, iterations: int = 6) -> DataFrame:
     iteration count. Score frames stay SPARSE (hosts with zero score
     are absent) until the final outer join.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    from .linkgraph import clean_host_edges
+
     spark = edges.sparkSession
-    e = (
-        edges.select(
-            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-        )
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .cache()
-    )
-    hosts = (
-        e.select(F.col("src").alias("host"))
-        .unionByName(e.select(F.col("dst").alias("host")))
-        .distinct()
-        .cache()
-    )
+    e, hosts = clean_host_edges(edges)
     if hosts.count() == 0:
         return spark.createDataFrame(
             [], "host string, authority double, hub double"
@@ -264,29 +251,14 @@ def trustrank(
     addition is commutative (only associativity breaks, and each
     group has ≤2 rows).
     """
+    from .linkgraph import clean_host_edges
+
     spark = edges.sparkSession
     if not seeds:
         return spark.createDataFrame(
             [], "host string, trust double, is_seed int"
         )
-    e = (
-        edges.select(
-            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-        )
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .cache()
-    )
-    hosts = (
-        e.select(F.col("src").alias("host"))
-        .unionByName(e.select(F.col("dst").alias("host")))
-        .distinct()
-        .cache()
-    )
+    e, hosts = clean_host_edges(edges)
     if hosts.count() == 0:
         return spark.createDataFrame(
             [], "host string, trust double, is_seed int"

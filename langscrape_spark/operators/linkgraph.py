@@ -191,6 +191,40 @@ def reciprocal_link_stats(
     )
 
 
+def clean_host_edges(
+    edges: "DataFrame",
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+):
+    """Shared hygiene for every link-analysis operator (HITS,
+    TrustRank, co-citation): returns ``(e, hosts)`` where ``e`` is
+    the null-filtered, self-loop-dropped DISTINCT directed edge list
+    as ``(src, dst)`` and ``hosts`` the distinct endpoint table —
+    both cached (lazily; a caller that never acts on ``hosts`` pays
+    nothing). One definition so a future hygiene change (e.g. host
+    trimming) cannot silently diverge the operators from each other
+    or from their oracle builders' matching e/hosts CTEs."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .cache()
+    )
+    return e, hosts
+
+
 def cocitation_coupling(
     edges: DataFrame,
     src_col: str = "src_host",
@@ -215,17 +249,9 @@ def cocitation_coupling(
     on the shared endpoint only (equi-key, map-side combinable);
     output pairs are canonical (a < b) with ``min_strength`` gating.
     """
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-    )
+    e, _ = clean_host_edges(edges, src_col, dst_col)
+    # e is cached by the helper: it feeds both degree aggregates and
+    # both anti-joined self-join sides (up to 4 consumers per action)
     # broadcast the HOT endpoints (over-cap, few by construction) and
     # anti-join — broadcasting the allow-list would ship most of the
     # host table; same guard shape as dedup.py's hot-bucket pass

@@ -241,7 +241,10 @@ def query_likelihood_topk(
     q_tbl = spark.createDataFrame(
         sorted(counts.items()), "term string, qtf long"
     )
-    c_tot = postings.agg(F.sum("tf")).collect()[0][0]
+    # |C| = Σ dl over the docs-sized doc_lens frame — identical
+    # integer to Σ tf over postings, without re-deriving the corpus
+    # tokenization (bm25_topk draws its constants the same way)
+    c_tot = doc_lens.agg(F.sum("dl")).collect()[0][0]
     if not c_tot:
         return spark.createDataFrame([], "doc_id long, score double")
 

@@ -1240,14 +1240,15 @@ def entropy_profile(
     screens for degenerate machine text (keyword stuffing, repeated
     boilerplate, base64 blobs) that length/stopword gates miss.
 
-    Entropy uses the shuffle-friendly identity
-    ``H = ln(n) − (Σ c·ln c)/n`` so each explode needs only ONE
-    (doc, symbol) count aggregation followed by a per-doc sum — both
-    get Spark's map-side partial aggregation, so at 100 TB the
-    shuffled rows are per-doc *distinct* symbols, not corpus tokens.
-    Char entropy strips whitespace first (layout is not content).
-    ``is_low_entropy`` compares the ROUNDED token entropy so the gate
-    is reproducible cross-engine.
+    Entropy is reported in BITS (log2 — the convention of the quality
+    literature and of ``low_entropy_bits``) via the shuffle-friendly
+    identity ``H = log2(n) − (Σ c·log2 c)/n`` so each explode needs
+    only ONE (doc, symbol) count aggregation followed by a per-doc
+    sum — both get Spark's map-side partial aggregation, so at 100 TB
+    the shuffled rows are per-doc *distinct* symbols, not corpus
+    tokens. Char entropy strips whitespace first (layout is not
+    content). ``is_low_entropy`` compares the ROUNDED token entropy
+    so the gate is reproducible cross-engine.
     """
 
     def _sym_entropy(sym_df: DataFrame, out: str) -> DataFrame:
@@ -1256,8 +1257,8 @@ def entropy_profile(
         )
         return counts.groupBy(id_col).agg(
             F.round(
-                F.log(F.sum("c").cast("double"))
-                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                F.log2(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log2(F.col("c").cast("double")))
                 / F.sum("c"),
                 6,
             ).alias(out),

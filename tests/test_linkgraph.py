@@ -193,10 +193,14 @@ def test_hits_star_graph_analytic(spark):
 
 
 def test_hits_empty_and_selfloop(spark):
+    import pytest as _pytest
+
     from langscrape_spark.operators.hostrank import hits
 
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     assert hits(empty).count() == 0
+    with _pytest.raises(ValueError):
+        hits(empty, iterations=0)
     loops = spark.createDataFrame(
         [("a", "a"), ("a", "b")], "src_host string, dst_host string"
     )

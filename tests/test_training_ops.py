@@ -2663,8 +2663,9 @@ def test_count_min_estimate_preserves_duplicates_and_columns(spark):
 # ---------------------------------------------------------------------------
 
 def test_entropy_profile_hand_case(spark):
-    """'a a b b' → H_tok = ln2; uniform chars → H_char = ln(n_distinct);
-    a constant doc has entropy 0 and trips the low-entropy gate."""
+    """'a a b b' → H_tok = 1 bit; uniform chars → H_char =
+    log2(n_distinct) bits; a constant doc has entropy 0 and trips the
+    low-entropy gate."""
     import math
 
     from langscrape_spark.operators.text import entropy_profile
@@ -2680,15 +2681,23 @@ def test_entropy_profile_hand_case(spark):
     rows = {r["doc_id"]: r for r in entropy_profile(docs).collect()}
     r1 = rows[1]
     assert r1["n_tokens"] == 4 and r1["n_types"] == 2
-    assert abs(r1["token_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert r1["token_entropy"] == 1.0  # two equiprobable tokens = 1 bit
     assert r1["ttr"] == 0.5
-    # chars of doc1 after whitespace strip: aabb → ln 2 as well
-    assert abs(r1["char_entropy"] - round(math.log(2), 6)) < 1e-9
+    # chars of doc1 after whitespace strip: aabb → 1 bit as well
+    assert r1["char_entropy"] == 1.0
     r2 = rows[2]
     assert r2["token_entropy"] == 0.0 and r2["is_low_entropy"] == 1
-    r3 = rows[3]  # 4 distinct chars, uniform → ln 4
-    assert abs(r3["char_entropy"] - round(math.log(4), 6)) < 1e-9
-    assert r3["token_entropy"] == round(math.log(2), 6)
+    r3 = rows[3]  # 4 distinct chars, uniform → 2 bits
+    assert r3["char_entropy"] == 2.0
+    assert r3["token_entropy"] == 1.0
+    # 3 bits (8 uniform types) must NOT trip a 2.5-bit gate — the
+    # nats-vs-bits unit bug this line pins
+    from langscrape_spark.operators.text import entropy_profile as _ep
+    eight = spark.createDataFrame(
+        [(9, "t0 t1 t2 t3 t4 t5 t6 t7")], "doc_id long, text string"
+    )
+    r9 = _ep(eight).collect()[0]
+    assert r9["token_entropy"] == 3.0 and r9["is_low_entropy"] == 0
 
 
 def test_entropy_profile_null_and_empty_text(spark):
