@@ -2750,6 +2750,40 @@ def q97_int8_ann(spark, sf):
     )
 
 
+_KCORE_RAW_SQL = (
+    _HOSTGRAPH_RAW_SQL
+    + """
+              UNION ALL
+              SELECT * FROM (VALUES ('h0', 'c1'), ('c1', 'c2'),
+                ('c2', 'c3'), ('c3', 'c4'), ('c4', 'c5'), ('c5', 'c6'))
+                chain(src, dst)
+"""
+)
+
+
+def _kcore_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_KCORE_RAW_SQL, k=3, rounds=8)
+
+
+def q98_kcore(spark, sf):
+    """k-core extraction (operators/linkgraph.py::kcore, k=3, 8
+    peeling rounds) on the shared host graph plus a planted pendant
+    chain h0–c1–…–c6 that must unravel one link per round — the
+    cascade a single degree filter cannot produce. The oracle unrolls
+    the same peel rounds as MATERIALIZED CTEs; all-integer, exact."""
+    from langscrape_spark.operators.linkgraph import kcore
+
+    chain = spark.createDataFrame(
+        [("h0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+         ("c4", "c5"), ("c5", "c6")],
+        "src_host string, dst_host string",
+    )
+    edges = _host_graph(spark, sf).unionByName(chain)
+    return kcore(edges, k=3, rounds=8).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2849,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_trustrank": q95_trustrank,
         "q96_label_propagation": q96_label_propagation,
         "q97_int8_ann": q97_int8_ann,
+        "q98_kcore": q98_kcore,
     }
 
 
@@ -6090,4 +6125,5 @@ def oracle_sql() -> dict[str, str]:
             FROM top t JOIN ex USING (vec_id)
             ORDER BY round(t.approx, 6) DESC, t.vec_id
         """,
+        "q98_kcore": _kcore_oracle(),
     }

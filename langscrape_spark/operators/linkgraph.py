@@ -311,3 +311,102 @@ def cocitation_coupling(
             | (F.col("coupling") >= min_strength)
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Fixed-k core extraction (Seidman 1983): the maximal subgraph
+    where every node keeps UNDIRECTED degree ≥ k, found by iterative
+    peeling — drop sub-k nodes, recompute degrees, repeat. The
+    classic spam/community density screen: link farms live in dense
+    cores, pendant chains and one-shot hosts peel away. A fixed round
+    count (peeling is idempotent at the fixed point, so extra rounds
+    are no-ops) keeps the operator oracle-checkable; pick ``rounds``
+    ≥ the graph's peeling depth — each round removes at least one
+    node until convergence, and real host graphs converge in a few
+    rounds.
+
+    Scale shape: per round ONE degree aggregation (map-side
+    combinable) plus two semi-joins of the edge list against the
+    surviving-host set — all equi-key; neighbor sets never
+    materialize. Lineage truncated per round.
+
+    Returns ``(host, in_kcore, kcore_degree)`` over ALL input hosts
+    (peeled hosts: flag 0, degree 0).
+    """
+    e, hosts = clean_host_edges(edges, src_col, dst_col)
+    und = (
+        e.select(F.col("src").alias("host"), F.col("dst").alias("nb"))
+        .unionByName(
+            e.select(F.col("dst").alias("host"), F.col("src").alias("nb"))
+        )
+        .distinct()
+        .cache()
+    )
+    active = und
+    for _ in range(rounds):
+        keep = (
+            active.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("host")
+        )
+        active = (
+            active.join(keep, "host", "left_semi")
+            .join(
+                keep.withColumnRenamed("host", "nb"), "nb", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    deg = active.groupBy("host").agg(
+        F.count(F.lit(1)).alias("kcore_degree")
+    )
+    return hosts.join(deg, "host", "left").select(
+        "host",
+        F.when(F.col("kcore_degree").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_kcore"),
+        F.coalesce("kcore_degree", F.lit(0)).cast("long").alias(
+            "kcore_degree"
+        ),
+    )
+
+
+def kcore_oracle_sql(raw_edges_sql: str, k: int, rounds: int = 8) -> str:
+    """DuckDB twin of ``kcore``: peeling rounds unrolled as
+    MATERIALIZED CTEs (degree agg + two semi-joins per round)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "u0 AS MATERIALIZED (SELECT DISTINCT host, nb FROM ("
+        "SELECT src AS host, dst AS nb FROM e"
+        " UNION ALL SELECT dst, src FROM e)),",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"k{i} AS MATERIALIZED (SELECT host FROM u{i - 1}"
+            f" GROUP BY host HAVING count(*) >= {k}),",
+            f"u{i} AS MATERIALIZED (SELECT u.host, u.nb FROM u{i - 1} u"
+            f" WHERE u.host IN (SELECT host FROM k{i})"
+            f" AND u.nb IN (SELECT host FROM k{i})),",
+        ]
+    n = rounds
+    parts.append(
+        f"deg AS (SELECT host, count(*) AS d FROM u{n} GROUP BY host)"
+    )
+    return (
+        "\n".join(parts)
+        + "\nSELECT hosts.host,"
+        " CASE WHEN deg.host IS NOT NULL THEN 1 ELSE 0 END AS in_kcore,"
+        " CAST(coalesce(deg.d, 0) AS BIGINT) AS kcore_degree"
+        " FROM hosts LEFT JOIN deg ON hosts.host = deg.host"
+        " ORDER BY hosts.host"
+    )

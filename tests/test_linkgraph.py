@@ -249,3 +249,39 @@ def test_trustrank_untrusted_component_stays_zero(spark):
     # a is dangling: its mass teleports back to the seed each round,
     # steady state ~0.29 — positive, well above the spam clique
     assert rows["a"] > 0.2
+
+
+# ---------------------------------------------------------------------------
+# k-core (q98)
+# ---------------------------------------------------------------------------
+
+def test_kcore_pendant_chain_cascade(spark):
+    """A triangle (3-clique) with a pendant 3-chain at k=2: the chain
+    unravels one node per round (needs 3 rounds — a single degree
+    filter only removes the tail), the triangle survives."""
+    from langscrape_spark.operators.linkgraph import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("a", "p1"), ("p1", "p2"), ("p2", "p3")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: (r["in_kcore"], r["kcore_degree"])
+            for r in kcore(edges, k=2, rounds=5).collect()}
+    assert rows["a"] == (1, 2) and rows["b"] == (1, 2) and rows["c"] == (1, 2)
+    for p in ("p1", "p2", "p3"):
+        assert rows[p] == (0, 0)
+    # one round is NOT enough — pins that peeling actually iterates
+    one = {r["host"]: r["in_kcore"]
+           for r in kcore(edges, k=2, rounds=1).collect()}
+    assert one["p1"] == 1 and one["p3"] == 0
+
+
+def test_kcore_whole_graph_below_k_empties(spark):
+    from langscrape_spark.operators.linkgraph import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_host string, dst_host string"
+    )
+    out = kcore(edges, k=3, rounds=3).collect()
+    assert len(out) == 3 and all(r["in_kcore"] == 0 for r in out)
