@@ -2784,6 +2784,29 @@ def q98_kcore(spark, sf):
     return kcore(edges, k=3, rounds=8).orderBy("host")
 
 
+def q99_prefix_jaccard(spark, sf):
+    """Exact set-similarity join via prefix filtering (operators/
+    dedup.py::prefix_jaccard_pairs, Jaccard ≥ 3/5 as a RATIONAL —
+    integer prefix bound and verify gate, no float boundary): a
+    200-doc slice plus planted suffix-mutated twins. The oracle is
+    the NAIVE all-pairs join — so the compare proves the prefix
+    filter's zero-false-negative guarantee, not just re-derivation."""
+    from langscrape_spark.operators.dedup import prefix_jaccard_pairs
+
+    base = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    twins = base.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq xtra zz")).alias("text"),
+    )
+    return prefix_jaccard_pairs(
+        base.unionByName(twins), threshold_num=3, threshold_den=5
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2884,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_label_propagation": q96_label_propagation,
         "q97_int8_ann": q97_int8_ann,
         "q98_kcore": q98_kcore,
+        "q99_prefix_jaccard": q99_prefix_jaccard,
     }
 
 
@@ -6126,4 +6150,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(t.approx, 6) DESC, t.vec_id
         """,
         "q98_kcore": _kcore_oracle(),
+        "q99_prefix_jaccard": f"""
+            -- NAIVE all-pairs token-set Jaccard (no prefix filter) at
+            -- the same rational 3/5 gate — any pair the Spark prefix
+            -- filter misses shows up as a row-count mismatch here,
+            -- value-checking the zero-false-negative guarantee.
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 10000, text || ' qq xtra zz'
+              FROM base WHERE doc_id % 40 = 0),
+            tok AS (
+              SELECT DISTINCT doc_id AS id, unnest({_TOKENS}) AS w
+              FROM corpus),
+            sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT p.id_a, p.id_b,
+                   CAST(p.inter AS BIGINT) AS inter,
+                   CAST(sa.sz AS BIGINT) AS size_a,
+                   CAST(sb.sz AS BIGINT) AS size_b,
+                   round(p.inter
+                         / CAST(sa.sz + sb.sz - p.inter AS DOUBLE),
+                         6) AS jaccard
+            FROM pairs p
+            JOIN sz sa ON p.id_a = sa.id
+            JOIN sz sb ON p.id_b = sb.id
+            WHERE 5 * p.inter >= 3 * (sa.sz + sb.sz - p.inter)
+            ORDER BY p.id_a, p.id_b
+        """,
     }

@@ -1035,3 +1035,117 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join by prefix filtering (AllPairs / PPJoin family)
+# --------------------------------------------------------------------------
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard join at threshold ``p/q`` via prefix
+    filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo et al.
+    2007 AllPairs): unlike the MinHash/SimHash paths this has ZERO
+    false negatives — two docs with Jaccard ≥ t MUST share at least
+    one token inside each other's rarest-``(|d| − ⌈t·|d|⌉ + 1)``
+    prefix, so candidate generation only joins the prefix postings
+    and everything else is provably prunable.
+
+    The threshold is a RATIONAL ``p/q``: the prefix bound
+    (``⌈p·|d|/q⌉`` by integer arithmetic) and the verify gate
+    (``q·inter ≥ p·(|a|+|b|−inter)``) are computed entirely in
+    integers, so no float boundary can silently drop a pair in
+    either engine — the reported jaccard is the only float, rounded
+    for display after the cut.
+
+    Scale shape: token df is one vocab-sized agg (shuffle join back —
+    webtext vocabularies don't broadcast); per-doc rarity ranks are a
+    doc-partitioned window (parallel by construction, never a global
+    sort); the candidate join touches ONLY prefix postings (the
+    rarest tokens — their posting lists are short by construction,
+    which is the algorithm's whole point: frequent tokens never
+    generate candidates unless a doc is almost all stopwords);
+    verification is two equi-key joins + a count agg over candidate
+    pairs, never all pairs. A corpus of near-identical docs still
+    degrades to its true pair count — run exact_dedup first, as the
+    dedup pipeline already does.
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, jaccard)``.
+    """
+    from pyspark.sql import Window
+
+    from .text import words_col
+
+    p, q = threshold_num, threshold_den
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
+            "w"
+        ),
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("id").orderBy("df", "w")
+    ranked = (
+        tok.join(dfs, "w")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .join(sizes, "id")
+    )
+    # prefix length = sz − ⌈p·sz/q⌉ + 1, all-integer ceil
+    min_inter = F.floor((p * F.col("sz") + (q - 1)) / q)
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - min_inter + 1
+    ).select("w", "id")
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.w") == F.col("y.w"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("size_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            q * F.col("inter")
+            >= p * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.round(
+                F.col("inter")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("inter")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

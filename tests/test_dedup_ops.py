@@ -781,3 +781,62 @@ def test_winnow_overlap_hot_fp_guard(spark):
     n_un, n_cap = uncapped.count(), capped.count()
     assert n_un > 0
     assert n_cap < n_un, "df cap must remove boilerplate-only pairs"
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (q99)
+# ---------------------------------------------------------------------------
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """Zero false negatives / positives vs the naive all-pairs join on
+    a corpus with pairs planted at, above and below the 3/5 gate."""
+    from itertools import combinations
+
+    from langscrape_spark.operators.dedup import prefix_jaccard_pairs
+
+    texts = {
+        1: "a b c d e",
+        2: "a b c d x",      # inter 4, union 6 -> 2/3 >= 3/5 keep
+        3: "a b c y z",      # vs 1: inter 3, union 7 -> 3/7 drop
+        4: "a b c d e",      # identical to 1 -> 1.0
+        5: "p q r s t u",    # disjoint island
+        6: "p q r s t u",    # identical island twin
+        7: "m n o",          # vs nothing
+        8: "m n o w",        # vs 7: 3/4 = 0.75 keep
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, 3, 5).collect()
+    }
+    sets = {i: set(t.split()) for i, t in texts.items()}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 5 * inter >= 3 * union:
+            expect[(a, b)] = (inter, round(inter / union, 6))
+    assert got == expect
+    assert (1, 4) in got and got[(1, 4)][1] == 1.0
+    assert (1, 3) not in got
+
+
+def test_prefix_jaccard_boundary_is_exact_rational(spark):
+    """inter=3, union=5 sits EXACTLY on 3/5 — the integer gate keeps
+    it (a float gate on 0.6 would be a coin flip)."""
+    from langscrape_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")],  # inter 3, union 5
+        "doc_id long, text string",
+    )
+    out = prefix_jaccard_pairs(docs, 3, 5).collect()
+    assert len(out) == 1 and out[0]["inter"] == 3
+    assert out[0]["jaccard"] == 0.6
+    # and strictly-below: 2/4 with threshold 3/5 -> empty
+    docs2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    assert prefix_jaccard_pairs(docs2, 3, 5).count() == 0
