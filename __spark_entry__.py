@@ -2807,6 +2807,23 @@ def q99_prefix_jaccard(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q100_temperature_mix(spark, sf):
+    """Temperature mixture weights (operators/sharding.py::
+    temperature_mix, α=0.5, 10^6-token budget): the XLM-R/mT5
+    source-balancing rule deriving the budgets q58's mixture_select
+    consumes. One sources-sized agg; normalizers ride a 1-row
+    broadcast. The oracle re-derives token counts, the α-power,
+    both shares, the rounded budget and the upsample factor."""
+    from langscrape_spark.operators.sharding import temperature_mix
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return temperature_mix(docs, alpha=0.5, total_budget=1_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2908,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_int8_ann": q97_int8_ann,
         "q98_kcore": q98_kcore,
         "q99_prefix_jaccard": q99_prefix_jaccard,
+        "q100_temperature_mix": q100_temperature_mix,
     }
 
 
@@ -6182,5 +6200,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON p.id_b = sb.id
             WHERE 5 * p.inter >= 3 * (sa.sz + sb.sz - p.inter)
             ORDER BY p.id_a, p.id_b
+        """,
+        "q100_temperature_mix": f"""
+            -- α=0.5 tempered shares: power(n_tokens, 0.5), totals,
+            -- rounded 10^6-token budget, upsample factor — same
+            -- expression shapes, round-6.
+            WITH stats AS (
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(
+                       regexp_split_to_array(lower(d.text), '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens
+              FROM documents d GROUP BY d.source),
+            w AS (
+              SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS _w
+              FROM stats),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS DOUBLE) AS tr,
+                     sum(_w) AS tw
+              FROM w)
+            SELECT w.source, w.n_docs, w.n_tokens,
+                   round(w.n_tokens / tot.tr, 6) AS raw_share,
+                   round(w._w / tot.tw, 6) AS tempered_share,
+                   CAST(round(w._w / tot.tw * 1000000.0, 0) AS BIGINT)
+                     AS budget_tokens,
+                   round((w._w / tot.tw) / (w.n_tokens / tot.tr), 6)
+                     AS upsample_factor
+            FROM w, tot ORDER BY w.source
         """,
     }

@@ -139,3 +139,65 @@ def mixture_select(
         .drop("_key", "_budget")
         .withColumnRenamed("cum", "source_cum")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    total_budget: int = 1_000_000,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual/source
+    balancing rule of XLM-R / mT5: ``p_s ∝ n_s^α``): derives the
+    per-source token budgets that ``mixture_select`` (q58) consumes,
+    instead of taking them as given. ``α < 1`` upsamples small
+    sources and downsamples dominant ones; ``α = 1`` reproduces raw
+    shares; ``α = 0`` is uniform.
+
+    Scale shape: ONE sources-sized aggregation (map-side combined
+    from the corpus scan) — everything after is arithmetic over the
+    handful of source rows, with the normalizer as a 1-row broadcast
+    crossJoin (never a collect).
+
+    Returns per source: ``n_docs, n_tokens, raw_share,
+    tempered_share, budget_tokens, upsample_factor`` — budgets in
+    tokens of ``total_budget``, factor > 1 meaning the source is
+    oversampled relative to its natural share.
+    """
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+    )
+    tempered = per_src.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    tot = tempered.agg(
+        F.sum("n_tokens").cast("double").alias("_tot_raw"),
+        F.sum("_w").alias("_tot_w"),
+    )
+    return (
+        tempered.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot_raw"), 6).alias(
+                "raw_share"
+            ),
+            F.round(F.col("_w") / F.col("_tot_w"), 6).alias(
+                "tempered_share"
+            ),
+            F.round(
+                F.col("_w") / F.col("_tot_w") * F.lit(float(total_budget))
+            )
+            .cast("long")
+            .alias("budget_tokens"),
+            F.round(
+                (F.col("_w") / F.col("_tot_w"))
+                / (F.col("n_tokens") / F.col("_tot_raw")),
+                6,
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

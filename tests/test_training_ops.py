@@ -2882,3 +2882,41 @@ def test_int8_ann_matches_exact_ranking(spark):
         v = vecs[r["vec_id"]]
         exact = float(np.dot(v, query)) / (float(np.linalg.norm(v)) * qn)
         assert abs(r["approx_cosine"] - exact) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture weights (q100)
+# ---------------------------------------------------------------------------
+
+def test_temperature_mix_hand_math(spark):
+    """Two sources 100 vs 400 tokens at α=0.5: tempered weights
+    10 vs 20 → shares 1/3 vs 2/3; the small source upsamples 5/3×,
+    the big one downsamples 5/6×."""
+    from langscrape_spark.operators.sharding import temperature_mix
+
+    docs = spark.createDataFrame(
+        [("s1", 100), ("s2", 150), ("s2", 250)],
+        "source string, n_tokens long",
+    )
+    rows = {r["source"]: r for r in temperature_mix(
+        docs, alpha=0.5, total_budget=900).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    assert s1["n_tokens"] == 100 and s2["n_tokens"] == 400
+    assert s1["raw_share"] == 0.2 and s2["raw_share"] == 0.8
+    assert abs(s1["tempered_share"] - round(1 / 3, 6)) < 1e-9
+    assert s1["budget_tokens"] == 300 and s2["budget_tokens"] == 600
+    assert abs(s1["upsample_factor"] - round(5 / 3, 6)) < 1e-9
+    assert abs(s2["upsample_factor"] - round(5 / 6, 6)) < 1e-9
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """α=1 reproduces raw shares exactly; α=0 is uniform."""
+    from langscrape_spark.operators.sharding import temperature_mix
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 990)], "source string, n_tokens long"
+    )
+    one = {r["source"]: r for r in temperature_mix(docs, alpha=1.0).collect()}
+    assert all(one[s]["tempered_share"] == one[s]["raw_share"] for s in one)
+    zero = {r["source"]: r for r in temperature_mix(docs, alpha=0.0).collect()}
+    assert zero["a"]["tempered_share"] == zero["b"]["tempered_share"] == 0.5
