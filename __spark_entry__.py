@@ -2824,6 +2824,31 @@ def q100_temperature_mix(spark, sf):
     return temperature_mix(docs, alpha=0.5, total_budget=1_000_000)
 
 
+def _bfs_oracle() -> str:
+    from langscrape_spark.operators.hostrank import bfs_depths_oracle_sql
+
+    return bfs_depths_oracle_sql(
+        _KCORE_RAW_SQL, ["h0", "h7"], max_depth=6
+    )
+
+
+def q101_bfs_depths(spark, sf):
+    """Seed-set BFS depth map (operators/hostrank.py::bfs_depths,
+    seeds {h0, h7}, 6 rounds) over the shared graph plus q98's
+    pendant chain (c1…c6 at depths 1…6 — forces every relaxation
+    round to matter) — hubx has no in-edges, so it must report
+    depth −1/unreached. Integer-exact unrolled-CTE oracle."""
+    from langscrape_spark.operators.hostrank import bfs_depths
+
+    chain = spark.createDataFrame(
+        [("h0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+         ("c4", "c5"), ("c5", "c6")],
+        "src_host string, dst_host string",
+    )
+    edges = _host_graph(spark, sf).unionByName(chain)
+    return bfs_depths(edges, ["h0", "h7"], max_depth=6).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2926,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_kcore": q98_kcore,
         "q99_prefix_jaccard": q99_prefix_jaccard,
         "q100_temperature_mix": q100_temperature_mix,
+        "q101_bfs_depths": q101_bfs_depths,
     }
 
 
@@ -6228,4 +6254,5 @@ def oracle_sql() -> dict[str, str]:
                      AS upsample_factor
             FROM w, tot ORDER BY w.source
         """,
+        "q101_bfs_depths": _bfs_oracle(),
     }

@@ -369,3 +369,92 @@ def trustrank_oracle_sql(
         f" FROM hosts LEFT JOIN t{n} t ON hosts.host = t.host)"
     )
     return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: list,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Minimum link distance from the seed set over the DIRECTED host
+    graph — the crawl-depth signal the scheduler's priority penalty
+    (``host_rank − depth·penalty``) consumes, computed exactly
+    instead of accumulated incrementally during the crawl. Fixed
+    ``max_depth`` rounds of min-relaxation (a round past the true
+    eccentricity is a no-op, so the fixed count is exact whenever
+    ``max_depth`` ≥ the seed set's reach); hosts beyond reach (or
+    beyond ``max_depth``) report depth −1.
+
+    Scale shape: the frontier frame stays SPARSE (reached hosts
+    only); each round is one equi-key join out of the current frame
+    plus a min-groupBy (map-side combinable), with lineage truncated
+    per round — the host_pagerank iteration pattern with integer
+    payloads, so the unrolled oracle matches exactly.
+
+    Returns ``(host, depth, reached)`` over all hosts.
+    """
+    from .linkgraph import clean_host_edges
+
+    spark = edges.sparkSession
+    if not seeds:
+        return spark.createDataFrame(
+            [], "host string, depth long, reached int"
+        )
+    e, hosts = clean_host_edges(edges)
+    d = spark.createDataFrame(
+        [(s, 0) for s in sorted(seeds)], "host string, depth long"
+    )
+    for _ in range(max_depth):
+        step = (
+            e.join(d, e.src == d.host)
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("depth") + F.lit(1)).alias("depth"),
+            )
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("host")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+    return hosts.join(d, "host", "left").select(
+        "host",
+        F.coalesce(F.col("depth"), F.lit(-1)).cast("long").alias("depth"),
+        F.when(F.col("depth").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("reached"),
+    )
+
+
+def bfs_depths_oracle_sql(
+    raw_edges_sql: str, seeds: list, max_depth: int = 6
+) -> str:
+    """DuckDB twin of ``bfs_depths``: min-relaxation rounds unrolled
+    as MATERIALIZED CTEs (all-integer — exact)."""
+    seed_vals = ", ".join(f"('{s}', 0)" for s in sorted(seeds))
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        f"d0 AS MATERIALIZED (SELECT * FROM (VALUES {seed_vals})"
+        " s(host, depth)),",
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT host, min(depth) AS depth"
+            f" FROM (SELECT host, depth FROM d{i - 1}"
+            f" UNION ALL SELECT e.dst, d.depth + 1"
+            f" FROM e JOIN d{i - 1} d ON e.src = d.host) u"
+            " GROUP BY host),"
+        )
+    n = max_depth
+    parts.append(
+        "fin AS (SELECT hosts.host,"
+        " CAST(coalesce(d.depth, -1) AS BIGINT) AS depth,"
+        " CASE WHEN d.depth IS NOT NULL THEN 1 ELSE 0 END AS reached"
+        f" FROM hosts LEFT JOIN d{n} d ON hosts.host = d.host)"
+    )
+    return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"

@@ -285,3 +285,38 @@ def test_kcore_whole_graph_below_k_empties(spark):
     )
     out = kcore(edges, k=3, rounds=3).collect()
     assert len(out) == 3 and all(r["in_kcore"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# BFS depth map (q101)
+# ---------------------------------------------------------------------------
+
+def test_bfs_depths_chain_and_unreachable(spark):
+    """seed -> a -> b -> c with a shortcut seed -> b: min depth wins
+    (b=1 not 2); d is disconnected -> -1; direction respected."""
+    from langscrape_spark.operators.hostrank import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("b", "c"), ("seed", "b"),
+         ("d", "seed")],  # in-edge only: d stays unreachable
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: (r["depth"], r["reached"])
+            for r in bfs_depths(edges, ["seed"], max_depth=5).collect()}
+    assert rows["seed"] == (0, 1)
+    assert rows["a"] == (1, 1) and rows["b"] == (1, 1)
+    assert rows["c"] == (2, 1)
+    assert rows["d"] == (-1, 0)
+
+
+def test_bfs_depths_max_depth_truncates(spark):
+    from langscrape_spark.operators.hostrank import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(5)],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: r["depth"]
+            for r in bfs_depths(edges, ["n0"], max_depth=2).collect()}
+    assert rows["n2"] == 2 and rows["n3"] == -1  # beyond the cap
+    assert bfs_depths(edges, [], max_depth=2).count() == 0
