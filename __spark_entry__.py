@@ -2849,6 +2849,37 @@ def q101_bfs_depths(spark, sf):
     return bfs_depths(edges, ["h0", "h7"], max_depth=6).orderBy("host")
 
 
+def q102_curation_funnel(spark, sf):
+    """Curation attrition funnel (operators/filters.py::
+    curation_funnel): four ordered keep-gates — token-count range,
+    alphabetic ratio, type-token ratio, exact-dup winner — collapsed
+    to a first-failing-gate index in ONE corpus pass; the funnel
+    arithmetic runs on the gates-sized frame. The oracle re-derives
+    every predicate, the CASE first-fail, and the cumulative
+    inflow/kill-rate windows."""
+    from pyspark.sql import Window
+
+    from langscrape_spark.operators.filters import curation_funnel
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents")
+    toks = words_col(F.col("text"))
+    n_tok = F.size(toks)
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")),
+        F.length(F.col("text")),
+    )
+    ttr = F.try_divide(F.size(F.array_distinct(toks)), n_tok)
+    w_dup = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    gates = [
+        ("len_20_1000", (n_tok >= 20) & (n_tok <= 1000)),
+        ("alpha_ge_0.6", alpha_ratio >= 0.6),
+        ("ttr_ge_0.4", ttr >= 0.4),
+        ("dup_winner", F.row_number().over(w_dup) == 1),
+    ]
+    return curation_funnel(docs, gates)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2952,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_prefix_jaccard": q99_prefix_jaccard,
         "q100_temperature_mix": q100_temperature_mix,
         "q101_bfs_depths": q101_bfs_depths,
+        "q102_curation_funnel": q102_curation_funnel,
     }
 
 
@@ -6255,4 +6287,49 @@ def oracle_sql() -> dict[str, str]:
             FROM w, tot ORDER BY w.source
         """,
         "q101_bfs_depths": _bfs_oracle(),
+        "q102_curation_funnel": f"""
+            -- Same four keep-gates; first-fail via CASE; funnel via
+            -- cumulative window over the gates frame.
+            WITH enr AS (
+              SELECT doc_id,
+                     len({_TOKENS}) AS n_tok,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+                     len(list_distinct({_TOKENS}))
+                       / CAST(len({_TOKENS}) AS DOUBLE) AS ttr,
+                     row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents),
+            flags AS (
+              SELECT CASE
+                WHEN NOT coalesce(n_tok >= 20 AND n_tok <= 1000, FALSE)
+                  THEN 0
+                WHEN NOT coalesce(alpha_ratio >= 0.6, FALSE) THEN 1
+                WHEN NOT coalesce(ttr >= 0.4, FALSE) THEN 2
+                WHEN NOT coalesce(rn = 1, FALSE) THEN 3
+                ELSE 4 END AS ff
+              FROM enr),
+            counts AS (SELECT ff, count(*) AS killed FROM flags
+                       GROUP BY ff),
+            total AS (SELECT count(*) AS n FROM flags),
+            gates(stage, gate) AS (VALUES
+              (0, 'len_20_1000'), (1, 'alpha_ge_0.6'),
+              (2, 'ttr_ge_0.4'), (3, 'dup_winner')),
+            f AS (
+              SELECT g.stage, g.gate,
+                     CAST(coalesce(c.killed, 0) AS BIGINT) AS n_killed
+              FROM gates g LEFT JOIN counts c ON g.stage = c.ff),
+            funnel AS (
+              SELECT stage, gate, n_killed,
+                     CAST((SELECT n FROM total)
+                       - coalesce(sum(n_killed) OVER (ORDER BY stage
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_in
+              FROM f)
+            SELECT stage, gate, n_in, n_killed,
+                   CAST(n_in - n_killed AS BIGINT) AS n_out,
+                   round(n_killed / CAST(n_in AS DOUBLE), 6)
+                     AS kill_rate
+            FROM funnel ORDER BY stage
+        """,
     }

@@ -134,3 +134,73 @@ def page_filter(
             <= F.lit(max_badword_ratio)
         ),
     )
+
+
+def curation_funnel(docs: DataFrame, gates) -> DataFrame:
+    """Sequential-gate attrition report — the dashboard every curation
+    pipeline publishes (C4/RefinedWeb/FineWeb all report per-filter
+    document kill rates): ``gates`` is an ordered list of ``(name,
+    boolean Column)`` keep-predicates; a document is killed by the
+    FIRST gate it fails (NULL predicate = fail, conservatively), so
+    the report reads as a funnel: ``(stage, gate, n_in, n_killed,
+    n_out, kill_rate)``.
+
+    Scale shape: ONE corpus pass — every predicate is evaluated as a
+    column and collapsed to a first-failing-gate index, so adding
+    gates never adds passes; the funnel arithmetic (cumulative kills,
+    per-stage inflow) runs on the gates-sized frame with a window,
+    and the corpus total rides a 1-row broadcast crossJoin. No
+    driver collects. Gates may contain window expressions (e.g. a
+    duplicate-winner rank) — they fold into the same pass.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n = len(gates)
+    fail_branches = [
+        F.when(~F.coalesce(g, F.lit(False)), F.lit(i))
+        for i, (_, g) in enumerate(gates)
+    ]
+    ff = F.coalesce(*fail_branches, F.lit(n)).alias("ff")
+    counts = docs.select(ff).groupBy("ff").agg(
+        F.count(F.lit(1)).alias("killed")
+    )
+    total = counts.agg(F.sum("killed").alias("_total"))
+    gates_dim = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(gates)],
+        "stage int, gate string",
+    )
+    w_before = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_gate = (
+        gates_dim.join(
+            counts.withColumnRenamed("ff", "stage"), "stage", "left"
+        )
+        .select(
+            "stage",
+            "gate",
+            F.coalesce("killed", F.lit(0)).cast("long").alias("n_killed"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_in",
+            (
+                F.col("_total")
+                - F.coalesce(
+                    F.sum("n_killed").over(w_before), F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    return per_gate.select(
+        "stage",
+        "gate",
+        "n_in",
+        "n_killed",
+        (F.col("n_in") - F.col("n_killed")).cast("long").alias("n_out"),
+        F.round(
+            F.try_divide(F.col("n_killed"), F.col("n_in")), 6
+        ).alias("kill_rate"),
+    ).orderBy("stage")

@@ -2920,3 +2920,41 @@ def test_temperature_mix_alpha_extremes(spark):
     assert all(one[s]["tempered_share"] == one[s]["raw_share"] for s in one)
     zero = {r["source"]: r for r in temperature_mix(docs, alpha=0.0).collect()}
     assert zero["a"]["tempered_share"] == zero["b"]["tempered_share"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel (q102)
+# ---------------------------------------------------------------------------
+
+def test_curation_funnel_first_fail_semantics(spark):
+    """A doc failing several gates is killed by the FIRST one only;
+    the funnel balances (n_out of stage i == n_in of stage i+1)."""
+    from langscrape_spark.operators.filters import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, 50), (4, 2), (5, 500)],
+        "doc_id long, x long",
+    )
+    gates = [
+        ("ge10", F.col("x") >= 10),          # kills 1, 4
+        ("le100", F.col("x") <= 100),        # kills 5 (not 1/4 again)
+        ("even", F.col("x") % 2 == 0),       # 50, 50 pass
+    ]
+    rows = {r["stage"]: r for r in curation_funnel(docs, gates).collect()}
+    assert (rows[0]["n_in"], rows[0]["n_killed"], rows[0]["n_out"]) == (5, 2, 3)
+    assert (rows[1]["n_in"], rows[1]["n_killed"], rows[1]["n_out"]) == (3, 1, 2)
+    assert (rows[2]["n_in"], rows[2]["n_killed"], rows[2]["n_out"]) == (2, 0, 2)
+    assert rows[0]["kill_rate"] == 0.4
+    for i in range(2):
+        assert rows[i]["n_out"] == rows[i + 1]["n_in"]
+
+
+def test_curation_funnel_null_predicate_fails(spark):
+    """NULL predicate values count as kills (conservative)."""
+    from langscrape_spark.operators.filters import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5)], "doc_id long, x long"
+    )
+    rows = curation_funnel(docs, [("pos", F.col("x") > 0)]).collect()
+    assert rows[0]["n_killed"] == 1 and rows[0]["n_out"] == 1
