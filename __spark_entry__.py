@@ -2880,6 +2880,20 @@ def q102_curation_funnel(spark, sf):
     return curation_funnel(docs, gates)
 
 
+def q103_sessionize(spark, sf):
+    """Event sessionization (operators/sessions.py::sessionize,
+    30-min timeout): gaps-and-islands over the events table — one
+    per-user window pass (flag, then running sum; single exchange)
+    plus a map-side-combined per-session rollup. Integer-microsecond
+    gap comparison, so the timeout boundary is exact cross-engine.
+    The oracle mirrors the lag/flag/cumsum/rollup windows."""
+    from langscrape_spark.operators.sessions import sessionize
+
+    return sessionize(
+        _t(spark, sf, "events"), timeout_sec=1800
+    ).orderBy("user_id", "session_seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2984,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_temperature_mix": q100_temperature_mix,
         "q101_bfs_depths": q101_bfs_depths,
         "q102_curation_funnel": q102_curation_funnel,
+        "q103_sessionize": q103_sessionize,
     }
 
 
@@ -6331,5 +6346,38 @@ def oracle_sql() -> dict[str, str]:
                    round(n_killed / CAST(n_in AS DOUBLE), 6)
                      AS kill_rate
             FROM funnel ORDER BY stage
+        """,
+        "q103_sessionize": """
+            -- Same lag/flag/cumsum/rollup in DuckDB windows; gaps in
+            -- integer microseconds (epoch_us == Spark unix_micros).
+            WITH base AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id, value
+              FROM events),
+            flagged AS (
+              SELECT *,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM base
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY us, event_id)),
+            sess AS (
+              SELECT *,
+                     sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS session_seq
+              FROM flagged)
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(us) AS start_us,
+                   max(us) AS end_us,
+                   round((max(us) - min(us)) / 1000000.0, 6)
+                     AS duration_sec,
+                   round(sum(value), 6) AS value_sum
+            FROM sess
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
     }

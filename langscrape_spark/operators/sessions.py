@@ -1,0 +1,86 @@
+"""Event sessionization — gaps-and-islands with an inactivity timeout.
+
+The classic event-analytics operator (and the crawl-side shape for
+burst detection / politeness-window accounting: a "session" of fetch
+events against one host is exactly this grouping). The reference has
+no event stream at all; this generalizes the gaps-and-islands pattern
+the robots parser already uses for User-agent runs (q45) to timestamped
+activity.
+
+Scale shape (10^12 events): ONE window pass partitioned by the entity
+(every entity its own group — parallel by construction, never a global
+sort) computes the new-session flags and the running session sequence;
+the per-session rollup is an equi-key groupBy with map-side partial
+aggregation. Timestamps compare in integer MICROSECONDS (`unix_micros`
+/ `epoch_us`) so the timeout boundary is exact in both engines — no
+float time arithmetic anywhere until the reported duration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    timeout_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Group each entity's events into sessions separated by gaps
+    > ``timeout_sec``. Returns one row per session: ``(user_id,
+    session_seq, n_events, start_us, end_us, duration_sec,
+    value_sum)`` with ``session_seq`` numbered from 1 in time order.
+    Ordering ties break on ``id_col`` so re-runs are byte-stable."""
+    base = events.select(
+        F.col(user_col),
+        # NTZ columns cast through TIMESTAMP (session TZ is UTC per
+        # session.py, so the wall clock IS the epoch — same integer
+        # DuckDB's epoch_us reads off the naive value)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    w = Window.partitionBy(user_col).orderBy("_us", "_id")
+    # flag first, running sum second — nested window expressions are
+    # illegal, and both windows share one partitioning so Catalyst
+    # plans a single exchange + sort
+    flagged = base.withColumn(
+        "_gap", F.col("_us") - F.lag("_us").over(w)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_gap").isNull()
+            | (F.col("_gap") > timeout_sec * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessions.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.round(
+                (F.max("_us") - F.min("_us")) / F.lit(1_000_000.0), 6
+            ).alias("duration_sec"),
+            F.round(F.sum("_v"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "start_us",
+            "end_us",
+            "duration_sec",
+            "value_sum",
+        )
+    )

@@ -2958,3 +2958,54 @@ def test_curation_funnel_null_predicate_fails(spark):
     )
     rows = curation_funnel(docs, [("pos", F.col("x") > 0)]).collect()
     assert rows[0]["n_killed"] == 1 and rows[0]["n_out"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (q103)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_boundary_and_rollup(spark):
+    """Gap EXACTLY equal to the timeout stays in-session (> splits);
+    per-user isolation; value sums and durations roll up."""
+    import datetime as dt
+
+    from langscrape_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 0s, +1800s (== timeout, same session), +3601s (split)
+        (1, t0, 1, 1.0),
+        (2, t0 + dt.timedelta(seconds=1800), 1, 2.0),
+        (3, t0 + dt.timedelta(seconds=1800 + 1801), 1, 4.0),
+        # user 2: single event
+        (4, t0, 2, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in sessionize(df, timeout_sec=1800).collect()}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2 and s11["value_sum"] == 3.0
+    assert s11["duration_sec"] == 1800.0
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 1 and s12["value_sum"] == 4.0
+    assert out[(2, 1)]["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    """Two events with identical timestamps order by event_id and land
+    in one session; output is stable across runs."""
+    import datetime as dt
+
+    from langscrape_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, t0, 1, 1.0), (1, t0, 1, 2.0)],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    a = sorted(map(tuple, sessionize(df).collect()))
+    b = sorted(map(tuple, sessionize(df).collect()))
+    assert a == b and a[0][2] == 2  # one session of two events
