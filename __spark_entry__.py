@@ -2894,6 +2894,21 @@ def q103_sessionize(spark, sf):
     ).orderBy("user_id", "session_seq")
 
 
+def q104_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/text.py::cdc_chunks,
+    4-token rolling window, avg 32-token chunks): boundaries decided
+    by local content hashes, so chunk-hash dedup survives edits that
+    shift every fixed-stride chunk (q65's contrast). Hash = the
+    md5-lower64/63-bit-mask/power-of-2-pmod parity stack the sketches
+    use. The oracle mirrors the rolling window, boundary rule,
+    exclusive cumsum and per-chunk rollup."""
+    from langscrape_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(
+        _t_parallel(spark, sf, "documents"), window=4, avg_chunk=32
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -2999,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_bfs_depths": q101_bfs_depths,
         "q102_curation_funnel": q102_curation_funnel,
         "q103_sessionize": q103_sessionize,
+        "q104_cdc_chunks": q104_cdc_chunks,
     }
 
 
@@ -6379,5 +6395,42 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "q104_cdc_chunks": f"""
+            -- Rolling 4-token window hash, boundary when masked
+            -- md5-lower64 % 32 == 0 (power-of-2 pmod parity), chunk
+            -- ids by exclusive cumsum, ordered per-chunk rollup.
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos,
+                     unnest(tok) AS w
+              FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+            rolled AS (
+              SELECT doc_id, pos, w,
+                     string_agg(w, '') OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN 3 PRECEDING
+                       AND CURRENT ROW) AS win
+              FROM toks),
+            flagged AS (
+              SELECT doc_id, pos, w,
+                     CASE WHEN pos >= 3 AND
+                       CAST(CAST(md5_number_lower(win) AS HUGEINT)
+                            % (CAST(1 AS HUGEINT) << 63) AS BIGINT)
+                       % 32 = 0
+                     THEN 1 ELSE 0 END AS b
+              FROM rolled),
+            chunked AS (
+              SELECT doc_id, pos, w,
+                     coalesce(sum(b) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS chunk_idx
+              FROM flagged)
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(min(pos) AS BIGINT) AS start_pos,
+                   md5(string_agg(w, '' ORDER BY pos)) AS chunk_hash
+            FROM chunked
+            GROUP BY doc_id, chunk_idx
+            ORDER BY doc_id, chunk_idx
         """,
     }

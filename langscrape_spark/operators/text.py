@@ -1305,3 +1305,94 @@ def entropy_profile(
         )
         .orderBy(id_col)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    avg_chunk: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at the token level (the FastCDC /
+    Rabin idea): a chunk boundary falls AFTER any position whose
+    last-``window``-token hash is 0 mod ``avg_chunk``, so chunk
+    edges are decided by local CONTENT, not offsets - prepending a
+    sentence to a document shifts every fixed-stride chunk
+    (q65's ``chunk_documents``) but leaves every CDC chunk after the
+    first boundary byte-identical, which is what makes chunk-hash
+    dedup survive edits.
+
+    Scale shape: one posexplode; the rolling window is a per-doc
+    ``collect_list`` over a ``window``-row frame (bounded by the
+    constant ``window``, never a neighborhood); boundary to chunk ids
+    is an exclusive running sum; the rollup is one (doc, chunk)
+    groupBy. Hash = md5-lower64 masked to 63 bits, modulo a
+    power-of-two (signed pmod == unsigned - the engine-parity trick
+    every sketch here uses).
+
+    Returns ``(doc_id, chunk_idx, n_tokens, start_pos, chunk_hash)``.
+    """
+    from ..operators.dedup import _md5_lower64
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "w"),
+    )
+    w_roll = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    rolled = toks.withColumn(
+        "_win", F.concat_ws("", F.collect_list("w").over(w_roll))
+    ).withColumn(
+        "_boundary",
+        F.when(
+            (F.col("pos") >= window - 1)
+            & (
+                F.pmod(
+                    _md5_lower64(F.col("_win")).bitwiseAND(
+                        F.lit((1 << 63) - 1)
+                    ),
+                    F.lit(avg_chunk),
+                )
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = rolled.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum("_boundary").over(w_prev), F.lit(0)),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.min("pos").cast("long").alias("start_pos"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "n_tokens",
+            "start_pos",
+            "chunk_hash",
+        )
+    )

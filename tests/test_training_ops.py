@@ -3009,3 +3009,52 @@ def test_sessionize_tie_break_deterministic(spark):
     a = sorted(map(tuple, sessionize(df).collect()))
     b = sorted(map(tuple, sessionize(df).collect()))
     assert a == b and a[0][2] == 2  # one session of two events
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (q104)
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_cover_and_order(spark):
+    """Chunks partition the token stream: start positions are the
+    running sum of chunk lengths, every token covered exactly once."""
+    from langscrape_spark.operators.text import cdc_chunks
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(30)
+    rows = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for doc, chunks in by_doc.items():
+        pos = 0
+        for c in chunks:
+            assert c["start_pos"] == pos
+            pos += c["n_tokens"]
+
+
+def test_cdc_chunks_survive_prefix_edit(spark):
+    """Prepending tokens shifts offsets but chunk HASHES after the
+    first boundary survive — the content-defined property fixed-stride
+    chunking lacks."""
+    from langscrape_spark.operators.text import cdc_chunks
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(20).selectExpr("doc_id", "text")
+    edited = base.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat('zz yy xx ', text) AS text",
+    )
+    out = cdc_chunks(base.unionByName(edited)).collect()
+    orig = {r["chunk_hash"] for r in out if r["doc_id"] < 100000}
+    edit = {r["chunk_hash"] for r in out if r["doc_id"] >= 100000}
+    shared = orig & edit
+    # at least half the original chunks must survive the edit
+    # (everything after each doc's first boundary is untouched)
+    assert len(shared) >= len(orig) * 0.5, (len(shared), len(orig))
+    # sanity: the edit did change SOMETHING
+    assert edit != orig
