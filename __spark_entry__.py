@@ -6198,9 +6198,9 @@ def oracle_sql() -> dict[str, str]:
         "q95_trustrank": _trustrank_oracle(),
         "q96_label_propagation": _lpa_oracle(),
         "q97_int8_ann": f"""
-            -- int8 encode re-derived: normalize, scale = 127/max|x̂|,
-            -- round-half-up (floor(x+0.5) — engine-portable), integer
-            -- dots (exact), approx = dot/(s_a·s_q). The query rides
+            -- int8 encode re-derived: scale = 127·nrm/max|x| (the
+            -- flattened O(dim²) shape the operator uses), round-half-up
+            -- floor(x+0.5) encode, integer dots (exact), approx =
             -- the SAME encode pipeline as vec_id −1. Exact cosine in
             -- q13's proven form; cut on the unrounded approx.
             WITH qv AS (SELECT {_QV_SQL} AS v),
@@ -6216,19 +6216,16 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(v, x -> x * x)))
                        AS nrm
               FROM base),
-            n2 AS (
-              SELECT vec_id,
-                     list_transform(v, x -> x / nrm) AS xhat
-              FROM n1 WHERE nrm > 0),
             n3 AS (
-              SELECT vec_id, xhat,
-                     127.0 / list_max(list_transform(xhat,
+              SELECT vec_id, v, nrm,
+                     127.0 * nrm / list_max(list_transform(v,
                        x -> abs(x))) AS scale
-              FROM n2),
+              FROM n1 WHERE nrm > 0),
             enc AS (
               SELECT vec_id, scale,
-                     list_transform(xhat, x ->
-                       CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+                     list_transform(v, x ->
+                       CAST(floor(x / nrm * scale + 0.5) AS BIGINT))
+                       AS q
               FROM n3),
             qe AS (SELECT * FROM enc WHERE vec_id = -1),
             raw AS (

@@ -1060,6 +1060,16 @@ def int8_quantize(
 
     Returns ``(id, qvec array<int>, scale double)``.
     """
+    # Expression shape matters here: a naive qvec =
+    # transform(xhat, x*scale) with scale = 127/max|xhat| and
+    # xhat = x/nrm re-evaluates the nrm fold PER ELEMENT PER OUTER
+    # ELEMENT (HOF lambdas are interpreted — no codegen CSE), an
+    # O(dim³)-per-row tree that benched 59s at 60k×64. Flattened:
+    # max|x/nrm| = max|x|/nrm, so scale = 127·nrm/max|x| touches only
+    # two independent folds, and q_i = floor(x_i·(scale/nrm) + 0.5)
+    # keeps one shared scalar subtree per element — O(dim²) worst
+    # case, ~1s on the same input. The oracle mirrors this exact
+    # shape (q_i arithmetic must stay identical for parity).
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(
@@ -1068,15 +1078,15 @@ def int8_quantize(
             lambda acc, x: acc + x,
         )
     )
-    xhat = F.transform(v, lambda x: F.try_divide(x, nrm))
-    scale = F.try_divide(
-        F.lit(127.0), F.array_max(F.transform(xhat, F.abs))
-    )
+    max_raw = F.array_max(F.transform(v, F.abs))
+    scale = F.try_divide(F.lit(127.0) * nrm, max_raw)
     qvec = F.when(
         scale.isNotNull(),
         F.transform(
-            xhat,
-            lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"),
+            v,
+            lambda x: F.floor(
+                F.try_divide(x, nrm) * scale + F.lit(0.5)
+            ).cast("int"),
         ),
     )
     return df.select(
