@@ -2764,15 +2764,18 @@ _KCORE_RAW_SQL = (
 def _kcore_oracle() -> str:
     from langscrape_spark.operators.linkgraph import kcore_oracle_sql
 
-    return kcore_oracle_sql(_KCORE_RAW_SQL, k=3, rounds=8)
+    return kcore_oracle_sql(_KCORE_RAW_SQL, k=2, rounds=8)
 
 
 def q98_kcore(spark, sf):
-    """k-core extraction (operators/linkgraph.py::kcore, k=3, 8
+    """k-core extraction (operators/linkgraph.py::kcore, k=2, 8
     peeling rounds) on the shared host graph plus a planted pendant
-    chain h0–c1–…–c6 that must unravel one link per round — the
-    cascade a single degree filter cannot produce. The oracle unrolls
-    the same peel rounds as MATERIALIZED CTEs; all-integer, exact."""
+    chain h0–c1–…–c6: at k=2 the chain must unravel ONE link per
+    round (c6 degree 1 first, then c5, …) — the cascade a single
+    degree filter cannot produce; at k=3 the whole chain would peel
+    in round 1 and the oracle would never exercise iteration. The
+    oracle unrolls the same peel rounds as MATERIALIZED CTEs;
+    all-integer, exact."""
     from langscrape_spark.operators.linkgraph import kcore
 
     chain = spark.createDataFrame(
@@ -2781,7 +2784,7 @@ def q98_kcore(spark, sf):
         "src_host string, dst_host string",
     )
     edges = _host_graph(spark, sf).unionByName(chain)
-    return kcore(edges, k=3, rounds=8).orderBy("host")
+    return kcore(edges, k=2, rounds=8).orderBy("host")
 
 
 def q99_prefix_jaccard(spark, sf):
@@ -6365,7 +6368,7 @@ def oracle_sql() -> dict[str, str]:
             -- integer microseconds (epoch_us == Spark unix_micros).
             WITH base AS (
               SELECT user_id, epoch_us(ts) AS us, event_id, value
-              FROM events),
+              FROM events WHERE ts IS NOT NULL),
             flagged AS (
               SELECT *,
                      CASE WHEN lag(us) OVER w IS NULL
@@ -6403,7 +6406,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
             rolled AS (
               SELECT doc_id, pos, w,
-                     string_agg(w, '') OVER (PARTITION BY doc_id
+                     string_agg(w, ' ') OVER (PARTITION BY doc_id
                        ORDER BY pos ROWS BETWEEN 3 PRECEDING
                        AND CURRENT ROW) AS win
               FROM toks),
@@ -6425,7 +6428,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(chunk_idx AS BIGINT) AS chunk_idx,
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    CAST(min(pos) AS BIGINT) AS start_pos,
-                   md5(string_agg(w, '' ORDER BY pos)) AS chunk_hash
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
             FROM chunked
             GROUP BY doc_id, chunk_idx
             ORDER BY doc_id, chunk_idx

@@ -1082,13 +1082,15 @@ def prefix_jaccard_pairs(
     from .text import words_col
 
     p, q = threshold_num, threshold_den
+    # cached: the tokenize+explode subtree feeds ~7 plan references
+    # (dfs, sizes, ranked, both verify sides) in one action
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
             "w"
         ),
-    )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ).cache()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
     dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("id").orderBy("df", "w")
     ranked = (

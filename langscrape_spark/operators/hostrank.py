@@ -404,6 +404,9 @@ def bfs_depths(
     d = spark.createDataFrame(
         [(s, 0) for s in sorted(seeds)], "host string, depth long"
     )
+    # a seed with no incident edge must still report depth 0 — hosts
+    # only covers edge endpoints
+    hosts = hosts.unionByName(d.select("host")).distinct()
     for _ in range(max_depth):
         step = (
             e.join(d, e.src == d.host)
@@ -437,10 +440,11 @@ def bfs_depths_oracle_sql(
         f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
         "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
         " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
-        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
-        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
         f"d0 AS MATERIALIZED (SELECT * FROM (VALUES {seed_vals})"
         " s(host, depth)),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e"
+        " UNION ALL SELECT host FROM d0)),",
     ]
     for i in range(1, max_depth + 1):
         parts.append(

@@ -33,8 +33,11 @@ def sessionize(
     > ``timeout_sec``. Returns one row per session: ``(user_id,
     session_seq, n_events, start_us, end_us, duration_sec,
     value_sum)`` with ``session_seq`` numbered from 1 in time order.
-    Ordering ties break on ``id_col`` so re-runs are byte-stable."""
-    base = events.select(
+    Ordering ties break on ``id_col`` so re-runs are byte-stable.
+    NULL timestamps are dropped: they are unsessionizable, and the
+    engines' NULLS FIRST/LAST ordering defaults differ, so keeping
+    them would silently diverge the oracle."""
+    base = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col),
         # NTZ columns cast through TIMESTAMP (session TZ is UTC per
         # session.py, so the wall clock IS the epoch — same integer

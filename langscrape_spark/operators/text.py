@@ -1345,7 +1345,9 @@ def cdc_chunks(
         .rowsBetween(-(window - 1), 0)
     )
     rolled = toks.withColumn(
-        "_win", F.concat_ws("", F.collect_list("w").over(w_roll))
+        # space separator: no-separator concat collides ["ab","c"] with
+        # ["a","bc"] — same rule as dedup.shingles()
+        "_win", F.concat_ws(" ", F.collect_list("w").over(w_roll))
     ).withColumn(
         "_boundary",
         F.when(
@@ -1378,7 +1380,7 @@ def cdc_chunks(
             F.min("pos").cast("long").alias("start_pos"),
             F.md5(
                 F.concat_ws(
-                    "",
+                    " ",
                     F.transform(
                         F.array_sort(
                             F.collect_list(F.struct("pos", "w"))

@@ -320,3 +320,16 @@ def test_bfs_depths_max_depth_truncates(spark):
             for r in bfs_depths(edges, ["n0"], max_depth=2).collect()}
     assert rows["n2"] == 2 and rows["n3"] == -1  # beyond the cap
     assert bfs_depths(edges, [], max_depth=2).count() == 0
+
+
+def test_bfs_depths_isolated_seed_reports_zero(spark):
+    """A seed with no incident edge still gets a depth-0 row."""
+    from langscrape_spark.operators.hostrank import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string"
+    )
+    rows = {r["host"]: (r["depth"], r["reached"])
+            for r in bfs_depths(edges, ["newhost"], max_depth=3).collect()}
+    assert rows["newhost"] == (0, 1)
+    assert rows["a"] == (-1, 0) and rows["b"] == (-1, 0)

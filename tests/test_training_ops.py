@@ -3058,3 +3058,31 @@ def test_cdc_chunks_survive_prefix_edit(spark):
     assert len(shared) >= len(orig) * 0.5, (len(shared), len(orig))
     # sanity: the edit did change SOMETHING
     assert edit != orig
+
+
+def test_sessionize_null_ts_dropped(spark):
+    import datetime as dt
+
+    from langscrape_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, 1.0), (2, None, 1, 9.0)],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    out = sessionize(df).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1
+    assert out[0]["value_sum"] == 1.0
+
+
+def test_cdc_chunk_hash_separator_no_collision(spark):
+    """['ab','c'] and ['a','bc'] must hash differently."""
+    from langscrape_spark.operators.text import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "ab c"), (2, "a bc")], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs).collect()
+    h = {}
+    for r in out:
+        h.setdefault(r["doc_id"], []).append(r["chunk_hash"])
+    assert set(h[1]) != set(h[2])
