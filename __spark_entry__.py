@@ -2912,6 +2912,38 @@ def q104_cdc_chunks(spark, sf):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q105_triangles(spark, sf):
+    """Triangle counts + local clustering coefficient (operators/
+    linkgraph.py::triangle_stats) via the compact-forward
+    degree-ordered orientation — each wedge enumerated once at its
+    lowest-degree apex, O(m^1.5) fan-out instead of a hub's d². Runs
+    on q96's two-family community graph (dense families → clustering
+    near 1; the bridge endpoints dip). The oracle mirrors the
+    orientation, wedge join, closure semi-join and corner rollup."""
+    from langscrape_spark.operators.linkgraph import triangle_stats
+
+    docs = _t(spark, sf, "documents")
+    k = F.col("doc_id") % 8
+    j = F.floor(F.col("doc_id") / 8)
+    fam_a = docs.select(
+        F.concat(F.lit("a"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("a"), ((k + j) % 8).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    fam_b = docs.select(
+        F.concat(F.lit("b"), k.cast("string")).alias("src_host"),
+        F.concat(F.lit("b"), ((k + 3 * j + 1) % 8).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    bridge = spark.createDataFrame(
+        [("a0", "b0")], "src_host string, dst_host string"
+    )
+    edges = fam_a.unionByName(fam_b).unionByName(bridge)
+    return triangle_stats(edges).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -3018,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_curation_funnel": q102_curation_funnel,
         "q103_sessionize": q103_sessionize,
         "q104_cdc_chunks": q104_cdc_chunks,
+        "q105_triangles": q105_triangles,
     }
 
 
@@ -6432,5 +6465,53 @@ def oracle_sql() -> dict[str, str]:
             FROM chunked
             GROUP BY doc_id, chunk_idx
             ORDER BY doc_id, chunk_idx
+        """,
+        "q105_triangles": f"""
+            -- Degree-ordered orientation, wedge join at the apex,
+            -- closure against both storages of the closing edge,
+            -- per-corner redistribution. All-integer until the final
+            -- rounded coefficient.
+            WITH raw AS ({_COMMUNITY_RAW_SQL}),
+            e AS (SELECT DISTINCT src, dst FROM raw
+                  WHERE src IS NOT NULL AND dst IS NOT NULL
+                    AND src <> dst),
+            hosts AS (SELECT DISTINCT host FROM
+              (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+            und AS (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM e
+              UNION ALL SELECT dst, src FROM e)),
+            deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+            keyed AS (
+              SELECT u.a AS lo, u.b AS hi
+              FROM und u
+              JOIN deg da ON u.a = da.a
+              JOIN deg db ON u.b = db.a
+              WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)),
+            closing AS (
+              SELECT lo AS x, hi AS y FROM keyed
+              UNION ALL SELECT hi, lo FROM keyed),
+            closed AS (
+              SELECT w1.lo AS apex, w1.hi AS x, w2.hi AS y
+              FROM keyed w1
+              JOIN keyed w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+              JOIN closing c ON c.x = w1.hi AND c.y = w2.hi),
+            corners AS (
+              SELECT host, count(*) AS triangles FROM (
+                SELECT apex AS host FROM closed
+                UNION ALL SELECT x FROM closed
+                UNION ALL SELECT y FROM closed) u
+              GROUP BY host)
+            SELECT hosts.host,
+                   CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+                   CAST(coalesce(c.triangles, 0) AS BIGINT)
+                     AS triangles,
+                   round(CASE WHEN deg.d >= 2
+                     THEN 2.0 * coalesce(c.triangles, 0)
+                          / (deg.d * (deg.d - 1))
+                     ELSE 0.0 END, 6) AS clustering
+            FROM hosts
+            LEFT JOIN deg ON hosts.host = deg.a
+            LEFT JOIN corners c ON hosts.host = c.host
+            ORDER BY hosts.host
         """,
     }

@@ -410,3 +410,99 @@ def kcore_oracle_sql(raw_edges_sql: str, k: int, rounds: int = 8) -> str:
         " FROM hosts LEFT JOIN deg ON hosts.host = deg.host"
         " ORDER BY hosts.host"
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host triangle counts + local clustering coefficient over
+    the UNDIRECTED host graph — the density signal behind link-farm
+    and community detection (farms are near-cliques: clustering ~1 at
+    high degree; organic hubs are star-like: ~0).
+
+    Scale shape — the compact-forward orientation (Latapy 2008;
+    Suri/Vassilvitskii's MapReduce variant): orient every undirected
+    edge from the (degree, host)-SMALLER endpoint to the larger, so
+    each wedge is enumerated exactly once at its lowest-degree apex —
+    the join fan-out is bounded by Σ d_min(e), O(m^1.5) total, never
+    a hub's d² — then ONE equi-join of the oriented list with itself
+    (wedge generation) and ONE semi-join back against the oriented
+    edges (closure test). Counts redistribute to all three corners
+    with a union + groupBy. No neighborhood is ever materialized.
+
+    Returns ``(host, degree, triangles, clustering)`` with
+    ``clustering = 2·triangles / (degree·(degree−1))`` (0 when
+    degree < 2), rounded to 6.
+    """
+    e, hosts = clean_host_edges(edges, src_col, dst_col)
+    und = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # orientation key: (degree, host) lexicographic — total order, so
+    # every undirected edge appears exactly once
+    keyed = (
+        und.join(deg, "a")
+        .join(
+            deg.select(
+                F.col("a").alias("b"), F.col("d").alias("db")
+            ),
+            "b",
+        )
+        .where(
+            (F.col("d") < F.col("db"))
+            | ((F.col("d") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .cache()
+    )
+    w1 = keyed.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    w2 = keyed.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        keyed.select(
+            F.col("lo").alias("x"), F.col("hi").alias("y")
+        ).unionByName(
+            # the closing edge may be oriented either way between x, y
+            keyed.select(
+                F.col("hi").alias("x"), F.col("lo").alias("y")
+            )
+        ),
+        ["x", "y"],
+        "left_semi",
+    )
+    per_corner = (
+        closed.select(F.col("apex").alias("host"))
+        .unionByName(closed.select(F.col("x").alias("host")))
+        .unionByName(closed.select(F.col("y").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        hosts.join(
+            deg.withColumnRenamed("a", "host"), "host", "left"
+        )
+        .join(per_corner, "host", "left")
+        .select(
+            "host",
+            F.coalesce("d", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -333,3 +333,41 @@ def test_bfs_depths_isolated_seed_reports_zero(spark):
             for r in bfs_depths(edges, ["newhost"], max_depth=3).collect()}
     assert rows["newhost"] == (0, 1)
     assert rows["a"] == (-1, 0) and rows["b"] == (-1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (q105)
+# ---------------------------------------------------------------------------
+
+def test_triangle_stats_k4_analytic(spark):
+    """K4 has C(4,3)=4 triangles, each node in 3 of them, clustering 1;
+    adding a pendant node gives it 0 triangles and clustering 0."""
+    from itertools import combinations
+
+    from langscrape_spark.operators.linkgraph import triangle_stats
+
+    k4 = [(a, b) for a, b in combinations("abcd", 2)]
+    edges = spark.createDataFrame(
+        k4 + [("a", "p")], "src_host string, dst_host string"
+    )
+    rows = {r["host"]: r for r in triangle_stats(edges).collect()}
+    for h in "bcd":
+        assert rows[h]["triangles"] == 3 and rows[h]["clustering"] == 1.0
+    # a has degree 4 (K4 + pendant): 3 triangles over C(4,2)=6 wedges
+    assert rows["a"]["triangles"] == 3 and rows["a"]["clustering"] == 0.5
+    assert rows["p"]["triangles"] == 0 and rows["p"]["clustering"] == 0.0
+    total = sum(r["triangles"] for r in rows.values())
+    assert total == 3 * 4  # 4 triangles x 3 corners
+
+
+def test_triangle_stats_direction_and_dups_ignored(spark):
+    """A directed 3-cycle with duplicate/reversed edges is ONE
+    undirected triangle."""
+    from langscrape_spark.operators.linkgraph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "b")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["host"]: r["triangles"] for r in triangle_stats(edges).collect()}
+    assert rows == {"a": 1, "b": 1, "c": 1}
