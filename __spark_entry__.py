@@ -2944,6 +2944,29 @@ def q105_triangles(spark, sf):
     return triangle_stats(edges).orderBy("host")
 
 
+def q106_rrf_hybrid(spark, sf):
+    """Reciprocal-rank fusion (operators/search.py::rrf_fuse,
+    rrf_k=60) of two heterogeneous rankers over ONE shared inverted
+    index — BM25 (q59's operator) and Dirichlet query likelihood
+    (q91's) for the same query — the standard hybrid-search combiner
+    that ignores score scales. The oracle recomputes BOTH rankers,
+    their rank windows, the 1/(60+rank) parts and the fused top-12."""
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+        query_likelihood_topk,
+        rrf_fuse,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    bm = bm25_topk(postings, doc_lens, "hash join scan", k=15)
+    ql = query_likelihood_topk(
+        postings, doc_lens, "hash join scan", k=15, mu=100.0
+    )
+    return rrf_fuse([bm, ql], k=12, rrf_k=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -3051,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_sessionize": q103_sessionize,
         "q104_cdc_chunks": q104_cdc_chunks,
         "q105_triangles": q105_triangles,
+        "q106_rrf_hybrid": q106_rrf_hybrid,
     }
 
 
@@ -6513,5 +6537,71 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN deg ON hosts.host = deg.a
             LEFT JOIN corners c ON hosts.host = c.host
             ORDER BY hosts.host
+        """,
+        "q106_rrf_hybrid": f"""
+            -- Both rankers recomputed (BM25 per q59's shape, Dirichlet
+            -- QL per q91's naive form, same query), ranked on the
+            -- UNROUNDED scores, fused as sum(1/(60+rank)), top-12 cut
+            -- on the unrounded fusion.
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            post AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY term, doc_id),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            consts AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+            q(term) AS (VALUES ('hash'), ('join'), ('scan')),
+            hits AS (SELECT p.* FROM post p JOIN q USING (term)),
+            dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM hits GROUP BY term),
+            bm_scored AS (
+              SELECT h.doc_id,
+                     sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                         * h.tf
+                         / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                       AS score
+              FROM hits h
+              JOIN dfs d USING (term)
+              JOIN dl l USING (doc_id), consts c
+              GROUP BY h.doc_id),
+            bm_top AS (
+              SELECT doc_id, score FROM bm_scored
+              ORDER BY score DESC, doc_id LIMIT 15),
+            ctot AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM post),
+            cf AS (
+              SELECT q.term, sum(p.tf) AS cf
+              FROM q JOIN post p USING (term) GROUP BY q.term),
+            ql_scored AS (
+              SELECT d.doc_id,
+                     sum(ln((coalesce(p.tf, 0)
+                             + 100.0 * (c.cf / (SELECT c FROM ctot)))
+                            / (d.dl + 100.0))) AS score
+              FROM dl d
+              CROSS JOIN cf c
+              LEFT JOIN post p
+                ON p.doc_id = d.doc_id AND p.term = c.term
+              GROUP BY d.doc_id),
+            ql_top AS (
+              SELECT doc_id, score FROM ql_scored
+              ORDER BY score DESC, doc_id LIMIT 15),
+            parts AS (
+              SELECT doc_id, 1.0 / (60.0 + row_number() OVER (
+                ORDER BY score DESC, doc_id)) AS part FROM bm_top
+              UNION ALL
+              SELECT doc_id, 1.0 / (60.0 + row_number() OVER (
+                ORDER BY score DESC, doc_id)) AS part FROM ql_top),
+            fused AS (
+              SELECT doc_id, sum(part) AS s,
+                     CAST(count(*) AS BIGINT) AS n_rankers
+              FROM parts GROUP BY doc_id),
+            cut AS (
+              SELECT doc_id, s, n_rankers FROM fused
+              ORDER BY s DESC, doc_id LIMIT 12)
+            SELECT doc_id, round(s, 6) AS rrf_score, n_rankers
+            FROM cut ORDER BY s DESC, doc_id
         """,
     }

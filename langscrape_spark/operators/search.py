@@ -376,3 +376,54 @@ def top_trigram(docs: DataFrame, text_col: str = "text") -> list:
         return []
     r = tri[0]
     return [r["w1"], r["w2"], r["w3"]]
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — the
+    standard hybrid-search combiner, e.g. BM25 + dense/LM retrieval):
+    ``score(d) = Σ_r 1/(rrf_k + rank_r(d))`` over the input rankings;
+    documents missing from a ranking contribute nothing for it. Rank
+    is 1-based position by that ranking's own (score desc, doc_id)
+    order — RRF deliberately ignores score SCALES, which is why it
+    fuses heterogeneous rankers without calibration.
+
+    ``rankings`` is a list of DataFrames shaped ``(doc_id, score)``
+    (each typically already a bounded top-N). Scale shape: each input
+    gets a window rank over its own bounded frame; the fuse is a
+    UNION + groupBy over candidate rows (Σ input sizes, tiny). The
+    1/(k+rank) terms are exact rationals summed in doc-grouped
+    2-to-n-element groups — cross-engine stable at round-6.
+
+    Returns ``(doc_id, rrf_score, n_rankers)`` top-k cut on the
+    unrounded score, ties by doc_id.
+    """
+    from pyspark.sql import Window
+
+    scored = None
+    for df in rankings:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        part = df.select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.row_number().over(w))
+            ).alias("part"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    fused = scored.groupBy("doc_id").agg(
+        F.sum("part").alias("_score"),
+        F.count(F.lit(1)).cast("long").alias("n_rankers"),
+    )
+    return (
+        fused.orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round("_score", 6).alias("rrf_score"),
+            "n_rankers",
+        )
+    )

@@ -3086,3 +3086,43 @@ def test_cdc_chunk_hash_separator_no_collision(spark):
     for r in out:
         h.setdefault(r["doc_id"], []).append(r["chunk_hash"])
     assert set(h[1]) != set(h[2])
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (q106)
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_math_and_scale_invariance(spark):
+    """RRF ignores score scales: multiplying one ranker's scores by
+    1000 changes nothing; scores equal sum(1/(60+rank))."""
+    from langscrape_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    r2 = spark.createDataFrame(
+        [(2, 900.0), (3, 800.0), (4, 700.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: (r["rrf_score"], r["n_rankers"])
+           for r in rrf_fuse([r1, r2], k=10).collect()}
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2)  # rank 2 + rank 1
+    assert out[3] == (round(1 / 63 + 1 / 62, 6), 2)
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[4] == (round(1 / 63, 6), 1)
+    # doc 2 (high in both) must beat doc 1 (top of one)
+    assert out[2][0] > out[1][0]
+    scaled = r2.selectExpr("doc_id", "score / 1000 AS score")
+    out2 = {r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse([r1, scaled], k=10).collect()}
+    assert out2 == {d: v[0] for d, v in out.items()}
+
+
+def test_rrf_fuse_topk_cut_and_ties(spark):
+    from langscrape_spark.operators.search import rrf_fuse
+
+    r = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "doc_id long, score double"
+    )
+    out = rrf_fuse([r], k=3).collect()
+    # all scores tie -> rank by doc_id -> docs 0,1,2 kept
+    assert [x["doc_id"] for x in out] == [0, 1, 2]
