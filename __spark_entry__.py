@@ -2967,6 +2967,70 @@ def q106_rrf_hybrid(spark, sf):
     return rrf_fuse([bm, ql], k=12, rrf_k=60)
 
 
+def _mmr_oracle(pool: int = 20, k: int = 5) -> str:
+    """Unrolled greedy MMR (λ=0.75 so 1−λ is float-exact): pool by
+    relevance, pool-pairwise cosines once, then one MATERIALIZED
+    argmax CTE per pick with max-sim over the selected set."""
+    cos = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    parts = [
+        f"WITH qv AS MATERIALIZED (SELECT {_QV_SQL} AS v),",
+        "scored AS MATERIALIZED (SELECT vec_id, embedding, "
+        + cos.format(a="embedding", b="qv.v")
+        + " AS rel FROM embeddings, qv),",
+        f"pool AS MATERIALIZED (SELECT vec_id, embedding, rel"
+        f" FROM scored WHERE rel IS NOT NULL"
+        f" ORDER BY rel DESC, vec_id LIMIT {pool}),",
+        "sims AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+        + cos.format(a="a.embedding", b="b.embedding")
+        + " AS s FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),",
+        "s1 AS MATERIALIZED (SELECT vec_id, rel, 0.75 * rel AS mmr"
+        " FROM pool ORDER BY 0.75 * rel DESC, vec_id LIMIT 1),",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1),",
+    ]
+    for i in range(2, k + 1):
+        parts += [
+            f"r{i} AS MATERIALIZED (SELECT p.vec_id, p.rel,"
+            f" 0.75 * p.rel - 0.25 * max(s.s) AS mmr"
+            f" FROM pool p JOIN sims s ON s.ida = p.vec_id"
+            f" WHERE s.idb IN (SELECT vec_id FROM sel{i - 1})"
+            f" AND p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})"
+            " GROUP BY p.vec_id, p.rel),",
+            f"s{i} AS MATERIALIZED (SELECT vec_id, rel, mmr FROM r{i}"
+            " ORDER BY mmr DESC, vec_id LIMIT 1),",
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}"
+            f" UNION ALL SELECT vec_id FROM s{i}),",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, round(rel, 6) AS relevance,"
+        f" round(mmr, 6) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "\n".join(parts)[:-1] + f"\n{union} ORDER BY rank"
+
+
+def q107_mmr_diversify(spark, sf):
+    """Maximal Marginal Relevance selection (operators/ann.py::
+    mmr_select, pool 20, k=5, λ=0.75): the diversity-aware result cut
+    — near-duplicate hits cannot fill the page because each pick is
+    penalized by its max similarity to the already-selected set. One
+    corpus-wide TakeOrderedAndProject for the pool, then bounded
+    per-step argmax collects (the BPE per-round pattern). The oracle
+    unrolls the same greedy steps as MATERIALIZED CTEs over
+    pool-pairwise cosines."""
+    from langscrape_spark.operators.ann import mmr_select
+
+    return mmr_select(
+        _t(spark, sf, "embeddings"), QUERY_VEC, pool=20, k=5, lam=0.75
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -3075,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_cdc_chunks": q104_cdc_chunks,
         "q105_triangles": q105_triangles,
         "q106_rrf_hybrid": q106_rrf_hybrid,
+        "q107_mmr_diversify": q107_mmr_diversify,
     }
 
 
@@ -6604,4 +6669,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(s, 6) AS rrf_score, n_rankers
             FROM cut ORDER BY s DESC, doc_id
         """,
+        "q107_mmr_diversify": _mmr_oracle(pool=20, k=5),
     }

@@ -1136,3 +1136,89 @@ def int8_ann_topk(
         .orderBy(F.desc("approx_cosine"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein 1998): greedily
+    pick ``k`` results maximizing ``λ·cos(q,d) − (1−λ)·max_{s∈S}
+    cos(d,s)`` — the diversity-aware cut that keeps near-duplicate
+    hits from filling a result page (the retrieval-side complement of
+    the dedup operators). ``λ`` should make ``1−λ`` float-exact
+    (0.75 → 0.25) so the trade-off arithmetic is engine-portable.
+
+    Scale shape: the corpus-wide work is ONE exact top-``pool``
+    relevance pass (``TakeOrderedAndProject``); the greedy loop then
+    runs on the bounded pool with one bounded argmax collect per step
+    (the BPE-train per-round pattern) — selected rows re-enter as a
+    broadcast, pairwise sims touch pool×selected ≤ pool·k pairs.
+    Deterministic: ties by id, fixed k.
+
+    Returns ``(rank, vec_id, relevance, mmr_score)`` in pick order.
+    """
+    spark = emb.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pool_df = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            cosine_sim(F.col(vec_col), q).alias("rel"),
+        )
+        .where(F.col("rel").isNotNull())
+        .orderBy(F.desc("rel"), F.col(id_col).asc())
+        .limit(pool)
+        .cache()
+    )
+    picked = []  # (rank, id, rel, mmr)
+    for step in range(1, k + 1):
+        remaining = pool_df.where(
+            ~F.col(id_col).isin([p[1] for p in picked])
+            if picked
+            else F.lit(True)
+        )
+        if picked:
+            sel = pool_df.where(
+                F.col(id_col).isin([p[1] for p in picked])
+            ).select(F.col("_v").alias("_sv"))
+            scored = (
+                remaining.crossJoin(F.broadcast(sel))
+                .select(
+                    id_col,
+                    "rel",
+                    cosine_sim(F.col("_v"), F.col("_sv")).alias("_s"),
+                )
+                .groupBy(id_col, "rel")
+                .agg(F.max("_s").alias("_maxsim"))
+                .select(
+                    id_col,
+                    "rel",
+                    (
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam) * F.col("_maxsim")
+                    ).alias("_mmr"),
+                )
+            )
+        else:
+            scored = remaining.select(
+                id_col, "rel", (F.lit(lam) * F.col("rel")).alias("_mmr")
+            )
+        top = scored.orderBy(
+            F.desc("_mmr"), F.col(id_col).asc()
+        ).first()  # bounded: pool-sized frame
+        if top is None:
+            break
+        picked.append((step, top[id_col], top["rel"], top["_mmr"]))
+    return spark.createDataFrame(
+        [
+            (r, i, float(round(rel, 6)), float(round(m, 6)))
+            for r, i, rel, m in picked
+        ],
+        f"rank long, {id_col} long, relevance double, mmr_score double",
+    )

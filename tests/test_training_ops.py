@@ -3126,3 +3126,41 @@ def test_rrf_fuse_topk_cut_and_ties(spark):
     out = rrf_fuse([r], k=3).collect()
     # all scores tie -> rank by doc_id -> docs 0,1,2 kept
     assert [x["doc_id"] for x in out] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (q107)
+# ---------------------------------------------------------------------------
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Three near-identical top hits + one orthogonal mid hit: plain
+    top-2 takes two clones; MMR's second pick is the orthogonal one."""
+    from langscrape_spark.operators.ann import mmr_select
+
+    # query points between doc1's and doc4's directions so both are
+    # equally relevant, but doc4 is ORTHOGONAL to doc1 while docs 2/3
+    # are clones of doc1 (their max-sim penalty eats their score)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # clone of 1
+        (3, [0.998, 0.02, 0.0, 0.0]),   # clone of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to the clones,
+                                        # same relevance as doc 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_select(df, [1.0, 0.0, 1.0, 0.0], pool=4, k=2, lam=0.75)
+    picks = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picks[0] == 1          # best relevance first (tie -> min id)
+    assert picks[1] == 4          # diversity beats the clones
+
+
+def test_mmr_determinism_and_k_bound(spark):
+    from langscrape_spark.operators.ann import mmr_select
+
+    rows = [(i, [1.0, float(i)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = [tuple(r) for r in mmr_select(df, [1.0, 0.0], pool=5, k=5).collect()]
+    b = [tuple(r) for r in mmr_select(df, [1.0, 0.0], pool=5, k=5).collect()]
+    assert a == b
+    assert len(a) == 3  # k capped by pool size, no crash
+    assert [r[0] for r in a] == [1, 2, 3]  # ranks contiguous
