@@ -2676,24 +2676,11 @@ _COMMUNITY_RAW_SQL = """
 """
 
 
-def _lpa_oracle() -> str:
-    from langscrape_spark.operators.components import (
-        label_propagation_oracle_sql,
-    )
-
-    return label_propagation_oracle_sql(_COMMUNITY_RAW_SQL, iterations=4)
-
-
-def q96_label_propagation(spark, sf):
-    """Majority label propagation (operators/components.py::
-    label_propagation, 4 rounds, self-vote, min-label tie-break) on
-    two dense derived host families joined by ONE bridge edge — one
-    connected component but two communities, the distinction
-    connected_components cannot make. Pure integer/string arithmetic;
-    the oracle unrolls identical vote/adopt rounds as MATERIALIZED
-    CTEs."""
-    from langscrape_spark.operators.components import label_propagation
-
+def _community_graph(spark, sf):
+    """Two dense derived host families + ONE bridge edge — the Spark
+    twin of ``_COMMUNITY_RAW_SQL``, shared by q96 (label propagation)
+    and q105 (triangles) so the graph cannot silently diverge between
+    them or from the oracles."""
     docs = _t(spark, sf, "documents")
     k = F.col("doc_id") % 8
     j = F.floor(F.col("doc_id") / 8)
@@ -2712,8 +2699,30 @@ def q96_label_propagation(spark, sf):
     bridge = spark.createDataFrame(
         [("a0", "b0")], "src_host string, dst_host string"
     )
-    edges = fam_a.unionByName(fam_b).unionByName(bridge)
-    return label_propagation(edges, iterations=4).orderBy("host")
+    return fam_a.unionByName(fam_b).unionByName(bridge)
+
+
+def _lpa_oracle() -> str:
+    from langscrape_spark.operators.components import (
+        label_propagation_oracle_sql,
+    )
+
+    return label_propagation_oracle_sql(_COMMUNITY_RAW_SQL, iterations=4)
+
+
+def q96_label_propagation(spark, sf):
+    """Majority label propagation (operators/components.py::
+    label_propagation, 4 rounds, self-vote, min-label tie-break) on
+    two dense derived host families joined by ONE bridge edge — one
+    connected component but two communities, the distinction
+    connected_components cannot make. Pure integer/string arithmetic;
+    the oracle unrolls identical vote/adopt rounds as MATERIALIZED
+    CTEs."""
+    from langscrape_spark.operators.components import label_propagation
+
+    return label_propagation(
+        _community_graph(spark, sf), iterations=4
+    ).orderBy("host")
 
 
 def q97_int8_ann(spark, sf):
@@ -2922,26 +2931,7 @@ def q105_triangles(spark, sf):
     orientation, wedge join, closure semi-join and corner rollup."""
     from langscrape_spark.operators.linkgraph import triangle_stats
 
-    docs = _t(spark, sf, "documents")
-    k = F.col("doc_id") % 8
-    j = F.floor(F.col("doc_id") / 8)
-    fam_a = docs.select(
-        F.concat(F.lit("a"), k.cast("string")).alias("src_host"),
-        F.concat(F.lit("a"), ((k + j) % 8).cast("string")).alias(
-            "dst_host"
-        ),
-    )
-    fam_b = docs.select(
-        F.concat(F.lit("b"), k.cast("string")).alias("src_host"),
-        F.concat(F.lit("b"), ((k + 3 * j + 1) % 8).cast("string")).alias(
-            "dst_host"
-        ),
-    )
-    bridge = spark.createDataFrame(
-        [("a0", "b0")], "src_host string, dst_host string"
-    )
-    edges = fam_a.unionByName(fam_b).unionByName(bridge)
-    return triangle_stats(edges).orderBy("host")
+    return triangle_stats(_community_graph(spark, sf)).orderBy("host")
 
 
 def q106_rrf_hybrid(spark, sf):
@@ -3004,9 +2994,12 @@ def _mmr_oracle(pool: int = 20, k: int = 5) -> str:
             " GROUP BY p.vec_id, p.rel),",
             f"s{i} AS MATERIALIZED (SELECT vec_id, rel, mmr FROM r{i}"
             " ORDER BY mmr DESC, vec_id LIMIT 1),",
-            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}"
-            f" UNION ALL SELECT vec_id FROM s{i}),",
         ]
+        if i < k:  # the last selected-set is never consumed
+            parts.append(
+                f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}"
+                f" UNION ALL SELECT vec_id FROM s{i}),"
+            )
     union = " UNION ALL ".join(
         f"SELECT {i} AS rank, vec_id, round(rel, 6) AS relevance,"
         f" round(mmr, 6) AS mmr_score FROM s{i}"
@@ -6654,11 +6647,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, score FROM ql_scored
               ORDER BY score DESC, doc_id LIMIT 15),
             parts AS (
+              -- ranks on ROUND-6 scores (ties by id): the rankers'
+              -- cross-engine float noise becomes identical ties
               SELECT doc_id, 1.0 / (60.0 + row_number() OVER (
-                ORDER BY score DESC, doc_id)) AS part FROM bm_top
+                ORDER BY round(score, 6) DESC, doc_id)) AS part
+              FROM bm_top
               UNION ALL
               SELECT doc_id, 1.0 / (60.0 + row_number() OVER (
-                ORDER BY score DESC, doc_id)) AS part FROM ql_top),
+                ORDER BY round(score, 6) DESC, doc_id)) AS part
+              FROM ql_top),
             fused AS (
               SELECT doc_id, sum(part) AS s,
                      CAST(count(*) AS BIGINT) AS n_rankers

@@ -1176,7 +1176,9 @@ def mmr_select(
         .limit(pool)
         .cache()
     )
-    picked = []  # (rank, id, rel, mmr)
+    picked = []  # (rank, id, rel, mmr) — raw floats; rounding happens
+    # IN-PLAN below (F.round is HALF_UP like DuckDB's round; Python's
+    # round is half-to-even and would diverge on exact halves)
     for step in range(1, k + 1):
         remaining = pool_df.where(
             ~F.col(id_col).isin([p[1] for p in picked])
@@ -1215,10 +1217,25 @@ def mmr_select(
         if top is None:
             break
         picked.append((step, top[id_col], top["rel"], top["_mmr"]))
-    return spark.createDataFrame(
+    pool_df.unpersist()  # result below is driver-built; the cached
+    # pool would otherwise stay pinned for the whole session
+    from pyspark.sql import types as T
+
+    id_type = emb.schema[id_col].dataType
+    schema = T.StructType(
         [
-            (r, i, float(round(rel, 6)), float(round(m, 6)))
-            for r, i, rel, m in picked
-        ],
-        f"rank long, {id_col} long, relevance double, mmr_score double",
+            T.StructField("rank", T.LongType()),
+            T.StructField(id_col, id_type),
+            T.StructField("_rel", T.DoubleType()),
+            T.StructField("_mmr", T.DoubleType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [(r, i, float(rel), float(m)) for r, i, rel, m in picked], schema
+    )
+    return raw.select(
+        "rank",
+        id_col,
+        F.round("_rel", 6).alias("relevance"),
+        F.round("_mmr", 6).alias("mmr_score"),
     )

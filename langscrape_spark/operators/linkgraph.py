@@ -443,8 +443,11 @@ def triangle_stats(
             e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
         .distinct()
+        .cache()
     )
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds both sides of the orientation join AND the final
+    # select — cached so the und shuffle runs once
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).cache()
     # orientation key: (degree, host) lexicographic — total order, so
     # every undirected edge appears exactly once
     keyed = (

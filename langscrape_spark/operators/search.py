@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .text import words_col
 
@@ -403,9 +403,19 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame(
+            [], "doc_id long, rrf_score double, n_rankers long"
+        )
     scored = None
     for df in rankings:
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        # rank on the ROUND-6 score (ties by id): the two rankers are
+        # computed by algebraically different-but-equal forms in the
+        # two engines, so sub-round-6 float noise could flip an
+        # unrounded rank in one engine only; rounding first turns that
+        # noise into ties that both engines break identically
+        w = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
         part = df.select(
             "doc_id",
             (
