@@ -3024,6 +3024,89 @@ def q107_mmr_diversify(spark, sf):
     ).orderBy("rank")
 
 
+def q108_suffix_array(spark, sf):
+    """Corpus suffix array by distributed prefix doubling
+    (operators/suffix.py::suffix_array — the Lee et al. 2022
+    exact-substring-dedup primitive, which q63's windowed form
+    approximates): 48 docs laid out in md5 order with chr(1)
+    terminators, never materializing the corpus string. Each round is
+    two equi-key shuffles (the +2^j rank join and the arithmetic-
+    bucketed dense rank — no global window, no range-sampling pass);
+    loop control collects only P-row aggregates. The oracle IS the
+    definition: row_number over ``substr(corpus, gpos)``."""
+    from langscrape_spark.operators.suffix import suffix_array
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 48)
+        .select("doc_id", "text")
+    )
+    return suffix_array(docs, max_chars=110).orderBy("gpos")
+
+
+def q109_repeated_grams(spark, sf):
+    """Exact repeated 16-char grams via the same doubling machinery
+    stopped at prefix 16 (operators/suffix.py::repeated_grams —
+    log2(16)=4 rounds instead of log2(maxLCP)): positions sharing a
+    rank share their gram exactly, so a rank group of size ≥2 is a
+    duplicated span with doc attribution. A boilerplate passage is
+    planted on every doc_id%10==0 document (in BOTH engines) so the
+    detector must merge cross-document repeats. The oracle groups
+    ``substr(corpus, gpos, 16)`` directly."""
+    from langscrape_spark.operators.suffix import repeated_grams
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 10 == 0, F.lit(_Q109_PLANT)
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return repeated_grams(
+        docs, gram_chars=16, min_occ=2, max_chars=160
+    ).orderBy("min_gpos")
+
+
+_Q109_PLANT = " repeated boilerplate navigation footer"
+
+
+def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
+    """Shared oracle CTE prefix for the suffix-array queries: the SAME
+    normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
+    chr(1) terminators and 1-based global positions that
+    operators/suffix.py::corpus_positions computes distributively —
+    but here via one literal string_agg corpus. Yields CTEs ``corpus``
+    (the string) and ``pos`` (doc_id, len, gpos, pos_in_doc)."""
+    return f"""
+            WITH sel AS (
+              SELECT doc_id,
+                     coalesce(substr(regexp_replace(lower({text_expr}),
+                       '[^a-z0-9 ]', '', 'g'), 1, {cap}), '') AS t,
+                     md5('s:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents WHERE {pred}),
+            laid AS (
+              SELECT doc_id, length(t) AS len,
+                     sum(length(t) + 1) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - (length(t) + 1) AS start0
+              FROM sel),
+            corpus AS (
+              SELECT string_agg(t || chr(1), '' ORDER BY k) AS c
+              FROM sel),
+            pos AS (
+              SELECT doc_id, len, start0 + i AS gpos, i AS pos_in_doc
+              FROM (SELECT doc_id, len, start0,
+                           unnest(range(1, len + 2)) AS i
+                    FROM laid))
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_top1_per_group": q01_top1_per_group,
@@ -3133,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_triangles": q105_triangles,
         "q106_rrf_hybrid": q106_rrf_hybrid,
         "q107_mmr_diversify": q107_mmr_diversify,
+        "q108_suffix_array": q108_suffix_array,
+        "q109_repeated_grams": q109_repeated_grams,
     }
 
 
@@ -6667,4 +6752,44 @@ def oracle_sql() -> dict[str, str]:
             FROM cut ORDER BY s DESC, doc_id
         """,
         "q107_mmr_diversify": _mmr_oracle(pool=20, k=5),
+        "q108_suffix_array": f"""
+            -- The suffix array BY DEFINITION: concatenate the same
+            -- md5-ordered, chr(1)-terminated corpus and rank every
+            -- 1-based position by its literal suffix. The Spark side
+            -- never materializes the corpus nor compares a string —
+            -- the hash compare proves prefix doubling == suffix sort.
+            {_sa_corpus_sql("doc_id < 48", 110, "text")}
+            SELECT p.doc_id,
+                   CAST(p.gpos AS BIGINT) AS gpos,
+                   CAST(p.pos_in_doc AS BIGINT) AS pos_in_doc,
+                   CAST(row_number() OVER (ORDER BY
+                     substr((SELECT c FROM corpus), CAST(p.gpos AS INT)))
+                     AS BIGINT) AS sa_rank
+            FROM pos p
+            ORDER BY p.gpos
+        """,
+        "q109_repeated_grams": f"""
+            -- Group positions by their literal 16-char gram (grams
+            -- fully inside a document only — same eligibility gate),
+            -- keep groups of >=2.
+            {_sa_corpus_sql(
+                "doc_id < 120",
+                160,
+                "text || CASE WHEN doc_id % 10 = 0"
+                " THEN ' repeated boilerplate navigation footer'"
+                " ELSE '' END",
+            )}
+            SELECT CAST(min(gpos) AS BIGINT) AS min_gpos,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (
+              SELECT doc_id, gpos,
+                     substr((SELECT c FROM corpus),
+                            CAST(gpos AS INT), 16) AS g
+              FROM pos
+              WHERE pos_in_doc + 15 <= len)
+            GROUP BY g
+            HAVING count(*) >= 2
+            ORDER BY min_gpos
+        """,
     }
