@@ -3076,6 +3076,26 @@ def q109_repeated_grams(spark, sf):
 _Q109_PLANT = " repeated boilerplate navigation footer"
 
 
+def q110_heavy_hitters(spark, sf):
+    """Exact 1/50-heavy hitters by sketch-prune-verify
+    (operators/sketch.py::mg_heavy_hitters): per-partition Misra-Gries
+    summaries (64 counters, mergeable-summaries batch fold) emit a
+    candidate superset — guaranteed because a global heavy hitter is
+    heavy in at least one partition — then ONE exact counting pass
+    over the broadcast candidates applies the integer threshold
+    freq*50 > total. Output is exact, so the oracle is the plain
+    GROUP BY ... HAVING the sketch exists to avoid at scale."""
+    from langscrape_spark.operators.sketch import mg_heavy_hitters
+    from langscrape_spark.operators.text import words_col
+
+    toks = _t_parallel(spark, sf, "documents").select(
+        F.explode(words_col(F.col("text"))).alias("term")
+    )
+    return mg_heavy_hitters(
+        toks, "term", k_counters=64, phi_den=50
+    ).orderBy(F.desc("freq"), "term")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3218,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_mmr_diversify": q107_mmr_diversify,
         "q108_suffix_array": q108_suffix_array,
         "q109_repeated_grams": q109_repeated_grams,
+        "q110_heavy_hitters": q110_heavy_hitters,
     }
 
 
@@ -6791,5 +6812,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g
             HAVING count(*) >= 2
             ORDER BY min_gpos
+        """,
+        "q110_heavy_hitters": f"""
+            -- The output contract is EXACT heavy hitters, so the
+            -- oracle is the naive global count the MG sketch prunes:
+            -- matching hashes prove the candidate superset never
+            -- dropped a heavy term.
+            WITH toks AS (
+              SELECT unnest({_TOKENS}) AS term FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT term, CAST(count(*) AS BIGINT) AS freq,
+                   round(count(*) * 1.0 / (SELECT n FROM tot), 6)
+                     AS share
+            FROM toks GROUP BY term
+            HAVING count(*) * 50 > (SELECT n FROM tot)
+            ORDER BY freq DESC, term
         """,
     }

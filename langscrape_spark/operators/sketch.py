@@ -197,3 +197,92 @@ def cm_estimate(
         )
         .drop("_cm_rid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: sketch-prune-verify
+# ---------------------------------------------------------------------------
+
+def _mg_partition_candidates(value_col: str, k_counters: int):
+    """mapInPandas kernel: one Misra-Gries summary per PARTITION,
+    merged batch-by-batch (exact per-batch counts folded in, then the
+    summary pruned back to ``k_counters`` by subtracting the
+    (k+1)-largest count — the Agarwal et al. mergeable-summaries
+    merge, error ≤ n_p/(k+1)). Emits just the surviving keys."""
+    import heapq
+
+    import pandas as pd
+
+    def gen(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[value_col].dropna().value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k_counters:
+                # subtract the (k+1)-th largest count from everyone;
+                # ≤ k survive, each decremented ≤ its own share of
+                # the MG error budget
+                cut = heapq.nlargest(
+                    k_counters + 1, counters.values()
+                )[-1]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame({value_col: list(counters.keys())})
+
+    return gen
+
+
+def mg_heavy_hitters(
+    items: DataFrame,
+    value_col: str = "term",
+    k_counters: int = 64,
+    phi_den: int = 50,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (global frequency · ``phi_den`` > total)
+    by sketch-prune-verify: per-partition Misra-Gries summaries emit a
+    small candidate superset, then ONE exact counting pass restricted
+    to the broadcast candidates filters on the exact threshold.
+
+    Correctness does not depend on partitioning: if
+    f(x) · phi_den > n then by averaging some partition has
+    f_p(x) · phi_den > n_p ≥ n_p · phi_den/(k_counters+1)-scaled
+    budget (requires ``phi_den ≤ k_counters + 1``), so x survives
+    that partition's summary — the union of summaries is a superset
+    of every heavy hitter, and the verify pass makes the output exact
+    and deterministic. At 100 TB the exact pass counts only
+    ≤ partitions · k_counters keys (broadcast semi-join pruned)
+    instead of the full vocabulary — the point of the sketch.
+
+    Output: ``(term, freq, share)`` for every term with
+    ``freq * phi_den > total``, ``share`` rounded to 6 dp.
+    """
+    if phi_den > k_counters + 1:
+        raise ValueError(
+            "phi_den must be <= k_counters+1 for the superset guarantee"
+        )
+    src = items.select(F.col(value_col).alias(value_col))
+    cands = (
+        src.mapInPandas(
+            _mg_partition_candidates(value_col, k_counters),
+            schema=f"{value_col} string",
+        )
+        .distinct()
+    )
+    total = src.agg(F.count(value_col).alias("_total"))
+    exact = (
+        src.join(F.broadcast(cands), value_col)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * phi_den > F.col("_total"))
+        .select(
+            value_col,
+            "freq",
+            F.round(F.col("freq") / F.col("_total"), 6).alias("share"),
+        )
+    )

@@ -3164,3 +3164,75 @@ def test_mmr_determinism_and_k_bound(spark):
     assert a == b
     assert len(a) == 3  # k capped by pool size, no crash
     assert [r[0] for r in a] == [1, 2, 3]  # ranks contiguous
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sketch-prune-verify)
+# ---------------------------------------------------------------------------
+
+def _naive_heavy(rows, phi_den):
+    from collections import Counter
+
+    c = Counter(rows)
+    n = len(rows)
+    return sorted(
+        (t, f) for t, f in c.items() if f * phi_den > n
+    )
+
+
+def test_mg_heavy_hitters_exact_under_skew(spark):
+    """Adversarial layout: heavy terms scattered across partitions
+    among a large distractor vocabulary, with counter budget (8) far
+    below the vocabulary — the candidate superset must still contain
+    every true heavy hitter and the verify pass must make the output
+    exactly the naive answer."""
+    from langscrape_spark.operators.sketch import mg_heavy_hitters
+
+    rows = []
+    # two genuinely heavy terms (~20% and ~12.5%)
+    rows += ["hot"] * 400 + ["warm"] * 250
+    # one term JUST above the 1/9 threshold and one just below
+    rows += ["edge_above"] * 230 + ["edge_below"] * 220
+    # distractors: 900 singletons
+    rows += [f"d{i}" for i in range(900)]
+    n = len(rows)
+    assert 230 * 9 > n and 220 * 9 <= n  # the boundary is real
+    df = spark.createDataFrame(
+        [(t,) for t in rows], "term string"
+    ).repartition(8)  # hash-scatter every term across partitions
+    got = sorted(
+        (r.term, r.freq)
+        for r in mg_heavy_hitters(
+            df, "term", k_counters=8, phi_den=9
+        ).collect()
+    )
+    assert got == _naive_heavy(rows, 9)
+    assert ("edge_above", 230) in got and all(
+        t != "edge_below" for t, _ in got
+    )
+
+
+def test_mg_heavy_hitters_share_nulls_and_empty(spark):
+    from langscrape_spark.operators.sketch import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 5, "term string"
+    )
+    out = {
+        r.term: (r.freq, r.share)
+        for r in mg_heavy_hitters(
+            df, "term", k_counters=4, phi_den=4
+        ).collect()
+    }
+    # NULLs ignored on BOTH sides: total = 9, threshold freq*4 > 9
+    assert out == {"a": (6, round(6 / 9, 6)), "b": (3, round(3 / 9, 6))}
+    empty = spark.createDataFrame([], "term string")
+    assert mg_heavy_hitters(empty, "term").count() == 0
+
+
+def test_mg_heavy_hitters_rejects_bad_phi(spark):
+    from langscrape_spark.operators.sketch import mg_heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError):
+        mg_heavy_hitters(df, "term", k_counters=8, phi_den=10)
