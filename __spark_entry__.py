@@ -3096,6 +3096,22 @@ def q110_heavy_hitters(spark, sf):
     ).orderBy(F.desc("freq"), "term")
 
 
+def q111_link_prediction(spark, sf):
+    """Common-neighbor link prediction (operators/linkgraph.py::
+    link_prediction, cap 16, min_common 2): CN / Jaccard /
+    Adamic-Adar for non-adjacent host pairs at distance 2 over the
+    shared host graph. The degree-16 center cap EXCLUDES the planted
+    hub and sink as wedge centers (live guard), yet (hubx, sinkx)
+    itself must come out predicted — every organic host links to
+    both. The oracle mirrors hygiene, cap, wedge join, anti-join and
+    both score formulas."""
+    from langscrape_spark.operators.linkgraph import link_prediction
+
+    return link_prediction(
+        _host_graph(spark, sf), max_center_degree=16, min_common=2
+    ).orderBy("host_a", "host_b")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3239,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_suffix_array": q108_suffix_array,
         "q109_repeated_grams": q109_repeated_grams,
         "q110_heavy_hitters": q110_heavy_hitters,
+        "q111_link_prediction": q111_link_prediction,
     }
 
 
@@ -6827,5 +6844,43 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY term
             HAVING count(*) * 50 > (SELECT n FROM tot)
             ORDER BY freq DESC, term
+        """,
+        "q111_link_prediction": f"""
+            -- Same hygiene/cap/wedge shape as the operator; scores
+            -- from the wedge group and the degree table.
+            WITH raw AS ({_HOSTGRAPH_RAW_SQL}),
+            e AS (SELECT DISTINCT src, dst FROM raw
+                  WHERE src IS NOT NULL AND dst IS NOT NULL
+                    AND src <> dst),
+            und AS (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM e
+              UNION ALL SELECT dst, src FROM e)),
+            deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+            ctr AS (
+              SELECT u.a AS z, u.b AS x, da.d AS dz
+              FROM und u JOIN deg da ON u.a = da.a
+              WHERE da.d <= 16),
+            wedges AS (
+              SELECT w1.x, w2.x AS y, w1.dz
+              FROM ctr w1 JOIN ctr w2
+                ON w1.z = w2.z AND w1.x < w2.x),
+            scored AS (
+              SELECT x, y, count(*) AS cn,
+                     sum(1.0 / ln(dz)) AS aa
+              FROM wedges GROUP BY x, y),
+            cand AS (
+              SELECT s.* FROM scored s
+              WHERE NOT EXISTS (SELECT 1 FROM und
+                                WHERE und.a = s.x AND und.b = s.y))
+            SELECT c.x AS host_a, c.y AS host_b,
+                   CAST(c.cn AS BIGINT) AS common_neighbors,
+                   round(c.cn * 1.0 / (dx.d + dy.d - c.cn), 6)
+                     AS jaccard,
+                   round(c.aa, 6) AS adamic_adar
+            FROM cand c
+            JOIN deg dx ON c.x = dx.a
+            JOIN deg dy ON c.y = dy.a
+            WHERE c.cn >= 2
+            ORDER BY host_a, host_b
         """,
     }

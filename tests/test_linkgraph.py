@@ -371,3 +371,51 @@ def test_triangle_stats_direction_and_dups_ignored(spark):
     )
     rows = {r["host"]: r["triangles"] for r in triangle_stats(edges).collect()}
     assert rows == {"a": 1, "b": 1, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+def test_link_prediction_path_graph(spark):
+    """a-b-c path: the only distance-2 pair is (a, c) with one common
+    neighbor b (deg 2), Jaccard 1/(1+1-1)=1, AA = 1/ln 2."""
+    import math
+
+    from langscrape_spark.operators.linkgraph import link_prediction
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_host string, dst_host string"
+    )
+    rows = link_prediction(e, min_common=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.host_a, r.host_b, r.common_neighbors) == ("a", "c", 1)
+    assert r.jaccard == 1.0
+    assert r.adamic_adar == round(1 / math.log(2), 6)
+
+
+def test_link_prediction_excludes_adjacent_and_hot_centers(spark):
+    from langscrape_spark.operators.linkgraph import link_prediction
+
+    # triangle a-b-c: all pairs adjacent -> nothing predicted
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "src_host string, dst_host string",
+    )
+    assert link_prediction(tri, min_common=1).count() == 0
+    # star with center s of degree 5 > cap 4: s is barred as a
+    # center, so its leaves yield NO predictions
+    star = spark.createDataFrame(
+        [("s", f"l{i}") for i in range(5)],
+        "src_host string, dst_host string",
+    )
+    assert (
+        link_prediction(star, max_center_degree=4, min_common=1).count()
+        == 0
+    )
+    # raise the cap and every leaf pair is predicted: C(5,2) = 10
+    assert (
+        link_prediction(star, max_center_degree=5, min_common=1).count()
+        == 10
+    )
