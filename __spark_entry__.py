@@ -3112,6 +3112,34 @@ def q111_link_prediction(spark, sf):
     ).orderBy("host_a", "host_b")
 
 
+def q112_kmeans(spark, sf):
+    """Deterministic Lloyd k-means (operators/clustering.py::
+    kmeans_lloyd, k=4, 2 update rounds + final assignment, grid
+    scale 1000): floor-quantized points make centroid sums EXACT
+    integers, so the whole iteration chain hash-compares — the
+    oracle unrolls identical assign/update rounds as MATERIALIZED
+    CTEs (argmin on round-6 distances, cid tie-break, exact HUGEINT
+    sums, empty-cluster coalesce)."""
+    from langscrape_spark.operators.clustering import kmeans_lloyd
+
+    pts = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    return kmeans_lloyd(pts, k=4, iterations=2).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    from langscrape_spark.operators.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200",
+        k=4,
+        iterations=2,
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3256,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_repeated_grams": q109_repeated_grams,
         "q110_heavy_hitters": q110_heavy_hitters,
         "q111_link_prediction": q111_link_prediction,
+        "q112_kmeans": q112_kmeans,
     }
 
 
@@ -6883,4 +6912,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cn >= 2
             ORDER BY host_a, host_b
         """,
+        "q112_kmeans": _kmeans_oracle(),
     }

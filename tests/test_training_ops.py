@@ -3236,3 +3236,52 @@ def test_mg_heavy_hitters_rejects_bad_phi(spark):
     df = spark.createDataFrame([("a",)], "term string")
     with pytest.raises(ValueError):
         mg_heavy_hitters(df, "term", k_counters=8, phi_den=10)
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: after 2 rounds every point must sit
+    with its blob, regardless of which blob ids seeded the centroids."""
+    from langscrape_spark.operators.clustering import kmeans_lloyd
+
+    blobs = {0: 0.0, 1: 5.0, 2: -5.0}
+    rows = []
+    for i in range(30):
+        b = i % 3
+        # small deterministic jitter, well inside the separation
+        vec = [blobs[b] + ((i * 7 + d) % 5) * 0.01 for d in range(8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=3, iterations=2).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    # each blob maps to exactly one cluster, all three distinct
+    assert all(len(c) == 1 for c in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Two IDENTICAL seed points: every point ties to the lower cid,
+    cluster 1 goes empty and must keep its centroid (not NaN out) —
+    the final assignment still ties everything to cluster 0."""
+    from langscrape_spark.operators.clustering import kmeans_lloyd
+
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iterations=2).collect()
+    assert {r.cluster for r in out} == {0}
+    assert all(r.dist == 0.0 for r in out)
+
+
+def test_kmeans_requires_k_points(spark):
+    from langscrape_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=2)
