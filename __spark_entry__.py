@@ -3140,6 +3140,39 @@ def _kmeans_oracle() -> str:
     )
 
 
+def q113_readability(spark, sf):
+    """Flesch reading ease + FK grade (operators/text.py::
+    readability_profile): vowel-group syllable heuristic (min 1 per
+    word), terminator-run sentences (min 1), one JVM-side pass —
+    no shuffle, no UDF. The oracle re-derives both integer counts
+    and both formulas."""
+    from langscrape_spark.operators.text import readability_profile
+
+    return readability_profile(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
+def q114_grid_quantiles(spark, sf):
+    """Exact type-1 grid quantiles (operators/sharding.py::
+    grid_quantiles, cent grid, per return-flag): the scale path for
+    q06 — one map-side-combinable histogram groupBy, an
+    arithmetic-bucketed two-level prefix sum (never a corpus-wide
+    single-partition window), target position ceil(n·num/den) as a
+    rational. The oracle is the PLAIN global-window cumsum +
+    smallest-cell-reaching-position definition, proving the
+    decomposition exact."""
+    from langscrape_spark.operators.sharding import grid_quantiles
+
+    return grid_quantiles(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice",
+        fractions=((1, 4), (1, 2), (3, 4), (9, 10)),
+        scale=100,
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag", "q_den", "q_num")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3285,6 +3318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_heavy_hitters": q110_heavy_hitters,
         "q111_link_prediction": q111_link_prediction,
         "q112_kmeans": q112_kmeans,
+        "q113_readability": q113_readability,
+        "q114_grid_quantiles": q114_grid_quantiles,
     }
 
 
@@ -6913,4 +6948,60 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host_a, host_b
         """,
         "q112_kmeans": _kmeans_oracle(),
+        "q113_readability": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKENS} AS ws,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS sents
+              FROM documents),
+            counts AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(sents AS BIGINT) AS n_sentences,
+                     CAST(list_sum(list_transform(ws,
+                       w -> greatest(1,
+                         len(regexp_extract_all(w, '[aeiouy]+')))))
+                       AS BIGINT) AS n_syllables
+              FROM base WHERE len(ws) > 0)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 6)
+                     AS flesch,
+                   round(0.39 * (n_words * 1.0 / n_sentences)
+                         + 11.8 * (n_syllables * 1.0 / n_words)
+                         - 15.59, 6) AS fk_grade
+            FROM counts ORDER BY doc_id
+        """,
+        "q114_grid_quantiles": """
+            -- The definition the two-level decomposition must equal:
+            -- plain per-group global-window cumsum over the cent
+            -- grid, smallest cell with cum >= ceil(n*num/den).
+            WITH vals AS (
+              SELECT l_returnflag AS grp,
+                     CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100)
+                       AS BIGINT) AS cell
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            hist AS (
+              SELECT grp, cell, count(*) AS c
+              FROM vals GROUP BY grp, cell),
+            cum AS (
+              SELECT grp, cell,
+                     sum(c) OVER (PARTITION BY grp ORDER BY cell) AS cum
+              FROM hist),
+            n AS (SELECT grp, max(cum) AS n FROM cum GROUP BY grp),
+            fr(q_num, q_den) AS (
+              VALUES (1, 4), (1, 2), (3, 4), (9, 10)),
+            t AS (
+              SELECT grp, q_num, q_den,
+                     CAST(ceil(n * q_num / CAST(q_den AS DOUBLE))
+                       AS BIGINT) AS pos
+              FROM n CROSS JOIN fr)
+            SELECT t.grp AS l_returnflag,
+                   t.q_num, t.q_den,
+                   min(cum.cell) / 100.0 AS value
+            FROM t JOIN cum ON cum.grp = t.grp AND cum.cum >= t.pos
+            GROUP BY t.grp, t.q_num, t.q_den
+            ORDER BY l_returnflag, q_den, q_num
+        """,
     }

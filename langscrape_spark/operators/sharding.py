@@ -201,3 +201,110 @@ def temperature_mix(
         )
         .orderBy("source")
     )
+
+
+def grid_quantiles(
+    df: DataFrame,
+    value_col: str,
+    fractions: Sequence[tuple] = ((1, 4), (1, 2), (3, 4), (9, 10)),
+    scale: int = 100,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT type-1 quantiles of the value quantized to a fixed grid
+    (``floor(v·scale)/scale``) — the scale path for percentile
+    queries: Spark's exact ``percentile`` funnels every value through
+    one aggregation buffer, and GK/t-digest sketches are
+    merge-order-dependent. The histogram route is the classic
+    warehouse pattern: ONE map-side-combinable groupBy compresses the
+    corpus to ≤ distinct-grid-cells rows, an arithmetic-bucketed
+    two-level prefix sum (same decomposition as
+    :func:`distributed_cumsum`, but ordered by the GRID, bucket
+    bounds from a bounded min/max collect) gives exact cumulative
+    counts in parallel, and each quantile is the smallest grid cell
+    whose cumulative count reaches ``ceil(n·num/den)``.
+
+    ``fractions`` are (num, den) rationals so the target position is
+    computed identically in any engine. NULL values are excluded.
+    Returns one row per (group, fraction): ``(…group, q_num, q_den,
+    value)`` with ``value = cell/scale``.
+    """
+    g = list(group_cols)
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        *g,
+        F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("_cell"),
+    )
+    hist = vals.groupBy(*g, "_cell").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).persist()
+    bounds = hist.agg(
+        F.min("_cell").alias("lo"), F.max("_cell").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return (
+            hist.sparkSession.createDataFrame(
+                [],
+                ", ".join(
+                    [f"{c} string" for c in g]
+                    + ["q_num int", "q_den int", "value double"]
+                ),
+            )
+            if not g
+            else hist.limit(0).select(
+                *g,
+                F.lit(0).alias("q_num"),
+                F.lit(0).alias("q_den"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    parts = hist.sparkSession.sparkContext.defaultParallelism
+    b = hist.withColumn(
+        "_b", F.expr(f"((_cell - {lo}L) * {parts}L) DIV {span}L")
+    )
+    w_in = (
+        Window.partitionBy(*g, "_b")
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("_wc", F.sum("_c").over(w_in))
+    totals = b.groupBy(*g, "_b").agg(F.sum("_c").alias("_t"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        *g, "_b", (F.sum("_t").over(w_off) - F.col("_t")).alias("_off")
+    )
+    cum = within.join(F.broadcast(offsets), g + ["_b"]).withColumn(
+        "_cum", (F.col("_off") + F.col("_wc")).cast("long")
+    )
+    n = cum.groupBy(*g).agg(F.max("_cum").alias("_n"))
+    fr = hist.sparkSession.createDataFrame(
+        [(int(a), int(bden)) for a, bden in fractions],
+        "q_num int, q_den int",
+    )
+    targets = n.crossJoin(F.broadcast(fr)).withColumn(
+        "_pos",
+        F.ceil(F.col("_n") * F.col("q_num") / F.col("q_den").cast("double"))
+        .cast("long"),
+    )
+    out = (
+        cum.join(F.broadcast(targets), g if g else None, "inner")
+        if g
+        else cum.crossJoin(F.broadcast(targets))
+    )
+    return (
+        out.where(F.col("_cum") >= F.col("_pos"))
+        .groupBy(*g, "q_num", "q_den")
+        .agg(F.min("_cell").alias("_qcell"))
+        .select(
+            *g,
+            "q_num",
+            "q_den",
+            (F.col("_qcell") / F.lit(float(scale))).alias("value"),
+        )
+    )

@@ -3285,3 +3285,82 @@ def test_kmeans_requires_k_points(spark):
     )
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=2)
+
+
+# ---------------------------------------------------------------------------
+# readability + grid quantiles
+# ---------------------------------------------------------------------------
+
+def test_readability_hand_math(spark):
+    from langscrape_spark.operators.text import readability_profile
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = readability_profile(df).collect()
+    assert len(rows) == 1  # blank and NULL docs drop out
+    r = rows[0]
+    # words: the/cat/sat./it/ran! -> 5; syllables 1 each; sentences 2
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    assert r.flesch == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 6)
+    assert r.fk_grade == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 6)
+
+
+def test_readability_min_floors(spark):
+    """No terminator -> 1 sentence; vowel-less word -> 1 syllable."""
+    from langscrape_spark.operators.text import readability_profile
+
+    df = spark.createDataFrame(
+        [(1, "tsk tsk brrr")], "doc_id long, text string"
+    )
+    r = readability_profile(df).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 3)
+
+
+def test_grid_quantiles_matches_definition(spark):
+    """100 grouped values vs the literal type-1 definition on the
+    quantized grid."""
+    import math
+
+    from langscrape_spark.operators.sharding import grid_quantiles
+
+    rows = [("g1", (i * 37 % 100) / 7.0) for i in range(100)]
+    rows += [("g2", (i * 13 % 50) / 3.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    fr = ((1, 4), (1, 2), (3, 4), (9, 10))
+    got = {
+        (r.grp, r.q_num, r.q_den): r.value
+        for r in grid_quantiles(
+            df, "v", fractions=fr, scale=10, group_cols=["grp"]
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(math.floor(v * 10))
+    for g, cells in by.items():
+        cells.sort()
+        n = len(cells)
+        for num, den in fr:
+            pos = math.ceil(n * num / den)
+            assert got[(g, num, den)] == cells[pos - 1] / 10.0
+
+
+def test_grid_quantiles_ungrouped_nulls_empty(spark):
+    from langscrape_spark.operators.sharding import grid_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double"
+    )
+    got = {
+        (r.q_num, r.q_den): r.value
+        for r in grid_quantiles(
+            df, "v", fractions=((1, 2), (1, 1)), scale=1
+        ).collect()
+    }
+    # n=4 (NULL excluded): median = 2nd smallest = 2.0, max = 4.0
+    assert got == {(1, 2): 2.0, (1, 1): 4.0}
+    empty = spark.createDataFrame([], "v double")
+    assert grid_quantiles(empty, "v").count() == 0
