@@ -3173,6 +3173,28 @@ def q114_grid_quantiles(spark, sf):
     ).orderBy("l_returnflag", "q_den", "q_num")
 
 
+def q115_sequence_pack(spark, sf):
+    """Concat-and-chunk sequence packing (operators/sharding.py::
+    sequence_pack, seq_len=512): the corpus becomes one virtual
+    token stream in md5 order, cut into fixed windows; a straddling
+    doc emits one segment per window it touches (GPT-style packing,
+    unlike q57's whole-doc shard assignment). Spark computes the
+    stream offset with the two-level parallel prefix sum and
+    explodes each doc's seq range; the oracle is the plain
+    global-window cumsum + unnest(range(first, last+1)) — proving
+    both the decomposition and the boundary arithmetic exact."""
+    from langscrape_spark.operators.sharding import sequence_pack
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return sequence_pack(docs, "n_tokens", 512).orderBy(
+        "seq_id", "seg_start_in_seq"
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3320,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_kmeans": q112_kmeans,
         "q113_readability": q113_readability,
         "q114_grid_quantiles": q114_grid_quantiles,
+        "q115_sequence_pack": q115_sequence_pack,
     }
 
 
@@ -7003,5 +7026,36 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN cum ON cum.grp = t.grp AND cum.cum >= t.pos
             GROUP BY t.grp, t.q_num, t.q_den
             ORDER BY l_returnflag, q_den, q_num
+        """,
+        "q115_sequence_pack": f"""
+            -- Ground truth for sequence_pack: plain global-window
+            -- cumsum over the md5 order, then one row per sequence
+            -- window a doc's token span [start, cum) intersects.
+            WITH d AS (
+              SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     md5('s:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM d WHERE n_tokens > 0),
+            seg AS (
+              SELECT doc_id, cum, cum - n_tokens AS strt,
+                     unnest(range(
+                       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT),
+                       CAST(floor((cum - 1) / 512.0) AS BIGINT) + 1))
+                       AS seq_id
+              FROM c)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(strt, seq_id * 512) - strt AS BIGINT)
+                     AS seg_start_in_doc,
+                   CAST(greatest(strt, seq_id * 512) - seq_id * 512
+                     AS BIGINT) AS seg_start_in_seq,
+                   CAST(least(cum, seq_id * 512 + 512)
+                     - greatest(strt, seq_id * 512) AS BIGINT) AS seg_len
+            FROM seg
+            ORDER BY seq_id, seg_start_in_seq
         """,
     }

@@ -308,3 +308,55 @@ def grid_quantiles(
             (F.col("_qcell") / F.lit(float(scale))).alias("value"),
         )
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    key_col: Optional[str] = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout).
+
+    The corpus is laid out as one virtual token stream in deterministic
+    md5 order and cut into fixed ``seq_len`` windows; a document whose
+    token span crosses a boundary contributes one SEGMENT per window it
+    touches (this is the standard "documents may straddle sequences"
+    packing, unlike :func:`pack_shards` whole-doc assignment). Output:
+    one row per (sequence, document) segment with
+
+    * ``seq_id``        — 0-based sequence index,
+    * ``seg_start_in_doc`` / ``seg_start_in_seq`` — 0-based offsets,
+    * ``seg_len``       — tokens of the doc inside this sequence.
+
+    Scale shape: the global offset comes from the two-level
+    :func:`distributed_cumsum` (no single-partition window) and the
+    explode factor per doc is ``1 + tokens/seq_len`` — total output is
+    ``n_docs + total_tokens/seq_len`` rows, linear in corpus size.
+    Zero-token documents are dropped (they occupy no stream span).
+    """
+    if key_col is None:
+        docs = docs.withColumn("_key", order_key(F.col(id_col)))
+        key_col = "_key"
+    cum = distributed_cumsum(
+        docs.where(F.col(tokens_col) > 0), tokens_col, key_col
+    )
+    end = F.col("cum")
+    start = end - F.col(tokens_col)
+    first = F.floor(start / F.lit(seq_len)).cast("long")
+    last = F.floor((end - 1) / F.lit(seq_len)).cast("long")
+    seg = (
+        cum.withColumn("_start", start.cast("long"))
+        .withColumn("seq_id", F.explode(F.sequence(first, last)))
+    )
+    seq_lo = F.col("seq_id") * F.lit(seq_len)
+    seg_lo = F.greatest(F.col("_start"), seq_lo)
+    seg_hi = F.least(F.col("cum"), seq_lo + F.lit(seq_len))
+    return seg.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        (seg_lo - F.col("_start")).cast("long").alias("seg_start_in_doc"),
+        (seg_lo - seq_lo).cast("long").alias("seg_start_in_seq"),
+        (seg_hi - seg_lo).cast("long").alias("seg_len"),
+    )

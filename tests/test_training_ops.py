@@ -3364,3 +3364,46 @@ def test_grid_quantiles_ungrouped_nulls_empty(spark):
     assert got == {(1, 2): 2.0, (1, 1): 4.0}
     empty = spark.createDataFrame([], "v double")
     assert grid_quantiles(empty, "v").count() == 0
+
+
+def test_sequence_pack_invariants(spark):
+    from langscrape_spark.operators.sharding import sequence_pack
+
+    # token counts chosen to straddle: 300+300 crosses the 512
+    # boundary; 1200 spans 3+ windows; 0-token doc must vanish.
+    rows = [(i, t) for i, t in enumerate([300, 300, 1200, 10, 0, 512, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    segs = sequence_pack(df, "n_tokens", 512).collect()
+    total = sum(t for _, t in rows)
+
+    # Per-doc: segments are contiguous in the doc and sum to n_tokens.
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # the 0-token doc
+    for doc_id, n_tokens in rows:
+        if n_tokens == 0:
+            continue
+        parts = sorted(by_doc[doc_id], key=lambda r: r.seg_start_in_doc)
+        assert parts[0].seg_start_in_doc == 0
+        assert sum(p.seg_len for p in parts) == n_tokens
+        off = 0
+        for p in parts:
+            assert p.seg_start_in_doc == off
+            assert 1 <= p.seg_len <= 512
+            off += p.seg_len
+
+    # Per-sequence: full 512 tokens except the last window, no overlap.
+    by_seq = {}
+    for r in segs:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    n_seqs = -(-total // 512)
+    assert sorted(by_seq) == list(range(n_seqs))
+    for sid, parts in by_seq.items():
+        parts.sort(key=lambda r: r.seg_start_in_seq)
+        want = 512 if sid < n_seqs - 1 else total - 512 * (n_seqs - 1)
+        assert sum(p.seg_len for p in parts) == want
+        off = 0
+        for p in parts:
+            assert p.seg_start_in_seq == off
+            off += p.seg_len
