@@ -3195,6 +3195,43 @@ def q115_sequence_pack(spark, sf):
     )
 
 
+def q116_edit_join(spark, sf):
+    """Exact Levenshtein<=1 similarity join (operators/editjoin.py::
+    edit_distance_pairs): FastSS deletion-neighborhood candidates
+    (complete by pigeonhole — no sampling, no df-cap) + one JVM
+    levenshtein confirm, over a deterministic planted corpus built
+    from orders keys (per residue: base 'node{g}cfg', substitution
+    'node{g}cfq', insertion 'node{g}cfgx', distractor 'node{g}zzz';
+    digit-adjacent groups collide too). The oracle is the NAIVE
+    all-pairs levenshtein join — the compare proves the neighborhood
+    scheme misses nothing and adds nothing."""
+    from langscrape_spark.operators.editjoin import edit_distance_pairs
+
+    k = F.col("o_orderkey")
+    g = F.floor(k / 4).cast("long").cast("string")
+    word = (
+        F.when(k % 4 == 0, F.concat(F.lit("node"), g, F.lit("cfg")))
+        .when(k % 4 == 1, F.concat(F.lit("node"), g, F.lit("cfq")))
+        .when(k % 4 == 2, F.concat(F.lit("node"), g, F.lit("cfgx")))
+        .otherwise(F.concat(F.lit("node"), g, F.lit("zzz")))
+    )
+    words = (
+        _t(spark, sf, "orders")
+        .where(k < 4000)
+        .select(word.alias("word"))
+        .distinct()
+    )
+    return (
+        edit_distance_pairs(words, "word", "word", max_edit=1)
+        .select(
+            F.col("id_a").alias("word_a"),
+            F.col("id_b").alias("word_b"),
+            "dist",
+        )
+        .orderBy("word_a", "word_b")
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3343,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_readability": q113_readability,
         "q114_grid_quantiles": q114_grid_quantiles,
         "q115_sequence_pack": q115_sequence_pack,
+        "q116_edit_join": q116_edit_join,
     }
 
 
@@ -7057,5 +7095,22 @@ def oracle_sql() -> dict[str, str]:
                      - greatest(strt, seq_id * 512) AS BIGINT) AS seg_len
             FROM seg
             ORDER BY seq_id, seg_start_in_seq
+        """,
+        "q116_edit_join": """
+            -- Naive all-pairs ground truth: every pair within
+            -- levenshtein 1, no candidate scheme — proving FastSS
+            -- deletion neighborhoods are complete AND precise.
+            WITH w AS (
+              SELECT DISTINCT
+                'node' || CAST(o_orderkey // 4 AS VARCHAR) ||
+                CASE o_orderkey % 4
+                  WHEN 0 THEN 'cfg' WHEN 1 THEN 'cfq'
+                  WHEN 2 THEN 'cfgx' ELSE 'zzz' END AS word
+              FROM orders WHERE o_orderkey < 4000)
+            SELECT a.word AS word_a, b.word AS word_b,
+                   CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+            FROM w a JOIN w b ON a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 1
+            ORDER BY word_a, word_b
         """,
     }

@@ -3407,3 +3407,55 @@ def test_sequence_pack_invariants(spark):
         for p in parts:
             assert p.seg_start_in_seq == off
             off += p.seg_len
+
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    from langscrape_spark.operators.editjoin import edit_distance_pairs
+
+    words = [
+        "node", "nodes", "nod", "mode", "node1", "onde", "abc", "abd",
+        "bacd", "abcd", "", "a", "b", "ab", "ba", "kitten", "sitten",
+        "sittin", "sitting", "flaw", "flaws", "lawn", "config", "confib",
+        "configx", "conzzz",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "w", "w", max_edit=k).collect()
+        }
+        exp = {
+            (min(a, b), max(a, b), lev(a, b))
+            for i, a in enumerate(words)
+            for b in words[i + 1:]
+            if lev(a, b) <= k
+        }
+        assert got == exp, f"k={k}: missing {exp - got}, extra {got - exp}"
+
+
+def test_edit_distance_hot_bucket_guard(spark):
+    from langscrape_spark.operators.editjoin import edit_distance_pairs
+
+    # 50 ids sharing one string = a hot variant cluster; guard drops it
+    rows = [(i, "samestr") for i in range(50)] + [(100, "uniq"), (101, "uniqx")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = edit_distance_pairs(df, "s", "id", max_edit=1, max_bucket=10).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(100, 101)}
+    # guard off: the cluster's 1225 ed=0 pairs all come back
+    full = edit_distance_pairs(df, "s", "id", max_edit=1, max_bucket=None)
+    assert full.count() == 50 * 49 // 2 + 1
