@@ -3232,6 +3232,27 @@ def q116_edit_join(spark, sf):
     )
 
 
+def q117_zorder_layout(spark, sf):
+    """Z-order (Morton) layout audit (operators/layout.py::
+    zorder_file_stats, 8-bit buckets, 16 z-range files) over the
+    events table's (ts, user_id) plane — the multi-dimension scan-
+    pruning layout behind Iceberg/Delta ZORDER BY. Pure integer bit
+    arithmetic in-plan (no UDF, no collect; range bounds via a 1-row
+    broadcast crossJoin); the oracle repeats bucket formula, bit
+    interleave and file ranges op-for-op and re-derives every file's
+    bounding rectangle."""
+    from langscrape_spark.operators.layout import zorder_file_stats
+
+    ev = _t(spark, sf, "events")
+    return zorder_file_stats(
+        ev,
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("user_id"),
+        bits=8,
+        files=16,
+    ).orderBy("file_id")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3381,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_grid_quantiles": q114_grid_quantiles,
         "q115_sequence_pack": q115_sequence_pack,
         "q116_edit_join": q116_edit_join,
+        "q117_zorder_layout": q117_zorder_layout,
     }
 
 
@@ -7112,5 +7134,28 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 1
             ORDER BY word_a, word_b
+        """,
+        "q117_zorder_layout": """
+            -- Op-for-op twin of zorder_file_stats: equal-width
+            -- buckets over observed min/max, literal bit interleave,
+            -- 4096-wide z ranges, per-file bounding rectangles.
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) AS DOUBLE) AS x,
+                     CAST(user_id AS DOUBLE) AS y
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            r AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                         min(y) AS ylo, max(y) AS yhi FROM d),
+            b AS (
+              SELECT least(greatest(CAST(coalesce(floor((x - xlo) * 256.0 / nullif(xhi - xlo, 0)), 0) AS BIGINT), 0), 255) AS xb,
+                     least(greatest(CAST(coalesce(floor((y - ylo) * 256.0 / nullif(yhi - ylo, 0)), 0) AS BIGINT), 0), 255) AS yb
+              FROM d, r),
+            z AS (SELECT xb, yb,
+                         ((((xb) >> 0) & 1) * 1 + (((yb) >> 0) & 1) * 2 + (((xb) >> 1) & 1) * 4 + (((yb) >> 1) & 1) * 8 + (((xb) >> 2) & 1) * 16 + (((yb) >> 2) & 1) * 32 + (((xb) >> 3) & 1) * 64 + (((yb) >> 3) & 1) * 128 + (((xb) >> 4) & 1) * 256 + (((yb) >> 4) & 1) * 512 + (((xb) >> 5) & 1) * 1024 + (((yb) >> 5) & 1) * 2048 + (((xb) >> 6) & 1) * 4096 + (((yb) >> 6) & 1) * 8192 + (((xb) >> 7) & 1) * 16384 + (((yb) >> 7) & 1) * 32768) AS zval
+                  FROM b)
+            SELECT CAST(floor(zval / 4096) AS BIGINT) AS file_id,
+                   count(*) AS n_rows,
+                   min(xb) AS xb_min, max(xb) AS xb_max,
+                   min(yb) AS yb_min, max(yb) AS yb_max
+            FROM z GROUP BY 1 ORDER BY file_id
         """,
     }

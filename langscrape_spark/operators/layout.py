@@ -1,0 +1,108 @@
+"""Z-order (Morton) data layout for multi-dimension scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet/Iceberg readers prune whole files from min/max column stats,
+but stats only help if the WRITE ORDER clusters each file into a small
+rectangle of the filtered dimensions. Sorting by one column gives
+perfect pruning on it and none on the second; interleaving the bits of
+both bucketized dimensions (the Morton / Z-order curve) gives
+near-square rectangles on BOTH — the standard layout trick behind
+Delta/Iceberg ``ZORDER BY``.
+
+This module computes the z-value in-plan (pure integer bit arithmetic,
+whole-stage codegen, no UDF) and reports the per-file bounding
+rectangles a writer partitioned on z-ranges would produce — the
+pruning-quality audit. The bucket bounds come from a 1-row aggregate
+broadcast back via crossJoin (no driver collect), so the operator is
+one scan + one tiny shuffle regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def morton_col(xb: Column, yb: Column, bits: int) -> Column:
+    """Interleave the low ``bits`` bits of two bucket ids: x gets the
+    even output bits, y the odd. Literal shifts only (Spark's
+    shiftleft/shiftright take literal distances)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + (
+            F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(yb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def morton_sql(xb_expr: str, yb_expr: str, bits: int) -> str:
+    """The DuckDB twin of :func:`morton_col` as a SQL expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb_expr}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({yb_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket(x: Column, lo: Column, hi: Column, m: int) -> Column:
+    """Equal-width bucket of ``x`` into [0, m) over the [lo, hi] range;
+    degenerate range (hi == lo) maps everything to bucket 0. The
+    formula is written so the DuckDB oracle can repeat it op-for-op
+    (IEEE doubles agree when the expression tree agrees)."""
+    raw = F.floor(
+        F.try_divide((x - lo) * F.lit(float(m)), hi - lo)
+    )
+    return F.least(
+        F.greatest(F.coalesce(raw, F.lit(0)).cast("long"), F.lit(0)),
+        F.lit(m - 1),
+    )
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    bits: int = 8,
+    files: int = 16,
+) -> DataFrame:
+    """Audit the file layout a z-order writer would produce.
+
+    Buckets both dimensions into ``2**bits`` equal-width cells over
+    their observed min/max, interleaves to the z-value, assigns each
+    row to one of ``files`` equal-width z-ranges (``files`` must be a
+    power of two dividing ``4**bits``), and reports each file's row
+    count and bucket-space bounding rectangle — small rectangles mean
+    min/max stats prune scans on EITHER dimension.
+    Output: ``file_id, n_rows, xb_min, xb_max, yb_min, yb_max``.
+    """
+    m = 1 << bits
+    if files & (files - 1) or files > m * m:
+        raise ValueError("files must be a power of two <= 4**bits")
+    d = df.select(
+        x_col.cast("double").alias("_x"), y_col.cast("double").alias("_y")
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    rng = d.agg(
+        F.min("_x").alias("_xlo"),
+        F.max("_x").alias("_xhi"),
+        F.min("_y").alias("_ylo"),
+        F.max("_y").alias("_yhi"),
+    )
+    b = d.crossJoin(F.broadcast(rng)).select(
+        _bucket(F.col("_x"), F.col("_xlo"), F.col("_xhi"), m).alias("xb"),
+        _bucket(F.col("_y"), F.col("_ylo"), F.col("_yhi"), m).alias("yb"),
+    )
+    z = b.withColumn("zval", morton_col(F.col("xb"), F.col("yb"), bits))
+    per_file = m * m // files
+    return (
+        z.withColumn(
+            "file_id", F.floor(F.col("zval") / F.lit(per_file)).cast("long")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xb").alias("xb_min"),
+            F.max("xb").alias("xb_max"),
+            F.min("yb").alias("yb_min"),
+            F.max("yb").alias("yb_max"),
+        )
+    )

@@ -3459,3 +3459,36 @@ def test_edit_distance_hot_bucket_guard(spark):
     # guard off: the cluster's 1225 ed=0 pairs all come back
     full = edit_distance_pairs(df, "s", "id", max_edit=1, max_bucket=None)
     assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_zorder_files_are_small_rectangles(spark):
+    from langscrape_spark.operators.layout import zorder_file_stats
+
+    # Uniform 128x128 grid: 16 z-range files fix the top 2 bits of
+    # BOTH bucket ids, so every file's bounding rectangle is exactly
+    # one 64x64 bucket quadrant — pruning works on either dimension.
+    rows = [(float(x), float(y)) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    stats = zorder_file_stats(
+        df, F.col("x"), F.col("y"), bits=8, files=16
+    ).collect()
+    assert len(stats) == 16
+    assert sum(r.n_rows for r in stats) == 128 * 128
+    for r in stats:
+        assert r.xb_max - r.xb_min <= 63, r
+        assert r.yb_max - r.yb_min <= 63, r
+
+
+def test_morton_interleave_roundtrip(spark):
+    from langscrape_spark.operators.layout import morton_col
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 2, 7, 85, 255)],
+        "xb long, yb long",
+    )
+    got = df.select("xb", "yb", morton_col(F.col("xb"), F.col("yb"), 8).alias("z")).collect()
+    for r in got:
+        z = sum(((r.xb >> i) & 1) << (2 * i) for i in range(8)) + sum(
+            ((r.yb >> i) & 1) << (2 * i + 1) for i in range(8)
+        )
+        assert r.z == z
