@@ -3253,6 +3253,27 @@ def q117_zorder_layout(spark, sf):
     ).orderBy("file_id")
 
 
+def q118_opic(spark, sf):
+    """OPIC adaptive crawl priority (operators/hostrank.py::opic,
+    6 synchronous rounds over the shared host graph): cash banks
+    into history and flows along out-edges each round, dangling
+    cash recycles uniformly (the virtual root page); importance =
+    history / rounds (total history is exactly T by conservation).
+    The NORTH-RULE fit: this is the frontier's online priority
+    signal — it converges while the crawl runs, no offline batch
+    PageRank needed. The oracle unrolls the identical cash/history
+    recurrence as MATERIALIZED CTEs."""
+    from langscrape_spark.operators.hostrank import opic
+
+    return opic(_host_graph(spark, sf), iterations=6).orderBy("host")
+
+
+def _opic_oracle() -> str:
+    from langscrape_spark.operators.hostrank import opic_oracle_sql
+
+    return opic_oracle_sql(_HOSTGRAPH_RAW_SQL, iterations=6)
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3403,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_sequence_pack": q115_sequence_pack,
         "q116_edit_join": q116_edit_join,
         "q117_zorder_layout": q117_zorder_layout,
+        "q118_opic": q118_opic,
     }
 
 
@@ -7158,4 +7180,5 @@ def oracle_sql() -> dict[str, str]:
                    min(yb) AS yb_min, max(yb) AS yb_max
             FROM z GROUP BY 1 ORDER BY file_id
         """,
+        "q118_opic": _opic_oracle(),
     }

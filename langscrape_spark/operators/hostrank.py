@@ -462,3 +462,132 @@ def bfs_depths_oracle_sql(
         f" FROM hosts LEFT JOIN d{n} d ON hosts.host = d.host)"
     )
     return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"
+
+
+def opic(edges: DataFrame, iterations: int = 6) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul/Preda/
+    Cobena, WWW 2003), the classic ADAPTIVE crawl-priority signal:
+    unlike offline PageRank it converges while the crawl runs, so the
+    frontier can order fetches by accumulated cash history without a
+    full-graph batch job. Synchronous batch variant: every host starts
+    with cash 1/n; each round it banks its cash into its history and
+    distributes it equally along out-edges; dangling cash is recycled
+    uniformly (the paper's virtual root page). Total cash stays 1 and
+    total history after T rounds is exactly T, so
+    ``importance = history / T`` needs no normalizer pass.
+
+    Output: ``(host, cash, history, importance)`` all round-6.
+
+    Scale shape mirrors ``host_pagerank``/``trustrank``: cached
+    transition probabilities, one equi-key join + grouped sum per
+    round, a bounded dangling scalar collect per round (which also
+    materializes the previous iteration), history merged by
+    UNION-then-sum over ≤2-row groups (exact: IEEE addition is
+    commutative)."""
+    from .linkgraph import clean_host_edges
+
+    spark = edges.sparkSession
+    empty = "host string, cash double, history double, importance double"
+    e, hosts = clean_host_edges(edges)
+    n = hosts.count()  # bounded scalar (host table, not pages)
+    if n == 0:
+        return spark.createDataFrame([], empty)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    trans = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("p"))
+        .cache()
+    )
+    trans.count()
+    srcs = trans.select("src").distinct().cache()
+
+    c = hosts.select("host", F.lit(1.0 / n).alias("c"))
+    h = None
+    for _ in range(iterations):
+        dang = (
+            c.join(srcs, c.host == srcs.src, "left_anti")
+            .agg(F.sum("c"))
+            .first()[0]
+            or 0.0
+        )  # bounded scalar; also materializes the previous iteration
+        banked = c.select("host", F.col("c").alias("v"))
+        h = (
+            banked
+            if h is None
+            else h.select("host", F.col("h").alias("v"))
+            .unionByName(banked)
+            .groupBy("host")
+            .agg(F.sum("v").alias("v"))
+        ).withColumnRenamed("v", "h")
+        contrib = (
+            trans.join(c, trans.src == c.host)
+            .groupBy(trans.dst.alias("host"))
+            .agg(F.sum(F.col("c") * F.col("p")).alias("v"))
+        )
+        c = (
+            hosts.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.coalesce("v", F.lit(0.0)) + F.lit(dang / n)).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hosts.join(h, "host", "left").join(c, "host", "left").select(
+        "host",
+        F.round(F.coalesce("c", F.lit(0.0)), 6).alias("cash"),
+        F.round(F.coalesce("h", F.lit(0.0)), 6).alias("history"),
+        F.round(
+            F.coalesce("h", F.lit(0.0)) / F.lit(float(iterations)), 6
+        ).alias("importance"),
+    )
+
+
+def opic_oracle_sql(raw_edges_sql: str, iterations: int = 6) -> str:
+    """DuckDB twin of ``opic``: the cash/history recurrence unrolled
+    as MATERIALIZED CTEs (c{i}/h{i} are each read twice — without
+    materialization the inlined tree doubles per iteration)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts),",
+        "od AS MATERIALIZED (SELECT src, count(*) AS od"
+        " FROM e GROUP BY src),",
+        "trans AS MATERIALIZED (SELECT e.src, e.dst,"
+        " 1.0 / od.od AS p FROM e JOIN od ON e.src = od.src),",
+        "c0 AS MATERIALIZED (SELECT host,"
+        " 1.0 / (SELECT n FROM nn) AS c FROM hosts),",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        parts += [
+            f"g{i} AS MATERIALIZED (SELECT coalesce(sum(c), 0.0) AS dang"
+            f" FROM {prev} WHERE host NOT IN (SELECT src FROM e)),",
+            (
+                f"h{i} AS MATERIALIZED (SELECT host, c AS h FROM c0),"
+                if i == 1
+                else f"h{i} AS MATERIALIZED (SELECT host, sum(v) AS h"
+                f" FROM (SELECT host, h AS v FROM h{i - 1}"
+                f" UNION ALL SELECT host, c AS v FROM {prev}) u"
+                " GROUP BY host),"
+            ),
+            f"c{i} AS MATERIALIZED (SELECT hosts.host,"
+            f" coalesce(x.v, 0.0)"
+            f" + (SELECT dang FROM g{i}) / (SELECT n FROM nn) AS c"
+            " FROM hosts LEFT JOIN (SELECT tr.dst AS host,"
+            f" sum(t.c * tr.p) AS v FROM trans tr"
+            f" JOIN {prev} t ON tr.src = t.host GROUP BY tr.dst) x"
+            " ON hosts.host = x.host),",
+        ]
+    t = iterations
+    parts.append(
+        "fin AS (SELECT hosts.host,"
+        f" round(coalesce(c{t}.c, 0), 6) AS cash,"
+        f" round(coalesce(h{t}.h, 0), 6) AS history,"
+        f" round(coalesce(h{t}.h, 0) / {repr(float(t))}, 6) AS importance"
+        f" FROM hosts LEFT JOIN h{t} ON hosts.host = h{t}.host"
+        f" LEFT JOIN c{t} ON hosts.host = c{t}.host)"
+    )
+    return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"

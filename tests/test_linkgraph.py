@@ -419,3 +419,35 @@ def test_link_prediction_excludes_adjacent_and_hot_centers(spark):
         link_prediction(star, max_center_degree=5, min_common=1).count()
         == 10
     )
+
+
+def test_opic_conservation_and_tiny_graph(spark):
+    from langscrape_spark.operators.hostrank import opic
+
+    # a -> b -> c, c dangling; n=3, cash starts 1/3 each.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_host string, dst_host string"
+    )
+    rows = {r.host: r for r in opic(edges, iterations=2).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # Mass conservation: cash sums to 1, history to T, importance to 1.
+    assert abs(sum(r.cash for r in rows.values()) - 1.0) < 1e-6
+    assert abs(sum(r.history for r in rows.values()) - 2.0) < 1e-6
+    assert abs(sum(r.importance for r in rows.values()) - 1.0) < 1e-6
+    # Hand-rolled rounds: c0 = (1/3, 1/3, 1/3); dangling c.
+    # r1: dang=1/3 -> each +1/9; a=1/9, b=1/3+1/9, c=1/3+1/9
+    # h1 = c0.  r2: dang=c1(c)=4/9 -> each +4/27;
+    # a=4/27, b=c1(a)+4/27=1/9+4/27, c=c1(b)+4/27=4/9+4/27
+    third = 1.0 / 3
+    c1 = {"a": 1 / 9, "b": third + 1 / 9, "c": third + 1 / 9}
+    c2 = {"a": 4 / 27, "b": 1 / 9 + 4 / 27, "c": 4 / 9 + 4 / 27}
+    for hst in "abc":
+        assert abs(rows[hst].cash - c2[hst]) < 1e-6, hst
+        assert abs(rows[hst].history - (third + c1[hst])) < 1e-6, hst
+
+
+def test_opic_empty_graph(spark):
+    from langscrape_spark.operators.hostrank import opic
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    assert opic(empty).count() == 0
