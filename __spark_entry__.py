@@ -3274,6 +3274,25 @@ def _opic_oracle() -> str:
     return opic_oracle_sql(_HOSTGRAPH_RAW_SQL, iterations=6)
 
 
+def q119_js_drift(spark, sf):
+    """Per-host Jensen-Shannon drift in BITS between the q54 snapshot
+    pair (operators/snapshots.py::unigram_js_divergence): unigram
+    distributions per host per side, one full-outer (host, word)
+    join, p·log2(2p/(p+q)) terms with zero-terms dropped — the
+    distribution-shift detector that sees template turnover even
+    when every page changed "a little". The oracle re-derives the
+    snapshot generators, tokenization, both distributions and the
+    JS formula op-for-op."""
+    from langscrape_spark.operators.snapshots import unigram_js_divergence
+    from langscrape_spark.operators.urls import host_of
+
+    old, new = _q54_snapshots(_t(spark, sf, "documents"))
+    return unigram_js_divergence(
+        old.select(host_of(F.col("url")).alias("host"), "text"),
+        new.select(host_of(F.col("url")).alias("host"), "text"),
+    ).orderBy("host")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3425,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_edit_join": q116_edit_join,
         "q117_zorder_layout": q117_zorder_layout,
         "q118_opic": q118_opic,
+        "q119_js_drift": q119_js_drift,
     }
 
 
@@ -7181,4 +7201,49 @@ def oracle_sql() -> dict[str, str]:
             FROM z GROUP BY 1 ORDER BY file_id
         """,
         "q118_opic": _opic_oracle(),
+        "q119_js_drift": f"""
+            -- Snapshot generators (q54's formulas), per-host unigram
+            -- distributions, full-outer (host, word) join, JS in bits.
+            WITH oldd AS (
+              SELECT 'h' || (doc_id % 17) || '.example.com' AS g, text
+              FROM documents),
+            newd AS (
+              SELECT 'h' || (doc_id % 17) || '.example.com' AS g,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT 'h' || ((doc_id + 10000) % 17) || '.example.com',
+                     text
+              FROM documents WHERE doc_id % 13 = 0),
+            co AS (SELECT g, w, count(*) AS c FROM (
+                     SELECT g, unnest({_TOKENS}) AS w FROM oldd)
+                   GROUP BY g, w),
+            cn AS (SELECT g, w, count(*) AS c FROM (
+                     SELECT g, unnest({_TOKENS}) AS w FROM newd)
+                   GROUP BY g, w),
+            pold AS (SELECT g, w, c / t AS p FROM co
+                     JOIN (SELECT g, sum(c) AS t FROM co GROUP BY g)
+                       USING (g)),
+            pnew AS (SELECT g, w, c / t AS q FROM cn
+                     JOIN (SELECT g, sum(c) AS t FROM cn GROUP BY g)
+                       USING (g)),
+            j AS (SELECT g, w, coalesce(p, 0.0) AS p,
+                         coalesce(q, 0.0) AS q
+                  FROM pold FULL OUTER JOIN pnew USING (g, w))
+            SELECT g AS host,
+                   round(0.5 * sum(
+                     CASE WHEN p > 0
+                       THEN p * log2(2.0 * p / (p + q)) ELSE 0.0 END
+                     + CASE WHEN q > 0
+                       THEN q * log2(2.0 * q / (p + q)) ELSE 0.0 END),
+                     6) AS js_bits,
+                   CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS vocab_old,
+                   CAST(sum(CASE WHEN q > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS vocab_new,
+                   CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS vocab_common
+            FROM j GROUP BY g ORDER BY host
+        """,
     }

@@ -210,3 +210,71 @@ def url_change_similarity(
         .otherwise(F.lit("rewritten"))
         .alias("change_class"),
     )
+
+
+def unigram_js_divergence(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence (in BITS, log2) between the
+    unigram word distributions of two crawl snapshots — the
+    distribution-shift detector a refresh pipeline runs per host:
+    fingerprint deltas (``crawl_delta``) see per-PAGE edits, JS drift
+    sees per-HOST template/content turnover even when every url
+    changed "a little". JS is symmetric and bounded in [0, 1] bit, so
+    thresholds transfer across hosts of different sizes.
+
+    Output: ``(group, js_bits, vocab_old, vocab_new, vocab_common)``.
+
+    Scale shape: each side is one explode + two hash aggs keyed by
+    (group, word) — map-side combinable; the sides meet in ONE
+    full-outer equi-key join on (group, word); per-group totals join
+    back broadcast-free on the group key (hosts-sized frame). No UDF,
+    no collect; term math is written op-for-op the way the DuckDB
+    oracle repeats it (p·log2(2p/(p+q)) with zero-terms dropped).
+    """
+    from .text import words_col
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        w = df.select(
+            F.col(group_col).alias("g"),
+            F.explode(words_col(F.col(text_col))).alias("w"),
+        )
+        cnt = w.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.groupBy("g").agg(F.sum("c").alias("t"))
+        return cnt.join(tot, "g").select(
+            "g", "w", (F.col("c") / F.col("t")).alias(f"p_{tag}")
+        )
+
+    po, pn = side(old, "old"), side(new, "new")
+    j = po.join(pn, ["g", "w"], "full_outer").select(
+        "g",
+        "w",
+        F.coalesce("p_old", F.lit(0.0)).alias("p"),
+        F.coalesce("p_new", F.lit(0.0)).alias("q"),
+    )
+    term = lambda x, y: F.when(  # noqa: E731
+        F.col(x) > 0,
+        F.col(x) * F.log2(F.lit(2.0) * F.col(x) / (F.col("p") + F.col("q"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.round(
+                F.lit(0.5) * F.sum(term("p", "q") + term("q", "p")), 6
+            ).alias("js_bits"),
+            F.sum(F.when(F.col("p") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_old"),
+            F.sum(F.when(F.col("q") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_new"),
+            F.sum(
+                F.when((F.col("p") > 0) & (F.col("q") > 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_common"),
+        )
+    )

@@ -3492,3 +3492,30 @@ def test_morton_interleave_roundtrip(spark):
             ((r.yb >> i) & 1) << (2 * i + 1) for i in range(8)
         )
         assert r.z == z
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    from langscrape_spark.operators.snapshots import unigram_js_divergence
+
+    old = spark.createDataFrame(
+        [("a", "x x y"), ("b", "cat dog"), ("c", "p q r")],
+        "host string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "x x y"), ("b", "bird fish"), ("c", "p q s")],
+        "host string, text string",
+    )
+    rows = {r.host: r for r in unigram_js_divergence(old, new).collect()}
+    # identical distribution -> 0 bits; disjoint vocab -> exactly 1 bit
+    assert rows["a"].js_bits == 0.0
+    assert rows["a"].vocab_common == rows["a"].vocab_old == 2
+    assert rows["b"].js_bits == 1.0
+    assert rows["b"].vocab_common == 0
+    assert 0.0 < rows["c"].js_bits < 1.0
+    # symmetry
+    swapped = {
+        r.host: r for r in unigram_js_divergence(new, old).collect()
+    }
+    for h in rows:
+        assert swapped[h].js_bits == rows[h].js_bits
+        assert swapped[h].vocab_old == rows[h].vocab_new
