@@ -3293,6 +3293,31 @@ def q119_js_drift(spark, sf):
     ).orderBy("host")
 
 
+def _bpe_fertility_oracle() -> str:
+    from langscrape_spark.operators.bpe import bpe_fertility_oracle_sql
+
+    tok = f"""
+        SELECT doc_id, lang, w FROM ({_tok_sql("doc_id, lang")})
+        WHERE NOT contains(w, chr(31))
+    """
+    return bpe_fertility_oracle_sql(_BPE_WC_SQL, tok, n_merges=8)
+
+
+def q120_bpe_fertility(spark, sf):
+    """Tokenizer fertility by language (operators/bpe.py::
+    bpe_fertility_by_lang): the 8-merge BPE from q84 applied via the
+    segmented-vocab equi-join, rolled up per the documents table's
+    lang column — fertility (syms/word) is the number that exposes a
+    tokenizer over-segmenting minority languages before a training
+    run wastes sequence budget. Oracle: the unrolled training rounds
+    + the same join and per-lang aggregate."""
+    from langscrape_spark.operators.bpe import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(
+        _t_parallel(spark, sf, "documents"), n_merges=8
+    ).orderBy("lang")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3445,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_zorder_layout": q117_zorder_layout,
         "q118_opic": q118_opic,
         "q119_js_drift": q119_js_drift,
+        "q120_bpe_fertility": q120_bpe_fertility,
     }
 
 
@@ -7201,6 +7227,7 @@ def oracle_sql() -> dict[str, str]:
             FROM z GROUP BY 1 ORDER BY file_id
         """,
         "q118_opic": _opic_oracle(),
+        "q120_bpe_fertility": _bpe_fertility_oracle(),
         "q119_js_drift": f"""
             -- Snapshot generators (q54's formulas), per-host unigram
             -- distributions, full-outer (host, word) join, JS in bits.

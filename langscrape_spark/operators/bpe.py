@@ -273,3 +273,71 @@ def bpe_encode_oracle_sql(
         f" GROUP BY t.doc_id ORDER BY t.doc_id"
     )
     return "\n".join(parts)
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Tokenizer fertility audit BY LANGUAGE — the multilingual-corpus
+    health check: a tokenizer trained on a skewed mixture over-segments
+    the minority languages, and fertility (BPE symbols per word) is
+    the number that shows it before a training run wastes sequence
+    budget. Same segmented-vocab equi-join as
+    :func:`bpe_encode_stats` (documents never re-folded), rolled up
+    per ``lang_col`` instead of per doc.
+
+    Output: ``(lang, n_docs, n_words, n_chars, n_syms, fertility,
+    compression)`` — fertility = syms/word, compression = chars/sym.
+    """
+    _, vocab = _train_loop(docs, text_col, n_merges)
+    from .text import words_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.explode(words_col(F.col(text_col))).alias("w"),
+    ).where(~F.col("w").contains(SEP))
+    return (
+        toks.join(vocab.select("w", F.size("g").alias("_ns")), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("_ns").cast("long").alias("n_syms"),
+            F.round(F.sum("_ns") / F.count(F.lit(1)), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum(F.length("w")) / F.sum("_ns"), 6).alias(
+                "compression"
+            ),
+        )
+    )
+
+
+def bpe_fertility_oracle_sql(
+    source_sql: str,
+    tok_sql: str,
+    n_merges: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`bpe_fertility_by_lang`. ``tok_sql``
+    must select ``(doc_id, lang, w)`` token occurrences (duplicates
+    kept, separator-words excluded)."""
+    parts = _rounds_cte(source_sql, n_merges, with_final_vocab=True)
+    parts.append(f", tok AS ({tok_sql})")
+    parts.append(
+        f" SELECT t.lang,"
+        f" CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,"
+        f" CAST(count(*) AS BIGINT) AS n_words,"
+        f" CAST(sum(length(t.w)) AS BIGINT) AS n_chars,"
+        f" CAST(sum(len(v.g)) AS BIGINT) AS n_syms,"
+        f" round(sum(len(v.g)) / count(*), 6) AS fertility,"
+        f" round(sum(length(t.w)) / sum(len(v.g)), 6) AS compression"
+        f" FROM tok t JOIN vocab{n_merges} v ON t.w = v.w"
+        f" GROUP BY t.lang ORDER BY t.lang"
+    )
+    return "\n".join(parts)
