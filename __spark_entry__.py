@@ -3318,6 +3318,22 @@ def q120_bpe_fertility(spark, sf):
     ).orderBy("lang")
 
 
+def q121_cusum_bursts(spark, sf):
+    """CUSUM burst detection (operators/anomaly.py::cusum_bursts, 16
+    buckets) over per-event-type rates: the sequential recurrence
+    s_t = max(0, s_{t-1} + (x_t - mu - slack)) becomes a pure window
+    computation via the prefix identity s_t = P_t - min(0, min P_j)
+    — cumsum + running-min per group, fully parallel, no fold. The
+    oracle repeats bucketing, densification, baseline and both
+    windows verbatim (running windows accumulate in the same order,
+    so even the float path is IEEE-identical)."""
+    from langscrape_spark.operators.anomaly import cusum_bursts
+
+    return cusum_bursts(
+        _t(spark, sf, "events"), "event_type", "ts", buckets=16
+    ).orderBy("event_type", "bucket")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3471,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_opic": q118_opic,
         "q119_js_drift": q119_js_drift,
         "q120_bpe_fertility": q120_bpe_fertility,
+        "q121_cusum_bursts": q121_cusum_bursts,
     }
 
 
@@ -7228,6 +7245,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q118_opic": _opic_oracle(),
         "q120_bpe_fertility": _bpe_fertility_oracle(),
+        "q121_cusum_bursts": """
+            -- Verbatim window twin of cusum_bursts: global time
+            -- range, 16 equal-width buckets, zero-densified grid,
+            -- mu = total/16, P_t cumsum, running-min prefix identity.
+            WITH d AS (
+              SELECT event_type AS g, CAST(epoch_us(ts) AS DOUBLE) AS x
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            r AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
+            binned AS (
+              SELECT g, least(greatest(CAST(coalesce(
+                       floor((x - lo) * 16.0 / nullif(hi - lo, 0)), 0)
+                       AS BIGINT), 0), 15) AS b
+              FROM d, r),
+            cnt AS (SELECT g, b, count(*) AS n FROM binned GROUP BY g, b),
+            grid AS (SELECT g, r AS b
+                     FROM (SELECT DISTINCT g FROM cnt), range(16) t(r)),
+            dense AS (
+              SELECT grid.g, grid.b, CAST(coalesce(n, 0) AS BIGINT) AS n
+              FROM grid LEFT JOIN cnt
+                ON grid.g = cnt.g AND grid.b = cnt.b),
+            m AS (SELECT g, b, n,
+                         sum(n) OVER (PARTITION BY g) / 16.0 AS mu
+                  FROM dense),
+            p AS (SELECT g, b, n, mu,
+                         sum(n - mu - 0.25 * mu)
+                           OVER (PARTITION BY g ORDER BY b) AS p
+                  FROM m),
+            s AS (SELECT g, b, n, mu,
+                         p - least(min(p) OVER (PARTITION BY g ORDER BY b),
+                                   0.0) AS s
+                  FROM p)
+            SELECT g AS event_type, CAST(b AS BIGINT) AS bucket,
+                   n AS n_events, round(s, 6) AS cusum,
+                   CASE WHEN s > 2.0 * mu THEN 1 ELSE 0 END AS alarm
+            FROM s ORDER BY event_type, bucket
+        """,
         "q119_js_drift": f"""
             -- Snapshot generators (q54's formulas), per-host unigram
             -- distributions, full-outer (host, word) join, JS in bits.

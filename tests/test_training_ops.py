@@ -3519,3 +3519,36 @@ def test_js_divergence_bounds_and_symmetry(spark):
     for h in rows:
         assert swapped[h].js_bits == rows[h].js_bits
         assert swapped[h].vocab_old == rows[h].vocab_new
+
+
+def test_cusum_prefix_identity_matches_direct_recurrence(spark):
+    import datetime as dt
+
+    from langscrape_spark.operators.anomaly import cusum_bursts
+
+    # planted burst: host A quiet then spikes in buckets 12-15;
+    # host B uniform (never alarms).
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for b in range(16):
+        for _ in range(3):
+            rows.append(("B", base + dt.timedelta(hours=b)))
+        n = 20 if b >= 12 else 1
+        for _ in range(n):
+            rows.append(("A", base + dt.timedelta(hours=b)))
+    # pin the global range exactly to [0h, 15h)+eps via endpoints
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {
+        (r.g, r.bucket): r
+        for r in cusum_bursts(df, "g", "ts", buckets=16).collect()
+    }
+    for g in ("A", "B"):
+        counts = [got[(g, b)].n_events for b in range(16)]
+        mu = sum(counts) / 16.0
+        s = 0.0
+        for b, n in enumerate(counts):
+            s = max(0.0, s + (n - mu - 0.25 * mu))
+            assert abs(got[(g, b)].cusum - s) < 1e-6, (g, b)
+            assert got[(g, b)].alarm == (1 if s > 2.0 * mu else 0)
+    assert any(got[("A", b)].alarm for b in range(12, 16))
+    assert not any(got[("B", b)].alarm for b in range(16))
