@@ -3334,6 +3334,27 @@ def q121_cusum_bursts(spark, sf):
     ).orderBy("event_type", "bucket")
 
 
+def q122_seed_cover(spark, sf):
+    """Greedy max-coverage crawl-seed selection (operators/
+    linkgraph.py::greedy_seed_cover, k=4) over the shared host
+    graph: each round scores candidates by MARGINAL gain against the
+    covered set and takes a deterministic argmax — the submodular
+    (1-1/e) greedy that cuts a seed list to the hosts that actually
+    widen reach. Oracle: the four rounds unrolled as MATERIALIZED
+    CTEs with the same anti-join, argmax and cumulative total."""
+    from langscrape_spark.operators.linkgraph import greedy_seed_cover
+
+    return greedy_seed_cover(_host_graph(spark, sf), k=4).orderBy("round")
+
+
+def _seed_cover_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import (
+        greedy_seed_cover_oracle_sql,
+    )
+
+    return greedy_seed_cover_oracle_sql(_HOSTGRAPH_RAW_SQL, k=4)
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3488,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_js_drift": q119_js_drift,
         "q120_bpe_fertility": q120_bpe_fertility,
         "q121_cusum_bursts": q121_cusum_bursts,
+        "q122_seed_cover": q122_seed_cover,
     }
 
 
@@ -7245,6 +7267,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q118_opic": _opic_oracle(),
         "q120_bpe_fertility": _bpe_fertility_oracle(),
+        "q122_seed_cover": _seed_cover_oracle(),
         "q121_cusum_bursts": """
             -- Verbatim window twin of cusum_bursts: global time
             -- range, 16 equal-width buckets, zero-densified grid,

@@ -593,3 +593,97 @@ def link_prediction(
             F.round(F.col("_aa"), 6).alias("adamic_adar"),
         )
     )
+
+
+def greedy_seed_cover(edges: DataFrame, k: int = 4) -> DataFrame:
+    """Greedy maximum-coverage crawl-seed selection: pick ``k`` source
+    hosts whose out-link sets together reach the most distinct
+    destination hosts — the classic (1 - 1/e)-approximate submodular
+    greedy, and the principled way to cut a seed list: each round
+    scores every candidate by MARGINAL gain (new dsts only), takes the
+    argmax (ties: smallest host), and adds its dsts to the covered
+    set.
+
+    Output: ``(round, host, gain, covered_total)`` — one row per pick;
+    rounds stop early when nothing new is coverable.
+
+    Scale shape: per round one anti-join against the covered set (dst-
+    keyed, grows monotonically but stays hosts-sized), one grouped
+    count, and a single-ROW argmax collect (TakeOrderedAndProject —
+    bounded, also materializes the round); the covered set is
+    localCheckpoint'd so lineage stays flat across rounds.
+    """
+    spark = edges.sparkSession
+    empty = "round int, host string, gain long, covered_total long"
+    e, _hosts = clean_host_edges(edges)
+    if e.limit(1).count() == 0:
+        return spark.createDataFrame([], empty)
+    covered = None
+    rows = []
+    total = 0
+    for i in range(1, k + 1):
+        remaining = (
+            e if covered is None else e.join(covered, "dst", "left_anti")
+        )
+        best = (
+            remaining.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("src").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pick, gain = best[0].src, best[0].gain
+        total += gain
+        rows.append((i, pick, gain, total))
+        newly = e.where(F.col("src") == pick).select("dst")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(rows, empty)
+
+
+def greedy_seed_cover_oracle_sql(raw_edges_sql: str, k: int = 4) -> str:
+    """DuckDB twin of ``greedy_seed_cover``: the k greedy rounds
+    unrolled as MATERIALIZED CTEs (each covered set feeds the next
+    round's anti-join and the cumulative total)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+    ]
+    for i in range(1, k + 1):
+        rem = (
+            "e"
+            if i == 1
+            else f"(SELECT * FROM e WHERE dst NOT IN"
+            f" (SELECT dst FROM cov{i - 1}))"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT {i} AS rnd, src,"
+            f" count(*) AS gain FROM {rem} r GROUP BY src"
+            " ORDER BY gain DESC, src ASC LIMIT 1),"
+        )
+        prev_cov = (
+            ""
+            if i == 1
+            else f"SELECT dst FROM cov{i - 1} UNION "
+        )
+        parts.append(
+            f"cov{i} AS MATERIALIZED ({prev_cov}SELECT dst FROM e"
+            f" WHERE src = (SELECT src FROM p{i})),"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT rnd, src, gain FROM p{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"picks AS ({picks})")
+    return "\n".join(parts) + (
+        "\nSELECT CAST(rnd AS INT) AS round, src AS host,"
+        " CAST(gain AS BIGINT) AS gain,"
+        " CAST(sum(gain) OVER (ORDER BY rnd) AS BIGINT)"
+        " AS covered_total"
+        " FROM picks WHERE gain > 0 ORDER BY round"
+    )

@@ -451,3 +451,34 @@ def test_opic_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     assert opic(empty).count() == 0
+
+
+def test_greedy_seed_cover_marginal_gains(spark):
+    from langscrape_spark.operators.linkgraph import greedy_seed_cover
+
+    # s1 covers {a,b,c}; s2 covers {b,c,d,e}; s3 covers {a}.
+    # Greedy: s2 (4), then s1 (marginal {a} = 1), then s3 gains 0 ->
+    # third round picks nothing new... s3's dst a is covered, s1/s2
+    # fully covered -> round 3 still picks the best zero... remaining
+    # is EMPTY so the loop stops: exactly 2 picks.
+    edges = spark.createDataFrame(
+        [("s1", d) for d in "abc"]
+        + [("s2", d) for d in "bcde"]
+        + [("s3", "a")],
+        "src_host string, dst_host string",
+    )
+    rows = greedy_seed_cover(edges, k=4).orderBy("round").collect()
+    assert [(r.round, r.host, r.gain, r.covered_total) for r in rows] == [
+        (1, "s2", 4, 4),
+        (2, "s1", 1, 5),
+    ]
+
+
+def test_greedy_seed_cover_tie_breaks_smallest_host(spark):
+    from langscrape_spark.operators.linkgraph import greedy_seed_cover
+
+    edges = spark.createDataFrame(
+        [("z", "a"), ("y", "b")], "src_host string, dst_host string"
+    )
+    rows = greedy_seed_cover(edges, k=1).collect()
+    assert rows[0].host == "y"
