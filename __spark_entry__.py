@@ -3355,6 +3355,32 @@ def _seed_cover_oracle() -> str:
     return greedy_seed_cover_oracle_sql(_HOSTGRAPH_RAW_SQL, k=4)
 
 
+def q123_path_rollup(spark, sf):
+    """Hierarchical url directory rollup (operators/urls.py::
+    path_prefix_rollup) over a deterministic 3-level url corpus
+    (host/cat/sub/page from doc_id residues): one row per (host,
+    directory prefix) with page counts and distinct immediate
+    children — the crawl-analytics view behind trap spotting and
+    per-directory budgets. The oracle re-derives host, segment
+    split, the depth explode and both aggregates."""
+    from langscrape_spark.operators.urls import path_prefix_rollup
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (d % 17).cast("string"),
+            F.lit(".example.com/cat"),
+            (d % 5).cast("string"),
+            F.lit("/sub"),
+            (d % 3).cast("string"),
+            F.lit("/p"),
+            d.cast("string"),
+        ).alias("url")
+    )
+    return path_prefix_rollup(urls).orderBy("host", "prefix")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3510,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_bpe_fertility": q120_bpe_fertility,
         "q121_cusum_bursts": q121_cusum_bursts,
         "q122_seed_cover": q122_seed_cover,
+        "q123_path_rollup": q123_path_rollup,
     }
 
 
@@ -7268,6 +7295,38 @@ def oracle_sql() -> dict[str, str]:
         "q118_opic": _opic_oracle(),
         "q120_bpe_fertility": _bpe_fertility_oracle(),
         "q122_seed_cover": _seed_cover_oracle(),
+        "q123_path_rollup": """
+            -- Same corpus formulas, host twin of urls.host_of, path
+            -- segment split, ancestor-depth explode, (host, prefix)
+            -- rollup with distinct immediate children.
+            WITH u AS (
+              SELECT 'https://h' || (doc_id % 17) || '.example.com/cat'
+                     || (doc_id % 5) || '/sub' || (doc_id % 3)
+                     || '/p' || doc_id AS url
+              FROM documents),
+            d AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)',
+                       1), ':[0-9]+$', '')) AS host,
+                     list_filter(string_split(regexp_replace(
+                       regexp_replace(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                       '[?#].*$', ''), '/'), s -> s <> '') AS segs
+              FROM u),
+            lev AS (SELECT host, segs,
+                           unnest(range(0, len(segs))) AS dep
+                    FROM d WHERE len(segs) > 0)
+            SELECT host,
+                   '/' || coalesce(
+                     array_to_string(segs[1:CAST(dep AS INT)], '/'), '')
+                     AS prefix,
+                   CAST(dep AS INT) AS depth,
+                   count(*) AS n_pages,
+                   CAST(count(DISTINCT segs[CAST(dep + 1 AS INT)])
+                     AS BIGINT) AS n_children
+            FROM lev GROUP BY host, prefix, dep
+            ORDER BY host, prefix
+        """,
         "q121_cusum_bursts": """
             -- Verbatim window twin of cusum_bursts: global time
             -- range, 16 equal-width buckets, zero-densified grid,

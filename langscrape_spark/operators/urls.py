@@ -278,3 +278,55 @@ def resolve_redirects(
         .otherwise(F.lit("unresolved"))
         .alias("status"),
     )
+
+
+def path_segments(url: Column) -> Column:
+    """Non-empty path segments of a url (everything after the
+    authority, before ``?``/``#``), split on ``/``. Shared by the
+    prefix rollup and the trap detectors so path parsing cannot
+    diverge between them."""
+    path = F.regexp_replace(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    return F.filter(F.split(path, "/"), lambda s: s != "")
+
+
+def path_prefix_rollup(df, url_col: str = "url"):
+    """Hierarchical directory rollup of a url corpus: one row per
+    (host, directory prefix) with page count, distinct immediate
+    children, and depth — the crawl-analytics view that spots
+    calendar traps (one prefix, thousands of children), decides
+    per-directory sampling budgets, and sizes sitemaps.
+
+    Every page at depth n contributes n rows (its ancestor
+    directories, root included) — explode factor = avg path depth,
+    linear in corpus size; the rollup is one (host, prefix) hash agg,
+    map-side combinable. Output: ``(host, prefix, depth, n_pages,
+    n_children)``.
+    """
+    segs = path_segments(F.col(url_col))
+    d = df.select(
+        host_of(F.col(url_col)).alias("host"), segs.alias("segs")
+    ).where(F.size("segs") > 0)
+    lev = d.select(
+        "host",
+        "segs",
+        F.explode(F.sequence(F.lit(0), F.size("segs") - 1)).alias("d"),
+    )
+    return (
+        lev.select(
+            "host",
+            F.concat(
+                F.lit("/"),
+                F.array_join(F.slice("segs", 1, F.col("d")), "/"),
+            ).alias("prefix"),
+            F.col("d").cast("int").alias("depth"),
+            F.element_at("segs", F.col("d") + 1).alias("child"),
+        )
+        .groupBy("host", "prefix", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("child").alias("n_children"),
+        )
+    )

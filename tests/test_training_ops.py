@@ -3552,3 +3552,25 @@ def test_cusum_prefix_identity_matches_direct_recurrence(spark):
             assert got[(g, b)].alarm == (1 if s > 2.0 * mu else 0)
     assert any(got[("A", b)].alarm for b in range(12, 16))
     assert not any(got[("B", b)].alarm for b in range(16))
+
+
+def test_path_prefix_rollup_trap_signature(spark):
+    from langscrape_spark.operators.urls import path_prefix_rollup
+
+    urls = [f"https://ex.com/cal/{d}" for d in range(30)] + [
+        "https://ex.com/blog/post1",
+        "https://ex.com/blog/post2",
+        "https://ex.com/about",
+        "https://ex.com/blog/post1?utm=x",  # query stripped -> same leaf
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {
+        (r.prefix, r.depth): r for r in path_prefix_rollup(df).collect()
+    }
+    root = rows[("/", 0)]
+    assert root.n_pages == 34 and root.n_children == 3
+    cal = rows[("/cal", 1)]
+    assert cal.n_pages == 30 and cal.n_children == 30  # trap signature
+    blog = rows[("/blog", 1)]
+    assert blog.n_pages == 3 and blog.n_children == 2
+    assert ("/about", 1) not in rows  # leaf file, not a directory
