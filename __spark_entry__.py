@@ -3381,6 +3381,29 @@ def q123_path_rollup(spark, sf):
     return path_prefix_rollup(urls).orderBy("host", "prefix")
 
 
+def q124_textrank(spark, sf):
+    """TextRank keywords (operators/textrank.py::textrank_keywords,
+    4 rounds, top-3, docs < 200): per-doc PageRank over word
+    adjacency graphs computed as corpus-wide (doc_id, word)-keyed
+    join+agg rounds — millions of tiny graphs iterate simultaneously,
+    no per-doc collect, no applyInPandas. Ranks cut at round-6 with
+    word tie-break (the RRF/MMR convention) so cross-engine ulp noise
+    cannot flip a rank; the oracle unrolls the same rounds as
+    MATERIALIZED (doc_id, w) CTEs."""
+    from langscrape_spark.operators.textrank import textrank_keywords
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return textrank_keywords(docs).orderBy("doc_id", "rank")
+
+
+def _textrank_oracle() -> str:
+    from langscrape_spark.operators.textrank import textrank_oracle_sql
+
+    return textrank_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 200"
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3537,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_cusum_bursts": q121_cusum_bursts,
         "q122_seed_cover": q122_seed_cover,
         "q123_path_rollup": q123_path_rollup,
+        "q124_textrank": q124_textrank,
     }
 
 
@@ -7295,6 +7319,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_opic": _opic_oracle(),
         "q120_bpe_fertility": _bpe_fertility_oracle(),
         "q122_seed_cover": _seed_cover_oracle(),
+        "q124_textrank": _textrank_oracle(),
         "q123_path_rollup": """
             -- Same corpus formulas, host twin of urls.host_of, path
             -- segment split, ancestor-depth explode, (host, prefix)

@@ -3574,3 +3574,27 @@ def test_path_prefix_rollup_trap_signature(spark):
     blog = rows[("/blog", 1)]
     assert blog.n_pages == 3 and blog.n_children == 2
     assert ("/about", 1) not in rows  # leaf file, not a directory
+
+
+def test_textrank_hub_word_wins_and_is_deterministic(spark):
+    from langscrape_spark.operators.textrank import textrank_keywords
+
+    # 'spark' is adjacent to every other word -> highest degree -> top
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark shuffle spark join spark agg"),
+            (2, "tiny"),
+            (3, "x x x"),  # only self-adjacency -> uniform scores
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc[1][0].word == "spark" and by_doc[1][0].rank == 1
+    # single-token and self-adjacent docs still rank (uniform score)
+    assert [r.word for r in sorted(by_doc[2], key=lambda r: r.rank)] == ["tiny"]
+    assert by_doc[3][0].word == "x" and by_doc[3][0].score > 0
+    again = textrank_keywords(docs, top_k=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
