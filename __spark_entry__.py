@@ -3404,6 +3404,58 @@ def _textrank_oracle() -> str:
     )
 
 
+def q125_ema_revisit(spark, sf):
+    """EMA-smoothed per-host change rates (operators/snapshots.py::
+    ema_over_steps, alpha=0.25 so every weight is a dyadic rational):
+    three snapshot steps with planted change predicates (%7, %5, %3),
+    per-host per-step rates, then the recursive EMA collapsed to a
+    literal-weighted sum — one hash agg, no window. Feeds q60-style
+    revisit scheduling without single-round whiplash. The oracle
+    re-derives rates and applies the SAME literal weights."""
+    from langscrape_spark.operators.snapshots import ema_over_steps
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (d % 17).cast("string")).alias("host")
+    steps = None
+    for i, p in ((1, 7), (2, 5), (3, 3)):
+        part = docs.select(
+            host,
+            F.lit(i).alias("step"),
+            F.when(d % p == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                "chg"
+            ),
+        )
+        steps = part if steps is None else steps.unionByName(part)
+    rates = steps.groupBy("host", "step").agg(
+        (F.sum("chg") / F.count(F.lit(1))).alias("rate")
+    )
+    return ema_over_steps(
+        rates, "host", "step", "rate", alpha=0.25, n_steps=3
+    ).orderBy("host")
+
+
+def _ema_oracle() -> str:
+    from langscrape_spark.operators.snapshots import ema_weights
+
+    w1, w2, w3 = (repr(w) for w in ema_weights(0.25, 3))
+    return f"""
+        WITH per AS (
+          SELECT 'h' || (doc_id % 17) AS host, s.step,
+                 CASE WHEN doc_id % s.p = 0 THEN 1.0 ELSE 0.0 END AS chg
+          FROM documents, (VALUES (1, 7), (2, 5), (3, 3)) s(step, p)),
+        rates AS (SELECT host, step, sum(chg) / count(*) AS rate
+                  FROM per GROUP BY host, step)
+        SELECT host,
+               round(sum(rate * CASE step WHEN 1 THEN {w1}
+                                 WHEN 2 THEN {w2} ELSE {w3} END), 6)
+                 AS ema,
+               round(max(CASE WHEN step = 3 THEN rate END), 6)
+                 AS last_value
+        FROM rates GROUP BY host ORDER BY host
+    """
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3561,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_seed_cover": q122_seed_cover,
         "q123_path_rollup": q123_path_rollup,
         "q124_textrank": q124_textrank,
+        "q125_ema_revisit": q125_ema_revisit,
     }
 
 
@@ -7320,6 +7373,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_bpe_fertility": _bpe_fertility_oracle(),
         "q122_seed_cover": _seed_cover_oracle(),
         "q124_textrank": _textrank_oracle(),
+        "q125_ema_revisit": _ema_oracle(),
         "q123_path_rollup": """
             -- Same corpus formulas, host twin of urls.host_of, path
             -- segment split, ancestor-depth explode, (host, prefix)

@@ -278,3 +278,58 @@ def unigram_js_divergence(
             .alias("vocab_common"),
         )
     )
+
+
+def ema_weights(alpha: float, n_steps: int) -> list:
+    """Closed-form weights of the recursive EMA ``e_t = alpha*v_t +
+    (1-alpha)*e_{t-1}`` seeded with ``e_1 = v_1``, as ONE float list
+    (1-indexed steps): ``w_i = alpha*(1-alpha)^(n-i)`` for i>1 and
+    ``(1-alpha)^(n-1)`` for i=1. Computed once in Python and injected
+    as LITERALS into both engines — cross-engine pow() rounding can
+    never diverge a weight (the 1-lam exactness lesson: prefer alphas
+    like 0.25 whose complement is a dyadic rational)."""
+    decay = 1.0 - alpha
+    ws = []
+    for i in range(1, n_steps + 1):
+        w = alpha if i > 1 else 1.0
+        for _ in range(n_steps - i):
+            w *= decay
+        ws.append(w)
+    return ws
+
+
+def ema_over_steps(
+    df: DataFrame,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    n_steps: int = 3,
+) -> DataFrame:
+    """Per-group exponential moving average over a FIXED step ladder
+    (steps 1..n_steps, one value per step) — the smoothing a revisit
+    scheduler applies to per-snapshot change rates so one noisy crawl
+    round doesn't whiplash the schedule. The recursion collapses to a
+    literal-weighted sum, so the plan is a single map-side-combinable
+    hash agg (no window, no order sensitivity: IEEE addition per
+    ≤n_steps-row group is commutative only up to order, but the SAME
+    ascending-step kernel is used in the oracle and group sizes are
+    tiny). Output: ``(group, ema, last_value)`` round-6.
+    """
+    ws = ema_weights(alpha, n_steps)
+    w = F.lit(None).cast("double")
+    for i, wi in enumerate(ws, start=1):
+        w = F.when(F.col(step_col) == i, F.lit(wi)).otherwise(w)
+    return (
+        df.withColumn("_w", w)
+        .groupBy(F.col(group_col))
+        .agg(
+            F.round(F.sum(F.col(value_col) * F.col("_w")), 6).alias("ema"),
+            F.round(
+                F.max(
+                    F.when(F.col(step_col) == n_steps, F.col(value_col))
+                ),
+                6,
+            ).alias("last_value"),
+        )
+    )

@@ -3598,3 +3598,30 @@ def test_textrank_hub_word_wins_and_is_deterministic(spark):
     assert by_doc[3][0].word == "x" and by_doc[3][0].score > 0
     again = textrank_keywords(docs, top_k=2).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ema_over_steps_matches_recursion(spark):
+    from langscrape_spark.operators.snapshots import (
+        ema_over_steps,
+        ema_weights,
+    )
+
+    vals = {"a": [0.1, 0.5, 0.9], "b": [1.0, 1.0, 1.0]}
+    rows = [
+        (g, i + 1, v) for g, vs in vals.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "g string, step int, v double")
+    got = {
+        r.g: r
+        for r in ema_over_steps(df, "g", "step", "v", 0.25, 3).collect()
+    }
+    for g, vs in vals.items():
+        e = vs[0]
+        for v in vs[1:]:
+            e = 0.25 * v + 0.75 * e
+        assert abs(got[g].ema - e) < 1e-6, g
+        assert got[g].last_value == round(vs[-1], 6)
+    # constant series is a fixed point
+    assert got["b"].ema == 1.0
+    # weights sum to 1
+    assert abs(sum(ema_weights(0.25, 5)) - 1.0) < 1e-12
