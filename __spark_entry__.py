@@ -3232,6 +3232,38 @@ def q116_edit_join(spark, sf):
     )
 
 
+def _zorder_oracle() -> str:
+    """Built from operators/layout.py::morton_sql at call time so the
+    interleave twin cannot silently diverge from morton_col."""
+    from langscrape_spark.operators.layout import morton_sql
+
+    bucket = lambda v, lo, hi: (  # noqa: E731
+        f"least(greatest(CAST(coalesce(floor(({v} - {lo}) * 256.0 / "
+        f"nullif({hi} - {lo}, 0)), 0) AS BIGINT), 0), 255)"
+    )
+    return f"""
+        -- Op-for-op twin of zorder_file_stats: equal-width buckets
+        -- over observed min/max, morton_sql bit interleave, 4096-wide
+        -- z ranges, per-file bounding rectangles.
+        WITH d AS (
+          SELECT CAST(epoch_us(ts) AS DOUBLE) AS x,
+                 CAST(user_id AS DOUBLE) AS y
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        r AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                     min(y) AS ylo, max(y) AS yhi FROM d),
+        b AS (
+          SELECT {bucket("x", "xlo", "xhi")} AS xb,
+                 {bucket("y", "ylo", "yhi")} AS yb
+          FROM d, r),
+        z AS (SELECT xb, yb, {morton_sql("xb", "yb", 8)} AS zval FROM b)
+        SELECT CAST(floor(zval / 4096) AS BIGINT) AS file_id,
+               count(*) AS n_rows,
+               min(xb) AS xb_min, max(xb) AS xb_max,
+               min(yb) AS yb_min, max(yb) AS yb_max
+        FROM z GROUP BY 1 ORDER BY file_id
+    """
+
+
 def q117_zorder_layout(spark, sf):
     """Z-order (Morton) layout audit (operators/layout.py::
     zorder_file_stats, 8-bit buckets, 16 z-range files) over the
@@ -7346,29 +7378,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.word, b.word) <= 1
             ORDER BY word_a, word_b
         """,
-        "q117_zorder_layout": """
-            -- Op-for-op twin of zorder_file_stats: equal-width
-            -- buckets over observed min/max, literal bit interleave,
-            -- 4096-wide z ranges, per-file bounding rectangles.
-            WITH d AS (
-              SELECT CAST(epoch_us(ts) AS DOUBLE) AS x,
-                     CAST(user_id AS DOUBLE) AS y
-              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-            r AS (SELECT min(x) AS xlo, max(x) AS xhi,
-                         min(y) AS ylo, max(y) AS yhi FROM d),
-            b AS (
-              SELECT least(greatest(CAST(coalesce(floor((x - xlo) * 256.0 / nullif(xhi - xlo, 0)), 0) AS BIGINT), 0), 255) AS xb,
-                     least(greatest(CAST(coalesce(floor((y - ylo) * 256.0 / nullif(yhi - ylo, 0)), 0) AS BIGINT), 0), 255) AS yb
-              FROM d, r),
-            z AS (SELECT xb, yb,
-                         ((((xb) >> 0) & 1) * 1 + (((yb) >> 0) & 1) * 2 + (((xb) >> 1) & 1) * 4 + (((yb) >> 1) & 1) * 8 + (((xb) >> 2) & 1) * 16 + (((yb) >> 2) & 1) * 32 + (((xb) >> 3) & 1) * 64 + (((yb) >> 3) & 1) * 128 + (((xb) >> 4) & 1) * 256 + (((yb) >> 4) & 1) * 512 + (((xb) >> 5) & 1) * 1024 + (((yb) >> 5) & 1) * 2048 + (((xb) >> 6) & 1) * 4096 + (((yb) >> 6) & 1) * 8192 + (((xb) >> 7) & 1) * 16384 + (((yb) >> 7) & 1) * 32768) AS zval
-                  FROM b)
-            SELECT CAST(floor(zval / 4096) AS BIGINT) AS file_id,
-                   count(*) AS n_rows,
-                   min(xb) AS xb_min, max(xb) AS xb_max,
-                   min(yb) AS yb_min, max(yb) AS yb_max
-            FROM z GROUP BY 1 ORDER BY file_id
-        """,
+        "q117_zorder_layout": _zorder_oracle(),
         "q118_opic": _opic_oracle(),
         "q120_bpe_fertility": _bpe_fertility_oracle(),
         "q122_seed_cover": _seed_cover_oracle(),

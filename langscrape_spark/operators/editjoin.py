@@ -15,13 +15,13 @@ bound is one-directional) are removed by one JVM-side
 
 Scale shape: a string of length L emits ``1 + L`` variants at k=1 and
 ``1 + L + L(L-1)/2`` at k=2 — linear/quadratic in STRING length, never
-in corpus size. The candidate join is a single self-equi-join on the
-variant key whose two sides are the same plan (ReuseExchange fires —
-one shuffle, one scan). Identical-string clusters collapse into hot
-variant buckets exactly like identical documents collapse LSH bands;
-the same counts-pass + broadcast-anti-join guard used by
-``minhash_lsh_pairs`` bounds them (run ``exact_dedup`` first — ed=0
-pairs are its job).
+in corpus size. The variant frame is computed ONCE (persisted) and fed
+to a self-equi-join on the variant key. Identical-string clusters
+collapse into hot variant buckets exactly like identical documents
+collapse LSH bands; the same counts-pass + broadcast-anti-join guard
+used by ``minhash_lsh_pairs`` bounds them — restricted to
+single-distinct-string buckets so distinct-string recall stays exact
+(run ``exact_dedup`` first — ed=0 pairs are its job).
 """
 
 from __future__ import annotations
@@ -75,20 +75,37 @@ def edit_distance_pairs(
     """All pairs with ``levenshtein(s_a, s_b) <= max_edit``,
     ``id_a < id_b``. Output columns: ``id_a, id_b, dist``.
 
-    Exact (complete + precise): FastSS candidates, then a
-    ``levenshtein`` confirm. ``max_bucket`` drops variant buckets
-    larger than the bound before pair generation (identical-string
-    clusters — quadratic, and ``exact_dedup``'s job); ``None``
-    disables the guard and keeps the operator exhaustively exact.
+    Exact (complete + precise) between DISTINCT strings: FastSS
+    candidates, then a ``levenshtein`` confirm. The ``max_bucket``
+    guard drops only variant buckets holding ONE distinct string
+    (identical-string clusters — their pair output is quadratic and
+    ``exact_dedup``'s job), so no dist>=1 pair is ever lost; hot
+    buckets fanned in by many DISTINCT near-neighbors are kept for
+    completeness (if such fan-in is pathological for your corpus —
+    e.g. millions of length<=k strings sharing the empty variant —
+    pre-filter short strings; an exact join cannot drop them for
+    you). ``None`` disables the guard entirely.
+
+    The variant frame is persisted: the guard's counts pass and both
+    sides of the candidate self-join read one cached explode instead
+    of re-deriving the O(L)-per-string variant generation (ReuseExchange
+    does not fire across a groupBy guard + anti-join + self-join).
     """
-    v = df.select(
-        F.col(id_col).alias("id"), F.col(str_col).alias("s")
-    ).withColumn("variant", F.explode(deletion_variants(F.col("s"), max_edit)))
+    v = (
+        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+        .withColumn(
+            "variant", F.explode(deletion_variants(F.col("s"), max_edit))
+        )
+        .persist()
+    )
     if max_bucket is not None:
         hot = (
             v.groupBy("variant")
-            .count()
-            .where(F.col("count") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("s").alias("nd"),
+            )
+            .where((F.col("n") > max_bucket) & (F.col("nd") == 1))
             .select("variant")
         )
         v = v.join(F.broadcast(hot), "variant", "left_anti")

@@ -76,7 +76,7 @@ def zorder_file_stats(
     Output: ``file_id, n_rows, xb_min, xb_max, yb_min, yb_max``.
     """
     m = 1 << bits
-    if files & (files - 1) or files > m * m:
+    if files <= 0 or files & (files - 1) or files > m * m:
         raise ValueError("files must be a power of two <= 4**bits")
     d = df.select(
         x_col.cast("double").alias("_x"), y_col.cast("double").alias("_y")

@@ -43,21 +43,35 @@ def textrank_keywords(
     """
     from .text import words_col
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), words_col(F.col(text_col)).alias("t")
-    ).where(F.size("t") > 0)
-    adj = toks.where(F.size("t") > 1).select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("t", 1, F.size("t") - 1),
-                F.slice("t", 2, F.size("t") - 1),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-        ).alias("p"),
-    ).where(F.col("p.a") != F.col("p.b"))
-    und = adj.select("doc_id", F.col("p.a").alias("src"), F.col("p.b").alias("dst")).unionAll(
-        adj.select("doc_id", F.col("p.b").alias("src"), F.col("p.a").alias("dst"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            words_col(F.col(text_col)).alias("t"),
+        )
+        .where(F.size("t") > 0)
+        .cache()  # read by the edge build AND the node table
+    )
+    # both edge directions from ONE explode pass (a unionAll of two
+    # adj projections would tokenize + zip the corpus twice)
+    und = (
+        toks.where(F.size("t") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.zip_with(
+                        F.slice("t", 1, F.size("t") - 1),
+                        F.slice("t", 2, F.size("t") - 1),
+                        lambda a, b: F.array(
+                            F.struct(a.alias("src"), b.alias("dst")),
+                            F.struct(b.alias("src"), a.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .where(F.col("p.src") != F.col("p.dst"))
+        .select("doc_id", F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
     edges = und.groupBy("doc_id", "src", "dst").agg(
         F.count(F.lit(1)).cast("double").alias("wt")

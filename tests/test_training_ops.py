@@ -3625,3 +3625,12 @@ def test_ema_over_steps_matches_recursion(spark):
     assert got["b"].ema == 1.0
     # weights sum to 1
     assert abs(sum(ema_weights(0.25, 5)) - 1.0) < 1e-12
+
+
+def test_zorder_rejects_bad_file_counts(spark):
+    from langscrape_spark.operators.layout import zorder_file_stats
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    for bad in (0, -4, 3, 1 << 20):
+        with pytest.raises(ValueError):
+            zorder_file_stats(df, F.col("x"), F.col("y"), bits=8, files=bad)
