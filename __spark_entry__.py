@@ -3488,6 +3488,34 @@ def _ema_oracle() -> str:
     """
 
 
+def q126_skyline(spark, sf):
+    """2-D Pareto skyline (operators/splits.py::skyline_2d) over two
+    pulling-apart doc scores (alpha ratio vs token count): the
+    curation shortlist nothing dominates on both axes. Spark runs the
+    textbook sort-scan (per-x max + running max over the distinct-x
+    frame — never an O(n^2) self-join); the oracle is the NAIVE
+    NOT-EXISTS dominance definition, so the compare proves the scan
+    drops exactly the dominated rows."""
+    from langscrape_spark.operators.splits import skyline_2d
+    from langscrape_spark.operators.text import token_count
+
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(n_chars > 0, F.round(n_alpha / n_chars.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("alpha"),
+        token_count(t).cast("double").alias("toks"),
+    )
+    return (
+        skyline_2d(d, "alpha", "toks", id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), F.col("x").alias("alpha"), F.col("y").alias("toks"))
+        .orderBy("doc_id")
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3646,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_path_rollup": q123_path_rollup,
         "q124_textrank": q124_textrank,
         "q125_ema_revisit": q125_ema_revisit,
+        "q126_skyline": q126_skyline,
     }
 
 
@@ -7384,6 +7413,28 @@ def oracle_sql() -> dict[str, str]:
         "q122_seed_cover": _seed_cover_oracle(),
         "q124_textrank": _textrank_oracle(),
         "q125_ema_revisit": _ema_oracle(),
+        "q126_skyline": r"""
+            -- NAIVE dominance definition: a row is on the skyline iff
+            -- no other row is >= on both axes and > on one.
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) > 0
+                       THEN round(length(regexp_replace(text,
+                              '[^A-Za-z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE), 6)
+                       ELSE 0.0 END AS alpha,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+                       AS toks
+              FROM documents)
+            SELECT a.doc_id, a.alpha, a.toks
+            FROM d a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d b
+              WHERE b.alpha >= a.alpha AND b.toks >= a.toks
+                AND (b.alpha > a.alpha OR b.toks > a.toks))
+            ORDER BY doc_id
+        """,
         "q123_path_rollup": """
             -- Same corpus formulas, host twin of urls.host_of, path
             -- segment split, ancestor-depth explode, (host, prefix)

@@ -111,3 +111,58 @@ def split_leakage_audit(
         "n_docs",
         F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
     )
+
+
+def skyline_2d(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+):
+    """2-D Pareto skyline (maximize both): rows no other row strictly
+    dominates (>= on both axes, > on at least one). The curation use:
+    when two scores pull against each other (quality vs freshness,
+    quality vs dedup-distinctiveness), the skyline is the principled
+    shortlist — nothing on it can be improved on one axis for free.
+
+    Algorithm is the textbook sort-scan: in (x desc, y desc) order a
+    row is on the skyline iff its y strictly exceeds every y seen at
+    STRICTLY larger x — two window functions (a per-x-group max and a
+    running max over the x-ordered prefix), not an O(n²) self-join.
+    The x-ordered running window IS a global ordered window: the
+    skyline is a global property, but the frame it runs over is the
+    per-x-group MAX table (one row per distinct x — corpus-sized only
+    in the worst all-distinct case; bucket scores to a grid first at
+    100 TB, which is also what makes thresholds meaningful). Ties on
+    both axes all survive (none strictly dominates another).
+
+    Output: ``(id, x, y)`` rows on the skyline.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # best y per distinct x (small frame), then the running max of
+    # best-y over strictly-larger x
+    per_x = d.groupBy("x").agg(F.max("y").alias("ymax"))
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = per_x.withColumn(
+        "prev_best", F.max("ymax").over(w)
+    ).select("x", "ymax", "prev_best")
+    return (
+        d.join(frontier, "x")
+        .where(
+            (F.col("y") == F.col("ymax"))
+            & (
+                F.col("prev_best").isNull()
+                | (F.col("y") > F.col("prev_best"))
+            )
+        )
+        .select("id", "x", "y")
+    )

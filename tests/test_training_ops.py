@@ -3634,3 +3634,27 @@ def test_zorder_rejects_bad_file_counts(spark):
     for bad in (0, -4, 3, 1 << 20):
         with pytest.raises(ValueError):
             zorder_file_stats(df, F.col("x"), F.col("y"), bits=8, files=bad)
+
+
+def test_skyline_2d_matches_naive(spark):
+    from langscrape_spark.operators.splits import skyline_2d
+
+    pts = [
+        (1, 1.0, 9.0), (2, 2.0, 8.0), (3, 3.0, 7.0),  # frontier chain
+        (4, 2.0, 7.0),   # dominated by 2
+        (5, 3.0, 7.0),   # exact tie with 3 -> both survive
+        (6, 0.5, 9.0),   # dominated by 1 (same y, smaller x)
+        (7, 9.0, 0.0),   # frontier (max x)
+        (8, 1.0, 1.0),   # dominated
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    got = {r.id for r in skyline_2d(df, "x", "y", "doc_id").collect()}
+    naive = {
+        i
+        for i, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y)
+            for _, bx, by in pts
+        )
+    }
+    assert got == naive == {1, 2, 3, 5, 7}
