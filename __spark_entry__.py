@@ -3516,6 +3516,33 @@ def q126_skyline(spark, sf):
     )
 
 
+def q127_ks_drift(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift per source
+    (operators/snapshots.py::ks_statistic) between old and mutated
+    token-count distributions (doc_id%7 docs gain a token, %11 urls
+    drop — the q54 mutation family): the sup-CDF-gap stays an exact
+    integer rational max|cum_o*m - cum_n*n|/(n*m), immune to float
+    order. The oracle recomputes both empirical CDFs and the same
+    rational."""
+    from langscrape_spark.operators.snapshots import ks_statistic
+    from langscrape_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    old = docs.select(
+        "source", token_count(F.col("text")).alias("v")
+    )
+    new = docs.where(d % 11 != 0).select(
+        "source",
+        token_count(
+            F.when(
+                d % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+            ).otherwise(F.col("text"))
+        ).alias("v"),
+    )
+    return ks_statistic(old, new, "v", "source").orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3675,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_textrank": q124_textrank,
         "q125_ema_revisit": q125_ema_revisit,
         "q126_skyline": q126_skyline,
+        "q127_ks_drift": q127_ks_drift,
     }
 
 
@@ -7413,6 +7441,48 @@ def oracle_sql() -> dict[str, str]:
         "q122_seed_cover": _seed_cover_oracle(),
         "q124_textrank": _textrank_oracle(),
         "q125_ema_revisit": _ema_oracle(),
+        "q127_ks_drift": r"""
+            -- Both empirical CDFs on the merged distinct-value grid;
+            -- the KS sup as the exact integer rational
+            -- max|cum_o*m - cum_n*n| / (n*m).
+            WITH tokc AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS v0,
+                     CAST(len(regexp_extract_all(
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                            ELSE text END,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS v1
+              FROM documents),
+            o AS (SELECT source AS g, CAST(v0 AS DOUBLE) AS v,
+                         count(*) AS c_o
+                  FROM tokc GROUP BY 1, 2),
+            n AS (SELECT source AS g, CAST(v1 AS DOUBLE) AS v,
+                         count(*) AS c_n
+                  FROM tokc WHERE doc_id % 11 <> 0 GROUP BY 1, 2),
+            j AS (SELECT g, v, coalesce(c_o, 0) AS c_o,
+                         coalesce(c_n, 0) AS c_n
+                  FROM o FULL OUTER JOIN n USING (g, v)),
+            c AS (SELECT g, v,
+                         sum(c_o) OVER (PARTITION BY g ORDER BY v)
+                           AS cum_o,
+                         sum(c_n) OVER (PARTITION BY g ORDER BY v)
+                           AS cum_n,
+                         sum(c_o) OVER (PARTITION BY g) AS nn,
+                         sum(c_n) OVER (PARTITION BY g) AS mm
+                  FROM j)
+            SELECT g AS source,
+                   CAST(max(nn) AS BIGINT) AS n_old,
+                   CAST(max(mm) AS BIGINT) AS n_new,
+                   CAST(max(abs(cum_o * mm - cum_n * nn)) AS BIGINT)
+                     AS ks_num,
+                   CAST(max(nn) * max(mm) AS BIGINT) AS ks_den,
+                   round(max(abs(cum_o * mm - cum_n * nn))
+                         / (max(nn) * max(mm)), 6) AS ks
+            FROM c GROUP BY g ORDER BY source
+        """,
         "q126_skyline": r"""
             -- NAIVE dominance definition: a row is on the skyline iff
             -- no other row is >= on both axes and > on one.

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import fingerprint
 
@@ -331,5 +331,68 @@ def ema_over_steps(
                 ),
                 6,
             ).alias("last_value"),
+        )
+    )
+
+
+def ks_statistic(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    score-drift alarm between two crawls / two pipeline versions:
+    D = sup_x |F_old(x) - F_new(x)| over the empirical CDFs. Everything
+    stays INTEGER: with counts cum_o, cum_n at each distinct value and
+    totals n, m, the sup is max|cum_o·m - cum_n·n| / (n·m) — an exact
+    rational, immune to float sum order, emitted as
+    ``(ks_num, ks_den)`` plus the round-6 quotient.
+
+    Scale shape: per-side (group, value) hash aggs, one full-outer
+    equi-key join, then per-group ORDERED windows over the
+    DISTINCT-VALUE frame (already aggregated — corpus-sized only if
+    every score is unique; grid-bucket the score first at 100 TB,
+    which a KS on continuous scores needs anyway).
+
+    Output: ``(group, n_old, n_new, ks_num, ks_den, ks)``.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group_col).alias("g"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+            .where(F.col("v").isNotNull())
+            .groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
+        )
+
+    j = side(old, "o").join(side(new, "n"), ["g", "v"], "full_outer").select(
+        "g",
+        "v",
+        F.coalesce("c_o", F.lit(0)).alias("c_o"),
+        F.coalesce("c_n", F.lit(0)).alias("c_n"),
+    )
+    wg = Window.partitionBy("g")
+    w = wg.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        j.withColumn("cum_o", F.sum("c_o").over(w))
+        .withColumn("cum_n", F.sum("c_n").over(w))
+        .withColumn("n", F.sum("c_o").over(wg))
+        .withColumn("m", F.sum("c_n").over(wg))
+    )
+    return (
+        c.withColumn(
+            "d",
+            F.abs(F.col("cum_o") * F.col("m") - F.col("cum_n") * F.col("n")),
+        )
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n").cast("long").alias("n_old"),
+            F.max("m").cast("long").alias("n_new"),
+            F.max("d").cast("long").alias("ks_num"),
+            (F.max("n") * F.max("m")).cast("long").alias("ks_den"),
+            F.round(F.max("d") / (F.max("n") * F.max("m")), 6).alias("ks"),
         )
     )

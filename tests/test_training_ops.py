@@ -3658,3 +3658,26 @@ def test_skyline_2d_matches_naive(spark):
         )
     }
     assert got == naive == {1, 2, 3, 5, 7}
+
+
+def test_ks_statistic_exact_rational(spark):
+    from langscrape_spark.operators.snapshots import ks_statistic
+
+    old = spark.createDataFrame(
+        [("s", v) for v in [1.0, 2.0, 3.0, 4.0]]
+        + [("t", v) for v in [1.0, 1.0, 2.0]],
+        "source string, v double",
+    )
+    new = spark.createDataFrame(
+        [("s", v) for v in [3.0, 4.0, 5.0, 6.0]]
+        + [("t", v) for v in [1.0, 1.0, 2.0]],
+        "source string, v double",
+    )
+    rows = {r.source: r for r in ks_statistic(old, new, "v").collect()}
+    # s: n=m=4; F_old-F_new max at v=2: |2*4 - 0*4| = 8 -> 8/16 = 0.5
+    s = rows["s"]
+    assert (s.n_old, s.n_new, s.ks_num, s.ks_den) == (4, 4, 8, 16)
+    assert s.ks == 0.5
+    # identical samples -> 0
+    t = rows["t"]
+    assert t.ks_num == 0 and t.ks == 0.0
