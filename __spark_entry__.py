@@ -3543,6 +3543,30 @@ def q127_ks_drift(spark, sf):
     return ks_statistic(old, new, "v", "source").orderBy("source")
 
 
+def q128_bm25_maxscore(spark, sf):
+    """Threshold retrieval with Max-Score pruning
+    (operators/search.py::bm25_maxscore): every document with BM25
+    >= 0.5 for 'hash scan table zzzmissing', found by first bounding
+    each doc's score with the df-only sum-of-idf (no doc_lens join)
+    and exact-scoring only the survivors. The oracle is the FULL-scan
+    BM25 filtered at the same theta — proving the pruning tier loses
+    no qualifying document. theta=0.5 sits in a measured 3.6e-4 gap
+    of the sf0.01 score distribution, far above engine float noise."""
+    from langscrape_spark.operators.search import (
+        bm25_maxscore,
+        build_inverted_index,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    out = bm25_maxscore(
+        postings, doc_lens, "hash scan table zzzmissing", theta=0.5
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3703,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_ema_revisit": q125_ema_revisit,
         "q126_skyline": q126_skyline,
         "q127_ks_drift": q127_ks_drift,
+        "q128_bm25_maxscore": q128_bm25_maxscore,
     }
 
 
@@ -5611,6 +5636,42 @@ def oracle_sql() -> dict[str, str]:
             -- outer round AFTER the cut: DuckDB binds ORDER BY to a
             -- same-named alias, and Spark selects the top-k on the
             -- UNROUNDED score — the cut must match at full precision.
+        """,
+        "q128_bm25_maxscore": f"""
+            -- FULL-SCAN BM25 filtered at theta — no pruning at all.
+            -- Matching the Spark side's Max-Score two-tier plan proves
+            -- the df-only sum-of-idf bound never drops a qualifying
+            -- doc. Filter on the UNROUNDED score (theta sits in a
+            -- 3.6e-4 distribution gap); round outside. Spark:
+            -- operators/search.py::bm25_maxscore.
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            postings AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY term, doc_id),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            consts AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+            q(term) AS (VALUES ('hash'), ('scan'), ('table'),
+                               ('zzzmissing')),
+            hits AS (SELECT p.* FROM postings p JOIN q USING (term)),
+            dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM hits GROUP BY term),
+            scored AS (
+              SELECT h.doc_id,
+                     sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                         * h.tf
+                         / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                       AS score
+              FROM hits h
+              JOIN dfs d USING (term)
+              JOIN dl l USING (doc_id), consts c
+              GROUP BY h.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            WHERE score >= 0.5 ORDER BY doc_id
         """,
         "q60_revisit_priority": f"""
             -- Revisit scheduling composed on the shared q54 rate CTEs:

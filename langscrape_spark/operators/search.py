@@ -437,3 +437,88 @@ def rrf_fuse(
             "n_rankers",
         )
     )
+
+
+def bm25_maxscore(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    theta: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Threshold retrieval with Max-Score pruning (Turtle & Flood,
+    1995): return every document scoring ``>= theta``, but touch the
+    expensive scoring machinery only for documents that CAN reach it.
+
+    The bound: each BM25 term part is ``idf_t * tf/(tf + k1*norm) <
+    idf_t``, so ``sum(idf_t over a doc's matched terms)`` upper-bounds
+    its score using df statistics alone. Tier 1 aggregates that bound
+    over bare posting rows — no doc_lens join, no divisions — and
+    keeps docs with ``bound >= theta``; tier 2 computes exact BM25
+    only for the survivors (semi-join). No qualifying doc can be
+    pruned (the bound dominates the score), which is exactly what the
+    full-scan oracle proves.
+
+    At index scale the win compounds: the tier-1 frame is narrow
+    (term, doc_id), per-term idf is docs-independent and broadcast,
+    and high-theta queries drop most of the corpus before the
+    dl-normalized scoring join runs.
+
+    Output: ``(doc_id, score)`` for ``score >= theta``, exact BM25.
+    """
+    spark = postings.sparkSession
+    terms = sorted({t for t in query.lower().split() if t})
+    empty = "doc_id long, score double"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return spark.createDataFrame([], empty)
+
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = postings.join(F.broadcast(tdf), "term")
+    df_tbl = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    idf_tbl = df_tbl.select("term", idf.alias("idf"))
+    # tier 1: df-only upper bound, narrow agg, no dl join
+    cand = (
+        hits.join(F.broadcast(idf_tbl), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("idf").alias("bound"))
+        .where(F.col("bound") >= F.lit(theta))
+        .select("doc_id")
+    )
+    # tier 2: exact BM25 for survivors only
+    scored = (
+        hits.join(cand, "doc_id", "left_semi")
+        .join(F.broadcast(idf_tbl), "term")
+        .join(doc_lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored.where(F.col("score") >= F.lit(theta))

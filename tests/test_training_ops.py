@@ -3681,3 +3681,88 @@ def test_ks_statistic_exact_rational(spark):
     # identical samples -> 0
     t = rows["t"]
     assert t.ks_num == 0 and t.ks == 0.0
+
+
+# -- Max-Score threshold retrieval (operators/search.py) --
+
+
+def test_bm25_maxscore_matches_full_scan(spark):
+    """The two-tier Max-Score plan must return EXACTLY the docs the
+    unpruned BM25 scan scores >= theta — the sum-of-idf bound
+    dominates the score, so tier 1 can never drop a qualifier."""
+    from langscrape_spark.operators.search import (
+        bm25_maxscore,
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    rows = []
+    for i in range(60):
+        # 'rare' appears in 3 docs (high idf), 'common' in all of them
+        words = ["common"] * (1 + i % 5)
+        if i % 20 == 0:
+            words += ["rare", "rare"]
+        words += [f"filler{i % 7}"] * (i % 3)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, doc_lens = build_inverted_index(docs)
+    postings, doc_lens = postings.persist(), doc_lens.persist()
+
+    full = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(
+            postings, doc_lens, "rare common", k=10_000
+        ).collect()
+    }
+    for theta in (0.05, 0.5, 2.0, 50.0):
+        got = {
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_maxscore(
+                postings, doc_lens, "rare common", theta=theta
+            ).collect()
+        }
+        exp = {(d, s) for d, s in full if s >= theta}
+        assert got == exp, f"theta={theta}"
+
+    # empty / absent-term edges
+    assert bm25_maxscore(postings, doc_lens, "", theta=0.0).count() == 0
+    assert (
+        bm25_maxscore(postings, doc_lens, "zzz", theta=0.0).count() == 0
+    )
+    postings.unpersist(), doc_lens.unpersist()
+
+
+def test_bm25_maxscore_bound_actually_prunes(spark):
+    """With a high theta only reachable via the rare term, tier 1 must
+    shrink the exact-scoring input to the rare docs: the bound of a
+    common-only doc is idf('common'), which is below theta by
+    construction. Asserted via the returned set being exactly the
+    rare docs AND the bound math: sum-idf of common-only docs < theta."""
+    import math
+
+    from langscrape_spark.operators.search import (
+        bm25_maxscore,
+        build_inverted_index,
+    )
+
+    n = 50
+    rows = [
+        (i, "common rare" if i < 2 else "common plain")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, doc_lens = build_inverted_index(docs)
+
+    idf_common = math.log(1.0 + (n - n + 0.5) / (n + 0.5))
+    idf_rare = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    # above the common-only bound (idf_common ~ 0.01) but below the
+    # rare docs' exact score (~ idf_rare/2.2 + eps)
+    theta = 0.4 * idf_rare
+    assert idf_common < theta
+    got = sorted(
+        r["doc_id"]
+        for r in bm25_maxscore(
+            postings, doc_lens, "common rare", theta=theta
+        ).collect()
+    )
+    assert got == [0, 1]
