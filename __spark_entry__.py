@@ -3540,7 +3540,18 @@ def q127_ks_drift(spark, sf):
             ).otherwise(F.col("text"))
         ).alias("v"),
     )
-    return ks_statistic(old, new, "v", "source").orderBy("source")
+    out = ks_statistic(old, new, "v", "source")
+    # operator emits the rational in decimal(38,0) (10^10-row samples
+    # overflow BIGINT); at sf scale a long holds it — cast for the
+    # driver's int64 compare.
+    return out.select(
+        "source",
+        "n_old",
+        "n_new",
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.col("ks_den").cast("long").alias("ks_den"),
+        "ks",
+    ).orderBy("source")
 
 
 def q128_bm25_maxscore(spark, sf):

@@ -55,6 +55,71 @@ def build_inverted_index(
     return postings, doc_lens
 
 
+def _bm25_prepare(postings: DataFrame, doc_lens: DataFrame, query: str):
+    """Shared BM25 front half — THE single definition of query
+    tokenization, the (N, avgdl) scalar agg, the broadcast query-term
+    join and the per-term Robertson idf table, so every BM25 variant
+    (top-k, Max-Score threshold) scores bit-identically by
+    construction. Returns ``None`` for an empty query/corpus, else
+    ``(hits, idf_tbl, avgdl)``."""
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        return None
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return None
+    spark = postings.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = postings.join(F.broadcast(tdf), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    idf_tbl = (
+        hits.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select("term", idf.alias("idf"))
+    )
+    return hits, idf_tbl, avgdl
+
+
+def _bm25_exact_scores(
+    hits: DataFrame,
+    idf_tbl: DataFrame,
+    doc_lens: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 back half — the exact per-doc score
+    ``sum_t idf_t * tf/(tf + k1*((1-b) + b*dl/avgdl))``."""
+    return (
+        hits.join(F.broadcast(idf_tbl), "term")
+        .join(doc_lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
 def bm25_topk(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -71,50 +136,13 @@ def bm25_topk(
     once (standard bag-of-words query with binary query weights).
     Deterministic tie-break on doc_id.
     """
-    spark = postings.sparkSession
-    terms = sorted({t for t in query.lower().split() if t})
-    if not terms:
-        return spark.createDataFrame(
+    prep = _bm25_prepare(postings, doc_lens, query)
+    if prep is None:
+        return postings.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
-    row = doc_lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
-    if n_docs == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
-
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    hits = postings.join(F.broadcast(tdf), "term")
-    df_tbl = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    scored = (
-        hits.join(F.broadcast(df_tbl), "term")
-        .join(doc_lens, "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf
-                * F.col("tf")
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
-                    )
-                )
-            ).alias("part"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("score"))
-    )
+    hits, idf_tbl, avgdl = prep
+    scored = _bm25_exact_scores(hits, idf_tbl, doc_lens, avgdl, k1, b)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -439,6 +467,23 @@ def rrf_fuse(
     )
 
 
+def _maxscore_candidates(
+    hits: DataFrame, idf_tbl: DataFrame, theta: float
+) -> DataFrame:
+    """Max-Score tier 1: docs whose df-only sum-of-idf bound can reach
+    ``theta`` — one narrow agg over bare posting rows, no doc_lens
+    join, no divisions. Split out so tests can observe the pruned
+    cardinality directly (the final ``score >= theta`` filter would
+    otherwise mask a no-op bound)."""
+    return (
+        hits.join(F.broadcast(idf_tbl), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("idf").alias("bound"))
+        .where(F.col("bound") >= F.lit(theta))
+        .select("doc_id")
+    )
+
+
 def bm25_maxscore(
     postings: DataFrame,
     doc_lens: DataFrame,
@@ -466,59 +511,24 @@ def bm25_maxscore(
     dl-normalized scoring join runs.
 
     Output: ``(doc_id, score)`` for ``score >= theta``, exact BM25.
+    Tokenization, idf and the exact score share ``_bm25_prepare`` /
+    ``_bm25_exact_scores`` with :func:`bm25_topk`, so the tier-2 score
+    is bit-identical to the full scan's by construction.
     """
-    spark = postings.sparkSession
-    terms = sorted({t for t in query.lower().split() if t})
-    empty = "doc_id long, score double"
-    if not terms:
-        return spark.createDataFrame([], empty)
-    row = doc_lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
-    if n_docs == 0:
-        return spark.createDataFrame([], empty)
-
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    hits = postings.join(F.broadcast(tdf), "term")
-    df_tbl = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    idf_tbl = df_tbl.select("term", idf.alias("idf"))
-    # tier 1: df-only upper bound, narrow agg, no dl join
-    cand = (
-        hits.join(F.broadcast(idf_tbl), "term")
-        .groupBy("doc_id")
-        .agg(F.sum("idf").alias("bound"))
-        .where(F.col("bound") >= F.lit(theta))
-        .select("doc_id")
-    )
-    # tier 2: exact BM25 for survivors only
-    scored = (
-        hits.join(cand, "doc_id", "left_semi")
-        .join(F.broadcast(idf_tbl), "term")
-        .join(doc_lens, "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * F.col("tf")
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
-                    )
-                )
-            ).alias("part"),
+    prep = _bm25_prepare(postings, doc_lens, query)
+    if prep is None:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
         )
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("score"))
+    hits, idf_tbl, avgdl = prep
+    cand = _maxscore_candidates(hits, idf_tbl, theta)
+    # tier 2: exact BM25 for survivors only
+    scored = _bm25_exact_scores(
+        hits.join(cand, "doc_id", "left_semi"),
+        idf_tbl,
+        doc_lens,
+        avgdl,
+        k1,
+        b,
     )
     return scored.where(F.col("score") >= F.lit(theta))

@@ -353,9 +353,16 @@ def ks_statistic(
     equi-key join, then per-group ORDERED windows over the
     DISTINCT-VALUE frame (already aggregated — corpus-sized only if
     every score is unique; grid-bucket the score first at 100 TB,
-    which a KS on continuous scores needs anyway).
+    which a KS on continuous scores needs anyway). The cross-products
+    cum·total are computed in decimal(38,0): two 10^10-row samples
+    would overflow BIGINT (ANSI throws), and bucketing can't help —
+    it shrinks the value grid, not the totals.
 
-    Output: ``(group, n_old, n_new, ks_num, ks_den, ks)``.
+    Output: ``(group, n_old, n_new, ks_num, ks_den, ks)``; ks_num /
+    ks_den are decimal(38,0) so the rational survives sample sizes a
+    long can't; ks is NULL (never a crash) for a group present in
+    only one sample (n·m = 0 — e.g. a source that disappeared
+    between crawls, which is exactly a drift alarm worth reporting).
     """
     def side(df: DataFrame, tag: str) -> DataFrame:
         return (
@@ -382,17 +389,29 @@ def ks_statistic(
         .withColumn("n", F.sum("c_o").over(wg))
         .withColumn("m", F.sum("c_n").over(wg))
     )
+    dec = "decimal(38,0)"
     return (
         c.withColumn(
             "d",
-            F.abs(F.col("cum_o") * F.col("m") - F.col("cum_n") * F.col("n")),
+            F.abs(
+                F.col("cum_o").cast(dec) * F.col("m").cast(dec)
+                - F.col("cum_n").cast(dec) * F.col("n").cast(dec)
+            ),
         )
         .groupBy(F.col("g").alias(group_col))
         .agg(
             F.max("n").cast("long").alias("n_old"),
             F.max("m").cast("long").alias("n_new"),
-            F.max("d").cast("long").alias("ks_num"),
-            (F.max("n") * F.max("m")).cast("long").alias("ks_den"),
-            F.round(F.max("d") / (F.max("n") * F.max("m")), 6).alias("ks"),
+            F.max("d").alias("ks_num"),
+            (F.max("n").cast(dec) * F.max("m").cast(dec)).alias("ks_den"),
+            F.round(
+                F.try_divide(
+                    F.max("d").cast("double"),
+                    (F.max("n").cast(dec) * F.max("m").cast(dec)).cast(
+                        "double"
+                    ),
+                ),
+                6,
+            ).alias("ks"),
         )
     )

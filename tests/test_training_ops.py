@@ -3766,3 +3766,37 @@ def test_bm25_maxscore_bound_actually_prunes(spark):
         ).collect()
     )
     assert got == [0, 1]
+
+    # observe tier 1 directly: the bound must shrink the exact-scoring
+    # input to the 2 rare docs (the final score>=theta filter would
+    # hide a no-op bound — both return [0, 1])
+    from langscrape_spark.operators.search import (
+        _bm25_prepare,
+        _maxscore_candidates,
+    )
+
+    hits, idf_tbl, _ = _bm25_prepare(postings, doc_lens, "common rare")
+    cand = sorted(
+        r["doc_id"]
+        for r in _maxscore_candidates(hits, idf_tbl, theta).collect()
+    )
+    assert cand == [0, 1]
+
+
+def test_ks_statistic_one_sided_group_reports_null(spark):
+    """A source present in only one sample (the disappeared-source
+    drift alarm) must be REPORTED with ks NULL, not crash the job
+    under ANSI (0/0); and huge-sample cross-products go through
+    decimal(38,0), so n*m past BIGINT can't overflow the plan."""
+    from langscrape_spark.operators.snapshots import ks_statistic
+
+    old = spark.createDataFrame(
+        [("s", 1.0), ("s", 2.0), ("gone", 3.0)], "source string, v double"
+    )
+    new = spark.createDataFrame([("s", 1.5)], "source string, v double")
+    rows = {r.source: r for r in ks_statistic(old, new, "v").collect()}
+    g = rows["gone"]
+    assert (g.n_old, g.n_new) == (1, 0)
+    assert int(g.ks_den) == 0 and g.ks is None
+    s = rows["s"]
+    assert s.n_old == 2 and s.n_new == 1 and s.ks is not None
