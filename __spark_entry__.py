@@ -3578,6 +3578,36 @@ def q128_bm25_maxscore(spark, sf):
     ).orderBy("doc_id")
 
 
+def q129_semdedup(spark, sf):
+    """SemDeDup (operators/clustering.py::semdedup): k-means confines
+    the pairwise cosine scan within clusters (n²/k), then a doc is
+    dropped iff a smaller-id same-cluster doc has round-6 cosine
+    >= 0.38 (testdata embeddings are near-random with max pairwise
+    cosine ~0.51, so the gate sits where pairs exist). The oracle
+    composes the SHARED unrolled-kmeans CTE builder with the naive
+    within-cluster EXISTS — proving cluster assignment AND the
+    blocked per-cluster gemm keep rule in one hash."""
+    from langscrape_spark.operators.clustering import semdedup
+
+    pts = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    return semdedup(pts, tau=0.38, k=4, iterations=2).orderBy("vec_id")
+
+
+def _semdedup_oracle() -> str:
+    from langscrape_spark.operators.clustering import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200",
+        tau=0.38,
+        k=4,
+        iterations=2,
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3739,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_skyline": q126_skyline,
         "q127_ks_drift": q127_ks_drift,
         "q128_bm25_maxscore": q128_bm25_maxscore,
+        "q129_semdedup": q129_semdedup,
     }
 
 
@@ -7403,6 +7434,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host_a, host_b
         """,
         "q112_kmeans": _kmeans_oracle(),
+        "q129_semdedup": _semdedup_oracle(),
         "q113_readability": f"""
             WITH base AS (
               SELECT doc_id, {_TOKENS} AS ws,
