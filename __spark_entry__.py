@@ -3608,6 +3608,34 @@ def _semdedup_oracle() -> str:
     )
 
 
+def q130_containment_join(spark, sf):
+    """Exact directed token-set CONTAINMENT join at 9/10
+    (operators/dedup.py::containment_pairs) — the quote/excerpt
+    detector Jaccard can't be (a 12-token pull-quote in a 600-token
+    article: Jaccard ~0.02, containment 1.0). Corpus = 120 documents
+    plus a planted 12-token pull-quote of every 3rd doc (token-sliced
+    identically in both engines). The oracle is the NAIVE all-shared-
+    token pair join at the same integer gate 10·inter ≥ 9·|A| —
+    matching hashes prove the rarest-prefix candidate step has ZERO
+    false negatives."""
+    from langscrape_spark.operators.dedup import containment_pairs
+    from langscrape_spark.operators.text import words_col
+
+    docs = (
+        _t_parallel(spark, sf, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    quotes = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(words_col(F.col("text")), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    out = containment_pairs(docs.unionByName(quotes), 9, 10)
+    return out.orderBy("id_a", "id_b")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3770,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_ks_drift": q127_ks_drift,
         "q128_bm25_maxscore": q128_bm25_maxscore,
         "q129_semdedup": q129_semdedup,
+        "q130_containment_join": q130_containment_join,
     }
 
 
@@ -7435,6 +7464,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q112_kmeans": _kmeans_oracle(),
         "q129_semdedup": _semdedup_oracle(),
+        "q130_containment_join": f"""
+            -- NAIVE all-shared-token directed pair join at the same
+            -- integer gate 10*inter >= 9*|A| — no prefix filter, so a
+            -- hash match proves the Spark side's rarest-prefix
+            -- candidate step drops nothing. Quote docs token-sliced
+            -- identically ([1:12] == F.slice(words,1,12)). Spark:
+            -- operators/dedup.py::containment_pairs.
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 120),
+            quotes AS (
+              SELECT doc_id + 10000 AS doc_id,
+                     array_to_string(({_TOKENS})[1:12], ' ') AS text
+              FROM base WHERE doc_id % 3 = 0),
+            corpus AS (
+              SELECT * FROM base UNION ALL SELECT * FROM quotes),
+            toks AS (
+              SELECT doc_id AS id, unnest(list_distinct({_TOKENS})) AS w
+              FROM corpus),
+            sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM toks a JOIN toks b ON a.w = b.w AND a.id <> b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b, inter,
+                   CAST(sa.sz AS BIGINT) AS size_a,
+                   CAST(sb.sz AS BIGINT) AS size_b,
+                   round(inter / CAST(sa.sz AS DOUBLE), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE 10 * inter >= 9 * sa.sz
+            ORDER BY id_a, id_b
+        """,
         "q113_readability": f"""
             WITH base AS (
               SELECT doc_id, {_TOKENS} AS ws,

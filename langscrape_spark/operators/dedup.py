@@ -1151,3 +1151,94 @@ def prefix_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set CONTAINMENT join at rational threshold ``p/q``
+    — the ASYMMETRIC sibling of :func:`prefix_jaccard_pairs` and the
+    quote / excerpt / syndication detector Jaccard structurally can't
+    be: a 12-token pull-quote inside a 600-token article has Jaccard
+    ~0.02 but containment 1.0.
+
+    Emits DIRECTED pairs ``(id_a, id_b)`` with
+    ``|A∩B| / |A| ≥ p/q`` (A's set mostly inside B), ``a ≠ b``. Same
+    zero-false-negative prefix principle, asymmetric form: if
+    ``inter ≥ m = ⌈p·|A|/q⌉`` then B shares at least one of A's
+    ``|A| − m + 1`` globally-rarest tokens, so candidates join only
+    A-side PREFIX postings against full postings — and the verify
+    gate ``q·inter ≥ p·|A|`` is all-integer, so no float boundary can
+    drop a pair in either engine.
+
+    Scale shape mirrors the Jaccard join (vocab-sized df agg with
+    shuffle join back, doc-partitioned rarity window, candidate join
+    bounded by prefix-token df); the asymmetry costs one side: the
+    probe side is FULL postings (a superset B may share none of its
+    own rare tokens with A), so pair volume is Σ_prefix-tokens df(w)
+    — still rare-token-bounded, never all-pairs. Empty-token docs
+    never enter the postings and pair with nothing (containment from
+    an empty set is vacuous, not 1.0 — documented choice).
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, containment)``.
+    """
+    from pyspark.sql import Window
+
+    from .text import words_col
+
+    p, q = threshold_num, threshold_den
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
+            "w"
+        ),
+    ).cache()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("id").orderBy("df", "w")
+    ranked = (
+        tok.join(dfs, "w")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .join(sizes, "id")
+    )
+    min_inter = F.floor((p * F.col("sz") + (q - 1)) / q)  # ⌈p·sz/q⌉
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - min_inter + 1
+    ).select(F.col("id").alias("id_a"), "w")
+    cand = (
+        prefix.join(
+            tok.select(F.col("id").alias("id_b"), "w"), "w"
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(q * F.col("inter") >= p * F.col("size_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.round(
+                F.col("inter") / F.col("size_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

@@ -840,3 +840,58 @@ def test_prefix_jaccard_boundary_is_exact_rational(spark):
         [(1, "a b c"), (2, "a b z")], "doc_id long, text string"
     )
     assert prefix_jaccard_pairs(docs2, 3, 5).count() == 0
+
+
+# -- exact containment join (operators/dedup.py::containment_pairs) --
+
+
+def test_containment_pairs_quote_detection_and_direction(spark):
+    from langscrape_spark.operators.dedup import containment_pairs
+
+    article = " ".join(f"w{i}" for i in range(40)) + " quote gold text"
+    docs = spark.createDataFrame(
+        [
+            (1, article),
+            (2, "quote gold text"),        # fully inside 1
+            (3, "quote gold text zzz qqq"),  # only 3/5 inside 1
+            (4, ""),                        # empty: pairs with nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           containment_pairs(docs, 3, 4).collect()}
+    # quote -> article found, with exact stats
+    r = out[(2, 1)]
+    assert (r.inter, r.size_a, r.size_b) == (3, 3, 43)
+    assert r.containment == 1.0
+    # asymmetric: the article is NOT contained in the quote
+    assert (1, 2) not in out
+    # 3/5 < 3/4: partial-overlap doc excluded in both directions
+    assert (3, 1) not in out and (1, 3) not in out
+    # the empty doc appears nowhere
+    assert not any(4 in k for k in out)
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """Zero-false-negative check: prefix-filtered result == naive
+    all-pairs containment on a corpus with overlapping token sets."""
+    import itertools
+
+    from langscrape_spark.operators.dedup import containment_pairs
+
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for i in range(30):
+        toks = [vocab[(i * 7 + j * 3) % 12] for j in range(2 + i % 6)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p, q = 2, 3
+    got = {(r.id_a, r.id_b, r.inter) for r in
+           containment_pairs(docs, p, q).collect()}
+    sets = {i: set(t.split()) for i, t in rows if t}
+    exp = set()
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if inter and q * inter >= p * len(sets[a]):
+            exp.add((a, b, inter))
+    assert got == exp and exp  # non-trivial
