@@ -3636,6 +3636,30 @@ def q130_containment_join(spark, sf):
     return out.orderBy("id_a", "id_b")
 
 
+def q131_unimax(spark, sf):
+    """UniMax budget allocation (operators/sharding.py::
+    unimax_allocation, epoch_cap=2, B=50,000) over 13 pseudo-language
+    groups: water-filling spreads the budget uniformly but never past
+    2 epochs of any group — the capped set is a sorted PREFIX, found
+    all-integer (cap·k ≤ B − cumsum), so no float boundary exists to
+    diverge; the uniform share is ONE division of two identical
+    integers. At sf0.01 the boundary lands mid-pack (3 capped, 9 at
+    the share), exercising both branches. The oracle mirrors the
+    ranked window, the prefix rule and both allocation arms."""
+    from langscrape_spark.operators.sharding import unimax_allocation
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("l"), (F.col("doc_id") % 13).cast("string")).alias(
+            "source"
+        ),
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return unimax_allocation(docs, total_budget=50_000, epoch_cap=2).orderBy(
+        "source"
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3799,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_bm25_maxscore": q128_bm25_maxscore,
         "q129_semdedup": q129_semdedup,
         "q130_containment_join": q130_containment_join,
+        "q131_unimax": q131_unimax,
     }
 
 
@@ -7497,6 +7522,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE 10 * inter >= 9 * sa.sz
             ORDER BY id_a, id_b
+        """,
+        "q131_unimax": f"""
+            -- UniMax water-filling re-derived: ranked caps window,
+            -- all-integer prefix rule cap*(L-rn+1) <= B - cum_excl,
+            -- boundary scalars via arg_min, both allocation arms.
+            -- Spark: operators/sharding.py::unimax_allocation.
+            WITH counts AS (
+              SELECT 'l' || (doc_id % 13) AS source,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1),
+            caps AS (
+              SELECT source, n_tokens, 2 * n_tokens AS cap FROM counts),
+            ranked AS (
+              SELECT source, n_tokens, cap,
+                     row_number() OVER (ORDER BY cap, source) AS rn,
+                     coalesce(sum(cap) OVER (ORDER BY cap, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_excl,
+                     count(*) OVER () AS L
+              FROM caps),
+            flagged AS (
+              SELECT *,
+                     cap * (L - rn + 1) <= 50000 - cum_excl AS ok
+              FROM ranked),
+            b AS (
+              SELECT min(rn) AS b_rn,
+                     arg_min(cum_excl, rn) AS b_cum,
+                     arg_min(L - rn + 1, rn) AS b_k
+              FROM flagged WHERE NOT ok),
+            alloced AS (
+              SELECT source, n_tokens, cap,
+                     (b.b_rn IS NULL OR rn < b.b_rn) AS capped,
+                     round(CASE WHEN b.b_rn IS NULL OR rn < b.b_rn
+                             THEN CAST(cap AS DOUBLE)
+                             ELSE (50000 - b.b_cum)
+                                  / CAST(b.b_k AS DOUBLE) END,
+                           6) AS alloc
+              FROM flagged, b)
+            SELECT source, n_tokens, cap, capped, alloc,
+                   round(alloc / CAST(n_tokens AS DOUBLE), 6)
+                     AS epochs_used
+            FROM alloced ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -360,3 +360,101 @@ def sequence_pack(
         (seg_lo - seq_lo).cast("long").alias("seg_start_in_seq"),
         (seg_hi - seg_lo).cast("long").alias("seg_len"),
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    total_budget: int,
+    epoch_cap: int = 2,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): spread a token
+    budget as UNIFORMLY as possible across sources, but never take
+    more than ``epoch_cap`` epochs of any source — the fairness rule
+    that replaced temperature sampling (q100) for mT5-class corpora,
+    where α-weights still over-repeat tail languages.
+
+    Water-filling, all-integer until the final division: with caps
+    ``c_s = epoch_cap · n_s`` sorted ASCENDING, source at rank i (of
+    L) is CAPPED iff every j ≤ i satisfies
+    ``c_j · (L − j + 1) ≤ B − Σ_{<j} c_k`` — once a source's cap
+    exceeds the uniform share of what's left, so do all larger ones,
+    and each gets exactly that share ``R/k`` (one IEEE division of
+    two integers, identical in any engine). Monotonicity makes the
+    capped set a sorted PREFIX, so the whole algorithm is one
+    sources-sized window pass plus two 1-row broadcast scalars — no
+    driver loop, no collect.
+
+    Integer ranges: cumulative caps and ``c·k`` stay < 2^63 for any
+    real corpus (10^13 tokens · epoch_cap 10 · 10^5 sources ~ 10^19
+    would overflow — cast the caps to decimal(38,0) first at that
+    scale; documented, not silently wrong: ANSI mode throws).
+
+    Output: ``(source, n_tokens, cap, capped, alloc, epochs_used)``
+    — ``alloc`` is the capped ``c_s`` or the uniform share, round-6;
+    ``epochs_used = alloc/n_s`` (NULL for an empty source).
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens_col).cast("long").alias("n_tokens")
+    )
+    caps = counts.withColumn(
+        "cap", F.lit(int(epoch_cap)) * F.col("n_tokens")
+    )
+    # sources-sized frame: the single-partition sort window is the
+    # POINT here (L ~ 10^2..10^4 languages), not a corpus window
+    w = Window.orderBy("cap", "source")
+    ranked = (
+        caps.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum_excl",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "L",
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    B = F.lit(int(total_budget))
+    flagged = ranked.withColumn(
+        "ok", F.col("cap") * (F.col("L") - F.col("rn") + 1) <= B - F.col("cum_excl")
+    )
+    boundary = flagged.where(~F.col("ok")).agg(
+        F.min("rn").alias("b_rn"),
+        F.min_by(F.col("cum_excl"), F.col("rn")).alias("b_cum"),
+        F.min_by(F.col("L") - F.col("rn") + 1, F.col("rn")).alias("b_k"),
+    )
+    out = flagged.crossJoin(F.broadcast(boundary)).select(
+        "source",
+        "n_tokens",
+        "cap",
+        (F.col("b_rn").isNull() | (F.col("rn") < F.col("b_rn"))).alias(
+            "capped"
+        ),
+        F.round(
+            F.when(
+                F.col("b_rn").isNull() | (F.col("rn") < F.col("b_rn")),
+                F.col("cap").cast("double"),
+            ).otherwise(
+                (B - F.col("b_cum")).cast("double")
+                / F.col("b_k").cast("double")
+            ),
+            6,
+        ).alias("alloc"),
+    )
+    return out.withColumn(
+        "epochs_used",
+        F.round(
+            F.try_divide(F.col("alloc"), F.col("n_tokens").cast("double")),
+            6,
+        ),
+    )

@@ -3860,3 +3860,69 @@ def test_semdedup_cross_cluster_dups_survive(spark):
            semdedup(pts, tau=0.5, k=2, iterations=1).collect()}
     if out[0].cluster != out[1].cluster:
         assert out[0].kept and out[1].kept
+
+
+# -- UniMax allocation (operators/sharding.py) --
+
+
+def test_unimax_waterfilling_hand_case(spark):
+    """caps (×2 epochs): a=20, b=40, c=200, B=100. a capped
+    (20·3=60 ≤ 100); b NOT capped (40·2=80 > 100−20=80? no: 80 ≤ 80
+    capped too); c gets the rest 40 < its 200 cap."""
+    from langscrape_spark.operators.sharding import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100)],
+        "source string, n_tokens long",
+    )
+    out = {r.source: r for r in
+           unimax_allocation(docs, total_budget=100, epoch_cap=2).collect()}
+    assert out["a"].capped and out["a"].alloc == 20.0
+    assert out["b"].capped and out["b"].alloc == 40.0
+    assert not out["c"].capped and out["c"].alloc == 40.0
+    assert out["c"].epochs_used == 0.4
+    # budget exactly exhausted
+    assert sum(r.alloc for r in out.values()) == 100.0
+
+
+def test_unimax_all_capped_and_all_uniform(spark):
+    from langscrape_spark.operators.sharding import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_tokens long"
+    )
+    # huge budget: everything capped at epoch_cap·n, budget unused
+    big = {r.source: r for r in
+           unimax_allocation(docs, total_budget=10_000, epoch_cap=3).collect()}
+    assert all(r.capped for r in big.values())
+    assert big["a"].alloc == 30.0 and big["b"].alloc == 60.0
+    # tiny budget: nothing capped, equal shares
+    small = {r.source: r for r in
+             unimax_allocation(docs, total_budget=9, epoch_cap=1).collect()}
+    assert not any(r.capped for r in small.values())
+    assert small["a"].alloc == 4.5 and small["b"].alloc == 4.5
+
+
+def test_unimax_matches_sequential_reference(spark):
+    """The window/prefix form must equal the textbook sequential
+    water-filling loop on a skewed 9-source corpus."""
+    from langscrape_spark.operators.sharding import unimax_allocation
+
+    rows = [(f"s{i}", 5 + (i * 37) % 113) for i in range(9)]
+    docs = spark.createDataFrame(rows, "source string, n_tokens long")
+    B, c = 300, 2
+    got = {r.source: round(r.alloc, 6) for r in
+           unimax_allocation(docs, total_budget=B, epoch_cap=c).collect()}
+    # reference loop
+    caps = sorted(((c * n, s) for s, n in rows))
+    exp, rem, k = {}, B, len(caps)
+    for cap, s in caps:
+        if cap * k <= rem:
+            exp[s] = float(cap); rem -= cap; k -= 1
+        else:
+            share = rem / k
+            for cap2, s2 in caps:
+                if s2 not in exp:
+                    exp[s2] = round(share, 6)
+            break
+    assert got == exp
