@@ -3578,41 +3578,15 @@ def q128_bm25_maxscore(spark, sf):
     ).orderBy("doc_id")
 
 
-def q129_semdedup(spark, sf):
-    """SemDeDup (operators/clustering.py::semdedup): k-means confines
-    the pairwise cosine scan within clusters (n²/k), then a doc is
-    dropped iff a smaller-id same-cluster doc has round-6 cosine
-    >= 0.38 (testdata embeddings are near-random with max pairwise
-    cosine ~0.51, so the gate sits where pairs exist). The oracle
-    composes the SHARED unrolled-kmeans CTE builder with the naive
-    within-cluster EXISTS — proving cluster assignment AND the
-    blocked per-cluster gemm keep rule in one hash."""
-    from langscrape_spark.operators.clustering import semdedup
-
-    pts = (
-        _t(spark, sf, "embeddings")
-        .where(F.col("vec_id") < 200)
-        .select("vec_id", "embedding")
-    )
-    return semdedup(pts, tau=0.38, k=4, iterations=2).orderBy("vec_id")
-
-
-def _semdedup_oracle() -> str:
-    from langscrape_spark.operators.clustering import semdedup_oracle_sql
-
-    return semdedup_oracle_sql(
-        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200",
-        tau=0.38,
-        k=4,
-        iterations=2,
-    )
-
-
 def q130_containment_join(spark, sf):
     """Exact directed token-set CONTAINMENT join at 9/10
     (operators/dedup.py::containment_pairs) — the quote/excerpt
     detector Jaccard can't be (a 12-token pull-quote in a 600-token
-    article: Jaccard ~0.02, containment 1.0). Corpus = 120 documents
+    article: Jaccard ~0.02, containment 1.0). Complements q71's
+    shingle containment the way q99's prefix Jaccard complements q09:
+    rarest-prefix candidate pruning with an all-integer rational gate
+    (provably zero false negatives) instead of a df-capped full
+    posting self-join with a float threshold. Corpus = 120 documents
     plus a planted 12-token pull-quote of every 3rd doc (token-sliced
     identically in both engines). The oracle is the NAIVE all-shared-
     token pair join at the same integer gate 10·inter ≥ 9·|A| —
@@ -3821,7 +3795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_skyline": q126_skyline,
         "q127_ks_drift": q127_ks_drift,
         "q128_bm25_maxscore": q128_bm25_maxscore,
-        "q129_semdedup": q129_semdedup,
         "q130_containment_join": q130_containment_join,
         "q131_unimax": q131_unimax,
     }
@@ -7488,7 +7461,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host_a, host_b
         """,
         "q112_kmeans": _kmeans_oracle(),
-        "q129_semdedup": _semdedup_oracle(),
         "q130_containment_join": f"""
             -- NAIVE all-shared-token directed pair join at the same
             -- integer gate 10*inter >= 9*|A| — no prefix filter, so a

@@ -133,7 +133,6 @@ def kmeans_oracle_sql(
     iterations: int = 2,
     scale: int = 1000,
     dim: int = 64,
-    as_cte_prefix: bool = False,
 ) -> str:
     """DuckDB twin of :func:`kmeans_lloyd`, unrolled as chained
     MATERIALIZED CTEs (the iterative-graph oracle recipe): the same
@@ -141,11 +140,6 @@ def kmeans_oracle_sql(
     argmin on round-6 distances with cid tie-break, exact HUGEINT
     centroid sums divided once, empty clusters coalescing to the
     previous centroid. ``points_sql`` must yield (vec_id, embedding).
-
-    With ``as_cte_prefix=True`` the return is a CTE chain (no final
-    SELECT) ending in ``assign(vec_id, cluster)`` — the final
-    assignment — so composed oracles (SemDeDup) can build on it
-    without re-stating the iteration.
     """
     dist = (
         "list_sum(list_transform(range(1, {d1}), i ->"
@@ -186,17 +180,6 @@ c{it + 1} AS MATERIALIZED (
   SELECT c{it}.cid, coalesce(s{it}.m, c{it}.m) AS m
   FROM c{it} LEFT JOIN s{it} ON c{it}.cid = s{it}.cid)"""
         )
-    if as_cte_prefix:
-        parts.append(
-            f"""assign AS MATERIALIZED (
-  SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-    SELECT p.vec_id, c.cid,
-           row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY round({dist}, 6), c.cid) AS rn
-    FROM pts p CROSS JOIN c{iterations} c)
-  WHERE rn = 1)"""
-        )
-        return ",\n".join(parts)
     final = f"""SELECT vec_id, CAST(cid AS INT) AS cluster,
        round({dist}, 6) AS dist
 FROM (
@@ -208,120 +191,3 @@ WHERE rn = 1
 ORDER BY vec_id"""
     return ",\n".join(parts) + "\n" + final
 
-
-def semdedup(
-    points: DataFrame,
-    tau: float = 0.4,
-    k: int = 4,
-    iterations: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1000,
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic dedup where the O(n²)
-    cosine scan is confined WITHIN k-means clusters — the pairwise
-    volume drops from n² to ~n²/k, and k is the scale dial (pick
-    k ≈ n/target_cluster_size so each cluster's embedding block fits
-    one worker; the per-cluster gemm below is already row-blocked, so
-    cluster size bounds memory by the unit-vector matrix alone).
-
-    A doc is dropped (``kept = false``) iff some SMALLER-id doc in the
-    SAME cluster has round-6 cosine ≥ tau — the deterministic min-id
-    representative rule (the paper keeps low-centroid-distance reps;
-    min-id keeps the oracle exact and re-runs byte-stable). Zero-norm
-    embeddings produce NaN cosine and never match (the q20 NaN rule).
-
-    Clustering is :func:`kmeans_lloyd` (exact integer-grid centroids),
-    so the WHOLE composition — iteration chain, assignment, pairwise
-    cosine, keep rule — hash-compares against the unrolled oracle.
-
-    Output: ``(vec_id, cluster, kept)``, one row per input doc.
-    """
-    import numpy as np
-    import pandas as pd
-
-    assign = kmeans_lloyd(
-        points,
-        k=k,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
-        scale=scale,
-    ).select("vec_id", "cluster")
-    emb = points.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
-    g = assign.join(emb, "vec_id")
-
-    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        mat = np.array(list(pdf["emb"]), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = np.nan  # zero-norm -> NaN cosine -> kept
-        unit = mat / norms[:, None]
-        n = len(pdf)
-        kept = np.ones(n, dtype=bool)
-        block = 1024
-        for s in range(1, n, block):
-            e = min(s + block, n)
-            # rows s..e against all STRICTLY EARLIER ids (cols < row)
-            sims = np.round(unit[s:e] @ unit[:e].T, 6)
-            rows_idx = np.arange(s, e)[:, None]
-            dup = (sims >= tau) & (np.arange(e)[None, :] < rows_idx)
-            kept[s:e] = ~dup.any(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                "cluster": pdf["cluster"].to_numpy(dtype=np.int32),
-                "kept": kept,
-            }
-        )
-
-    return g.groupBy("cluster").applyInPandas(
-        mark, schema="vec_id long, cluster int, kept boolean"
-    )
-
-
-def semdedup_oracle_sql(
-    points_sql: str,
-    tau: float = 0.4,
-    k: int = 4,
-    iterations: int = 2,
-    scale: int = 1000,
-    dim: int = 64,
-) -> str:
-    """DuckDB twin of :func:`semdedup`: the unrolled kmeans CTE chain
-    (shared builder — no hand-copied iteration to go stale) plus the
-    NAIVE within-cluster smaller-id pair EXISTS at the same round-6
-    cosine gate. Matching hashes prove the blocked per-cluster gemm
-    drops exactly the naive rule's set."""
-    prefix = kmeans_oracle_sql(
-        points_sql,
-        k=k,
-        iterations=iterations,
-        scale=scale,
-        dim=dim,
-        as_cte_prefix=True,
-    )
-    cos = """round(
-            list_sum(list_transform(range(1, len(a.embedding) + 1),
-              i -> CAST(a.embedding[i] AS DOUBLE)
-                   * CAST(b.embedding[i] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(a.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(b.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-          6)"""
-    return f"""{prefix},
-e AS MATERIALIZED (
-  SELECT s.vec_id, s.cluster, p.embedding
-  FROM assign s JOIN ({points_sql}) p USING (vec_id))
-SELECT a.vec_id, a.cluster,
-       NOT EXISTS (
-         SELECT 1 FROM e b
-         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
-           AND NOT isnan({cos}) AND {cos} >= {tau}
-       ) AS kept
-FROM e a
-ORDER BY a.vec_id"""

@@ -3802,66 +3802,6 @@ def test_ks_statistic_one_sided_group_reports_null(spark):
     assert s.n_old == 2 and s.n_new == 1 and s.ks is not None
 
 
-# -- SemDeDup (operators/clustering.py) --
-
-
-def test_semdedup_drops_within_cluster_min_id_keeps(spark):
-    """Planted geometry: two far-apart blobs (k-means must separate
-    them), each with exact scaled copies (cosine 1.0). Within each
-    blob only the min-id copy survives; the orthogonal outlier in
-    blob A stays; a zero-norm vector never matches anything."""
-    from langscrape_spark.operators.clustering import semdedup
-
-    dim = 8
-    a = [10.0] + [0.0] * (dim - 1)
-    b = [0.0] * (dim - 1) + [10.0]
-    # ids 0 and 1 seed the two centroids (init = k smallest ids), one
-    # per blob; dups are SMALL PERTURBATIONS (cosine ~1 AND Euclidean-
-    # near — a scaled copy would be a cosine dup k-means separates)
-    rows = [
-        (0, a),
-        (1, b),
-        (2, [10.0, 0.1] + [0.0] * (dim - 2)),       # dup of 0
-        (3, [9.9, 0.0, 0.05] + [0.0] * (dim - 3)),  # dup of 0
-        (4, [0.0, 10.0] + [0.0] * (dim - 2)),       # ortho: cos 0, kept
-        (10, [0.0] * (dim - 2) + [0.05, 10.0]),     # dup of 1
-        (12, [0.0] * dim),  # zero-norm: NaN cosine, kept
-    ]
-    pts = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    )
-    out = {
-        r.vec_id: (r.cluster, r.kept)
-        for r in semdedup(pts, tau=0.9, k=2, iterations=2).collect()
-    }
-    assert len(out) == 7  # one row per input
-    kept = {i for i, (_, kp) in out.items() if kp}
-    # min-id of each dup family survives; dups die
-    assert kept == {0, 1, 4, 12}
-    # dups landed in the same cluster as their representative
-    assert out[2][0] == out[0][0] and out[3][0] == out[0][0]
-    assert out[10][0] == out[1][0]
-
-
-def test_semdedup_cross_cluster_dups_survive(spark):
-    """The SemDeDup approximation by design: identical vectors split
-    across DIFFERENT clusters are both kept — the scan never crosses
-    cluster boundaries. Force the split with k == n points."""
-    from langscrape_spark.operators.clustering import semdedup
-
-    rows = [
-        (0, [1.0, 0.0]),
-        (1, [0.99, 0.01]),  # near-dup of 0 but its own centroid seed
-    ]
-    pts = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    )
-    out = {r.vec_id: r for r in
-           semdedup(pts, tau=0.5, k=2, iterations=1).collect()}
-    if out[0].cluster != out[1].cluster:
-        assert out[0].kept and out[1].kept
-
-
 # -- UniMax allocation (operators/sharding.py) --
 
 
