@@ -3634,6 +3634,33 @@ def q131_unimax(spark, sf):
     )
 
 
+def q132_spearman(spark, sf):
+    """Spearman rank agreement (operators/ranking.py::spearman_rho)
+    between two per-host crawl signals — doc count vs token mass —
+    within each source: ranks are row_number permutations with host
+    tie-break, so Σd² is an exact integer and ρ = 1 − 6Σd²/(n³−n) is
+    one division of identical integers in both engines. The oracle
+    mirrors the signal build, both rank windows and the formula."""
+    from langscrape_spark.operators.ranking import spearman_rho
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents")
+    sig = docs.groupBy(
+        "source",
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string")).alias(
+            "host"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words_col(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return spearman_rho(
+        sig, "n_docs", "n_tokens", id_col="host", group_cols=["source"]
+    ).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3797,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_bm25_maxscore": q128_bm25_maxscore,
         "q130_containment_join": q130_containment_join,
         "q131_unimax": q131_unimax,
+        "q132_spearman": q132_spearman,
     }
 
 
@@ -7536,6 +7564,32 @@ def oracle_sql() -> dict[str, str]:
                    round(alloc / CAST(n_tokens AS DOUBLE), 6)
                      AS epochs_used
             FROM alloced ORDER BY source
+        """,
+        "q132_spearman": f"""
+            -- Spearman re-derived: signal build, both row_number rank
+            -- windows (host tie-break), integer sum_d2, one division.
+            -- Spark: operators/ranking.py::spearman_rho.
+            WITH sig AS (
+              SELECT source, 'h' || (doc_id % 17) AS host,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1, 2),
+            ranked AS (
+              SELECT source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_docs, host) AS rx,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_tokens, host) AS ry
+              FROM sig),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)
+                       AS sum_d2
+              FROM ranked GROUP BY source)
+            SELECT source, n, sum_d2,
+                   round(1.0 - (6 * sum_d2)
+                         / CAST(n * n * n - n AS DOUBLE), 6) AS rho
+            FROM agg ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

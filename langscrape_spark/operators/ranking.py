@@ -73,3 +73,62 @@ def percentile_describe(
             for p in percentiles
         ],
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation between two ranking signals — the
+    crawl-ops agreement audit (does OPIC order hosts the way PageRank
+    does? did the quality re-score shuffle the curation order?): a
+    monotone-agreement measure that ignores each signal's scale.
+
+    EXACT-integer form: ranks are ``row_number`` over ``(value, id)``
+    — a deterministic PERMUTATION (ties broken by the id column, the
+    repo's rank convention; for heavily-tied data read the tie-break
+    as part of the metric's definition), so ``d = rx − ry`` and
+    ``Σd²`` are integers and ``ρ = 1 − 6Σd²/(n³−n)`` is one IEEE
+    division of two exact integers — no float summation order
+    anywhere. n³ caps the integer range: n per group must stay under
+    ~2M rows for BIGINT (signal frames are host-/source-sized; at
+    corpus scale rank-bucket first).
+
+    NULL in either signal drops the row (both ranks must exist).
+    Output: ``(*group_cols, n, sum_d2, rho)``; groups with n < 2 get
+    NULL rho (no variance to correlate).
+    """
+    g = list(group_cols)
+    idc = id_col
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    wx = Window.partitionBy(*g).orderBy(x_col, idc)
+    wy = Window.partitionBy(*g).orderBy(y_col, idc)
+    ranked = base.select(
+        *g,
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n").cast("long")
+    return agg.select(
+        *g,
+        n.alias("n"),
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(
+                (6 * F.col("sum_d2")).cast("double"),
+                (n * n * n - n).cast("double"),
+            ),
+            6,
+        ).alias("rho"),
+    )

@@ -3866,3 +3866,45 @@ def test_unimax_matches_sequential_reference(spark):
                     exp[s2] = round(share, 6)
             break
     assert got == exp
+
+
+# -- Spearman rank agreement (operators/ranking.py) --
+
+
+def test_spearman_exact_cases(spark):
+    from langscrape_spark.operators.ranking import spearman_rho
+
+    # perfect agreement, perfect reversal, and a known middle case
+    rows = [
+        ("agree", i, float(i), float(i * 10)) for i in range(1, 6)
+    ] + [
+        ("rev", i, float(i), float(-i)) for i in range(1, 6)
+    ] + [
+        # scipy.stats.spearmanr([1,2,3,4,5],[3,1,2,5,4]) = 0.6
+        ("mid", i, float(i), float(v))
+        for i, v in zip(range(1, 6), [3, 1, 2, 5, 4])
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, x double, y double"
+    )
+    out = {r.g: r for r in
+           spearman_rho(df, "x", "y", id_col="id",
+                        group_cols=["g"]).collect()}
+    assert out["agree"].rho == 1.0 and out["agree"].sum_d2 == 0
+    assert out["rev"].rho == -1.0
+    assert out["mid"].rho == 0.6 and out["mid"].sum_d2 == 8
+
+
+def test_spearman_null_rows_and_singleton(spark):
+    from langscrape_spark.operators.ranking import spearman_rho
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0, 2.0), ("g", 2, None, 3.0), ("s", 1, 1.0, 1.0)],
+        "g string, id long, x double, y double",
+    )
+    out = {r.g: r for r in
+           spearman_rho(df, "x", "y", id_col="id",
+                        group_cols=["g"]).collect()}
+    # NULL x drops the row; n=1 groups report NULL rho (0/0 guarded)
+    assert out["g"].n == 1 and out["g"].rho is None
+    assert out["s"].n == 1 and out["s"].rho is None
