@@ -3661,6 +3661,28 @@ def q132_spearman(spark, sf):
     ).orderBy("source")
 
 
+def q133_classifier_auc(spark, sf):
+    """Exact tie-aware ROC-AUC (operators/classifier.py::auc_exact)
+    of q75's score/label pair — alpha-ratio vs the length>=300 silver
+    label — per source: average ranks carried as DOUBLED integers
+    (2·rank + ties − 1) make U2 exact and AUC one division of
+    identical integers. Scores ranked on the round-6 value (the q75
+    convention) so no rank can flip on ulp noise. The oracle mirrors
+    the rank/tie windows and the U formula."""
+    from langscrape_spark.operators.classifier import auc_exact
+    from langscrape_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    scored = quality_columns(docs).select(
+        "source",
+        (F.length("text") >= 300).alias("label"),
+        F.round("alpha_ratio", 6).alias("score"),
+    )
+    return auc_exact(
+        scored, "score", "label", group_cols=["source"]
+    ).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3825,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_containment_join": q130_containment_join,
         "q131_unimax": q131_unimax,
         "q132_spearman": q132_spearman,
+        "q133_classifier_auc": q133_classifier_auc,
     }
 
 
@@ -7589,6 +7612,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n, sum_d2,
                    round(1.0 - (6 * sum_d2)
                          / CAST(n * n * n - n AS DOUBLE), 6) AS rho
+            FROM agg ORDER BY source
+        """,
+        "q133_classifier_auc": """
+            -- Mann-Whitney AUC re-derived: q75's score/label pair,
+            -- min-rank + tie-count windows, doubled-rank integer U2,
+            -- one division. Spark: operators/classifier.py::auc_exact.
+            WITH s AS (
+              SELECT source,
+                     CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+                       AS y,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^A-Za-z]', '',
+                                             'g'))
+                       / CAST(length(text) AS DOUBLE)
+                       ELSE 0 END, 6) AS sv
+              FROM documents),
+            ranked AS (
+              SELECT source, y,
+                     rank() OVER (PARTITION BY source ORDER BY sv)
+                       AS rk,
+                     count(*) OVER (PARTITION BY source, sv) AS cnt
+              FROM s),
+            agg AS (
+              SELECT source,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - y) AS BIGINT) AS n_neg,
+                     CAST(sum(CASE WHEN y = 1
+                                   THEN 2 * rk + cnt - 1
+                                   ELSE 0 END) AS BIGINT) AS sum_r2
+              FROM ranked GROUP BY source)
+            SELECT source, n_pos, n_neg,
+                   CAST(sum_r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+                   round((sum_r2 - n_pos * (n_pos + 1))
+                         / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+                     AS auc
             FROM agg ORDER BY source
         """,
         "q113_readability": f"""

@@ -214,3 +214,71 @@ def calibration_table(
         )
         .withColumn("pos_share", F.col("n_pos") / F.col("n"))
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC of a quality classifier against silver
+    labels — the single-number companion to :func:`calibration_table`
+    (q75): AUC = P(score₊ > score₋) + ½·P(score₊ = score₋), computed
+    as the Mann-Whitney U rank statistic.
+
+    Exactness trick: ties take AVERAGE ranks, which are half-integers
+    — so everything is carried in DOUBLED ranks ``r2 = 2·rank + cnt −
+    1`` (min-rank + tie count, both integers), making
+    ``U2 = Σ₊ r2 − n₊(n₊+1)`` an exact integer and
+    ``AUC = U2 / (2·n₊·n₋)`` one division of identical integers in
+    any engine — no float rank arithmetic to diverge.
+
+    Scale shape: one per-group rank window + one tie-count window +
+    one agg over the scores frame. One-class groups (n₊ or n₋ = 0)
+    report NULL AUC via try_divide, never a crash. Rank sums bound
+    the integer range at n² < 2^63 (n per group < ~2·10⁹).
+
+    Output: ``(*group_cols, n_pos, n_neg, u2, auc)``.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *g,
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    ranked = base.withColumn(
+        "rk", F.rank().over(Window.partitionBy(*g).orderBy("s"))
+    ).withColumn(
+        "cnt",
+        F.count(F.lit(1)).over(Window.partitionBy(*(g + ["s"]))),
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1, 2 * F.col("rk") + F.col("cnt") - 1
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_r2_pos"),
+    )
+    u2 = F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        F.round(
+            F.try_divide(
+                u2.cast("double"),
+                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
+            6,
+        ).alias("auc"),
+    )

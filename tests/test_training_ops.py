@@ -3908,3 +3908,49 @@ def test_spearman_null_rows_and_singleton(spark):
     # NULL x drops the row; n=1 groups report NULL rho (0/0 guarded)
     assert out["g"].n == 1 and out["g"].rho is None
     assert out["s"].n == 1 and out["s"].rho is None
+
+
+# -- exact AUC (operators/classifier.py::auc_exact) --
+
+
+def test_auc_exact_hand_cases(spark):
+    from langscrape_spark.operators.classifier import auc_exact
+
+    rows = (
+        # perfect separation -> 1.0
+        [("perf", 0.1, 0), ("perf", 0.2, 0), ("perf", 0.3, 1),
+         ("perf", 0.4, 1)]
+        # all scores tied -> 0.5 exactly (pure tie credit)
+        + [("tied", 1.0, 0), ("tied", 1.0, 1), ("tied", 1.0, 0),
+           ("tied", 1.0, 1)]
+        # sklearn roc_auc_score([0,1,1],[1,1,2]) = 0.75
+        + [("mix", 1.0, 0), ("mix", 1.0, 1), ("mix", 2.0, 1)]
+        # one-class group -> NULL, not a crash
+        + [("onec", 0.5, 1), ("onec", 0.7, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r.g: r for r in
+           auc_exact(df, "s", "y", group_cols=["g"]).collect()}
+    assert out["perf"].auc == 1.0
+    assert out["tied"].auc == 0.5
+    assert out["mix"].auc == 0.75 and out["mix"].u2 == 3
+    assert out["onec"].auc is None and out["onec"].n_neg == 0
+
+
+def test_auc_exact_matches_sklearn_formula(spark):
+    """Cross-check the doubled-rank U against a direct pairwise
+    P(s+ > s-) + 0.5·P(=) computation on a corpus with many ties."""
+    import itertools
+
+    from langscrape_spark.operators.classifier import auc_exact
+
+    rows = [("g", float((i * 7) % 5), (i * 3) % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = auc_exact(df, "s", "y", group_cols=["g"]).collect()[0]
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    assert round(wins / (len(pos) * len(neg)), 6) == got.auc
