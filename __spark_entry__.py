@@ -3683,6 +3683,26 @@ def q133_classifier_auc(spark, sf):
     ).orderBy("source")
 
 
+def q134_gini(spark, sf):
+    """Exact Gini coefficient (operators/hostquality.py::
+    gini_coefficient) of per-document token mass within each source —
+    the concentration audit behind crawl-budget equity: ascending
+    sort with doc_id tie-break makes Σi·xᵢ an exact integer, so
+    G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) is one division of identical
+    integers. The oracle mirrors the rank window and the formula."""
+    from langscrape_spark.operators.hostquality import gini_coefficient
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return gini_coefficient(
+        docs, "n_tokens", id_col="doc_id", group_cols=["source"]
+    ).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3848,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_unimax": q131_unimax,
         "q132_spearman": q132_spearman,
         "q133_classifier_auc": q133_classifier_auc,
+        "q134_gini": q134_gini,
     }
 
 
@@ -7647,6 +7668,31 @@ def oracle_sql() -> dict[str, str]:
                    round((sum_r2 - n_pos * (n_pos + 1))
                          / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
                      AS auc
+            FROM agg ORDER BY source
+        """,
+        "q134_gini": f"""
+            -- Gini re-derived: ascending rank window (doc_id
+            -- tie-break), integer Si*xi, the closed formula, one
+            -- division. Spark: operators/hostquality.py::
+            -- gini_coefficient.
+            WITH v AS (
+              SELECT source, doc_id,
+                     CAST(len({_TOKENS}) AS BIGINT) AS x
+              FROM documents),
+            ranked AS (
+              SELECT source, x,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY x, doc_id) AS i
+              FROM v),
+            agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS total,
+                     CAST(sum(i * x) AS BIGINT) AS iw
+              FROM ranked GROUP BY source)
+            SELECT source, n, total,
+                   round((2 * iw - (n + 1) * total)
+                         / CAST(n * total AS DOUBLE), 6) AS gini
             FROM agg ORDER BY source
         """,
         "q113_readability": f"""

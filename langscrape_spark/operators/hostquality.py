@@ -113,3 +113,53 @@ def filter_by_host_quality(
     corpus side never shuffles."""
     kept = rollup.where(F.col("host_keep")).select(host_col)
     return df.join(F.broadcast(kept), host_col, "left_semi")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative mass column — the
+    crawl-equity / concentration audit (is one host eating the fetch
+    budget? is one source 90% of the token mass?), the scalar the
+    Zipf profile (q82) summarizes as a curve.
+
+    All-integer numerator/denominator: with values sorted ASCENDING
+    (id tie-break → deterministic permutation) and 1-based position
+    ``i``, ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` — integer products,
+    one final IEEE division, identical in any engine. One per-group
+    sort window + one agg. Zero-mass or empty groups report NULL via
+    try_divide. Σ i·x bounds the range: n·max(x)·n < 2^63 (rank-bucket
+    first past ~10⁹ rows·mass).
+
+    Output: ``(*group_cols, n, total, gini)``.
+    """
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(value_col, id_col)
+    ranked = df.where(F.col(value_col).isNotNull()).select(
+        *g,
+        F.col(value_col).cast("long").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("iw"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        "total",
+        F.round(
+            F.try_divide(
+                (
+                    2 * F.col("iw")
+                    - (F.col("n") + 1) * F.col("total")
+                ).cast("double"),
+                (F.col("n") * F.col("total")).cast("double"),
+            ),
+            6,
+        ).alias("gini"),
+    )

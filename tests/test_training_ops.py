@@ -3954,3 +3954,44 @@ def test_auc_exact_matches_sklearn_formula(spark):
         for p, n in itertools.product(pos, neg)
     )
     assert round(wins / (len(pos) * len(neg)), 6) == got.auc
+
+
+# -- Gini coefficient (operators/hostquality.py) --
+
+
+def test_gini_hand_cases(spark):
+    from langscrape_spark.operators.hostquality import gini_coefficient
+
+    rows = (
+        [("eq", i, 10) for i in range(4)]          # perfect equality: 0
+        + [("one", 0, 100)] + [("one", i, 0) for i in range(1, 5)]
+        + [("half", 0, 0), ("half", 1, 100)]       # n=2 extreme: 0.5
+        + [("zero", 0, 0), ("zero", 1, 0)]         # no mass: NULL
+    )
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = {r.g: r for r in
+           gini_coefficient(df, "x", id_col="id",
+                            group_cols=["g"]).collect()}
+    assert out["eq"].gini == 0.0
+    assert out["one"].gini == 0.8   # (n-1)/n for all-in-one, n=5
+    assert out["half"].gini == 0.5
+    assert out["zero"].gini is None and out["zero"].total == 0
+
+
+def test_gini_matches_pairwise_definition(spark):
+    """The sorted-rank formula equals the mean-absolute-difference
+    definition G = S|xi-xj| / (2 n S x) on arbitrary integer mass."""
+    import itertools
+
+    from langscrape_spark.operators.hostquality import gini_coefficient
+
+    xs = [(i * 13) % 29 for i in range(25)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)],
+        "g string, id long, x long",
+    )
+    got = gini_coefficient(df, "x", id_col="id",
+                           group_cols=["g"]).collect()[0]
+    n, tot = len(xs), sum(xs)
+    mad = sum(abs(a - b) for a, b in itertools.product(xs, xs))
+    assert got.gini == round(mad / (2 * n * tot), 6)
