@@ -3703,6 +3703,35 @@ def q134_gini(spark, sf):
     ).orderBy("source")
 
 
+def q135_politeness_audit(spark, sf):
+    """Crawl-delay compliance audit (operators/sessions.py::
+    politeness_audit): per-host consecutive-fetch gaps in integer
+    MICROSECONDS (the q103 convention) vs each host's robots delay —
+    violation = gap strictly below the delay. The fetch log is the
+    events table keyed to 11 pseudo-hosts; every 'h2-family' host is
+    MISSING from the delay table to exercise the audit-against-0
+    default. The oracle mirrors the lag window, the left join and the
+    strict gate."""
+    from langscrape_spark.operators.sessions import politeness_audit
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("user_id") % 11
+    fetches = ev.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        "ts",
+        "event_id",
+    )
+    delays = (
+        ev.where(hid % 5 != 2)
+        .select(
+            F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+            ((hid * 7) % 4).cast("long").alias("crawl_delay_s"),
+        )
+        .distinct()
+    )
+    return politeness_audit(fetches, delays).orderBy("host")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3869,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_spearman": q132_spearman,
         "q133_classifier_auc": q133_classifier_auc,
         "q134_gini": q134_gini,
+        "q135_politeness_audit": q135_politeness_audit,
     }
 
 
@@ -7694,6 +7724,42 @@ def oracle_sql() -> dict[str, str]:
                    round((2 * iw - (n + 1) * total)
                          / CAST(n * total AS DOUBLE), 6) AS gini
             FROM agg ORDER BY source
+        """,
+        "q135_politeness_audit": """
+            -- Compliance audit re-derived: per-host lag window on
+            -- (epoch_us, event_id), delay left-join with 0 default,
+            -- strict gap < delay*1e6 gate, per-host rollup. Spark:
+            -- operators/sessions.py::politeness_audit.
+            WITH f AS (
+              SELECT 'h' || (user_id % 11) AS host,
+                     epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL),
+            d AS (
+              SELECT DISTINCT 'h' || (user_id % 11) AS host,
+                     CAST(((user_id % 11) * 7) % 4 AS BIGINT)
+                       AS crawl_delay_s
+              FROM events WHERE (user_id % 11) % 5 <> 2),
+            g AS (
+              SELECT host,
+                     us - lag(us) OVER (PARTITION BY host
+                       ORDER BY us, event_id) AS gap
+              FROM f),
+            j AS (
+              SELECT g.host, g.gap,
+                     coalesce(d.crawl_delay_s, 0) AS crawl_delay_s
+              FROM g LEFT JOIN d USING (host))
+            SELECT host, crawl_delay_s,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(sum(CASE WHEN gap < crawl_delay_s * 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violations,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   round(sum(CASE WHEN gap < crawl_delay_s * 1000000
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(gap) AS DOUBLE), 6)
+                     AS violation_rate
+            FROM j GROUP BY host, crawl_delay_s ORDER BY host
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -87,3 +87,73 @@ def sessionize(
             "value_sum",
         )
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Crawl-delay COMPLIANCE audit: did the fetcher actually honor
+    each host's robots crawl-delay? The inverse of the scheduler's
+    politeness windows — run over the fetch LOG after the fact, the
+    report crawl-ops reads when a host complains.
+
+    Per host, consecutive-fetch gaps come from one lag window ordered
+    by (ts, id) — same exchange+sort shape as :func:`sessionize`, and
+    the same integer-MICROSECOND convention so the boundary
+    ``gap < delay`` is exact cross-engine (a violation is a gap
+    STRICTLY below the delay; equality is compliant). Hosts with no
+    robots rule audit against delay 0 (never violated). NULL
+    timestamps are dropped (unorderable; engine NULL-order defaults
+    differ).
+
+    Output per host: ``(host, crawl_delay_s, n_fetches, n_gaps,
+    n_violations, min_gap_us, violation_rate)`` — rate over gaps, not
+    fetches (first fetch has no gap), NULL when a host has a single
+    fetch.
+    """
+    base = fetches.where(F.col(ts_col).isNotNull()).select(
+        F.col(host_col).alias("host"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("host").orderBy("_us", "_id")
+    gaps = base.withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).cast("long").alias("crawl_delay_s"),
+    )
+    joined = gaps.join(F.broadcast(d), "host", "left").withColumn(
+        "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0))
+    )
+    return (
+        joined.groupBy("host", "crawl_delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("_gap").cast("long").alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("_gap")
+                    < F.col("crawl_delay_s") * F.lit(1_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.min("_gap").cast("long").alias("min_gap_us"),
+        )
+        .withColumn(
+            "violation_rate",
+            F.round(
+                F.try_divide(
+                    F.col("n_violations").cast("double"),
+                    F.col("n_gaps").cast("double"),
+                ),
+                6,
+            ),
+        )
+    )

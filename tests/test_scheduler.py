@@ -164,3 +164,45 @@ def test_parse_robots_txt_edges(spark):
     assert (b["disallow_prefixes"], b["crawl_delay"], b["allowed"]) == (
         [], None, True
     )
+
+
+# -- politeness compliance audit (operators/sessions.py) --
+
+
+def test_politeness_audit_gates_and_defaults(spark):
+    import datetime as dt
+
+    from langscrape_spark.operators.sessions import politeness_audit
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(sec_offset):
+        return t0 + dt.timedelta(seconds=sec_offset)
+
+    fetches = spark.createDataFrame(
+        [
+            # host a, delay 2: gaps 1s (violation), 2s (equality: OK),
+            # 5s (OK)
+            ("a", ts(0), 1), ("a", ts(1), 2), ("a", ts(3), 3),
+            ("a", ts(8), 4),
+            # host b: not in delay table -> audits against 0, 0 gaps
+            # can't violate
+            ("b", ts(0), 5), ("b", ts(0), 6),
+            # host c: single fetch -> no gaps, NULL rate
+            ("c", ts(0), 7),
+            # NULL ts dropped
+            ("a", None, 8),
+        ],
+        "host string, ts timestamp, event_id long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 2), ("c", 3)], "host string, crawl_delay_s long"
+    )
+    out = {r.host: r for r in politeness_audit(fetches, delays).collect()}
+    a = out["a"]
+    assert (a.n_fetches, a.n_gaps, a.n_violations) == (4, 3, 1)
+    assert a.min_gap_us == 1_000_000 and a.violation_rate == round(1 / 3, 6)
+    b = out["b"]
+    assert b.crawl_delay_s == 0 and b.n_violations == 0
+    c = out["c"]
+    assert c.n_gaps == 0 and c.violation_rate is None
