@@ -3732,6 +3732,20 @@ def q135_politeness_audit(spark, sf):
     return politeness_audit(fetches, delays).orderBy("host")
 
 
+def q136_assortativity(spark, sf):
+    """Directed out-in degree assortativity (operators/linkgraph.py::
+    degree_assortativity) of the shared q93-q96 host graph: Pearson r
+    over distinct non-self edges between src out-degree and dst
+    in-degree, every moment an exact integer in decimal(38,0), final
+    r two sqrts + one division of identical integers. The planted
+    hub/sink rows make the graph measurably disassortative. The
+    oracle re-derives hygiene, both degrees, all five moments and the
+    formula on the same SQL graph twin."""
+    from langscrape_spark.operators.linkgraph import degree_assortativity
+
+    return degree_assortativity(_host_graph(spark, sf))
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3899,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_classifier_auc": q133_classifier_auc,
         "q134_gini": q134_gini,
         "q135_politeness_audit": q135_politeness_audit,
+        "q136_assortativity": q136_assortativity,
     }
 
 
@@ -7760,6 +7775,32 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(gap) AS DOUBLE), 6)
                      AS violation_rate
             FROM j GROUP BY host, crawl_delay_s ORDER BY host
+        """,
+        "q136_assortativity": f"""
+            -- Assortativity re-derived on the shared graph twin:
+            -- self-loop/dup hygiene, out/in degrees, five HUGEINT
+            -- moments, r = (m*Sxy - Sx*Sy)/(sqrt*sqrt). Spark:
+            -- operators/linkgraph.py::degree_assortativity.
+            WITH raw AS ({_HOSTGRAPH_RAW_SQL}),
+            e AS (
+              SELECT DISTINCT src AS s, dst AS d FROM raw
+              WHERE src <> dst),
+            od AS (SELECT s, count(*) AS x FROM e GROUP BY s),
+            idg AS (SELECT d, count(*) AS y FROM e GROUP BY d),
+            p AS (
+              SELECT od.x, idg.y
+              FROM e JOIN od USING (s) JOIN idg USING (d)),
+            a AS (
+              SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy
+              FROM p)
+            SELECT CAST(m AS BIGINT) AS m, CAST(sxy AS BIGINT) AS sxy,
+                   round((m * sxy - sx * sy)
+                         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))),
+                         6) AS r
+            FROM a
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -687,3 +687,69 @@ def greedy_seed_cover_oracle_sql(raw_edges_sql: str, k: int = 4) -> str:
         " AS covered_total"
         " FROM picks WHERE gain > 0 ORDER BY round"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Directed out-in degree assortativity (Newman 2002): the Pearson
+    correlation, over distinct non-self edges, between the source's
+    out-degree and the target's in-degree. Organic webs are
+    DISassortative (big hubs link small pages, r < 0); link farms and
+    mirror rings push r positive — the one-scalar complement to the
+    reciprocal-share and triangle screens.
+
+    Exactness: every moment (m, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    integer carried in decimal(38,0) — degree products at 10⁹-edge /
+    10⁶-degree scale overflow BIGINT, and ANSI throws — so
+    ``r = (mΣxy − ΣxΣy) / (√(mΣx²−Σx²)·√(mΣy²−Σy²))`` is two square
+    roots and one division of identical integers in both engines.
+    Degenerate graphs (uniform degrees → zero variance) report NULL
+    via try_divide, never a crash.
+
+    Scale shape: hygiene + two degree aggs + two equi-joins back to
+    the edge frame + one global agg — no window, no driver loop.
+
+    Output (one row): ``(m, sxy, r)``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    od = e.groupBy("s").agg(F.count(F.lit(1)).alias("x"))
+    idg = e.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+    dec = "decimal(38,0)"
+    pairs = (
+        e.join(od, "s")
+        .join(idg, "d")
+        .select(F.col("x").cast(dec).alias("x"), F.col("y").cast(dec).alias("y"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.round(
+            F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6
+        ).alias("r"),
+    )

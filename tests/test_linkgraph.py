@@ -482,3 +482,58 @@ def test_greedy_seed_cover_tie_breaks_smallest_host(spark):
     )
     rows = greedy_seed_cover(edges, k=1).collect()
     assert rows[0].host == "y"
+
+
+# -- degree assortativity (operators/linkgraph.py) --
+
+
+def test_assortativity_signs_and_exactness(spark):
+    from langscrape_spark.operators.linkgraph import degree_assortativity
+
+    # star: hub -> 4 leaves, each leaf -> hub. Every edge pairs a
+    # high-out with a low-in or vice versa -> strongly negative r.
+    star = [("hub", f"l{i}") for i in range(4)] + [
+        (f"l{i}", "hub") for i in range(4)
+    ]
+    r_star = degree_assortativity(
+        spark.createDataFrame(star, "src_host string, dst_host string")
+    ).collect()[0]
+    assert r_star.r is not None and r_star.r < -0.5
+
+    # uniform ring: every node out-degree 1, in-degree 1 -> zero
+    # variance -> NULL (not a crash, not 1.0)
+    ring = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
+    r_ring = degree_assortativity(
+        spark.createDataFrame(ring, "src_host string, dst_host string")
+    ).collect()[0]
+    assert r_ring.r is None and r_ring.m == 5
+
+    # self-loops and duplicate edges are hygiene'd away
+    noisy = ring + [("n0", "n0"), ("n0", "n1"), ("n0", "n1")]
+    r_noisy = degree_assortativity(
+        spark.createDataFrame(noisy, "src_host string, dst_host string")
+    ).collect()[0]
+    assert r_noisy.m == 5
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import math
+
+    from langscrape_spark.operators.linkgraph import degree_assortativity
+
+    edges = [(f"a{i % 7}", f"b{(i * i + i) % 5}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = degree_assortativity(df).collect()[0]
+    e = sorted(set((s, d) for s, d in edges if s != d))
+    od, idg = {}, {}
+    for s, d in e:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    xs = [od[s] for s, d in e]
+    ys = [idg[d] for s, d in e]
+    m = len(e)
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(m * sum(x * x for x in xs) - sum(xs) ** 2) * math.sqrt(
+        m * sum(y * y for y in ys) - sum(ys) ** 2
+    )
+    assert got.r == round(num / den, 6) and got.m == m
