@@ -3746,6 +3746,27 @@ def q136_assortativity(spark, sf):
     return degree_assortativity(_host_graph(spark, sf))
 
 
+def q137_partition_skew(spark, sf):
+    """Shuffle-key pre-flight (operators/layout.py::
+    partition_skew_audit): the same documents table audited under two
+    candidate keys at P=32 — 'source' (3 distinct values: pathological
+    skew, 29 empty reducers — the salt-me signal) vs doc_id (near
+    1.0). Engine-portable md5 buckets, densified over range(P), hot
+    bucket by unique combined score. The oracle mirrors buckets,
+    densify and metrics for both keys."""
+    from langscrape_spark.operators.layout import partition_skew_audit
+
+    docs = _t(spark, sf, "documents")
+    a = partition_skew_audit(docs, "source", 32, label="by_source")
+    b = partition_skew_audit(
+        docs.select(F.col("doc_id").cast("string").alias("k")),
+        "k",
+        32,
+        label="by_doc_id",
+    )
+    return a.unionByName(b).orderBy("key")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3914,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_gini": q134_gini,
         "q135_politeness_audit": q135_politeness_audit,
         "q136_assortativity": q136_assortativity,
+        "q137_partition_skew": q137_partition_skew,
     }
 
 
@@ -7801,6 +7823,54 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(m * syy - sy * sy AS DOUBLE))),
                          6) AS r
             FROM a
+        """,
+        "q137_partition_skew": """
+            -- md5 % 32 buckets (power-of-2: unsigned % == Spark's
+            -- signed pmod), range(32) densify, unique combined-score
+            -- hot bucket, max/avg skew. Spark: operators/layout.py::
+            -- partition_skew_audit.
+            SELECT * FROM (
+              WITH b AS (
+                SELECT CAST(md5_number_lower(CAST(source AS VARCHAR)) % 32
+                       AS BIGINT) AS bucket
+                FROM documents),
+              dense AS (
+                SELECT t.r AS bucket, count(b.bucket) AS n
+                FROM range(32) t(r) LEFT JOIN b ON b.bucket = t.r
+                GROUP BY t.r)
+              SELECT 'by_source' AS key, CAST(32 AS BIGINT) AS n_partitions,
+                     CAST(sum(n) AS BIGINT) AS total_rows,
+                     CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_empty,
+                     CAST(max(n) AS BIGINT) AS max_rows,
+                     CAST(arg_max(bucket, n * 32 + (31 - bucket))
+                       AS BIGINT) AS hot_bucket,
+                     round(max(n) * 32 / CAST(sum(n) AS DOUBLE), 6)
+                       AS skew
+              FROM dense
+            )
+            UNION ALL
+            SELECT * FROM (
+              WITH b AS (
+                SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 32
+                       AS BIGINT) AS bucket
+                FROM documents),
+              dense AS (
+                SELECT t.r AS bucket, count(b.bucket) AS n
+                FROM range(32) t(r) LEFT JOIN b ON b.bucket = t.r
+                GROUP BY t.r)
+              SELECT 'by_doc_id' AS key, CAST(32 AS BIGINT) AS n_partitions,
+                     CAST(sum(n) AS BIGINT) AS total_rows,
+                     CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_empty,
+                     CAST(max(n) AS BIGINT) AS max_rows,
+                     CAST(arg_max(bucket, n * 32 + (31 - bucket))
+                       AS BIGINT) AS hot_bucket,
+                     round(max(n) * 32 / CAST(sum(n) AS DOUBLE), 6)
+                       AS skew
+              FROM dense
+            )
+            ORDER BY key
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -106,3 +106,72 @@ def zorder_file_stats(
             F.max("yb").alias("yb_max"),
         )
     )
+
+
+def partition_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 32,
+    label: str = "key",
+) -> DataFrame:
+    """Shuffle-partition skew audit — the question every join/groupBy
+    key must answer BEFORE it ships at 100 TB: how evenly does this
+    key hash across P reducers, and is there a hot bucket that needs
+    salting? (The politeness scheduler already salts hosts; this is
+    the generic pre-flight for any new key.)
+
+    Buckets via ``pmod(md5_lower64(key), P)`` with P a power of two —
+    the repo's engine-portable hash stack (DuckDB
+    ``md5_number_lower % P``), deliberately NOT Spark's Murmur3 (the
+    audit measures key-distribution shape, which any uniform hash
+    exposes identically; md5 keeps the oracle exact). Empty buckets
+    COUNT: the frame densifies over range(P), so skew = max/avg is
+    against P reducers, not the used ones. The hot bucket is
+    deterministic (max rows, min bucket id via a combined integer
+    score — P·n + (P−1−bucket), unique per bucket so no tie
+    ambiguity).
+
+    Output (one row): ``(key, n_partitions, total_rows, n_empty,
+    max_rows, hot_bucket, skew)`` with skew = max_rows·P/total
+    round-6 (1.0 = perfectly even; NULL for an empty frame).
+    """
+    from .dedup import _md5_lower64
+
+    P = int(n_partitions)
+    if P & (P - 1) or P <= 0:
+        raise ValueError(f"n_partitions must be a power of 2, got {P}")
+    spark = df.sparkSession
+    b = df.select(
+        F.pmod(
+            _md5_lower64(F.col(key_col).cast("string")), F.lit(P)
+        ).alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        spark.range(P)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    score = F.col("n") * P + (P - 1 - F.col("bucket"))
+    agg = dense.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum((F.col("n") == 0).cast("int")).cast("long").alias("n_empty"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.max_by(F.col("bucket"), score).cast("long").alias("hot_bucket"),
+    )
+    return agg.select(
+        F.lit(label).alias("key"),
+        F.lit(P).cast("long").alias("n_partitions"),
+        "total_rows",
+        "n_empty",
+        "max_rows",
+        "hot_bucket",
+        F.round(
+            F.try_divide(
+                (F.col("max_rows") * P).cast("double"),
+                F.col("total_rows").cast("double"),
+            ),
+            6,
+        ).alias("skew"),
+    )

@@ -3995,3 +3995,34 @@ def test_gini_matches_pairwise_definition(spark):
     n, tot = len(xs), sum(xs)
     mad = sum(abs(a - b) for a, b in itertools.product(xs, xs))
     assert got.gini == round(mad / (2 * n * tot), 6)
+
+
+# -- partition skew audit (operators/layout.py) --
+
+
+def test_partition_skew_audit_detects_hot_key(spark):
+    import pytest
+
+    from langscrape_spark.operators.layout import partition_skew_audit
+
+    # one dominant key + a uniform tail
+    rows = [("hot",) for _ in range(90)] + [(f"k{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string")
+    out = partition_skew_audit(df, "k", 16, label="t").collect()[0]
+    assert out.total_rows == 120 and out.n_partitions == 16
+    # the hot key's bucket holds >= 90 rows -> skew >= 90*16/120 = 12
+    assert out.max_rows >= 90 and out.skew >= 12.0
+
+    # uniform distinct keys stay near 1.0 and fill most buckets
+    uni = spark.createDataFrame(
+        [(f"u{i}",) for i in range(4096)], "k string"
+    )
+    o2 = partition_skew_audit(uni, "k", 16, label="u").collect()[0]
+    assert o2.n_empty == 0 and o2.skew < 1.3
+
+    # empty frame: NULL skew; power-of-2 guard raises
+    empty = spark.createDataFrame([], "k string")
+    o3 = partition_skew_audit(empty, "k", 16).collect()[0]
+    assert o3.total_rows == 0 and o3.skew is None and o3.n_empty == 16
+    with pytest.raises(ValueError):
+        partition_skew_audit(df, "k", 12)
