@@ -3767,6 +3767,30 @@ def q137_partition_skew(spark, sf):
     return a.unionByName(b).orderBy("key")
 
 
+def q138_keep_rate_chi2(spark, sf):
+    """2×2 contingency chi-square per source (operators/snapshots.py::
+    keep_rate_chi2): did the keep gate's rate shift between the old
+    crawl and the q127/q54 mutated re-crawl, beyond sampling noise?
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is ONE rational of integer
+    counts in decimal(38,0), divided once — the oracle recomputes
+    both sides' keep counts and the same rational."""
+    from langscrape_spark.operators.snapshots import keep_rate_chi2
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    gate = lambda t: F.length(t) >= 300  # noqa: E731
+    old = docs.select("source", gate(F.col("text")).alias("keep"))
+    new = docs.where(d % 11 != 0).select(
+        "source",
+        gate(
+            F.when(
+                d % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+            ).otherwise(F.col("text"))
+        ).alias("keep"),
+    )
+    return keep_rate_chi2(old, new, "keep").orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3936,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_politeness_audit": q135_politeness_audit,
         "q136_assortativity": q136_assortativity,
         "q137_partition_skew": q137_partition_skew,
+        "q138_keep_rate_chi2": q138_keep_rate_chi2,
     }
 
 
@@ -7871,6 +7896,52 @@ def oracle_sql() -> dict[str, str]:
               FROM dense
             )
             ORDER BY key
+        """,
+        "q138_keep_rate_chi2": """
+            -- 2x2 chi-square re-derived: both sides' keep counts
+            -- (old corpus vs q54-mutated re-crawl), HUGEINT rational
+            -- N*(ad-bc)^2 / margins, one division, 3.841 line on the
+            -- rounded value. Spark: operators/snapshots.py::
+            -- keep_rate_chi2.
+            WITH o AS (
+              SELECT source,
+                     CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+                       AS kp
+              FROM documents),
+            n AS (
+              SELECT source,
+                     CASE WHEN length(CASE WHEN doc_id % 7 = 0
+                            THEN text || ' updated' ELSE text END)
+                          >= 300 THEN 1 ELSE 0 END AS kp
+              FROM documents WHERE doc_id % 11 <> 0),
+            so AS (
+              SELECT source, CAST(sum(kp) AS HUGEINT) AS a,
+                     CAST(sum(1 - kp) AS HUGEINT) AS b
+              FROM o GROUP BY source),
+            sn AS (
+              SELECT source, CAST(sum(kp) AS HUGEINT) AS c,
+                     CAST(sum(1 - kp) AS HUGEINT) AS d
+              FROM n GROUP BY source),
+            j AS (
+              SELECT coalesce(so.source, sn.source) AS source,
+                     coalesce(a, 0) AS a, coalesce(b, 0) AS b,
+                     coalesce(c, 0) AS c, coalesce(d, 0) AS d
+              FROM so FULL OUTER JOIN sn ON so.source = sn.source),
+            x AS (
+              SELECT source,
+                     CAST(a + b AS BIGINT) AS n_old,
+                     CAST(c + d AS BIGINT) AS n_new,
+                     CAST(a AS BIGINT) AS keep_old,
+                     CAST(c AS BIGINT) AS keep_new,
+                     round(CAST((a + b + c + d)
+                                * (a * d - b * c) * (a * d - b * c)
+                            AS DOUBLE)
+                           / CAST((a + b) * (c + d) * (a + c) * (b + d)
+                             AS DOUBLE), 6) AS chi2
+              FROM j)
+            SELECT source, n_old, n_new, keep_old, keep_new, chi2,
+                   chi2 >= 3.841 AS significant_95
+            FROM x ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -415,3 +415,66 @@ def ks_statistic(
             ).alias("ks"),
         )
     )
+
+
+def keep_rate_chi2(
+    old: DataFrame,
+    new: DataFrame,
+    flag_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Did a gate's keep-rate actually CHANGE between two pipeline
+    versions, or is the delta sampling noise? The 2×2 contingency
+    chi-square per group — the curation-ops significance check next
+    to the KS (numeric drift, q127) and JS (distribution drift, q119)
+    alarms.
+
+    Exactness: for the table [[a,b],[c,d]] (old keep/drop, new
+    keep/drop), ``χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` — the
+    entire statistic is ONE rational of integer counts, carried in
+    decimal(38,0) (N·(ad−bc)² at 10¹⁰-row scale is ~10⁴⁸… the
+    ad−bc factor is ≤ N², so cap groups at ~10⁹ rows per side or
+    pre-aggregate; the contract-scale math is exact either way) and
+    divided once. Degenerate margins (a zero row or column — e.g. a
+    gate that kept everything in both versions) report NULL via
+    try_divide, never a crash. χ² ≥ 3.841 is the 95% line for 1 dof
+    — emitted as a boolean so the caller needs no table.
+
+    Output: ``(group, n_old, n_new, keep_old, keep_new, chi2,
+    significant_95)``.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("g")).agg(
+            F.sum(F.col(flag_col).cast("int"))
+            .cast("long")
+            .alias(f"k_{tag}"),
+            F.sum((~F.col(flag_col)).cast("int"))
+            .cast("long")
+            .alias(f"d_{tag}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "g", "full_outer").select(
+        "g",
+        *[
+            F.coalesce(c, F.lit(0)).alias(c)
+            for c in ("k_o", "d_o", "k_n", "d_n")
+        ],
+    )
+    dec = "decimal(38,0)"
+    a = F.col("k_o").cast(dec)
+    b = F.col("d_o").cast(dec)
+    c = F.col("k_n").cast(dec)
+    d = F.col("d_n").cast(dec)
+    det = a * d - b * c
+    num = ((a + b + c + d) * det * det).cast("double")
+    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    chi2 = F.round(F.try_divide(num, den), 6)
+    return j.select(
+        F.col("g").alias(group_col),
+        (F.col("k_o") + F.col("d_o")).alias("n_old"),
+        (F.col("k_n") + F.col("d_n")).alias("n_new"),
+        F.col("k_o").alias("keep_old"),
+        F.col("k_n").alias("keep_new"),
+        chi2.alias("chi2"),
+        (chi2 >= 3.841).alias("significant_95"),
+    )

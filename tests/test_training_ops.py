@@ -4026,3 +4026,36 @@ def test_partition_skew_audit_detects_hot_key(spark):
     assert o3.total_rows == 0 and o3.skew is None and o3.n_empty == 16
     with pytest.raises(ValueError):
         partition_skew_audit(df, "k", 12)
+
+
+# -- keep-rate chi-square (operators/snapshots.py) --
+
+
+def test_keep_rate_chi2_hand_case_and_degenerate(spark):
+    from langscrape_spark.operators.snapshots import keep_rate_chi2
+
+    # hand case: old 30/10 keep/drop, new 20/20 ->
+    # chi2 = 80*(30*20-10*20)^2/(40*40*50*30) = 80*160000/2400000
+    old = spark.createDataFrame(
+        [("s", i < 30) for i in range(40)]
+        + [("flat", True) for _ in range(10)]
+        + [("onlyold", i % 2 == 0) for i in range(10)],
+        "source string, keep boolean",
+    )
+    new = spark.createDataFrame(
+        [("s", i < 20) for i in range(40)]
+        + [("flat", True) for _ in range(10)],
+        "source string, keep boolean",
+    )
+    out = {r.source: r for r in keep_rate_chi2(old, new, "keep").collect()}
+    s = out["s"]
+    assert (s.n_old, s.n_new, s.keep_old, s.keep_new) == (40, 40, 30, 20)
+    assert s.chi2 == round(80 * 160000 / 2400000, 6)
+    assert s.significant_95  # 5.333 > 3.841
+    # degenerate: both versions kept everything -> zero drop column ->
+    # NULL chi2, not a crash
+    f = out["flat"]
+    assert f.chi2 is None and f.significant_95 is None
+    # group present only in old: new side coalesces to 0, degenerate
+    oo = out["onlyold"]
+    assert oo.n_new == 0 and oo.chi2 is None
