@@ -3743,7 +3743,10 @@ def q136_assortativity(spark, sf):
     formula on the same SQL graph twin."""
     from langscrape_spark.operators.linkgraph import degree_assortativity
 
-    return degree_assortativity(_host_graph(spark, sf))
+    out = degree_assortativity(_host_graph(spark, sf))
+    # operator keeps sxy in decimal(38,0) for 10^9-edge scale; cast
+    # for the driver's int64 compare at sf scale
+    return out.select("m", F.col("sxy").cast("long").alias("sxy"), "r")
 
 
 def q137_partition_skew(spark, sf):

@@ -252,7 +252,10 @@ def auc_exact(
         F.col(label_col).cast("int").alias("y"),
     )
     ranked = base.withColumn(
-        "rk", F.rank().over(Window.partitionBy(*g).orderBy("s"))
+        # long from the start: 2*rk as int32*int32 would overflow at
+        # ~1.07e9-row groups, inside the documented n < ~2e9 range
+        "rk",
+        F.rank().over(Window.partitionBy(*g).orderBy("s")).cast("long"),
     ).withColumn(
         "cnt",
         F.count(F.lit(1)).over(Window.partitionBy(*(g + ["s"]))),

@@ -1041,6 +1041,61 @@ def winnow_overlap_pairs(
 # Exact set-similarity join by prefix filtering (AllPairs / PPJoin family)
 # --------------------------------------------------------------------------
 
+def _setsim_prefix_parts(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str,
+    id_col: str,
+):
+    """Shared front half of the exact set-similarity joins
+    (:func:`prefix_jaccard_pairs`, :func:`containment_pairs`) — THE
+    single definition of tokenize/explode (cached: it feeds ~7 plan
+    references), per-doc sizes (cached: three joins read it), the
+    vocab df agg, the per-doc rarity window and the all-integer
+    prefix cut ``rn <= sz - ⌈p·sz/q⌉ + 1`` — so the two joins can never
+    drift apart on rarity order or the ceil trick. Returns
+    ``(tok, sizes, prefix)``; callers own candidate generation and
+    the verify gate (that is where the two algorithms differ)."""
+    from pyspark.sql import Window
+
+    from .text import words_col
+
+    p, q = threshold_num, threshold_den
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
+            "w"
+        ),
+    ).cache()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
+    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("id").orderBy("df", "w")
+    ranked = (
+        tok.join(dfs, "w")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .join(sizes, "id")
+    )
+    # prefix length = sz − ⌈p·sz/q⌉ + 1, all-integer ceil
+    min_inter = F.floor((p * F.col("sz") + (q - 1)) / q)
+    prefix = ranked.where(F.col("rn") <= F.col("sz") - min_inter + 1)
+    return tok, sizes, prefix
+
+
+def _setsim_pair_inter(cand: DataFrame, tok: DataFrame) -> DataFrame:
+    """Shared verify-count: exact intersection sizes for candidate (id_a, id_b)
+    pairs via two equi-joins + one count agg — candidate pairs only,
+    never all pairs."""
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     threshold_num: int = 3,
@@ -1077,32 +1132,11 @@ def prefix_jaccard_pairs(
 
     Returns ``(id_a, id_b, inter, size_a, size_b, jaccard)``.
     """
-    from pyspark.sql import Window
-
-    from .text import words_col
-
     p, q = threshold_num, threshold_den
-    # cached: the tokenize+explode subtree feeds ~7 plan references
-    # (dfs, sizes, ranked, both verify sides) in one action
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
-            "w"
-        ),
-    ).cache()
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
-    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("id").orderBy("df", "w")
-    ranked = (
-        tok.join(dfs, "w")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .join(sizes, "id")
+    tok, sizes, prefix_full = _setsim_prefix_parts(
+        docs, p, q, text_col, id_col
     )
-    # prefix length = sz − ⌈p·sz/q⌉ + 1, all-integer ceil
-    min_inter = F.floor((p * F.col("sz") + (q - 1)) / q)
-    prefix = ranked.where(
-        F.col("rn") <= F.col("sz") - min_inter + 1
-    ).select("w", "id")
+    prefix = prefix_full.select("w", "id")
     cand = (
         prefix.alias("x")
         .join(
@@ -1115,14 +1149,7 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    ta = tok.select(F.col("id").alias("id_a"), "w")
-    tb = tok.select(F.col("id").alias("id_b"), "w")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _setsim_pair_inter(cand, tok)
     sa = sizes.select(
         F.col("id").alias("id_a"), F.col("sz").alias("size_a")
     )
@@ -1186,29 +1213,11 @@ def containment_pairs(
 
     Returns ``(id_a, id_b, inter, size_a, size_b, containment)``.
     """
-    from pyspark.sql import Window
-
-    from .text import words_col
-
     p, q = threshold_num, threshold_den
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
-            "w"
-        ),
-    ).cache()
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("id").orderBy("df", "w")
-    ranked = (
-        tok.join(dfs, "w")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .join(sizes, "id")
+    tok, sizes, prefix_full = _setsim_prefix_parts(
+        docs, p, q, text_col, id_col
     )
-    min_inter = F.floor((p * F.col("sz") + (q - 1)) / q)  # ⌈p·sz/q⌉
-    prefix = ranked.where(
-        F.col("rn") <= F.col("sz") - min_inter + 1
-    ).select(F.col("id").alias("id_a"), "w")
+    prefix = prefix_full.select(F.col("id").alias("id_a"), "w")
     cand = (
         prefix.join(
             tok.select(F.col("id").alias("id_b"), "w"), "w"
@@ -1217,14 +1226,7 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = tok.select(F.col("id").alias("id_a"), "w")
-    tb = tok.select(F.col("id").alias("id_b"), "w")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _setsim_pair_inter(cand, tok)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
     return (

@@ -129,7 +129,12 @@ def gini_coefficient(
     All-integer numerator/denominator: with values sorted ASCENDING
     (id tie-break → deterministic permutation) and 1-based position
     ``i``, ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` — integer products,
-    one final IEEE division, identical in any engine. One per-group
+    one final IEEE division, identical in any engine. The mass column
+    is TRUNCATED to integer (``cast long``) and the sort ranks the
+    SAME truncated value — that is the exactness contract; pre-scale
+    fractional weights (e.g. ×10⁶ like the quantized-grid operators)
+    rather than passing doubles, or the truncation silently reshapes
+    the distribution. One per-group
     sort window + one agg. Zero-mass or empty groups report NULL via
     try_divide. Σ i·x bounds the range: n·max(x)·n < 2^63 (rank-bucket
     first past ~10⁹ rows·mass).
@@ -137,11 +142,15 @@ def gini_coefficient(
     Output: ``(*group_cols, n, total, gini)``.
     """
     g = list(group_cols)
-    w = Window.partitionBy(*g).orderBy(value_col, id_col)
+    # rank the SAME truncated value the sums use — sorting the raw
+    # column while summing the cast one would disagree on fractional
+    # input instead of failing consistently
+    xl = F.col(value_col).cast("long")
+    w = Window.partitionBy(*g).orderBy(xl, F.col(id_col))
     ranked = df.where(F.col(value_col).isNotNull()).select(
         *g,
-        F.col(value_col).cast("long").alias("x"),
-        F.row_number().over(w).alias("i"),
+        xl.alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
     )
     agg = ranked.groupBy(*g).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -141,9 +141,18 @@ def partition_skew_audit(
     if P & (P - 1) or P <= 0:
         raise ValueError(f"n_partitions must be a power of 2, got {P}")
     spark = df.sparkSession
+    # NULL keys co-locate on ONE reducer in a real shuffle — the
+    # classic skew cause — so they must count here too: coalesce to a
+    # sentinel, never drop (a NULL md5 would vanish in the densify
+    # join and the audit would miss exactly the hot-key case)
     b = df.select(
         F.pmod(
-            _md5_lower64(F.col(key_col).cast("string")), F.lit(P)
+            _md5_lower64(
+                F.coalesce(
+                    F.col(key_col).cast("string"), F.lit("<NULL-KEY>")
+                )
+            ),
+            F.lit(P),
         ).alias("bucket")
     )
     counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

@@ -748,7 +748,10 @@ def degree_assortativity(
     )
     return agg.select(
         F.col("m").cast("long").alias("m"),
-        F.col("sxy").cast("long").alias("sxy"),
+        # sxy stays decimal(38,0): a long cast would overflow at the
+        # same 10^9-edge scale the decimal moments exist for (the q136
+        # entry casts for the driver's int64 compare at sf scale)
+        F.col("sxy").alias("sxy"),
         F.round(
             F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6
         ).alias("r"),

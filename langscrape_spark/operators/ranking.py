@@ -110,8 +110,10 @@ def spearman_rho(
     wy = Window.partitionBy(*g).orderBy(y_col, idc)
     ranked = base.select(
         *g,
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+        # long from the start: int32 (rx-ry)^2 would overflow at
+        # ~46k-row groups under ANSI, far below the documented range
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
     )
     d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
     agg = ranked.groupBy(*g).agg(

@@ -123,9 +123,16 @@ def politeness_audit(
     )
     w = Window.partitionBy("host").orderBy("_us", "_id")
     gaps = base.withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
-    d = delays.select(
-        F.col(host_col).alias("host"),
-        F.col(delay_col).cast("long").alias("crawl_delay_s"),
+    # one row per host, or the left join fans every gap out per
+    # duplicate delay row; conflicting robots rules audit against the
+    # STRICTEST (max) delay
+    d = (
+        delays.select(
+            F.col(host_col).alias("host"),
+            F.col(delay_col).cast("long").alias("crawl_delay_s"),
+        )
+        .groupBy("host")
+        .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
     )
     joined = gaps.join(F.broadcast(d), "host", "left").withColumn(
         "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0))

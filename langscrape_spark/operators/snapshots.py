@@ -432,10 +432,11 @@ def keep_rate_chi2(
     Exactness: for the table [[a,b],[c,d]] (old keep/drop, new
     keep/drop), ``χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` — the
     entire statistic is ONE rational of integer counts, carried in
-    decimal(38,0) (N·(ad−bc)² at 10¹⁰-row scale is ~10⁴⁸… the
-    ad−bc factor is ≤ N², so cap groups at ~10⁹ rows per side or
-    pre-aggregate; the contract-scale math is exact either way) and
-    divided once. Degenerate margins (a zero row or column — e.g. a
+    decimal(38,0) and divided once. Range: worst case N·(ad−bc)² ≈
+    2n⁵ (a total keep↔drop rate flip), so decimal(38,0) holds to
+    ~3·10⁷ rows PER SIDE per group — SAMPLE beyond that (a rate test
+    needs nowhere near 10⁷ rows; past ~10⁵ everything reads
+    "significant" anyway). Degenerate margins (a zero row or column — e.g. a
     gate that kept everything in both versions) report NULL via
     try_divide, never a crash. χ² ≥ 3.841 is the 95% line for 1 dof
     — emitted as a boolean so the caller needs no table.
