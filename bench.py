@@ -150,13 +150,21 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
     sequentially on one box, so the within-run RATIO is the signal —
     absolute rates carry the usual box noise, and 2→8 cores is the
     blessed proxy band (8→32 saturates single-box memory bandwidth;
-    see BASELINE.md). Disable with SPARK_GRAFT_BENCH_SCALING=0."""
+    see BASELINE.md).
+
+    Load robustness: each level runs TWICE, interleaved (N, 4N, N,
+    4N), and the BEST rate per level is kept — a transient load spike
+    (the driver's own verify activity, a draining JVM teardown) can
+    depress any single leg 2-4x and fake an efficiency collapse
+    (observed: crawl_eff 0.116 from one 4x-slowed 8-core leg), but it
+    cannot *inflate* a best-of ratio. Disable with
+    SPARK_GRAFT_BENCH_SCALING=0."""
     import subprocess
     import sys as _sys
 
     repo = os.path.dirname(os.path.abspath(__file__))
     legs = {}
-    for cpus in levels:
+    for cpus in list(levels) * 2:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
@@ -175,25 +183,48 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         if proc.returncode != 0:
             return {"error": (proc.stderr or "leg failed")[-400:]}
         try:
-            legs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+            leg = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception:  # noqa: BLE001
             return {
                 "error": f"leg {cpus}: unparseable output: "
                 + repr(proc.stdout[-200:])
             }
+        legs.setdefault(cpus, []).append(leg)
+    best = {
+        c: {
+            k: max(r[k] for r in runs)
+            for k in ("extract_urls_per_sec", "urls_per_sec")
+        }
+        for c, runs in legs.items()
+    }
     n, n4 = levels
     ratio = n4 / n
     return {
-        "protocol": f"same {n_pages}-page crawl, 2 rounds, fresh JVM per level",
+        "protocol": (
+            f"same {n_pages}-page crawl, 2 rounds, fresh JVM per leg,"
+            " 2 interleaved passes per level, best rate per level"
+        ),
         "cores": list(levels),
-        "extract_urls_per_sec": [legs[c]["extract_urls_per_sec"] for c in levels],
+        "extract_urls_per_sec": [
+            best[c]["extract_urls_per_sec"] for c in levels
+        ],
         "extract_eff": round(
-            legs[n4]["extract_urls_per_sec"] / legs[n]["extract_urls_per_sec"] / ratio, 3
+            best[n4]["extract_urls_per_sec"]
+            / best[n]["extract_urls_per_sec"]
+            / ratio,
+            3,
         ),
-        "urls_per_sec": [legs[c]["urls_per_sec"] for c in levels],
+        "urls_per_sec": [best[c]["urls_per_sec"] for c in levels],
         "crawl_eff": round(
-            legs[n4]["urls_per_sec"] / legs[n]["urls_per_sec"] / ratio, 3
+            best[n4]["urls_per_sec"] / best[n]["urls_per_sec"] / ratio, 3
         ),
+        "all_legs": {
+            str(c): [
+                [r["extract_urls_per_sec"], r["urls_per_sec"]]
+                for r in runs
+            ]
+            for c, runs in legs.items()
+        },
     }
 
 
