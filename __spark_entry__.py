@@ -3794,6 +3794,23 @@ def q138_keep_rate_chi2(spark, sf):
     return keep_rate_chi2(old, new, "keep").orderBy("source")
 
 
+def q139_apportion(spark, sf):
+    """Largest-remainder (Hamilton) apportionment (operators/
+    sharding.py::apportion_budget, B=1,000,003 — prime, so remainders
+    are dense): integer per-source budgets summing to EXACTLY B; base
+    = (B·n) div N and remainder = B·n − base·N never exist as floats,
+    and leftover seats follow the (remainder, source) rank. The
+    oracle mirrors the integer div, remainder rank and seat rule."""
+    from langscrape_spark.operators.sharding import apportion_budget
+    from langscrape_spark.operators.text import words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return apportion_budget(docs, total_budget=1_000_003).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3964,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_assortativity": q136_assortativity,
         "q137_partition_skew": q137_partition_skew,
         "q138_keep_rate_chi2": q138_keep_rate_chi2,
+        "q139_apportion": q139_apportion,
     }
 
 
@@ -7945,6 +7963,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_old, n_new, keep_old, keep_new, chi2,
                    chi2 >= 3.841 AS significant_95
             FROM x ORDER BY source
+        """,
+        "q139_apportion": f"""
+            -- Hamilton apportionment re-derived: integer div base,
+            -- exact remainder, (rem, source) seat rank, leftover
+            -- scalar. Spark: operators/sharding.py::apportion_budget.
+            WITH counts AS (
+              SELECT source,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (SELECT sum(n_tokens) AS N FROM counts),
+            c AS (
+              SELECT source, n_tokens,
+                     (1000003 * n_tokens) // N AS base,
+                     1000003 * n_tokens
+                       - ((1000003 * n_tokens) // N) * N AS rem
+              FROM counts, tot),
+            lo AS (SELECT 1000003 - sum(base) AS k FROM c),
+            ranked AS (
+              SELECT c.*,
+                     row_number() OVER (ORDER BY rem DESC, source)
+                       AS rk
+              FROM c)
+            SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+                   CAST(CASE WHEN rk <= k THEN 1 ELSE 0 END AS INT)
+                     AS extra,
+                   CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END
+                     AS BIGINT) AS alloc
+            FROM ranked, lo ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

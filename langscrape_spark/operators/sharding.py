@@ -458,3 +458,68 @@ def unimax_allocation(
             6,
         ),
     )
+
+
+def apportion_budget(
+    docs: DataFrame,
+    total_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: turn fractional
+    mixture shares into INTEGER per-source budgets that sum to
+    EXACTLY ``total_budget`` — the last step q58's ``mixture_select``
+    and the q100/q131 weight rules all need, done exactly instead of
+    per-source rounding (which drifts the total by up to ±sources/2).
+
+    All-integer: base_s = ⌊B·n_s/N⌋ and remainder_s = B·n_s − base_s·N
+    (both exact — no float share ever exists), leftover = B − Σbase
+    seats go to the largest remainders (source tie-break). One
+    sources-sized agg + one rank window + one 1-row broadcast — the
+    same shape as :func:`unimax_allocation`. B·n_s bounds the range:
+    keep B·N < 2^63 or cast the products to decimal(38,0).
+
+    Output: ``(source, n_tokens, base, extra, alloc)`` with
+    ``Σ alloc == total_budget`` by construction (alloc = 0 rows kept).
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens_col).cast("long").alias("n_tokens")
+    )
+    B = F.lit(int(total_budget))
+    tot = counts.agg(F.sum("n_tokens").alias("N"))
+    # `div`, not floor(a/b): `/` is DOUBLE division, which silently
+    # loses integer exactness past 2^53 — div stays integral
+    prod = B * F.col("n_tokens")
+    c = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "N",
+            prod.alias("p"),
+            F.expr(f"({int(total_budget)} * n_tokens) div N").alias(
+                "base"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "base",
+            (F.col("p") - F.col("base") * F.col("N")).alias("rem"),
+        )
+    )
+    leftover = c.agg((B - F.sum("base")).cast("long").alias("k"))
+    w = Window.orderBy(F.desc("rem"), "source")
+    ranked = c.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("base").cast("long").alias("base"),
+            (F.col("rk") <= F.col("k")).cast("int").alias("extra"),
+            (F.col("base") + (F.col("rk") <= F.col("k")).cast("int"))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -4059,3 +4059,37 @@ def test_keep_rate_chi2_hand_case_and_degenerate(spark):
     # group present only in old: new side coalesces to 0, degenerate
     oo = out["onlyold"]
     assert oo.n_new == 0 and oo.chi2 is None
+
+
+# -- Hamilton apportionment (operators/sharding.py) --
+
+
+def test_apportion_budget_exact_total_and_seat_rule(spark):
+    from langscrape_spark.operators.sharding import apportion_budget
+
+    # shares 10/3: each base = 3, remainder 1 each -> one seat left,
+    # smallest source name wins the tie
+    docs = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "source string, n_tokens long"
+    )
+    out = {r.source: r for r in
+           apportion_budget(docs, total_budget=10).collect()}
+    assert sum(r.alloc for r in out.values()) == 10
+    assert out["a"].alloc == 4 and out["b"].alloc == 3
+
+    # classic Hamilton: quotas 4.7, 3.4, 1.9 of 10
+    docs2 = spark.createDataFrame(
+        [("x", 47), ("y", 34), ("z", 19)], "source string, n_tokens long"
+    )
+    o2 = {r.source: r.alloc for r in
+          apportion_budget(docs2, total_budget=10).collect()}
+    assert o2 == {"x": 5, "y": 3, "z": 2}  # .7 and .9 get the seats
+
+    # big-number exactness: products beyond 2^53 (float floor would
+    # misallocate); total must still be exact
+    docs3 = spark.createDataFrame(
+        [("p", 3_000_000_001), ("q", 2_999_999_999), ("r", 7)],
+        "source string, n_tokens long",
+    )
+    o3 = apportion_budget(docs3, total_budget=1_000_000_007).collect()
+    assert sum(r.alloc for r in o3) == 1_000_000_007
