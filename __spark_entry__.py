@@ -3811,6 +3811,22 @@ def q139_apportion(spark, sf):
     return apportion_budget(docs, total_budget=1_000_003).orderBy("source")
 
 
+def q140_capture_recapture(spark, sf):
+    """Frontier-size estimation by capture-recapture
+    (operators/snapshots.py::capture_recapture): two deterministic
+    overlapping crawl samples of the documents url space (doc_id%3!=0
+    and doc_id%2==0) per source; Chapman (n₁+1)(n₂+1)/(m+1)−1 and raw
+    Lincoln-Petersen n₁n₂/m, each ONE division of exact integer
+    counts. The oracle recomputes both samples, the distinct-key
+    overlap and both estimators."""
+    from langscrape_spark.operators.snapshots import capture_recapture
+
+    docs = _t(spark, sf, "documents").select("source", "doc_id")
+    s1 = docs.where(F.col("doc_id") % 3 != 0)
+    s2 = docs.where(F.col("doc_id") % 2 == 0)
+    return capture_recapture(s1, s2, key_col="doc_id").orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3982,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_partition_skew": q137_partition_skew,
         "q138_keep_rate_chi2": q138_keep_rate_chi2,
         "q139_apportion": q139_apportion,
+        "q140_capture_recapture": q140_capture_recapture,
     }
 
 
@@ -7991,6 +8008,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END
                      AS BIGINT) AS alloc
             FROM ranked, lo ORDER BY source
+        """,
+        "q140_capture_recapture": """
+            -- Capture-recapture re-derived: both samples, distinct
+            -- overlap, Chapman and Lincoln-Petersen one-division
+            -- estimators. Spark: operators/snapshots.py::
+            -- capture_recapture.
+            WITH a AS (
+              SELECT DISTINCT source AS g, doc_id AS k
+              FROM documents WHERE doc_id % 3 <> 0),
+            b AS (
+              SELECT DISTINCT source AS g, doc_id AS k
+              FROM documents WHERE doc_id % 2 = 0),
+            n1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n1
+                   FROM a GROUP BY g),
+            n2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n2
+                   FROM b GROUP BY g),
+            m AS (
+              SELECT a.g, CAST(count(*) AS BIGINT) AS m
+              FROM a JOIN b ON a.g = b.g AND a.k = b.k
+              GROUP BY a.g),
+            j AS (
+              SELECT coalesce(n1.g, n2.g) AS source,
+                     coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+                     coalesce(m.m, 0) AS m
+              FROM n1 FULL OUTER JOIN n2 ON n1.g = n2.g
+              LEFT JOIN m ON m.g = coalesce(n1.g, n2.g))
+            SELECT source, n1, n2, m AS overlap,
+                   round((n1 + 1) * (n2 + 1)
+                         / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman,
+                   round(CASE WHEN m = 0 THEN NULL
+                         ELSE n1 * n2 / CAST(m AS DOUBLE) END, 6)
+                     AS lincoln
+            FROM j ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

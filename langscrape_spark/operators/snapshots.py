@@ -479,3 +479,69 @@ def keep_rate_chi2(
         chi2.alias("chi2"),
         (chi2 >= 3.841).alias("significant_95"),
     )
+
+
+def capture_recapture(
+    s1: DataFrame,
+    s2: DataFrame,
+    key_col: str = "url",
+    group_col: str = "source",
+) -> DataFrame:
+    """How big is the URL space we have NOT crawled? Capture-recapture
+    over two overlapping crawl samples (Lincoln-Petersen with the
+    Chapman correction): if crawl 1 saw n₁ urls, crawl 2 saw n₂, and
+    m appeared in both, the frontier behind them is
+    ``N̂ = (n₁+1)(n₂+1)/(m+1) − 1`` — the standard coverage estimator
+    a recrawl planner reads before promising completeness. Chapman
+    (the +1s) keeps the estimate finite and near-unbiased even at
+    m = 0, where raw Lincoln-Petersen n₁n₂/m blows up (emitted too,
+    NULL at m = 0 via try_divide).
+
+    Exactness: counts are distinct-key integers; both estimators are
+    ONE division of exact integer products ((n₁+1)(n₂+1) < 2^63 up to
+    ~3·10⁹ urls per side — decimal-cast beyond). Per group: two
+    distinct aggs + one distinct-key equi-join — no window, no
+    collect.
+
+    Output: ``(group, n1, n2, overlap, chapman, lincoln)``, round-6.
+    """
+    def keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("g"), F.col(key_col).alias("k")
+        ).distinct()
+
+    a, b = keys(s1), keys(s2)
+    n1 = a.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = b.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = (
+        a.join(b, ["g", "k"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    j = (
+        n1.join(n2, "g", "full_outer")
+        .join(m, "g", "left")
+        .select(
+            "g",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("m", F.lit(0)).alias("m"),
+        )
+    )
+    chapman = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    lincoln = F.try_divide(
+        (F.col("n1") * F.col("n2")).cast("double"),
+        F.col("m").cast("double"),
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        "n1",
+        "n2",
+        F.col("m").alias("overlap"),
+        F.round(chapman, 6).alias("chapman"),
+        F.round(lincoln, 6).alias("lincoln"),
+    )

@@ -4093,3 +4093,36 @@ def test_apportion_budget_exact_total_and_seat_rule(spark):
     )
     o3 = apportion_budget(docs3, total_budget=1_000_000_007).collect()
     assert sum(r.alloc for r in o3) == 1_000_000_007
+
+
+# -- capture-recapture (operators/snapshots.py) --
+
+
+def test_capture_recapture_closed_population_and_edges(spark):
+    from langscrape_spark.operators.snapshots import capture_recapture
+
+    # textbook: n1=40, n2=30, overlap=12 -> LP = 100 exactly;
+    # chapman = 41*31/13 - 1
+    s1 = spark.createDataFrame(
+        [("g", i) for i in range(40)], "source string, url long"
+    )
+    s2 = spark.createDataFrame(
+        [("g", i) for i in range(28, 58)]
+        + [("nooverlap", 1)],
+        "source string, url long",
+    )
+    out = {r.source: r for r in
+           capture_recapture(s1, s2, key_col="url").collect()}
+    g = out["g"]
+    assert (g.n1, g.n2, g.overlap) == (40, 30, 12)
+    assert g.lincoln == 100.0
+    assert g.chapman == round(41 * 31 / 13 - 1, 6)
+    # group present in only one sample: m=0, LP NULL, chapman finite
+    no = out["nooverlap"]
+    assert no.lincoln is None and no.chapman == round(1 * 2 / 1 - 1, 6)
+    # duplicate keys collapse (distinct) before counting
+    dup = spark.createDataFrame(
+        [("d", 1), ("d", 1), ("d", 2)], "source string, url long"
+    )
+    o2 = capture_recapture(dup, dup, key_col="url").collect()[0]
+    assert (o2.n1, o2.n2, o2.overlap) == (2, 2, 2)
