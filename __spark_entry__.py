@@ -3827,6 +3827,20 @@ def q140_capture_recapture(spark, sf):
     return capture_recapture(s1, s2, key_col="doc_id").orderBy("source")
 
 
+def q141_chao1(spark, sf):
+    """Vocabulary richness + Good-Turing coverage per source
+    (operators/text.py::chao1_richness over whitespace tokens):
+    chao1 = V + N1(N1−1)/(2(N2+1)) and coverage = 1 − N1/N, each one
+    division of exact integer tail counts. The oracle recomputes the
+    occurrence counts, the counts-of-counts and both estimators."""
+    from langscrape_spark.operators.text import chao1_richness, words_col
+
+    toks = _t(spark, sf, "documents").select(
+        "source", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    return chao1_richness(toks, "w").orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -3999,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_keep_rate_chi2": q138_keep_rate_chi2,
         "q139_apportion": q139_apportion,
         "q140_capture_recapture": q140_capture_recapture,
+        "q141_chao1": q141_chao1,
     }
 
 
@@ -8041,6 +8056,30 @@ def oracle_sql() -> dict[str, str]:
                          ELSE n1 * n2 / CAST(m AS DOUBLE) END, 6)
                      AS lincoln
             FROM j ORDER BY source
+        """,
+        "q141_chao1": f"""
+            -- Chao1 + Good-Turing coverage re-derived: occurrence
+            -- counts, counts-of-counts tail, both one-division
+            -- estimators. Spark: operators/text.py::chao1_richness.
+            WITH toks AS (
+              SELECT source, unnest({_TOKENS}) AS w FROM documents),
+            occ AS (
+              SELECT source, w, count(*) AS c
+              FROM toks GROUP BY source, w),
+            agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS v,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM occ GROUP BY source)
+            SELECT source, v, n1, n2, n,
+                   round(v + (n1 * (n1 - 1))
+                         / CAST(2 * (n2 + 1) AS DOUBLE), 6) AS chao1,
+                   round(1.0 - n1 / CAST(n AS DOUBLE), 6) AS coverage
+            FROM agg ORDER BY source
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -1456,3 +1456,62 @@ def readability_profile(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    item_col: str,
+    group_cols=("source",),
+) -> DataFrame:
+    """How many distinct items exist that the crawl has NOT seen yet —
+    the species-richness twin of the capture-recapture POPULATION
+    estimate (q140), asked of vocabularies, URL templates, hosts:
+    Chao1 (1984) lower-bounds total richness from the rare tail, and
+    Good-Turing coverage says what fraction of the next sample will be
+    already-seen.
+
+    From per-item occurrence counts: V = distinct items, N1 = seen
+    exactly once, N2 = exactly twice, N = total occurrences. Then
+    ``chao1 = V + N1(N1−1)/(2(N2+1))`` (bias-corrected — finite even
+    with no doubletons) and ``coverage = 1 − N1/N``; both are ONE
+    division of exact integers (round-6), so the hash compare has no
+    float boundary. Integer range: N1² < 2^63 holds to ~3·10⁹
+    singletons per group — decimal-cast beyond.
+
+    Scale shape: one (group, item) count agg (map-side combinable),
+    one group rollup — counts-of-counts never materialize a
+    vocabulary-sized driver structure.
+
+    Output: ``(*group_cols, v, n1, n2, n, chao1, coverage)``; empty
+    groups cannot occur (no rows), zero-N impossible for a present
+    group.
+    """
+    g = list(group_cols)
+    occ = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(*g, F.col(item_col).alias("_it"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = occ.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("n2"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    chao1 = (
+        F.col("v").cast("double")
+        + (F.col("n1") * (F.col("n1") - 1)).cast("double")
+        / (2 * (F.col("n2") + 1)).cast("double")
+    )
+    coverage = F.lit(1.0) - F.try_divide(
+        F.col("n1").cast("double"), F.col("n").cast("double")
+    )
+    return agg.select(
+        *g,
+        "v",
+        "n1",
+        "n2",
+        "n",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(coverage, 6).alias("coverage"),
+    )

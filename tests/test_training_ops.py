@@ -4126,3 +4126,29 @@ def test_capture_recapture_closed_population_and_edges(spark):
     )
     o2 = capture_recapture(dup, dup, key_col="url").collect()[0]
     assert (o2.n1, o2.n2, o2.overlap) == (2, 2, 2)
+
+
+# -- Chao1 richness (operators/text.py) --
+
+
+def test_chao1_hand_case_and_edges(spark):
+    from langscrape_spark.operators.text import chao1_richness
+
+    rows = (
+        # g: a,a,b,c,d,d -> V=4, N1=2 (b,c), N2=2 (a,d), N=6
+        [("g", w) for w in ["a", "a", "b", "c", "d", "d"]]
+        # nodoub: all singletons -> chao1 finite via the +1 correction
+        + [("nodoub", w) for w in ["x", "y", "z"]]
+        # complete: one species many times -> N1=0, coverage 1, chao1=V
+        + [("complete", "q")] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, w string")
+    out = {r.source: r for r in chao1_richness(df, "w").collect()}
+    g = out["g"]
+    assert (g.v, g.n1, g.n2, g.n) == (4, 2, 2, 6)
+    assert g.chao1 == round(4 + 2 * 1 / 6, 6)
+    assert g.coverage == round(1 - 2 / 6, 6)
+    nd = out["nodoub"]
+    assert nd.chao1 == round(3 + 3 * 2 / 2, 6) and nd.coverage == 0.0
+    c = out["complete"]
+    assert c.chao1 == 1.0 and c.coverage == 1.0
