@@ -3841,6 +3841,31 @@ def q141_chao1(spark, sf):
     return chao1_richness(toks, "w").orderBy("source")
 
 
+def q142_registrable_domain(spark, sf):
+    """Registrable domain (eTLD+1) under Public Suffix List semantics
+    (operators/urls.py::registrable_domain) — the unit politeness
+    should budget by. Hosts derived from documents cover every PSL
+    rule class: exact (.com/.co.uk/.org.uk), the github.io
+    private-section entry, the *.ck wildcard, the !www.ck exception,
+    and the no-rule default. The oracle re-implements the full
+    set-joined PSL algorithm (candidate label-suffixes, wildcard
+    forms, exception-beats-longest window, default rule)."""
+    from langscrape_spark.operators.urls import registrable_domain
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 7 == 0, F.concat(F.lit("www.site"), (d / 7).cast("long").cast("string"), F.lit(".co.uk")))
+        .when(d % 7 == 1, F.concat(F.lit("a.b.site"), (d / 7).cast("long").cast("string"), F.lit(".com")))
+        .when(d % 7 == 2, F.concat(F.lit("user"), (d / 7).cast("long").cast("string"), F.lit(".github.io")))
+        .when(d % 7 == 3, F.concat(F.lit("x.y.site"), (d / 7).cast("long").cast("string"), F.lit(".ck")))
+        .when(d % 7 == 4, F.lit("www.ck"))
+        .when(d % 7 == 5, F.concat(F.lit("site"), (d / 7).cast("long").cast("string"), F.lit(".org.uk")))
+        .otherwise(F.lit("intranet"))
+    )
+    hosts = _t(spark, sf, "documents").select(host.alias("host"))
+    return registrable_domain(hosts).orderBy("host")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4014,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_apportion": q139_apportion,
         "q140_capture_recapture": q140_capture_recapture,
         "q141_chao1": q141_chao1,
+        "q142_registrable_domain": q142_registrable_domain,
     }
 
 
@@ -8080,6 +8106,75 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(2 * (n2 + 1) AS DOUBLE), 6) AS chao1,
                    round(1.0 - n1 / CAST(n AS DOUBLE), 6) AS coverage
             FROM agg ORDER BY source
+        """,
+        "q142_registrable_domain": """
+            -- Full PSL algorithm re-implemented: host generator,
+            -- candidate label-suffixes (exact + one-label wildcard
+            -- forms), rule join, exception-beats-longest window,
+            -- default rule, suffix+1 label. Spark:
+            -- operators/urls.py::registrable_domain.
+            WITH rules(rule) AS (VALUES
+              ('com'), ('org'), ('net'), ('edu'), ('gov'), ('io'),
+              ('dev'), ('uk'), ('co.uk'), ('org.uk'), ('ac.uk'),
+              ('jp'), ('co.jp'), ('au'), ('com.au'), ('github.io'),
+              ('*.ck'), ('!www.ck')),
+            r AS (
+              SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
+                          ELSE rule END AS form,
+                     rule LIKE '!%' AS is_exc
+              FROM rules),
+            hraw AS (
+              SELECT CASE
+                WHEN doc_id % 7 = 0
+                  THEN 'www.site' || (doc_id // 7) || '.co.uk'
+                WHEN doc_id % 7 = 1
+                  THEN 'a.b.site' || (doc_id // 7) || '.com'
+                WHEN doc_id % 7 = 2
+                  THEN 'user' || (doc_id // 7) || '.github.io'
+                WHEN doc_id % 7 = 3
+                  THEN 'x.y.site' || (doc_id // 7) || '.ck'
+                WHEN doc_id % 7 = 4 THEN 'www.ck'
+                WHEN doc_id % 7 = 5
+                  THEN 'site' || (doc_id // 7) || '.org.uk'
+                ELSE 'intranet' END AS host
+              FROM documents),
+            h AS (SELECT DISTINCT host FROM hraw
+                  WHERE host IS NOT NULL AND host <> ''),
+            lab AS (
+              SELECT host, string_split(lower(host), '.') AS ls,
+                     len(string_split(lower(host), '.')) AS n
+              FROM h),
+            cand AS (
+              SELECT host, ls, n, unnest(range(1, n + 1)) AS k
+              FROM lab),
+            forms AS (
+              SELECT host, n, k,
+                     array_to_string(ls[n - k + 1 : n], '.') AS form
+              FROM cand
+              UNION ALL
+              SELECT host, n, k,
+                     '*.' || array_to_string(ls[n - k + 2 : n], '.')
+              FROM cand WHERE k >= 2),
+            hits AS (
+              SELECT f.host, f.n, f.k, r.is_exc, f.form
+              FROM forms f JOIN r USING (form)),
+            best AS (
+              SELECT host,
+                     CASE WHEN is_exc THEN k - 1 ELSE k END AS slen
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY host
+                  ORDER BY is_exc DESC, k DESC, form) AS rn
+                FROM hits)
+              WHERE rn = 1),
+            fin AS (
+              SELECT l.host, l.ls, l.n, coalesce(b.slen, 1) AS slen
+              FROM lab l LEFT JOIN best b USING (host))
+            SELECT host,
+                   array_to_string(ls[n - slen + 1 : n], '.') AS suffix,
+                   CASE WHEN n > slen
+                        THEN array_to_string(ls[n - slen : n], '.')
+                   END AS registrable
+            FROM fin ORDER BY host
         """,
         "q113_readability": f"""
             WITH base AS (

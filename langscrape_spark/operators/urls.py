@@ -29,7 +29,9 @@ no Python, no UDFs, no shuffle. Oracled in ANSI SQL (q43).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TRACKER_KEYS = ("gclid", "fbclid")
 
@@ -329,4 +331,147 @@ def path_prefix_rollup(df, url_col: str = "url"):
             F.count(F.lit(1)).alias("n_pages"),
             F.countDistinct("child").alias("n_children"),
         )
+    )
+
+
+# Demo subset of the (public-domain) Public Suffix List: the operator
+# takes the rules as a DataFrame, so production swaps in the full PSL
+# (~9k rules — still a broadcast dimension table). Forms: exact rules,
+# '*.x' wildcards (one label), '!x' exceptions (PSL semantics).
+PSL_SUBSET = [
+    "com", "org", "net", "edu", "gov", "io", "dev",
+    "uk", "co.uk", "org.uk", "ac.uk",
+    "jp", "co.jp", "au", "com.au",
+    "github.io",   # private-section entry: user sites are own domains
+    "*.ck",        # wildcard: every label under .ck is a suffix…
+    "!www.ck",     # …except www.ck itself (the canonical PSL example)
+]
+
+
+def registrable_domain(
+    hosts: DataFrame,
+    rules: Optional[DataFrame] = None,
+    host_col: str = "host",
+) -> DataFrame:
+    """Registrable domain (eTLD+1) per host under Public Suffix List
+    semantics — the unit a polite crawler actually budgets by
+    (``a.example.co.uk`` and ``b.example.co.uk`` are ONE site;
+    ``x.github.io`` and ``y.github.io`` are TWO). Hostname-keyed
+    politeness (the q02 family) over-throttles multi-subdomain sites
+    and under-throttles user-content suffixes; this operator provides
+    the right key.
+
+    Full PSL algorithm, set-joined instead of per-host trie walks:
+    every host explodes into its ≤ n label-suffix candidates (exact
+    and one-label-wildcard forms), ONE broadcast join against the
+    rules table matches them all, and a per-host window picks the
+    prevailing rule (exception beats all, else longest). No rule →
+    the PSL default ``*`` (suffix = last label). The registrable
+    domain is the suffix plus one label; a host that IS a public
+    suffix gets NULL (nothing registrable).
+
+    Scale shape: labels arrays are bounded (≤ 127 DNS labels), the
+    candidate explode is ≤ 2n rows per host, the rules side is a
+    broadcast dimension, and the prevailing-rule window partitions by
+    host — corpus-parallel by construction.
+
+    Output: ``(host, suffix, registrable)``.
+    """
+    spark = hosts.sparkSession
+    if rules is None:
+        rules = spark.createDataFrame(
+            [(r,) for r in PSL_SUBSET], "rule string"
+        )
+    r = rules.select(
+        F.when(
+            F.col("rule").startswith("!"),
+            F.expr("substring(rule, 2)"),
+        )
+        .otherwise(F.col("rule"))
+        .alias("form"),
+        F.col("rule").startswith("!").alias("is_exc"),
+    )
+    h = hosts.select(F.col(host_col).alias("host")).where(
+        F.col("host").isNotNull() & (F.col("host") != "")
+    ).distinct()
+    labels = F.split(F.lower(F.col("host")), r"\.")
+    n = F.size(labels)
+    cands = h.select(
+        "host",
+        labels.alias("ls"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("k"),
+    ).select(
+        "host",
+        "ls",
+        "n",
+        "k",
+        F.array_join(
+            F.slice(F.col("ls"), F.col("n") - F.col("k") + 1, F.col("k")),
+            ".",
+        ).alias("exact_form"),
+        F.when(
+            F.col("k") >= 2,
+            F.concat(
+                F.lit("*."),
+                F.array_join(
+                    F.slice(
+                        F.col("ls"),
+                        F.col("n") - F.col("k") + 2,
+                        F.col("k") - 1,
+                    ),
+                    ".",
+                ),
+            ),
+        ).alias("wild_form"),
+    )
+    melted = cands.select(
+        "host", "ls", "n", "k", F.col("exact_form").alias("form")
+    ).unionByName(
+        cands.where(F.col("wild_form").isNotNull()).select(
+            "host", "ls", "n", "k", F.col("wild_form").alias("form")
+        )
+    )
+    hits = melted.join(F.broadcast(r), "form")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("is_exc"), F.desc("k"), "form"
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "host",
+            "ls",
+            "n",
+            # exception rules define the suffix as the rule MINUS its
+            # leftmost label (PSL: !www.ck -> suffix is ck)
+            F.when(F.col("is_exc"), F.col("k") - 1)
+            .otherwise(F.col("k"))
+            .alias("slen"),
+        )
+    )
+    # PSL default rule '*': hosts matching nothing take suffix = last
+    # label
+    all_h = h.select(
+        "host", labels.alias("ls"), n.alias("n")
+    ).join(best.select("host", "slen"), "host", "left").withColumn(
+        "slen", F.coalesce("slen", F.lit(1))
+    )
+    suffix = F.array_join(
+        F.slice(F.col("ls"), F.col("n") - F.col("slen") + 1, F.col("slen")),
+        ".",
+    )
+    registrable = F.when(
+        F.col("n") > F.col("slen"),
+        F.array_join(
+            F.slice(
+                F.col("ls"),
+                F.col("n") - F.col("slen"),
+                F.col("slen") + 1,
+            ),
+            ".",
+        ),
+    )
+    return all_h.select(
+        "host", suffix.alias("suffix"), registrable.alias("registrable")
     )

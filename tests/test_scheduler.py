@@ -206,3 +206,52 @@ def test_politeness_audit_gates_and_defaults(spark):
     assert b.crawl_delay_s == 0 and b.n_violations == 0
     c = out["c"]
     assert c.n_gaps == 0 and c.violation_rate is None
+
+
+# -- registrable domain / PSL (operators/urls.py) --
+
+
+def test_registrable_domain_psl_vectors(spark):
+    """The canonical publicsuffix.org test vectors expressible in the
+    embedded rule subset, incl. wildcard, exception and default."""
+    from langscrape_spark.operators.urls import registrable_domain
+
+    cases = {
+        # host: (suffix, registrable)
+        "example.com": ("com", "example.com"),
+        "www.example.com": ("com", "example.com"),
+        "b.example.co.uk": ("co.uk", "example.co.uk"),
+        "com": ("com", None),          # a bare suffix registers nothing
+        "x.github.io": ("github.io", "x.github.io"),
+        "sub.x.github.io": ("github.io", "x.github.io"),
+        "foo.bar.ck": ("bar.ck", "foo.bar.ck"),   # *.ck wildcard
+        "www.ck": ("ck", "www.ck"),               # !www.ck exception
+        "deep.www.ck": ("ck", "www.ck"),
+        "ck": ("ck", None),
+        "intranet": ("intranet", None),           # default rule '*'
+        "UPPER.Example.COM": ("com", "example.com"),  # case-folded
+    }
+    hosts = spark.createDataFrame(
+        [(h,) for h in cases], "host string"
+    )
+    got = {
+        r.host: (r.suffix, r.registrable)
+        for r in registrable_domain(hosts).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_custom_rules_and_hygiene(spark):
+    from langscrape_spark.operators.urls import registrable_domain
+
+    hosts = spark.createDataFrame(
+        [("a.b.custom",), ("", ), (None,), ("a.b.custom",)],
+        "host string",
+    )
+    rules = spark.createDataFrame([("custom",), ("*.custom",)], "rule string")
+    out = registrable_domain(hosts, rules=rules).collect()
+    # empty/NULL dropped, duplicates collapsed
+    assert len(out) == 1
+    r = out[0]
+    # *.custom (k=2 via b.custom) beats custom (k=1)
+    assert r.suffix == "b.custom" and r.registrable == "a.b.custom"
