@@ -3866,6 +3866,55 @@ def q142_registrable_domain(spark, sf):
     return registrable_domain(hosts).orderBy("host")
 
 
+def q143_rendezvous(spark, sf):
+    """Frontier shard stability under a fetcher-fleet resize
+    (operators/layout.py::rendezvous_assign): every host assigned at
+    W=8 and W=9 by rendezvous hashing (expected ~1/9 of hosts move)
+    vs the naive unsigned-mod remap (~8/9 move — every moved host
+    re-warms robots caches, politeness state, connection pools).
+    Scores order by the UNSIGNED md5 value in both engines (Spark
+    flips the sign bit; DuckDB is natively unsigned); the naive mod
+    lifts Spark's signed pmod to unsigned arithmetic with the exact
+    2^64 mod m literal. The oracle re-derives all four assignments
+    per host."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.layout import rendezvous_assign
+
+    hosts = _t(spark, sf, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 341).cast("string")).alias(
+            "host"
+        )
+    )
+    r8 = rendezvous_assign(hosts, 8).withColumnRenamed("worker", "rdv8")
+    r9 = rendezvous_assign(hosts, 9).withColumnRenamed("worker", "rdv9")
+
+    def umod(m: int):
+        x = _md5_lower64(F.col("key"))
+        corr = F.when(x < 0, F.lit((1 << 64) % m)).otherwise(F.lit(0))
+        return F.pmod(F.pmod(x, F.lit(m)) + corr, F.lit(m)).cast("int")
+
+    keys = hosts.select(F.col("host").alias("key")).distinct()
+    naive = keys.select(
+        F.col("key"),
+        umod(8).alias("mod8"),
+        umod(9).alias("mod9"),
+    )
+    out = (
+        r8.join(r9, "key")
+        .join(naive, "key")
+        .select(
+            F.col("key").alias("host"),
+            "rdv8",
+            "rdv9",
+            (F.col("rdv8") != F.col("rdv9")).alias("rdv_moved"),
+            "mod8",
+            "mod9",
+            (F.col("mod8") != F.col("mod9")).alias("mod_moved"),
+        )
+    )
+    return out.orderBy("host")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4040,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_capture_recapture": q140_capture_recapture,
         "q141_chao1": q141_chao1,
         "q142_registrable_domain": q142_registrable_domain,
+        "q143_rendezvous": q143_rendezvous,
     }
 
 
@@ -8175,6 +8225,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN array_to_string(ls[n - slen : n], '.')
                    END AS registrable
             FROM fin ORDER BY host
+        """,
+        "q143_rendezvous": """
+            -- Rendezvous + naive-mod resharding re-derived: per-host
+            -- argmax over unsigned md5 scores at W=8 and W=9 (worker
+            -- tie-break), unsigned mod at both W. Spark:
+            -- operators/layout.py::rendezvous_assign.
+            WITH h AS (
+              SELECT DISTINCT 'h' || (doc_id % 341) AS host
+              FROM documents),
+            w AS (SELECT unnest(range(9)) AS wid),
+            scored AS (
+              SELECT h.host, w.wid,
+                     md5_number_lower('w:' || w.wid || ':' || h.host)
+                       AS s
+              FROM h, w),
+            r8 AS (
+              SELECT host, wid AS rdv8 FROM (
+                SELECT host, wid, row_number() OVER (
+                  PARTITION BY host ORDER BY s DESC, wid) AS rn
+                FROM scored WHERE wid < 8)
+              WHERE rn = 1),
+            r9 AS (
+              SELECT host, wid AS rdv9 FROM (
+                SELECT host, wid, row_number() OVER (
+                  PARTITION BY host ORDER BY s DESC, wid) AS rn
+                FROM scored)
+              WHERE rn = 1),
+            naive AS (
+              SELECT host,
+                     CAST(md5_number_lower(host) % 8 AS INT) AS mod8,
+                     CAST(md5_number_lower(host) % 9 AS INT) AS mod9
+              FROM h)
+            SELECT h.host,
+                   CAST(rdv8 AS INT) AS rdv8, CAST(rdv9 AS INT) AS rdv9,
+                   rdv8 <> rdv9 AS rdv_moved,
+                   mod8, mod9, mod8 <> mod9 AS mod_moved
+            FROM h JOIN r8 USING (host) JOIN r9 USING (host)
+            JOIN naive USING (host)
+            ORDER BY host
         """,
         "q113_readability": f"""
             WITH base AS (

@@ -184,3 +184,54 @@ def partition_skew_audit(
             6,
         ).alias("skew"),
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    n_workers: int,
+    key_col: str = "host",
+    salt: str = "w",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment of keys to
+    workers — how a frontier shards hosts across fetcher nodes so a
+    RESIZE moves only ~1/(W+1) of the keys, where the naive
+    ``pmod(hash, W)`` remap moves ~W/(W+1) (i.e. nearly everything:
+    every moved host re-warms robots caches, politeness state and
+    connection pools). Worker w's score for key k is
+    ``md5(salt:w:key)``; the key goes to the argmax — no ring, no
+    vnodes, no wrap-around corner case, and per-key independence
+    makes the whole thing one broadcast crossJoin + min window.
+
+    Engine-portable: scores are the repo's md5-lower64; the argmax
+    orders by the UNSIGNED 64-bit value — Spark holds it in a signed
+    long, so the sign bit is flipped (``x XOR Long.MIN``: the classic
+    signed-comparator-for-unsigned trick) to match DuckDB's UBIGINT
+    ``md5_number_lower`` order exactly; worker id breaks the (2⁻⁶⁴)
+    tie. Worker count is a dimension (≤ thousands of fetchers), keys
+    are the corpus side; the per-key window partitions by key.
+
+    Output: ``(key, worker)`` with worker in ``[0, n_workers)``.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _md5_lower64
+
+    spark = df.sparkSession
+    w = spark.range(int(n_workers)).select(
+        F.col("id").cast("int").alias("_w")
+    )
+    keyed = df.select(F.col(key_col).alias("key")).where(
+        F.col("key").isNotNull()
+    ).distinct()
+    sx = _md5_lower64(
+        F.concat_ws(":", F.lit(salt), F.col("_w"), F.col("key"))
+    ).bitwiseXOR(F.lit(-(1 << 63)))
+    scored = keyed.crossJoin(F.broadcast(w)).select(
+        "key", "_w", sx.alias("_s")
+    )
+    win = Window.partitionBy("key").orderBy(F.desc("_s"), "_w")
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select("key", F.col("_w").alias("worker"))
+    )

@@ -4152,3 +4152,40 @@ def test_chao1_hand_case_and_edges(spark):
     assert nd.chao1 == round(3 + 3 * 2 / 2, 6) and nd.coverage == 0.0
     c = out["complete"]
     assert c.chao1 == 1.0 and c.coverage == 1.0
+
+
+# -- rendezvous sharding (operators/layout.py) --
+
+
+def test_rendezvous_stability_vs_naive_mod(spark):
+    """The whole point: adding one worker moves ~1/(W+1) of keys under
+    rendezvous, ~W/(W+1) under mod — and keys that do move under
+    rendezvous move ONLY to the new worker."""
+    from langscrape_spark.operators.layout import rendezvous_assign
+
+    keys = spark.createDataFrame(
+        [(f"host{i}.example.com",) for i in range(400)], "host string"
+    )
+    a = {r.key: r.worker for r in rendezvous_assign(keys, 8).collect()}
+    b = {r.key: r.worker for r in rendezvous_assign(keys, 9).collect()}
+    assert set(a) == set(b) and len(a) == 400
+    moved = [k for k in a if a[k] != b[k]]
+    # every move lands on the NEW worker (HRW invariant: old scores
+    # are unchanged, so the old argmax only loses to worker 8)
+    assert all(b[k] == 8 for k in moved)
+    # moved fraction near 1/9 (binomial: 400 trials, p=1/9)
+    assert 20 <= len(moved) <= 75
+    # determinism + full worker range coverage
+    a2 = {r.key: r.worker for r in rendezvous_assign(keys, 8).collect()}
+    assert a == a2
+    assert set(a.values()) == set(range(8))
+
+
+def test_rendezvous_null_and_duplicate_keys(spark):
+    from langscrape_spark.operators.layout import rendezvous_assign
+
+    keys = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "host string"
+    )
+    out = rendezvous_assign(keys, 4).collect()
+    assert len(out) == 2  # distinct, NULL dropped
