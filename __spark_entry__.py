@@ -3915,6 +3915,23 @@ def q143_rendezvous(spark, sf):
     return out.orderBy("host")
 
 
+def q144_benford(spark, sf):
+    """Benford first-digit audit (operators/anomaly.py::
+    benford_audit) of per-document content lengths per source — the
+    fabricated-numbers detector pointed at crawl data. Leading digits
+    come from exact integer decimal strings (never double
+    formatting); expectations are log10(1+1/d) literals; digits
+    densify so absent digits are evidence. The oracle mirrors digit
+    extraction, densify, shares, expectations, deviations and the
+    group MAD."""
+    from langscrape_spark.operators.anomaly import benford_audit
+
+    docs = _t(spark, sf, "documents").select(
+        "source", F.length("text").alias("v")
+    )
+    return benford_audit(docs, "v").orderBy("source", "digit")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4090,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_chao1": q141_chao1,
         "q142_registrable_domain": q142_registrable_domain,
         "q143_rendezvous": q143_rendezvous,
+        "q144_benford": q144_benford,
     }
 
 
@@ -8264,6 +8282,41 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r8 USING (host) JOIN r9 USING (host)
             JOIN naive USING (host)
             ORDER BY host
+        """,
+        "q144_benford": """
+            -- Benford audit re-derived: integer leading digit, digit
+            -- densify, shares, log10(1+1/d) literals, rounded
+            -- deviations, group MAD. Spark: operators/anomaly.py::
+            -- benford_audit.
+            WITH base AS (
+              SELECT source,
+                     CAST(substring(CAST(CAST(length(text) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM documents
+              WHERE length(text) > 0),
+            counts AS (
+              SELECT source, digit, count(*) AS c
+              FROM base GROUP BY source, digit),
+            dense AS (
+              SELECT g.source, d.digit,
+                     CAST(coalesce(c.c, 0) AS BIGINT) AS n
+              FROM (SELECT DISTINCT source FROM base) g
+              CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+              LEFT JOIN counts c
+                ON c.source = g.source AND c.digit = d.digit),
+            scored AS (
+              SELECT source, digit, n,
+                     round(n / CAST(sum(n) OVER (PARTITION BY source)
+                       AS DOUBLE), 6) AS share,
+                     round(CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END, 6) AS expected
+              FROM dense),
+            dv AS (
+              SELECT *, round(abs(share - expected), 6) AS dev
+              FROM scored)
+            SELECT source, CAST(digit AS INT) AS digit, n, share,
+                   expected, dev,
+                   round(avg(dev) OVER (PARTITION BY source), 6) AS mad
+            FROM dv ORDER BY source, digit
         """,
         "q113_readability": f"""
             WITH base AS (

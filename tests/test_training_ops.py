@@ -4189,3 +4189,46 @@ def test_rendezvous_null_and_duplicate_keys(spark):
     )
     out = rendezvous_assign(keys, 4).collect()
     assert len(out) == 2  # distinct, NULL dropped
+
+
+# -- Benford audit (operators/anomaly.py) --
+
+
+def test_benford_conformant_vs_uniform(spark):
+    import math
+
+    from langscrape_spark.operators.anomaly import benford_audit
+
+    rows = []
+    # 'ben': a perfectly Benford-shaped multiset (counts proportional
+    # to log10(1+1/d) out of 1000-ish)
+    for d in range(1, 10):
+        rows += [("ben", d * 10)] * round(1000 * math.log10(1 + 1 / d))
+    # 'uni': uniform leading digits 1-9 -> MAD far above 0.015
+    for d in range(1, 10):
+        rows += [("uni", d)] * 50
+    # non-positive and NULL rows must drop
+    rows += [("uni", 0), ("uni", -3)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    out = benford_audit(df, "v").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, {})[r.digit] = r
+    assert set(by["ben"]) == set(range(1, 10))
+    assert by["ben"][1].mad < 0.002      # conformant
+    assert by["uni"][1].mad > 0.03       # uniform: flagged
+    # digit 1 expectation is log10(2); densified totals exclude the
+    # dropped rows
+    assert by["uni"][1].expected == round(math.log10(2), 6)
+    assert sum(r.n for r in by["uni"].values()) == 450
+
+
+def test_benford_absent_digit_densified(spark):
+    from langscrape_spark.operators.anomaly import benford_audit
+
+    df = spark.createDataFrame(
+        [("g", 100), ("g", 150), ("g", 900)], "source string, v long"
+    )
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert len(out) == 9 and out[5].n == 0 and out[5].share == 0.0
+    assert out[1].n == 2 and out[9].n == 1
