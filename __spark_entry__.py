@@ -3932,6 +3932,40 @@ def q144_benford(spark, sf):
     return benford_audit(docs, "v").orderBy("source", "digit")
 
 
+def q145_burstiness(spark, sf):
+    """Goh–Barabási burstiness per pseudo-host (operators/anomaly.py::
+    burstiness): B = (σ−μ)/(σ+μ) over integer-µs inter-arrival gaps,
+    with the moments exact in decimal(38,0) and sample variance via
+    (nΣg²−(Σg)²)/(n(n−1)) — a fixed two-cast/one-sqrt/one-division
+    tree both engines evaluate identically. The oracle mirrors the
+    lag window and the moment identity."""
+    from langscrape_spark.operators.anomaly import burstiness
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 11).cast("string")
+        ).alias("host"),
+        "ts",
+        "event_id",
+    )
+    return burstiness(ev).orderBy("host")
+
+
+def q146_vocab_growth(spark, sf):
+    """Heaps vocabulary-growth curve (operators/text.py::
+    vocab_growth) at crawl-order checkpoints 100..500 over doc_id —
+    distinct-token first occurrence as min(order) per token (NO
+    global window), checkpoints as conditional integer sums,
+    unpivoted. The oracle mirrors first-occurrence, all three
+    conditional counts and the ttr division per checkpoint."""
+    from langscrape_spark.operators.text import vocab_growth
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return vocab_growth(
+        docs, [100, 200, 300, 400, 500]
+    ).orderBy("checkpoint")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4108,6 +4142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_registrable_domain": q142_registrable_domain,
         "q143_rendezvous": q143_rendezvous,
         "q144_benford": q144_benford,
+        "q145_burstiness": q145_burstiness,
+        "q146_vocab_growth": q146_vocab_growth,
     }
 
 
@@ -8317,6 +8353,72 @@ def oracle_sql() -> dict[str, str]:
                    expected, dev,
                    round(avg(dev) OVER (PARTITION BY source), 6) AS mad
             FROM dv ORDER BY source, digit
+        """,
+        "q145_burstiness": """
+            -- Burstiness re-derived: per-host lag gaps in epoch_us,
+            -- HUGEINT moments, sample-variance identity, B formula.
+            -- Spark: operators/anomaly.py::burstiness.
+            WITH f AS (
+              SELECT 'h' || (user_id % 11) AS g,
+                     epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL),
+            gaps AS (
+              SELECT g,
+                     us - lag(us) OVER (PARTITION BY g
+                       ORDER BY us, event_id) AS gap
+              FROM f),
+            agg AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(gap) AS HUGEINT) AS s1,
+                     CAST(sum(CAST(gap AS HUGEINT)
+                              * CAST(gap AS HUGEINT)) AS HUGEINT)
+                       AS s2
+              FROM gaps WHERE gap IS NOT NULL GROUP BY g),
+            m AS (
+              SELECT g, n,
+                     s1 / CAST(n AS DOUBLE) AS mu,
+                     CASE WHEN n > 1 THEN
+                       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE))
+                     END AS sig
+              FROM agg)
+            SELECT g AS host, n AS n_gaps,
+                   round(mu, 6) AS mean_gap_us,
+                   round(CASE WHEN sig IS NULL OR sig + mu = 0
+                         THEN NULL
+                         ELSE (sig - mu) / (sig + mu) END, 6) AS b
+            FROM m ORDER BY host
+        """,
+        "q146_vocab_growth": f"""
+            -- Heaps curve re-derived: distinct-token min(order) first
+            -- occurrence, conditional counts per checkpoint, ttr.
+            -- Spark: operators/text.py::vocab_growth.
+            WITH toks AS (
+              SELECT doc_id AS o,
+                     unnest(list_distinct({_TOKENS})) AS w
+              FROM documents),
+            first AS (SELECT w, min(o) AS fo FROM toks GROUP BY w),
+            cp AS (SELECT unnest([100, 200, 300, 400, 500])
+                     AS checkpoint),
+            v AS (
+              SELECT cp.checkpoint,
+                     CAST(sum(CASE WHEN f.fo <= cp.checkpoint
+                              THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+              FROM cp, first f GROUP BY cp.checkpoint),
+            d AS (
+              SELECT cp.checkpoint,
+                     CAST(sum(CASE WHEN doc_id <= cp.checkpoint
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN doc_id <= cp.checkpoint
+                              THEN len({_TOKENS}) ELSE 0 END)
+                       AS BIGINT) AS n_tokens
+              FROM cp, documents GROUP BY cp.checkpoint)
+            SELECT checkpoint, n_docs, n_tokens, vocab,
+                   round(CASE WHEN n_tokens = 0 THEN NULL
+                         ELSE vocab / CAST(n_tokens AS DOUBLE) END, 6)
+                     AS ttr
+            FROM v JOIN d USING (checkpoint)
+            ORDER BY checkpoint
         """,
         "q113_readability": f"""
             WITH base AS (

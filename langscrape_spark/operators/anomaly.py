@@ -179,3 +179,61 @@ def benford_audit(
     return scored.withColumn(
         "mad", F.round(F.avg("dev").over(tot), 6)
     ).select(*g, "digit", "n", "share", "expected", "dev", "mad")
+
+
+def burstiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "host",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Goh–Barabási burstiness of per-entity inter-arrival times:
+    ``B = (σ − μ)/(σ + μ)`` over the gaps — −1 is a metronome
+    (perfectly periodic), 0 is Poisson, →1 is bursty. The adaptive-
+    politeness signal CUSUM (q121) alarms on and this scores: a
+    bursty host needs headroom, a periodic one doesn't.
+
+    Exactness: gaps are integer MICROSECONDS (the q103/q135
+    convention — one lag window on (ts, id)); the moments n, Σg, Σg²
+    are exact integers in decimal(38,0) (Σg² at µs scale overflows
+    BIGINT beyond ~day-long gaps × millions of events), and σ uses
+    the SAMPLE variance identity (nΣg² − (Σg)²)/(n(n−1)) — so B is a
+    fixed tree of two exact-integer casts, one sqrt and one division,
+    identical in both engines at round-6. Entities with < 2 gaps (< 3
+    events) report NULL (no variance to speak of); σ = μ = 0 (all
+    gaps zero) reports NULL via try_divide, not 0/0.
+
+    Output: ``(group, n_gaps, mean_gap_us, b)``.
+    """
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("g").orderBy("_us", "_id")
+    gaps = base.withColumn(
+        "gap", F.col("_us") - F.lag("_us").over(w)
+    ).where(F.col("gap").isNotNull())
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("gap").cast(dec)).alias("s1"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap").cast(dec)).alias(
+            "s2"
+        ),
+    )
+    n = F.col("n").cast(dec)
+    var = F.try_divide(
+        (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"),
+        (n * (n - 1)).cast("double"),
+    )
+    mu = F.try_divide(
+        F.col("s1").cast("double"), F.col("n").cast("double")
+    )
+    sig = F.sqrt(var)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_us"),
+        F.round(F.try_divide(sig - mu, sig + mu), 6).alias("b"),
+    )

@@ -1515,3 +1515,86 @@ def chao1_richness(
         F.round(chao1, 6).alias("chao1"),
         F.round(coverage, 6).alias("coverage"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    checkpoints,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps) curve: distinct tokens seen after the
+    first c docs of crawl order, at each checkpoint c — the
+    diminishing-returns curve (with q141's Chao1 asymptote) that says
+    when more of the same crawl stops buying new vocabulary.
+
+    Deliberately NO global window: "crawl order" is the caller's
+    integer ``order_col`` (a crawl sequence number, a round id — the
+    thing that already exists), so first-occurrence is a plain
+    ``min(order)`` per distinct token and each checkpoint is a
+    conditional sum — ONE vocab-sized agg + ONE docs-sized agg with
+    |checkpoints| conditional columns, unpivoted. All counts exact
+    integers; ttr (type-token ratio) is the only division.
+
+    Output: one row per checkpoint ``(checkpoint, n_docs, n_tokens,
+    vocab, ttr)`` — docs/tokens/vocab over ``order <= c``; ttr NULL
+    at an empty checkpoint.
+    """
+    cps = sorted(int(c) for c in checkpoints)
+    toks = docs.select(
+        F.col(order_col).alias("o"),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias(
+            "w"
+        ),
+    )
+    first = toks.groupBy("w").agg(F.min("o").alias("fo"))
+    v = first.agg(
+        *[
+            F.sum((F.col("fo") <= c).cast("int"))
+            .cast("long")
+            .alias(f"v{i}")
+            for i, c in enumerate(cps)
+        ]
+    )
+    d = docs.select(
+        F.col(order_col).alias("o"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("nt"),
+    ).agg(
+        *[
+            F.sum((F.col("o") <= c).cast("int"))
+            .cast("long")
+            .alias(f"d{i}")
+            for i, c in enumerate(cps)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("o") <= c, F.col("nt")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"t{i}")
+            for i, c in enumerate(cps)
+        ],
+    )
+    joined = v.crossJoin(d)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("checkpoint"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+                F.col(f"v{i}").alias("vocab"),
+            )
+            for i, c in enumerate(cps)
+        ]
+    )
+    out = joined.select(F.explode(rows).alias("r")).select("r.*")
+    return out.withColumn(
+        "ttr",
+        F.round(
+            F.try_divide(
+                F.col("vocab").cast("double"),
+                F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ),
+    )

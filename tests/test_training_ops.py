@@ -4232,3 +4232,56 @@ def test_benford_absent_digit_densified(spark):
     out = {r.digit: r for r in benford_audit(df, "v").collect()}
     assert len(out) == 9 and out[5].n == 0 and out[5].share == 0.0
     assert out[1].n == 2 and out[9].n == 1
+
+
+# -- burstiness + vocab growth --
+
+
+def test_burstiness_metronome_and_bursty(spark):
+    import datetime as dt
+
+    from langscrape_spark.operators.anomaly import burstiness
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = (
+        # metronome: equal gaps -> sigma=0 -> B = -1
+        [("tick", ts(i * 10), i) for i in range(6)]
+        # bursty: tight cluster then a huge silence
+        + [("burst", ts(i), 100 + i) for i in range(5)]
+        + [("burst", ts(100000), 200)]
+        # two events -> one gap -> NULL B
+        + [("two", ts(0), 300), ("two", ts(5), 301)]
+    )
+    df = spark.createDataFrame(rows, "host string, ts timestamp, event_id long")
+    out = {r.host: r for r in burstiness(df).collect()}
+    assert out["tick"].b == -1.0
+    # small-n ceiling: with one dominant gap B -> (sqrt(n-1)-1)/(sqrt(n-1)+1)
+    assert out["burst"].b > 0.3
+    assert out["two"].b is None and out["two"].n_gaps == 1
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from langscrape_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),     # +1 new (d)
+            (3, "a a a"),     # +0 new
+            (4, "e f"),       # +2 new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.checkpoint: r for r in
+           vocab_growth(docs, [1, 2, 3, 4, 10]).collect()}
+    assert [out[c].vocab for c in (1, 2, 3, 4, 10)] == [3, 4, 4, 6, 6]
+    assert [out[c].n_docs for c in (1, 2, 3, 4, 10)] == [1, 2, 3, 4, 4]
+    assert out[4].n_tokens == 11
+    assert out[1].ttr == round(3 / 3, 6)
+    # checkpoint before any doc: empty, NULL ttr
+    o0 = {r.checkpoint: r for r in vocab_growth(docs, [0]).collect()}
+    assert o0[0].vocab == 0 and o0[0].ttr is None
