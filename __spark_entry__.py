@@ -3966,6 +3966,28 @@ def q146_vocab_growth(spark, sf):
     ).orderBy("checkpoint")
 
 
+def q147_neighborhood_function(spark, sf):
+    """HyperANF neighborhood function N(t) on the shared q93-q96 host
+    graph (operators/linkgraph.py::neighborhood_function, 4 rounds,
+    m=64 registers): per-node reachable-ball HLLs max-merged along
+    out-edges each round — the web-scale effective-diameter read.
+    Register merge is order-free integer max; per-node estimates
+    quantize to integer micro-units before the node sum, so the curve
+    hash-compares at any node count. The oracle unrolls the rounds as
+    MATERIALIZED CTEs with the q87 estimator verbatim."""
+    from langscrape_spark.operators.linkgraph import neighborhood_function
+
+    return neighborhood_function(_host_graph(spark, sf), rounds=4)
+
+
+def _anf_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import anf_oracle_sql
+
+    return anf_oracle_sql(
+        f"SELECT src, dst FROM ({_HOSTGRAPH_RAW_SQL})", rounds=4
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4144,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_benford": q144_benford,
         "q145_burstiness": q145_burstiness,
         "q146_vocab_growth": q146_vocab_growth,
+        "q147_neighborhood_function": q147_neighborhood_function,
     }
 
 
@@ -7808,6 +7831,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host_a, host_b
         """,
         "q112_kmeans": _kmeans_oracle(),
+        "q147_neighborhood_function": _anf_oracle(),
         "q130_containment_join": f"""
             -- NAIVE all-shared-token directed pair join at the same
             -- integer gate 10*inter >= 9*|A| — no prefix filter, so a

@@ -756,3 +756,185 @@ def degree_assortativity(
             F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6
         ).alias("r"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 4,
+    p: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna 2011): the neighborhood function
+    N(t) = #(u,v) pairs with a directed path u→v of length ≤ t,
+    estimated by giving every node an HLL of its reachable ball and
+    max-MERGING out-neighbors' registers each round — the web-scale
+    way to read a graph's effective diameter (BFS per node is n·m;
+    this is ``rounds`` scans of a (node, register) frame).
+
+    Registers live as SPARSE (node, bk, reg) rows — merge is one
+    union + groupBy max per round (register max is associative and
+    order-free, so the iteration is hash-comparable), lineage
+    truncated per round via localCheckpoint (the kcore/OPIC pattern).
+    The per-node estimate is the q87 HLL estimator verbatim (same
+    md5/mask/rank/linear-counting math — one sketch stack, one
+    divergence surface). N(t) sums it over nodes — and a float sum
+    over thousands of nodes is ORDER-dependent, so each node's
+    estimate is first quantized to integer micro-units via
+    ``floor(x·10⁶ + 0.5)`` (the engine-portable round-half-up the
+    int8 quantizer uses): the node sum is then an EXACT integer and
+    the curve hash-compares at any node count.
+
+    Output: one row per t in [0, rounds]: ``(t, n_pairs, frac)`` with
+    frac = N(t)/N(rounds) round-6 — read the effective diameter as
+    the first t with frac ≥ 0.9.
+    """
+    from .dedup import _md5_lower64
+    from .sketch import _alpha
+
+    m = 1 << p
+    mask63 = (1 << 63) - 1
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("w")
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("w").alias("node")))
+        .distinct()
+    )
+    h = _md5_lower64(F.col("node")).bitwiseAND(F.lit(mask63))
+    wbits = F.shiftright(h, p)
+    rho = F.when(wbits == 0, F.lit(64 - p)).otherwise(
+        F.lit(64 - p) - F.length(F.bin(wbits))
+    )
+    state = nodes.select(
+        "node", F.pmod(h, F.lit(m)).alias("bk"), rho.alias("reg")
+    ).localCheckpoint(eager=True)
+
+    def estimate(st: DataFrame, t: int) -> DataFrame:
+        alpha = _alpha(m)
+        stats = st.groupBy("node").agg(
+            F.count(F.lit(1)).alias("present"),
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("zp"),
+        )
+        v = F.lit(m) - F.col("present")
+        z = F.col("zp") + v.cast("double")
+        raw = F.lit(alpha * m * m) / z
+        est = F.when(
+            (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+        ).otherwise(raw)
+        micro = F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return stats.agg(
+            F.lit(t).cast("int").alias("t"),
+            F.sum(micro).cast("long").alias("_micro"),
+        )
+
+    outs = [estimate(state, 0)]
+    for t in range(1, rounds + 1):
+        pulled = e.join(state, F.col("w") == F.col("node")).select(
+            F.col("u").alias("node"), "bk", "reg"
+        )
+        state = (
+            state.unionByName(pulled)
+            .groupBy("node", "bk")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(estimate(state, t))
+    curve = outs[0]
+    for o in outs[1:]:
+        curve = curve.unionByName(o)
+    e.unpersist()
+    final = curve.where(F.col("t") == rounds).select(
+        F.col("_micro").alias("_f")
+    )
+    return (
+        curve.crossJoin(F.broadcast(final))
+        .select(
+            "t",
+            F.round(F.col("_micro") / F.lit(1e6), 6).alias("n_pairs"),
+            F.round(
+                F.try_divide(
+                    F.col("_micro").cast("double"),
+                    F.col("_f").cast("double"),
+                ),
+                6,
+            ).alias("frac"),
+        )
+        .orderBy("t")
+    )
+
+
+def anf_oracle_sql(edges_sql: str, rounds: int = 4, p: int = 6) -> str:
+    """DuckDB twin of :func:`neighborhood_function`, unrolled as
+    MATERIALIZED CTEs (the iterative-graph oracle recipe): same
+    hygiene, the q87 HLL hash/rank math, per-round sparse register
+    max-merge, the same folded estimator literals, micro-unit
+    quantization and the frac division. ``edges_sql`` must yield
+    (src, dst)."""
+    from .sketch import _alpha
+
+    m = 1 << p
+    amm = repr(_alpha(m) * m * m)
+    rk = 64 - p
+    est = (
+        f"CASE WHEN {amm} / (zp + ({m} - present)) <= {2.5 * m}"
+        f" AND ({m} - present) > 0"
+        f" THEN {m} * ln({m} / ({m} - present))"
+        f" ELSE {amm} / (zp + ({m} - present)) END"
+    )
+    parts = [
+        f"""WITH raw AS ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS w FROM raw WHERE src <> dst),
+nodes AS MATERIALIZED (
+  SELECT u AS node FROM e UNION SELECT w FROM e),
+hashed AS (
+  SELECT node,
+         CAST(CAST(md5_number_lower(node) AS HUGEINT)
+              % (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS h
+  FROM nodes),
+s0 AS MATERIALIZED (
+  SELECT node, h % {m} AS bk,
+         CASE WHEN (h >> {p}) = 0 THEN {rk}
+              ELSE {rk} - length(bin(h >> {p})) END AS reg
+  FROM hashed)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT node, bk, max(reg) AS reg FROM (
+    SELECT * FROM s{t - 1}
+    UNION ALL
+    SELECT e.u AS node, s.bk, s.reg
+    FROM e JOIN s{t - 1} s ON s.node = e.w)
+  GROUP BY node, bk)"""
+        )
+    for t in range(rounds + 1):
+        parts.append(
+            f"""m{t} AS (
+  SELECT {t} AS t,
+         CAST(sum(CAST(floor(({est}) * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS micro
+  FROM (
+    SELECT node, count(*) AS present,
+           sum(power(2.0, -reg)) AS zp
+    FROM s{t} GROUP BY node))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{t}" for t in range(rounds + 1)
+    )
+    parts.append(f"curve AS ({union})")
+    parts.append(
+        f"fin AS (SELECT micro AS f FROM curve WHERE t = {rounds})"
+    )
+    final = f"""SELECT CAST(t AS INT) AS t,
+       round(micro / 1000000.0, 6) AS n_pairs,
+       round(CAST(micro AS DOUBLE) / CAST(f AS DOUBLE), 6) AS frac
+FROM curve, fin ORDER BY t"""
+    return ",\n".join(parts) + "\n" + final

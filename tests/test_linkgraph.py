@@ -537,3 +537,32 @@ def test_assortativity_matches_numpy_pearson(spark):
         m * sum(y * y for y in ys) - sum(ys) ** 2
     )
     assert got.r == round(num / den, 6) and got.m == m
+
+
+# -- HyperANF neighborhood function (operators/linkgraph.py) --
+
+
+def test_neighborhood_function_chain_and_saturation(spark):
+    from langscrape_spark.operators.linkgraph import neighborhood_function
+
+    # directed chain a->b->c->d->e: exact N(t) = sum over nodes of
+    # (reachable within t) = n + sum_{k<=t} (n-k)
+    chain = [(c, n) for c, n in zip("abcd", "bcde")]
+    df = spark.createDataFrame(chain, "src_host string, dst_host string")
+    out = {r.t: r for r in neighborhood_function(df, rounds=4).collect()}
+    exact = {t: 5 + sum(5 - k for k in range(1, t + 1)) for t in range(5)}
+    for t in range(5):
+        # m=64 HLL on <=5-element balls sits in the linear-counting
+        # regime: near-exact (well within 5%)
+        assert abs(out[t].n_pairs - exact[t]) / exact[t] < 0.05, t
+    # monotone, saturating curve; frac hits 1.0 at the last round
+    assert out[4].frac == 1.0
+    assert all(out[t].n_pairs <= out[t + 1].n_pairs for t in range(4))
+
+    # star: hub -> 4 leaves saturates at t=1 (frac 1.0 from then on)
+    star = [("hub", f"l{i}") for i in range(4)]
+    s = {r.t: r for r in neighborhood_function(
+        spark.createDataFrame(star, "src_host string, dst_host string"),
+        rounds=3,
+    ).collect()}
+    assert s[1].n_pairs == s[3].n_pairs and s[1].frac == 1.0
