@@ -3988,6 +3988,28 @@ def _anf_oracle() -> str:
     )
 
 
+def q148_novelty(spark, sf):
+    """Per-document novelty fraction (operators/dedup.py::
+    novelty_fraction, k=3): share of a doc's distinct shingles never
+    seen at an earlier crawl order — corpus-linear (shingle-level
+    min(order) + join back, NO pairwise machinery, NO global window).
+    Corpus = 300 documents plus verbatim re-crawls of the first 50 at
+    order +10000 — the copies must score EXACTLY 0. The oracle
+    mirrors shingling, first-occurrence and the per-doc rollup."""
+    from langscrape_spark.operators.dedup import novelty_fraction
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    copies = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    out = novelty_fraction(docs.unionByName(copies), k=3)
+    return out.orderBy("id")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4167,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_burstiness": q145_burstiness,
         "q146_vocab_growth": q146_vocab_growth,
         "q147_neighborhood_function": q147_neighborhood_function,
+        "q148_novelty": q148_novelty,
     }
 
 
@@ -7832,6 +7855,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q112_kmeans": _kmeans_oracle(),
         "q147_neighborhood_function": _anf_oracle(),
+        "q148_novelty": f"""
+            -- Novelty re-derived: corpus + planted re-crawls, distinct
+            -- 3-shingles, shingle-level min(order) first occurrence,
+            -- per-doc rollup with zero-shingle docs kept (NULL
+            -- novelty). Spark: operators/dedup.py::novelty_fraction.
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents
+              WHERE doc_id < 50),
+            base AS (
+              SELECT doc_id AS id, doc_id AS o, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok
+                    FROM corpus)),
+            ex AS (SELECT id, o, unnest(sh) AS s FROM base),
+            first AS (SELECT s, min(o) AS fo FROM ex GROUP BY s),
+            per AS (
+              SELECT ex.id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN f.fo = ex.o THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new
+              FROM ex JOIN first f USING (s) GROUP BY ex.id)
+            SELECT b.id,
+                   coalesce(p.n_shingles, 0) AS n_shingles,
+                   coalesce(p.n_new, 0) AS n_new,
+                   round(CASE WHEN p.n_shingles > 0
+                         THEN p.n_new / CAST(p.n_shingles AS DOUBLE)
+                         END, 6) AS novelty
+            FROM (SELECT DISTINCT id FROM base) b
+            LEFT JOIN per p USING (id)
+            ORDER BY b.id
+        """,
         "q130_containment_join": f"""
             -- NAIVE all-shared-token directed pair join at the same
             -- integer gate 10*inter >= 9*|A| — no prefix filter, so a

@@ -1244,3 +1244,62 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+def novelty_fraction(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct
+    k-shingles never seen in any EARLIER doc (crawl order = the
+    caller's integer order column, the q146 convention — no global
+    window). The incremental-curation signal: a syndication copy
+    scores ~0, boilerplate-heavy pages score low, genuinely new
+    content scores ~1 — and unlike the pairwise dedup paths this is
+    corpus-linear (one shingle-level min(order) agg + one join back).
+
+    Ties: two docs sharing a shingle at the SAME order value both
+    count it as novel only for the one that IS the min — equal order
+    values make it novel for both (first-crawl batches are
+    simultaneous; documented). Docs too short to shingle (< k tokens)
+    report NULL novelty via try_divide.
+
+    Output: ``(id, n_shingles, n_new, novelty)``; novelty round-6.
+    """
+    from .text import words_col
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(order_col).alias("o"),
+        F.explode_outer(
+            F.array_distinct(shingles(F.col(text_col), k))
+        ).alias("s"),
+    )
+    first = sh.where(F.col("s").isNotNull()).groupBy("s").agg(
+        F.min("o").alias("fo")
+    )
+    joined = sh.join(first, "s", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("s").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fo") == F.col("o"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.try_divide(
+                    F.col("n_new").cast("double"),
+                    F.col("n_shingles").cast("double"),
+                ),
+                6,
+            ),
+        )
+    )

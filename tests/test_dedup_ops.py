@@ -895,3 +895,31 @@ def test_containment_pairs_matches_bruteforce(spark):
         if inter and q * inter >= p * len(sets[a]):
             exp.add((a, b, inter))
     assert got == exp and exp  # non-trivial
+
+
+def test_novelty_fraction_copies_and_partials(spark):
+    from langscrape_spark.operators.dedup import novelty_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # first: novelty 1.0
+            (2, "a b c d"),            # verbatim copy: 0.0
+            (3, "a b c x y z"),        # mixes seen (a b c) + new
+            (4, "q r"),                # too short to shingle: NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in novelty_fraction(docs, k=3).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_shingles == 2
+    assert out[2].novelty == 0.0
+    # doc 3: shingles {a b c, b c x, c x y, x y z}; only 'a b c' seen
+    assert (out[3].n_shingles, out[3].n_new) == (4, 3)
+    assert out[4].n_shingles == 0 and out[4].novelty is None
+    # same-order ties are novel for BOTH (documented batch semantics)
+    tied = spark.createDataFrame(
+        [(1, 5, "p q r"), (2, 5, "p q r")],
+        "doc_id long, o long, text string",
+    )
+    t = {r.id: r for r in
+         novelty_fraction(tied, k=3, order_col="o").collect()}
+    assert t[1].novelty == 1.0 and t[2].novelty == 1.0
