@@ -180,16 +180,21 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
             [_sys.executable, os.path.join(repo, "bench.py"), "--crawl-only"],
             env=env, capture_output=True, text=True, cwd=repo,
         )
+        # a leg lost to a transient load event is exactly what the
+        # best-of protocol tolerates — drop it, keep the others; fail
+        # only when a LEVEL has no successful leg at all
         if proc.returncode != 0:
-            return {"error": (proc.stderr or "leg failed")[-400:]}
+            legs.setdefault(cpus, [])
+            continue
         try:
             leg = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception:  # noqa: BLE001
-            return {
-                "error": f"leg {cpus}: unparseable output: "
-                + repr(proc.stdout[-200:])
-            }
+            legs.setdefault(cpus, [])
+            continue
         legs.setdefault(cpus, []).append(leg)
+    missing = [c for c in levels if not legs.get(c)]
+    if missing:
+        return {"error": f"no successful leg at levels {missing}"}
     best = {
         c: {
             k: max(r[k] for r in runs)

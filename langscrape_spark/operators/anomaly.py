@@ -134,7 +134,12 @@ def benford_audit(
     g = list(group_cols)
     spark = df.sparkSession
     base = df.where(
-        F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) > 0)
+        # integrality enforced in DATA, not just docs: a fractional
+        # value would long-cast to a truncated (or digit-0) row and
+        # silently bias the shares — drop it instead
+        & (F.col(value_col) == F.floor(F.col(value_col)))
     ).select(
         *g,
         F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)

@@ -1269,14 +1269,11 @@ def novelty_fraction(
 
     Output: ``(id, n_shingles, n_new, novelty)``; novelty round-6.
     """
-    from .text import words_col
-
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.col(order_col).alias("o"),
-        F.explode_outer(
-            F.array_distinct(shingles(F.col(text_col), k))
-        ).alias("s"),
+        # shingles() is already distinct+sorted
+        F.explode_outer(shingles(F.col(text_col), k)).alias("s"),
     )
     first = sh.where(F.col("s").isNotNull()).groupBy("s").agg(
         F.min("o").alias("fo")

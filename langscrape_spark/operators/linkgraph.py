@@ -790,7 +790,7 @@ def neighborhood_function(
     the first t with frac ≥ 0.9.
     """
     from .dedup import _md5_lower64
-    from .sketch import _alpha
+    from .sketch import hll_estimate
 
     m = 1 << p
     mask63 = (1 << 63) - 1
@@ -817,17 +817,11 @@ def neighborhood_function(
     ).localCheckpoint(eager=True)
 
     def estimate(st: DataFrame, t: int) -> DataFrame:
-        alpha = _alpha(m)
         stats = st.groupBy("node").agg(
             F.count(F.lit(1)).alias("present"),
             F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("zp"),
         )
-        v = F.lit(m) - F.col("present")
-        z = F.col("zp") + v.cast("double")
-        raw = F.lit(alpha * m * m) / z
-        est = F.when(
-            (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
-        ).otherwise(raw)
+        est = hll_estimate(F.col("present"), F.col("zp"), m)
         micro = F.floor(est * F.lit(1e6) + F.lit(0.5)).cast("long")
         return stats.agg(
             F.lit(t).cast("int").alias("t"),
@@ -877,7 +871,7 @@ def anf_oracle_sql(edges_sql: str, rounds: int = 4, p: int = 6) -> str:
     max-merge, the same folded estimator literals, micro-unit
     quantization and the frac division. ``edges_sql`` must yield
     (src, dst)."""
-    from .sketch import _alpha
+    from .sketch import hll_estimate
 
     m = 1 << p
     amm = repr(_alpha(m) * m * m)

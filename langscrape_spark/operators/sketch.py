@@ -46,6 +46,21 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def hll_estimate(present, zp, m: int):
+    """THE single HLL estimator expression (Flajolet et al. 2007):
+    alpha·m²/z with linear counting below 2.5·m while empty registers
+    remain — shared by :func:`hll_distinct` and the HyperANF
+    neighborhood function so the 'one sketch stack' promise holds in
+    code, not just docs. ``present`` = registers occupied, ``zp`` =
+    Σ 2^−reg over occupied registers (both Columns)."""
+    v = F.lit(m) - present
+    z = zp + v.cast("double")
+    raw = F.lit(_alpha(m) * m * m) / z
+    return F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+
+
 def hll_distinct(
     df: DataFrame,
     value_col: str,
@@ -77,19 +92,13 @@ def hll_distinct(
         .groupBy(*g, "_bk")
         .agg(F.max("_rho").alias("_reg"))
     )
-    alpha = _alpha(m)
     stats = regs.groupBy(*g).agg(
         F.count(F.col("_bk")).alias("_present"),
         F.coalesce(
             F.sum(F.pow(F.lit(2.0), -F.col("_reg"))), F.lit(0.0)
         ).alias("_zp"),
     )
-    v = F.lit(m) - F.col("_present")  # empty registers
-    z = F.col("_zp") + v.cast("double")
-    raw = F.lit(alpha * m * m) / z
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
-    ).otherwise(raw)
+    est = hll_estimate(F.col("_present"), F.col("_zp"), m)
     return stats.select(*g, F.round(est, 6).alias(out))
 
 

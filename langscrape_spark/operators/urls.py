@@ -425,11 +425,15 @@ def registrable_domain(
             ),
         ).alias("wild_form"),
     )
+    # slim to (host, k, form) before the join/window: the up-to-127-
+    # label array would otherwise ride every candidate row through the
+    # broadcast join and the shuffle only to be discarded (all_h
+    # re-reads labels from the hosts frame)
     melted = cands.select(
-        "host", "ls", "n", "k", F.col("exact_form").alias("form")
+        "host", "k", F.col("exact_form").alias("form")
     ).unionByName(
         cands.where(F.col("wild_form").isNotNull()).select(
-            "host", "ls", "n", "k", F.col("wild_form").alias("form")
+            "host", "k", F.col("wild_form").alias("form")
         )
     )
     hits = melted.join(F.broadcast(r), "form")
@@ -441,8 +445,6 @@ def registrable_domain(
         .where(F.col("rn") == 1)
         .select(
             "host",
-            "ls",
-            "n",
             # exception rules define the suffix as the rule MINUS its
             # leftmost label (PSL: !www.ck -> suffix is ck)
             F.when(F.col("is_exc"), F.col("k") - 1)
@@ -454,7 +456,7 @@ def registrable_domain(
     # label
     all_h = h.select(
         "host", labels.alias("ls"), n.alias("n")
-    ).join(best.select("host", "slen"), "host", "left").withColumn(
+    ).join(best, "host", "left").withColumn(
         "slen", F.coalesce("slen", F.lit(1))
     )
     suffix = F.array_join(
