@@ -871,7 +871,7 @@ def anf_oracle_sql(edges_sql: str, rounds: int = 4, p: int = 6) -> str:
     max-merge, the same folded estimator literals, micro-unit
     quantization and the frac division. ``edges_sql`` must yield
     (src, dst)."""
-    from .sketch import hll_estimate
+    from .sketch import _alpha
 
     m = 1 << p
     amm = repr(_alpha(m) * m * m)
