@@ -4010,6 +4010,38 @@ def q148_novelty(spark, sf):
     return out.orderBy("id")
 
 
+def q149_compaction_schedule(spark, sf):
+    """Optimal (Huffman) delta-compaction schedule (operators/
+    sharding.py::compaction_schedule) over 12 pseudo-shards sized by
+    per-group byte mass: greedy smallest-two merges minimize total
+    bytes moved; ties break on (bytes, id) with ASCII/VARCHAR order
+    identical in Python and SQL. The oracle unrolls the 11 greedy
+    rounds as MATERIALIZED CTEs and the running cost window."""
+    from langscrape_spark.operators.sharding import compaction_schedule
+
+    shards = (
+        _t(spark, sf, "documents")
+        .groupBy(
+            F.concat(
+                F.lit("s"), (F.col("doc_id") % 12).cast("string")
+            ).alias("shard_id")
+        )
+        .agg(F.sum(F.length("text")).cast("long").alias("n_bytes"))
+    )
+    return compaction_schedule(shards).orderBy("step")
+
+
+def _huffman_oracle() -> str:
+    from langscrape_spark.operators.sharding import huffman_oracle_sql
+
+    return huffman_oracle_sql(
+        """SELECT 's' || (doc_id % 12) AS i,
+                  CAST(sum(length(text)) AS BIGINT) AS b
+           FROM documents GROUP BY 1""",
+        n_shards=12,
+    )
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4190,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_vocab_growth": q146_vocab_growth,
         "q147_neighborhood_function": q147_neighborhood_function,
         "q148_novelty": q148_novelty,
+        "q149_compaction_schedule": q149_compaction_schedule,
     }
 
 
@@ -7855,6 +7888,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q112_kmeans": _kmeans_oracle(),
         "q147_neighborhood_function": _anf_oracle(),
+        "q149_compaction_schedule": _huffman_oracle(),
         "q148_novelty": f"""
             -- Novelty re-derived: corpus + planted re-crawls, distinct
             -- 3-shingles, shingle-level min(order) first occurrence,

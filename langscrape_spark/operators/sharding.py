@@ -523,3 +523,90 @@ def apportion_budget(
             .alias("alloc"),
         )
     )
+
+
+def compaction_schedule(
+    shards: DataFrame,
+    id_col: str = "shard_id",
+    bytes_col: str = "n_bytes",
+) -> DataFrame:
+    """Optimal pairwise-merge schedule for delta-file compaction
+    (Huffman 1952 applied to storage: merging two files costs their
+    combined bytes, so the total bytes MOVED is minimized by always
+    merging the two smallest — the catalog's compactor asks exactly
+    this when it folds its delta chain). Greedy-smallest-two is
+    provably optimal for linear merge cost.
+
+    Shape: the shards frame is PARAMETER-sized (a catalog holds tens
+    of deltas, not millions), so the greedy loop runs on the driver
+    over one collected list — the BPE/k-means bounded-collect pattern
+    (driver state = n_shards scalars, never corpus data). Ties break
+    on (size, id) both in the heap and in merged-node naming
+    (``m<k>``), making the schedule byte-stable and oracle-checkable.
+
+    Output: one row per merge step: ``(step, left_id, right_id,
+    merged_id, merged_bytes, cum_cost)`` — ``cum_cost`` is the running
+    total bytes moved; the last row's value is the plan's total cost.
+    """
+    import heapq
+
+    rows = shards.select(
+        F.col(id_col).cast("string").alias("i"),
+        F.col(bytes_col).cast("long").alias("b"),
+    ).collect()
+    heap = [(int(r["b"]), str(r["i"])) for r in rows]
+    heapq.heapify(heap)
+    out, cum, k = [], 0, 0
+    while len(heap) > 1:
+        b1, i1 = heapq.heappop(heap)
+        b2, i2 = heapq.heappop(heap)
+        k += 1
+        merged = f"m{k}"
+        cost = b1 + b2
+        cum += cost
+        out.append((k, i1, i2, merged, cost, cum))
+        heapq.heappush(heap, (cost, merged))
+    spark = shards.sparkSession
+    schema = (
+        "step int, left_id string, right_id string, merged_id string,"
+        " merged_bytes long, cum_cost long"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def huffman_oracle_sql(sizes_sql: str, n_shards: int) -> str:
+    """DuckDB twin of :func:`compaction_schedule`, the greedy rounds
+    unrolled as MATERIALIZED CTEs: each round ranks the pool by
+    (bytes, id) — VARCHAR order matches Python's str comparison for
+    ASCII ids — pops the two smallest, emits the step and pushes
+    ``m<k>``. ``sizes_sql`` must yield (i VARCHAR, b BIGINT) with
+    exactly ``n_shards`` rows."""
+    parts = [f"WITH h0 AS MATERIALIZED ({sizes_sql})"]
+    steps = []
+    for k in range(1, n_shards):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT i, b, row_number() OVER (ORDER BY b, i) AS rn FROM h{k - 1}),
+s{k} AS MATERIALIZED (
+  SELECT max(CASE WHEN rn = 1 THEN i END) AS i1,
+         max(CASE WHEN rn = 1 THEN b END) AS b1,
+         max(CASE WHEN rn = 2 THEN i END) AS i2,
+         max(CASE WHEN rn = 2 THEN b END) AS b2
+  FROM p{k} WHERE rn <= 2),
+h{k} AS MATERIALIZED (
+  SELECT i, b FROM p{k} WHERE rn > 2
+  UNION ALL SELECT 'm{k}', b1 + b2 FROM s{k})"""
+        )
+        steps.append(
+            f"SELECT {k} AS step, i1 AS left_id, i2 AS right_id,"
+            f" 'm{k}' AS merged_id, b1 + b2 AS merged_bytes FROM s{k}"
+        )
+    union = "\nUNION ALL\n".join(steps)
+    parts.append(f"steps AS ({union})")
+    final = """SELECT CAST(step AS INT) AS step, left_id, right_id,
+       merged_id, CAST(merged_bytes AS BIGINT) AS merged_bytes,
+       CAST(sum(merged_bytes) OVER (ORDER BY step
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_cost
+FROM steps ORDER BY step"""
+    return ",\n".join(parts) + "\n" + final

@@ -4285,3 +4285,55 @@ def test_vocab_growth_monotone_and_exact(spark):
     # checkpoint before any doc: empty, NULL ttr
     o0 = {r.checkpoint: r for r in vocab_growth(docs, [0]).collect()}
     assert o0[0].vocab == 0 and o0[0].ttr is None
+
+
+# -- Huffman compaction schedule (operators/sharding.py) --
+
+
+def test_compaction_schedule_textbook_and_optimality(spark):
+    import heapq
+    import itertools
+
+    from langscrape_spark.operators.sharding import compaction_schedule
+
+    # textbook: sizes 1,2,3,4 -> merges (1+2)=3, (3+3)=6, (4+6)=10;
+    # total cost 19
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)],
+        "shard_id string, n_bytes long",
+    )
+    out = compaction_schedule(df).orderBy("step").collect()
+    assert [(r.left_id, r.right_id, r.merged_bytes) for r in out] == [
+        ("a", "b", 3),
+        ("c", "m1", 6),
+        ("d", "m2", 10),
+    ]
+    assert out[-1].cum_cost == 19
+
+    # optimality: greedy total <= every sequential pairwise-merge
+    # order on a skewed 5-shard case (brute-force all orders)
+    sizes = [1, 1, 8, 9, 100]
+    df2 = spark.createDataFrame(
+        [(f"s{i}", b) for i, b in enumerate(sizes)],
+        "shard_id string, n_bytes long",
+    )
+    greedy = compaction_schedule(df2).orderBy("step").collect()[-1].cum_cost
+
+    def all_orders_min(vals):
+        best = None
+        state = tuple(sorted(vals))
+        stack = [(state, 0)]
+        while stack:
+            st, cost = stack.pop()
+            if len(st) == 1:
+                best = cost if best is None else min(best, cost)
+                continue
+            for i, j in itertools.combinations(range(len(st)), 2):
+                m = st[i] + st[j]
+                rest = tuple(
+                    v for k, v in enumerate(st) if k not in (i, j)
+                )
+                stack.append((tuple(sorted(rest + (m,))), cost + m))
+        return best
+
+    assert greedy == all_orders_min(sizes)
