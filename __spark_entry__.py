@@ -4042,6 +4042,24 @@ def _huffman_oracle() -> str:
     )
 
 
+def q150_index_compression(spark, sf):
+    """Inverted-index storage sizing (operators/search.py::
+    index_compression_stats): delta+varint bytes vs raw 8-byte ids
+    per posting-list-density bucket (⌊log₂ df⌋) — gaps from one
+    term-partitioned lag window, varint bytes = ⌈bits/7⌉ with the
+    engine-portable length(bin(gap)) bit length, first entry stored
+    as id+1 so every encoded value is ≥ 1. The oracle mirrors gaps,
+    byte math, buckets and the ratio."""
+    from langscrape_spark.operators.search import (
+        build_inverted_index,
+        index_compression_stats,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, _ = build_inverted_index(docs)
+    return index_compression_stats(postings).orderBy("df_bucket")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4223,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_neighborhood_function": q147_neighborhood_function,
         "q148_novelty": q148_novelty,
         "q149_compaction_schedule": q149_compaction_schedule,
+        "q150_index_compression": q150_index_compression,
     }
 
 
@@ -7889,6 +7908,37 @@ def oracle_sql() -> dict[str, str]:
         "q112_kmeans": _kmeans_oracle(),
         "q147_neighborhood_function": _anf_oracle(),
         "q149_compaction_schedule": _huffman_oracle(),
+        "q150_index_compression": f"""
+            -- Index sizing re-derived: distinct postings, per-term
+            -- ordered gaps (first = id+1), varint bytes
+            -- (len(bin(gap))+6)//7, log2-df buckets, ratio. Spark:
+            -- operators/search.py::index_compression_stats.
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            p AS (SELECT DISTINCT term AS t, doc_id AS d FROM toks),
+            g AS (
+              SELECT t,
+                     coalesce(d - lag(d) OVER (PARTITION BY t
+                       ORDER BY d), d + 1) AS gap
+              FROM p),
+            per_term AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+                       AS vbytes
+              FROM g GROUP BY t),
+            agg AS (
+              SELECT CAST(length(bin(df)) - 1 AS INT) AS df_bucket,
+                     CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(df) AS BIGINT) AS n_postings,
+                     CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+                     CAST(sum(vbytes) AS BIGINT) AS varint_bytes
+              FROM per_term GROUP BY 1)
+            SELECT df_bucket, n_terms, n_postings, raw_bytes,
+                   varint_bytes,
+                   round(varint_bytes / CAST(raw_bytes AS DOUBLE), 6)
+                     AS ratio
+            FROM agg ORDER BY df_bucket
+        """,
         "q148_novelty": f"""
             -- Novelty re-derived: corpus + planted re-crawls, distinct
             -- 3-shingles, shingle-level min(order) first occurrence,

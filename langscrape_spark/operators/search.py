@@ -532,3 +532,63 @@ def bm25_maxscore(
         b,
     )
     return scored.where(F.col("score") >= F.lit(theta))
+
+
+def index_compression_stats(
+    postings: DataFrame,
+    term_col: str = "term",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Index-storage sizing: how many bytes would the inverted index
+    cost delta+varint encoded (the Lucene/PISA layout) vs raw 8-byte
+    ids — the planning number for a corpus-scale index build, broken
+    down by posting-list DENSITY bucket (⌊log₂ df⌋), because that is
+    what decides compression: dense lists have tiny gaps.
+
+    All-integer: per term, postings sort by doc id (one term-
+    partitioned lag window); gap = id − lag(id) (first entry stores
+    id + 1 so every encoded value is ≥ 1); varint bytes =
+    ⌈bits(gap)/7⌉ with bits = length(bin(gap)) — the engine-portable
+    bit-length both engines share (q87's convention). Rollup per
+    bucket: terms, postings, raw vs varint bytes and the ratio (the
+    only division, round-6).
+
+    Output: ``(df_bucket, n_terms, n_postings, raw_bytes,
+    varint_bytes, ratio)``.
+    """
+    from pyspark.sql import Window
+
+    p = postings.select(
+        F.col(term_col).alias("t"), F.col(doc_col).cast("long").alias("d")
+    ).distinct()
+    w = Window.partitionBy("t").orderBy("d")
+    g = p.withColumn(
+        "gap",
+        F.coalesce(F.col("d") - F.lag("d").over(w), F.col("d") + 1),
+    )
+    vb = F.expr("(length(bin(gap)) + 6) div 7")
+    per_term = g.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(vb).cast("long").alias("vbytes"),
+    )
+    bucket = F.length(F.bin(F.col("df"))) - 1  # floor(log2 df)
+    agg = per_term.groupBy(bucket.cast("int").alias("df_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+        F.sum("vbytes").cast("long").alias("varint_bytes"),
+    )
+    return agg.select(
+        "df_bucket",
+        "n_terms",
+        "n_postings",
+        "raw_bytes",
+        "varint_bytes",
+        F.round(
+            F.try_divide(
+                F.col("varint_bytes").cast("double"),
+                F.col("raw_bytes").cast("double"),
+            ),
+            6,
+        ).alias("ratio"),
+    )

@@ -4337,3 +4337,34 @@ def test_compaction_schedule_textbook_and_optimality(spark):
         return best
 
     assert greedy == all_orders_min(sizes)
+
+
+# -- index compression sizing (operators/search.py) --
+
+
+def test_index_compression_exact_bytes(spark):
+    from langscrape_spark.operators.search import index_compression_stats
+
+    # term 'a': docs 0,1,2,300 -> stored 1,1,1,298
+    #   varint: 1,1,1,2 bytes = 5; df=4 -> bucket 2
+    # term 'b': doc 200 -> stored 201 (8 bits -> 2 bytes); df=1 -> bucket 0
+    postings = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 2), ("a", 300), ("b", 200),
+         ("a", 1)],  # duplicate posting must collapse
+        "term string, doc_id long",
+    )
+    out = {r.df_bucket: r for r in
+           index_compression_stats(postings).collect()}
+    b2 = out[2]
+    assert (b2.n_terms, b2.n_postings, b2.raw_bytes, b2.varint_bytes) \
+        == (1, 4, 32, 5)
+    b0 = out[0]
+    assert (b0.n_postings, b0.varint_bytes) == (1, 2)
+    assert b0.ratio == round(2 / 8, 6)
+    # a 2^14 gap needs exactly 2 varint bytes ceil(15/7)=3? 14 bits->2
+    big = spark.createDataFrame(
+        [("t", 0), ("t", (1 << 14) - 1)], "term string, doc_id long"
+    )
+    g = index_compression_stats(big).collect()[0]
+    # stored: 1 (1 byte) and 16383 (14 bits -> 2 bytes)
+    assert g.varint_bytes == 3
