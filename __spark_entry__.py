@@ -4060,6 +4060,28 @@ def q150_index_compression(spark, sf):
     return index_compression_stats(postings).orderBy("df_bucket")
 
 
+def q151_f1_threshold(spark, sf):
+    """Max-F1 decision threshold (operators/classifier.py::
+    f1_threshold) for q75's score/label pair per source: candidate
+    thresholds are the distinct round-6 scores, TP/FP/FN come from
+    ONE descending suffix-cumulative window over the distinct-score
+    frame (never a per-threshold scan), winner by (F1 desc, threshold
+    asc). The oracle mirrors the per-score counts, suffix sums, F1
+    and the argmax."""
+    from langscrape_spark.operators.classifier import f1_threshold
+    from langscrape_spark.operators.text import quality_columns
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    scored = quality_columns(docs).select(
+        "source",
+        (F.length("text") >= 300).alias("label"),
+        F.round("alpha_ratio", 6).alias("score"),
+    )
+    return f1_threshold(
+        scored, "score", "label", group_cols=["source"]
+    ).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4242,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_novelty": q148_novelty,
         "q149_compaction_schedule": q149_compaction_schedule,
         "q150_index_compression": q150_index_compression,
+        "q151_f1_threshold": q151_f1_threshold,
     }
 
 
@@ -7908,6 +7931,58 @@ def oracle_sql() -> dict[str, str]:
         "q112_kmeans": _kmeans_oracle(),
         "q147_neighborhood_function": _anf_oracle(),
         "q149_compaction_schedule": _huffman_oracle(),
+        "q151_f1_threshold": """
+            -- Max-F1 cut re-derived: q75's score/label pair, distinct-
+            -- score suffix cumulative counts (DESC window), F1,
+            -- (f1 DESC, threshold ASC) argmax. Spark:
+            -- operators/classifier.py::f1_threshold.
+            WITH s AS (
+              SELECT source,
+                     CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+                       AS y,
+                     round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^A-Za-z]', '',
+                                             'g'))
+                       / CAST(length(text) AS DOUBLE)
+                       ELSE 0 END, 6) AS sv
+              FROM documents),
+            per AS (
+              SELECT source, sv, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM s GROUP BY source, sv),
+            c AS (
+              SELECT source, sv,
+                     sum(pos) OVER (PARTITION BY source ORDER BY sv DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS tp,
+                     sum(n) OVER (PARTITION BY source ORDER BY sv DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ge,
+                     sum(pos) OVER (PARTITION BY source) AS all_pos
+              FROM per),
+            scored AS (
+              SELECT source, sv, tp, ge - tp AS fp, all_pos - tp AS fn,
+                     ge, all_pos,
+                     round(CASE WHEN 2 * tp + (ge - tp)
+                                     + (all_pos - tp) = 0 THEN NULL
+                           ELSE 2 * tp / CAST(2 * tp + (ge - tp)
+                                + (all_pos - tp) AS DOUBLE) END, 6)
+                       AS f1
+              FROM c),
+            win AS (
+              SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY f1 DESC NULLS LAST, sv ASC) AS rn
+              FROM scored)
+            SELECT source, sv AS threshold,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   round(tp / CAST(ge AS DOUBLE), 6) AS precision,
+                   round(CASE WHEN all_pos = 0 THEN NULL
+                         ELSE tp / CAST(all_pos AS DOUBLE) END, 6)
+                     AS recall,
+                   f1
+            FROM win WHERE rn = 1 ORDER BY source
+        """,
         "q150_index_compression": f"""
             -- Index sizing re-derived: distinct postings, per-term
             -- ordered gaps (first = id+1), varint bytes

@@ -285,3 +285,83 @@ def auc_exact(
             6,
         ).alias("auc"),
     )
+
+
+def f1_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Where to CUT a quality score: the threshold maximizing F1
+    against silver labels — the number q75's calibration curve and
+    q133's AUC both stop short of handing the pipeline. Keep rule is
+    ``score >= threshold``; candidate thresholds are the distinct
+    observed scores (the only places F1 can change).
+
+    One pass, no per-threshold scan: sort distinct scores DESCENDING
+    and suffix-cumulate per-score positive/total counts with one
+    window — at threshold s, TP = positives with score ≥ s and
+    FP = rows ≥ s minus TP, all exact integers; F1 = 2TP/(TP + FN +
+    rows≥s) is an identical-expression double in both engines, argmax
+    by (F1 desc, threshold asc) via one more window. n² never
+    appears; the frame after the first agg is DISTINCT-SCORE-sized.
+
+    Output per group: ``(.., threshold, tp, fp, fn, precision,
+    recall, f1)`` — the winning row only. Groups with no positives
+    get F1 = 0 exactly (the denominator holds the rows ≥ threshold,
+    never zero) and NULL recall; a NULL threshold is impossible
+    (every group has ≥ 1 distinct score).
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *g,
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    per_score = base.groupBy(*g, "s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*g)
+    c = (
+        per_score.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("ge", F.sum("n").over(w))
+        .withColumn("all_pos", F.sum("pos").over(tot))
+    )
+    tp = F.col("tp")
+    fp = F.col("ge") - tp
+    fn = F.col("all_pos") - tp
+    f1 = F.try_divide(
+        (2 * tp).cast("double"), (2 * tp + fp + fn).cast("double")
+    )
+    ranked = c.withColumn("f1", F.round(f1, 6)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(*g).orderBy(
+                F.desc_nulls_last("f1"), F.asc("s")
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        *g,
+        F.col("s").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(F.try_divide(tp.cast("double"), F.col("ge").cast("double")), 6).alias("precision"),
+        F.round(
+            F.try_divide(tp.cast("double"), F.col("all_pos").cast("double")),
+            6,
+        ).alias("recall"),
+        "f1",
+    )

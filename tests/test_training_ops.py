@@ -4368,3 +4368,35 @@ def test_index_compression_exact_bytes(spark):
     g = index_compression_stats(big).collect()[0]
     # stored: 1 (1 byte) and 16383 (14 bits -> 2 bytes)
     assert g.varint_bytes == 3
+
+
+# -- max-F1 threshold (operators/classifier.py) --
+
+
+def test_f1_threshold_brute_force_and_edges(spark):
+    from langscrape_spark.operators.classifier import f1_threshold
+
+    rows = [("g", float((i * 7) % 10), int((i * 7) % 10 >= 6 or i % 5 == 0))
+            for i in range(60)] + [("nopos", 1.0, 0), ("nopos", 2.0, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r.g: r for r in
+           f1_threshold(df, "s", "y", group_cols=["g"]).collect()}
+
+    # brute force over candidate thresholds
+    pts = [(s, y) for g, s, y in rows if g == "g"]
+    best = None
+    for th in sorted({s for s, _ in pts}):
+        tp = sum(1 for s, y in pts if s >= th and y)
+        fp = sum(1 for s, y in pts if s >= th and not y)
+        fn = sum(1 for s, y in pts if s < th and y)
+        f1 = round(2 * tp / (2 * tp + fp + fn), 6)
+        cand = (-f1, th, tp, fp, fn)
+        if best is None or cand < best:
+            best = cand
+    g = out["g"]
+    assert (round(g.f1, 6), g.threshold, g.tp, g.fp, g.fn) == (
+        -best[0], best[1], best[2], best[3], best[4],
+    )
+    # all-negative group: F1 is exactly 0 (never NULL: the denominator
+    # holds rows >= threshold), recall NULL (no positives to recall)
+    assert out["nopos"].f1 == 0.0 and out["nopos"].recall is None
