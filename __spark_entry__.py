@@ -4082,6 +4082,22 @@ def q151_f1_threshold(spark, sf):
     ).orderBy("source")
 
 
+def q152_hill_alpha(spark, sf):
+    """Power-law tail exponent (operators/text.py::hill_alpha,
+    xmin=40) of per-document token counts per source — Hill's MLE
+    α = 1 + k/Σln(xᵢ/xmin) with every log term quantized to integer
+    micro-units before the sum (float sum order can't diverge), one
+    division at the end. The oracle mirrors the tail filter, the
+    quantization and the formula."""
+    from langscrape_spark.operators.text import hill_alpha, words_col
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return hill_alpha(docs, "n_tokens", xmin=40).orderBy("source")
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4265,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_compaction_schedule": q149_compaction_schedule,
         "q150_index_compression": q150_index_compression,
         "q151_f1_threshold": q151_f1_threshold,
+        "q152_hill_alpha": q152_hill_alpha,
     }
 
 
@@ -7982,6 +7999,27 @@ def oracle_sql() -> dict[str, str]:
                      AS recall,
                    f1
             FROM win WHERE rn = 1 ORDER BY source
+        """,
+        "q152_hill_alpha": f"""
+            -- Hill estimator re-derived: tail filter, micro-unit log
+            -- quantization, exact integer sum, one division. Spark:
+            -- operators/text.py::hill_alpha.
+            WITH v AS (
+              SELECT source,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS x
+              FROM documents),
+            tail AS (SELECT * FROM v WHERE x >= 40.0),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(CAST(floor(ln(x / 40.0) * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS log_sum_micro
+              FROM tail GROUP BY source)
+            SELECT source, k, log_sum_micro,
+                   round(1.0 + CASE WHEN log_sum_micro = 0 THEN NULL
+                         ELSE (k * 1000000)
+                              / CAST(log_sum_micro AS DOUBLE) END, 6)
+                     AS alpha
+            FROM agg ORDER BY source
         """,
         "q150_index_compression": f"""
             -- Index sizing re-derived: distinct postings, per-term

@@ -4400,3 +4400,38 @@ def test_f1_threshold_brute_force_and_edges(spark):
     # all-negative group: F1 is exactly 0 (never NULL: the denominator
     # holds rows >= threshold), recall NULL (no positives to recall)
     assert out["nopos"].f1 == 0.0 and out["nopos"].recall is None
+
+
+# -- Hill tail exponent (operators/text.py) --
+
+
+def test_hill_alpha_recovers_planted_exponent(spark):
+    """Deterministic inverse-CDF sample of a pure power law with
+    alpha=2.5 must recover ~2.5; exact-xmin tail -> zero log sum ->
+    NULL; empty tail -> no row."""
+    import math
+
+    from langscrape_spark.operators.text import hill_alpha
+
+    alpha, xmin, n = 2.5, 10, 4000
+    rows = [
+        ("pl", int(round(xmin * ((i + 0.5) / n) ** (-1 / (alpha - 1)))))
+        for i in range(n)
+    ] + [("flat", 10), ("flat", 10), ("tiny", 3)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    out = {r.source: r for r in
+           hill_alpha(df, "v", xmin=10).collect()}
+    assert abs(out["pl"].alpha - alpha) < 0.1
+    assert out["pl"].k == n
+    # every tail value exactly xmin: log sum 0 -> NULL alpha
+    assert out["flat"].alpha is None and out["flat"].log_sum_micro == 0
+    # below-xmin-only group: filtered out entirely
+    assert "tiny" not in out
+
+    # hand-check the micro quantization: single value e*xmin ->
+    # ln = 1.0 -> micro exactly 1_000_000
+    one = spark.createDataFrame(
+        [("g", int(round(10 * math.e)))], "source string, v long"
+    )
+    r = hill_alpha(one, "v", xmin=10).collect()[0]
+    assert r.log_sum_micro == math.floor(math.log(27 / 10) * 1e6 + 0.5)
