@@ -4098,6 +4098,101 @@ def q152_hill_alpha(spark, sf):
     return hill_alpha(docs, "n_tokens", xmin=40).orderBy("source")
 
 
+def q153_ndcg(spark, sf):
+    """Exact binary nDCG@10 (operators/evalops.py::ndcg_at_k) of the
+    q59 BM25 ranking against the q75 silver relevance (length>=300):
+    every 1/log2(i+1) weight and the cumulative ideal sums are
+    Python literals identical in both engines — no engine log runs —
+    so nDCG is one division of two fixed-literal dot products. The
+    oracle rebuilds the BM25 top-10 (q59's proven shape) and applies
+    the same literals."""
+    from langscrape_spark.operators.evalops import ndcg_at_k
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    ranking = bm25_topk(postings, doc_lens, "hash scan table", k=10)
+    rel = docs.select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("rel")
+    )
+    return ndcg_at_k(ranking, rel, k=10)
+
+
+def _ndcg_oracle() -> str:
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+    cum = []
+    t = 0.0
+    for x in w:
+        t += x
+        cum.append(t)
+    wcase = " ".join(
+        f"WHEN {i + 1} THEN {v!r}" for i, v in enumerate(w)
+    )
+    ccase = " ".join(
+        f"WHEN {i + 1} THEN {v!r}" for i, v in enumerate(cum)
+    )
+    return f"""
+        -- nDCG@10 re-derived: q59's BM25 top-10, the SAME Python
+        -- weight literals, rel join with 0 default, idcg from the
+        -- cumulative-literal table at min(R, 10). Spark:
+        -- operators/evalops.py::ndcg_at_k.
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        postings AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY term, doc_id),
+        dl AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        consts AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+        q(term) AS (VALUES ('hash'), ('scan'), ('table')),
+        hits AS (SELECT p.* FROM postings p JOIN q USING (term)),
+        dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM hits GROUP BY term),
+        scored AS (
+          SELECT h.doc_id,
+                 sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                     * h.tf
+                     / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                   AS score
+          FROM hits h
+          JOIN dfs d USING (term)
+          JOIN dl l USING (doc_id), consts c
+          GROUP BY h.doc_id),
+        top AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM scored QUALIFY rn <= 10),
+        rel AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS r
+          FROM documents),
+        joined AS (
+          SELECT t.rn, coalesce(rel.r, 0) AS r
+          FROM top t LEFT JOIN rel USING (doc_id)),
+        rt AS (SELECT CAST(sum(r) AS BIGINT) AS n_relevant FROM rel),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                 round(coalesce(sum(r * CASE rn {wcase} END), 0.0), 6)
+                   AS dcg
+          FROM joined)
+        SELECT CAST(10 AS INT) AS k, n_ranked, n_relevant, dcg,
+               round(coalesce(CASE least(n_relevant, 10) {ccase} END,
+                              0.0), 6) AS idcg,
+               round(CASE WHEN n_relevant > 0 THEN
+                 dcg / (CASE least(n_relevant, 10) {ccase} END)
+               END, 6) AS ndcg
+        FROM a, rt
+    """
+
+
 def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """Shared oracle CTE prefix for the suffix-array queries: the SAME
     normalization (lower, [a-z0-9 ], cap), md5(doc_id) layout order,
@@ -4282,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_index_compression": q150_index_compression,
         "q151_f1_threshold": q151_f1_threshold,
         "q152_hill_alpha": q152_hill_alpha,
+        "q153_ndcg": q153_ndcg,
     }
 
 
@@ -7948,6 +8044,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_kmeans": _kmeans_oracle(),
         "q147_neighborhood_function": _anf_oracle(),
         "q149_compaction_schedule": _huffman_oracle(),
+        "q153_ndcg": _ndcg_oracle(),
         "q151_f1_threshold": """
             -- Max-F1 cut re-derived: q75's score/label pair, distinct-
             -- score suffix cumulative counts (DESC window), F1,

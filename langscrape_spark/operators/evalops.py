@@ -123,3 +123,97 @@ def scheme_report(
             (F.size("missing_keys") == 0) & (F.size("surplus_keys") == 0),
         )
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    order_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Exact binary nDCG@k of a ranking against a relevance table —
+    the standard retrieval-quality verdict on the engine's own BM25 /
+    QL / fused rankers (their per-query scores are oracled; this
+    scores the RANKING).
+
+    DCG = Σ relᵢ / log2(i+1) over the top k by (order desc, id asc);
+    IDCG = the same weights over min(k, R) ideal hits, with R = total
+    relevant docs in the relevance table. EVERY weight — 1/log2(i+1)
+    and the cumulative ideal sums — is a Python-computed literal
+    (identical bits in both engines; no engine log evaluated at all),
+    so nDCG is one division of two fixed-literal dot products.
+    Missing ids in the relevance table count rel 0. R = 0 reports
+    NULL via try_divide.
+
+    Output (one row): ``(k, n_ranked, n_relevant, dcg, idcg, ndcg)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    cum = []
+    t = 0.0
+    for x in w:
+        t += x
+        cum.append(t)
+    top = (
+        ranked.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(order_col), F.asc(id_col))
+            ),
+        )
+        .where(F.col("_rn") <= k)
+        .join(
+            relevance.select(
+                F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            "_rn", F.coalesce("_rel", F.lit(0)).alias("_rel")
+        )
+    )
+    wmap = F.element_at(
+        F.create_map(
+            *[x for i, v in enumerate(w) for x in (F.lit(i + 1), F.lit(v))]
+        ),
+        F.col("_rn"),
+    )
+    r_total = relevance.agg(
+        F.sum(F.col(rel_col).cast("int")).cast("long").alias("_r")
+    )
+    cum_arr = F.array(*[F.lit(v) for v in cum])
+    agg = top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.col("_rel") * wmap).alias("dcg"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(r_total))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_ranked",
+            F.col("_r").alias("n_relevant"),
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.when(
+                F.col("_r") > 0,
+                F.element_at(
+                    cum_arr, F.least(F.col("_r"), F.lit(k)).cast("int")
+                ),
+            ).alias("_idcg"),
+        )
+        .select(
+            "k",
+            "n_ranked",
+            "n_relevant",
+            "dcg",
+            F.round(F.coalesce("_idcg", F.lit(0.0)), 6).alias("idcg"),
+            F.round(F.try_divide(F.col("dcg"), F.col("_idcg")), 6).alias(
+                "ndcg"
+            ),
+        )
+    )

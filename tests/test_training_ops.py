@@ -4435,3 +4435,42 @@ def test_hill_alpha_recovers_planted_exponent(spark):
     )
     r = hill_alpha(one, "v", xmin=10).collect()[0]
     assert r.log_sum_micro == math.floor(math.log(27 / 10) * 1e6 + 0.5)
+
+
+# -- nDCG@k (operators/evalops.py) --
+
+
+def test_ndcg_hand_cases(spark):
+    import math
+
+    from langscrape_spark.operators.evalops import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0)],
+        "doc_id long, score double",
+    )
+    # perfect: all top docs relevant and R <= k
+    rel_all = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, rel int"
+    )
+    r = ndcg_at_k(ranked, rel_all, k=3).collect()[0]
+    assert r.ndcg == 1.0 and r.n_relevant == 2
+
+    # relevant doc at rank 3 only: dcg = 1/log2(4), idcg = 1
+    rel_one = spark.createDataFrame([(3, 1)], "doc_id long, rel int")
+    r2 = ndcg_at_k(ranked, rel_one, k=3).collect()[0]
+    assert r2.dcg == round(1 / math.log2(4), 6)
+    assert r2.ndcg == round(1 / math.log2(4), 6)
+
+    # nothing relevant anywhere: NULL ndcg, zero dcg
+    rel_none = spark.createDataFrame([(9, 0)], "doc_id long, rel int")
+    r3 = ndcg_at_k(ranked, rel_none, k=3).collect()[0]
+    assert r3.dcg == 0.0 and r3.ndcg is None
+
+    # R > k: idcg saturates at the k-term cumulative weight
+    rel_many = spark.createDataFrame(
+        [(i, 1) for i in range(1, 9)], "doc_id long, rel int"
+    )
+    r4 = ndcg_at_k(ranked, rel_many, k=3).collect()[0]
+    ideal3 = sum(1 / math.log2(i + 1) for i in range(1, 4))
+    assert r4.idcg == round(ideal3, 6) and r4.ndcg == 1.0
