@@ -4168,7 +4168,8 @@ def _ndcg_oracle() -> str:
           GROUP BY h.doc_id),
         top AS (
           SELECT doc_id,
-                 row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+                 row_number() OVER (ORDER BY round(score, 6) DESC,
+                                    doc_id) AS rn
           FROM scored QUALIFY rn <= 10),
         rel AS (
           SELECT doc_id,

@@ -159,11 +159,17 @@ def ndcg_at_k(
     for x in w:
         t += x
         cum.append(t)
+    # rank on the ROUND-6 score (repo convention for order-bearing
+    # comparisons): equal-true-score docs must fall to the doc_id
+    # tie-break identically in both engines, not to 1-ulp sum-order
+    # noise that would shift a weight by ~1e-1
     top = (
         ranked.withColumn(
             "_rn",
             F.row_number().over(
-                Window.orderBy(F.desc(order_col), F.asc(id_col))
+                Window.orderBy(
+                    F.desc(F.round(F.col(order_col), 6)), F.asc(id_col)
+                )
             ),
         )
         .where(F.col("_rn") <= k)

@@ -554,6 +554,13 @@ def compaction_schedule(
         F.col(id_col).cast("string").alias("i"),
         F.col(bytes_col).cast("long").alias("b"),
     ).collect()
+    bad = [str(r["i"]) for r in rows if r["b"] is None]
+    if bad:
+        raise ValueError(
+            f"compaction_schedule: NULL n_bytes for shards {bad[:5]} — "
+            "size every delta before planning (a NULL would silently "
+            "skew the schedule)"
+        )
     heap = [(int(r["b"]), str(r["i"])) for r in rows]
     heapq.heapify(heap)
     out, cum, k = [], 0, 0
@@ -603,10 +610,14 @@ h{k} AS MATERIALIZED (
         )
     union = "\nUNION ALL\n".join(steps)
     parts.append(f"steps AS ({union})")
-    final = """SELECT CAST(step AS INT) AS step, left_id, right_id,
+    # precondition guard: a pool size other than n_shards would unroll
+    # the wrong number of rounds and emit NULL-byte merges — empty the
+    # output instead so the parity compare fails LOUDLY on row count
+    parts.append("chk AS (SELECT count(*) AS c FROM h0)")
+    final = f"""SELECT CAST(step AS INT) AS step, left_id, right_id,
        merged_id, CAST(merged_bytes AS BIGINT) AS merged_bytes,
        CAST(sum(merged_bytes) OVER (ORDER BY step
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS BIGINT) AS cum_cost
-FROM steps ORDER BY step"""
+FROM steps, chk WHERE chk.c = {n_shards} ORDER BY step"""
     return ",\n".join(parts) + "\n" + final
