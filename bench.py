@@ -3,10 +3,15 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` against
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line::
 
-    {"metric": "...", "value": N, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1, ...}
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"q00_crawl_extract": sec, <5 slowest>...},
+     "sf": 0.1, "scaling": {...}, "full_results": "bench_queries.json"}
+
+The full per-query timing map (150+ entries — too large for the
+driver's stdout-tail capture, see BENCH_r03 post-mortem) is written to
+``bench_queries.json`` next to this script.
 
 Each query is materialized through the JVM ``noop`` sink so the full
 plan executes (a ``count()`` would let Catalyst prune projection-only
@@ -156,42 +161,69 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
     4N), and the BEST rate per level is kept — a transient load spike
     (the driver's own verify activity, a draining JVM teardown) can
     depress any single leg 2-4x and fake an efficiency collapse
-    (observed: crawl_eff 0.116 from one 4x-slowed 8-core leg), but it
-    cannot *inflate* a best-of ratio. Disable with
-    SPARK_GRAFT_BENCH_SCALING=0."""
+    (observed: crawl_eff 0.116 from one 4x-slowed 8-core leg).
+    Best-of reduces but does not eliminate load bias: a load event
+    spanning BOTH legs of the low-core level (while the high-core legs
+    run clean) still inflates the ratio. Two mitigations: (a) if a
+    level's legs disagree >25% on extract rate, or any leg started at
+    1-min load avg > 2, ONE extra interleaved pass of both levels
+    runs; (b) the result self-reports ``suspect_load`` (true when a
+    level's surviving legs still spread >2x or the best legs started
+    loaded) plus per-leg rates and start loads in ``all_legs``, so an
+    inflated or depressed ratio is visible in the artifact instead of
+    silent. Disable with SPARK_GRAFT_BENCH_SCALING=0."""
     import subprocess
     import sys as _sys
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    legs = {}
-    for cpus in list(levels) * 2:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_SHUFFLE="32",
-            SPARK_GRAFT_BENCH_PAGES=str(n_pages),
-            SPARK_GRAFT_BENCH_ROUNDS="2",
-            SPARK_GRAFT_BENCH_BATCH=str(n_pages // 2),
-            SPARK_GRAFT_BENCH_SEEDS=str(n_pages // 8),
-            SPARK_GRAFT_BENCH_DELAY_DIV="500",
-            SPARK_GRAFT_BENCH_SCALING="0",  # no recursion
-        )
-        proc = subprocess.run(
-            [_sys.executable, os.path.join(repo, "bench.py"), "--crawl-only"],
-            env=env, capture_output=True, text=True, cwd=repo,
-        )
-        # a leg lost to a transient load event is exactly what the
-        # best-of protocol tolerates — drop it, keep the others; fail
-        # only when a LEVEL has no successful leg at all
-        if proc.returncode != 0:
-            legs.setdefault(cpus, [])
-            continue
-        try:
-            leg = json.loads(proc.stdout.strip().splitlines()[-1])
-        except Exception:  # noqa: BLE001
-            legs.setdefault(cpus, [])
-            continue
-        legs.setdefault(cpus, []).append(leg)
+    legs: dict[int, list[dict]] = {c: [] for c in levels}
+
+    def one_pass() -> None:
+        for cpus in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_SHUFFLE="32",
+                SPARK_GRAFT_BENCH_PAGES=str(n_pages),
+                SPARK_GRAFT_BENCH_ROUNDS="2",
+                SPARK_GRAFT_BENCH_BATCH=str(n_pages // 2),
+                SPARK_GRAFT_BENCH_SEEDS=str(n_pages // 8),
+                SPARK_GRAFT_BENCH_DELAY_DIV="500",
+                SPARK_GRAFT_BENCH_SCALING="0",  # no recursion
+            )
+            load0 = round(os.getloadavg()[0], 2)
+            proc = subprocess.run(
+                [_sys.executable, os.path.join(repo, "bench.py"),
+                 "--crawl-only"],
+                env=env, capture_output=True, text=True, cwd=repo,
+            )
+            # a leg lost to a transient load event is exactly what the
+            # retry protocol tolerates — drop it, keep the others; fail
+            # only when a LEVEL has no successful leg at all
+            if proc.returncode != 0:
+                continue
+            try:
+                leg = json.loads(proc.stdout.strip().splitlines()[-1])
+            except Exception:  # noqa: BLE001
+                continue
+            leg["load_at_leg_start"] = load0
+            legs[cpus].append(leg)
+
+    def spread(runs: list[dict]) -> float:
+        rates = [r["extract_urls_per_sec"] for r in runs]
+        return max(rates) / min(rates) if rates and min(rates) > 0 else 1.0
+
+    one_pass()
+    one_pass()
+    retried = False
+    if any(
+        not runs
+        or spread(runs) > 1.25
+        or any(r["load_at_leg_start"] > 2.0 for r in runs)
+        for runs in legs.values()
+    ):
+        retried = True
+        one_pass()
     missing = [c for c in levels if not legs.get(c)]
     if missing:
         return {"error": f"no successful leg at levels {missing}"}
@@ -202,12 +234,23 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         }
         for c, runs in legs.items()
     }
+    best_leg_load = {
+        c: max(
+            runs,
+            key=lambda r: r["extract_urls_per_sec"],
+        )["load_at_leg_start"]
+        for c, runs in legs.items()
+    }
+    suspect_load = any(spread(runs) > 2.0 for runs in legs.values()) or any(
+        load > 2.0 for load in best_leg_load.values()
+    )
     n, n4 = levels
     ratio = n4 / n
     return {
         "protocol": (
             f"same {n_pages}-page crawl, 2 rounds, fresh JVM per leg,"
-            " 2 interleaved passes per level, best rate per level"
+            " 2 interleaved passes per level (retry pass on >25% leg"
+            " disagreement or loaded start), best rate per level"
         ),
         "cores": list(levels),
         "extract_urls_per_sec": [
@@ -223,9 +266,13 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         "crawl_eff": round(
             best[n4]["urls_per_sec"] / best[n]["urls_per_sec"] / ratio, 3
         ),
+        "retried": retried,
+        "suspect_load": suspect_load,
+        "leg_spread": {str(c): round(spread(runs), 3) for c, runs in legs.items()},
         "all_legs": {
             str(c): [
-                [r["extract_urls_per_sec"], r["urls_per_sec"]]
+                [r["extract_urls_per_sec"], r["urls_per_sec"],
+                 r["load_at_leg_start"]]
                 for r in runs
             ]
             for c, runs in legs.items()
@@ -296,7 +343,53 @@ def main(argv) -> None:
             )
         except Exception as exc:  # noqa: BLE001
             out["scaling"] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
-    print(json.dumps(out))
+    if crawl_only:
+        # scaling legs parse this subprocess output themselves — full
+        # line, no artifact file (legs run concurrently with the parent)
+        print(json.dumps(out))
+        return
+    # The driver captures only the tail of stdout (~2 KB) — a 150-entry
+    # per-query dict overflows it and the round artifact records
+    # "parsed": null (BENCH_r03 post-mortem). So: the FULL result goes
+    # to bench_queries.json next to this script, and the one printed
+    # line is a compact headline (suite total, crawl/extract rates,
+    # scaling efficiencies, the 5 slowest queries, load averages).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "bench_queries.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if k != "q00_crawl_extract"),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    headline = {
+        "metric": "suite_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {"q00_crawl_extract": crawl["crawl_sec"], **slowest},
+        "n_queries": len(timings),
+        "sf": sf,
+        "cpus": cpus,
+        "urls_per_sec": out["urls_per_sec"],
+        "extract_urls_per_sec": out["extract_urls_per_sec"],
+        "load_avg_at_start": out["load_avg_at_start"],
+        "load_avg_at_end": out["load_avg_at_end"],
+        "full_results": "bench_queries.json",
+    }
+    scaling = out.get("scaling")
+    if isinstance(scaling, dict) and "error" not in scaling:
+        headline["scaling"] = {
+            k: scaling[k]
+            for k in (
+                "cores", "extract_eff", "crawl_eff",
+                "extract_urls_per_sec", "suspect_load", "retried",
+            )
+        }
+    elif scaling is not None:
+        headline["scaling"] = scaling
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
