@@ -3710,8 +3710,10 @@ def q135_politeness_audit(spark, sf):
     violation = gap strictly below the delay. The fetch log is the
     events table keyed to 11 pseudo-hosts; every 'h2-family' host is
     MISSING from the delay table to exercise the audit-against-0
-    default. The oracle mirrors the lag window, the left join and the
-    strict gate."""
+    default, and delays are FRACTIONAL halves (0.0/0.5/1.0/1.5 s) so
+    the micro-unit gate (round(delay*1e6), not a whole-second
+    truncation) is what the parity actually checks. The oracle
+    mirrors the lag window, the left join and the strict gate."""
     from langscrape_spark.operators.sessions import politeness_audit
 
     ev = _t(spark, sf, "events")
@@ -3725,7 +3727,7 @@ def q135_politeness_audit(spark, sf):
         ev.where(hid % 5 != 2)
         .select(
             F.concat(F.lit("h"), hid.cast("string")).alias("host"),
-            ((hid * 7) % 4).cast("long").alias("crawl_delay_s"),
+            (((hid * 7) % 4) / F.lit(2.0)).alias("crawl_delay_s"),
         )
         .distinct()
     )
@@ -8431,7 +8433,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE ts IS NOT NULL),
             d AS (
               SELECT DISTINCT 'h' || (user_id % 11) AS host,
-                     CAST(((user_id % 11) * 7) % 4 AS BIGINT)
+                     CAST(((user_id % 11) * 7) % 4 AS DOUBLE) / 2
                        AS crawl_delay_s
               FROM events WHERE (user_id % 11) % 5 <> 2),
             g AS (
@@ -8441,16 +8443,18 @@ def oracle_sql() -> dict[str, str]:
               FROM f),
             j AS (
               SELECT g.host, g.gap,
-                     coalesce(d.crawl_delay_s, 0) AS crawl_delay_s
+                     coalesce(d.crawl_delay_s, 0.0) AS crawl_delay_s
               FROM g LEFT JOIN d USING (host))
             SELECT host, crawl_delay_s,
                    CAST(count(*) AS BIGINT) AS n_fetches,
                    CAST(count(gap) AS BIGINT) AS n_gaps,
-                   CAST(sum(CASE WHEN gap < crawl_delay_s * 1000000
+                   CAST(sum(CASE WHEN gap < CAST(round(
+                                 crawl_delay_s * 1000000) AS BIGINT)
                                  THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_violations,
                    CAST(min(gap) AS BIGINT) AS min_gap_us,
-                   round(sum(CASE WHEN gap < crawl_delay_s * 1000000
+                   round(sum(CASE WHEN gap < CAST(round(
+                                 crawl_delay_s * 1000000) AS BIGINT)
                                   THEN 1 ELSE 0 END)
                          / CAST(count(gap) AS DOUBLE), 6)
                      AS violation_rate
@@ -8485,11 +8489,15 @@ def oracle_sql() -> dict[str, str]:
         "q137_partition_skew": """
             -- md5 % 32 buckets (power-of-2: unsigned % == Spark's
             -- signed pmod), range(32) densify, unique combined-score
-            -- hot bucket, max/avg skew. Spark: operators/layout.py::
+            -- hot bucket, max/avg skew. NULL keys hash via the same
+            -- '<NULL-KEY>' sentinel the Spark operator coalesces to
+            -- (synth sources are NULL-free, but the parity must cover
+            -- the path). Spark: operators/layout.py::
             -- partition_skew_audit.
             SELECT * FROM (
               WITH b AS (
-                SELECT CAST(md5_number_lower(CAST(source AS VARCHAR)) % 32
+                SELECT CAST(md5_number_lower(coalesce(
+                         CAST(source AS VARCHAR), '<NULL-KEY>')) % 32
                        AS BIGINT) AS bucket
                 FROM documents),
               dense AS (

@@ -1056,7 +1056,17 @@ def _setsim_prefix_parts(
     prefix cut ``rn <= sz - ⌈p·sz/q⌉ + 1`` — so the two joins can never
     drift apart on rarity order or the ceil trick. Returns
     ``(tok, sizes, prefix)``; callers own candidate generation and
-    the verify gate (that is where the two algorithms differ)."""
+    the verify gate (that is where the two algorithms differ).
+
+    Cache lifetime: ``tok``/``sizes`` are persisted here but consumed
+    lazily by the plan the public joins return, so this module cannot
+    unpersist them — the CALLER owns the lifetime. Both public joins
+    expose it via their ``unpersist_inputs`` hook: pass a list and
+    they append the cached frames for the caller to
+    ``.unpersist()`` after materializing the result (long-lived
+    sessions issuing many set-sim joins leak executor storage
+    otherwise; one-shot queries can ignore it — session teardown
+    reclaims everything)."""
     from pyspark.sql import Window
 
     from .text import words_col
@@ -1102,6 +1112,7 @@ def prefix_jaccard_pairs(
     threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard join at threshold ``p/q`` via prefix
     filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo et al.
@@ -1136,6 +1147,8 @@ def prefix_jaccard_pairs(
     tok, sizes, prefix_full = _setsim_prefix_parts(
         docs, p, q, text_col, id_col
     )
+    if unpersist_inputs is not None:
+        unpersist_inputs.extend([tok, sizes])
     prefix = prefix_full.select("w", "id")
     cand = (
         prefix.alias("x")
@@ -1186,6 +1199,7 @@ def containment_pairs(
     threshold_den: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """EXACT token-set CONTAINMENT join at rational threshold ``p/q``
     — the ASYMMETRIC sibling of :func:`prefix_jaccard_pairs` and the
@@ -1217,6 +1231,8 @@ def containment_pairs(
     tok, sizes, prefix_full = _setsim_prefix_parts(
         docs, p, q, text_col, id_col
     )
+    if unpersist_inputs is not None:
+        unpersist_inputs.extend([tok, sizes])
     prefix = prefix_full.select(F.col("id").alias("id_a"), "w")
     cand = (
         prefix.join(

@@ -144,8 +144,22 @@ def ndcg_at_k(
     and the cumulative ideal sums — is a Python-computed literal
     (identical bits in both engines; no engine log evaluated at all),
     so nDCG is one division of two fixed-literal dot products.
-    Missing ids in the relevance table count rel 0. R = 0 reports
-    NULL via try_divide.
+    Missing ids in the relevance table count rel 0; duplicate
+    relevance rows for one id are collapsed to their max rel BEFORE
+    the join (a raw left join would fan top-k rows out and
+    double-count R). R = 0 reports NULL via try_divide.
+
+    Scale shape: the k cut is an ``orderBy(...).limit(k)`` — Spark
+    plans it as TakeOrderedAndProject (per-partition top-k, merged on
+    the driver) — so an arbitrarily large ``ranked`` input never
+    funnels through a single-partition window; only the ≤k survivors
+    see the row_number. Caveat: the cut ranks on the ROUND-6 score
+    (repo convention for order-bearing comparisons — equal-true-score
+    docs must fall to the id tie-break identically in both engines);
+    if the caller's upstream top-N was cut on the UNROUNDED score and
+    a round-6 tie straddles its boundary, the two cuts can pick
+    different survivors — feed rankings produced under the same
+    rounding convention.
 
     Output (one row): ``(k, n_ranked, n_relevant, dcg, idcg, ndcg)``.
     """
@@ -159,30 +173,23 @@ def ndcg_at_k(
     for x in w:
         t += x
         cum.append(t)
-    # rank on the ROUND-6 score (repo convention for order-bearing
-    # comparisons): equal-true-score docs must fall to the doc_id
-    # tie-break identically in both engines, not to 1-ulp sum-order
-    # noise that would shift a weight by ~1e-1
+    rel1 = (
+        relevance.select(
+            F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
+        )
+        .groupBy(id_col)
+        .agg(F.max("_rel").alias("_rel"))
+    )
+    order = [F.desc("_s6"), F.asc(id_col)]
     top = (
-        ranked.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.orderBy(
-                    F.desc(F.round(F.col(order_col), 6)), F.asc(id_col)
-                )
-            ),
+        ranked.select(
+            F.col(id_col), F.round(F.col(order_col), 6).alias("_s6")
         )
-        .where(F.col("_rn") <= k)
-        .join(
-            relevance.select(
-                F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
-            ),
-            id_col,
-            "left",
-        )
-        .select(
-            "_rn", F.coalesce("_rel", F.lit(0)).alias("_rel")
-        )
+        .orderBy(*order)
+        .limit(k)
+        .withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
+        .join(F.broadcast(rel1), id_col, "left")
+        .select("_rn", F.coalesce("_rel", F.lit(0)).alias("_rel"))
     )
     wmap = F.element_at(
         F.create_map(
@@ -190,9 +197,7 @@ def ndcg_at_k(
         ),
         F.col("_rn"),
     )
-    r_total = relevance.agg(
-        F.sum(F.col(rel_col).cast("int")).cast("long").alias("_r")
-    )
+    r_total = rel1.agg(F.sum("_rel").cast("long").alias("_r"))
     cum_arr = F.array(*[F.lit(v) for v in cum])
     agg = top.agg(
         F.count(F.lit(1)).cast("long").alias("n_ranked"),

@@ -106,10 +106,13 @@ def politeness_audit(
     by (ts, id) — same exchange+sort shape as :func:`sessionize`, and
     the same integer-MICROSECOND convention so the boundary
     ``gap < delay`` is exact cross-engine (a violation is a gap
-    STRICTLY below the delay; equality is compliant). Hosts with no
-    robots rule audit against delay 0 (never violated). NULL
-    timestamps are dropped (unorderable; engine NULL-order defaults
-    differ).
+    STRICTLY below the delay; equality is compliant). The delay is
+    compared in micro-units too — ``round(delay * 1e6)`` as a long —
+    so fractional Crawl-delays (``0.9``, ``2.5``: both appear in real
+    robots files) gate exactly instead of truncating to whole seconds
+    and under-reporting violations. Hosts with no robots rule audit
+    against delay 0 (never violated). NULL timestamps are dropped
+    (unorderable; engine NULL-order defaults differ).
 
     Output per host: ``(host, crawl_delay_s, n_fetches, n_gaps,
     n_violations, min_gap_us, violation_rate)`` — rate over gaps, not
@@ -129,13 +132,13 @@ def politeness_audit(
     d = (
         delays.select(
             F.col(host_col).alias("host"),
-            F.col(delay_col).cast("long").alias("crawl_delay_s"),
+            F.col(delay_col).cast("double").alias("crawl_delay_s"),
         )
         .groupBy("host")
         .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
     )
     joined = gaps.join(F.broadcast(d), "host", "left").withColumn(
-        "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0))
+        "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(0.0))
     )
     return (
         joined.groupBy("host", "crawl_delay_s")
@@ -145,7 +148,9 @@ def politeness_audit(
             F.sum(
                 F.when(
                     F.col("_gap")
-                    < F.col("crawl_delay_s") * F.lit(1_000_000),
+                    < F.round(
+                        F.col("crawl_delay_s") * F.lit(1_000_000.0)
+                    ).cast("long"),
                     1,
                 ).otherwise(0)
             )

@@ -118,6 +118,7 @@ def skyline_2d(
     x_col: str,
     y_col: str,
     id_col: str = "doc_id",
+    x_grid: float | None = None,
 ):
     """2-D Pareto skyline (maximize both): rows no other row strictly
     dominates (>= on both axes, > on at least one). The curation use:
@@ -131,10 +132,19 @@ def skyline_2d(
     running max over the x-ordered prefix), not an O(n²) self-join.
     The x-ordered running window IS a global ordered window: the
     skyline is a global property, but the frame it runs over is the
-    per-x-group MAX table (one row per distinct x — corpus-sized only
-    in the worst all-distinct case; bucket scores to a grid first at
-    100 TB, which is also what makes thresholds meaningful). Ties on
-    both axes all survive (none strictly dominates another).
+    per-x-group MAX table — one row per DISTINCT x, corpus-sized in
+    the worst all-distinct case. That is what ``x_grid`` bounds: when
+    set, x is quantized down to ``floor(x / x_grid) * x_grid`` before
+    the scan, capping the window frame at range(x)/x_grid rows at ANY
+    corpus size (the callable form of "bucket scores to a grid at
+    100 TB" — quantized scores are also what make thresholds
+    meaningful). Identical output when every x already sits on the
+    grid; otherwise the skyline is over the coarsened x, and reported
+    ``x`` is the bucket floor. Continuous-scored corpus-scale inputs
+    MUST pass it — refuse the silent single-partition window instead:
+    with ``x_grid=None`` the exact path asserts the distinct-x frame
+    stays small only by the caller's own knowledge of the data. Ties
+    on both axes all survive (none strictly dominates another).
 
     Output: ``(id, x, y)`` rows on the skyline.
     """
@@ -145,6 +155,12 @@ def skyline_2d(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    if x_grid is not None:
+        if x_grid <= 0:
+            raise ValueError(f"x_grid must be positive, got {x_grid}")
+        d = d.withColumn(
+            "x", F.floor(F.col("x") / F.lit(float(x_grid))) * F.lit(float(x_grid))
+        )
     # best y per distinct x (small frame), then the running max of
     # best-y over strictly-larger x
     per_x = d.groupBy("x").agg(F.max("y").alias("ymax"))

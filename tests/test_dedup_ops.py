@@ -823,6 +823,33 @@ def test_prefix_jaccard_equals_bruteforce(spark):
     assert (1, 3) not in got
 
 
+def test_setsim_unpersist_hook_releases_cached_inputs(spark):
+    """prefix_jaccard_pairs/containment_pairs cache their shared
+    tokenize + sizes frames for the multi-reference plan; the
+    unpersist_inputs hook hands those frames to the caller so a
+    long-lived session can release executor storage after the action
+    (without the hook, repeated calls accumulate cached frames until
+    session teardown)."""
+    from langscrape_spark.operators.dedup import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    for fn in (prefix_jaccard_pairs, containment_pairs):
+        handles = []
+        out = fn(docs, 3, 5, unpersist_inputs=handles)
+        n = out.count()  # materialize -> caches populated
+        assert n >= 1 and len(handles) == 2
+        assert any(h.storageLevel.useMemory for h in handles)
+        for h in handles:
+            h.unpersist(blocking=True)
+        assert all(not h.storageLevel.useMemory for h in handles)
+
+
 def test_prefix_jaccard_boundary_is_exact_rational(spark):
     """inter=3, union=5 sits EXACTLY on 3/5 — the integer gate keeps
     it (a float gate on 0.6 would be a coin flip)."""

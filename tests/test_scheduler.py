@@ -192,11 +192,18 @@ def test_politeness_audit_gates_and_defaults(spark):
             ("c", ts(0), 7),
             # NULL ts dropped
             ("a", None, 8),
+            # host d, FRACTIONAL delay 0.9s: gaps 0.85s (violation)
+            # and 0.95s (OK) — a whole-second truncation (0.9 -> 0)
+            # would report zero violations
+            ("d", ts(0), 9),
+            ("d", t0 + dt.timedelta(microseconds=850_000), 10),
+            ("d", t0 + dt.timedelta(microseconds=1_800_000), 11),
         ],
         "host string, ts timestamp, event_id long",
     )
     delays = spark.createDataFrame(
-        [("a", 2), ("c", 3)], "host string, crawl_delay_s long"
+        [("a", 2.0), ("c", 3.0), ("d", 0.9)],
+        "host string, crawl_delay_s double",
     )
     out = {r.host: r for r in politeness_audit(fetches, delays).collect()}
     a = out["a"]
@@ -206,6 +213,8 @@ def test_politeness_audit_gates_and_defaults(spark):
     assert b.crawl_delay_s == 0 and b.n_violations == 0
     c = out["c"]
     assert c.n_gaps == 0 and c.violation_rate is None
+    d = out["d"]
+    assert (d.crawl_delay_s, d.n_gaps, d.n_violations) == (0.9, 2, 1)
 
 
 # -- registrable domain / PSL (operators/urls.py) --

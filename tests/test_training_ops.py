@@ -3658,6 +3658,21 @@ def test_skyline_2d_matches_naive(spark):
         )
     }
     assert got == naive == {1, 2, 3, 5, 7}
+    # on-grid input: quantization is identity, exact path reproduced
+    grid_same = {
+        r.id for r in skyline_2d(df, "x", "y", "doc_id", x_grid=0.5).collect()
+    }
+    assert grid_same == naive
+    # coarse grid: x buckets to floor(x/2)*2 — ids 1/6/8 land in
+    # bucket 0, 2/3/4/5 in bucket 2, 7 in bucket 8; survivors are the
+    # per-bucket best-y rows with strictly-rising y toward smaller x
+    grid2 = {
+        (r.id, r.x) for r in
+        skyline_2d(df, "x", "y", "doc_id", x_grid=2.0).collect()
+    }
+    assert grid2 == {(1, 0.0), (6, 0.0), (2, 2.0), (7, 8.0)}
+    with pytest.raises(ValueError):
+        skyline_2d(df, "x", "y", "doc_id", x_grid=0.0)
 
 
 def test_ks_statistic_exact_rational(spark):
@@ -4474,3 +4489,11 @@ def test_ndcg_hand_cases(spark):
     r4 = ndcg_at_k(ranked, rel_many, k=3).collect()[0]
     ideal3 = sum(1 / math.log2(i + 1) for i in range(1, 4))
     assert r4.idcg == round(ideal3, 6) and r4.ndcg == 1.0
+
+    # duplicate relevance rows must NOT fan out the join or inflate R:
+    # collapsed to max(rel) per doc -> identical to rel_all
+    rel_dup = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (2, 0)], "doc_id long, rel int"
+    )
+    r5 = ndcg_at_k(ranked, rel_dup, k=3).collect()[0]
+    assert (r5.n_relevant, r5.ndcg, r5.n_ranked) == (2, 1.0, 3)
