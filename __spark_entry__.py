@@ -4123,6 +4123,46 @@ def q153_ndcg(spark, sf):
     return ndcg_at_k(ranking, rel, k=10)
 
 
+def q154_minhash_incremental(spark, sf):
+    """Incremental MinHash-LSH dedup state across crawl rounds
+    (operators/incremental.py::minhash_ingest_round): documents
+    200-449 are ingested in THREE rounds (doc_id % 3) against an
+    on-disk bucket-partitioned state table — the production shape
+    where each crawl round dedups its new pages against everything
+    already ingested. The union of the three rounds' pairs must equal
+    the batch full-corpus LSH join (each pair emitted exactly once,
+    by the round ingesting the later doc), so the oracle is the
+    q10-proven full-corpus DuckDB derivation over the same slice —
+    the equivalence IS the incremental contract. Each round's pairs
+    are eagerly checkpointed by minhash_ingest_round, so the returned
+    union survives the state tempdir's cleanup."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.incremental import minhash_ingest_round
+
+    docs = _t(spark, sf, "documents").where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 450)
+    )
+    state = tempfile.mkdtemp(prefix="q154_mh_state_")
+    try:
+        out = None
+        for r in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == r)
+            pairs = minhash_ingest_round(
+                batch, state, "text", "doc_id",
+                num_hashes=16, bands=4, k=3, n_parts=8,
+            )
+            out = pairs if out is None else out.unionByName(pairs)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
+    )
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4457,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_f1_threshold": q151_f1_threshold,
         "q152_hill_alpha": q152_hill_alpha,
         "q153_ndcg": q153_ndcg,
+        "q154_minhash_incremental": q154_minhash_incremental,
     })
 
 
@@ -8124,6 +8165,35 @@ def oracle_sql() -> dict[str, str]:
         "q147_neighborhood_function": _anf_oracle(),
         "q149_compaction_schedule": _huffman_oracle(),
         "q153_ndcg": _ndcg_oracle(),
+        "q154_minhash_incremental": f"""
+            -- The incremental contract IS full-corpus equivalence:
+            -- the Spark side ingests docs 200-449 in three rounds
+            -- against on-disk dedup state; this oracle is the q10
+            -- batch LSH derivation over the same slice (KM double
+            -- hash, 4 md5 band buckets, bucket self-join), which the
+            -- per-round union must reproduce pair-for-pair. Spark:
+            -- operators/incremental.py::minhash_ingest_round.
+            WITH base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents
+                    WHERE doc_id >= 200 AND doc_id < 450)),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s) AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR)) AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2] || '|' ||
+                         sg[b*4+3] || '|' || sg[b*4+4]))) AS bucket
+              FROM sig)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+            FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+            GROUP BY 1, 2
+        """,
         "q151_f1_threshold": """
             -- Max-F1 cut re-derived: q75's score/label pair, distinct-
             -- score suffix cumulative counts (DESC window), F1,

@@ -282,6 +282,114 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    persist_sig: bool = False,
+) -> DataFrame:
+    """The banding front half of MinHash-LSH, shared by the batch join
+    (:func:`minhash_lsh_pairs`) and the incremental probe
+    (``operators/incremental.py``): per-doc signature → ``bands`` md5
+    band buckets → exploded ``(id, bucket)`` assignments. One row per
+    (doc, band); docs with < ``k`` tokens have no shingles and are
+    excluded (hashing NULL signatures would collide every short doc
+    pairwise). ``persist_sig`` persists the narrow signature frame —
+    pass True when the caller's plan consumes the assignments more
+    than once so the pandas minhash UDF runs once (caller's plan
+    release frees it via the ContextCleaner)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
+    ).where(F.col("sig").getItem(0).isNotNull())
+    if persist_sig:
+        sig = sig.persist()
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+
+
+def grouped_bucket_pairs(
+    buckets: DataFrame,
+    id_type: str,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Pair generation over exploded ``(id, bucket)`` assignments —
+    the back half of MinHash-LSH, shared by batch and incremental
+    paths: hot-bucket guard (counts pass + broadcast anti-join BEFORE
+    any list agg), ``groupBy(bucket).collect_list(id)``, and the
+    block-streamed vectorized pair emit. Returns
+    ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``."""
+    import numpy as np
+    import pandas as pd
+
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("bucket")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    grouped = buckets.groupBy("bucket").agg(
+        F.collect_list("id").alias("ids")
+    )
+    grouped = grouped.where(F.size("ids") >= 2)
+
+    def emit(batches):
+        for pdf in batches:
+            for ids in pdf["ids"]:
+                # object-safe sort: ids keep their input type
+                arr = np.asarray(ids)
+                arr = arr[np.argsort(arr, kind="stable")]
+                m = len(arr)
+                # Upper-triangle pairs in ROW BLOCKS, one yielded frame
+                # per block (full triu index arrays for a 100k-id
+                # bucket would be ~80 GB); Arrow streams each block.
+                blk = max(16, (2 << 20) // max(m, 1))
+                col_idx = np.arange(m)
+                for lo in range(0, m - 1, blk):
+                    hi = min(lo + blk, m - 1)
+                    mask = col_idx[None, :] > np.arange(lo, hi)[:, None]
+                    ri, ci = np.nonzero(mask)
+                    if len(ri):
+                        yield pd.DataFrame(
+                            {"id_a": arr[lo + ri], "id_b": arr[ci]}
+                        )
+
+    pairs = grouped.select("ids").mapInPandas(
+        emit, f"id_a {id_type}, id_b {id_type}"
+    )
+    return (
+        # duplicate input ids sort adjacent and would pair with
+        # themselves — excluded like the old a.id < b.id join
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -326,95 +434,22 @@ def minhash_lsh_pairs(
     all-NULL signature, and are excluded from banding (hashing NULL
     signatures lands every short document in constant band buckets,
     colliding them all pairwise — a quadratic bomb and false-positive
-    source at corpus scale)."""
-    import numpy as np
-    import pandas as pd
+    source at corpus scale).
 
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_fast(F.col(text_col), num_hashes, k).alias("sig"),
-    ).where(F.col("sig").getItem(0).isNotNull())
-    if max_bucket is not None:
-        # The guard's counts pass consumes the signature lineage a
+    Round 4: banding and pair-emit live in :func:`minhash_band_buckets`
+    / :func:`grouped_bucket_pairs` so the incremental path
+    (``operators/incremental.py``) reuses byte-identical bucket and
+    pair semantics."""
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, k,
+        # the guard's counts pass consumes the signature lineage a
         # second time; persist the (narrow) signature frame so the
         # pandas minhash UDF runs ONCE (storage is spillable and freed
-        # by the ContextCleaner when the result DF is released).
-        sig = sig.persist()
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    buckets = banded.select(
-        "id",
-        F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(bands)])
-        ).alias("bucket"),
+        # by the ContextCleaner when the result DF is released)
+        persist_sig=max_bucket is not None,
     )
-    # The guard must run BEFORE the list aggregation: filtering
-    # where(size(ids) <= max_bucket) AFTER collect_list still
-    # materializes the oversized bucket's complete id list in a single
-    # non-spillable aggregation buffer (a 10^8-doc identical cluster =
-    # multi-GB in one agg row → executor OOM). A counts pass has
-    # constant per-group state, the hot set is tiny by construction
-    # (≤ corpus/max_bucket buckets), and the broadcast anti-join drops
-    # hot buckets' rows before any list exists.
-    if max_bucket is not None:
-        hot = (
-            buckets.groupBy("bucket")
-            .count()
-            .where(F.col("count") > max_bucket)
-            .select("bucket")
-        )
-        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
-    grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
-    grouped = grouped.where(F.size("ids") >= 2)
-
     id_type = df.schema[id_col].dataType.simpleString()
-
-    def emit(batches):
-        for pdf in batches:
-            for ids in pdf["ids"]:
-                # object-safe sort: ids keep their input type
-                arr = np.asarray(ids)
-                arr = arr[np.argsort(arr, kind="stable")]
-                m = len(arr)
-                # Upper-triangle pairs in ROW BLOCKS, one yielded frame
-                # per block: a 100k-id bucket has 5·10⁹ pairs — the
-                # full triu index arrays alone would be ~80 GB on one
-                # python worker. Blocking bounds peak memory at ~2M
-                # mask elements (≤2M pairs ≈ 32 MB of index arrays per
-                # block); Arrow streams each yielded block downstream,
-                # so the quadratic volume flows through Spark exactly
-                # like the old self-join's output did.
-                blk = max(16, (2 << 20) // max(m, 1))
-                col_idx = np.arange(m)
-                for lo in range(0, m - 1, blk):
-                    hi = min(lo + blk, m - 1)
-                    mask = col_idx[None, :] > np.arange(lo, hi)[:, None]
-                    ri, ci = np.nonzero(mask)
-                    if len(ri):
-                        yield pd.DataFrame(
-                            {"id_a": arr[lo + ri], "id_b": arr[ci]}
-                        )
-
-    pairs = grouped.select("ids").mapInPandas(
-        emit, f"id_a {id_type}, id_b {id_type}"
-    )
-    return (
-        # duplicate input ids sort adjacent and would pair with
-        # themselves — the old a.id < b.id join excluded those
-        pairs.where(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
+    return grouped_bucket_pairs(buckets, id_type, max_bucket)
 
 
 # --------------------------------------------------------------------------

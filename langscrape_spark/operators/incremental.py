@@ -1,0 +1,346 @@
+"""Incremental near-dup state across crawl rounds.
+
+A 100 TB crawl does not dedup one frozen corpus — every round it must
+dedup the NEW pages against everything already ingested. The batch
+operators in :mod:`.dedup` (``minhash_lsh_pairs``,
+``simhash_near_dups``) re-signature the whole corpus per call, which
+is O(corpus) per round and O(rounds·corpus) over a crawl. This module
+persists the signature→bucket assignments as an on-disk state table
+(the seen-set pattern from ``scheduler/frontier.py`` — ONE
+bucket-partitioned parquet directory, append-only, probed by
+direct per-partition reads instead of a shuffle join) so each round
+costs O(new batch) signature work plus a pruned probe of the state.
+
+Layout: ``state_dir/bpart=<p>/part-*.parquet`` where
+``bpart = pmod(xxhash64(bucket), n_parts)``; rows are
+``(bucket string, id, …payload)`` sorted by ``bucket`` within each
+written file so parquet row-group statistics prune probe reads.
+Appends are plain dynamic-partition appends — a torn append leaves a
+SUPERSET of some round's rows, and the probe drops duplicate
+``(bucket, id)`` rows per partition, so retries are safe (duplicates
+cost read volume, never wrong pair counts — the same
+superset-is-safe argument as the frontier's bloom deltas).
+
+Probe shape (the part that must stay flat per round): the NEW batch's
+assignments group by ``bpart`` (one shuffle of the SMALL side — the
+state never moves), and each task reads only its own partition's
+files with a ``bucket ∈ probe-set`` pyarrow filter, so row groups
+whose ``[min, max]`` bucket range misses every probed bucket are
+skipped without IO. New batches are tiny relative to accumulated
+state, so most row groups miss. At 10^10-url scale the remaining
+lever is periodic per-partition compaction (rewrite a ``bpart`` dir
+sorted by bucket — embarrassingly parallel, no cross-partition
+shuffle), exactly like the frontier seen-set's delta compaction.
+
+Equivalence contract (oracled by ``q154_minhash_incremental``): for
+any split of a corpus into ingest rounds, the UNION of per-round
+incremental pairs equals the batch operator's full-corpus pairs —
+each pair (a, b) is emitted exactly once, by the round that ingests
+the LATER of the two docs (new×new within a round, new×old across).
+Requires each id ingested exactly once (run ``exact_dedup`` /
+url-seen first, as the crawl already does) and a hot-bucket guard
+consistent across rounds (see ``max_bucket`` notes on the wrappers).
+
+Reference behavior being scaled: langscrape deduplicates per run
+(``langscrape/nodes/*`` operate file-at-a-time); cross-round dedup
+state is the Spark-native generalization the reference never needed
+at its scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    grouped_bucket_pairs,
+    hamming64,
+    minhash_band_buckets,
+    simhash64_fast,
+)
+
+__all__ = [
+    "bucket_state_append",
+    "bucket_state_probe",
+    "bucket_state_rows",
+    "minhash_lsh_pairs_incremental",
+    "minhash_ingest_round",
+    "simhash_near_dups_incremental",
+    "simhash_ingest_round",
+]
+
+
+def _bpart(n_parts: int):
+    return F.pmod(F.xxhash64(F.col("bucket")), F.lit(n_parts)).cast("int")
+
+
+def bucket_state_append(
+    assignments: DataFrame, state_dir: str, n_parts: int = 64
+) -> None:
+    """Append ``(bucket, id, …payload)`` assignment rows to the state
+    directory. One shuffle of the (small) new batch into its target
+    partitions; each task writes one file per touched ``bpart``,
+    sorted by bucket for row-group pruning on later probes."""
+    (
+        assignments.withColumn("bpart", _bpart(n_parts))
+        .repartition("bpart")
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("bpart")
+        .mode("append")
+        .parquet(state_dir)
+    )
+
+
+def bucket_state_rows(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The whole state as a DataFrame (audits / compaction), or None
+    before the first append."""
+    if not os.path.isdir(state_dir):
+        return None
+    return spark.read.parquet(state_dir)
+
+
+def _state_files(state_dir: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(state_dir):
+        return out
+    for entry in os.listdir(state_dir):
+        if not entry.startswith("bpart="):
+            continue
+        part = int(entry.split("=", 1)[1])
+        d = os.path.join(state_dir, entry)
+        out[part] = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def bucket_state_probe(
+    new_assignments: DataFrame,
+    state_dir: str,
+    n_parts: int = 64,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Join the new batch's ``(bucket, id[, …payload])`` assignments
+    against the stored state WITHOUT shuffling the state: group the
+    new side by ``bpart`` (small-side shuffle), then each task
+    direct-reads only its own partition's parquet with a
+    ``bucket ∈ probe-set`` filter (row groups pruned by their sorted
+    bucket min/max stats). Emits one row per shared bucket:
+    ``(bucket, id_new, id_old[, <payload>_new, <payload>_old])``.
+    Duplicate state rows (torn-append retries) are dropped per
+    partition before the join, so counts stay exact."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    spark = new_assignments.sparkSession
+    files = _state_files(state_dir)
+    cols = ["bucket", "id", *payload_cols]
+    out_fields = [
+        ("bucket", "string"),
+        ("id_new", new_assignments.schema["id"].dataType.simpleString()),
+        ("id_old", new_assignments.schema["id"].dataType.simpleString()),
+    ] + [
+        (f"{c}_new", new_assignments.schema[c].dataType.simpleString())
+        for c in payload_cols
+    ] + [
+        (f"{c}_old", new_assignments.schema[c].dataType.simpleString())
+        for c in payload_cols
+    ]
+    schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+    bf = spark.sparkContext.broadcast(files)
+
+    def probe(key, pdf):
+        import pandas as pd
+
+        paths = bf.value.get(int(key[0]), [])
+        if not len(pdf) or not paths:
+            return pd.DataFrame(
+                {n: pd.Series(dtype=object) for n, _ in out_fields}
+            )
+        probe_set = pdf["bucket"].unique().tolist()
+        tbl = pq.read_table(
+            paths,
+            columns=cols,
+            filters=pads.field("bucket").isin(probe_set),
+        )
+        old = tbl.to_pandas().drop_duplicates(["bucket", "id"])
+        if not len(old):
+            return pd.DataFrame(
+                {n: pd.Series(dtype=object) for n, _ in out_fields}
+            )
+        j = pdf[["bucket", "id", *payload_cols]].merge(
+            old, on="bucket", suffixes=("_new", "_old")
+        )
+        return j[[n for n, _ in out_fields]]
+
+    return (
+        new_assignments.withColumn("bpart", _bpart(n_parts))
+        .groupBy("bpart")
+        .applyInPandas(probe, schema)
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+    n_parts: int = 64,
+) -> DataFrame:
+    """MinHash-LSH pairs of a NEW batch against itself and against
+    the accumulated state: ``(id_a, id_b, n_shared_bands)`` with
+    ``id_a < id_b``, covering new×new (the batch emit from
+    :func:`.dedup.grouped_bucket_pairs`) plus new×old (the state
+    probe). Does NOT append the batch to the state — see
+    :func:`minhash_ingest_round` for the materialize-then-append
+    round wrapper (appending before the probe runs would make the
+    batch its own "old" side and double-emit every new×new pair).
+
+    ``max_bucket`` (default None here, unlike the batch operator):
+    the hot-bucket guard only sees the NEW side's bucket counts, so a
+    bucket that crosses the threshold mid-crawl would change which
+    pairs later rounds emit and break the union-equivalence contract.
+    Run ``exact_dedup`` per round instead (the crawl's url-seen set
+    already suppresses refetches); set a guard only when a round's
+    batch itself may contain a quadratic identical-text cluster.
+    """
+    newb = minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, k,
+        # consumed by new×new pair gen AND the probe AND the state
+        # append — one signature pass
+        persist_sig=True,
+    )
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    new_new = grouped_bucket_pairs(newb, id_type, max_bucket)
+    hits = bucket_state_probe(newb, state_dir, n_parts)
+    new_old = (
+        hits.select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return new_new.unionByName(new_old)
+
+
+def minhash_ingest_round(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+    n_parts: int = 64,
+) -> DataFrame:
+    """One dedup round: compute the batch's pairs against the current
+    state, MATERIALIZE them (eager ``localCheckpoint`` — the pair plan
+    reads the state files the append is about to grow, and severing
+    the lineage is also what makes the returned frame safe to consume
+    after this function mutates the directory), then append the
+    batch's bucket assignments. Returns the checkpointed pairs."""
+    pairs = minhash_lsh_pairs_incremental(
+        new_docs, state_dir, text_col, id_col,
+        num_hashes, bands, k, max_bucket, n_parts,
+    ).localCheckpoint(eager=True)
+    newb = minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, k
+    )
+    bucket_state_append(newb, state_dir, n_parts)
+    return pairs
+
+
+def simhash_near_dups_incremental(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_parts: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs of a NEW batch against itself and the
+    accumulated state, exact recall at ``max_hamming`` (the pigeonhole
+    block argument of :func:`.dedup.simhash_near_dups` holds across
+    rounds: a pair within the radius agrees on ≥1 block, and that
+    block's bucket row is in the state from whichever round arrived
+    first). Output ``(id_a, id_b, hamming)``, ``id_a < id_b``.
+
+    State rows carry the full 64-bit signature as payload so the
+    probe verifies hamming exactly on the candidate rows — candidates
+    only, never all pairs."""
+    from .dedup import simhash_near_dups
+
+    new_new = simhash_near_dups(
+        new_docs, text_col, id_col, max_hamming, max_bucket=None
+    )
+    newb = _simhash_chunks(new_docs, text_col, id_col, max_hamming)
+    hits = bucket_state_probe(newb, state_dir, n_parts, payload_cols=("sh",))
+    new_old = (
+        hits.select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+            hamming64(F.col("sh_new"), F.col("sh_old")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        # a pair can share several blocks — one output row, like batch
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+    return new_new.unionByName(new_old)
+
+
+def simhash_ingest_round(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_parts: int = 64,
+) -> DataFrame:
+    """SimHash sibling of :func:`minhash_ingest_round`: pairs vs
+    current state, eager checkpoint, then state append."""
+    pairs = simhash_near_dups_incremental(
+        new_docs, state_dir, text_col, id_col, max_hamming, n_parts
+    ).localCheckpoint(eager=True)
+    newb = _simhash_chunks(new_docs, text_col, id_col, max_hamming)
+    bucket_state_append(newb, state_dir, n_parts)
+    return pairs
+
+
+def _simhash_chunks(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Exploded ``(bucket, id, sh)`` pigeonhole block assignments —
+    the same block bounds as :func:`.dedup.simhash_near_dups` (keep in
+    lockstep; the cross-round recall proof depends on identical
+    blocking)."""
+    n_blocks = min(max_hamming + 1, 64)
+    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        simhash64_fast(F.col(text_col)).alias("sh"),
+    )
+    block_cols = []
+    for c in range(n_blocks):
+        lo, hi = bounds[c], bounds[c + 1]
+        mask = (1 << (hi - lo)) - 1
+        block_cols.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit(mask)),
+            )
+        )
+    return sig.select(
+        F.explode(F.array(*block_cols)).alias("bucket"), "id", "sh"
+    )
