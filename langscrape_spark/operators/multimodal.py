@@ -43,7 +43,13 @@ AUDIO_FEATURES_DDL = (
 
 #: Set to a dict of kind -> callable(payload: bytes, meta: dict) -> bytes
 #: to replace the fake decode with real codecs (PIL / soundfile /
-#: pyav). Left empty in this environment.
+#: pyav). Left empty in this environment. Registration is snapshotted
+#: when a transform BUILDS its plan (the decoder rides the pickled
+#: closure to executors — a worker-side module re-import never sees
+#: driver mutations, so an in-generator lookup would silently keep the
+#: fake; pinned by test_multimodal_decoder_seam). Register before
+#: calling the transform. For ``video`` the callable receives the
+#: frame index as ``meta["frame_idx"]``.
 REAL_DECODERS: dict = {}
 
 
@@ -69,6 +75,9 @@ def _decode_payload(payload: bytes, n_bytes: int) -> bytes:
 
 def decode_images(media: DataFrame) -> DataFrame:
     """image rows -> grayscale pixel buffer (width*height bytes)."""
+    # snapshot at plan-build time: ships with the closure (see
+    # REAL_DECODERS note)
+    decode = REAL_DECODERS.get("image")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,9 +86,8 @@ def decode_images(media: DataFrame) -> DataFrame:
                 if r.kind != "image":
                     continue
                 w, h = int(r.meta["width"]), int(r.meta["height"])
-                decode = REAL_DECODERS.get("image")
                 px = (
-                    decode(r.payload, r.meta)
+                    decode(bytes(r.payload), r.meta)
                     if decode
                     else _decode_payload(bytes(r.payload), w * h)
                 )
@@ -120,6 +128,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """video rows -> one row per sampled frame (frame 0, n, 2n, ...).
     Explode happens *inside* the batch function so a 10k-frame video
     never builds a driver-side list."""
+    decode = REAL_DECODERS.get("video")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,9 +139,14 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 w, h = int(r.meta["width"]), int(r.meta["height"])
                 n_frames = int(r.meta["n_frames"])
                 for idx in range(0, n_frames, every_n):
-                    frame = _decode_payload(
-                        bytes(r.payload) + idx.to_bytes(4, "big"), w * h
-                    )
+                    if decode:
+                        frame = decode(
+                            bytes(r.payload), {**r.meta, "frame_idx": idx}
+                        )
+                    else:
+                        frame = _decode_payload(
+                            bytes(r.payload) + idx.to_bytes(4, "big"), w * h
+                        )
                     rows.append((r.media_id, idx, w, h, frame))
             yield pd.DataFrame(
                 rows,
@@ -146,6 +160,7 @@ def audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
     """audio rows -> per-window RMS + zero-crossing count over the
     decoded sample buffer (samples = centered uint8). The feature math
     is real; only the codec decode is the deterministic fake."""
+    decode = REAL_DECODERS.get("audio")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -157,7 +172,11 @@ def audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
                     continue
                 sr = int(r.meta["sample_rate"])
                 n = max(window, sr * int(r.meta["duration_ms"]) // 1000)
-                raw = _decode_payload(bytes(r.payload), n)
+                raw = (
+                    decode(bytes(r.payload), r.meta)
+                    if decode
+                    else _decode_payload(bytes(r.payload), n)
+                )
                 x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
                 n_win = len(x) // window
                 xw = x[: n_win * window].reshape(n_win, window)

@@ -56,6 +56,47 @@ def test_decode_deterministic_across_runs(media):
     assert a == b
 
 
+def test_multimodal_decoder_seam(media):
+    """REAL_DECODERS is the swap point for real codecs: registering a
+    codec must change decode OUTPUT (proving the registration actually
+    reaches executors — the decoder rides the pickled closure; a
+    worker-side module lookup would silently keep the fake) while
+    schema and row cardinality stay fixed. The stub 'codec' is a
+    deterministic constant-fill so the assertion is exact."""
+    from langscrape_spark.operators import multimodal as mm
+
+    baseline = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_images(media).collect()
+    }
+
+    def stub_image_codec(payload: bytes, meta) -> bytes:
+        return bytes([payload[0] % 251]) * (
+            int(meta["width"]) * int(meta["height"])
+        )
+
+    mm.REAL_DECODERS["image"] = stub_image_codec
+    try:
+        swapped = decode_images(media)
+        rows = swapped.collect()
+    finally:
+        mm.REAL_DECODERS.clear()
+    got = {r["media_id"]: bytes(r["pixels"]) for r in rows}
+    # cardinality + schema fixed, bytes changed, codec honored exactly
+    assert set(got) == set(baseline)
+    assert [f.name for f in swapped.schema.fields] == [
+        "media_id", "kind", "width", "height", "pixels",
+    ]
+    assert all(got[k] != baseline[k] for k in got)
+    assert all(len(set(v)) == 1 for v in got.values())  # constant fill
+    # and after clearing the registration, the fake is back
+    again = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_images(media).collect()
+    }
+    assert again == baseline
+
+
 def test_resize_nearest_neighbor(media):
     decoded = decode_images(media)
     out = resize_images(decoded, 8, 8).collect()
