@@ -405,6 +405,75 @@ class TestHtml5libDivergences:
         doc = parse("<html><body><p>&notareal; &amp; &ampx</p></body></html>")
         assert evaluate(doc, "//p")[0].text_content() == "\xacareal; & &x"
 
+    def test_foster_parenting_table_text_not_hoisted(self):
+        """html5lib FOSTER-PARENTS content that appears directly
+        inside <table> (text or non-row elements) to BEFORE the table
+        — //table/text() is empty there and the stray text precedes
+        the table element. This DOM leaves it in place as a table
+        child. Consequences pinned: (a) //table/text() matches here,
+        never on the reference substrate — field maps must not use
+        it; (b) rendered TEXT is identical either way (stray text
+        precedes the first cell in document order on both), so the
+        byte-identity extraction contract is unaffected."""
+        h = (
+            "<html><body><table>hoisted<tr><td>cell</td></tr></table>"
+            "<p>after</p></body></html>"
+        )
+        doc = parse(h)
+        table = evaluate(doc, "//table")[0]
+        assert table.serialize() == (
+            "<table>hoisted<tr><td>cell</td></tr></table>"
+        )  # divergence: html5lib yields 'hoisted<table>…'
+        assert convert_html_to_text(h) == "hoisted\ncell\nafter"
+
+    def test_template_content_in_tree_but_never_rendered(self):
+        """html5lib parses <template> content into a separate content
+        fragment (not an ordinary child); this DOM keeps it as regular
+        children, so //template/p MATCHES here and not there —
+        divergence pinned. What both substrates must agree on: a
+        browser never renders template content, and the text renderer
+        here excludes it, so extracted text cannot leak 'tpl'."""
+        h = (
+            "<html><body><template><p>tpl</p></template>"
+            "<p>real</p></body></html>"
+        )
+        doc = parse(h)
+        assert [e.text_content() for e in evaluate(doc, "//template/p")] == [
+            "tpl"
+        ]  # divergence: empty under html5lib's content fragment
+        assert convert_html_to_text(h) == "real"
+
+    def test_adoption_agency_block_inside_inline(self):
+        """<a>one<div>two</a>three</div>: the html5lib adoption-agency
+        algorithm splits the <a> around the block —
+        <a>one</a><div><a>two</a>three</div> (TWO a elements, 'three'
+        inside the div). This DOM closes the div at </a> and leaves
+        'three' a body-level tail (ONE a element). Pinned: //a counts
+        differ across substrates; character order of extracted text
+        does not."""
+        doc = parse(
+            "<html><body><a href=1>one<div>two</a>three</div></body></html>"
+        )
+        body = evaluate(doc, "//body")[0]
+        assert body.serialize() == (
+            '<body><a href="1">one<div>two</div></a>three</body>'
+        )
+        assert len(evaluate(doc, "//a")) == 1  # html5lib: 2
+        assert collapse_whitespace(body.text_content()) == "onetwothree"
+
+    def test_adoption_agency_overlapping_formatting(self):
+        """<p>1<b>2<i>3</b>4</i>5: html5lib reconstructs the broken
+        <i> after the </b> (…<b>2<i>3</i></b><i>4</i>5 — '4' stays
+        italic); this DOM closes <i> with the <b> and '4' loses the
+        formatting wrapper. Formatting ELEMENTS diverge; extracted
+        text is identical ('12345') — and the extraction kernel only
+        contracts on text."""
+        doc = parse("<html><body><p>1<b>2<i>3</b>4</i>5</p></body></html>")
+        body = evaluate(doc, "//body")[0]
+        assert body.serialize() == "<body><p>1<b>2<i>3</i></b>45</p></body>"
+        assert len(evaluate(doc, "//i")) == 1  # html5lib: 2
+        assert evaluate(doc, "//p")[0].text_content() == "12345"
+
     def test_clean_is_stable_on_divergent_markup(self):
         """Whatever the tree shape, the cleaning pipeline must be
         deterministic and idempotent over the divergence fixtures."""
@@ -417,6 +486,10 @@ class TestHtml5libDivergences:
             '<script>if (a<b) { x("</div>"); }</script><p>t</p>',
             '<svg viewBox="0 0 1 1"><circle r="1"/></svg><p>t</p>',
             "<p>&#x1F600; &#xD800; &notareal;</p>",
+            "<table>hoisted<tr><td>cell</td></tr></table><p>after</p>",
+            "<template><p>tpl</p></template><p>real</p>",
+            "<a href=1>one<div>two</a>three</div>",
+            "<p>1<b>2<i>3</b>4</i>5</p>",
         ):
             once = clean_html_for_extraction(h)
             assert clean_html_for_extraction(h) == once
