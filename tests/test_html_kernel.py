@@ -424,15 +424,18 @@ class TestHtml5libDivergences:
         assert table.serialize() == (
             "<table>hoisted<tr><td>cell</td></tr></table>"
         )  # divergence: html5lib yields 'hoisted<table>…'
+        assert [t for t in evaluate(doc, "//table/text()")] == ["hoisted"]
         assert convert_html_to_text(h) == "hoisted\ncell\nafter"
 
     def test_template_content_in_tree_but_never_rendered(self):
-        """html5lib parses <template> content into a separate content
-        fragment (not an ordinary child); this DOM keeps it as regular
-        children, so //template/p MATCHES here and not there —
-        divergence pinned. What both substrates must agree on: a
-        browser never renders template content, and the text renderer
-        here excludes it, so extracted text cannot leak 'tpl'."""
+        """NO tree divergence here, pinned as agreement: html5lib's
+        PYTHON implementation (unlike a browser DOM, where template
+        content lives in a separate content fragment) keeps <template>
+        children as ordinary children — and so does this DOM, so
+        //template/p matches ['tpl'] on BOTH substrates. The behavior
+        that must hold regardless: browsers never RENDER template
+        content, and the text renderer here excludes it, so extracted
+        text cannot leak 'tpl'."""
         h = (
             "<html><body><template><p>tpl</p></template>"
             "<p>real</p></body></html>"
@@ -440,7 +443,7 @@ class TestHtml5libDivergences:
         doc = parse(h)
         assert [e.text_content() for e in evaluate(doc, "//template/p")] == [
             "tpl"
-        ]  # divergence: empty under html5lib's content fragment
+        ]  # same on html5lib-python; a browser content fragment differs
         assert convert_html_to_text(h) == "real"
 
     def test_adoption_agency_block_inside_inline(self):
@@ -492,4 +495,5 @@ class TestHtml5libDivergences:
             "<p>1<b>2<i>3</b>4</i>5</p>",
         ):
             once = clean_html_for_extraction(h)
-            assert clean_html_for_extraction(h) == once
+            assert clean_html_for_extraction(h) == once  # deterministic
+            assert clean_html_for_extraction(once) == once  # idempotent
