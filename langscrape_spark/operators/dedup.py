@@ -290,6 +290,7 @@ def minhash_band_buckets(
     bands: int = 4,
     k: int = 3,
     persist_sig: bool = False,
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """The banding front half of MinHash-LSH, shared by the batch join
     (:func:`minhash_lsh_pairs`) and the incremental probe
@@ -300,7 +301,9 @@ def minhash_band_buckets(
     pairwise). ``persist_sig`` persists the narrow signature frame —
     pass True when the caller's plan consumes the assignments more
     than once so the pandas minhash UDF runs once (caller's plan
-    release frees it via the ContextCleaner)."""
+    release frees it via the ContextCleaner; callers with an explicit
+    release point pass ``unpersist_inputs`` to receive the handle,
+    same contract as the set-sim joins)."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -308,6 +311,8 @@ def minhash_band_buckets(
     ).where(F.col("sig").getItem(0).isNotNull())
     if persist_sig:
         sig = sig.persist()
+        if unpersist_inputs is not None:
+            unpersist_inputs.append(sig)
     band_cols = [
         F.md5(
             F.concat_ws(

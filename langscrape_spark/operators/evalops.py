@@ -188,7 +188,11 @@ def ndcg_at_k(
         .orderBy(*order)
         .limit(k)
         .withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
-        .join(F.broadcast(rel1), id_col, "left")
+        # no broadcast hint: the relevance table is corpus-sized in
+        # real use (q153 derives it from every document) — shuffling
+        # the ≤k-row left side is trivial, force-collecting the right
+        # side to the driver is not; let Catalyst/AQE pick
+        .join(rel1, id_col, "left")
         .select("_rn", F.coalesce("_rel", F.lit(0)).alias("_rel"))
     )
     wmap = F.element_at(

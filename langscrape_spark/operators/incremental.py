@@ -76,13 +76,53 @@ def _bpart(n_parts: int):
     return F.pmod(F.xxhash64(F.col("bucket")), F.lit(n_parts)).cast("int")
 
 
+_GEOMETRY = "_GEOMETRY.json"
+
+
+def _check_geometry(state_dir: str, n_parts: int, create: bool) -> None:
+    """The partition count IS the routing function: a probe/append run
+    with a different ``n_parts`` than earlier rounds would route
+    buckets to ``bpart`` values that don't match the on-disk layout
+    and silently MISS near-duplicates. The geometry marker (written
+    before the first data append — same commit-order argument as the
+    frontier bloom's _STATE stamp: torn data after a committed marker
+    is a safe superset) makes the mismatch loud instead."""
+    import json
+
+    marker = os.path.join(state_dir, _GEOMETRY)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stored = json.load(f)["n_parts"]
+        if stored != n_parts:
+            raise ValueError(
+                f"state at {state_dir!r} was built with n_parts="
+                f"{stored}, called with {n_parts} — a mismatched probe"
+                " silently misses pairs"
+            )
+        return
+    if os.path.isdir(state_dir) and any(
+        e.startswith("bpart=") for e in os.listdir(state_dir)
+    ):
+        raise ValueError(
+            f"state at {state_dir!r} has data but no {_GEOMETRY} marker"
+            " — refusing to guess its partition count"
+        )
+    if create:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"n_parts": n_parts}, f)
+
+
 def bucket_state_append(
     assignments: DataFrame, state_dir: str, n_parts: int = 64
 ) -> None:
     """Append ``(bucket, id, …payload)`` assignment rows to the state
     directory. One shuffle of the (small) new batch into its target
     partitions; each task writes one file per touched ``bpart``,
-    sorted by bucket for row-group pruning on later probes."""
+    sorted by bucket for row-group pruning on later probes. The first
+    append stamps the partition geometry; later appends and probes
+    must use the same ``n_parts`` (validated, loud)."""
+    _check_geometry(state_dir, n_parts, create=True)
     (
         assignments.withColumn("bpart", _bpart(n_parts))
         .repartition("bpart")
@@ -136,6 +176,7 @@ def bucket_state_probe(
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
+    _check_geometry(state_dir, n_parts, create=False)
     spark = new_assignments.sparkSession
     files = _state_files(state_dir)
     cols = ["bucket", "id", *payload_cols]
@@ -194,6 +235,7 @@ def minhash_lsh_pairs_incremental(
     k: int = 3,
     max_bucket: int | None = None,
     n_parts: int = 64,
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH pairs of a NEW batch against itself and against
     the accumulated state: ``(id_a, id_b, n_shared_bands)`` with
@@ -211,12 +253,19 @@ def minhash_lsh_pairs_incremental(
     Run ``exact_dedup`` per round instead (the crawl's url-seen set
     already suppresses refetches); set a guard only when a round's
     batch itself may contain a quadratic identical-text cluster.
+
+    ``unpersist_inputs``: the signature frame is persisted (new×new
+    pair gen, the probe and a later state append all consume it — one
+    pandas-UDF pass); pass a list to receive the handle and
+    ``.unpersist()`` after materializing, like the set-sim joins —
+    long-lived crawl sessions leak executor storage otherwise.
     """
     newb = minhash_band_buckets(
         new_docs, text_col, id_col, num_hashes, bands, k,
         # consumed by new×new pair gen AND the probe AND the state
         # append — one signature pass
         persist_sig=True,
+        unpersist_inputs=unpersist_inputs,
     )
     id_type = new_docs.schema[id_col].dataType.simpleString()
     new_new = grouped_bucket_pairs(newb, id_type, max_bucket)
@@ -248,15 +297,23 @@ def minhash_ingest_round(
     reads the state files the append is about to grow, and severing
     the lineage is also what makes the returned frame safe to consume
     after this function mutates the directory), then append the
-    batch's bucket assignments. Returns the checkpointed pairs."""
+    batch's bucket assignments (the append's signature subplan is
+    canonically equal to the persisted one, so the CacheManager
+    substitutes the cached frame — still one UDF pass per round) and
+    release the round's persisted signature. Returns the checkpointed
+    pairs."""
+    handles: list = []
     pairs = minhash_lsh_pairs_incremental(
         new_docs, state_dir, text_col, id_col,
         num_hashes, bands, k, max_bucket, n_parts,
+        unpersist_inputs=handles,
     ).localCheckpoint(eager=True)
     newb = minhash_band_buckets(
         new_docs, text_col, id_col, num_hashes, bands, k
     )
     bucket_state_append(newb, state_dir, n_parts)
+    for h in handles:
+        h.unpersist()
     return pairs
 
 
@@ -267,6 +324,7 @@ def simhash_near_dups_incremental(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_parts: int = 64,
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs of a NEW batch against itself and the
     accumulated state, exact recall at ``max_hamming`` (the pigeonhole
@@ -277,9 +335,23 @@ def simhash_near_dups_incremental(
 
     State rows carry the full 64-bit signature as payload so the
     probe verifies hamming exactly on the candidate rows — candidates
-    only, never all pairs."""
+    only, never all pairs.
+
+    One signature pass: the ``(id, sh)`` frame is persisted here, and
+    the batch operator's and probe's (and a later append's) internal
+    signature subplans are canonically equal to it, so the
+    CacheManager substitutes the cached frame everywhere — the ~64
+    bit-vote simhash kernel never recomputes. ``unpersist_inputs``
+    receives the handle (same caller-owned-lifetime contract as the
+    minhash path)."""
     from .dedup import simhash_near_dups
 
+    sig = new_docs.select(
+        F.col(id_col).alias("id"),
+        simhash64_fast(F.col(text_col)).alias("sh"),
+    ).persist()
+    if unpersist_inputs is not None:
+        unpersist_inputs.append(sig)
     new_new = simhash_near_dups(
         new_docs, text_col, id_col, max_hamming, max_bucket=None
     )
@@ -308,12 +380,17 @@ def simhash_ingest_round(
     n_parts: int = 64,
 ) -> DataFrame:
     """SimHash sibling of :func:`minhash_ingest_round`: pairs vs
-    current state, eager checkpoint, then state append."""
+    current state, eager checkpoint, state append, signature
+    release."""
+    handles: list = []
     pairs = simhash_near_dups_incremental(
-        new_docs, state_dir, text_col, id_col, max_hamming, n_parts
+        new_docs, state_dir, text_col, id_col, max_hamming, n_parts,
+        unpersist_inputs=handles,
     ).localCheckpoint(eager=True)
     newb = _simhash_chunks(new_docs, text_col, id_col, max_hamming)
     bucket_state_append(newb, state_dir, n_parts)
+    for h in handles:
+        h.unpersist()
     return pairs
 
 

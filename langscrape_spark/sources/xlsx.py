@@ -66,7 +66,17 @@ def _shared_strings(zf: zipfile.ZipFile) -> list:
     out = []
     for si in root:
         # plain <si><t>…</t></si> or rich-text runs <si><r><t>…</t></r>…
-        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        # — but NOT <rPh> phonetic-run hints (Japanese Excel stores
+        # kanji cells as <t>東京</t><rPh><t>トウキョウ</t></rPh>;
+        # a blanket .iter('t') would corrupt the value to
+        # '東京トウキョウ'; openpyxl excludes rPh for the same reason)
+        parts = [t.text or "" for t in si.findall(f"{_NS}t")]
+        parts += [
+            t.text or ""
+            for r in si.findall(f"{_NS}r")
+            for t in r.findall(f"{_NS}t")
+        ]
+        out.append("".join(parts))
     return out
 
 
@@ -133,26 +143,41 @@ def read_xlsx(
     path: str,
     sheet: str | None = None,
     columns: list[str] | None = None,
+    header: bool = True,
     max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Read .xlsx file(s) at ``path`` (glob ok) into a DataFrame of
     STRING columns. With ``columns=None`` the first file's header row
-    names the columns (one bounded driver read); pass ``columns`` to
-    skip the driver read and treat every row as data whose header
-    matches. Blank header cells become ``_cN``. Files larger than
-    ``max_bytes`` are rejected (a seed workbook is KB-sized; a
-    multi-GB "xlsx" is a mistake, not a seed list)."""
+    names the columns (one bounded driver read — size-gated BEFORE the
+    blob leaves the executors); pass ``columns`` to skip the driver
+    read. ``header`` says whether files carry a header row to skip —
+    it stays True with explicit ``columns`` (renaming a headered
+    sheet); pass ``header=False`` for genuinely headerless sheets
+    (requires explicit ``columns``). Header names are sanitized to
+    identifiers, uniquified (``url``, ``url_2``), blanks become
+    ``_cN``. Files larger than ``max_bytes`` are rejected (a seed
+    workbook is KB-sized; a multi-GB "xlsx" is a mistake, not a seed
+    list)."""
     import pandas as pd
 
+    if columns is None and not header:
+        raise ValueError("header=False requires explicit columns")
     bins = spark.read.format("binaryFile").load(path)
     if columns is None:
-        first = bins.select("content").limit(1).collect()
-        if not first:
+        # size gate runs on file METADATA before any blob is collected
+        meta = bins.select("length").limit(1).collect()
+        if not meta:
             raise ValueError(f"no files at {path!r}")
+        if meta[0][0] > max_bytes:
+            raise ValueError(
+                f"first file exceeds max_bytes={max_bytes}; pass"
+                " explicit columns or raise the limit"
+            )
+        first = bins.select("content").limit(1).collect()
         head_rows = parse_xlsx_bytes(bytes(first[0][0]), sheet)
         if not head_rows:
             raise ValueError(f"empty worksheet in first file at {path!r}")
-        columns = [
+        raw = [
             (
                 re.sub(r"[^0-9A-Za-z_]", "_", h)
                 if h not in (None, "")
@@ -160,8 +185,16 @@ def read_xlsx(
             )
             for i, h in enumerate(head_rows[0])
         ]
+        columns, seen = [], {}
+        for c in raw:
+            if c[0].isdigit():
+                c = f"_{c}"
+            seen[c] = seen.get(c, 0) + 1
+            columns.append(c if seen[c] == 1 else f"{c}_{seen[c]}")
     cols = list(columns)
-    skip_header = True
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate column names: {cols}")
+    skip_header = header
     schema = ", ".join(f"{c} string" for c in cols)
     n = len(cols)
 

@@ -113,6 +113,65 @@ def test_simhash_incremental_union_equals_batch(spark, tmp_path, n_rounds):
     assert len(full) > 3
 
 
+def test_state_geometry_mismatch_is_loud(spark, tmp_path):
+    """A probe/append with a different n_parts than the state was
+    built with would silently MISS pairs (wrong bpart routing) — it
+    must raise instead; and a state dir with data but no geometry
+    marker is refused rather than guessed at."""
+    from langscrape_spark.operators.dedup import minhash_band_buckets
+    from langscrape_spark.operators.incremental import (
+        bucket_state_append,
+        bucket_state_probe,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _mk_docs(spark, n=20)
+    b = minhash_band_buckets(docs, "text", "doc_id")
+    state = str(tmp_path / "geo")
+    bucket_state_append(b, state, n_parts=4)
+    with pytest.raises(ValueError, match="n_parts"):
+        bucket_state_append(b, state, n_parts=8)
+    with pytest.raises(ValueError, match="n_parts"):
+        bucket_state_probe(b, state, n_parts=8).count()
+    with pytest.raises(ValueError, match="n_parts"):
+        minhash_lsh_pairs_incremental(docs, state, n_parts=16).count()
+    # markerless data dir (e.g. hand-copied state) is refused
+    import os
+
+    os.remove(os.path.join(state, "_GEOMETRY.json"))
+    with pytest.raises(ValueError, match="marker"):
+        bucket_state_append(b, state, n_parts=4)
+
+
+def test_ingest_round_releases_persisted_signatures(spark, tmp_path):
+    """minhash/simhash ingest rounds persist one signature frame per
+    round and must release it after the state append — a multi-round
+    crawl session would otherwise accumulate cached frames without
+    bound (same leak class as the set-sim unpersist hook)."""
+    from langscrape_spark.operators.incremental import (
+        minhash_ingest_round,
+        simhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=40)
+    jsc = spark.sparkContext._jsc.sc()
+    for fn, sub in (
+        (minhash_ingest_round, "mh"),
+        (simhash_ingest_round, "sh"),
+    ):
+        before = jsc.getPersistentRDDs().size()
+        kept = []  # hold the results so their checkpoints stay alive
+        for r in range(2):
+            batch = docs.where(F.col("doc_id") % 2 == r)
+            kept.append(fn(batch, str(tmp_path / sub), n_parts=4))
+        # growth must not exceed the eager localCheckpoints we KEEP —
+        # a leaked signature frame adds +1 per round on top. Upper
+        # bound, not equality: the async ContextCleaner may reclaim
+        # previous iterations' released frames at any time, which only
+        # ever LOWERS the count.
+        assert jsc.getPersistentRDDs().size() - before <= len(kept)
+
+
 def test_state_rows_audit(spark, tmp_path):
     from langscrape_spark.operators.dedup import minhash_band_buckets
     from langscrape_spark.operators.incremental import (

@@ -149,6 +149,55 @@ def test_read_xlsx_explicit_columns_skips_driver_read(spark, tmp_path):
     assert len(out) == 1 and out[0].u == "https://x.example/"
 
 
+def test_read_xlsx_headerless_duplicate_and_digit_headers(spark, tmp_path):
+    from langscrape_spark.sources.xlsx import read_xlsx
+
+    # headerless: every row is data (header=False requires columns)
+    p = str(tmp_path / "nohead.xlsx")
+    _write_xlsx(p, {"S": [["https://a.example/", 1], ["https://b.example/", 2]]})
+    out = read_xlsx(spark, p, columns=["url", "id"], header=False).collect()
+    assert sorted(r.url for r in out) == [
+        "https://a.example/", "https://b.example/",
+    ]
+    with pytest.raises(ValueError, match="header=False"):
+        read_xlsx(spark, p, header=False)
+
+    # duplicate + digit-leading + blank headers sanitize/uniquify
+    p2 = str(tmp_path / "dups.xlsx")
+    _write_xlsx(
+        p2,
+        {"S": [["url", "url", "2024 rev", ""], ["a", "b", "c", "d"]]},
+    )
+    df = read_xlsx(spark, p2)
+    assert df.columns == ["url", "url_2", "_2024_rev", "_c3"]
+    r = df.collect()[0]
+    assert (r.url, r.url_2, r["_2024_rev"], r["_c3"]) == ("a", "b", "c", "d")
+
+
+def test_shared_string_phonetic_runs_excluded(spark, tmp_path):
+    """<rPh> phonetic hints (Japanese Excel) must not leak into cell
+    values — only <t> and rich-run <r><t> text counts."""
+    import zipfile as _zf
+
+    from langscrape_spark.sources.xlsx import parse_xlsx_bytes
+
+    p = str(tmp_path / "ph.xlsx")
+    _write_xlsx(p, {"S": [["v"], ["placeholder"]]})
+    # rewrite sharedStrings with a phonetic run
+    with _zf.ZipFile(p) as z:
+        members = {n: z.read(n) for n in z.namelist()}
+    members["xl/sharedStrings.xml"] = (
+        f'<sst xmlns="{_MAIN}"><si><t>v</t></si>'
+        f'<si><t>東京</t><rPh sb="0" eb="2">'
+        f"<t>トウキョウ</t></rPh></si></sst>"
+    ).encode()
+    with _zf.ZipFile(p, "w") as z:
+        for n, b in members.items():
+            z.writestr(n, b)
+    rows = parse_xlsx_bytes(open(p, "rb").read())
+    assert rows[1] == ["東京"]  # no phonetic leak
+
+
 def test_seeds_from_xlsx_projection(spark, tmp_path):
     from langscrape_spark.sources.xlsx import seeds_from_xlsx
 
