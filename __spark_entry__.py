@@ -4163,6 +4163,38 @@ def q154_minhash_incremental(spark, sf):
     )
 
 
+def q155_simhash_incremental(spark, sf):
+    """Incremental SimHash near-dup state (operators/incremental.py::
+    simhash_ingest_round), q154's sibling for the pigeonhole family:
+    the whole documents table ingested in THREE rounds (doc_id % 3),
+    exact recall at hamming ≤ 3 — a within-radius pair agrees on ≥1
+    16-bit block, and that block's state row is present from
+    whichever round arrived first. The oracle derives the full-corpus
+    answer from scratch in DuckDB (q16's end-to-end signature
+    reproduction → 4 pigeonhole blocks → bucket join → bit_count
+    verify), which the per-round union must match pair-for-pair."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.incremental import simhash_ingest_round
+
+    docs = _t(spark, sf, "documents")
+    state = tempfile.mkdtemp(prefix="q155_sh_state_")
+    try:
+        out = None
+        for r in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == r)
+            pairs = simhash_ingest_round(
+                batch, state, "text", "doc_id", max_hamming=3, n_parts=8
+            )
+            out = pairs if out is None else out.unionByName(pairs)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4284,6 +4316,7 @@ _PRIORITY_ORDER = [
     "q08_exact_dedup",             # exact dedup
     "q10_minhash_lsh",             # MinHash-LSH near-dup
     "q154_minhash_incremental",    # incremental dedup vs catalog state
+    "q155_simhash_incremental",    # incremental pigeonhole dedup
     "q84_bpe_train",               # BPE training
     "q99_prefix_jaccard",          # prefix-filtered exact Jaccard join
     "q108_suffix_array",           # distributed suffix array
@@ -4304,7 +4337,6 @@ _PRIORITY_ORDER = [
     "q106_rrf_hybrid",             # hybrid-rank fusion
     "q32_host_pagerank",           # iterative graph: PageRank
     "q98_kcore",                   # iterative graph: peeling
-    "q101_bfs_depths",             # iterative graph: BFS
     "q87_hll_distinct",            # sketch: HLL
     "q89_count_min",               # sketch: Count-Min
     "q110_heavy_hitters",          # sketch: Misra-Gries
@@ -4498,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_hill_alpha": q152_hill_alpha,
         "q153_ndcg": q153_ndcg,
         "q154_minhash_incremental": q154_minhash_incremental,
+        "q155_simhash_incremental": q155_simhash_incremental,
     })
 
 
@@ -8193,6 +8226,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
             FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
             GROUP BY 1, 2
+        """,
+        "q155_simhash_incremental": """
+            -- Incremental SimHash contract = full-corpus equivalence:
+            -- q16's end-to-end signature derivation (md5 lower-half
+            -- shingle hashes, strict-majority bit votes, LE pack) over
+            -- ALL documents, then the pigeonhole path the Spark rounds
+            -- take — 4 x 16-bit blocks, block-bucket join, exact
+            -- bit_count(xor) verify at radius 3. Spark: operators/
+            -- incremental.py::simhash_ingest_round (3-round union).
+            WITH base AS (
+              SELECT doc_id, list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 1, 0) + 1),
+                       i -> array_to_string(tok[i:i+1], ' ')))) AS sh
+              FROM (SELECT doc_id, text,
+                           list_filter(regexp_split_to_array(lower(text),
+                             '\\s+'), x -> x <> '') AS tok
+                    FROM documents)),
+            hashed AS (
+              SELECT doc_id,
+                     list_transform(sh, s -> md5_number_lower(s)) AS hs
+              FROM base),
+            votes AS (
+              SELECT doc_id, j, len(hs) AS n,
+                     len(list_filter(hs, h -> ((h >> j) & 1) = 1)) AS ones
+              FROM hashed, UNNEST(range(0, 64)) AS t(j)),
+            packed AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN 2 * ones > n
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                       ELSE CAST(0 AS HUGEINT) END), 0) AS us
+              FROM votes GROUP BY doc_id),
+            signed AS (
+              SELECT doc_id, us,
+                     CAST(CASE WHEN us >= CAST(1 AS HUGEINT) << 63
+                          THEN us - (CAST(1 AS HUGEINT) << 64)
+                          ELSE us END AS BIGINT) AS sim
+              FROM packed),
+            chunks AS (
+              SELECT doc_id, sim, j,
+                     CAST((us >> CAST(16 * j AS INTEGER)) & 65535
+                       AS BIGINT) AS block
+              FROM signed, UNNEST(range(0, 4)) AS t(j)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sim AS sa, b.sim AS sb
+              FROM chunks a JOIN chunks b
+                ON a.j = b.j AND a.block = b.block
+                   AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "q151_f1_threshold": """
             -- Max-F1 cut re-derived: q75's score/label pair, distinct-
