@@ -507,6 +507,32 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_block_cols(
+    max_hamming: int, sh: str | Column = "sh"
+) -> list[Column]:
+    """Pigeonhole block-bucket expressions over a 64-bit simhash
+    column: ``max_hamming + 1`` blocks (capped at 64), each rendered as
+    the string ``'<block_idx>:<block_value>'``. SHARED by the batch
+    operator (:func:`simhash_near_dups`) and the incremental state path
+    (``operators/incremental._simhash_chunks``) — the cross-round
+    recall proof requires byte-identical bucket strings on both sides,
+    so the blocking lives in exactly one place."""
+    n_blocks = min(max_hamming + 1, 64)
+    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+    cols = []
+    for c in range(n_blocks):
+        lo, hi = bounds[c], bounds[c + 1]
+        mask = (1 << (hi - lo)) - 1
+        cols.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                F.shiftrightunsigned(sh, lo).bitwiseAND(F.lit(mask)),
+            )
+        )
+    return cols
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -540,10 +566,6 @@ def simhash_near_dups(
     which is ``exact_dedup``'s job (run it first). Exclusion costs
     recall only for pairs whose ONLY agreeing block is an excluded
     one. ``max_bucket=None`` disables the guard."""
-    n_blocks = max_hamming + 1
-    if n_blocks > 64:
-        n_blocks = 64
-    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sh")
     )
@@ -552,18 +574,7 @@ def simhash_near_dups(
         # the signature lineage — persist the narrow (id, sh) frame so
         # the simhash UDF runs once
         sig = sig.persist()
-    block_cols = []
-    for c in range(n_blocks):
-        lo, hi = bounds[c], bounds[c + 1]
-        width = hi - lo
-        mask = (1 << width) - 1
-        block_cols.append(
-            F.concat_ws(
-                ":",
-                F.lit(str(c)),
-                F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit(mask)),
-            )
-        )
+    block_cols = simhash_block_cols(max_hamming)
     chunks = sig.select(
         "id",
         "sh",

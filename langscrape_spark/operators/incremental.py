@@ -28,9 +28,10 @@ files with a ``bucket ∈ probe-set`` pyarrow filter, so row groups
 whose ``[min, max]`` bucket range misses every probed bucket are
 skipped without IO. New batches are tiny relative to accumulated
 state, so most row groups miss. At 10^10-url scale the remaining
-lever is periodic per-partition compaction (rewrite a ``bpart`` dir
-sorted by bucket — embarrassingly parallel, no cross-partition
-shuffle), exactly like the frontier seen-set's delta compaction.
+lever is periodic per-partition compaction — :func:`bucket_state_compact`
+rewrites each ``bpart`` dir as one bucket-sorted file (embarrassingly
+parallel, no cross-partition shuffle), exactly like the frontier
+seen-set's delta compaction; run it between rounds.
 
 Equivalence contract (oracled by ``q154_minhash_incremental``): for
 any split of a corpus into ingest rounds, the UNION of per-round
@@ -59,10 +60,12 @@ from .dedup import (
     hamming64,
     minhash_band_buckets,
     simhash64_fast,
+    simhash_block_cols,
 )
 
 __all__ = [
     "bucket_state_append",
+    "bucket_state_compact",
     "bucket_state_probe",
     "bucket_state_rows",
     "minhash_lsh_pairs_incremental",
@@ -79,25 +82,61 @@ def _bpart(n_parts: int):
 _GEOMETRY = "_GEOMETRY.json"
 
 
-def _check_geometry(state_dir: str, n_parts: int, create: bool) -> None:
-    """The partition count IS the routing function: a probe/append run
-    with a different ``n_parts`` than earlier rounds would route
-    buckets to ``bpart`` values that don't match the on-disk layout
-    and silently MISS near-duplicates. The geometry marker (written
-    before the first data append — same commit-order argument as the
-    frontier bloom's _STATE stamp: torn data after a committed marker
-    is a safe superset) makes the mismatch loud instead."""
+def _minhash_params(num_hashes: int, bands: int, k: int) -> dict:
+    return {
+        "family": "minhash",
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "k": k,
+    }
+
+
+def _simhash_params(max_hamming: int) -> dict:
+    return {"family": "simhash", "max_hamming": max_hamming}
+
+
+def _check_geometry(
+    state_dir: str,
+    n_parts: int,
+    create: bool,
+    params: dict | None = None,
+) -> None:
+    """The partition count AND the signature parameters ARE the
+    routing function: a probe/append run with a different ``n_parts``
+    routes buckets to ``bpart`` values that don't match the on-disk
+    layout, and a different signature geometry (minhash
+    num_hashes/bands/k, simhash max_hamming → block bounds) computes
+    bucket STRINGS that can never equal the stored ones — either way
+    near-duplicates are silently MISSED with zero errors. The geometry
+    marker (written before the first data append — same commit-order
+    argument as the frontier bloom's _STATE stamp: torn data after a
+    committed marker is a safe superset) pins the whole dict and makes
+    any mismatch loud instead."""
     import json
 
+    expected = {"n_parts": n_parts, **(params or {})}
     marker = os.path.join(state_dir, _GEOMETRY)
     if os.path.exists(marker):
         with open(marker) as f:
-            stored = json.load(f)["n_parts"]
-        if stored != n_parts:
+            stored = json.load(f)
+        # only keys the marker actually pins are validated: state built
+        # through the raw append API (no params) stays probe-able by
+        # the wrappers — the wrappers themselves always stamp the full
+        # signature geometry on the first append they make
+        mismatched = {
+            k: (stored[k], v)
+            for k, v in expected.items()
+            if k in stored and stored[k] != v
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{k}: stored={s!r} called={c!r}"
+                for k, (s, c) in sorted(mismatched.items())
+            )
             raise ValueError(
-                f"state at {state_dir!r} was built with n_parts="
-                f"{stored}, called with {n_parts} — a mismatched probe"
-                " silently misses pairs"
+                f"state at {state_dir!r} was built with a different"
+                f" geometry ({detail}) — a mismatched probe silently"
+                " misses pairs"
             )
         return
     if os.path.isdir(state_dir) and any(
@@ -110,19 +149,24 @@ def _check_geometry(state_dir: str, n_parts: int, create: bool) -> None:
     if create:
         os.makedirs(state_dir, exist_ok=True)
         with open(marker, "w") as f:
-            json.dump({"n_parts": n_parts}, f)
+            json.dump(expected, f)
 
 
 def bucket_state_append(
-    assignments: DataFrame, state_dir: str, n_parts: int = 64
+    assignments: DataFrame,
+    state_dir: str,
+    n_parts: int = 64,
+    params: dict | None = None,
 ) -> None:
     """Append ``(bucket, id, …payload)`` assignment rows to the state
     directory. One shuffle of the (small) new batch into its target
     partitions; each task writes one file per touched ``bpart``,
     sorted by bucket for row-group pruning on later probes. The first
-    append stamps the partition geometry; later appends and probes
-    must use the same ``n_parts`` (validated, loud)."""
-    _check_geometry(state_dir, n_parts, create=True)
+    append stamps the partition geometry — ``n_parts`` plus whatever
+    signature parameters the caller passes in ``params`` (the
+    minhash/simhash wrappers pin num_hashes/bands/k resp. max_hamming);
+    later appends and probes must match (validated, loud)."""
+    _check_geometry(state_dir, n_parts, create=True, params=params)
     (
         assignments.withColumn("bpart", _bpart(n_parts))
         .repartition("bpart")
@@ -135,8 +179,14 @@ def bucket_state_append(
 
 def bucket_state_rows(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The whole state as a DataFrame (audits / compaction), or None
-    before the first append."""
-    if not os.path.isdir(state_dir):
+    before the first append. A marker-only directory (geometry stamped
+    but zero rows ever appended — e.g. a round with an empty new batch,
+    whose partitionBy append writes no ``bpart=`` dirs) is still
+    'before the first append': reading it would throw
+    UNABLE_TO_INFER_SCHEMA, so it returns None too."""
+    if not os.path.isdir(state_dir) or not any(
+        e.startswith("bpart=") for e in os.listdir(state_dir)
+    ):
         return None
     return spark.read.parquet(state_dir)
 
@@ -163,6 +213,7 @@ def bucket_state_probe(
     state_dir: str,
     n_parts: int = 64,
     payload_cols: tuple[str, ...] = (),
+    params: dict | None = None,
 ) -> DataFrame:
     """Join the new batch's ``(bucket, id[, …payload])`` assignments
     against the stored state WITHOUT shuffling the state: group the
@@ -176,7 +227,7 @@ def bucket_state_probe(
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    _check_geometry(state_dir, n_parts, create=False)
+    _check_geometry(state_dir, n_parts, create=False, params=params)
     spark = new_assignments.sparkSession
     files = _state_files(state_dir)
     cols = ["bucket", "id", *payload_cols]
@@ -225,6 +276,85 @@ def bucket_state_probe(
     )
 
 
+def bucket_state_compact(
+    spark: SparkSession, state_dir: str, n_parts: int = 64
+) -> DataFrame:
+    """Rewrite every multi-file ``bpart=`` partition as ONE file,
+    de-duplicated on ``(bucket, id)`` and sorted by ``bucket`` — the
+    periodic maintenance step the probe's flat-cost argument assumes.
+    Per-round appends add one file per touched partition, so after R
+    rounds a probe task opens O(R) footers and its row-group pruning
+    degrades (every small file's single row group spans a wide bucket
+    range); compaction restores one footer and tight sorted row-group
+    ``[min, max]`` bucket stats per partition.
+
+    Embarrassingly parallel — each task owns whole partitions and never
+    sees another's files, so there is NO shuffle of state data at any
+    state size; only per-partition stats rows come back. Crash-safe by
+    commit ordering, the torn-append superset argument in reverse: the
+    compacted file is written under a non-``.parquet`` name (invisible
+    to probes and ``bucket_state_rows``), atomically renamed in, and
+    only then are the input files deleted — a crash between rename and
+    deletes leaves duplicate ``(bucket, id)`` rows, which every reader
+    already drops. Must not run concurrently with probes/appends on the
+    same directory (a probe that listed files before the deletes would
+    hit FileNotFoundError) — run it between crawl rounds, exactly like
+    the frontier seen-set's delta compaction.
+
+    Returns per-partition stats ``(bpart, files_before, rows_before,
+    rows_after)`` — ``rows_before - rows_after`` counts the duplicate
+    rows torn-append retries had accumulated. Single-file partitions
+    are skipped (already one footer; append order makes them sorted)."""
+    _check_geometry(state_dir, n_parts, create=False)
+    todo = {p: fs for p, fs in _state_files(state_dir).items() if len(fs) > 1}
+    schema = "bpart int, files_before int, rows_before bigint, rows_after bigint"
+    if not todo:
+        return spark.createDataFrame([], schema)
+    plan = spark.createDataFrame([(p,) for p in todo], "bpart int")
+    bf = spark.sparkContext.broadcast(todo)
+
+    def compact(key, pdf):
+        import os
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(key[0])
+        paths = bf.value[part]
+        # one-path reads: a path LIST triggers pyarrow's hive-partition
+        # discovery, which would bake a synthetic ``bpart`` column into
+        # the compacted file and break later schema merges
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        rows_before = tbl.num_rows
+        # pandas drop_duplicates keeps payload columns aligned with the
+        # surviving (bucket, id) row; duplicates are byte-identical
+        # retries so which one survives is immaterial
+        df = tbl.to_pandas().drop_duplicates(["bucket", "id"])
+        df = df.sort_values("bucket", kind="stable").reset_index(drop=True)
+        out = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+        d = os.path.dirname(paths[0])
+        tmp = os.path.join(d, f"compact-{uuid.uuid4().hex}.inprogress")
+        # small sorted row groups keep the probe's min/max pruning fine-
+        # grained even when a partition holds many buckets
+        pq.write_table(out, tmp, row_group_size=65536)
+        final = tmp[: -len(".inprogress")] + ".parquet"
+        os.rename(tmp, final)  # commit point
+        for p in paths:
+            os.remove(p)
+        return pd.DataFrame(
+            {
+                "bpart": [part],
+                "files_before": [len(paths)],
+                "rows_before": [rows_before],
+                "rows_after": [out.num_rows],
+            }
+        )
+
+    return plan.groupBy("bpart").applyInPandas(compact, schema)
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     state_dir: str,
@@ -269,7 +399,9 @@ def minhash_lsh_pairs_incremental(
     )
     id_type = new_docs.schema[id_col].dataType.simpleString()
     new_new = grouped_bucket_pairs(newb, id_type, max_bucket)
-    hits = bucket_state_probe(newb, state_dir, n_parts)
+    hits = bucket_state_probe(
+        newb, state_dir, n_parts, params=_minhash_params(num_hashes, bands, k)
+    )
     new_old = (
         hits.select(
             F.least("id_new", "id_old").alias("id_a"),
@@ -311,7 +443,9 @@ def minhash_ingest_round(
     newb = minhash_band_buckets(
         new_docs, text_col, id_col, num_hashes, bands, k
     )
-    bucket_state_append(newb, state_dir, n_parts)
+    bucket_state_append(
+        newb, state_dir, n_parts, params=_minhash_params(num_hashes, bands, k)
+    )
     for h in handles:
         h.unpersist()
     return pairs
@@ -356,7 +490,13 @@ def simhash_near_dups_incremental(
         new_docs, text_col, id_col, max_hamming, max_bucket=None
     )
     newb = _simhash_chunks(new_docs, text_col, id_col, max_hamming)
-    hits = bucket_state_probe(newb, state_dir, n_parts, payload_cols=("sh",))
+    hits = bucket_state_probe(
+        newb,
+        state_dir,
+        n_parts,
+        payload_cols=("sh",),
+        params=_simhash_params(max_hamming),
+    )
     new_old = (
         hits.select(
             F.least("id_new", "id_old").alias("id_a"),
@@ -388,7 +528,9 @@ def simhash_ingest_round(
         unpersist_inputs=handles,
     ).localCheckpoint(eager=True)
     newb = _simhash_chunks(new_docs, text_col, id_col, max_hamming)
-    bucket_state_append(newb, state_dir, n_parts)
+    bucket_state_append(
+        newb, state_dir, n_parts, params=_simhash_params(max_hamming)
+    )
     for h in handles:
         h.unpersist()
     return pairs
@@ -397,27 +539,16 @@ def simhash_ingest_round(
 def _simhash_chunks(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int
 ) -> DataFrame:
-    """Exploded ``(bucket, id, sh)`` pigeonhole block assignments —
-    the same block bounds as :func:`.dedup.simhash_near_dups` (keep in
-    lockstep; the cross-round recall proof depends on identical
-    blocking)."""
-    n_blocks = min(max_hamming + 1, 64)
-    bounds = [i * 64 // n_blocks for i in range(n_blocks)] + [64]
+    """Exploded ``(bucket, id, sh)`` pigeonhole block assignments.
+    The blocking itself lives in :func:`.dedup.simhash_block_cols`,
+    shared with the batch operator — the cross-round recall proof
+    depends on byte-identical bucket strings on both sides."""
     sig = df.select(
         F.col(id_col).alias("id"),
         simhash64_fast(F.col(text_col)).alias("sh"),
     )
-    block_cols = []
-    for c in range(n_blocks):
-        lo, hi = bounds[c], bounds[c + 1]
-        mask = (1 << (hi - lo)) - 1
-        block_cols.append(
-            F.concat_ws(
-                ":",
-                F.lit(str(c)),
-                F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit(mask)),
-            )
-        )
     return sig.select(
-        F.explode(F.array(*block_cols)).alias("bucket"), "id", "sh"
+        F.explode(F.array(*simhash_block_cols(max_hamming))).alias("bucket"),
+        "id",
+        "sh",
     )

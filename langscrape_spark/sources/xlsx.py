@@ -98,7 +98,10 @@ def _sheet_path(zf: zipfile.ZipFile, sheet: str | None) -> str:
     if chosen is None:
         names = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
         raise ValueError(f"sheet {sheet!r} not found; workbook has {names}")
-    target = targets[chosen.get(_REL_NS)]
+    # OPC allows absolute part names ('/xl/worksheets/sheet1.xml');
+    # strip the leading '/' before deciding whether the target is
+    # already workbook-relative
+    target = targets[chosen.get(_REL_NS)].lstrip("/")
     return target if target.startswith("xl/") else f"xl/{target}"
 
 
@@ -122,9 +125,19 @@ def parse_xlsx_bytes(
             if ctype == "inlineStr":
                 is_el = c.find(f"{_NS}is")
                 if is_el is not None:
-                    value = "".join(
-                        t.text or "" for t in is_el.iter(f"{_NS}t")
-                    )
+                    # CT_Rst allows the same rich-text/phonetic shape
+                    # as <si>: direct <t> + run <r><t> only, never a
+                    # blanket descendant scan that would leak <rPh>
+                    # phonetic-run text into the value
+                    parts = [
+                        t.text or "" for t in is_el.findall(f"{_NS}t")
+                    ]
+                    parts += [
+                        t.text or ""
+                        for r in is_el.findall(f"{_NS}r")
+                        for t in r.findall(f"{_NS}t")
+                    ]
+                    value = "".join(parts)
             else:
                 v = c.find(f"{_NS}v")
                 if v is not None and v.text is not None:
@@ -185,12 +198,18 @@ def read_xlsx(
             )
             for i, h in enumerate(head_rows[0])
         ]
-        columns, seen = [], {}
+        columns, taken = [], set()
         for c in raw:
             if c[0].isdigit():
                 c = f"_{c}"
-            seen[c] = seen.get(c, 0) + 1
-            columns.append(c if seen[c] == 1 else f"{c}_{seen[c]}")
+            # probe until free (pandas-style): a minted 'url_2' must
+            # not collide with a literal 'url_2' header elsewhere
+            name, k = c, 1
+            while name in taken:
+                k += 1
+                name = f"{c}_{k}"
+            taken.add(name)
+            columns.append(name)
     cols = list(columns)
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate column names: {cols}")

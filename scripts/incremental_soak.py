@@ -41,6 +41,7 @@ def main() -> None:
     import pandas as pd
 
     from langscrape_spark.operators.incremental import (
+        bucket_state_compact,
         bucket_state_rows,
         minhash_ingest_round,
     )
@@ -48,6 +49,14 @@ def main() -> None:
 
     spark = get_spark("incremental_soak")
     spark.sparkContext.setLogLevel("ERROR")
+    # gen_docs captures _doc_text, whose __module__ is 'dedup_bench' —
+    # cloudpickle serializes it BY REFERENCE, and python workers (cwd =
+    # wherever the daemon started, scripts/ never on their sys.path)
+    # would raise ModuleNotFoundError on the first batch without
+    # shipping the module alongside the tasks
+    spark.sparkContext.addPyFile(
+        os.path.join(REPO, "scripts", "dedup_bench.py")
+    )
     tmp = tempfile.mkdtemp(prefix="inc_soak_")
     state = os.path.join(tmp, "mh_state")
     n_part = spark.sparkContext.defaultParallelism * 2
@@ -82,6 +91,7 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
         times, pair_counts = [], []
+        compact_every = max(rounds // 3, 2)
         for r in range(rounds):
             batch = spark.read.parquet(batch_paths[r])
             t0 = time.perf_counter()
@@ -92,17 +102,22 @@ def main() -> None:
             dt = time.perf_counter() - t0
             times.append(dt)
             pair_counts.append(n_pairs)
-            print(
-                json.dumps(
-                    {
-                        "round": r,
-                        "sec": round(dt, 2),
-                        "pairs": n_pairs,
-                        "state_docs": (r + 1) * per_round,
-                    }
-                ),
-                flush=True,
-            )
+            line = {
+                "round": r,
+                "sec": round(dt, 2),
+                "pairs": n_pairs,
+                "state_docs": (r + 1) * per_round,
+            }
+            # periodic between-round maintenance, exactly where a crawl
+            # would run it: timed separately — compaction cost must not
+            # be mistaken for probe cost, and vice versa
+            if (r + 1) % compact_every == 0 and r + 1 < rounds:
+                c0 = time.perf_counter()
+                stats = bucket_state_compact(spark, state, n_parts=32)
+                n_compacted = stats.count()
+                line["compact_sec"] = round(time.perf_counter() - c0, 2)
+                line["compacted_parts"] = n_compacted
+            print(json.dumps(line), flush=True)
         state_rows = bucket_state_rows(spark, state).count()
         early = times[1:4]
         late = times[-3:]

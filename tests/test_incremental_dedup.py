@@ -143,6 +143,137 @@ def test_state_geometry_mismatch_is_loud(spark, tmp_path):
         bucket_state_append(b, state, n_parts=4)
 
 
+def test_state_signature_param_mismatch_is_loud(spark, tmp_path):
+    """n_parts is not the only routing function: a different signature
+    geometry (minhash num_hashes/bands/k, simhash max_hamming → block
+    bounds) computes bucket strings that can never equal the stored
+    ones, silently missing every new×old pair — the marker must pin
+    those too."""
+    from langscrape_spark.operators.incremental import (
+        minhash_ingest_round,
+        simhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=30)
+    mh_state = str(tmp_path / "mh")
+    minhash_ingest_round(docs, mh_state, n_parts=4, bands=4).count()
+    with pytest.raises(ValueError, match="bands"):
+        minhash_ingest_round(docs, mh_state, n_parts=4, bands=8).count()
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_ingest_round(
+            docs, mh_state, n_parts=4, num_hashes=32, bands=4
+        ).count()
+
+    sh_state = str(tmp_path / "sh")
+    simhash_ingest_round(docs, sh_state, n_parts=4, max_hamming=3).count()
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_ingest_round(docs, sh_state, n_parts=4, max_hamming=7).count()
+
+
+def test_marker_only_state_dir_reads_as_empty(spark, tmp_path):
+    """A round with an EMPTY new batch stamps the geometry marker but
+    appends zero rows → no bpart= dirs. bucket_state_rows must treat
+    that as 'before the first append' (None), not throw
+    UNABLE_TO_INFER_SCHEMA; and a later real round must work."""
+    from langscrape_spark.operators.incremental import (
+        bucket_state_rows,
+        minhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=30)
+    state = str(tmp_path / "empty_first")
+    empty = docs.where(F.col("doc_id") < 0)
+    assert minhash_ingest_round(empty, state, n_parts=4).count() == 0
+    assert bucket_state_rows(spark, state) is None
+    minhash_ingest_round(docs, state, n_parts=4).count()
+    assert bucket_state_rows(spark, state).count() > 0
+
+
+def test_compaction_preserves_probe_results_and_collapses_files(
+    spark, tmp_path
+):
+    """bucket_state_compact: after several ingest rounds each bpart dir
+    holds one file per round; compaction must collapse each to ONE
+    file, preserve every row, and leave a later round's pairs (probe +
+    ingest) byte-identical to the uncompacted state's."""
+    from langscrape_spark.operators.incremental import (
+        _state_files,
+        bucket_state_compact,
+        bucket_state_rows,
+        minhash_ingest_round,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _mk_docs(spark, n=120)
+    state = str(tmp_path / "mh")
+    for r in range(3):
+        minhash_ingest_round(
+            docs.where(F.col("doc_id") % 4 == r), state, n_parts=8
+        ).count()
+    last = docs.where(F.col("doc_id") % 4 == 3)
+    before_pairs = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=8),
+        extra=("n_shared_bands",),
+    )
+    before_rows = bucket_state_rows(spark, state).count()
+    multi = {p: fs for p, fs in _state_files(state).items() if len(fs) > 1}
+    assert multi, "test premise: some partition got >1 append file"
+
+    stats = bucket_state_compact(spark, state, n_parts=8).collect()
+    assert {s.bpart for s in stats} == set(multi)
+    assert all(s.rows_before == s.rows_after for s in stats)  # no torn rows
+    assert all(
+        len(fs) == 1 for fs in _state_files(state).values()
+    ), "every partition must end at one file"
+    assert bucket_state_rows(spark, state).count() == before_rows
+    after_pairs = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=8),
+        extra=("n_shared_bands",),
+    )
+    assert after_pairs == before_pairs
+    # geometry marker survives; a mismatched compact call stays loud
+    with pytest.raises(ValueError, match="geometry"):
+        bucket_state_compact(spark, state, n_parts=16)
+
+
+def test_compaction_drops_torn_append_duplicates(spark, tmp_path):
+    """A torn-append retry leaves byte-identical duplicate rows; the
+    probe already drops them per read, and compaction must remove them
+    from disk (rows_after < rows_before) without changing pairs."""
+    import shutil
+
+    from langscrape_spark.operators.incremental import (
+        _state_files,
+        bucket_state_compact,
+        minhash_ingest_round,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _mk_docs(spark, n=60)
+    state = str(tmp_path / "mh")
+    minhash_ingest_round(
+        docs.where(F.col("doc_id") % 2 == 0), state, n_parts=4
+    ).count()
+    # simulate the torn retry: re-copy every data file alongside itself
+    dup_rows = 0
+    for fs in _state_files(state).values():
+        for f in fs:
+            shutil.copy(f, f.replace(".parquet", "-retry.parquet"))
+            dup_rows += 1
+    last = docs.where(F.col("doc_id") % 2 == 1)
+    before = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    stats = bucket_state_compact(spark, state, n_parts=4).collect()
+    assert sum(s.rows_before - s.rows_after for s in stats) > 0
+    after = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    assert after == before
+
+
 def test_ingest_round_releases_persisted_signatures(spark, tmp_path):
     """minhash/simhash ingest rounds persist one signature frame per
     round and must release it after the state append — a multi-round

@@ -198,6 +198,71 @@ def test_shared_string_phonetic_runs_excluded(spark, tmp_path):
     assert rows[1] == ["東京"]  # no phonetic leak
 
 
+def test_inline_string_phonetic_runs_excluded(spark, tmp_path):
+    """CT_Rst allows the same rich/phonetic structure in <is> as in
+    <si>: an inlineStr cell with an <rPh> run must not leak the
+    phonetic text either (same contract as the shared-string table)."""
+    import zipfile as _zf
+
+    from langscrape_spark.sources.xlsx import parse_xlsx_bytes
+
+    p = str(tmp_path / "inline_ph.xlsx")
+    _write_xlsx(p, {"S": [["v"], ["placeholder"]]})
+    with _zf.ZipFile(p) as z:
+        members = {n: z.read(n) for n in z.namelist()}
+    members["xl/worksheets/sheet1.xml"] = (
+        f'<worksheet xmlns="{_MAIN}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>東</t>'
+        '<r><t>京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh>'
+        "</is></c></row>"
+        "</sheetData></worksheet>"
+    ).encode()
+    with _zf.ZipFile(p, "w") as z:
+        for n, b in members.items():
+            z.writestr(n, b)
+    rows = parse_xlsx_bytes(open(p, "rb").read())
+    assert rows[0] == ["東京"]  # direct <t> + run <r><t>, no rPh leak
+
+
+def test_absolute_relationship_target(spark, tmp_path):
+    """OPC allows absolute part names ('/xl/worksheets/sheet1.xml') in
+    relationship targets; the reader must normalize them instead of
+    building a malformed 'xl//xl/...' member path."""
+    import zipfile as _zf
+
+    from langscrape_spark.sources.xlsx import parse_xlsx_bytes
+
+    p = str(tmp_path / "abs.xlsx")
+    _write_xlsx(p, {"S": [["url"], ["https://a.example/"]]})
+    with _zf.ZipFile(p) as z:
+        members = {n: z.read(n) for n in z.namelist()}
+    members["xl/_rels/workbook.xml.rels"] = (
+        f'<Relationships xmlns="{_RELPKG}">'
+        f'<Relationship Id="rId1" Type="{_RELDOC}/worksheet"'
+        ' Target="/xl/worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ).encode()
+    with _zf.ZipFile(p, "w") as z:
+        for n, b in members.items():
+            z.writestr(n, b)
+    rows = parse_xlsx_bytes(open(p, "rb").read())
+    assert rows[1] == ["https://a.example/"]
+
+
+def test_header_uniquifier_probes_past_literal_collisions(spark, tmp_path):
+    """['url', 'url_2', 'url']: the minted name for the duplicate
+    'url' must probe PAST the literal 'url_2' header instead of
+    colliding with it and erroring on a readable workbook."""
+    from langscrape_spark.sources.xlsx import read_xlsx
+
+    p = str(tmp_path / "probe.xlsx")
+    _write_xlsx(p, {"S": [["url", "url_2", "url"], ["a", "b", "c"]]})
+    df = read_xlsx(spark, p)
+    assert df.columns == ["url", "url_2", "url_3"]
+    r = df.collect()[0]
+    assert (r.url, r.url_2, r.url_3) == ("a", "b", "c")
+
+
 def test_seeds_from_xlsx_projection(spark, tmp_path):
     from langscrape_spark.sources.xlsx import seeds_from_xlsx
 
