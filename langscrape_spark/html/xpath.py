@@ -36,16 +36,52 @@ class XPathError(ValueError):
 # Tokenizer / parser
 # ---------------------------------------------------------------------------
 
-_STEP_RE = re.compile(
-    r"""^
-    (?P<axis>@)?
-    (?P<name>[A-Za-z_][\w.-]*|\*|text\(\)|node\(\))
-    (?P<preds>(\[[^\]]*\])*)
-    $""",
-    re.X,
+_NAME_RE = re.compile(
+    r"^(?P<axis>@)?(?P<name>[A-Za-z_][\w.-]*|\*|text\(\)|node\(\))$"
 )
 
-_PRED_RE = re.compile(r"\[([^\]]*)\]")
+
+def _split_name_preds(raw: str) -> tuple:
+    """Split one raw step into ``(name_part, [pred, ...])`` with
+    quote- and depth-aware bracket scanning — a ``]`` inside a quoted
+    string literal (``re:test(@id, 'a[0-9]')``) must NOT terminate the
+    predicate, which a ``[^\\]]*`` regex would get wrong."""
+    quote = ""
+    split_at = len(raw)
+    for idx, ch in enumerate(raw):
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            split_at = idx
+            break
+    name, preds = raw[:split_at], []
+    i, n = split_at, len(raw)
+    while i < n:
+        if raw[i] != "[":
+            raise XPathError(f"unsupported step {raw!r}")
+        depth, quote, j = 0, "", i
+        while j < n:
+            ch = raw[j]
+            if quote:
+                if ch == quote:
+                    quote = ""
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            raise XPathError(f"unterminated predicate in {raw!r}")
+        preds.append(raw[i + 1 : j])
+        i = j + 1
+    return name, preds
 
 
 class _Step:
@@ -118,10 +154,10 @@ def _split_steps(path: str) -> List[_Step]:
         raw = path[i:j]
         if not raw:
             raise XPathError(f"empty step in {path!r}")
-        m = _STEP_RE.match(raw)
+        name_part, preds = _split_name_preds(raw)
+        m = _NAME_RE.match(name_part)
         if not m:
             raise XPathError(f"unsupported step {raw!r}")
-        preds = _PRED_RE.findall(m.group("preds") or "")
         steps.append(
             _Step(descendant, bool(m.group("axis")), m.group("name"), preds)
         )

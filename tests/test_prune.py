@@ -121,6 +121,30 @@ def test_apply_trim_rules_re_test():
     assert "x" not in s and "z" not in s and "y" in s
 
 
+def test_re_test_pattern_with_character_class():
+    """A regex character class inside the quoted pattern contains a
+    literal ']' — the predicate scanner must not treat it as the end
+    of the predicate (a `[^\\]]*` tokenizer silently rejects the whole
+    step, returning the empty/invalid sentinel instead of matching)."""
+    from langscrape_spark.html import evaluate, extract_text_by_xpath
+
+    doc = parse(
+        '<html><body><p id="a1">one</p><p id="b!">two</p></body></html>'
+    )
+    vals, invalid = extract_text_by_xpath(
+        doc, "//p[re:test(@id, '^[a-z][0-9]$')]/text()"
+    )
+    assert not invalid and vals == ["one"]
+    # nested brackets: positional predicate after a bracketed pattern
+    got = evaluate(doc, "//p[re:test(@id, '[0-9]')][1]/text()")
+    assert [str(t) for t in got] == ["one"]
+    # a ']' inside a contains() literal must survive too
+    vals2, invalid2 = extract_text_by_xpath(
+        doc, "//p[contains(@id, ']')]/text()"
+    )
+    assert not invalid2 and vals2 == []
+
+
 # ---------------------------------------------------------------------------
 # structure-guided pruning
 # ---------------------------------------------------------------------------
