@@ -138,6 +138,18 @@ def _check_geometry(
                 f" geometry ({detail}) — a mismatched probe silently"
                 " misses pairs"
             )
+        missing = {k: v for k, v in expected.items() if k not in stored}
+        if missing and create:
+            # upgrade path: a marker stamped before signature params
+            # existed (or via the raw append API) pins only n_parts;
+            # the first wrapper append that supplies the params adopts
+            # them so LATER calls get the full mismatch protection.
+            # Atomic tmp+rename — a torn write must not lose the marker
+            merged = {**stored, **missing}
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, marker)
         return
     if os.path.isdir(state_dir) and any(
         e.startswith("bpart=") for e in os.listdir(state_dir)
@@ -277,43 +289,69 @@ def bucket_state_probe(
 
 
 def bucket_state_compact(
-    spark: SparkSession, state_dir: str, n_parts: int = 64
+    spark: SparkSession,
+    state_dir: str,
+    n_parts: int = 64,
+    max_group_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
-    """Rewrite every multi-file ``bpart=`` partition as ONE file,
-    de-duplicated on ``(bucket, id)`` and sorted by ``bucket`` — the
-    periodic maintenance step the probe's flat-cost argument assumes.
-    Per-round appends add one file per touched partition, so after R
-    rounds a probe task opens O(R) footers and its row-group pruning
-    degrades (every small file's single row group spans a wide bucket
-    range); compaction restores one footer and tight sorted row-group
+    """Rewrite every multi-file ``bpart=`` partition down to few (one,
+    when it fits the memory budget) files, de-duplicated on
+    ``(bucket, id)`` and sorted by ``bucket`` — the periodic
+    maintenance step the probe's flat-cost argument assumes. Per-round
+    appends add one file per touched partition, so after R rounds a
+    probe task opens O(R) footers and its row-group pruning degrades
+    (every small file's single row group spans a wide bucket range);
+    compaction restores O(1) footers and tight sorted row-group
     ``[min, max]`` bucket stats per partition.
+
+    EAGER: the work runs inside this call (the destructive
+    rename+delete must execute exactly once — a lazy frame would redo
+    it per action, and a second action would read already-deleted
+    files). Returns the per-partition stats as a small materialized
+    DataFrame: ``(bpart, files_before, files_after, rows_before,
+    rows_after)`` — ``rows_before - rows_after`` counts the duplicate
+    rows torn-append retries had accumulated (≤ ``n_parts`` rows, the
+    same bounded-driver-collect budget as the iterative ops).
 
     Embarrassingly parallel — each task owns whole partitions and never
     sees another's files, so there is NO shuffle of state data at any
-    state size; only per-partition stats rows come back. Crash-safe by
-    commit ordering, the torn-append superset argument in reverse: the
-    compacted file is written under a non-``.parquet`` name (invisible
-    to probes and ``bucket_state_rows``), atomically renamed in, and
-    only then are the input files deleted — a crash between rename and
-    deletes leaves duplicate ``(bucket, id)`` rows, which every reader
-    already drops. Must not run concurrently with probes/appends on the
-    same directory (a probe that listed files before the deletes would
-    hit FileNotFoundError) — run it between crawl rounds, exactly like
-    the frontier seen-set's delta compaction.
-
-    Returns per-partition stats ``(bpart, files_before, rows_before,
-    rows_after)`` — ``rows_before - rows_after`` counts the duplicate
-    rows torn-append retries had accumulated. Single-file partitions
-    are skipped (already one footer; append order makes them sorted)."""
+    state size. Per-task memory is bounded by ``max_group_bytes`` of
+    on-disk input per rewrite group, NOT by partition size: an
+    oversized partition is size-tiered into contiguous groups, each
+    compacted to one sorted file (repeated runs converge, LSM-style),
+    so ``n_parts`` does not have to track state growth. Crash-safe by
+    commit ordering, the torn-append superset argument in reverse: each
+    group's output is written to a dot-prefixed temp name (hidden from
+    Spark's file listing AND from ``_state_files``), atomically renamed
+    in, and only then are that group's inputs deleted — a crash between
+    rename and deletes leaves duplicate ``(bucket, id)`` rows, which
+    every reader already drops; orphaned temp files from a crash
+    mid-write are swept by the next compaction. A Spark task RETRY
+    after some deletes re-runs the group on whatever inputs still
+    exist and skips the rest (missing files are tolerated), converging
+    to the same deduplicated contents. Must not run concurrently with
+    probes/appends on the same directory (a probe that listed files
+    before the deletes would hit FileNotFoundError) — run it between
+    crawl rounds, exactly like the frontier seen-set's delta
+    compaction. Single-file partitions are skipped (already one
+    footer; appends write bucket-sorted files)."""
     _check_geometry(state_dir, n_parts, create=False)
-    todo = {p: fs for p, fs in _state_files(state_dir).items() if len(fs) > 1}
-    schema = "bpart int, files_before int, rows_before bigint, rows_after bigint"
+    todo = {}
+    for p, fs in _state_files(state_dir).items():
+        if len(fs) > 1:
+            todo[p] = [(f, os.path.getsize(f)) for f in fs]
+    schema = (
+        "bpart int, files_before int, files_after int,"
+        " rows_before bigint, rows_after bigint"
+    )
     if not todo:
         return spark.createDataFrame([], schema)
     plan = spark.createDataFrame([(p,) for p in todo], "bpart int")
     bf = spark.sparkContext.broadcast(todo)
+    budget = max_group_bytes
 
     def compact(key, pdf):
+        import glob
         import os
         import uuid
 
@@ -322,37 +360,80 @@ def bucket_state_compact(
         import pyarrow.parquet as pq
 
         part = int(key[0])
-        paths = bf.value[part]
-        # one-path reads: a path LIST triggers pyarrow's hive-partition
-        # discovery, which would bake a synthetic ``bpart`` column into
-        # the compacted file and break later schema merges
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-        rows_before = tbl.num_rows
-        # pandas drop_duplicates keeps payload columns aligned with the
-        # surviving (bucket, id) row; duplicates are byte-identical
-        # retries so which one survives is immaterial
-        df = tbl.to_pandas().drop_duplicates(["bucket", "id"])
-        df = df.sort_values("bucket", kind="stable").reset_index(drop=True)
-        out = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
-        d = os.path.dirname(paths[0])
-        tmp = os.path.join(d, f"compact-{uuid.uuid4().hex}.inprogress")
-        # small sorted row groups keep the probe's min/max pruning fine-
-        # grained even when a partition holds many buckets
-        pq.write_table(out, tmp, row_group_size=65536)
-        final = tmp[: -len(".inprogress")] + ".parquet"
-        os.rename(tmp, final)  # commit point
-        for p in paths:
-            os.remove(p)
+        sized = bf.value[part]
+        d = os.path.dirname(sized[0][0])
+        # sweep orphans from a crash mid-write: hidden from every
+        # reader, so deletion is always safe
+        for orphan in glob.glob(os.path.join(d, ".compact-*.inprogress")):
+            os.remove(orphan)
+        # size-tiered contiguous groups: per-group input bytes ≤ budget
+        # bounds task memory regardless of partition size
+        groups, cur, cur_bytes = [], [], 0
+        for f, sz in sized:
+            if cur and cur_bytes + sz > budget:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += sz
+        groups.append(cur)
+        files_before = rows_before = rows_after = files_after = 0
+        for group in groups:
+            # tolerate a task retry that already deleted some inputs
+            live = [p for p in group if os.path.exists(p)]
+            if not live:
+                continue
+            if len(live) == 1:
+                # already one sorted file (an oversized lone file, or a
+                # retry that finished this group) — rewriting gains no
+                # footer and no dedup (within-file dups can't occur)
+                files_before += 1
+                files_after += 1
+                n = pq.ParquetFile(live[0]).metadata.num_rows
+                rows_before += n
+                rows_after += n
+                continue
+            # one-path reads: a path LIST triggers pyarrow's
+            # hive-partition discovery, which would bake a synthetic
+            # ``bpart`` column into the output and break schema merges
+            tbl = pa.concat_tables([pq.read_table(p) for p in live])
+            files_before += len(live)
+            rows_before += tbl.num_rows
+            # pandas drop_duplicates keeps payload columns aligned with
+            # the surviving (bucket, id) row; duplicates are
+            # byte-identical retries so which survives is immaterial
+            df = tbl.to_pandas().drop_duplicates(["bucket", "id"])
+            df = df.sort_values("bucket", kind="stable").reset_index(
+                drop=True
+            )
+            out = pa.Table.from_pandas(
+                df, schema=tbl.schema, preserve_index=False
+            )
+            tmp = os.path.join(
+                d, f".compact-{uuid.uuid4().hex}.inprogress"
+            )
+            # small sorted row groups keep the probe's min/max pruning
+            # fine-grained even when a partition holds many buckets
+            pq.write_table(out, tmp, row_group_size=65536)
+            final = os.path.join(
+                d, f"compact-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(tmp, final)  # commit point
+            for p in live:
+                os.remove(p)
+            files_after += 1
+            rows_after += out.num_rows
         return pd.DataFrame(
             {
                 "bpart": [part],
-                "files_before": [len(paths)],
+                "files_before": [files_before],
+                "files_after": [files_after],
                 "rows_before": [rows_before],
-                "rows_after": [out.num_rows],
+                "rows_after": [rows_after],
             }
         )
 
-    return plan.groupBy("bpart").applyInPandas(compact, schema)
+    stats = plan.groupBy("bpart").applyInPandas(compact, schema).collect()
+    return spark.createDataFrame(stats, schema)
 
 
 def minhash_lsh_pairs_incremental(

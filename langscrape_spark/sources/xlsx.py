@@ -98,10 +98,12 @@ def _sheet_path(zf: zipfile.ZipFile, sheet: str | None) -> str:
     if chosen is None:
         names = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
         raise ValueError(f"sheet {sheet!r} not found; workbook has {names}")
-    # OPC allows absolute part names ('/xl/worksheets/sheet1.xml');
-    # strip the leading '/' before deciding whether the target is
-    # already workbook-relative
-    target = targets[chosen.get(_REL_NS)].lstrip("/")
+    target = targets[chosen.get(_REL_NS)]
+    if target.startswith("/"):
+        # OPC absolute part name ('/xl/worksheets/sheet1.xml', or even
+        # '/worksheets/sheet1.xml' at the package root): the path IS
+        # the zip member, never resolved against the xl/ rels base
+        return target[1:]
     return target if target.startswith("xl/") else f"xl/{target}"
 
 

@@ -236,6 +236,129 @@ def test_compaction_preserves_probe_results_and_collapses_files(
         bucket_state_compact(spark, state, n_parts=16)
 
 
+def test_compaction_is_eager_and_stats_are_reusable(spark, tmp_path):
+    """The destructive rename+delete must run exactly once, inside the
+    call — a lazy frame would redo it per action, and the second action
+    would read already-deleted files (FileNotFoundError). The returned
+    stats must survive repeated actions."""
+    from langscrape_spark.operators.incremental import (
+        _state_files,
+        bucket_state_compact,
+        minhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=60)
+    state = str(tmp_path / "mh")
+    for r in range(2):
+        minhash_ingest_round(
+            docs.where(F.col("doc_id") % 2 == r), state, n_parts=4
+        ).count()
+    stats = bucket_state_compact(spark, state, n_parts=4)
+    # compaction already happened — files are collapsed BEFORE any
+    # action on the stats frame
+    assert all(len(fs) == 1 for fs in _state_files(state).values())
+    assert stats.count() == stats.count() == len(stats.collect())
+
+
+def test_compaction_sweeps_orphan_tmp_and_hides_it_from_readers(
+    spark, tmp_path
+):
+    """A crash mid-write leaves a dot-prefixed .inprogress file: it
+    must be invisible to bucket_state_rows (Spark hides dot-files) and
+    to probes (_state_files lists only *.parquet), and the next
+    compaction must delete it."""
+    import os
+
+    from langscrape_spark.operators.incremental import (
+        _state_files,
+        bucket_state_compact,
+        bucket_state_rows,
+        minhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=60)
+    state = str(tmp_path / "mh")
+    for r in range(2):
+        minhash_ingest_round(
+            docs.where(F.col("doc_id") % 2 == r), state, n_parts=4
+        ).count()
+    rows = bucket_state_rows(spark, state).count()
+    some_part = next(iter(_state_files(state).values()))[0]
+    orphan = os.path.join(
+        os.path.dirname(some_part), ".compact-deadbeef.inprogress"
+    )
+    with open(orphan, "wb") as f:
+        f.write(b"torn garbage, not parquet")
+    assert bucket_state_rows(spark, state).count() == rows  # hidden
+    bucket_state_compact(spark, state, n_parts=4).count()
+    assert not os.path.exists(orphan)
+    assert bucket_state_rows(spark, state).count() == rows
+
+
+def test_compaction_size_tiering_bounds_group_memory(spark, tmp_path):
+    """With a tiny max_group_bytes every append file lands in its own
+    group: partitions may keep >1 file (bounded memory beats one
+    footer), rows are preserved, and probe results are unchanged."""
+    from langscrape_spark.operators.incremental import (
+        bucket_state_compact,
+        bucket_state_rows,
+        minhash_ingest_round,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _mk_docs(spark, n=120)
+    state = str(tmp_path / "mh")
+    for r in range(3):
+        minhash_ingest_round(
+            docs.where(F.col("doc_id") % 4 == r), state, n_parts=4
+        ).count()
+    rows = bucket_state_rows(spark, state).count()
+    last = docs.where(F.col("doc_id") % 4 == 3)
+    before = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    stats = bucket_state_compact(
+        spark, state, n_parts=4, max_group_bytes=1
+    ).collect()
+    # 1-byte budget → every file is its own group → lone-file skip
+    assert all(s.files_before == s.files_after for s in stats)
+    assert bucket_state_rows(spark, state).count() == rows
+    after = _pairs_set(
+        minhash_lsh_pairs_incremental(last, state, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    assert after == before
+
+
+def test_geometry_marker_upgrades_with_missing_params(spark, tmp_path):
+    """A marker stamped via the raw append API (n_parts only) must
+    ADOPT the signature params on the first wrapper append that
+    supplies them — and enforce them from then on. Without the upgrade
+    the protection this marker exists for never engages on old state."""
+    import json
+    import os
+
+    from langscrape_spark.operators.incremental import (
+        _simhash_chunks,
+        bucket_state_append,
+        minhash_ingest_round,
+    )
+
+    docs = _mk_docs(spark, n=30)
+    state = str(tmp_path / "mh")
+    # raw append: no params in the marker
+    raw = _simhash_chunks(docs, "text", "doc_id", 3).limit(0)
+    bucket_state_append(raw.select("bucket", "id"), state, n_parts=4)
+    marker = json.load(open(os.path.join(state, "_GEOMETRY.json")))
+    assert "bands" not in marker
+    minhash_ingest_round(docs, state, n_parts=4, bands=4).count()
+    marker = json.load(open(os.path.join(state, "_GEOMETRY.json")))
+    assert marker["bands"] == 4  # adopted
+    with pytest.raises(ValueError, match="bands"):
+        minhash_ingest_round(docs, state, n_parts=4, bands=8).count()
+
+
 def test_compaction_drops_torn_append_duplicates(spark, tmp_path):
     """A torn-append retry leaves byte-identical duplicate rows; the
     probe already drops them per read, and compaction must remove them

@@ -249,6 +249,34 @@ def test_absolute_relationship_target(spark, tmp_path):
     assert rows[1] == ["https://a.example/"]
 
 
+def test_absolute_target_outside_xl_is_not_rebased(spark, tmp_path):
+    """An absolute OPC target is the zip member path verbatim (minus
+    the leading '/') — a part stored at the package root
+    ('/worksheets/sheet1.xml') must NOT be rebased under 'xl/'."""
+    import zipfile as _zf
+
+    from langscrape_spark.sources.xlsx import parse_xlsx_bytes
+
+    p = str(tmp_path / "rootpart.xlsx")
+    _write_xlsx(p, {"S": [["url"], ["https://a.example/"]]})
+    with _zf.ZipFile(p) as z:
+        members = {n: z.read(n) for n in z.namelist()}
+    members["worksheets/sheet1.xml"] = members.pop(
+        "xl/worksheets/sheet1.xml"
+    )
+    members["xl/_rels/workbook.xml.rels"] = (
+        f'<Relationships xmlns="{_RELPKG}">'
+        f'<Relationship Id="rId1" Type="{_RELDOC}/worksheet"'
+        ' Target="/worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ).encode()
+    with _zf.ZipFile(p, "w") as z:
+        for n, b in members.items():
+            z.writestr(n, b)
+    rows = parse_xlsx_bytes(open(p, "rb").read())
+    assert rows[1] == ["https://a.example/"]
+
+
 def test_header_uniquifier_probes_past_literal_collisions(spark, tmp_path):
     """['url', 'url_2', 'url']: the minted name for the duplicate
     'url' must probe PAST the literal 'url_2' header instead of
