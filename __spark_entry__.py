@@ -4195,6 +4195,64 @@ def q155_simhash_incremental(spark, sf):
     )
 
 
+def q156_novelty_incremental(spark, sf):
+    """Cross-round novelty (operators/incremental.py::
+    minhash_novelty_incremental): documents 200-449 arrive in THREE
+    rounds (doc_id % 3); before each round is ingested, every doc is
+    classified novel iff it shares NO MinHash band bucket with the
+    ACCUMULATED state (earlier rounds only — round 0 is all-novel by
+    definition). Returns per-round (round, n_docs, n_novel). The
+    oracle derives the same thing without any state machinery: a doc
+    is non-novel iff some doc with a strictly smaller round index
+    shares one of its q154-proven band buckets. Each round's counts
+    are materialized (localCheckpoint) BEFORE the state append
+    mutates the directory the probe plan reads."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.dedup import minhash_band_buckets
+    from langscrape_spark.operators.incremental import (
+        bucket_state_append,
+        minhash_novelty_incremental,
+    )
+
+    docs = _t(spark, sf, "documents").where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 450)
+    )
+    state = tempfile.mkdtemp(prefix="q156_mh_state_")
+    try:
+        out = None
+        for r in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == r)
+            novel = minhash_novelty_incremental(
+                batch, state, "text", "doc_id",
+                num_hashes=16, bands=4, k=3, n_parts=8,
+            )
+            agg = (
+                novel.agg(
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.sum(F.col("is_novel").cast("long")).alias("n_novel"),
+                )
+                .select(F.lit(r).alias("round"), "n_docs", "n_novel")
+                .localCheckpoint(eager=True)
+            )
+            out = agg if out is None else out.unionByName(agg)
+            bucket_state_append(
+                minhash_band_buckets(batch, "text", "doc_id", 16, 4, 3),
+                state,
+                n_parts=8,
+                params={
+                    "family": "minhash",
+                    "num_hashes": 16,
+                    "bands": 4,
+                    "k": 3,
+                },
+            )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out.orderBy("round")
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4317,6 +4375,7 @@ _PRIORITY_ORDER = [
     "q10_minhash_lsh",             # MinHash-LSH near-dup
     "q154_minhash_incremental",    # incremental dedup vs catalog state
     "q155_simhash_incremental",    # incremental pigeonhole dedup
+    "q156_novelty_incremental",    # cross-round novelty signal
     "q84_bpe_train",               # BPE training
     "q99_prefix_jaccard",          # prefix-filtered exact Jaccard join
     "q108_suffix_array",           # distributed suffix array
@@ -4531,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_ndcg": q153_ndcg,
         "q154_minhash_incremental": q154_minhash_incremental,
         "q155_simhash_incremental": q155_simhash_incremental,
+        "q156_novelty_incremental": q156_novelty_incremental,
     })
 
 
@@ -8277,6 +8337,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "q156_novelty_incremental": f"""
+            -- Cross-round novelty without the state machinery: doc
+            -- rounds are doc_id % 3, and a doc is NON-novel iff some
+            -- doc with a strictly smaller round shares one of its
+            -- q154-proven MinHash band buckets (the probe sees exactly
+            -- the earlier rounds' bucket rows). Spark: operators/
+            -- incremental.py::minhash_novelty_incremental.
+            WITH base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM documents
+                    WHERE doc_id >= 200 AND doc_id < 450)),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s) AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR)) AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2] || '|' ||
+                         sg[b*4+3] || '|' || sg[b*4+4]))) AS bucket
+              FROM sig),
+            nonnovel AS (
+              SELECT DISTINCT a.id
+              FROM banded a JOIN banded b
+                ON a.bucket = b.bucket AND (b.id % 3) < (a.id % 3)),
+            ids AS (
+              SELECT doc_id AS id FROM documents
+              WHERE doc_id >= 200 AND doc_id < 450)
+            SELECT CAST(i.id % 3 AS INTEGER) AS round,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN nn.id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM ids i LEFT JOIN nonnovel nn ON i.id = nn.id
+            GROUP BY 1
         """,
         "q151_f1_threshold": """
             -- Max-F1 cut re-derived: q75's score/label pair, distinct-

@@ -70,6 +70,7 @@ __all__ = [
     "bucket_state_rows",
     "minhash_lsh_pairs_incremental",
     "minhash_ingest_round",
+    "minhash_novelty_incremental",
     "simhash_near_dups_incremental",
     "simhash_ingest_round",
 ]
@@ -530,6 +531,54 @@ def minhash_ingest_round(
     for h in handles:
         h.unpersist()
     return pairs
+
+
+def minhash_novelty_incremental(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Per-doc novelty of a NEW crawl batch against the ACCUMULATED
+    corpus state — the incremental-curation signal
+    (:func:`.dedup.novelty_fraction` is the one-corpus form; this is
+    the round-shaped production form): a doc is novel iff it shares NO
+    MinHash band bucket with any stored doc. Returns
+    ``(id, is_novel boolean)``, one row per distinct input id.
+
+    Read-only: probes the state, never appends (pair a call with
+    :func:`minhash_ingest_round` / :func:`bucket_state_append` to
+    advance the state afterwards). An absent state (no geometry marker
+    yet — round 0 of a fresh crawl) means everything is novel, by
+    definition rather than by error. Cost is O(new batch): the batch's
+    signatures shuffle once by ``bpart``; the state is only touched
+    through row-group-pruned probe reads. Novelty here is
+    band-collision novelty — the same candidate notion the LSH dedup
+    uses — NOT verified Jaccard similarity; it deliberately measures
+    "would the deduper even look at this pair"."""
+    ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    if not os.path.exists(os.path.join(state_dir, _GEOMETRY)):
+        return ids.withColumn("is_novel", F.lit(True))
+    newb = minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, k
+    )
+    hits = (
+        bucket_state_probe(
+            newb, state_dir, n_parts,
+            params=_minhash_params(num_hashes, bands, k),
+        )
+        .select(F.col("id_new").alias("id"))
+        .distinct()
+    )
+    return ids.join(
+        hits.withColumn("_hit", F.lit(True)), "id", "left"
+    ).select(
+        "id", (~F.coalesce("_hit", F.lit(False))).alias("is_novel")
+    )
 
 
 def simhash_near_dups_incremental(

@@ -397,6 +397,56 @@ def test_compaction_drops_torn_append_duplicates(spark, tmp_path):
     assert after == before
 
 
+def test_novelty_incremental_matches_bruteforce_rounds(spark, tmp_path):
+    """minhash_novelty_incremental: round 0 against an absent state is
+    all-novel by definition; later rounds classify each doc novel iff
+    it shares no band bucket with ANY earlier round's doc — checked
+    against a brute-force derivation from the batch bucket frames."""
+    from langscrape_spark.operators.dedup import minhash_band_buckets
+    from langscrape_spark.operators.incremental import (
+        bucket_state_append,
+        minhash_novelty_incremental,
+    )
+
+    docs = _mk_docs(spark, n=90)
+    params = {"family": "minhash", "num_hashes": 16, "bands": 4, "k": 3}
+    state = str(tmp_path / "mh")
+    # brute-force oracle: bucket → earliest round that contains it
+    all_b = minhash_band_buckets(docs, "text", "doc_id", 16, 4, 3).select(
+        "bucket", "id", (F.col("id") % 3).alias("rnd")
+    )
+    first_round = all_b.groupBy("bucket").agg(F.min("rnd").alias("first_rnd"))
+    expect_nonnovel = {
+        r.id
+        for r in all_b.join(first_round, "bucket")
+        .where(F.col("first_rnd") < F.col("rnd"))
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    for r in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == r)
+        nv = {
+            row.id: row.is_novel
+            for row in minhash_novelty_incremental(
+                batch, state, n_parts=4
+            ).collect()
+        }
+        assert set(nv) == {
+            row.doc_id for row in batch.select("doc_id").collect()
+        }
+        for i, novel in nv.items():
+            assert novel == (i not in expect_nonnovel), (r, i)
+        if r == 0:
+            assert all(nv.values())  # absent state: everything novel
+        bucket_state_append(
+            minhash_band_buckets(batch, "text", "doc_id", 16, 4, 3),
+            state,
+            n_parts=4,
+            params=params,
+        )
+
+
 def test_ingest_round_releases_persisted_signatures(spark, tmp_path):
     """minhash/simhash ingest rounds persist one signature frame per
     round and must release it after the state append — a multi-round
