@@ -4253,6 +4253,61 @@ def q156_novelty_incremental(spark, sf):
     return out.orderBy("round")
 
 
+def q157_soft404(spark, sf):
+    """Soft-404 / error-template screen (operators/anomaly.py::
+    soft404_templates): per-host clusters of SimHash-identical short
+    bodies spanning >= 3 distinct documents. The corpus is documents
+    plus a PLANTED per-source error template (docs 0-59 re-emitted at
+    doc_id+100000 with a short source-keyed "Error 404" body — both
+    engines derive the plant from the same base table, the q148
+    planting pattern), so every source with >= 3 low-id docs must
+    surface exactly one flagged cluster; natural clusters, if any,
+    are computed identically by the oracle. SimHash parity is the
+    proven q16 fragment."""
+    from langscrape_spark.operators.anomaly import soft404_templates
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("Error 404 page not found on "),
+            F.col("source"),
+            F.lit(" please check the url and try again"),
+        ).alias("text"),
+        "source",
+    )
+    pages = docs.select("doc_id", "text", "source").unionByName(planted)
+    return soft404_templates(
+        pages, "text", "doc_id", "source", max_chars=400, min_cluster=3
+    ).orderBy("host", "simhash")
+
+
+def q158_filter_funnel(spark, sf):
+    """Gate-cascade attrition audit (operators/text.py::
+    filter_funnel) over the seven Gopher gates in published order:
+    per stage, documents reaching it, first-failing at it (the
+    funnel), failing it at all (marginal) and failing ONLY it (unique
+    attribution — the gate-redundancy signal). Gates compare the
+    round-6 ratio columns so both engines gate on identical bits
+    (q44 proves the underlying ratio parity)."""
+    from langscrape_spark.operators.text import (
+        filter_funnel,
+        gopher_quality_flags,
+    )
+
+    flags = gopher_quality_flags(_t(spark, sf, "documents"))
+    gates = [
+        ("word_count", F.col("n_words").between(50, 100000)),
+        ("mean_word_len", F.col("mean_word_len").between(3.0, 10.0)),
+        ("symbol_ratio", F.col("symbol_ratio") < 0.1),
+        ("bullet_lines", F.col("frac_bullet") < 0.9),
+        ("ellipsis_lines", F.col("frac_ellipsis") < 0.3),
+        ("alpha_words", F.col("frac_alpha_words") >= 0.8),
+        ("stopwords", F.col("stopword_hits") >= 2),
+    ]
+    return filter_funnel(flags, gates).orderBy("stage")
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4376,6 +4431,8 @@ _PRIORITY_ORDER = [
     "q154_minhash_incremental",    # incremental dedup vs catalog state
     "q155_simhash_incremental",    # incremental pigeonhole dedup
     "q156_novelty_incremental",    # cross-round novelty signal
+    "q157_soft404",                # soft-404 template screen
+    "q158_filter_funnel",          # gate-cascade attrition audit
     "q84_bpe_train",               # BPE training
     "q99_prefix_jaccard",          # prefix-filtered exact Jaccard join
     "q108_suffix_array",           # distributed suffix array
@@ -4591,6 +4648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_minhash_incremental": q154_minhash_incremental,
         "q155_simhash_incremental": q155_simhash_incremental,
         "q156_novelty_incremental": q156_novelty_incremental,
+        "q157_soft404": q157_soft404,
+        "q158_filter_funnel": q158_filter_funnel,
     })
 
 
@@ -8375,6 +8434,149 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_novel
             FROM ids i LEFT JOIN nonnovel nn ON i.id = nn.id
             GROUP BY 1
+        """,
+        "q157_soft404": f"""
+            -- Soft-404 template screen: full q16 SimHash reproduction
+            -- (2-shingles, md5 lower half, majority votes, LE pack)
+            -- over documents UNION the planted per-source error body
+            -- (docs 0-59 at doc_id+100000), then per-(source, simhash)
+            -- clusters gated on >= 3 distinct docs and mean length
+            -- <= 400. Spark: operators/anomaly.py::soft404_templates.
+            WITH pages AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     'Error 404 page not found on ' || source ||
+                     ' please check the url and try again' AS text,
+                     source
+              FROM documents WHERE doc_id < 60),
+            toks AS (
+              SELECT doc_id, source, length(text) AS nc, {_TOKENS} AS tok
+              FROM pages),
+            base AS (
+              SELECT doc_id, source, nc, {_SHINGLES2} AS sh FROM toks),
+            hashed AS (
+              SELECT doc_id, source, nc,
+                     list_transform(sh, s -> md5_number_lower(s)) AS hs
+              FROM base),
+            votes AS (
+              SELECT doc_id, j, len(hs) AS n,
+                     len(list_filter(hs, h -> ((h >> j) & 1) = 1)) AS ones
+              FROM hashed, UNNEST(range(0, 64)) AS t(j)),
+            packed AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN 2 * ones > n
+                       THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                       ELSE CAST(0 AS HUGEINT) END), 0) AS us
+              FROM votes GROUP BY doc_id),
+            sh64 AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN us >= CAST(1 AS HUGEINT) << 63
+                          THEN us - (CAST(1 AS HUGEINT) << 64)
+                          ELSE us END AS BIGINT) AS simhash
+              FROM packed),
+            cl AS (
+              SELECT h.source AS host, s.simhash,
+                     CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS n_pages,
+                     MIN(h.doc_id) AS example_id,
+                     round(AVG(h.nc), 6) AS avg_chars
+              FROM hashed h JOIN sh64 s ON h.doc_id = s.doc_id
+              GROUP BY 1, 2)
+            SELECT host, simhash, n_pages, example_id, avg_chars
+            FROM cl WHERE n_pages >= 3 AND avg_chars <= 400
+        """,
+        "q158_filter_funnel": f"""
+            -- Gate-cascade attrition audit over the q44 Gopher gates,
+            -- compared on the SAME round-6 ratios the Spark side gates
+            -- on: per stage, reached / first-fail / marginal-fail /
+            -- unique-fail counts. Spark: operators/text.py::
+            -- filter_funnel.
+            WITH toks AS (
+              SELECT doc_id, text, {_TOKENS} AS tok FROM documents),
+            base AS (
+              SELECT doc_id, text, tok,
+                     CAST(len(tok) AS BIGINT) AS n_words,
+                     list_sum(list_transform(tok, w -> length(w))) AS twc,
+                     len(list_filter(tok,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_w,
+                     len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_sym,
+                     list_transform(
+                       list_filter(string_split(text, chr(10)),
+                         l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''),
+                       l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')) AS lines
+              FROM toks),
+            m AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                          THEN twc / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mwl,
+                     CASE WHEN n_words > 0
+                          THEN n_alpha_w / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END AS faw,
+                     CASE WHEN n_words > 0
+                          THEN n_sym / CAST(n_words AS DOUBLE)
+                          ELSE 0.0 END AS sr,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                 l -> regexp_matches(l, '^[-*•‣▪]')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS fb,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                 l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS fe,
+                     CAST(len(list_intersect(tok, {en_stop})) AS BIGINT) AS sh
+              FROM base),
+            r AS (
+              SELECT doc_id,
+                     n_words BETWEEN 50 AND 100000 AS g0,
+                     round(mwl, 6) BETWEEN 3.0 AND 10.0 AS g1,
+                     round(sr, 6) < 0.1 AS g2,
+                     round(fb, 6) < 0.9 AS g3,
+                     round(fe, 6) < 0.3 AS g4,
+                     round(faw, 6) >= 0.8 AS g5,
+                     sh >= 2 AS g6
+              FROM m),
+            f AS (
+              SELECT *,
+                     CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
+                          WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
+                          WHEN NOT g4 THEN 4 WHEN NOT g5 THEN 5
+                          WHEN NOT g6 THEN 6 ELSE 7 END AS ff,
+                     (CASE WHEN g0 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g1 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g2 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g3 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g4 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g5 THEN 0 ELSE 1 END)
+                       + (CASE WHEN g6 THEN 0 ELSE 1 END) AS nfail
+              FROM r),
+            st AS (
+              SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS stage),
+            nm(stage, gate) AS (
+              VALUES (0, 'word_count'), (1, 'mean_word_len'),
+                     (2, 'symbol_ratio'), (3, 'bullet_lines'),
+                     (4, 'ellipsis_lines'), (5, 'alpha_words'),
+                     (6, 'stopwords'))
+            SELECT st.stage, nm.gate,
+                   CAST(COALESCE(SUM(CASE WHEN f.ff >= st.stage
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_reached,
+                   CAST(COALESCE(SUM(CASE WHEN f.ff = st.stage
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed_here,
+                   CAST(COALESCE(SUM(CASE WHEN NOT (CASE st.stage
+                        WHEN 0 THEN f.g0 WHEN 1 THEN f.g1 WHEN 2 THEN f.g2
+                        WHEN 3 THEN f.g3 WHEN 4 THEN f.g4 WHEN 5 THEN f.g5
+                        ELSE f.g6 END)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fail_marginal,
+                   CAST(COALESCE(SUM(CASE WHEN f.nfail = 1 AND NOT (CASE st.stage
+                        WHEN 0 THEN f.g0 WHEN 1 THEN f.g1 WHEN 2 THEN f.g2
+                        WHEN 3 THEN f.g3 WHEN 4 THEN f.g4 WHEN 5 THEN f.g5
+                        ELSE f.g6 END)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique_fail
+            FROM st CROSS JOIN f
+            JOIN nm ON nm.stage = st.stage
+            GROUP BY st.stage, nm.gate
         """,
         "q151_f1_threshold": """
             -- Max-F1 cut re-derived: q75's score/label pair, distinct-

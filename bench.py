@@ -171,15 +171,33 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
     level's surviving legs still spread >2x or the best legs started
     loaded) plus per-leg rates and start loads in ``all_legs``, so an
     inflated or depressed ratio is visible in the artifact instead of
-    silent. Disable with SPARK_GRAFT_BENCH_SCALING=0."""
+    silent; (c) each leg waits (90s cap) for the 1-min load average to
+    drain below 2.0 first — the in-bench legs otherwise start inside
+    the load shadow of the just-finished 32-thread suite and
+    ``suspect_load`` fires even on an idle box. Disable with
+    SPARK_GRAFT_BENCH_SCALING=0."""
     import subprocess
     import sys as _sys
 
     repo = os.path.dirname(os.path.abspath(__file__))
     legs: dict[int, list[dict]] = {c: [] for c in levels}
 
+    def drain_load(target: float = 2.0, cap_s: float = 90.0) -> None:
+        """Wait for the 1-min load average to decay below ``target``
+        (capped). Without this, the first legs START inside the load
+        shadow of the just-finished 32-thread suite (observed: leg
+        starts at load 9.5 on a box that was idle at suite start), so
+        ``suspect_load`` fires on every in-bench run and best-of keeps
+        comparing depressed legs. The wait is dead time, not load, and
+        a genuinely busy box simply hits the cap — the per-leg start
+        loads still disclose it."""
+        deadline = time.monotonic() + cap_s
+        while os.getloadavg()[0] > target and time.monotonic() < deadline:
+            time.sleep(3.0)
+
     def one_pass() -> None:
         for cpus in levels:
+            drain_load()
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -250,7 +268,8 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         "protocol": (
             f"same {n_pages}-page crawl, 2 rounds, fresh JVM per leg,"
             " 2 interleaved passes per level (retry pass on >25% leg"
-            " disagreement or loaded start), best rate per level"
+            " disagreement or loaded start), load drained <2.0 before"
+            " each leg (90s cap), best rate per level"
         ),
         "cores": list(levels),
         "extract_urls_per_sec": [

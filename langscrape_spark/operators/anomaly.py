@@ -242,3 +242,59 @@ def burstiness(
         F.round(mu, 6).alias("mean_gap_us"),
         F.round(F.try_divide(sig - mu, sig + mu), 6).alias("b"),
     )
+
+
+def soft404_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    max_chars: int = 400,
+    min_cluster: int = 3,
+) -> DataFrame:
+    """Soft-404 / error-template detection — the crawl-ops screen for
+    hosts that answer HTTP 200 with the same short "not found" /
+    "access denied" / parked-domain body under many distinct URLs.
+    Those pages poison dedup statistics, waste refresh budget, and (at
+    training time) inject thousands of copies of boilerplate, so
+    production crawlers (Bar-Yossef et al. 2004, "Sic transit gloria
+    telae") fingerprint-cluster per host and drop the cluster.
+
+    A cluster here is a per-host group of documents with the SAME
+    64-bit SimHash fingerprint (:func:`..dedup.simhash64_fast`,
+    hamming-0 — the scalable core; a radius-r variant composes
+    :func:`..dedup.simhash_near_dups` with the connected-components
+    resolver instead of this equality groupBy). Flagged iff it spans
+    ``>= min_cluster`` distinct documents AND the mean body length is
+    ``<= max_chars`` — error templates are short; a long identical
+    body is syndication, which is the dedup pipeline's business, not
+    this screen's.
+
+    Shape at 100 TB: the fingerprint is one Arrow-batched projection
+    pass; the groupBy is an equi-key hash agg with map-side combine,
+    shuffling at most one row per (host, fingerprint) group; the
+    distinct-id count uses Spark's expand-based partial distinct (ids
+    are unique per row in normal use, so the expansion is a no-op
+    guard against re-crawled rows). No windows, no joins, no driver
+    state.
+
+    Output: ``(host, simhash, n_pages, example_id, avg_chars)``, one
+    row per flagged cluster.
+    """
+    from .dedup import simhash64_fast
+
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        simhash64_fast(F.col(text_col)).alias("simhash"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    )
+    clusters = base.groupBy("host", "simhash").agg(
+        F.countDistinct("id").alias("n_pages"),
+        F.min("id").alias("example_id"),
+        F.round(F.avg("_nc"), 6).alias("avg_chars"),
+    )
+    return clusters.where(
+        (F.col("n_pages") >= int(min_cluster))
+        & (F.col("avg_chars") <= float(max_chars))
+    )

@@ -1647,3 +1647,85 @@ def hill_alpha(
             6,
         ).alias("alpha"),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: Sequence[tuple],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate-cascade attrition audit — the curation-ops report behind
+    every published filtering pipeline (C4 §2.2, Gopher Table A1,
+    FineWeb §3): documents pass an ORDERED list of quality gates, and
+    what ops needs is not just the survivor set but WHERE the corpus
+    went: how many documents reach each stage, how many the stage
+    removes (first-failure attribution — the funnel), how many fail it
+    at all (marginal rate, order-independent), and how many fail ONLY
+    it (unique attribution — gates whose unique-fail count is ~0 are
+    redundant and can be dropped from the cascade).
+
+    ``gates`` is an ordered sequence of ``(name, Column)`` with
+    boolean gate expressions over ``df``'s columns (NULL counts as
+    fail). Returns one row per gate::
+
+        (stage, gate, n_reached, n_failed_here, n_fail_marginal,
+         n_unique_fail)
+
+    where ``n_reached`` is the count surviving gates ``< stage`` and
+    ``n_failed_here`` the first-failure count, so the survivor corpus
+    is ``n_reached - n_failed_here`` of the LAST row.
+
+    Shape at 100 TB: one projection computes every gate bool plus the
+    first-failure index, then ONE global aggregate (4 x n_gates sum
+    expressions) reduces with map-side partials to a single row — no
+    shuffle wider than the partial-agg row, no per-gate passes over
+    the corpus; the per-stage reshape explodes that one row into
+    ``n_gates`` rows driver-side-free. Adding a gate costs four sum
+    expressions, not a scan.
+    """
+    names = [str(n) for n, _ in gates]
+    ng = len(names)
+    if ng == 0:
+        raise ValueError("filter_funnel needs at least one gate")
+    gcols = [
+        F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"_g{i}")
+        for i, (_, c) in enumerate(gates)
+    ]
+    flags = df.select(*gcols)
+    ff = F.lit(ng)
+    for i in reversed(range(ng)):
+        ff = F.when(~F.col(f"_g{i}"), F.lit(i)).otherwise(ff)
+    flags = flags.withColumn("_ff", ff)
+
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    aggs = []
+    for i in range(ng):
+        others = [F.col(f"_g{j}") for j in range(ng) if j != i]
+        only_this = ~F.col(f"_g{i}")
+        for o in others:
+            only_this = only_this & o
+        aggs += [
+            _cnt(F.col("_ff") >= i).alias(f"_r{i}"),
+            _cnt(F.col("_ff") == i).alias(f"_f{i}"),
+            _cnt(~F.col(f"_g{i}")).alias(f"_m{i}"),
+            _cnt(only_this).alias(f"_u{i}"),
+        ]
+    row = flags.agg(*aggs)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("gate"),
+                F.col(f"_r{i}").alias("n_reached"),
+                F.col(f"_f{i}").alias("n_failed_here"),
+                F.col(f"_m{i}").alias("n_fail_marginal"),
+                F.col(f"_u{i}").alias("n_unique_fail"),
+            )
+            for i in range(ng)
+        ]
+    )
+    return row.select(F.explode(stages).alias("s")).select("s.*")

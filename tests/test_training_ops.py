@@ -4538,3 +4538,92 @@ def test_ndcg_hand_cases(spark):
     )
     r5 = ndcg_at_k(ranked, rel_dup, k=3).collect()[0]
     assert (r5.n_relevant, r5.ndcg, r5.n_ranked) == (2, 1.0, 3)
+
+
+# ---------------------------------------------------------------------------
+# filter_funnel
+# ---------------------------------------------------------------------------
+
+def test_filter_funnel_attribution(spark):
+    from pyspark.sql import functions as F
+    from langscrape_spark.operators.text import filter_funnel
+
+    # 6 docs, 3 gates. Hand-derived per-doc gate bools:
+    #   doc  a>0  b>0  c>0   first_fail  n_fail
+    #   1    T    T    T     pass        0
+    #   2    F    T    T     0           1   (unique a)
+    #   3    T    F    T     1           1   (unique b)
+    #   4    F    F    T     0           2
+    #   5    T    T    F     2           1   (unique c)
+    #   6    F    F    F     0           3
+    rows = [
+        (1, 1, 1, 1), (2, 0, 1, 1), (3, 1, 0, 1),
+        (4, 0, 0, 1), (5, 1, 1, 0), (6, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a int, b int, c int")
+    gates = [("ga", F.col("a") > 0), ("gb", F.col("b") > 0),
+             ("gc", F.col("c") > 0)]
+    got = {r["stage"]: r.asDict() for r in filter_funnel(df, gates).collect()}
+    assert len(got) == 3
+    assert got[0]["gate"] == "ga"
+    assert got[0]["n_reached"] == 6
+    assert got[0]["n_failed_here"] == 3       # docs 2, 4, 6
+    assert got[0]["n_fail_marginal"] == 3
+    assert got[0]["n_unique_fail"] == 1       # doc 2
+    assert got[1]["n_reached"] == 3           # docs 1, 3, 5
+    assert got[1]["n_failed_here"] == 1       # doc 3
+    assert got[1]["n_fail_marginal"] == 3     # docs 3, 4, 6
+    assert got[1]["n_unique_fail"] == 1       # doc 3
+    assert got[2]["n_reached"] == 2           # docs 1, 5
+    assert got[2]["n_failed_here"] == 1       # doc 5
+    assert got[2]["n_fail_marginal"] == 2     # docs 5, 6
+    assert got[2]["n_unique_fail"] == 1       # doc 5
+    # survivor corpus = last row's reached - failed_here
+    assert got[2]["n_reached"] - got[2]["n_failed_here"] == 1  # doc 1
+
+
+def test_filter_funnel_null_fails_and_empty(spark):
+    from pyspark.sql import functions as F
+    from langscrape_spark.operators.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], "doc_id long, v int"
+    )
+    got = filter_funnel(df, [("pos", F.col("v") > 0)]).collect()
+    assert got[0]["n_failed_here"] == 1       # NULL gate counts as fail
+    # empty input still emits one row per gate, all zeros
+    empty = df.where(F.lit(False))
+    got0 = filter_funnel(empty, [("pos", F.col("v") > 0)]).collect()
+    assert [(r["n_reached"], r["n_failed_here"]) for r in got0] == [(0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# soft404_templates
+# ---------------------------------------------------------------------------
+
+def test_soft404_flags_planted_template(spark):
+    from langscrape_spark.operators.anomaly import soft404_templates
+
+    err = "Error 404 page not found please try again"
+    long_dup = ("this is a very long syndicated article body " * 40)[:1600]
+    rows = (
+        # hostA: 3 identical short error pages -> flagged
+        [(i, err, "hostA") for i in range(3)]
+        # hostA: distinct real pages -> not flagged
+        + [(10 + i, f"real content about topic {i} words differ {i}", "hostA")
+           for i in range(3)]
+        # hostB: only 2 copies -> below min_cluster
+        + [(20 + i, err, "hostB") for i in range(2)]
+        # hostC: 3 identical LONG pages -> length gate exempts them
+        + [(30 + i, long_dup, "hostC") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, host string")
+    got = soft404_templates(
+        df, "text", "doc_id", "host", max_chars=400, min_cluster=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["host"] == "hostA"
+    assert r["n_pages"] == 3
+    assert r["example_id"] == 0
+    assert r["avg_chars"] == float(len(err))
