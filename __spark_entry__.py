@@ -4224,9 +4224,11 @@ def q156_novelty_incremental(spark, sf):
         out = None
         for r in range(3):
             batch = docs.where(F.col("doc_id") % 3 == r)
+            handles = []
             novel = minhash_novelty_incremental(
                 batch, state, "text", "doc_id",
                 num_hashes=16, bands=4, k=3, n_parts=8,
+                unpersist_inputs=handles,
             )
             agg = (
                 novel.agg(
@@ -4237,6 +4239,9 @@ def q156_novelty_incremental(spark, sf):
                 .localCheckpoint(eager=True)
             )
             out = agg if out is None else out.unionByName(agg)
+            # The append's signature subplan is canonically equal to
+            # the one the novelty probe persisted, so the CacheManager
+            # serves it — one minhash md5 pass per round, then release.
             bucket_state_append(
                 minhash_band_buckets(batch, "text", "doc_id", 16, 4, 3),
                 state,
@@ -4248,6 +4253,8 @@ def q156_novelty_incremental(spark, sf):
                     "k": 3,
                 },
             )
+            for h in handles:
+                h.unpersist()
     finally:
         shutil.rmtree(state, ignore_errors=True)
     return out.orderBy("round")
@@ -8574,8 +8581,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 3 THEN f.g3 WHEN 4 THEN f.g4 WHEN 5 THEN f.g5
                         ELSE f.g6 END)
                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique_fail
-            FROM st CROSS JOIN f
-            JOIN nm ON nm.stage = st.stage
+            FROM st JOIN nm ON nm.stage = st.stage
+            LEFT JOIN f ON TRUE
             GROUP BY st.stage, nm.gate
         """,
         "q151_f1_threshold": """

@@ -155,13 +155,11 @@ def curation_funnel(docs: DataFrame, gates) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from .text import first_fail_index
+
     spark = docs.sparkSession
     n = len(gates)
-    fail_branches = [
-        F.when(~F.coalesce(g, F.lit(False)), F.lit(i))
-        for i, (_, g) in enumerate(gates)
-    ]
-    ff = F.coalesce(*fail_branches, F.lit(n)).alias("ff")
+    ff = first_fail_index([g for _, g in gates]).alias("ff")
     counts = docs.select(ff).groupBy("ff").agg(
         F.count(F.lit(1)).alias("killed")
     )

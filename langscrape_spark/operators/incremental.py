@@ -542,6 +542,7 @@ def minhash_novelty_incremental(
     bands: int = 4,
     k: int = 3,
     n_parts: int = 64,
+    unpersist_inputs: list | None = None,
 ) -> DataFrame:
     """Per-doc novelty of a NEW crawl batch against the ACCUMULATED
     corpus state — the incremental-curation signal
@@ -552,19 +553,28 @@ def minhash_novelty_incremental(
 
     Read-only: probes the state, never appends (pair a call with
     :func:`minhash_ingest_round` / :func:`bucket_state_append` to
-    advance the state afterwards). An absent state (no geometry marker
-    yet — round 0 of a fresh crawl) means everything is novel, by
-    definition rather than by error. Cost is O(new batch): the batch's
-    signatures shuffle once by ``bpart``; the state is only touched
-    through row-group-pruned probe reads. Novelty here is
-    band-collision novelty — the same candidate notion the LSH dedup
-    uses — NOT verified Jaccard similarity; it deliberately measures
-    "would the deduper even look at this pair"."""
+    advance the state afterwards — the signature frame is persisted
+    here with ``persist_sig=True``, so a following append's
+    canonically-equal signature subplan is served from the cache and
+    the minhash md5 kernel still runs ONCE per round; pass
+    ``unpersist_inputs`` to receive the handle and release it after
+    the round materializes, same contract as
+    :func:`minhash_lsh_pairs_incremental`). An absent state (no
+    geometry marker yet — round 0 of a fresh crawl) means everything
+    is novel, by definition rather than by error. Cost is O(new
+    batch): the batch's signatures shuffle once by ``bpart``; the
+    state is only touched through row-group-pruned probe reads.
+    Novelty here is band-collision novelty — the same candidate
+    notion the LSH dedup uses — NOT verified Jaccard similarity; it
+    deliberately measures "would the deduper even look at this
+    pair"."""
     ids = new_docs.select(F.col(id_col).alias("id")).distinct()
     if not os.path.exists(os.path.join(state_dir, _GEOMETRY)):
         return ids.withColumn("is_novel", F.lit(True))
     newb = minhash_band_buckets(
-        new_docs, text_col, id_col, num_hashes, bands, k
+        new_docs, text_col, id_col, num_hashes, bands, k,
+        persist_sig=True,
+        unpersist_inputs=unpersist_inputs,
     )
     hits = (
         bucket_state_probe(

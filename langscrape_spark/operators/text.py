@@ -1649,10 +1649,23 @@ def hill_alpha(
     )
 
 
+def first_fail_index(gate_cols: Sequence[Column], n: int | None = None) -> Column:
+    """0-based index of the FIRST gate a row fails (NULL gate value
+    counts as fail, conservatively); rows passing every gate get
+    ``len(gate_cols)``. Shared core of the two funnel reports
+    (``filter_funnel`` here, ``filters.curation_funnel``) so the
+    first-failure attribution semantics cannot drift between them."""
+    ng = len(gate_cols) if n is None else n
+    branches = [
+        F.when(~F.coalesce(g.cast("boolean"), F.lit(False)), F.lit(i))
+        for i, g in enumerate(gate_cols)
+    ]
+    return F.coalesce(*branches, F.lit(ng))
+
+
 def filter_funnel(
     df: DataFrame,
     gates: Sequence[tuple],
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Gate-cascade attrition audit — the curation-ops report behind
     every published filtering pipeline (C4 §2.2, Gopher Table A1,
@@ -1692,10 +1705,17 @@ def filter_funnel(
         for i, (_, c) in enumerate(gates)
     ]
     flags = df.select(*gcols)
-    ff = F.lit(ng)
-    for i in reversed(range(ng)):
-        ff = F.when(~F.col(f"_g{i}"), F.lit(i)).otherwise(ff)
-    flags = flags.withColumn("_ff", ff)
+    # Per-row fail count makes the unique-fail predicate linear in
+    # gates: unique_i = (fails gate i) AND (total fails == 1), instead
+    # of conjoining the other ng-1 gate columns per gate (O(ng^2)
+    # expression nodes for long cascades).
+    nf = sum(
+        (F.when(F.col(f"_g{i}"), 0).otherwise(1) for i in range(ng)),
+        F.lit(0),
+    )
+    flags = flags.withColumn(
+        "_ff", first_fail_index([F.col(f"_g{i}") for i in range(ng)])
+    ).withColumn("_nf", nf)
 
     def _cnt(cond):
         return F.coalesce(
@@ -1704,15 +1724,11 @@ def filter_funnel(
 
     aggs = []
     for i in range(ng):
-        others = [F.col(f"_g{j}") for j in range(ng) if j != i]
-        only_this = ~F.col(f"_g{i}")
-        for o in others:
-            only_this = only_this & o
         aggs += [
             _cnt(F.col("_ff") >= i).alias(f"_r{i}"),
             _cnt(F.col("_ff") == i).alias(f"_f{i}"),
             _cnt(~F.col(f"_g{i}")).alias(f"_m{i}"),
-            _cnt(only_this).alias(f"_u{i}"),
+            _cnt(~F.col(f"_g{i}") & (F.col("_nf") == 1)).alias(f"_u{i}"),
         ]
     row = flags.agg(*aggs)
     stages = F.array(
