@@ -4315,6 +4315,49 @@ def q158_filter_funnel(spark, sf):
     return filter_funnel(flags, gates).orderBy("stage")
 
 
+def q159_semantic_incremental(spark, sf):
+    """Cross-round SemDeDup pairs (operators/incremental.py::
+    semantic_ingest_round): embeddings arrive in THREE rounds
+    (vec_id % 3) and each round's batch is judged against itself AND
+    the accumulated on-disk cluster state (payload = raw vector, so
+    the probe re-ranks candidates with the exact round-6 cosine).
+    Cluster assignments use the q35/q77 IVF geometry (k=16, 2 Lloyd
+    iterations — centroids frozen across rounds, as production must),
+    so the oracle reads the SAME frozen (vec_id, cluster) map the
+    freezer pinned and derives the full within-cluster pair set in
+    SQL: the union of per-round incremental pairs must equal it
+    exactly — the q154 union-equivalence contract on the embedding
+    path, with the live Lloyd/assign path re-pinned for free."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.ann import ivf_assign, ivf_centroids
+    from langscrape_spark.operators.incremental import semantic_ingest_round
+
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_centroids(emb, k=16, iterations=2)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("bucket").alias("cluster"),
+        F.col("embedding").alias("vec"),
+    )
+    state = tempfile.mkdtemp(prefix="q159_sem_state_")
+    try:
+        out = None
+        for r in range(3):
+            batch = assigned.where(F.col("id") % 3 == r)
+            pairs = semantic_ingest_round(
+                batch, state, threshold=0.35, k=16, n_parts=8
+            )
+            out = pairs if out is None else out.unionByName(pairs)
+        # the per-round frames are localCheckpoint-materialized by the
+        # ingest wrapper, so consuming the union after the state dir is
+        # deleted is safe
+        return out.orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4438,6 +4481,7 @@ _PRIORITY_ORDER = [
     "q154_minhash_incremental",    # incremental dedup vs catalog state
     "q155_simhash_incremental",    # incremental pigeonhole dedup
     "q156_novelty_incremental",    # cross-round novelty signal
+    "q159_semantic_incremental",   # cross-round SemDeDup state
     "q157_soft404",                # soft-404 template screen
     "q158_filter_funnel",          # gate-cascade attrition audit
     "q84_bpe_train",               # BPE training
@@ -4657,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_novelty_incremental": q156_novelty_incremental,
         "q157_soft404": q157_soft404,
         "q158_filter_funnel": q158_filter_funnel,
+        "q159_semantic_incremental": q159_semantic_incremental,
     })
 
 
@@ -7327,6 +7372,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM d LEFT JOIN s ON d.lang = s.lang
             ORDER BY doc_id
+        """,
+        "q159_semantic_incremental": f"""
+            -- Cross-round SemDeDup union-equivalence: the union of
+            -- 3 incremental ingest rounds must equal the FULL
+            -- within-cluster pair set over the frozen q35 IVF map
+            -- (round structure is invisible to the full derivation —
+            -- that IS the contract). Cosine round-6 as in q77; poison
+            -- clusters (-1) and NaN cosines never pair. Spark:
+            -- operators/incremental.py::semantic_ingest_round.
+            WITH a AS (
+              SELECT vec_id, bucket AS cluster
+              FROM read_parquet('{_fixture("q35_ivf_assign.parquet")}')
+              WHERE bucket >= 0),
+            j AS (
+              SELECT a.vec_id AS id, a.cluster,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+            sims AS (
+              SELECT x.id AS id_a, y.id AS id_b,
+                     CAST(x.cluster AS INTEGER) AS cluster,
+                round(
+                  list_sum(list_transform(range(1, len(x.v) + 1),
+                                          i -> x.v[i] * y.v[i]))
+                  / (sqrt(list_sum(list_transform(x.v, q -> q*q)))
+                     * sqrt(list_sum(list_transform(y.v, q -> q*q)))),
+                6) AS sim
+              FROM j x JOIN j y
+                ON x.cluster = y.cluster AND x.id < y.id)
+            SELECT id_a, id_b, cluster, sim
+            FROM sims
+            WHERE NOT isnan(sim) AND sim >= 0.35
+            ORDER BY id_a, id_b
         """,
         "q77_semdedup": f"""
             -- SemDeDup over the FROZEN q35 IVF cluster map: pairwise

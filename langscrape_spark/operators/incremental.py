@@ -55,6 +55,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ann import cosine_sim
 from .dedup import (
     grouped_bucket_pairs,
     hamming64,
@@ -71,6 +72,8 @@ __all__ = [
     "minhash_lsh_pairs_incremental",
     "minhash_ingest_round",
     "minhash_novelty_incremental",
+    "semantic_ingest_round",
+    "semantic_pairs_incremental",
     "simhash_near_dups_incremental",
     "simhash_ingest_round",
 ]
@@ -692,3 +695,138 @@ def _simhash_chunks(
         "id",
         "sh",
     )
+
+
+def _semantic_params(threshold: float, k: int) -> dict:
+    # threshold is pinned in the geometry: a round probed with a
+    # different cut would emit a pair set no full-corpus run can
+    # reproduce, breaking the union-equivalence contract the same
+    # silent way a num_hashes drift would.
+    return {
+        "family": "semantic",
+        "threshold": round(float(threshold), 6),
+        "k": int(k),
+    }
+
+
+def semantic_pairs_incremental(
+    assigned: DataFrame,
+    state_dir: str,
+    threshold: float,
+    k: int,
+    n_parts: int = 64,
+    unpersist_inputs: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs of a NEW embedding batch
+    against itself and the ACCUMULATED corpus state — the cross-round
+    production form of :func:`.ann.semdedup`'s within-cluster
+    judgment (a 100 TB crawl dedups new pages against everything
+    already kept, not one corpus against itself).
+
+    ``assigned`` carries ``(id, cluster, vec)``: cluster assignments
+    must come from CENTROIDS FROZEN ACROSS ROUNDS
+    (:func:`.ann.ivf_centroids` on round 0 / a training sample, then
+    :func:`.ann.ivf_assign` per round — re-fitting centroids
+    mid-crawl moves cluster boundaries and silently unlinks stored
+    near-duplicates; ``k`` is pinned in the state geometry marker for
+    that reason). Returns ``(id_a, id_b, cluster, sim)`` with
+    ``id_a < id_b``, ``sim`` the round-6 cosine, covering new×new
+    (within-batch, same cluster) plus new×old (state probe). Poison
+    assignments (``cluster = -1`` from :func:`.ann.ivf_assign`) never
+    pair: cosine is undefined evidence there.
+
+    Scale shape: the batch shuffles once on the cluster key for the
+    within-batch equi-join and once by ``bpart`` for the probe; the
+    state is only touched through row-group-pruned direct reads
+    (:func:`bucket_state_probe`), never shuffled. State rows carry
+    the raw vector as payload (dim·4 B/doc — at 10^10 docs swap the
+    payload for PQ codes and re-rank the survivors; the probe is
+    payload-agnostic). Cluster sizes bound the quadratic term exactly
+    as in ``semdedup`` — size k so clusters stay gemm-sized. The
+    ``(id, cluster, vec)`` projection is persisted (new×new join +
+    probe + a later append all consume it); pass
+    ``unpersist_inputs`` to receive the handle, same contract as the
+    minhash path."""
+    buckets = (
+        assigned.where(F.col("cluster") >= 0)
+        .select(
+            F.col("cluster").cast("int").cast("string").alias("bucket"),
+            F.col("id"),
+            F.col("vec"),
+        )
+        .persist()
+    )
+    if unpersist_inputs is not None:
+        unpersist_inputs.append(buckets)
+    thr = float(threshold)
+    lhs = buckets.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("_va")
+    )
+    rhs = buckets.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("_vb")
+    )
+    new_new = (
+        lhs.join(rhs, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("bucket").cast("int").alias("cluster"),
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(thr))
+    )
+    hits = bucket_state_probe(
+        buckets,
+        state_dir,
+        n_parts,
+        payload_cols=("vec",),
+        params=_semantic_params(thr, k),
+    )
+    new_old = (
+        hits.where(F.col("id_new") != F.col("id_old"))
+        .select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+            F.col("bucket").cast("int").alias("cluster"),
+            # dot/norm are index-aligned sums, so the cosine is exactly
+            # symmetric — canonical (least, greatest) order is safe
+            F.round(
+                cosine_sim(F.col("vec_new"), F.col("vec_old")), 6
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(thr))
+    )
+    return new_new.unionByName(new_old)
+
+
+def semantic_ingest_round(
+    assigned: DataFrame,
+    state_dir: str,
+    threshold: float,
+    k: int,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Embedding sibling of :func:`minhash_ingest_round`: pairs vs the
+    current state, eager checkpoint (the pair plan reads the state
+    files the append is about to grow), state append of the batch's
+    ``(cluster, id, vec)`` rows, signature release. The append's
+    projection is canonically equal to the persisted one, so the
+    CacheManager serves it — the assignment frame computes once per
+    round."""
+    handles: list = []
+    pairs = semantic_pairs_incremental(
+        assigned, state_dir, threshold, k, n_parts,
+        unpersist_inputs=handles,
+    ).localCheckpoint(eager=True)
+    newb = assigned.where(F.col("cluster") >= 0).select(
+        F.col("cluster").cast("int").cast("string").alias("bucket"),
+        F.col("id"),
+        F.col("vec"),
+    )
+    bucket_state_append(
+        newb, state_dir, n_parts, params=_semantic_params(threshold, k)
+    )
+    for h in handles:
+        h.unpersist()
+    return pairs

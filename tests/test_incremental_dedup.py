@@ -491,3 +491,98 @@ def test_state_rows_audit(spark, tmp_path):
     rows = bucket_state_rows(spark, state)
     assert rows.count() == b.count()  # 4 bands x 30 docs
     assert set(rows.columns) >= {"bucket", "id", "bpart"}
+
+
+def _mk_emb(spark, n=90, dim=8):
+    """Deterministic embeddings with 5 planted direction clusters plus
+    slow within-cluster drift, so each cluster holds both near-dup
+    pairs (sim above any reasonable cut) and far pairs (below it)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        c = i % 5
+        vec = [
+            math.sin(0.7 * c + 0.09 * (i // 5) + 0.3 * j)
+            + (2.0 if j == c else 0.0)
+            for j in range(dim)
+        ]
+        rows.append((i, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.mark.parametrize("n_rounds", [1, 3])
+def test_semantic_incremental_union_equals_bruteforce(
+    spark, tmp_path, n_rounds
+):
+    """Union of per-round semantic ingest pairs == brute-force
+    within-cluster pairs over the same frozen assignment, for any
+    round split — the q154 union-equivalence contract on the
+    embedding path."""
+    import numpy as np
+
+    from langscrape_spark.operators.ann import ivf_assign, ivf_centroids
+    from langscrape_spark.operators.incremental import semantic_ingest_round
+
+    emb = _mk_emb(spark)
+    cents = ivf_centroids(emb, k=5, iterations=2)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("bucket").alias("cluster"),
+        F.col("embedding").alias("vec"),
+    )
+    thr = 0.9
+    pdf = assigned.toPandas()
+    by_cluster = {}
+    for _, row in pdf.iterrows():
+        if row["cluster"] >= 0:
+            by_cluster.setdefault(int(row["cluster"]), []).append(
+                (int(row["id"]), np.asarray(row["vec"], dtype=np.float64))
+            )
+    want = set()
+    n_below = 0
+    for members in by_cluster.values():
+        for i, (ia, va) in enumerate(members):
+            for ib, vb in members[i + 1 :]:
+                sim = round(
+                    float(va @ vb)
+                    / (np.linalg.norm(va) * np.linalg.norm(vb)),
+                    6,
+                )
+                lo, hi = min(ia, ib), max(ia, ib)
+                if sim >= thr:
+                    want.add((lo, hi, round(sim, 6)))
+                else:
+                    n_below += 1
+    assert len(want) > 3 and n_below > 3  # cut actually separates
+
+    state = str(tmp_path / "sem_state")
+    got = set()
+    for r in range(n_rounds):
+        batch = assigned.where(F.col("id") % n_rounds == r)
+        pairs = semantic_ingest_round(batch, state, threshold=thr, k=5,
+                                      n_parts=4)
+        got |= {(p.id_a, p.id_b, p.sim) for p in pairs.collect()}
+    assert got == want
+
+
+def test_semantic_state_threshold_mismatch_is_loud(spark, tmp_path):
+    """A round probed with a different cut (or k) than the state was
+    built with would emit a pair set no full-corpus run reproduces —
+    the geometry marker must refuse it."""
+    from langscrape_spark.operators.ann import ivf_assign, ivf_centroids
+    from langscrape_spark.operators.incremental import semantic_ingest_round
+
+    emb = _mk_emb(spark, n=30)
+    cents = ivf_centroids(emb, k=3, iterations=1)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("bucket").alias("cluster"),
+        F.col("embedding").alias("vec"),
+    )
+    state = str(tmp_path / "sem_state")
+    semantic_ingest_round(assigned, state, threshold=0.9, k=3, n_parts=4)
+    with pytest.raises(ValueError, match="different"):
+        semantic_ingest_round(
+            assigned, state, threshold=0.8, k=3, n_parts=4
+        ).count()
