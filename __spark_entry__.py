@@ -4358,6 +4358,34 @@ def q159_semantic_incremental(spark, sf):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q160_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/ranking.py::weighted_sample — Efraimidis-Spirakis
+    A-ES): 5 documents per source with inclusion odds proportional to
+    text length, the capped-budget mixture-sampling primitive. The
+    key is engine-portable by construction (53-bit md5 uniform →
+    micro-quantized -ln(u) → exact integer division ordering), so the
+    oracle re-derives the SAME sample in SQL — selection checked
+    exactly, not just distributionally."""
+    from langscrape_spark.operators.ranking import weighted_sample
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("wt"),
+        )
+    )
+    out = weighted_sample(
+        docs, "wt", k=5, group_cols=("source",), id_col="doc_id"
+    )
+    return out.select(
+        "source", "doc_id", "w", "lq", "aes_key"
+    ).orderBy("source", "doc_id")
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4482,6 +4510,7 @@ _PRIORITY_ORDER = [
     "q155_simhash_incremental",    # incremental pigeonhole dedup
     "q156_novelty_incremental",    # cross-round novelty signal
     "q159_semantic_incremental",   # cross-round SemDeDup state
+    "q160_weighted_sample",        # A-ES weighted mixture sampling
     "q157_soft404",                # soft-404 template screen
     "q158_filter_funnel",          # gate-cascade attrition audit
     "q84_bpe_train",               # BPE training
@@ -4702,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_soft404": q157_soft404,
         "q158_filter_funnel": q158_filter_funnel,
         "q159_semantic_incremental": q159_semantic_incremental,
+        "q160_weighted_sample": q160_weighted_sample,
     })
 
 
@@ -7372,6 +7402,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM d LEFT JOIN s ON d.lang = s.lang
             ORDER BY doc_id
+        """,
+        "q160_weighted_sample": """
+            -- A-ES weighted sample re-derived exactly: 53-bit md5
+            -- uniform (bit-exact double), micro-quantized -ln(u)
+            -- (q152 log convention), exact-integer-division sort key,
+            -- per-source top-5. Spark: operators/ranking.py::
+            -- weighted_sample.
+            WITH s AS (
+              SELECT source, doc_id,
+                     CAST(length(text) AS BIGINT) AS w
+              FROM documents WHERE length(text) > 0),
+            keyed AS (
+              SELECT source, doc_id, w,
+                     CAST(floor(-ln(
+                       (CAST(md5_number_lower(
+                          CAST(doc_id AS VARCHAR) || ':') AS HUGEINT)
+                          % 9007199254740992 + 1)
+                       / 9007199254740992.0) * 1e6 + 0.5) AS BIGINT)
+                       AS lq
+              FROM s),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY lq / CAST(w AS DOUBLE), doc_id) AS rn
+              FROM keyed)
+            SELECT source, doc_id, w, lq,
+                   round(lq / CAST(w AS DOUBLE), 6) AS aes_key
+            FROM r WHERE rn <= 5
+            ORDER BY source, doc_id
         """,
         "q159_semantic_incremental": f"""
             -- Cross-round SemDeDup union-equivalence: the union of

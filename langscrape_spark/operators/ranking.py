@@ -134,3 +134,93 @@ def spearman_rho(
             6,
         ).alias("rho"),
     )
+
+
+def aes_key_cols(id_col: Column, weight_col: Column, salt: str = ""):
+    """Engine-portable Efraimidis–Spirakis sampling key, split into
+    exact integer parts: ``(lq, w)`` where ``lq = floor(-ln(u)·1e6 +
+    0.5)`` (micro-unit quantized, the q152 log convention) and ``u``
+    is a bit-exact uniform in (0, 1] from the lower 53 bits of
+    ``md5(id || ':' || salt)`` (53 bits + the +1/2^53 offset make
+    ``u`` an exactly representable double in BOTH engines — DuckDB:
+    ``(md5_number_lower(..) % 2^53 + 1) / 2^53``). The A-ES order
+    "largest u^(1/w) first" is equivalently "smallest -ln(u)/w
+    first"; ``lq / w`` divides two identical integers, and IEEE
+    division is correctly rounded, so the double sort key is
+    bit-identical across engines — only the ln() micro-quantization
+    is approximate (1-ulp libm drift can flip a half-integer
+    rounding; the same accepted boundary as every micro-unit log
+    path here)."""
+    m = _md5_lower64_rank(
+        F.concat(id_col.cast("string"), F.lit(":" + salt))
+    ).bitwiseAND(F.lit((1 << 53) - 1))
+    u = (m + F.lit(1)).cast("double") / F.lit(float(1 << 53))
+    lq = F.floor(-F.log(u) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return lq, weight_col.cast("long")
+
+
+def _md5_lower64_rank(s: Column) -> Column:
+    from .dedup import _md5_lower64
+
+    return _md5_lower64(s)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group if
+    ``group_cols``), inclusion odds proportional to ``weight_col`` —
+    Efraimidis & Spirakis (2006) A-ES, the one-pass mergeable form
+    every training-data mixture sampler needs (sample documents
+    proportional to token count / quality weight when a source's
+    budget is capped). Deterministic: the uniform comes from
+    ``md5(id)``, so the sample is reproducible across engines,
+    partitionings and reruns — vary ``salt`` to draw an independent
+    sample (the distributed ``random_state=42`` convention of
+    :func:`stratified_sample`, weighted).
+
+    Rows with NULL or non-positive weight are excluded (selection
+    probability 0). Returns the winning rows with their exact integer
+    key parts ``(lq, w)`` and display key ``aes_key`` (round-6
+    ``lq/w``); selection orders by the UNROUNDED division (bit-exact,
+    see :func:`aes_key_cols`), ties by id.
+
+    Scale shape: one projection computes the key; grouped mode is a
+    ``row_number`` window that plans as WindowGroupLimit (per-group
+    top-k with map-side partial limits, q01's shape); global mode is
+    ``orderBy().limit()`` — TakeOrderedAndProject, never a single
+    sorted partition. A-ES keys are mergeable by construction (the
+    top-k of a union is the top-k of per-partition top-ks), which is
+    exactly what those two plans exploit."""
+    w = F.col(weight_col)
+    lq, wl = aes_key_cols(F.col(id_col), w, salt)
+    scored = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("_lq", lq)
+        .withColumn("_w", wl)
+        .withColumn("_key", F.col("_lq").cast("double") / F.col("_w"))
+    )
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("_key").asc(), F.col(id_col).asc()
+        )
+        picked = (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    else:
+        picked = scored.orderBy(
+            F.col("_key").asc(), F.col(id_col).asc()
+        ).limit(k)
+    return (
+        picked.withColumn("aes_key", F.round(F.col("_key"), 6))
+        .withColumnRenamed("_lq", "lq")
+        .withColumnRenamed("_w", "w")
+        .drop("_key")
+    )

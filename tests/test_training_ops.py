@@ -4627,3 +4627,76 @@ def test_soft404_flags_planted_template(spark):
     assert r["n_pages"] == 3
     assert r["example_id"] == 0
     assert r["avg_chars"] == float(len(err))
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+def _aes_bruteforce(rows, k, salt=""):
+    """Reference A-ES selection with the operator's exact integer key:
+    md5 LE lower half, 53-bit uniform, micro-quantized -ln(u)."""
+    import hashlib
+    import math
+
+    keyed = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        dig = hashlib.md5(f"{doc_id}:{salt}".encode()).digest()
+        m = int.from_bytes(dig[8:16], "little") & ((1 << 53) - 1)
+        u = (m + 1) / float(1 << 53)
+        lq = math.floor(-math.log(u) * 1e6 + 0.5)
+        keyed.append((lq / w, doc_id, lq, w))
+    keyed.sort()
+    return keyed[:k]
+
+
+def test_weighted_sample_matches_bruteforce_and_excludes(spark):
+    from langscrape_spark.operators.ranking import weighted_sample
+
+    rows = [(i, [3, 10, 100, None, 0, 7][i % 6]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = weighted_sample(df, "wt", k=8, id_col="doc_id").collect()
+    want = _aes_bruteforce(rows, k=8)
+    assert [(r.doc_id, r.lq, r.w) for r in got] == [
+        (d, lq, w) for _, d, lq, w in want
+    ]
+    # NULL / zero weights can never be drawn
+    assert all(r.w > 0 for r in got)
+    # rerun is byte-stable; a different salt draws a different sample
+    again = weighted_sample(df, "wt", k=8, id_col="doc_id").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in got]
+    other = weighted_sample(df, "wt", k=8, id_col="doc_id",
+                            salt="b").collect()
+    assert [r.doc_id for r in other] != [r.doc_id for r in got]
+
+
+def test_weighted_sample_grouped_and_proportional(spark):
+    from langscrape_spark.operators.ranking import weighted_sample
+
+    rows = [(i, f"s{i % 3}", [1, 1000][i % 2]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, wt long")
+    got = weighted_sample(df, "wt", k=4, group_cols=("src",),
+                          id_col="doc_id").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    assert all(len(v) == 4 for v in by_src.values())
+    for src, members in by_src.items():
+        want = _aes_bruteforce(
+            [(i, w) for i, s, w in rows if s == src], k=4
+        )
+        assert [r.doc_id for r in members
+                ] == [d for _, d, _, _ in want]
+    # proportionality: across 30 independent salts, weight-1000 docs
+    # dominate the draws (p(weight-1) per slot ~ 1/1000)
+    heavy = 0
+    total = 0
+    for s in range(30):
+        for r in weighted_sample(df, "wt", k=4, group_cols=("src",),
+                                 id_col="doc_id", salt=str(s)).collect():
+            total += 1
+            heavy += int(r.w == 1000)
+    assert heavy / total > 0.9
