@@ -4386,6 +4386,42 @@ def q160_weighted_sample(spark, sf):
     ).orderBy("source", "doc_id")
 
 
+def q161_ucb_budget(spark, sf):
+    """UCB1 crawl-budget scores (operators/hostquality.py::
+    ucb_scores): each source is a bandit arm, each page a pull,
+    reward = the q151 keep gate (length >= 300). The exploration
+    bonus sqrt(2·ln N / n) is computed through ONE micro-quantized
+    ln (q152 convention) + correctly-rounded IEEE steps, so the
+    round-6 scores are bit-reproducible — the oracle re-derives them
+    exactly, not approximately."""
+    from langscrape_spark.operators.hostquality import ucb_scores
+
+    docs = _t(spark, sf, "documents")
+    rewarded = docs.select(
+        "source", (F.length("text") >= 300).alias("kept")
+    )
+    return ucb_scores(rewarded, "source", "kept", c=2.0)
+
+
+def q162_salsa(spark, sf):
+    """SALSA (operators/hostrank.py::salsa, 6 iterations) over the
+    shared derived host graph — HITS's half-steps with DEGREE
+    normalization (the stochastic hub/authority walk), the
+    TKC-resistant alternative when link farms game hub cliques. The
+    oracle is the same walk unrolled as MATERIALIZED CTEs
+    (salsa_oracle_sql), proving every join, per-term degree division
+    and grouped sum exact at round-6."""
+    from langscrape_spark.operators.hostrank import salsa
+
+    return salsa(_host_graph(spark, sf), iterations=6).orderBy("host")
+
+
+def _salsa_oracle() -> str:
+    from langscrape_spark.operators.hostrank import salsa_oracle_sql
+
+    return salsa_oracle_sql(_HOSTGRAPH_RAW_SQL, iterations=6)
+
+
 def _ndcg_oracle() -> str:
     import math
 
@@ -4511,6 +4547,8 @@ _PRIORITY_ORDER = [
     "q156_novelty_incremental",    # cross-round novelty signal
     "q159_semantic_incremental",   # cross-round SemDeDup state
     "q160_weighted_sample",        # A-ES weighted mixture sampling
+    "q161_ucb_budget",             # UCB1 crawl-budget allocation
+    "q162_salsa",                  # SALSA degree-normalized walk
     "q157_soft404",                # soft-404 template screen
     "q158_filter_funnel",          # gate-cascade attrition audit
     "q84_bpe_train",               # BPE training
@@ -4732,6 +4770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_filter_funnel": q158_filter_funnel,
         "q159_semantic_incremental": q159_semantic_incremental,
         "q160_weighted_sample": q160_weighted_sample,
+        "q161_ucb_budget": q161_ucb_budget,
+        "q162_salsa": q162_salsa,
     })
 
 
@@ -7403,6 +7443,30 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN s ON d.lang = s.lang
             ORDER BY doc_id
         """,
+        "q161_ucb_budget": """
+            -- UCB1 re-derived exactly: per-arm pull/win counts, ONE
+            -- micro-quantized ln(N) (q152 convention), then
+            -- correctly-rounded IEEE double steps only. Spark:
+            -- operators/hostquality.py::ucb_scores.
+            WITH per AS (
+              SELECT source AS arm, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN length(text) >= 300
+                              THEN 1 ELSE 0 END) AS BIGINT) AS wins
+              FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per),
+            q AS (
+              SELECT CAST(floor(ln(CAST(total AS DOUBLE)) * 1e6 + 0.5)
+                          AS BIGINT) AS lnq
+              FROM t)
+            SELECT arm, n, wins,
+                   round(wins / CAST(n AS DOUBLE), 6) AS mean_reward,
+                   round(wins / CAST(n AS DOUBLE)
+                         + sqrt(2.0 * lnq
+                                / (1e6 * CAST(n AS DOUBLE))), 6)
+                     AS ucb
+            FROM per CROSS JOIN q
+            ORDER BY ucb DESC, arm
+        """,
         "q160_weighted_sample": """
             -- A-ES weighted sample re-derived exactly: 53-bit md5
             -- uniform (bit-exact double), micro-quantized -ln(u)
@@ -8010,6 +8074,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "q94_hits": _hits_oracle(),
+        "q162_salsa": _salsa_oracle(),
         "q95_trustrank": _trustrank_oracle(),
         "q96_label_propagation": _lpa_oracle(),
         "q97_int8_ann": f"""

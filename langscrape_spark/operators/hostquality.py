@@ -172,3 +172,95 @@ def gini_coefficient(
             6,
         ).alias("gini"),
     )
+
+
+def ucb_scores(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    c: float = 2.0,
+) -> DataFrame:
+    """UCB1 arm scores (Auer et al. 2002) for adaptive crawl-budget
+    allocation: each host is a bandit arm, each fetched page a pull,
+    ``reward_col`` a 0/1 keep signal (page survived the quality
+    gates). The next round's budget goes to the hosts ranked by
+    ``ucb = mean_reward + sqrt(c·ln(N)/n)`` — exploit hosts that
+    yield keepers, but keep exploring under-sampled hosts (the
+    second term). This is the principled version of the static
+    host-rank prior the frontier uses: rank from observed yield,
+    with optimism bounds instead of a frozen score.
+
+    Returns one row per arm: ``(arm, n, wins, mean_reward, ucb)``
+    sorted by (ucb desc, arm) — feed the top rows (or q139's Hamilton
+    apportionment over ``ucb``) into the next round's per-host
+    budgets.
+
+    Engine-portable exactness: ``ln(N)`` is micro-unit quantized to a
+    BIGINT (the q152 log convention — the ONE transcendental), after
+    which every step is correctly-rounded IEEE double arithmetic on
+    identical values — ``wins/n``, ``c·lnq/(1e6·n)``, ``sqrt``, one
+    addition — so the round-6 scores are bit-reproducible across
+    engines, partitionings and reruns (a crawl controller whose
+    budget flaps between identical runs is undebuggable).
+
+    Scale shape: ONE map-side-combined hash aggregation on the arm
+    key + a 1-row broadcast crossJoin for N; arms-sized output. No
+    windows, no UDFs."""
+    per = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(reward_col).cast("long")).alias("wins"),
+    )
+    total = per.agg(F.sum("n").cast("long").alias("_N"))
+    lnq = F.floor(
+        F.log(F.col("_N").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("_lnq", lnq)
+        .withColumn(
+            "mean_reward",
+            F.round(
+                F.col("wins").cast("double") / F.col("n").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "ucb",
+            F.round(
+                F.col("wins").cast("double") / F.col("n").cast("double")
+                + F.sqrt(
+                    F.lit(float(c))
+                    * F.col("_lnq").cast("double")
+                    / (F.lit(1e6) * F.col("n").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "arm", "n", "wins", "mean_reward", "ucb"
+    ).orderBy(F.desc("ucb"), F.col("arm"))
+
+
+def ucb_rank_table(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    c: float = 2.0,
+) -> DataFrame:
+    """:func:`ucb_scores` reshaped to the frontier's host-rank
+    contract (``scheduler/policy.py``: ``(host, rank)`` with rank in
+    [0, 1], missing host → 0): max-normalized UCB, the adaptive
+    replacement for the static PageRank prior — feed the previous
+    rounds' (host, kept) fetch log here and pass the result as
+    ``host_rank`` to the next ``run_crawl`` round. Round-6 like
+    ``host_rank_table``."""
+    scores = ucb_scores(df, arm_col, reward_col, c)
+    mx = scores.agg(F.max("ucb")).first()[0]  # arms-sized input,
+    # bounded scalar (same shape as host_rank_table's normalizer)
+    if not mx:
+        return scores.select(F.col("arm").alias("host"),
+                             F.lit(0.0).alias("rank"))
+    return scores.select(
+        F.col("arm").alias("host"),
+        F.round(F.col("ucb") / F.lit(float(mx)), 6).alias("rank"),
+    )

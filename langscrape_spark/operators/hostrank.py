@@ -227,6 +227,111 @@ def hits_oracle_sql(raw_edges_sql: str, iterations: int = 6) -> str:
     return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"
 
 
+def salsa(edges: DataFrame, iterations: int = 6) -> DataFrame:
+    """SALSA (Lempel & Moran 2001) over the host graph: ``(host,
+    authority, hub)`` from the stochastic hub/authority random walk —
+    HITS's two half-steps with DEGREE normalization instead of L1
+    (back-propagate ``a(j)/indeg(j)`` to hubs, forward
+    ``h(i)/outdeg(i)`` to authorities). Less hub-clique capture than
+    HITS (the TKC effect SALSA was built to fix), which is what you
+    want when link farms game the directory pages the crawler
+    prioritizes. Fixed-iteration, uniform start over authority
+    nodes; the chain is mass-preserving, so no per-step normalizer
+    scalar is needed.
+
+    Scale shape: indeg/outdeg attach to the deduped edge list ONCE
+    (cached); each half-step is one equi-key join + grouped sum
+    (map-side combinable) with per-half-step lineage truncation — the
+    HITS pattern minus the normalizer collect (the bounded scalar
+    here only materializes the checkpoint)."""
+    if iterations < 1:
+        raise ValueError("salsa: iterations must be >= 1")
+    from .linkgraph import clean_host_edges
+
+    spark = edges.sparkSession
+    e, hosts = clean_host_edges(edges)
+    if hosts.count() == 0:
+        return spark.createDataFrame(
+            [], "host string, authority double, hub double"
+        )
+    ideg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_id"))
+    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    ew = e.join(ideg, "dst").join(odeg, "src").cache()
+    n_auth = ideg.count()  # bounded scalar; also materializes ew's deps
+    a = ideg.select(
+        F.col("dst").alias("host"),
+        (F.lit(1.0) / F.lit(float(n_auth))).alias("s"),
+    )
+    h = None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=False)
+        out.agg(F.sum("s")).first()  # bounded scalar = materializer
+        return out
+
+    for _ in range(iterations):
+        h = _truncate(
+            ew.join(a, ew["dst"] == a["host"])
+            .groupBy(ew["src"].alias("host"))
+            .agg(F.sum(F.col("s") / F.col("_id")).alias("s"))
+        )
+        a = _truncate(
+            ew.join(h.withColumnRenamed("host", "_hh"),
+                    ew["src"] == F.col("_hh"))
+            .groupBy(ew["dst"].alias("host"))
+            .agg(F.sum(F.col("s") / F.col("_od")).alias("s"))
+        )
+    return (
+        hosts.join(a.withColumnRenamed("s", "_a"), "host", "left")
+        .join(h.withColumnRenamed("s", "_h"), "host", "left")
+        .select(
+            "host",
+            F.round(F.coalesce("_a", F.lit(0.0)), 6).alias("authority"),
+            F.round(F.coalesce("_h", F.lit(0.0)), 6).alias("hub"),
+        )
+    )
+
+
+def salsa_oracle_sql(raw_edges_sql: str, iterations: int = 6) -> str:
+    """DuckDB twin of :func:`salsa`: the degree-normalized walk
+    unrolled as MATERIALIZED CTEs (the hits_oracle_sql pattern),
+    proving each half-step's join, per-term degree division and
+    grouped sum exact at round-6."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "ideg AS MATERIALIZED (SELECT dst, count(*) AS d FROM e"
+        " GROUP BY dst),",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS d FROM e"
+        " GROUP BY src),",
+        "a0 AS MATERIALIZED (SELECT dst AS host,"
+        " 1.0 / (SELECT count(*) FROM ideg) AS s FROM ideg),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"h{i} AS MATERIALIZED (SELECT e.src AS host,"
+            f" sum(a.s / i2.d) AS s"
+            f" FROM e JOIN a{i - 1} a ON e.dst = a.host"
+            f" JOIN ideg i2 ON e.dst = i2.dst GROUP BY e.src),",
+            f"a{i} AS MATERIALIZED (SELECT e.dst AS host,"
+            f" sum(h.s / o.d) AS s"
+            f" FROM e JOIN h{i} h ON e.src = h.host"
+            f" JOIN odeg o ON e.src = o.src GROUP BY e.dst),",
+        ]
+    n = iterations
+    parts.append(
+        "fin AS (SELECT hosts.host,"
+        " round(coalesce(a.s, 0), 6) AS authority,"
+        " round(coalesce(h.s, 0), 6) AS hub"
+        f" FROM hosts LEFT JOIN a{n} a ON hosts.host = a.host"
+        f" LEFT JOIN h{n} h ON hosts.host = h.host)"
+    )
+    return "\n".join(parts) + "\nSELECT * FROM fin ORDER BY host"
+
+
 def trustrank(
     edges: DataFrame,
     seeds: list,

@@ -566,3 +566,39 @@ def test_neighborhood_function_chain_and_saturation(spark):
         rounds=3,
     ).collect()}
     assert s[1].n_pairs == s[3].n_pairs and s[1].frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# salsa
+# ---------------------------------------------------------------------------
+
+def test_salsa_mass_and_stationary_indegree(spark):
+    """SALSA's authority chain is mass-preserving (no normalizer) and,
+    on a connected graph, its stationary authority weights are
+    proportional to in-degree (Lempel & Moran 2001 Thm — the property
+    HITS does NOT have). Run long enough to converge and check both,
+    plus hub mass preservation."""
+    from langscrape_spark.operators.hostrank import salsa
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("b", "a"), ("c", "b"), ("a", "d"), ("d", "a"), ("b", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    out = {r.host: r for r in salsa(df, iterations=40).collect()}
+    tot_a = sum(r.authority for r in out.values())
+    tot_h = sum(r.hub for r in out.values())
+    assert abs(tot_a - 1.0) < 1e-4 and abs(tot_h - 1.0) < 1e-4
+    indeg = {}
+    for s, d in set(edges):
+        indeg[d] = indeg.get(d, 0) + 1
+    tot_d = sum(indeg.values())
+    for h, r in out.items():
+        assert abs(r.authority - indeg.get(h, 0) / tot_d) < 1e-3, h
+
+
+def test_salsa_empty_graph(spark):
+    from langscrape_spark.operators.hostrank import salsa
+
+    df = spark.createDataFrame([], "src_host string, dst_host string")
+    assert salsa(df, iterations=3).count() == 0

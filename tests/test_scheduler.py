@@ -264,3 +264,40 @@ def test_registrable_domain_custom_rules_and_hygiene(spark):
     r = out[0]
     # *.custom (k=2 via b.custom) beats custom (k=1)
     assert r.suffix == "b.custom" and r.registrable == "a.b.custom"
+
+
+def test_ucb_rank_table_drives_a_crawl_round(spark, tmp_path):
+    """ucb_rank_table output satisfies the policy host-rank contract
+    (max-normalized [0,1]) and plugs straight into run_crawl as the
+    adaptive replacement for the static rank table — the previous
+    rounds' fetch log becomes the next round's priorities."""
+    from langscrape_spark.operators.hostquality import ucb_rank_table
+    from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
+    from langscrape_spark.sources.catalog import Catalog
+
+    # fetch log from "earlier rounds": site1 yields keepers, site0
+    # mostly junk, site2 barely sampled
+    log = (
+        [("www.site1.example", 1)] * 9 + [("www.site1.example", 0)]
+        + [("www.site0.example", 0)] * 9 + [("www.site0.example", 1)]
+        + [("www.site2.example", 1)]
+    )
+    ranks = ucb_rank_table(
+        spark.createDataFrame(log, "host string, kept int"),
+        "host", "kept",
+    )
+    got = {r.host: r.rank for r in ranks.collect()}
+    assert max(got.values()) == 1.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    # exploration: the 1-pull host outranks the well-sampled junk host
+    assert got["www.site2.example"] > got["www.site0.example"]
+
+    pages = synth.build_pages_df(spark, 40, partitions=2)
+    seeds = synth.seeds_df(spark, 40, n_seeds=4)
+    robots = synth.robots_df(spark)
+    catalog = Catalog(spark, str(tmp_path / "ucbcat"))
+    cfg = CrawlConfig(batch_size=8, max_depth=1, max_rounds=2,
+                      seen_partitions=4)
+    state = run_crawl(spark, pages, seeds, robots, ranks, catalog, cfg)
+    assert state.rounds_run >= 1
+    assert state.schedule.count() > 0

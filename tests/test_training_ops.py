@@ -4700,3 +4700,37 @@ def test_weighted_sample_grouped_and_proportional(spark):
             total += 1
             heavy += int(r.w == 1000)
     assert heavy / total > 0.9
+
+
+# ---------------------------------------------------------------------------
+# ucb_scores
+# ---------------------------------------------------------------------------
+
+def test_ucb_scores_matches_bruteforce(spark):
+    """UCB1 arm scores equal the textbook formula computed in python
+    with the operator's exact quantization, including the optimism
+    ordering (rarely-pulled arm outranks a better-mean heavy arm)."""
+    import math
+
+    from langscrape_spark.operators.hostquality import ucb_scores
+
+    pulls = (
+        [("a", 1)] * 40 + [("a", 0)] * 60   # heavy arm, mean 0.4
+        + [("b", 1)] * 2                     # tiny arm, mean 1.0
+        + [("c", 0)] * 5 + [("c", 1)] * 5    # small arm, mean 0.5
+    )
+    df = spark.createDataFrame(pulls, "host string, kept int")
+    got = ucb_scores(df, "host", "kept", c=2.0).collect()
+    N = len(pulls)
+    lnq = math.floor(math.log(N) * 1e6 + 0.5)
+    want = {}
+    for arm in ("a", "b", "c"):
+        n = sum(1 for h, _ in pulls if h == arm)
+        wins = sum(k for h, k in pulls if h == arm)
+        want[arm] = (
+            n, wins, round(wins / n, 6),
+            round(wins / n + math.sqrt(2.0 * lnq / (1e6 * n)), 6),
+        )
+    assert {r.arm: (r.n, r.wins, r.mean_reward, r.ucb) for r in got} == want
+    # optimism: the under-sampled arm b leads, then c, then heavy a
+    assert [r.arm for r in got] == ["b", "c", "a"]
