@@ -4416,6 +4416,69 @@ def q162_salsa(spark, sf):
     return salsa(_host_graph(spark, sf), iterations=6).orderBy("host")
 
 
+def q163_exact_incremental(spark, sf):
+    """Cross-round exact-duplicate screening (operators/
+    incremental.py::exact_ingest_round): documents 200-449 plus
+    planted re-crawl copies (doc_id+10000 of every 7th doc — the
+    byte-identical refetch a real crawl produces) arrive in THREE
+    crawl-ordered rounds; each doc is tagged (is_dup, first_id)
+    against the accumulated distinct-content state, which stores ONE
+    row per content hash ever seen. Crawl order == id order here, so
+    the oracle is the batch first-occurrence election (min id per
+    md5 group) — arrival semantics and batch semantics provably
+    coincide, which is the q154-style equivalence for the exact
+    family."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.incremental import exact_ingest_round
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where((F.col("doc_id") >= 200) & (F.col("doc_id") < 450))
+        .select("doc_id", "text")
+    )
+    recrawl = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    allr = docs.unionByName(recrawl)
+    bounds = [(200, 300), (300, 450), (10200, 10450)]
+    state = tempfile.mkdtemp(prefix="q163_ex_state_")
+    try:
+        out = None
+        for lo, hi in bounds:
+            batch = allr.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            tagged = exact_ingest_round(batch, state, n_parts=8)
+            out = tagged if out is None else out.unionByName(tagged)
+        return out.orderBy("id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def q164_psi_drift(spark, sf):
+    """Population Stability Index per source between two crawl
+    windows (operators/snapshots.py::psi_drift): documents binned by
+    literal 500-char length buckets (cap bin 9 — identical bits both
+    engines), Laplace-smoothed over the per-group observed bin set.
+    The scorecard drift alarm for quality-score distributions sliding
+    between rounds."""
+    from langscrape_spark.operators.snapshots import psi_drift
+
+    docs = _t(spark, sf, "documents")
+    binned = docs.select(
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / 500).cast("int"), F.lit(9)
+        ).alias("lb"),
+        "doc_id",
+    )
+    old = binned.where(F.col("doc_id") < 250)
+    new = binned.where(F.col("doc_id") >= 250)
+    return psi_drift(old, new, "lb", "source").orderBy("source")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -4549,6 +4612,8 @@ _PRIORITY_ORDER = [
     "q160_weighted_sample",        # A-ES weighted mixture sampling
     "q161_ucb_budget",             # UCB1 crawl-budget allocation
     "q162_salsa",                  # SALSA degree-normalized walk
+    "q163_exact_incremental",      # cross-round exact-dup state
+    "q164_psi_drift",              # PSI scorecard drift
     "q157_soft404",                # soft-404 template screen
     "q158_filter_funnel",          # gate-cascade attrition audit
     "q84_bpe_train",               # BPE training
@@ -4772,6 +4837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_weighted_sample": q160_weighted_sample,
         "q161_ucb_budget": q161_ucb_budget,
         "q162_salsa": q162_salsa,
+        "q163_exact_incremental": q163_exact_incremental,
+        "q164_psi_drift": q164_psi_drift,
     })
 
 
@@ -7442,6 +7509,72 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM d LEFT JOIN s ON d.lang = s.lang
             ORDER BY doc_id
+        """,
+        "q164_psi_drift": """
+            -- PSI re-derived: same literal 500-char bins, per-group
+            -- full-outer bin join, Laplace smoothing over the
+            -- observed bin set, (p-q)*ln(p/q) sum round-6. Spark:
+            -- operators/snapshots.py::psi_drift.
+            WITH b AS (
+              SELECT source,
+                     LEAST(CAST(floor(n_chars / 500) AS INTEGER), 9)
+                       AS lb,
+                     doc_id
+              FROM documents),
+            co AS (
+              SELECT source AS g, lb, CAST(count(*) AS BIGINT) AS c
+              FROM b WHERE doc_id < 250 GROUP BY 1, 2),
+            cn AS (
+              SELECT source AS g, lb, CAST(count(*) AS BIGINT) AS c
+              FROM b WHERE doc_id >= 250 GROUP BY 1, 2),
+            j AS (
+              SELECT COALESCE(co.g, cn.g) AS g,
+                     COALESCE(co.lb, cn.lb) AS lb,
+                     COALESCE(co.c, 0) AS co,
+                     COALESCE(cn.c, 0) AS cn
+              FROM co FULL OUTER JOIN cn
+                ON co.g = cn.g AND co.lb = cn.lb),
+            t AS (
+              SELECT g, sum(co) AS tto, sum(cn) AS ttn,
+                     count(*) AS nb
+              FROM j GROUP BY g)
+            SELECT j.g AS source,
+                   round(sum(
+                     ((j.co + 1) / CAST(t.tto + t.nb AS DOUBLE)
+                      - (j.cn + 1) / CAST(t.ttn + t.nb AS DOUBLE))
+                     * ln(((j.co + 1) / CAST(t.tto + t.nb AS DOUBLE))
+                          / ((j.cn + 1)
+                             / CAST(t.ttn + t.nb AS DOUBLE)))), 6)
+                     AS psi,
+                   CAST(max(t.nb) AS BIGINT) AS n_bins,
+                   CAST(max(t.tto) AS BIGINT) AS n_old,
+                   CAST(max(t.ttn) AS BIGINT) AS n_new
+            FROM j JOIN t ON j.g = t.g
+            GROUP BY j.g ORDER BY source
+        """,
+        "q163_exact_incremental": """
+            -- Cross-round exact screening == batch first-occurrence
+            -- election (crawl order = id order, so they provably
+            -- coincide): min id per md5(text) group over originals ∪
+            -- planted re-crawls; NULL text -> '<NULL>' sentinel
+            -- group. Spark: operators/incremental.py::
+            -- exact_ingest_round.
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 200 AND doc_id < 450
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents
+              WHERE doc_id >= 200 AND doc_id < 450
+                AND doc_id % 7 = 0),
+            h AS (
+              SELECT doc_id AS id,
+                     COALESCE(md5(text), '<NULL>') AS hh
+              FROM d),
+            g AS (SELECT hh, min(id) AS first FROM h GROUP BY hh)
+            SELECT h.id, h.id <> g.first AS is_dup,
+                   CASE WHEN h.id <> g.first THEN g.first END
+                     AS first_id
+            FROM h JOIN g USING (hh) ORDER BY id
         """,
         "q161_ucb_budget": """
             -- UCB1 re-derived exactly: per-arm pull/win counts, ONE

@@ -69,6 +69,7 @@ __all__ = [
     "bucket_state_compact",
     "bucket_state_probe",
     "bucket_state_rows",
+    "exact_ingest_round",
     "minhash_lsh_pairs_incremental",
     "minhash_ingest_round",
     "minhash_novelty_incremental",
@@ -830,3 +831,83 @@ def semantic_ingest_round(
     for h in handles:
         h.unpersist()
     return pairs
+
+
+def _exact_params() -> dict:
+    return {"family": "exact"}
+
+
+def exact_ingest_round(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Exact-duplicate screening of a NEW crawl batch against the
+    accumulated corpus — crawl-order first-occurrence semantics (the
+    :func:`.dedup.novelty_fraction` arrival convention): per batch doc
+    returns ``(id, is_dup, first_id)`` where ``first_id`` is the
+    EARLIEST-ARRIVED doc with byte-identical text (a stored doc from
+    any earlier round, else the min-id copy within this batch) and
+    NULL for first occurrences. The state then advances by the batch's
+    first occurrences ONLY — one ``(md5(text), id)`` row per distinct
+    content ever seen, so unlike the signature states the exact state
+    grows with DISTINCT content, not with the corpus (the 60%-dup
+    web crawl stores 40% of its rows).
+
+    Processing rounds in crawl order reproduces the batch
+    ``exact_dedup`` winner election exactly (ids ascend with arrival,
+    so "earliest arrived" = "min id" — the q163 oracle's contract);
+    under out-of-order ingestion the winners are arrival-first, which
+    is what a crawl ACTUALLY means by canonical. NULL text hashes to
+    the ``'<NULL>'`` sentinel bucket (all NULL-text docs are mutual
+    duplicates — they carry no distinguishing bytes; route them to
+    the length gates regardless).
+
+    Scale shape: one md5 projection + one grouped min over the batch,
+    one row-group-pruned state probe (≤1 stored row per bucket, so the
+    probe output is ≤batch-sized), zero shuffles of the state. The
+    returned frame is localCheckpoint-materialized BEFORE the append
+    mutates the directory the probe plan reads (the ingest-round
+    invariant shared by every wrapper here)."""
+    b = new_docs.select(
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<NULL>")).alias(
+            "bucket"
+        ),
+        F.col(id_col).alias("id"),
+    ).persist()
+    hits = (
+        bucket_state_probe(b, state_dir, n_parts, params=_exact_params())
+        # one stored row per bucket by construction; the min-agg makes
+        # the join safe even if a torn append ever left siblings
+        .groupBy("id_new")
+        .agg(F.min("id_old").alias("id_old"))
+    )
+    bmin = b.groupBy("bucket").agg(F.min("id").alias("_bmin"))
+    out = (
+        b.join(bmin, "bucket")
+        .join(hits, b["id"] == hits["id_new"], "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("id_old"),
+                F.when(F.col("_bmin") < F.col("id"), F.col("_bmin")),
+            ).alias("first_id"),
+        )
+        .select(
+            "id",
+            F.col("first_id").isNotNull().alias("is_dup"),
+            "first_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    firsts = (
+        b.join(bmin, "bucket")
+        .where(F.col("id") == F.col("_bmin"))
+        .join(hits, b["id"] == hits["id_new"], "left_anti")
+        .select("bucket", "id")
+    )
+    bucket_state_append(firsts, state_dir, n_parts, params=_exact_params())
+    b.unpersist()
+    return out

@@ -545,3 +545,61 @@ def capture_recapture(
         F.round(chapman, 6).alias("chapman"),
         F.round(lincoln, 6).alias("lincoln"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    bin_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Population Stability Index between two snapshots —
+    the model-monitoring drift metric (banking scorecards, and the
+    right alarm for a quality-classifier's score distribution sliding
+    between crawl rounds): ``psi = Σ_bins (p_i − q_i)·ln(p_i/q_i)``
+    over a caller-binned column (pass literal-edge bins so both
+    engines bucket identical bits). Rule-of-thumb thresholds: <0.1
+    stable, 0.1-0.25 drifting, >0.25 shifted.
+
+    Zero-count bins are Laplace-smoothed: ``p_i = (c_i+1)/(N+B)``
+    with ``B`` the number of distinct bins observed in EITHER side
+    (per group) — deterministic, no epsilon knob, and the smoothed
+    distributions still sum to 1. Output ``(group, psi, n_bins,
+    n_old, n_new)``.
+
+    Scale shape: two hash aggs keyed by (group, bin) meeting in ONE
+    full-outer equi-key join, group-sized totals joined back on the
+    group key — the ``unigram_js_divergence`` shape exactly; term
+    math mirrors the oracle op-for-op, round-6 at the end."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(
+            F.col(group_col).alias("g"), F.col(bin_col).alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+
+    j = side(old, "o").join(side(new, "n"), ["g", "b"], "full_outer").select(
+        "g",
+        "b",
+        F.coalesce("c_o", F.lit(0)).alias("co"),
+        F.coalesce("c_n", F.lit(0)).alias("cn"),
+    )
+    tot = j.groupBy("g").agg(
+        F.sum("co").alias("to"),
+        F.sum("cn").alias("tn"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("co") + F.lit(1)).cast("double") / (
+        F.col("to") + F.col("nb")
+    ).cast("double")
+    q = (F.col("cn") + F.lit(1)).cast("double") / (
+        F.col("tn") + F.col("nb")
+    ).cast("double")
+    return (
+        j.join(tot, "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.first("nb").cast("long").alias("n_bins"),
+            F.first("to").cast("long").alias("n_old"),
+            F.first("tn").cast("long").alias("n_new"),
+        )
+    )

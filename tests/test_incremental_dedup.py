@@ -586,3 +586,37 @@ def test_semantic_state_threshold_mismatch_is_loud(spark, tmp_path):
         semantic_ingest_round(
             assigned, state, threshold=0.8, k=3, n_parts=4
         ).count()
+
+
+def test_exact_incremental_crawl_order_first_occurrence(spark, tmp_path):
+    """exact_ingest_round: sequential rounds reproduce batch
+    first-occurrence election exactly; the state stores one row per
+    DISTINCT content; NULL texts are mutual duplicates."""
+    from langscrape_spark.operators.incremental import (
+        bucket_state_rows,
+        exact_ingest_round,
+    )
+
+    # 30 docs, text repeats every 7 -> groups span rounds
+    rows = [(i, None if i in (4, 25) else f"t{i % 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "ex_state")
+    got = {}
+    for r in range(3):
+        batch = docs.where(
+            (F.col("doc_id") >= r * 10) & (F.col("doc_id") < (r + 1) * 10)
+        )
+        for row in exact_ingest_round(batch, state, n_parts=4).collect():
+            got[row.id] = (row.is_dup, row.first_id)
+    first = {}
+    want = {}
+    for i, t in rows:
+        key = "<NULL>" if t is None else t
+        if key in first:
+            want[i] = (True, first[key])
+        else:
+            first[key] = i
+            want[i] = (False, None)
+    assert got == want
+    # state holds one row per distinct content (7 texts + NULL group)
+    assert bucket_state_rows(spark, state).count() == 8

@@ -4734,3 +4734,36 @@ def test_ucb_scores_matches_bruteforce(spark):
     assert {r.arm: (r.n, r.wins, r.mean_reward, r.ucb) for r in got} == want
     # optimism: the under-sampled arm b leads, then c, then heavy a
     assert [r.arm for r in got] == ["b", "c", "a"]
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+def test_psi_drift_handcomputed_zero_and_onesided(spark):
+    import math
+
+    from langscrape_spark.operators.snapshots import psi_drift
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "source string, lb int"
+    )
+    # identical distributions -> psi 0 exactly
+    same = [("s", b) for b in [0, 0, 1, 2]]
+    z = psi_drift(mk(same), mk(same), "lb", "source").collect()[0]
+    assert z.psi == 0.0 and z.n_bins == 3 and z.n_old == z.n_new == 4
+
+    # hand-computed shifted case with a bin absent on one side
+    old = [("s", 0)] * 6 + [("s", 1)] * 2
+    new = [("s", 1)] * 5 + [("s", 2)] * 3
+    got = psi_drift(mk(old), mk(new), "lb", "source").collect()[0]
+    B = 3
+    want = 0.0
+    for co, cn in ((6, 0), (2, 5), (0, 3)):
+        p = (co + 1) / (8 + B)
+        q = (cn + 1) / (8 + B)
+        want += (p - q) * math.log(p / q)
+    assert got.psi == round(want, 6)
+    assert (got.n_bins, got.n_old, got.n_new) == (3, 8, 8)
+    # monotone sanity: the shifted pair reads as "shifted" (>0.25)
+    assert got.psi > 0.25
