@@ -43,6 +43,7 @@ def main() -> None:
     from langscrape_spark.operators.incremental import (
         bucket_state_compact,
         bucket_state_rows,
+        exact_ingest_round,
         minhash_ingest_round,
     )
     from langscrape_spark.session import get_spark
@@ -90,7 +91,8 @@ def main() -> None:
             lambda it: (pdf for pdf in it), "id long"
         ).write.format("noop").mode("overwrite").save()
 
-        times, pair_counts = [], []
+        ex_state = os.path.join(tmp, "ex_state")
+        times, pair_counts, ex_times = [], [], []
         compact_every = max(rounds // 3, 2)
         for r in range(rounds):
             batch = spark.read.parquet(batch_paths[r])
@@ -102,10 +104,19 @@ def main() -> None:
             dt = time.perf_counter() - t0
             times.append(dt)
             pair_counts.append(n_pairs)
+            # the exact-dup screen a crawl runs on the same batch —
+            # its distinct-content state must ALSO stay flat-cost
+            e0 = time.perf_counter()
+            tagged = exact_ingest_round(batch, ex_state, n_parts=32)
+            n_dups = tagged.where("is_dup").count()
+            ex_dt = time.perf_counter() - e0
+            ex_times.append(ex_dt)
             line = {
                 "round": r,
                 "sec": round(dt, 2),
                 "pairs": n_pairs,
+                "exact_sec": round(ex_dt, 2),
+                "exact_dups": n_dups,
                 "state_docs": (r + 1) * per_round,
             }
             # periodic between-round maintenance, exactly where a crawl
@@ -134,6 +145,12 @@ def main() -> None:
                     "total_pairs": sum(pair_counts),
                     "round_secs": [round(t, 2) for t in times],
                     "flat_ratio": flat_ratio,
+                    "exact_round_secs": [round(t, 2) for t in ex_times],
+                    "exact_flat_ratio": round(
+                        (sum(ex_times[-3:]) / 3)
+                        / (sum(ex_times[1:4]) / 3),
+                        3,
+                    ),
                     "note": "flat_ratio = mean(last 3)/mean(rounds 2-4);"
                     " ~1.0 = per-round cost independent of state size",
                 }
