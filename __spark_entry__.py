@@ -3990,6 +3990,14 @@ def _anf_oracle() -> str:
     )
 
 
+def _harmonic_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import harmonic_oracle_sql
+
+    return harmonic_oracle_sql(
+        f"SELECT src, dst FROM ({_HOSTGRAPH_RAW_SQL})", rounds=6
+    )
+
+
 def q148_novelty(spark, sf):
     """Per-document novelty fraction (operators/dedup.py::
     novelty_fraction, k=3): share of a doc's distinct shingles never
@@ -4479,6 +4487,154 @@ def q164_psi_drift(spark, sf):
     return psi_drift(old, new, "lb", "source").orderBy("source")
 
 
+def _mirror_corpus(spark, sf):
+    """Deterministic fetched-page corpus for the duplicate-URL-mining
+    queries (q165): 8 hosts m0..m7 in mirror pairs (m0,m1), (m2,m3),
+    ... — each pair shares a content space (fp key offset 1000·pair),
+    the odd host diverging on every 5th path (score lands at ~0.8,
+    below 1.0, above the 0.5 gate) — plus a planted UNIVERSAL cell
+    (the same notice page on all 8 hosts) that the max_key_df=6 cap
+    must drop before pairing. Identical in DuckDB inside the q165
+    oracle."""
+    k = F.col("o_orderkey")
+    h = k % 8
+    p = F.expr("(o_orderkey div 8) % 400")
+    g = F.expr("(o_orderkey % 8) div 2")
+    diverge = ((h % 2) == 1) & ((p % 5) == 0)
+    fpkey = p + g * 1000 + F.when(diverge, F.lit(77777)).otherwise(F.lit(0))
+    pages = _t(spark, sf, "orders").select(
+        F.concat(
+            F.lit("https://m"),
+            h.cast("string"),
+            F.lit(".example/doc/"),
+            p.cast("string"),
+        ).alias("url"),
+        F.md5(F.concat(F.lit("c:"), fpkey.cast("string"))).alias("fp"),
+    )
+    universal = spark.range(8).select(
+        F.concat(
+            F.lit("https://m"),
+            F.col("id").cast("string"),
+            F.lit(".example/shared/notice"),
+        ).alias("url"),
+        F.md5(F.lit("c:universal")).alias("fp"),
+    )
+    return pages.unionByName(universal)
+
+
+def q165_mirror_hosts(spark, sf):
+    """Bharat-Broder mirror-host detection (operators/mirrors.py::
+    mirror_hosts) over the planted mirror corpus: distinct
+    (host, path, fp) cells, a df-cap that drops the universal notice
+    cell (served by all 8 hosts > max_key_df=6) before pairing, a
+    within-cell self-join, and the containment score in exact integer
+    micro-units ((shared·10⁶) div min(n_a,n_b)). The oracle re-derives
+    the corpus, the cap, both joins and the integer score in DuckDB —
+    all-integer, hash-exact."""
+    from langscrape_spark.operators.mirrors import mirror_hosts
+
+    out = mirror_hosts(
+        _mirror_corpus(spark, sf),
+        max_key_df=6,
+        min_shared=5,
+        min_score_micro=500_000,
+    )
+    return out.orderBy("host_a", "host_b")
+
+
+def q166_dust_rules(spark, sf):
+    """DUST rewrite-rule mining (operators/mirrors.py::dust_rules)
+    over three planted spellings per page — clean /item/<id>, a
+    ?ref=home tracking spelling and sparse ?sid=<k> session spellings
+    — all sharing one content fingerprint. Pairs join only within
+    (host, fp) groups (df-capped at 64 spellings); the templated
+    token-set difference collapses every sid value to ONE rule
+    (q:sid=<N>), and sid-vs-sid pairs yield the empty rule and drop
+    out. Valid = support ≥ 3 pairs across ≥ 2 distinct contents. The
+    oracle re-derives tokenization (list lambdas), pairing, the cap
+    and both gates."""
+    from langscrape_spark.operators.mirrors import dust_rules
+
+    k = F.col("o_orderkey")
+    c = k % 300
+    w = F.expr("(o_orderkey div 300) % 15")
+    base = F.concat(
+        F.lit("https://www.shop.example/item/"), c.cast("string")
+    )
+    url = (
+        F.when(w == 2, F.concat(base, F.lit("?sid="), k.cast("string")))
+        .when(w.isin(5, 8), F.concat(base, F.lit("?ref=home")))
+        .otherwise(base)
+    )
+    corpus = _t(spark, sf, "orders").select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("c:"), c.cast("string"))).alias("fp"),
+    )
+    out = dust_rules(
+        corpus, max_group=64, min_support=3, min_contents=2
+    )
+    return out.orderBy("lhs", "rhs")
+
+
+def q167_param_significance(spark, sf):
+    """Query-parameter content-significance (operators/mirrors.py::
+    param_significance) over /list URLs carrying cat+page (content-
+    determining), sess (unique per fetch, content-irrelevant) and a
+    constant utm=nl (single-valued — no evidence either way). Content
+    fp = md5 of (cat, page) only. Expected verdicts: cat/page →
+    content_significant, sess → content_irrelevant, utm →
+    no_evidence. The oracle replays the explode + both hash
+    aggregations + the verdict CASE in DuckDB — all counts integer."""
+    from langscrape_spark.operators.mirrors import param_significance
+
+    k = F.col("o_orderkey")
+    cat = (k % 20).cast("string")
+    page = (k % 5).cast("string")
+    w = F.expr("(o_orderkey div 100) % 3")
+    qs = (
+        F.when(
+            w == 0,
+            F.concat(
+                F.lit("?cat="), cat, F.lit("&page="), page,
+                F.lit("&sess="), k.cast("string"), F.lit("&utm=nl"),
+            ),
+        )
+        .when(
+            w == 1,
+            F.concat(F.lit("?cat="), cat, F.lit("&page="), page),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("?cat="), cat, F.lit("&page="), page,
+                F.lit("&sess="), k.cast("string"),
+            )
+        )
+    )
+    corpus = _t(spark, sf, "orders").select(
+        F.concat(F.lit("https://www.cat.example/list"), qs).alias("url"),
+        F.md5(
+            F.concat(F.lit("c:"), cat, F.lit(":"), page)
+        ).alias("fp"),
+    )
+    out = param_significance(corpus)
+    return out.orderBy("host", "key")
+
+
+def q168_harmonic(spark, sf):
+    """Exact out-harmonic centrality (operators/linkgraph.py::
+    harmonic_centrality, 6 min-relaxation rounds) over the shared
+    derived host graph — Σ 1/d(u,v) in exact integer micro-units
+    (1000000 div d, the q147/q152 convention), unreachable pairs
+    contributing 0 by definition. The oracle unrolls the all-pairs
+    BFS as MATERIALIZED CTEs (the bfs_depths oracle pattern lifted to
+    (u,v) state) — all-integer, hash-exact."""
+    from langscrape_spark.operators.linkgraph import harmonic_centrality
+
+    return harmonic_centrality(_host_graph(spark, sf), rounds=6).orderBy(
+        "host"
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -4839,6 +4995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_salsa": q162_salsa,
         "q163_exact_incremental": q163_exact_incremental,
         "q164_psi_drift": q164_psi_drift,
+        "q165_mirror_hosts": q165_mirror_hosts,
+        "q166_dust_rules": q166_dust_rules,
+        "q167_param_significance": q167_param_significance,
+        "q168_harmonic": q168_harmonic,
     })
 
 
@@ -9962,4 +10122,197 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS vocab_common
             FROM j GROUP BY g ORDER BY host
         """,
+        "q165_mirror_hosts": """
+            WITH corpus AS (
+              SELECT 'm' || CAST(o_orderkey % 8 AS VARCHAR)
+                       || '.example' AS host,
+                     '/doc/' || CAST((o_orderkey // 8) % 400 AS VARCHAR)
+                       AS path,
+                     md5('c:' || CAST(
+                       (o_orderkey // 8) % 400
+                       + 1000 * ((o_orderkey % 8) // 2)
+                       + CASE WHEN (o_orderkey % 8) % 2 = 1
+                               AND ((o_orderkey // 8) % 400) % 5 = 0
+                              THEN 77777 ELSE 0 END AS VARCHAR)) AS fp
+              FROM orders
+              UNION ALL
+              SELECT 'm' || CAST(r AS VARCHAR) || '.example',
+                     '/shared/notice', md5('c:universal')
+              FROM range(8) t(r)
+            ),
+            triples AS (SELECT DISTINCT host, path, fp FROM corpus),
+            cells AS (SELECT path, fp, count(*) AS dfh
+                      FROM triples GROUP BY path, fp),
+            kept AS (SELECT t.host, t.path, t.fp FROM triples t
+                     JOIN cells c ON t.path = c.path AND t.fp = c.fp
+                     WHERE c.dfh <= 6),
+            sizes AS (SELECT host, count(*) AS n FROM kept GROUP BY host),
+            pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                             count(*) AS shared
+                      FROM kept a JOIN kept b
+                        ON a.path = b.path AND a.fp = b.fp
+                           AND a.host < b.host
+                      GROUP BY a.host, b.host)
+            SELECT p.host_a, p.host_b, p.shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   (p.shared * 1000000) // least(sa.n, sb.n)
+                     AS score_micro,
+                   CAST(CASE WHEN p.shared >= 5
+                         AND (p.shared * 1000000) // least(sa.n, sb.n)
+                             >= 500000
+                        THEN 1 ELSE 0 END AS INT) AS is_mirror
+            FROM pairs p
+            JOIN sizes sa ON p.host_a = sa.host
+            JOIN sizes sb ON p.host_b = sb.host
+            ORDER BY p.host_a, p.host_b
+        """,
+        "q166_dust_rules": """
+            WITH corpus AS (
+              SELECT CASE
+                       WHEN (o_orderkey // 300) % 15 = 2
+                         THEN 'https://www.shop.example/item/'
+                              || CAST(o_orderkey % 300 AS VARCHAR)
+                              || '?sid=' || CAST(o_orderkey AS VARCHAR)
+                       WHEN (o_orderkey // 300) % 15 IN (5, 8)
+                         THEN 'https://www.shop.example/item/'
+                              || CAST(o_orderkey % 300 AS VARCHAR)
+                              || '?ref=home'
+                       ELSE 'https://www.shop.example/item/'
+                            || CAST(o_orderkey % 300 AS VARCHAR)
+                     END AS url,
+                     md5('c:' || CAST(o_orderkey % 300 AS VARCHAR)) AS fp
+              FROM orders
+            ),
+            urls AS (
+              SELECT DISTINCT
+                     lower(regexp_extract(url, 'https://([^/]+)', 1))
+                       AS host,
+                     fp, url
+              FROM corpus
+            ),
+            gsz AS (SELECT host, fp, count(*) AS n
+                    FROM urls GROUP BY host, fp),
+            toked AS (
+              SELECT u.host, u.fp, u.url,
+                     list_sort(list_distinct(
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(u.url,
+                             'https://[^/]+([^?]*)', 1), '/'),
+                           x -> x <> ''),
+                         x -> 'p:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                       ||
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(u.url, '\\?(.*)$', 1), '&'),
+                           x -> x <> ''),
+                         x -> 'q:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                     )) AS toks
+              FROM urls u
+              JOIN gsz g ON u.host = g.host AND u.fp = g.fp
+              WHERE g.n <= 64
+            ),
+            pairs AS (
+              SELECT coalesce(array_to_string(list_sort(list_distinct(
+                       list_filter(a.toks,
+                         x -> NOT list_contains(b.toks, x)))), '|'), '')
+                       AS lhs,
+                     coalesce(array_to_string(list_sort(list_distinct(
+                       list_filter(b.toks,
+                         x -> NOT list_contains(a.toks, x)))), '|'), '')
+                       AS rhs,
+                     a.fp AS fp
+              FROM toked a JOIN toked b
+                ON a.host = b.host AND a.fp = b.fp AND a.url < b.url
+            ),
+            agg AS (
+              SELECT lhs, rhs, count(*) AS support,
+                     count(DISTINCT fp) AS n_contents
+              FROM pairs WHERE lhs <> '' OR rhs <> ''
+              GROUP BY lhs, rhs
+            )
+            SELECT lhs, rhs, support, n_contents,
+                   CAST(CASE WHEN support >= 3 AND n_contents >= 2
+                        THEN 1 ELSE 0 END AS INT) AS valid
+            FROM agg ORDER BY lhs, rhs
+        """,
+        "q167_param_significance": """
+            WITH corpus AS (
+              SELECT CASE (o_orderkey // 100) % 3
+                       WHEN 0 THEN
+                         'https://www.cat.example/list?cat='
+                         || CAST(o_orderkey % 20 AS VARCHAR)
+                         || '&page=' || CAST(o_orderkey % 5 AS VARCHAR)
+                         || '&sess=' || CAST(o_orderkey AS VARCHAR)
+                         || '&utm=nl'
+                       WHEN 1 THEN
+                         'https://www.cat.example/list?cat='
+                         || CAST(o_orderkey % 20 AS VARCHAR)
+                         || '&page=' || CAST(o_orderkey % 5 AS VARCHAR)
+                       ELSE
+                         'https://www.cat.example/list?cat='
+                         || CAST(o_orderkey % 20 AS VARCHAR)
+                         || '&page=' || CAST(o_orderkey % 5 AS VARCHAR)
+                         || '&sess=' || CAST(o_orderkey AS VARCHAR)
+                     END AS url,
+                     md5('c:' || CAST(o_orderkey % 20 AS VARCHAR)
+                         || ':' || CAST(o_orderkey % 5 AS VARCHAR)) AS fp
+              FROM orders
+            ),
+            parsed AS (
+              SELECT lower(regexp_extract(url, 'https://([^/]+)', 1))
+                       AS host,
+                     regexp_extract(url, 'https://[^/]+([^?]*)', 1)
+                       AS path,
+                     list_filter(string_split(
+                       regexp_extract(url, '\\?(.*)$', 1), '&'),
+                       x -> x <> '') AS params,
+                     fp
+              FROM corpus
+            ),
+            ex AS (
+              SELECT host, path, fp, params, unnest(params) AS param
+              FROM parsed
+            ),
+            keyed AS (
+              SELECT host, path, fp,
+                     regexp_extract(param, '^([^=]*)', 1) AS pk,
+                     regexp_extract(param, '^[^=]*=(.*)$', 1) AS pv,
+                     array_to_string(list_sort(list_filter(params,
+                       x -> regexp_extract(x, '^([^=]*)', 1)
+                            <> regexp_extract(param, '^([^=]*)', 1))),
+                       '&') AS others
+              FROM ex
+            ),
+            per_ctx AS (
+              SELECT host, path, others, pk,
+                     count(DISTINCT pv) AS n_vals,
+                     count(DISTINCT fp) AS n_fps
+              FROM keyed GROUP BY host, path, others, pk
+            ),
+            rolled AS (
+              SELECT host, pk,
+                     count(*) AS n_groups,
+                     sum(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END)
+                       AS n_multi,
+                     sum(CASE WHEN n_vals > 1 AND n_fps > 1
+                         THEN 1 ELSE 0 END) AS n_varying
+              FROM per_ctx GROUP BY host, pk
+            )
+            SELECT host, pk AS key,
+                   CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(n_multi AS BIGINT) AS n_multi,
+                   CAST(n_varying AS BIGINT) AS n_varying,
+                   CASE WHEN n_multi = 0 THEN 'no_evidence'
+                        WHEN n_varying = 0 THEN 'content_irrelevant'
+                        WHEN n_varying = n_multi
+                          THEN 'content_significant'
+                        ELSE 'mixed' END AS verdict
+            FROM rolled ORDER BY host, key
+        """,
+        "q168_harmonic": _harmonic_oracle(),
     })

@@ -932,3 +932,114 @@ s0 AS MATERIALIZED (
        round(CAST(micro AS DOUBLE) / CAST(f AS DOUBLE), 6) AS frac
 FROM curve, fin ORDER BY t"""
     return ",\n".join(parts) + "\n" + final
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """EXACT out-harmonic centrality H(u) = Σ_{v≠u, d(u,v)≤rounds}
+    1/d(u,v) over the directed host graph — the centrality Boldi &
+    Vigna ("Axioms for Centrality", 2014) recommend over closeness
+    because unreachable nodes contribute 0 instead of poisoning the
+    mean. For a crawl scheduler it reads as *reach power*: how much of
+    the web a host opens up, discounted by link distance — a natural
+    seed-selection score next to ``greedy_seed_cover``.
+
+    Exact all-pairs BFS via ``rounds`` min-relaxation rounds over a
+    SPARSE (src, node, depth) frame (the ``bfs_depths`` recurrence
+    with every node as its own seed): one equi-key join + min-groupBy
+    per round, lineage truncated per round. Exact-all-pairs is
+    O(n·m) work and an n²-bounded state — right for HOST graphs
+    (10⁶–10⁸ hosts, not pages). For page-level graphs use the
+    HyperBall estimate instead: :func:`neighborhood_function` already
+    maintains the per-node reachable-ball HLLs; harmonic follows by
+    differencing rounds (Boldi & Vigna 2013) — documented scale path,
+    same register stack.
+
+    1/d sums in EXACT integer micro-units (``1000000 div d`` — the
+    q147/q152 convention), so the score is bit-reproducible against
+    the unrolled-CTE oracle (q168). A round past the graph's
+    eccentricity is a no-op, so fixed ``rounds`` is exact whenever it
+    covers the true diameter; beyond-horizon pairs contribute 0 by
+    harmonic's own definition.
+
+    Returns ``(host, n_reached, harmonic_micro)`` — ``n_reached``
+    counts v≠u within the horizon.
+    """
+    e, hosts = clean_host_edges(edges, src_col, dst_col)
+    d = hosts.select(
+        F.col("host").alias("u"),
+        F.col("host").alias("v"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    for _ in range(rounds):
+        step = (
+            d.join(e, d.v == e.src)
+            .select(
+                "u",
+                F.col("dst").alias("v"),
+                (F.col("depth") + F.lit(1)).alias("depth"),
+            )
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("u", "v")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+    reached = d.where(F.col("depth") > 0)
+    agg = reached.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(F.expr("1000000 div depth")).cast("long").alias(
+            "harmonic_micro"
+        ),
+    )
+    return hosts.join(agg, hosts.host == agg.u, "left").select(
+        "host",
+        F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias(
+            "n_reached"
+        ),
+        F.coalesce(F.col("harmonic_micro"), F.lit(0)).cast("long").alias(
+            "harmonic_micro"
+        ),
+    )
+
+
+def harmonic_oracle_sql(raw_edges_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`harmonic_centrality`: the all-pairs
+    min-relaxation unrolled as MATERIALIZED CTEs (the bfs_depths
+    oracle pattern lifted to (u, v) state) — all-integer, exact."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "d0 AS MATERIALIZED (SELECT host AS u, host AS v,"
+        " CAST(0 AS BIGINT) AS depth FROM hosts),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT u, v, min(depth) AS depth"
+            f" FROM (SELECT u, v, depth FROM d{i - 1}"
+            f" UNION ALL SELECT d.u, e.dst, d.depth + 1"
+            f" FROM e JOIN d{i - 1} d ON e.src = d.v) x"
+            " GROUP BY u, v),"
+        )
+    parts.append(
+        "agg AS (SELECT u, count(*) AS n_reached,"
+        " sum(1000000 // depth) AS harmonic_micro"
+        f" FROM d{rounds} WHERE depth > 0 GROUP BY u)"
+    )
+    final = (
+        "SELECT hosts.host,"
+        " CAST(coalesce(agg.n_reached, 0) AS BIGINT) AS n_reached,"
+        " CAST(coalesce(agg.harmonic_micro, 0) AS BIGINT)"
+        " AS harmonic_micro"
+        " FROM hosts LEFT JOIN agg ON hosts.host = agg.u"
+        " ORDER BY hosts.host"
+    )
+    return "\n".join(parts) + "\n" + final
