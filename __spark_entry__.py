@@ -4635,6 +4635,49 @@ def q168_harmonic(spark, sf):
     )
 
 
+def q169_asof_join(spark, sf):
+    """Point-in-time (as-of) join (operators/temporal.py::asof_join):
+    every 'click' event matched to the LATEST prior 'view' capture of
+    the same key — the "which snapshot was current when this row was
+    produced" join the versioned catalog needs, expressed as ONE
+    union + last(ignorenulls) window per key (no range join, no
+    explosion). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent engine implementation of the same semantics, matched
+    row-for-row including the no-prior-capture NULLs."""
+    from langscrape_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    captures = ev.where(F.col("event_type") == "view").select(
+        key.alias("k"),
+        "ts",
+        F.md5(
+            F.concat(F.lit("v:"), F.col("event_id").cast("string"))
+        ).alias("fp"),
+        F.col("value").alias("val"),
+    )
+    probes = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), key.alias("k"), "ts"
+    )
+    out = asof_join(
+        probes,
+        captures,
+        key_col="k",
+        ts_col="ts",
+        value_cols=("fp", "val"),
+    )
+    return out.select(
+        "pid",
+        "k",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("capture_ts").cast("timestamp")).alias(
+            "capture_us"
+        ),
+        "fp",
+        "val",
+    ).orderBy("pid")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -4999,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_dust_rules": q166_dust_rules,
         "q167_param_significance": q167_param_significance,
         "q168_harmonic": q168_harmonic,
+        "q169_asof_join": q169_asof_join,
     })
 
 
@@ -10315,4 +10359,31 @@ def oracle_sql() -> dict[str, str]:
             FROM rolled ORDER BY host, key
         """,
         "q168_harmonic": _harmonic_oracle(),
+        "q169_asof_join": """
+            -- Point-in-time join re-derived with DuckDB's NATIVE
+            -- ASOF LEFT JOIN (inclusive >=) — a genuinely independent
+            -- implementation of the semantics the Spark side builds
+            -- from the union + last(ignorenulls) window
+            -- (operators/temporal.py::asof_join). Captures collapse
+            -- to one row per (key, ts) by max-struct in both engines.
+            WITH cap AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS k, ts,
+                     md5('v:' || CAST(event_id AS VARCHAR)) AS fp,
+                     value AS val
+              FROM events WHERE event_type = 'view'),
+            capd AS (
+              SELECT k, ts,
+                     max(struct_pack(fp := fp, val := val)) AS v
+              FROM cap GROUP BY k, ts),
+            cc AS (SELECT k, ts, v.fp AS fp, v.val AS val FROM capd),
+            p AS (
+              SELECT event_id AS pid,
+                     'u' || CAST(user_id AS VARCHAR) AS k, ts
+              FROM events WHERE event_type = 'click')
+            SELECT p.pid, p.k, epoch_us(p.ts) AS ts_us,
+                   epoch_us(cc.ts) AS capture_us, cc.fp, cc.val
+            FROM p ASOF LEFT JOIN cc
+              ON p.k = cc.k AND p.ts >= cc.ts
+            ORDER BY pid
+        """,
     })
