@@ -4678,6 +4678,64 @@ def q169_asof_join(spark, sf):
     ).orderBy("pid")
 
 
+_BOWTIE_SRC = [
+    "c0", "c1", "c2", "c3", "c4", "c0", "i0", "i1", "c2", "o0",
+    "i1", "t0", "i0", "td1", "d0",
+]
+_BOWTIE_DST = [
+    "c1", "c2", "c3", "c4", "c0", "c2", "i1", "c0", "o0", "o1",
+    "t0", "o0", "td0", "o1", "d1",
+]
+_BOWTIE_RAW_SQL = (
+    "SELECT ({s})[(doc_id % 15) + 1] AS src,"
+    " ({d})[(doc_id % 15) + 1] AS dst FROM documents".format(
+        s="[" + ",".join(f"'{x}'" for x in _BOWTIE_SRC) + "]",
+        d="[" + ",".join(f"'{x}'" for x in _BOWTIE_DST) + "]",
+    )
+)
+
+
+def _bowtie_graph(spark, sf):
+    """Deterministic planted bow-tie graph derived from documents:
+    a 5-node SCC with a chord, an IN chain, an OUT chain, a tube
+    bypassing the core, one tendril off IN, one tendril into OUT and
+    a disconnected pair — every Broder class populated. Each of the
+    15 edges is emitted ~|documents|/15 times (doc_id % 15 indexes
+    the edge list), so the operator's dedup hygiene is exercised.
+    ``_BOWTIE_RAW_SQL`` is its DuckDB twin."""
+    idx = (F.col("doc_id") % 15).cast("int")
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _BOWTIE_SRC]), idx + 1
+        ).alias("src_host"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _BOWTIE_DST]), idx + 1
+        ).alias("dst_host"),
+    )
+
+
+def q170_bowtie(spark, sf):
+    """Bow-tie decomposition (operators/linkgraph.py::bowtie, FW-BW
+    single pivot, 6 frontier rounds) — Broder et al.'s web-structure
+    map over a planted graph exercising every class: core (the
+    pivot's SCC via F∩B), in, out, tube (IN→OUT bypassing core),
+    tendrils off IN / into OUT, disconnected. Four node-set BFS
+    sweeps, each round one equi-join + distinct (O(n) state, never
+    pairs). The oracle re-runs pivot election and all four sweeps as
+    unrolled MATERIALIZED set-CTEs with the same classification
+    CASE."""
+    from langscrape_spark.operators.linkgraph import bowtie
+
+    return bowtie(_bowtie_graph(spark, sf), rounds=6).orderBy("host")
+
+
+def _bowtie_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import bowtie_oracle_sql
+
+    return bowtie_oracle_sql(_BOWTIE_RAW_SQL, rounds=6)
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5043,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_param_significance": q167_param_significance,
         "q168_harmonic": q168_harmonic,
         "q169_asof_join": q169_asof_join,
+        "q170_bowtie": q170_bowtie,
     })
 
 
@@ -10359,6 +10418,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rolled ORDER BY host, key
         """,
         "q168_harmonic": _harmonic_oracle(),
+        "q170_bowtie": _bowtie_oracle(),
         "q169_asof_join": """
             -- Point-in-time join re-derived with DuckDB's NATIVE
             -- ASOF LEFT JOIN (inclusive >=) — a genuinely independent

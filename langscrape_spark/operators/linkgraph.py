@@ -1043,3 +1043,198 @@ def harmonic_oracle_sql(raw_edges_sql: str, rounds: int = 6) -> str:
         " ORDER BY hosts.host"
     )
     return "\n".join(parts) + "\n" + final
+
+
+def bowtie(
+    edges: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Bow-tie decomposition of the directed host graph (Broder et
+    al., "Graph structure in the Web", WWW 2000) — the canonical
+    web-corpus structure audit: every host classified as
+
+    - ``core``   — the pivot's strongly-connected component,
+    - ``in``     — reaches the core but is not reached by it,
+    - ``out``    — reached by the core but cannot get back,
+    - ``tube``   — on an IN→OUT path that bypasses the core,
+    - ``tendril``— hangs off IN (reachable from IN, dead-ends) or
+                   feeds OUT (reaches OUT, unreachable from IN/core),
+    - ``disconnected`` — none of the above within the horizon.
+
+    For a crawl it answers "where does seed-reachable web end":
+    frontier budget spent on OUT/tendril hosts never refreshes the
+    core, and a large DISCONNECTED share means the seed list — not
+    politeness — is the coverage bottleneck.
+
+    FW-BW single-pivot scheme: pivot = max-out-degree host (tie →
+    lexicographic min; deterministic in both engines), F/B = forward/
+    backward reachable sets within ``rounds`` frontier expansions,
+    core = F∩B, then two more sweeps (forward from IN, backward from
+    OUT) split the remainder into tube/tendril/disconnected. Four
+    BFS passes, each round ONE equi-key join + distinct over a
+    node-set frame (O(n) state, never pairs — contrast
+    ``harmonic_centrality``'s O(n²) all-pairs state), lineage
+    truncated per round. ``rounds`` past the true eccentricity is a
+    no-op, so a fixed horizon covering the diameter is exact — same
+    convention as ``bfs_depths``/``harmonic_centrality``.
+
+    The single ``.collect()`` is the 1-row pivot election (bounded
+    scalar, the iterative-operator convention). Returns
+    ``(host, component)``.
+    """
+    e, hosts = clean_host_edges(edges, src_col, dst_col)
+    pivot_rows = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(1)
+        .collect()
+    )
+    if not pivot_rows:
+        return hosts.select(
+            "host", F.lit("disconnected").alias("component")
+        )
+    pivot = pivot_rows[0]["src"]
+
+    def sweep(seeds: DataFrame, forward: bool) -> DataFrame:
+        """Distinct reachable-node set from ``seeds`` (inclusive)
+        within ``rounds`` expansions, following edges forward or
+        backward."""
+        frm, to = ("src", "dst") if forward else ("dst", "src")
+        r = seeds.select(F.col("host").alias("v")).distinct()
+        for _ in range(rounds):
+            step = (
+                r.alias("r")
+                .join(e.alias("ee"), F.col("r.v") == F.col(f"ee.{frm}"))
+                .select(F.col(f"ee.{to}").alias("v"))
+            )
+            r = (
+                r.unionByName(step)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+        return r
+
+    seed = hosts.where(F.col("host") == F.lit(pivot))
+    fset = sweep(seed, forward=True)
+    bset = sweep(seed, forward=False)
+
+    flagged = (
+        hosts.join(
+            fset.select(F.col("v").alias("host"), F.lit(1).alias("f")),
+            "host",
+            "left",
+        )
+        .join(
+            bset.select(F.col("v").alias("host"), F.lit(1).alias("b")),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.coalesce("f", F.lit(0)).alias("f"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .cache()
+    )
+    in_seeds = flagged.where((F.col("b") == 1) & (F.col("f") == 0))
+    out_seeds = flagged.where((F.col("f") == 1) & (F.col("b") == 0))
+    tin = sweep(in_seeds, forward=True)
+    tout = sweep(out_seeds, forward=False)
+
+    out = (
+        flagged.join(
+            tin.select(F.col("v").alias("host"), F.lit(1).alias("ti")),
+            "host",
+            "left",
+        )
+        .join(
+            tout.select(F.col("v").alias("host"), F.lit(1).alias("to")),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.when((F.col("f") == 1) & (F.col("b") == 1), "core")
+            .when(F.col("b") == 1, "in")
+            .when(F.col("f") == 1, "out")
+            .when(
+                F.coalesce("ti", F.lit(0))
+                + F.coalesce("to", F.lit(0))
+                == 2,
+                "tube",
+            )
+            .when(
+                F.coalesce("ti", F.lit(0))
+                + F.coalesce("to", F.lit(0))
+                == 1,
+                "tendril",
+            )
+            .otherwise("disconnected")
+            .alias("component"),
+        )
+    )
+    return out
+
+
+def bowtie_oracle_sql(raw_edges_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`bowtie`: pivot election, the four
+    frontier sweeps unrolled as MATERIALIZED set-CTEs, and the same
+    classification CASE."""
+
+    def sweep(name: str, seeds: str, forward: bool) -> list[str]:
+        frm, to = ("src", "dst") if forward else ("dst", "src")
+        parts = [f"{name}0 AS MATERIALIZED ({seeds}),"]
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"{name}{i} AS MATERIALIZED (SELECT DISTINCT v FROM"
+                f" (SELECT v FROM {name}{i - 1}"
+                f" UNION ALL SELECT e.{to} AS v FROM e"
+                f" JOIN {name}{i - 1} r ON e.{frm} = r.v) x),"
+            )
+        return parts
+
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "pv AS MATERIALIZED (SELECT src AS v FROM"
+        " (SELECT src, count(*) AS deg FROM e GROUP BY src)"
+        " ORDER BY deg DESC, src ASC LIMIT 1),",
+    ]
+    parts += sweep("f", "SELECT v FROM pv", forward=True)
+    parts += sweep("b", "SELECT v FROM pv", forward=False)
+    parts.append(
+        "flagged AS MATERIALIZED (SELECT hosts.host,"
+        f" CASE WHEN f{rounds}.v IS NOT NULL THEN 1 ELSE 0 END AS f,"
+        f" CASE WHEN b{rounds}.v IS NOT NULL THEN 1 ELSE 0 END AS b"
+        f" FROM hosts LEFT JOIN f{rounds} ON hosts.host = f{rounds}.v"
+        f" LEFT JOIN b{rounds} ON hosts.host = b{rounds}.v),"
+    )
+    parts += sweep(
+        "ti",
+        "SELECT host AS v FROM flagged WHERE b = 1 AND f = 0",
+        forward=True,
+    )
+    parts += sweep(
+        "tp",
+        "SELECT host AS v FROM flagged WHERE f = 1 AND b = 0",
+        forward=False,
+    )
+    parts.append(
+        "cls AS (SELECT fl.host,"
+        " CASE WHEN fl.f = 1 AND fl.b = 1 THEN 'core'"
+        " WHEN fl.b = 1 THEN 'in'"
+        " WHEN fl.f = 1 THEN 'out'"
+        " WHEN ti.v IS NOT NULL AND tp.v IS NOT NULL THEN 'tube'"
+        " WHEN ti.v IS NOT NULL OR tp.v IS NOT NULL THEN 'tendril'"
+        " ELSE 'disconnected' END AS component"
+        f" FROM flagged fl LEFT JOIN ti{rounds} ti ON fl.host = ti.v"
+        f" LEFT JOIN tp{rounds} tp ON fl.host = tp.v)"
+    )
+    final = "SELECT host, component FROM cls ORDER BY host"
+    return "\n".join(parts) + "\n" + final

@@ -602,3 +602,62 @@ def test_salsa_empty_graph(spark):
 
     df = spark.createDataFrame([], "src_host string, dst_host string")
     assert salsa(df, iterations=3).count() == 0
+
+
+def test_bowtie_all_classes(spark):
+    """Planted Broder graph: 5-node SCC (+chord making c0 the
+    max-out-degree pivot by tie-break), IN chain, OUT chain, a tube
+    bypassing the core, tendrils off IN and into OUT, and a
+    disconnected pair — each lands in its class. Duplicate edges and
+    self-loops are hygiene-dropped."""
+    from langscrape_spark.operators.linkgraph import bowtie
+
+    edges = [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+        ("c4", "c0"), ("c0", "c2"),             # SCC + chord
+        ("i0", "i1"), ("i1", "c0"),             # IN chain
+        ("c2", "o0"), ("o0", "o1"),             # OUT chain
+        ("i1", "t0"), ("t0", "o0"),             # tube
+        ("i0", "td0"),                          # tendril off IN
+        ("td1", "o1"),                          # tendril into OUT
+        ("d0", "d1"),                           # disconnected pair
+        ("c0", "c1"), ("c0", "c0"),             # dup + self-loop
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["component"] for r in bowtie(df, rounds=6).collect()}
+    assert got == {
+        "c0": "core", "c1": "core", "c2": "core", "c3": "core",
+        "c4": "core",
+        "i0": "in", "i1": "in",
+        "o0": "out", "o1": "out",
+        "t0": "tube",
+        "td0": "tendril", "td1": "tendril",
+        "d0": "disconnected", "d1": "disconnected",
+    }
+
+
+def test_bowtie_empty_graph(spark):
+    from langscrape_spark.operators.linkgraph import bowtie
+
+    df = spark.createDataFrame([], "src_host string, dst_host string")
+    assert bowtie(df, rounds=3).count() == 0
+
+
+def test_bowtie_pivot_tiebreak_and_horizon(spark):
+    """All out-degrees equal → lexicographically smallest src is the
+    pivot; a horizon smaller than the graph diameter truncates
+    reachability (documented fixed-rounds contract)."""
+    from langscrape_spark.operators.linkgraph import bowtie
+
+    # a -> b -> c -> d: pivot = 'a' (deg all 1, min name).
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    got = {r["host"]: r["component"] for r in bowtie(chain, rounds=6).collect()}
+    # F(a)={a,b,c,d}, B(a)={a}: core={a}, out={b,c,d}.
+    assert got == {"a": "core", "b": "out", "c": "out", "d": "out"}
+    short = {r["host"]: r["component"] for r in bowtie(chain, rounds=1).collect()}
+    # rounds=1: F(a)={a,b} -> 'd' invisible forward; backward-from-out
+    # sweep then finds c -> d ... d reaches nothing in OUT, c is OUT.
+    assert short["a"] == "core" and short["b"] == "out"
