@@ -4736,6 +4736,49 @@ def _bowtie_oracle() -> str:
     return bowtie_oracle_sql(_BOWTIE_RAW_SQL, rounds=6)
 
 
+def q171_ip_asn(spark, sf):
+    """IP→CIDR-block range join (operators/netmap.py::ip_block_join):
+    hosts get deterministic md5-derived IPv4 addresses, a 64-block
+    route table covers the lower half of each 2^26-aligned chunk, and
+    the BETWEEN range join executes as a broadcast prefix-bucket
+    EQUI-join (block rows exploded to the 2^22-grain buckets they
+    span) — scan → broadcast hash join → filter, the ip side never
+    shuffles. The oracle is the plain BETWEEN range join DuckDB runs
+    natively; unrouted hosts keep the 'unrouted' sentinel."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.netmap import ip_block_join
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 97).cast("string")
+            ).alias("host")
+        )
+        .distinct()
+    )
+    ips = hosts.select(
+        "host",
+        _md5_lower64(F.col("host"))
+        .bitwiseAND(F.lit(4294967295))
+        .alias("ip"),
+    )
+    blocks = spark.range(64).select(
+        (F.col("id") * 67108864).alias("lo"),
+        (F.col("id") * 67108864 + 33554431).alias("hi"),
+        F.concat(F.lit("AS"), (F.col("id") + 64500).cast("string")).alias(
+            "asn"
+        ),
+    )
+    out = ip_block_join(ips, blocks, bucket_bits=10)
+    return out.select(
+        "host",
+        "ip",
+        F.coalesce("asn", F.lit("unrouted")).alias("asn"),
+        "block_lo",
+    ).orderBy("host")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5102,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_harmonic": q168_harmonic,
         "q169_asof_join": q169_asof_join,
         "q170_bowtie": q170_bowtie,
+        "q171_ip_asn": q171_ip_asn,
     })
 
 
@@ -10419,6 +10463,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
+        "q171_ip_asn": """
+            -- The range join DuckDB runs natively (BETWEEN); the
+            -- Spark side executes it as a broadcast prefix-bucket
+            -- equi-join (operators/netmap.py::ip_block_join). IPs are
+            -- the md5 lower half masked to 32 bits — md5_number_lower
+            -- % 2^32 reproduces Spark's bitwiseAND(0xFFFFFFFF).
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR)
+                       AS host
+              FROM documents),
+            ips AS (
+              SELECT host,
+                     CAST(md5_number_lower(host) % 4294967296
+                          AS BIGINT) AS ip
+              FROM hosts),
+            blocks AS (
+              SELECT CAST(i * 67108864 AS BIGINT) AS lo,
+                     CAST(i * 67108864 + 33554431 AS BIGINT) AS hi,
+                     'AS' || CAST(64500 + i AS VARCHAR) AS asn
+              FROM (SELECT unnest(range(64)) AS i))
+            SELECT i.host, i.ip,
+                   coalesce(b.asn, 'unrouted') AS asn,
+                   b.lo AS block_lo
+            FROM ips i LEFT JOIN blocks b
+              ON i.ip BETWEEN b.lo AND b.hi
+            ORDER BY i.host
+        """,
         "q169_asof_join": """
             -- Point-in-time join re-derived with DuckDB's NATIVE
             -- ASOF LEFT JOIN (inclusive >=) — a genuinely independent
