@@ -4779,6 +4779,49 @@ def q171_ip_asn(spark, sf):
     ).orderBy("host")
 
 
+def q172_ht_estimate(spark, sf):
+    """Deterministic Poisson sampling + Horvitz–Thompson totals
+    (operators/ranking.py::poisson_sample_ht): each document enters
+    the sample with probability proportional to length (micro-unit
+    integer p, capped at 1), and Σ v/p over the sample estimates the
+    per-source char total without a full scan — the survey-sampling
+    primitive for auditing a 100 TB corpus cheaply. The 53-bit md5
+    uniform, the one-division inclusion gate and the integer-quantized
+    contributions are all engine-exact, so the oracle re-derives the
+    SAME sample and the SAME estimate bit-for-bit, alongside the true
+    totals it approximates."""
+    from langscrape_spark.operators.ranking import poisson_sample_ht
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.lit(1000000), F.col("n_chars") * 300)
+        .cast("long")
+        .alias("pm"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    est = poisson_sample_ht(
+        docs, "pm", "v", group_cols=("source",), id_col="doc_id"
+    )
+    truth = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v").alias("true_total"),
+    )
+    return (
+        truth.join(est, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "true_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("ht_total_micro", F.lit(0)).alias(
+                "ht_total_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5146,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_asof_join": q169_asof_join,
         "q170_bowtie": q170_bowtie,
         "q171_ip_asn": q171_ip_asn,
+        "q172_ht_estimate": q172_ht_estimate,
     })
 
 
@@ -10463,6 +10507,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
+        "q172_ht_estimate": """
+            -- Poisson/HT re-derived exactly: p_micro = least(1e6,
+            -- n_chars*300), 53-bit md5 uniform (q160 convention),
+            -- inclusion gate u <= p/1e6, integer-quantized
+            -- contribution v*1e12 DIV p summed as BIGINT. Spark:
+            -- operators/ranking.py::poisson_sample_ht.
+            WITH base AS (
+              SELECT doc_id, source,
+                     CAST(least(1000000, n_chars * 300) AS BIGINT)
+                       AS pm,
+                     CAST(n_chars AS BIGINT) AS v,
+                     (CAST(md5_number_lower(
+                        CAST(doc_id AS VARCHAR) || ':') AS HUGEINT)
+                        % 9007199254740992 + 1)
+                       / 9007199254740992.0 AS u
+              FROM documents),
+            s AS (
+              SELECT * FROM base
+              WHERE pm > 0 AND u <= pm / 1e6),
+            est AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_sampled,
+                     CAST(sum((v * 1000000000000) // pm) AS BIGINT)
+                       AS ht_total_micro
+              FROM s GROUP BY source),
+            truth AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(v) AS BIGINT) AS true_total
+              FROM base GROUP BY source)
+            SELECT t.source, t.n_docs, t.true_total,
+                   coalesce(e.n_sampled, 0) AS n_sampled,
+                   coalesce(e.ht_total_micro, 0) AS ht_total_micro
+            FROM truth t LEFT JOIN est e ON t.source = e.source
+            ORDER BY t.source
+        """,
         "q171_ip_asn": """
             -- The range join DuckDB runs natively (BETWEEN); the
             -- Spark side executes it as a broadcast prefix-bucket

@@ -224,3 +224,63 @@ def weighted_sample(
         .withColumnRenamed("_w", "w")
         .drop("_key")
     )
+
+
+def poisson_sample_ht(
+    df: DataFrame,
+    p_micro_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Poisson sampling + Horvitz–Thompson totals: the
+    "estimate corpus statistics from a cheap sample" primitive a
+    100 TB pipeline runs instead of full scans (per-source token
+    totals, quality-gate pass mass) — each row enters the sample
+    independently with its OWN inclusion probability, and the HT
+    estimator Σ v_i/p_i over the sample is unbiased for Σ v_i.
+
+    ``p_micro_col``: integer inclusion probability in micro-units
+    (0..1_000_000), computed by the caller with integer arithmetic so
+    it is identical cross-engine (e.g. ``least(1e6, n_chars * 300)``
+    — longer docs sampled harder, the classic PPS design). Rows with
+    ``p_micro <= 0`` can never be sampled and are excluded from the
+    estimand (callers wanting unbiasedness must keep p positive).
+    ``value_col``: integer value whose group total is estimated.
+
+    Engine-exact by construction: the uniform is the 53-bit md5 draw
+    (:func:`aes_key_cols` convention), the inclusion gate compares
+    ``u <= p_micro/1e6`` (one correctly-rounded IEEE division), and
+    each sampled contribution ``v·1e6/p`` is quantized to an exact
+    integer — ``(v * 10^12) div p_micro`` — before the LONG sum, so
+    no float accumulation order can drift. v up to ~10^6 stays well
+    inside 63 bits.
+
+    Scale shape: one projection (hash, gate) + one hash agg — a scan
+    with map-side combine, no shuffle beyond the group rollup.
+    Returns ``(group_cols…, n_sampled, ht_total_micro)``;
+    ``ht_total_micro / 1e6`` estimates ``sum(value)`` per group.
+    """
+    m = _md5_lower64_rank(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ).bitwiseAND(F.lit((1 << 53) - 1))
+    u = (m + F.lit(1)).cast("double") / F.lit(float(1 << 53))
+    p = F.col(p_micro_col).cast("long")
+    sampled = df.where(
+        (p > 0) & (u <= p.cast("double") / F.lit(1e6))
+    )
+    # CASE guard keeps the ANSI DIV from throwing (or constant-folding
+    # to an error when p_micro is a literal 0) — p<=0 rows are already
+    # filtered out, so the 0 branch is unreachable at runtime.
+    contrib = F.expr(
+        f"CASE WHEN CAST({p_micro_col} AS BIGINT) > 0 THEN "
+        f"(CAST({value_col} AS BIGINT) * 1000000000000) DIV "
+        f"CAST({p_micro_col} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    gb = sampled.groupBy(*[F.col(c) for c in group_cols]) if group_cols \
+        else sampled.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(contrib).alias("ht_total_micro"),
+    )

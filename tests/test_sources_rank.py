@@ -95,3 +95,67 @@ def test_hot_host_ranks_highest(spark, pages):
     top = ranked.first()
     assert top["host"] == "www.site0.example"
     assert top["rank"] == 1.0  # max-normalized
+
+
+class TestPoissonHT:
+    def test_full_probability_recovers_exact_total(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.ranking import poisson_sample_ht
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.lit(1000000).alias("pm"),
+            (F.col("id") + 1).alias("v"),
+            (F.col("id") % 2).alias("g"),
+        )
+        out = poisson_sample_ht(
+            df, "pm", "v", group_cols=("g",), id_col="doc_id"
+        ).collect()
+        got = {r["g"]: (r["n_sampled"], r["ht_total_micro"]) for r in out}
+        # p=1 for every row: n_sampled = 50 per group, HT total exact.
+        tot0 = sum(i + 1 for i in range(0, 100, 2)) * 1_000_000
+        tot1 = sum(i + 1 for i in range(1, 100, 2)) * 1_000_000
+        assert got == {0: (50, tot0), 1: (50, tot1)}
+
+    def test_half_probability_estimates_within_tolerance(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.ranking import poisson_sample_ht
+
+        n = 2000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit(500000).alias("pm"),
+            F.lit(10).alias("v"),
+        )
+        row = poisson_sample_ht(df, "pm", "v", id_col="doc_id").collect()[0]
+        # ~half sampled; each contributes 20 -> estimate ~ n*10.
+        assert abs(row["n_sampled"] - n / 2) < n * 0.05
+        est = row["ht_total_micro"] / 1e6
+        assert abs(est - n * 10) < n * 10 * 0.1
+
+    def test_zero_probability_rows_never_sampled(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.ranking import poisson_sample_ht
+
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("pm"),
+            F.lit(5).alias("v"),
+        )
+        out = poisson_sample_ht(df, "pm", "v", id_col="doc_id").collect()
+        assert out[0]["n_sampled"] == 0
+
+    def test_salt_varies_sample_but_not_p1_rows(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.ranking import poisson_sample_ht
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit(300000).alias("pm"),
+            F.lit(1).alias("v"),
+        )
+        a = poisson_sample_ht(df, "pm", "v", salt="a").collect()[0]
+        b = poisson_sample_ht(df, "pm", "v", salt="b").collect()[0]
+        aa = poisson_sample_ht(df, "pm", "v", salt="a").collect()[0]
+        assert a == aa  # deterministic
+        assert a["n_sampled"] != b["n_sampled"] or a != b
