@@ -4822,6 +4822,55 @@ def q172_ht_estimate(spark, sf):
     )
 
 
+_LOGREG_BASE_SQL = """
+    SELECT CAST(n_chars // 100 AS BIGINT) AS x0,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                AS BIGINT) AS x1,
+           CAST(1 AS BIGINT) AS x2,
+           CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+             AS y
+    FROM documents
+"""
+
+
+def q173_logreg_gd(spark, sf):
+    """Logistic-regression training by distributed full-batch
+    gradient descent (operators/classifier.py::logreg_gd, 3 rounds):
+    predict lang='en' from integer length/space-count features. The
+    ENTIRE trajectory is exact integer state — micro-unit weights,
+    integer fast-sigmoid (no libm exp), truncating divisions — so the
+    oracle unrolls all three rounds as MATERIALIZED CTEs and matches
+    every weight bit-for-bit. Each round is one map-side-combined
+    aggregation; weights are the bounded per-round driver scalar
+    (PageRank-dangling-mass convention)."""
+    from langscrape_spark.operators.classifier import logreg_gd
+
+    base = _t(spark, sf, "documents").select(
+        F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("x0"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', ''))"
+            " AS BIGINT)"
+        ).alias("x1"),
+        F.lit(1).cast("long").alias("x2"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    traj = logreg_gd(
+        base, ["x0", "x1", "x2"], "y", rounds=3, lr_micro=500000
+    )
+    return spark.createDataFrame(
+        [(r["feature"], r["round"], r["w_micro"]) for r in traj],
+        "feature string, round int, w_micro long",
+    ).orderBy("round", "feature")
+
+
+def _logreg_oracle() -> str:
+    from langscrape_spark.operators.classifier import logreg_oracle_sql
+
+    return logreg_oracle_sql(
+        _LOGREG_BASE_SQL, ["x0", "x1", "x2"], rounds=3, lr_micro=500000
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5190,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_bowtie": q170_bowtie,
         "q171_ip_asn": q171_ip_asn,
         "q172_ht_estimate": q172_ht_estimate,
+        "q173_logreg_gd": q173_logreg_gd,
     })
 
 
@@ -10507,6 +10557,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
+        "q173_logreg_gd": _logreg_oracle(),
         "q172_ht_estimate": """
             -- Poisson/HT re-derived exactly: p_micro = least(1e6,
             -- n_chars*300), 53-bit md5 uniform (q160 convention),

@@ -365,3 +365,170 @@ def f1_threshold(
         ).alias("recall"),
         "f1",
     )
+
+
+def logreg_gd(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    rounds: int = 3,
+    lr_micro: int = 500000,
+) -> "list[dict]":
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the SGD-family counterpart to :func:`nb_train` (NB is
+    closed-form counts; this is the iterative member every curation
+    stack eventually wants for calibrated quality gates), built so the
+    whole trajectory is EXACT INTEGER state reproducible in the DuckDB
+    oracle:
+
+    - features and labels are INTEGER columns (caller scales);
+      weights live in micro-units (long), initialized to 0;
+    - the margin is exact: ``z_micro = Σ_j w_micro_j · x_j``;
+    - the link is the FAST SIGMOID ``σ̃(z) = ½(1 + z/(1+|z|))``
+      (Elliott activation) in pure integer arithmetic —
+      ``s_micro = 500000 + (z_micro·500000) DIV (10^6 + |z_micro|)``
+      — because ``exp()`` is not correctly rounded across libms and
+      would drift the trajectory; σ̃ has the same sign/shape/limits
+      and trains an equivalent linear separator;
+    - per-round gradient ``g_j = Σ rows (s_micro − y·10^6)·x_j`` is
+      one LONG hash-agg sum (exact, order-free); the update
+      ``w −= lr·g/n`` is two truncating integer divisions
+      (``DIV``, toward zero — DuckDB ``//`` matches).
+
+    Scale shape: each round is ONE map-side-combined aggregation over
+    the corpus producing |features| longs; the weight vector is the
+    bounded per-round driver scalar every iterative operator here
+    uses (PageRank's dangling mass, k-means' centroids) and ships
+    back as literals — no shuffle grows with rounds, lineage is flat
+    because each round's frame is rebuilt from the base scan.
+
+    Returns the weight trajectory: ``[{feature, round, w_micro}…]``
+    for rounds 1..``rounds`` (a plain list — the weights ARE driver
+    state; callers wanting a frame seed one from it).
+    """
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("need at least one feature column")
+    w = [0] * k
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training frame")
+    out = []
+    base = df.select(
+        *[F.col(c).cast("long").alias(f"x{j}") for j, c in enumerate(feature_cols)],
+        F.col(label_col).cast("long").alias("y"),
+    )
+    for r in range(1, rounds + 1):
+        z = None
+        for j in range(k):
+            term = F.lit(int(w[j])) * F.col(f"x{j}")
+            z = term if z is None else z + term
+        scored = base.withColumn("__z", z.cast("long")).withColumn(
+            "__s",
+            F.lit(500000).cast("long")
+            + F.expr(
+                "(__z * CAST(500000 AS BIGINT)) DIV "
+                "(CAST(1000000 AS BIGINT) + abs(__z))"
+            ),
+        )
+        err = F.col("__s") - F.col("y") * F.lit(1000000)
+        grads = scored.agg(
+            *[
+                F.sum(err * F.col(f"x{j}")).alias(f"g{j}")
+                for j in range(k)
+            ]
+        ).collect()[0]
+        for j in range(k):
+            g = int(grads[f"g{j}"])
+            gn = g // n if g >= 0 else -((-g) // n)  # trunc toward 0
+            step = lr_micro * gn
+            dw = step // 1000000 if step >= 0 else -((-step) // 1000000)
+            w[j] -= dw
+        for j in range(k):
+            out.append(
+                {"feature": feature_cols[j], "round": r, "w_micro": int(w[j])}
+            )
+    return out
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: "list[dict]",
+    feature_cols: "list[str]",
+) -> DataFrame:
+    """Score rows with the FINAL round's :func:`logreg_gd` weights:
+    adds ``z_micro`` (exact integer margin) and ``pred`` (z ≥ 0).
+    Broadcast-free — the k weights are literals in the projection."""
+    last = max(r["round"] for r in weights)
+    wmap = {
+        r["feature"]: r["w_micro"]
+        for r in weights
+        if r["round"] == last
+    }
+    z = None
+    for c in feature_cols:
+        term = F.lit(int(wmap[c])) * F.col(c).cast("long")
+        z = term if z is None else z + term
+    return df.withColumn("z_micro", z.cast("long")).withColumn(
+        "pred", (F.col("z_micro") >= 0).cast("int")
+    )
+
+
+def logreg_oracle_sql(
+    base_sql: str,
+    feature_names: "list[str]",
+    rounds: int = 3,
+    lr_micro: int = 500000,
+) -> str:
+    """DuckDB twin of :func:`logreg_gd`: the full-batch GD trajectory
+    unrolled as MATERIALIZED CTEs — per round one scored frame, one
+    gradient aggregate, one weight row — using the same integer
+    fast-sigmoid and truncating divisions (DuckDB ``//`` truncates
+    toward zero exactly like Spark ``DIV``). ``base_sql`` must yield
+    integer columns ``x0..x{k-1}`` and ``y``; the result is the
+    ``(feature, round, w_micro)`` trajectory."""
+    k = len(feature_names)
+    parts = [
+        f"WITH base AS MATERIALIZED ({base_sql}),",
+        "cnt AS MATERIALIZED (SELECT count(*) AS n FROM base),",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(k))
+        + "),",
+    ]
+    for r in range(1, rounds + 1):
+        z = " + ".join(f"w.w{j} * b.x{j}" for j in range(k))
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT b.*,"
+            f" CAST({z} AS BIGINT) AS z"
+            f" FROM base b, w{r - 1} w),"
+        )
+        sig = (
+            "(500000 + (z * CAST(500000 AS BIGINT))"
+            " // (CAST(1000000 AS BIGINT) + abs(z)))"
+        )
+        gsel = ", ".join(
+            f"CAST(sum(({sig} - y * 1000000) * x{j}) AS BIGINT) AS g{j}"
+            for j in range(k)
+        )
+        parts.append(f"g{r} AS MATERIALIZED (SELECT {gsel} FROM sc{r}),")
+        wsel = ", ".join(
+            f"CAST(w.w{j} - (({lr_micro} * (g.g{j} // cnt.n))"
+            f" // 1000000) AS BIGINT) AS w{j}"
+            for j in range(k)
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {wsel}"
+            f" FROM w{r - 1} w, g{r} g, cnt),"
+        )
+    unions = []
+    for r in range(1, rounds + 1):
+        for j, name in enumerate(feature_names):
+            unions.append(
+                f"SELECT '{name}' AS feature, CAST({r} AS INT)"
+                f" AS round, w{j} AS w_micro FROM w{r}"
+            )
+    body = " UNION ALL ".join(unions)
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + ",\ntraj AS (" + body + ")\n" + \
+        "SELECT feature, round, w_micro FROM traj ORDER BY round, feature"

@@ -4767,3 +4767,76 @@ def test_psi_drift_handcomputed_zero_and_onesided(spark):
     assert (got.n_bins, got.n_old, got.n_new) == (3, 8, 8)
     # monotone sanity: the shifted pair reads as "shifted" (>0.25)
     assert got.psi > 0.25
+
+
+class TestLogregGD:
+    def _toy(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(200).select(
+            (F.col("id") - 100).cast("long").alias("x0"),
+            F.lit(1).cast("long").alias("bias"),
+            (F.col("id") > 100).cast("long").alias("y"),
+        )
+
+    def test_learns_separator_and_is_deterministic(self, spark):
+        from langscrape_spark.operators.classifier import (
+            logreg_gd,
+            logreg_score,
+        )
+
+        df = self._toy(spark)
+        w1 = logreg_gd(df, ["x0", "bias"], "y", rounds=3)
+        w2 = logreg_gd(df, ["x0", "bias"], "y", rounds=3)
+        assert w1 == w2  # bit-identical trajectory
+        final = {r["feature"]: r["w_micro"] for r in w1 if r["round"] == 3}
+        assert final["x0"] > 0  # positive slope separates y = x0 > 0
+        scored = logreg_score(df, w1, ["x0", "bias"])
+        acc = scored.selectExpr(
+            "avg(CAST(pred = y AS DOUBLE)) AS a"
+        ).collect()[0]["a"]
+        assert acc > 0.95
+
+    def test_matches_pure_python_integer_replay(self, spark):
+        """The distributed trajectory equals a sequential pure-Python
+        replay of the exact integer algorithm — proving the Spark agg
+        introduces no float or ordering drift."""
+        from langscrape_spark.operators.classifier import logreg_gd
+
+        df = self._toy(spark)
+        rows = [(r["x0"], r["bias"], r["y"]) for r in df.collect()]
+        lr, rounds, n = 500000, 3, len(rows)
+
+        def tdiv(a, b):
+            return a // b if a >= 0 else -((-a) // b)
+
+        w = [0, 0]
+        expect = []
+        for rnd in range(1, rounds + 1):
+            g = [0, 0]
+            for x0, b, y in rows:
+                z = w[0] * x0 + w[1] * b
+                s = 500000 + tdiv(z * 500000, 1000000 + abs(z))
+                e = s - y * 1000000
+                g[0] += e * x0
+                g[1] += e * b
+            for j in range(2):
+                w[j] -= tdiv(lr * tdiv(g[j], n), 1000000)
+            expect += [
+                {"feature": "x0", "round": rnd, "w_micro": w[0]},
+                {"feature": "bias", "round": rnd, "w_micro": w[1]},
+            ]
+        got = logreg_gd(df, ["x0", "bias"], "y", rounds=rounds)
+        key = lambda d: (d["round"], d["feature"])
+        assert sorted(got, key=key) == sorted(expect, key=key)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.classifier import logreg_gd
+
+        df = self._toy(spark)
+        with _pytest.raises(ValueError, match="feature"):
+            logreg_gd(df, [], "y")
+        with _pytest.raises(ValueError, match="empty"):
+            logreg_gd(df.where(F.lit(False)), ["x0"], "y")
