@@ -4871,6 +4871,22 @@ def _logreg_oracle() -> str:
     )
 
 
+def q174_rake(spark, sf):
+    """RAKE keyword extraction (operators/text.py::rake_keywords,
+    k=5, the engine's en stopword list): phrase candidates are
+    maximal stopword-free runs (gaps-and-islands over ONE per-doc
+    window), word scores are exact integer micro-units
+    degree·1e6 DIV freq, phrase score = Σ word scores — the corpus-
+    free member of the keyword family (vs TF-IDF q83 / TextRank
+    q124). The oracle re-derives tokenization, phrase segmentation,
+    degree/freq stats, integer scoring, candidate dedup and the
+    top-5 cut."""
+    from langscrape_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 120)
+    return rake_keywords(docs, k=5).orderBy("doc_id", "rank")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5240,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_ip_asn": q171_ip_asn,
         "q172_ht_estimate": q172_ht_estimate,
         "q173_logreg_gd": q173_logreg_gd,
+        "q174_rake": q174_rake,
     })
 
 
@@ -10558,6 +10575,67 @@ def oracle_sql() -> dict[str, str]:
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
         "q173_logreg_gd": _logreg_oracle(),
+        "q174_rake": """
+            -- RAKE re-derived: [^a-z0-9]+ tokenization, stopword
+            -- gaps-and-islands phrase ids, degree/freq word stats,
+            -- integer micro-unit scores, phrase dedup, top-5.
+            -- Spark: operators/text.py::rake_keywords.
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(tok, 1) AS pos,
+                     unnest(tok) AS word
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                             lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS tok
+                    FROM documents WHERE doc_id < 120)),
+            flagged AS (
+              SELECT doc_id, pos, word,
+                     CASE WHEN word IN ('the','and','of','to','in',
+                       'is','that','for','with','was')
+                       THEN 1 ELSE 0 END AS stop
+              FROM toks),
+            ph AS (
+              SELECT *, sum(stop) OVER (PARTITION BY doc_id
+                ORDER BY pos) AS phrase_id
+              FROM flagged),
+            pw AS (
+              SELECT doc_id, phrase_id, pos, word
+              FROM ph WHERE stop = 0),
+            plen AS (
+              SELECT doc_id, phrase_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     string_agg(word, ' ' ORDER BY pos) AS phrase
+              FROM pw GROUP BY doc_id, phrase_id),
+            ws AS (
+              SELECT p.doc_id, p.word,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(l.n_words) AS BIGINT) AS degree
+              FROM pw p JOIN plen l USING (doc_id, phrase_id)
+              GROUP BY p.doc_id, p.word),
+            wsc AS (
+              SELECT doc_id, word,
+                     CAST((degree * 1000000) // freq AS BIGINT) AS wsm
+              FROM ws),
+            psc AS (
+              SELECT p.doc_id, p.phrase_id,
+                     CAST(sum(w.wsm) AS BIGINT) AS score_micro
+              FROM pw p JOIN wsc w
+                ON p.doc_id = w.doc_id AND p.word = w.word
+              GROUP BY p.doc_id, p.phrase_id),
+            cand AS (
+              SELECT l.doc_id, l.phrase,
+                     max(l.n_words) AS n_words,
+                     max(s.score_micro) AS score_micro
+              FROM psc s JOIN plen l USING (doc_id, phrase_id)
+              GROUP BY l.doc_id, l.phrase),
+            rr AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, phrase) AS INT) AS "rank"
+              FROM cand)
+            SELECT doc_id, phrase, n_words, score_micro, "rank"
+            FROM rr WHERE "rank" <= 5
+            ORDER BY doc_id, "rank"
+        """,
         "q172_ht_estimate": """
             -- Poisson/HT re-derived exactly: p_micro = least(1e6,
             -- n_chars*300), 53-bit md5 uniform (q160 convention),

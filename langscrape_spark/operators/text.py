@@ -1745,3 +1745,106 @@ def filter_funnel(
         ]
     )
     return row.select(F.explode(stages).alias("s")).select("s.*")
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: "Optional[Sequence[str]]" = None,
+    k: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — the third member of the
+    keyword family here (TF-IDF = corpus-statistical, TextRank =
+    graph-random-walk, RAKE = phrase-degree): candidate phrases are
+    maximal stopword/punctuation-free token runs; each content word
+    scores ``degree/freq`` (degree = Σ length of phrases containing
+    it, freq = occurrences) and a phrase scores the sum of its words'
+    scores. Degree/freq rewards words that co-occur inside longer
+    multi-word phrases — headline terminology — without any corpus
+    pass, which is why RAKE is the per-document keyword stage in
+    pipelines that cannot afford a global vocabulary.
+
+    Exactness: word scores are integer micro-units
+    ``(degree·10^6) DIV freq`` before the phrase sum, so the ranking
+    is bit-reproducible cross-engine (no float accumulation).
+    Duplicate phrase instances in a doc collapse to one candidate
+    (their scores are identical by construction — stats are
+    doc-level). Top-``k`` per doc by (score desc, phrase asc).
+
+    Scale shape: one posexplode, one per-doc running-sum window
+    (gaps-and-islands phrase ids — per-doc partitions, bounded by doc
+    length like every text window here), two doc-keyed hash aggs and
+    one doc-keyed join; the phrase-text collect is bounded by a
+    single stopword-free run, never the document. Top-k plans as
+    WindowGroupLimit.
+
+    Returns ``(id, phrase, n_words, score_micro, rank)``.
+    """
+    sw = list(stopwords) if stopwords is not None else list(STOPWORDS["en"])
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "word"),
+    )
+    swarr = F.array(*[F.lit(s) for s in sw])
+    flagged = toks.withColumn(
+        "stop", F.array_contains(swarr, F.col("word")).cast("int")
+    )
+    wp = Window.partitionBy("id").orderBy("pos")
+    ph = flagged.withColumn("phrase_id", F.sum("stop").over(wp)).where(
+        F.col("stop") == 0
+    )
+    plen = ph.groupBy("id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    pw = ph.select("id", "phrase_id", "word")
+    wstats = (
+        pw.join(plen.select("id", "phrase_id", "n_words"),
+                ["id", "phrase_id"])
+        .groupBy("id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .withColumn(
+            "wsm",
+            F.expr("(degree * CAST(1000000 AS BIGINT)) DIV freq"),
+        )
+    )
+    inst = (
+        pw.join(wstats.select("id", "word", "wsm"), ["id", "word"])
+        .groupBy("id", "phrase_id")
+        .agg(F.sum("wsm").alias("score_micro"))
+        .join(plen, ["id", "phrase_id"])
+    )
+    cand = inst.groupBy("id", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    wr = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "phrase",
+            "n_words",
+            "score_micro",
+            "rank",
+        )
+    )

@@ -4840,3 +4840,53 @@ class TestLogregGD:
             logreg_gd(df, [], "y")
         with _pytest.raises(ValueError, match="empty"):
             logreg_gd(df.where(F.lit(False)), ["x0"], "y")
+
+
+class TestRake:
+    def test_classic_rake_scoring(self, spark):
+        """The worked example shape: multi-word phrases outrank
+        singletons because degree rewards in-phrase co-occurrence."""
+        from langscrape_spark.operators.text import rake_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "deep neural networks and the deep learning of neural networks")],
+            "doc_id long, text string",
+        )
+        # stopwords: and, the, of -> phrases: [deep neural networks],
+        # [deep learning], [neural networks]
+        out = rake_keywords(
+            docs, stopwords=["and", "the", "of"], k=10
+        ).collect()
+        got = {r["phrase"]: (r["score_micro"], r["n_words"], r["rank"]) for r in out}
+        # freq: deep 2, neural 2, networks 2, learning 1
+        # degree: deep 3+2=5, neural 3+2=5, networks 3+2=5, learning 2
+        # wsm: deep 2_500_000, neural 2_500_000, networks 2_500_000,
+        #      learning 2_000_000
+        assert got["deep neural networks"] == (7_500_000, 3, 1)
+        assert got["neural networks"][0] == 5_000_000
+        assert got["deep learning"][0] == 4_500_000
+        assert len(got) == 3  # duplicate 'neural networks' collapses
+
+    def test_all_stopwords_doc_has_no_candidates(self, spark):
+        from langscrape_spark.operators.text import rake_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "the of and the"), (2, "alpha beta")],
+            "doc_id long, text string",
+        )
+        out = rake_keywords(docs, stopwords=["the", "of", "and"], k=3)
+        rows = out.collect()
+        assert {r["doc_id"] for r in rows} == {2}
+        assert rows[0]["phrase"] == "alpha beta"
+
+    def test_topk_and_tiebreak(self, spark):
+        from langscrape_spark.operators.text import rake_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "xx stop yy stop zz")], "doc_id long, text string"
+        )
+        out = rake_keywords(docs, stopwords=["stop"], k=2).collect()
+        # all three singletons score 1_000_000; tie -> phrase asc.
+        assert [(r["phrase"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+            ("xx", 1), ("yy", 2)
+        ]
