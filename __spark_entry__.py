@@ -4887,6 +4887,57 @@ def q174_rake(spark, sf):
     return rake_keywords(docs, k=5).orderBy("doc_id", "rank")
 
 
+def q175_revalidation(spark, sf):
+    """HTTP revalidation audit (operators/snapshots.py::
+    revalidation_audit + revalidation_rollup): two crawl rounds of
+    deterministic pages — every 5th page's content changes, every 3rd
+    origin sends no ETag, head/tail slices are gone/new — classified
+    into 304-eligible / changed / wasted-refetch / unvalidated
+    outcomes with byte accounting, rolled up per host with the exact
+    integer 304 hit-rate. ONE url-keyed full-outer join (q54's
+    shuffle shape); the oracle re-derives both snapshots, the
+    classification CASE and the rollup."""
+    from langscrape_spark.operators.snapshots import (
+        revalidation_audit,
+        revalidation_rollup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.where(F.col("doc_id") < 400).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("a:"), F.col("doc_id").cast("string"))).alias(
+            "fp"
+        ),
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit('W/"'), F.col("doc_id").cast("string"), F.lit('"')
+            ),
+        ).alias("etag"),
+    )
+    new = docs.where(F.col("doc_id") >= 100).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 5 == 0, "b:").otherwise("a:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("fp"),
+        (F.col("n_chars") + F.col("doc_id") % 7).cast("long").alias(
+            "bytes"
+        ),
+    )
+    audit = revalidation_audit(old, new)
+    return revalidation_rollup(audit).orderBy("host")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5257,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_ht_estimate": q172_ht_estimate,
         "q173_logreg_gd": q173_logreg_gd,
         "q174_rake": q174_rake,
+        "q175_revalidation": q175_revalidation,
     })
 
 
@@ -10575,6 +10627,79 @@ def oracle_sql() -> dict[str, str]:
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
         "q173_logreg_gd": _logreg_oracle(),
+        "q175_revalidation": """
+            -- Revalidation audit re-derived: both synthetic rounds
+            -- (change every 5th, etag absent every 3rd, gone <100,
+            -- new >=400), full-outer join, outcome CASE, byte
+            -- accounting, host rollup with integer hit-rate. Spark:
+            -- operators/snapshots.py::revalidation_audit/_rollup.
+            WITH old AS (
+              SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     md5('a:' || CAST(doc_id AS VARCHAR)) AS old_fp,
+                     CAST(n_chars AS BIGINT) AS old_bytes,
+                     CASE WHEN doc_id % 3 <> 0 THEN
+                       'W/"' || CAST(doc_id AS VARCHAR) || '"'
+                     END AS old_etag
+              FROM documents WHERE doc_id < 400),
+            new AS (
+              SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN 'b:'
+                          ELSE 'a:' END
+                         || CAST(doc_id AS VARCHAR)) AS new_fp,
+                     CAST(n_chars + doc_id % 7 AS BIGINT) AS new_bytes
+              FROM documents WHERE doc_id >= 100),
+            j AS (
+              SELECT coalesce(o.url, n.url) AS url,
+                     o.old_fp, o.old_etag, n.new_fp,
+                     coalesce(n.new_bytes, 0) AS nb
+              FROM old o FULL OUTER JOIN new n ON o.url = n.url),
+            cls AS (
+              SELECT url,
+                     CASE
+                       WHEN old_fp IS NULL THEN 'new'
+                       WHEN new_fp IS NULL THEN 'gone'
+                       WHEN old_etag IS NOT NULL
+                            AND old_fp = new_fp
+                         THEN 'revalidated_304'
+                       WHEN old_etag IS NOT NULL THEN 'changed_200'
+                       WHEN old_fp = new_fp THEN 'wasted_refetch'
+                       ELSE 'unvalidated_200' END AS outcome,
+                     nb
+              FROM j),
+            acc AS (
+              SELECT url, outcome,
+                     CASE WHEN outcome = 'revalidated_304' THEN nb
+                          ELSE 0 END AS bytes_saved,
+                     CASE WHEN outcome = 'wasted_refetch' THEN nb
+                          ELSE 0 END AS bytes_wasted
+              FROM cls),
+            roll AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)',
+                       1), ':[0-9]+$', '')) AS host,
+                     CAST(count(*) AS BIGINT) AS n_urls,
+                     CAST(sum(CASE WHEN outcome = 'revalidated_304'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+                     CAST(sum(CASE WHEN outcome = 'wasted_refetch'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_wasted,
+                     CAST(sum(CASE WHEN outcome IN
+                       ('revalidated_304','changed_200',
+                        'wasted_refetch','unvalidated_200')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_refetched,
+                     CAST(sum(bytes_saved) AS BIGINT) AS bytes_saved,
+                     CAST(sum(bytes_wasted) AS BIGINT) AS bytes_wasted
+              FROM acc GROUP BY 1)
+            SELECT host, n_urls, n_304, n_wasted, n_refetched,
+                   bytes_saved, bytes_wasted,
+                   CASE WHEN n_refetched > 0 THEN
+                     (n_304 * CAST(1000000 AS BIGINT)) // n_refetched
+                   ELSE CAST(0 AS BIGINT) END AS hit_rate_micro
+            FROM roll ORDER BY host
+        """,
         "q174_rake": """
             -- RAKE re-derived: [^a-z0-9]+ tokenization, stopword
             -- gaps-and-islands phrase ids, degree/freq word stats,

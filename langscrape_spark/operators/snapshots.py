@@ -603,3 +603,123 @@ def psi_drift(
             F.first("tn").cast("long").alias("n_new"),
         )
     )
+
+
+def revalidation_audit(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    bytes_col: str = "bytes",
+    etag_col: str = "etag",
+) -> DataFrame:
+    """Per-url audit of what VALIDATOR-based refetching (If-None-Match
+    / If-Modified-Since, RFC 9111 revalidation) would have done on
+    this crawl round — the bandwidth planner for an incremental crawl:
+    at 10^10 urls/round the dominant cost is body bytes, and the share
+    of unchanged pages served as 304s is the single biggest lever.
+
+    ``old_pages``: previous-round state ``(url, fp, bytes, etag)``
+    (``etag`` NULL = origin sent no validator). ``new_pages``: this
+    round's fetches ``(url, fp, bytes)``. One row per url with
+    ``outcome``:
+
+    - ``revalidated_304``  — validator present, fingerprint unchanged:
+      the fetch could have been a 304; ``bytes_saved`` = this round's
+      body size.
+    - ``changed_200``      — validator present but content changed:
+      full transfer was necessary.
+    - ``wasted_refetch``   — NO validator and content unchanged: bytes
+      burned that a validator would have saved (``bytes_wasted``).
+    - ``unvalidated_200``  — no validator, content changed.
+    - ``new`` / ``gone``   — frontier delta (no old / no new row).
+
+    Same scale shape as :func:`crawl_delta`: ONE url-keyed full-outer
+    equi-join (shuffle-free when both rounds live in the bucketed
+    catalog layout) + a projection; duplicates collapse deterministically
+    first (min fp / max bytes / max etag) so the join cannot fan out.
+    """
+    def one(df: DataFrame, with_etag: bool) -> DataFrame:
+        aggs = [
+            F.min(fp_col).alias("f"),
+            F.max(F.col(bytes_col).cast("long")).alias("b"),
+        ]
+        if with_etag:
+            aggs.append(F.max(etag_col).alias("e"))
+        return df.groupBy(F.col(url_col).alias("url")).agg(*aggs)
+
+    o = one(old_pages, with_etag=True).select(
+        "url",
+        F.col("f").alias("old_fp"),
+        F.col("b").alias("old_bytes"),
+        F.col("e").alias("old_etag"),
+    )
+    n = one(new_pages, with_etag=False).select(
+        "url",
+        F.col("f").alias("new_fp"),
+        F.col("b").alias("new_bytes"),
+    )
+    j = o.join(n, "url", "full_outer")
+    has_old = F.col("old_fp").isNotNull()
+    has_new = F.col("new_fp").isNotNull()
+    unchanged = F.col("old_fp") == F.col("new_fp")
+    validated = F.col("old_etag").isNotNull()
+    outcome = (
+        F.when(~has_old, "new")
+        .when(~has_new, "gone")
+        .when(validated & unchanged, "revalidated_304")
+        .when(validated, "changed_200")
+        .when(unchanged, "wasted_refetch")
+        .otherwise("unvalidated_200")
+    )
+    nb = F.coalesce(F.col("new_bytes"), F.lit(0))
+    return j.select(
+        "url",
+        outcome.alias("outcome"),
+        F.when(has_old & has_new & validated & unchanged, nb)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_saved"),
+        F.when(
+            has_old & has_new & ~validated & unchanged, nb
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_wasted"),
+        nb.cast("long").alias("new_bytes"),
+    )
+
+
+def revalidation_rollup(
+    audit: DataFrame,
+    host_col=None,
+) -> DataFrame:
+    """Host rollup of :func:`revalidation_audit`: request counts per
+    outcome, bytes saved/wasted, and the 304 hit-rate over refetches
+    in exact integer micro-units (``n_304·10^6 DIV n_refetched``).
+    ``host_col`` defaults to the engine's canonical host-of-url."""
+    h = host_col if host_col is not None else _host(F.col("url"))
+    g = audit.groupBy(h.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("outcome") == "revalidated_304").cast("long")).alias(
+            "n_304"
+        ),
+        F.sum((F.col("outcome") == "wasted_refetch").cast("long")).alias(
+            "n_wasted"
+        ),
+        F.sum(
+            F.col("outcome").isin(
+                "revalidated_304",
+                "changed_200",
+                "wasted_refetch",
+                "unvalidated_200",
+            ).cast("long")
+        ).alias("n_refetched"),
+        F.sum("bytes_saved").alias("bytes_saved"),
+        F.sum("bytes_wasted").alias("bytes_wasted"),
+    )
+    rate = F.expr(
+        "CASE WHEN n_refetched > 0 THEN (n_304 * CAST(1000000 AS"
+        " BIGINT)) DIV n_refetched ELSE CAST(0 AS BIGINT) END"
+    )
+    return g.withColumn("hit_rate_micro", rate)

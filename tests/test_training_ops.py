@@ -4890,3 +4890,63 @@ class TestRake:
         assert [(r["phrase"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
             ("xx", 1), ("yy", 2)
         ]
+
+
+class TestRevalidation:
+    def test_outcome_classes_and_byte_accounting(self, spark):
+        from langscrape_spark.operators.snapshots import (
+            revalidation_audit,
+            revalidation_rollup,
+        )
+
+        old = spark.createDataFrame(
+            [
+                ("http://a.com/1", "f1", 100, "e1"),   # unchanged + etag
+                ("http://a.com/2", "f2", 200, "e2"),   # changed + etag
+                ("http://a.com/3", "f3", 300, None),   # unchanged, no etag
+                ("http://a.com/4", "f4", 400, None),   # changed, no etag
+                ("http://b.com/5", "f5", 500, "e5"),   # gone
+            ],
+            "url string, fp string, bytes long, etag string",
+        )
+        new = spark.createDataFrame(
+            [
+                ("http://a.com/1", "f1", 110),
+                ("http://a.com/2", "fX", 220),
+                ("http://a.com/3", "f3", 330),
+                ("http://a.com/4", "fY", 440),
+                ("http://b.com/6", "f6", 600),          # new
+            ],
+            "url string, fp string, bytes long",
+        )
+        audit = revalidation_audit(old, new)
+        got = {r["url"]: (r["outcome"], r["bytes_saved"], r["bytes_wasted"]) for r in audit.collect()}
+        assert got["http://a.com/1"] == ("revalidated_304", 110, 0)
+        assert got["http://a.com/2"] == ("changed_200", 0, 0)
+        assert got["http://a.com/3"] == ("wasted_refetch", 0, 330)
+        assert got["http://a.com/4"] == ("unvalidated_200", 0, 0)
+        assert got["http://b.com/5"] == ("gone", 0, 0)
+        assert got["http://b.com/6"] == ("new", 0, 0)
+
+        roll = {r["host"]: r for r in revalidation_rollup(audit).collect()}
+        a = roll["a.com"]
+        assert (a["n_304"], a["n_wasted"], a["n_refetched"]) == (1, 1, 4)
+        assert (a["bytes_saved"], a["bytes_wasted"]) == (110, 330)
+        assert a["hit_rate_micro"] == 250000  # 1/4 exactly
+        b = roll["b.com"]
+        assert (b["n_refetched"], b["hit_rate_micro"]) == (0, 0)
+
+    def test_duplicate_rows_collapse_before_join(self, spark):
+        from langscrape_spark.operators.snapshots import revalidation_audit
+
+        old = spark.createDataFrame(
+            [("u", "f", 10, "e"), ("u", "f", 12, "e")],
+            "url string, fp string, bytes long, etag string",
+        )
+        new = spark.createDataFrame(
+            [("u", "f", 11), ("u", "f", 11)],
+            "url string, fp string, bytes long",
+        )
+        out = revalidation_audit(old, new).collect()
+        assert len(out) == 1
+        assert out[0]["outcome"] == "revalidated_304"
