@@ -4852,7 +4852,10 @@ def q173_logreg_gd(spark, sf):
             " AS BIGINT)"
         ).alias("x1"),
         F.lit(1).cast("long").alias("x2"),
-        (F.col("lang") == "en").cast("long").alias("y"),
+        # coalesce mirrors the oracle's CASE...ELSE 0 on NULL lang
+        F.coalesce(
+            (F.col("lang") == "en").cast("long"), F.lit(0)
+        ).alias("y"),
     )
     traj = logreg_gd(
         base, ["x0", "x1", "x2"], "y", rounds=3, lr_micro=500000

@@ -410,14 +410,32 @@ def logreg_gd(
     if k == 0:
         raise ValueError("need at least one feature column")
     w = [0] * k
-    n = df.count()
-    if n == 0:
-        raise ValueError("empty training frame")
     out = []
     base = df.select(
         *[F.col(c).cast("long").alias(f"x{j}") for j, c in enumerate(feature_cols)],
         F.col(label_col).cast("long").alias("y"),
     )
+    # One pre-pass aggregate: row count + NULL audit. A NULL feature
+    # or label would silently drop its row from every gradient sum
+    # while n still counted it (a skewed update with no symptom) — or
+    # NULL the whole gradient on an all-NULL column — so refuse early.
+    any_null = None
+    for c in [f"x{j}" for j in range(k)] + ["y"]:
+        isn = F.col(c).isNull()
+        any_null = isn if any_null is None else (any_null | isn)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(any_null.cast("long")).alias("n_null"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("empty training frame")
+    if int(stats["n_null"] or 0) > 0:
+        raise ValueError(
+            f"logreg_gd: {stats['n_null']} rows carry NULL features/"
+            "labels — drop or impute them first (NULLs would silently "
+            "skew the gradient)"
+        )
     for r in range(1, rounds + 1):
         z = None
         for j in range(k):

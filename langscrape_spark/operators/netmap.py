@@ -63,7 +63,7 @@ def ip_block_join(
         raise ValueError("bucket_bits must be in (0, 32]")
     shift = 32 - bucket_bits
     pcols = list(ips.columns)
-    for c in ("__bucket", "__lo", "__hi", "block_lo", *payload_cols):
+    for c in ("__bucket", "__lo", "__hi", "__rk", "block_lo", *payload_cols):
         if c in pcols:
             raise ValueError(
                 f"probe column {c!r} collides with ip_block_join output"
@@ -100,9 +100,13 @@ def ip_block_join(
     if id_col is not None:
         # Longest prefix (smallest span) wins; ≤ CIDR nesting depth
         # rows per probe, so the window is bounded by construction.
+        # Payload columns break exact-duplicate-range ties (MOAS
+        # prefixes: same lo/hi announced by two origins) so the
+        # winner is deterministic across runs and partitionings.
         w = Window.partitionBy(id_col).orderBy(
             (F.col("__hi") - F.col("block_lo")).asc_nulls_last(),
             F.col("block_lo").asc_nulls_last(),
+            *[F.col(c).asc_nulls_last() for c in payload_cols],
         )
         out = (
             out.withColumn("__rk", F.row_number().over(w))

@@ -4950,3 +4950,30 @@ class TestRevalidation:
         out = revalidation_audit(old, new).collect()
         assert len(out) == 1
         assert out[0]["outcome"] == "revalidated_304"
+
+
+def test_logreg_gd_rejects_null_rows(spark):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+    from langscrape_spark.operators.classifier import logreg_gd
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 0)], "x0 int, y int"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        logreg_gd(df, ["x0"], "y", rounds=1)
+
+
+def test_ip_block_join_moas_tiebreak_deterministic(spark):
+    """Duplicate-range blocks (MOAS) resolve to the lexicographically
+    smallest payload, not an arbitrary row."""
+    from langscrape_spark.operators.netmap import ip_block_join
+
+    ips = spark.createDataFrame([("a", 10)], "host string, ip long")
+    blocks = spark.createDataFrame(
+        [(0, 255, "AS2"), (0, 255, "AS1")],
+        "lo long, hi long, asn string",
+    )
+    for _ in range(3):
+        out = ip_block_join(ips, blocks, bucket_bits=24, id_col="host")
+        assert [r["asn"] for r in out.collect()] == ["AS1"]
