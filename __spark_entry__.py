@@ -4941,6 +4941,22 @@ def q175_revalidation(spark, sf):
     return revalidation_rollup(audit).orderBy("host")
 
 
+def q176_best_passage(spark, sf):
+    """Best-passage snippet selection (operators/search.py::
+    best_passage, window=12) for the q59 query terms: per doc the
+    12-token span covering the most distinct query terms (ties: more
+    hits, then earliest). Candidate starts are hit positions only —
+    the per-doc self-join is bounded by query-term occurrences, never
+    doc length — and the snippet text is one array slice. The oracle
+    re-derives hit extraction, the windowed pair join, the ranking
+    and the slice."""
+    from langscrape_spark.operators.search import best_passage
+
+    return best_passage(
+        _t(spark, sf, "documents"), "hash scan table", window=12
+    ).orderBy("doc_id")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5312,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_logreg_gd": q173_logreg_gd,
         "q174_rake": q174_rake,
         "q175_revalidation": q175_revalidation,
+        "q176_best_passage": q176_best_passage,
     })
 
 
@@ -10630,6 +10647,40 @@ def oracle_sql() -> dict[str, str]:
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
         "q173_logreg_gd": _logreg_oracle(),
+        "q176_best_passage": """
+            -- Best-passage re-derived: hit positions for the query
+            -- terms, per-doc windowed pair join over hit starts,
+            -- (n_terms desc, n_hits desc, start) ranking, 12-token
+            -- slice. Spark: operators/search.py::best_passage.
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tok FROM documents),
+            hits AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(tok, 1) - 1 AS INT)
+                       AS pos,
+                     unnest(tok) AS term
+              FROM toks),
+            qh AS (
+              SELECT * FROM hits
+              WHERE term IN ('hash', 'scan', 'table')),
+            cand AS (
+              SELECT l.doc_id, l.pos AS start,
+                     CAST(count(DISTINCT r.term) AS BIGINT) AS n_terms,
+                     CAST(count(*) AS BIGINT) AS n_hits
+              FROM qh l JOIN qh r ON l.doc_id = r.doc_id
+                AND r.pos >= l.pos AND r.pos < l.pos + 12
+              GROUP BY l.doc_id, l.pos),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY n_terms DESC, n_hits DESC, start) AS rk
+              FROM cand)
+            SELECT b.doc_id, b.start, b.n_terms, b.n_hits,
+                   array_to_string(
+                     list_slice(t.tok, b.start + 1, b.start + 12),
+                     ' ') AS snippet
+            FROM best b JOIN toks t USING (doc_id)
+            WHERE rk = 1 ORDER BY b.doc_id
+        """.format(tok=_TOKENS),
         "q175_revalidation": """
             -- Revalidation audit re-derived: both synthetic rounds
             -- (change every 5th, etag absent every 3rd, gone <100,

@@ -592,3 +592,86 @@ def index_compression_stats(
             6,
         ).alias("ratio"),
     )
+
+
+def best_passage(
+    docs: DataFrame,
+    query: str,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-passage (snippet) selection: for every document containing
+    at least one query term, the ``window``-token span that covers the
+    most DISTINCT query terms — ties broken by more total hits, then
+    earliest start. The SERP-snippet / RAG-chunk-picker primitive that
+    sits downstream of every ranker here (BM25/QL produce the doc
+    list; this produces what to SHOW or feed the generator).
+
+    Spark shape: one posexplode filtered to query terms — the hit
+    list, |hits| ≪ |tokens| — then a per-doc self-join of hits to
+    hits within ``[pos, pos+window)``. Both sides are query-term
+    occurrence lists (bounded per doc by term frequency, NOT doc
+    length), the join key is the doc id and the range predicate is a
+    post-join filter inside the same hash join, so the cost is
+    Σ_doc h_d², h_d = per-doc query-term hits — linear in corpus for
+    real queries. Candidate starts are only hit positions (the
+    optimal window can always shift its left edge onto a hit), which
+    is what keeps the enumeration sparse. The snippet text is
+    ``slice`` over the token array — no second tokenization pass.
+
+    Returns ``(doc_id, start, n_terms, n_hits, snippet)``; ``start``
+    is the 0-based token offset.
+    """
+    from pyspark.sql import Window
+
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    tarr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words_col(F.col(text_col)).alias("tok"),
+    )
+    hits = toks.select(
+        "doc_id",
+        F.posexplode("tok").alias("pos", "term"),
+    ).where(F.array_contains(tarr, F.col("term")))
+    left = hits.select("doc_id", F.col("pos").alias("start"))
+    right = hits.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("t2"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.doc_id == right.d2)
+            & (right.p2 >= left.start)
+            & (right.p2 < left.start + F.lit(window)),
+        )
+        .groupBy("doc_id", "start")
+        .agg(
+            F.count_distinct("t2").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_terms").desc(),
+        F.col("n_hits").desc(),
+        F.col("start").asc(),
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return best.join(toks, "doc_id").select(
+        "doc_id",
+        "start",
+        "n_terms",
+        "n_hits",
+        F.array_join(
+            F.slice(F.col("tok"), F.col("start") + 1, window), " "
+        ).alias("snippet"),
+    )

@@ -4977,3 +4977,43 @@ def test_ip_block_join_moas_tiebreak_deterministic(spark):
     for _ in range(3):
         out = ip_block_join(ips, blocks, bucket_bits=24, id_col="host")
         assert [r["asn"] for r in out.collect()] == ["AS1"]
+
+
+class TestBestPassage:
+    def test_picks_densest_window(self, spark):
+        from langscrape_spark.operators.search import best_passage
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha x x x x x x x x x x x x x alpha beta gamma x"),
+                (2, "x beta x x x x x x x x x x x x x x x x x x"),
+                (3, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in best_passage(
+            docs, "alpha beta gamma", window=5
+        ).collect()}
+        # doc 1: window at the trailing cluster covers 3 distinct terms
+        assert out[1]["n_terms"] == 3 and out[1]["start"] == 14
+        assert out[1]["snippet"] == "alpha beta gamma x"
+        assert out[2]["n_terms"] == 1 and out[2]["start"] == 1
+        assert 3 not in out  # no query term -> no snippet row
+
+    def test_tiebreak_earliest_start(self, spark):
+        from langscrape_spark.operators.search import best_passage
+
+        docs = spark.createDataFrame(
+            [(1, "alpha x x x x x x x x x alpha")],
+            "doc_id long, text string",
+        )
+        r = best_passage(docs, "alpha", window=3).collect()[0]
+        assert (r["start"], r["n_terms"], r["n_hits"]) == (0, 1, 1)
+
+    def test_empty_query_raises(self, spark):
+        import pytest as _pytest
+        from langscrape_spark.operators.search import best_passage
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="empty query"):
+            best_passage(docs, "   ")
