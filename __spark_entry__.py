@@ -4957,6 +4957,56 @@ def q176_best_passage(spark, sf):
     ).orderBy("doc_id")
 
 
+_SCC_SRC = [
+    "a0", "a1", "a2", "b0", "b1", "b2", "b3", "a0", "b1", "c0",
+    "d0", "d1", "a2",
+]
+_SCC_DST = [
+    "a1", "a2", "a0", "b1", "b2", "b3", "b0", "b0", "c0", "d0",
+    "d1", "d0", "c0",
+]
+_SCC_RAW_SQL = (
+    "SELECT ({s})[(doc_id % 13) + 1] AS src,"
+    " ({d})[(doc_id % 13) + 1] AS dst FROM documents".format(
+        s="[" + ",".join(f"'{x}'" for x in _SCC_SRC) + "]",
+        d="[" + ",".join(f"'{x}'" for x in _SCC_DST) + "]",
+    )
+)
+
+
+def q177_scc(spark, sf):
+    """EXACT strongly-connected components (operators/linkgraph.py::
+    scc, 2 refinement rounds × 6 min-label relaxations; convergence
+    is proven by the oracle match itself — rounds past stability are
+    exact no-ops): a planted condensation — 3-cycle → 4-cycle → singleton
+    → 2-cycle with duplicate edge emission — resolves to per-SCC min
+    member ids and sizes. Per inner round ONE equi-join + min-groupBy
+    over an O(n) label frame; the oracle unrolls every round's
+    class-restricted edges and both propagations as MATERIALIZED
+    CTEs."""
+    from langscrape_spark.operators.linkgraph import scc
+
+    idx = (F.col("doc_id") % 13).cast("int")
+    docs = _t(spark, sf, "documents")
+    edges = docs.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _SCC_SRC]), idx + 1
+        ).alias("src_host"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _SCC_DST]), idx + 1
+        ).alias("dst_host"),
+    )
+    return scc(
+        edges, outer_rounds=2, inner_rounds=6, verify=False
+    ).orderBy("host")
+
+
+def _scc_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import scc_oracle_sql
+
+    return scc_oracle_sql(_SCC_RAW_SQL, outer_rounds=2, inner_rounds=6)
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5329,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_rake": q174_rake,
         "q175_revalidation": q175_revalidation,
         "q176_best_passage": q176_best_passage,
+        "q177_scc": q177_scc,
     })
 
 
@@ -10647,6 +10698,7 @@ def oracle_sql() -> dict[str, str]:
         "q168_harmonic": _harmonic_oracle(),
         "q170_bowtie": _bowtie_oracle(),
         "q173_logreg_gd": _logreg_oracle(),
+        "q177_scc": _scc_oracle(),
         "q176_best_passage": """
             -- Best-passage re-derived: hit positions for the query
             -- terms, per-doc windowed pair join over hit starts,

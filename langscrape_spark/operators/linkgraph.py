@@ -1238,3 +1238,191 @@ def bowtie_oracle_sql(raw_edges_sql: str, rounds: int = 6) -> str:
     )
     final = "SELECT host, component FROM cls ORDER BY host"
     return "\n".join(parts) + "\n" + final
+
+
+def scc(
+    edges: DataFrame,
+    outer_rounds: int = 3,
+    inner_rounds: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    verify: bool = False,
+) -> DataFrame:
+    """EXACT strongly-connected components by iterated forward/
+    backward min-label refinement (the coloring family — Orzan 2004 /
+    FW-BW label refinement): generalizes :func:`bowtie` (which only
+    materializes the PIVOT's SCC) to every component — the host-graph
+    condensation a crawl needs to find ALL link cliques, not just the
+    giant one.
+
+    Each outer round, within the current class partition: ``f(v)`` =
+    min node id that reaches v along class-internal edges, ``b(v)`` =
+    min id v reaches (two min-label propagations, ``inner_rounds``
+    relaxations each); the new class is the pair ``f|b``. Two
+    invariants make the fixpoint exactly the SCCs: (1) an SCC never
+    splits — any path inside a u↔v cycle lies wholly in their SCC, so
+    SCC members always share (f, b); (2) a stable class is strongly
+    connected — constant f ≡ m_f and b ≡ m_b force m_f = m_b (b(m_f)
+    ≤ m_f by self-reach, so m_b < m_f is impossible, and vice versa),
+    hence m reaches every member and every member reaches m.
+    Fixed-round contract (``bfs_depths`` convention): exact whenever
+    ``inner_rounds`` ≥ max within-class distance-to-label-source and
+    ``outer_rounds`` suffices for the refinement to stabilize (1-2
+    rounds beyond the first split cascade in practice). UNLIKE the
+    distance operators, truncation here is not graceful — an
+    under-provisioned ``inner_rounds`` can SPLIT a true SCC (the
+    label simply hasn't arrived), so production callers should pass
+    ``verify=True``: one extra outer round re-runs the refinement and
+    raises if any class still moves. The oracle keeps fixed rounds —
+    rounds past convergence are exact no-ops, so a verified Spark run
+    matches any sufficiently-deep unrolled oracle.
+
+    Scale shape: per inner round ONE equi-key join + min-groupBy over
+    an O(n) (node, label) frame — never pairs, never neighborhoods;
+    the class restriction is two hash joins re-labeling the edge
+    list per outer round; lineage truncated every round. For
+    page-level graphs run the same loop on the HOST condensation
+    first (10^6–10^8 nodes), the standard web-graph reduction.
+
+    Returns ``(host, scc_id, scc_size)`` — ``scc_id`` is the
+    component's min member id at convergence.
+    """
+    e, hosts = clean_host_edges(edges, src_col, dst_col)
+    cls = hosts.select("host", F.lit("*").alias("cls"))
+
+    def minprop(ee: DataFrame, forward: bool) -> DataFrame:
+        frm, to = ("src", "dst") if forward else ("dst", "src")
+        d = hosts.select(
+            F.col("host").alias("v"), F.col("host").alias("lab")
+        )
+        for _ in range(inner_rounds):
+            step = (
+                d.alias("d")
+                .join(
+                    ee.alias("ee"), F.col("d.v") == F.col(f"ee.{frm}")
+                )
+                .select(
+                    F.col(f"ee.{to}").alias("v"),
+                    F.col("d.lab").alias("lab"),
+                )
+            )
+            d = (
+                d.unionByName(step)
+                .groupBy("v")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint(eager=False)
+            )
+        return d
+
+    def refine(cur: DataFrame) -> DataFrame:
+        ee = (
+            e.alias("e")
+            .join(
+                cur.alias("cs"),
+                F.col("e.src") == F.col("cs.host"),
+            )
+            .join(
+                cur.alias("cd"),
+                F.col("e.dst") == F.col("cd.host"),
+            )
+            .where(F.col("cs.cls") == F.col("cd.cls"))
+            .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            .localCheckpoint(eager=False)
+        )
+        f = minprop(ee, forward=True)
+        b = minprop(ee, forward=False)
+        return (
+            f.select(F.col("v").alias("host"), F.col("lab").alias("fl"))
+            .join(
+                b.select(F.col("v").alias("host"), F.col("lab").alias("bl")),
+                "host",
+            )
+            .select(
+                "host", F.concat("fl", F.lit("|"), "bl").alias("cls")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(outer_rounds):
+        cls = refine(cls)
+    if verify:
+        nxt = refine(cls)
+        moved = (
+            cls.alias("a")
+            .join(nxt.alias("b"), F.col("a.host") == F.col("b.host"))
+            .where(F.col("a.cls") != F.col("b.cls"))
+            .count()
+        )
+        if moved:
+            raise RuntimeError(
+                f"scc: {moved} hosts still refining after "
+                f"{outer_rounds} outer rounds — raise outer_rounds/"
+                "inner_rounds (insufficient depth can split true SCCs)"
+            )
+    # At convergence f == b == min member; strip to it.
+    comp = cls.select(
+        "host",
+        F.substring_index(F.col("cls"), "|", 1).alias("scc_id"),
+    )
+    sizes = comp.groupBy("scc_id").agg(
+        F.count(F.lit(1)).alias("scc_size")
+    )
+    return comp.join(sizes, "scc_id").select("host", "scc_id", "scc_size")
+
+
+def scc_oracle_sql(
+    raw_edges_sql: str,
+    outer_rounds: int = 3,
+    inner_rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`scc`: every outer round's class-restricted
+    edge list and both min-label propagations unrolled as MATERIALIZED
+    CTEs, the same f|b refinement and the min-member strip."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "cls0 AS MATERIALIZED (SELECT host, '*' AS cls FROM hosts),",
+    ]
+    for r in range(1, outer_rounds + 1):
+        parts.append(
+            f"ee{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e"
+            f" JOIN cls{r - 1} cs ON e.src = cs.host"
+            f" JOIN cls{r - 1} cd ON e.dst = cd.host"
+            " WHERE cs.cls = cd.cls),"
+        )
+        for name, frm, to in ((f"f{r}_", "src", "dst"), (f"b{r}_", "dst", "src")):
+            parts.append(
+                f"{name}0 AS MATERIALIZED (SELECT host AS v,"
+                " host AS lab FROM hosts),"
+            )
+            for i in range(1, inner_rounds + 1):
+                parts.append(
+                    f"{name}{i} AS MATERIALIZED (SELECT v, min(lab)"
+                    f" AS lab FROM (SELECT v, lab FROM {name}{i - 1}"
+                    f" UNION ALL SELECT ee{r}.{to} AS v, d.lab"
+                    f" FROM ee{r} JOIN {name}{i - 1} d"
+                    f" ON ee{r}.{frm} = d.v) x GROUP BY v),"
+                )
+        parts.append(
+            f"cls{r} AS MATERIALIZED (SELECT f.v AS host,"
+            f" f.lab || '|' || b.lab AS cls"
+            f" FROM f{r}_{inner_rounds} f"
+            f" JOIN b{r}_{inner_rounds} b ON f.v = b.v),"
+        )
+    parts.append(
+        "comp AS (SELECT host,"
+        f" split_part(cls, '|', 1) AS scc_id FROM cls{outer_rounds}),"
+    )
+    parts.append(
+        "sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT)"
+        " AS scc_size FROM comp GROUP BY scc_id)"
+    )
+    final = (
+        "SELECT comp.host, comp.scc_id, sizes.scc_size"
+        " FROM comp JOIN sizes ON comp.scc_id = sizes.scc_id"
+        " ORDER BY comp.host"
+    )
+    return "\n".join(parts) + "\n" + final

@@ -661,3 +661,108 @@ def test_bowtie_pivot_tiebreak_and_horizon(spark):
     # rounds=1: F(a)={a,b} -> 'd' invisible forward; backward-from-out
     # sweep then finds c -> d ... d reaches nothing in OUT, c is OUT.
     assert short["a"] == "core" and short["b"] == "out"
+
+
+def test_scc_multiple_components(spark):
+    """Two cycles, a singleton bridge, a 2-cycle, cross links: each
+    strongly-connected set gets its min member as scc_id."""
+    from langscrape_spark.operators.linkgraph import scc
+
+    edges = [
+        ("a0", "a1"), ("a1", "a2"), ("a2", "a0"),           # 3-cycle
+        ("b0", "b1"), ("b1", "b2"), ("b2", "b3"), ("b3", "b0"),  # 4-cycle
+        ("a0", "b0"),                                        # A -> B
+        ("b1", "c0"),                                        # B -> c0
+        ("c0", "d0"), ("d0", "d1"), ("d1", "d0"),            # c0 -> 2-cycle
+        ("a1", "a1"),                                        # self-loop drop
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: (r["scc_id"], r["scc_size"]) for r in scc(df).collect()}
+    assert got == {
+        "a0": ("a0", 3), "a1": ("a0", 3), "a2": ("a0", 3),
+        "b0": ("b0", 4), "b1": ("b0", 4), "b2": ("b0", 4), "b3": ("b0", 4),
+        "c0": ("c0", 1),
+        "d0": ("d0", 2), "d1": ("d0", 2),
+    }
+
+
+def test_scc_chain_all_singletons(spark):
+    from langscrape_spark.operators.linkgraph import scc
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    got = {r["host"]: r["scc_size"] for r in scc(df, outer_rounds=2).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1}
+
+
+def test_scc_matches_python_tarjan_on_random_graph(spark):
+    """Cross-check against a sequential Tarjan on a deterministic
+    pseudo-random graph (hash-derived edges, no RNG)."""
+    import hashlib
+    from langscrape_spark.operators.linkgraph import scc
+
+    n, m = 40, 90
+    edges = []
+    for i in range(m):
+        h = hashlib.md5(f"edge:{i}".encode()).hexdigest()
+        u, v = int(h[:8], 16) % n, int(h[8:16], 16) % n
+        if u != v:
+            edges.append((f"n{u:02d}", f"n{v:02d}"))
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["scc_id"] for r in scc(df, outer_rounds=4, inner_rounds=16, verify=True).collect()}
+
+    # iterative Tarjan
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        nodes.update((u, v))
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w2 = adj[v][i]
+                if w2 not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w2, 0))
+                    recurse = True
+                    break
+                elif w2 in onstack:
+                    low[v] = min(low[v], index[w2])
+            if not recurse:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w2 = stack.pop()
+                        onstack.discard(w2)
+                        members.append(w2)
+                        if w2 == v:
+                            break
+                    mid = min(members)
+                    for mm in members:
+                        comp[mm] = mid
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    assert got == comp
