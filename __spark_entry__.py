@@ -5007,6 +5007,42 @@ def _scc_oracle() -> str:
     return scc_oracle_sql(_SCC_RAW_SQL, outer_rounds=2, inner_rounds=6)
 
 
+def q178_dust_apply(spark, sf):
+    """DUST rule APPLICATION (operators/mirrors.py::apply_dust_rules)
+    — the mine→apply round trip over q166's corpus: valid deletion
+    rules (q:sid=<N>, q:ref=home) strip their raw components from
+    every matching spelling, rebuilding a canonical key from the RAW
+    url so /item/7 and /item/8 stay distinct while all of /item/7's
+    spellings collapse. One broadcast of the bounded rule table
+    against distinct urls; the oracle re-runs mining AND application
+    (templated subset match, raw-component filter, sorted surviving
+    params)."""
+    from langscrape_spark.operators.mirrors import (
+        apply_dust_rules,
+        dust_rules,
+    )
+
+    k = F.col("o_orderkey")
+    c = k % 300
+    w = F.expr("(o_orderkey div 300) % 15")
+    base = F.concat(
+        F.lit("https://www.shop.example/item/"), c.cast("string")
+    )
+    url = (
+        F.when(w == 2, F.concat(base, F.lit("?sid="), k.cast("string")))
+        .when(w.isin(5, 8), F.concat(base, F.lit("?ref=home")))
+        .otherwise(base)
+    )
+    corpus = _t(spark, sf, "orders").select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("c:"), c.cast("string"))).alias("fp"),
+    )
+    rules = dust_rules(
+        corpus, max_group=64, min_support=3, min_contents=2
+    )
+    return apply_dust_rules(corpus, rules).orderBy("url")
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5380,6 +5416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_revalidation": q175_revalidation,
         "q176_best_passage": q176_best_passage,
         "q177_scc": q177_scc,
+        "q178_dust_apply": q178_dust_apply,
     })
 
 
@@ -10546,6 +10583,155 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON p.host_a = sa.host
             JOIN sizes sb ON p.host_b = sb.host
             ORDER BY p.host_a, p.host_b
+        """,
+        "q178_dust_apply": """
+            -- Mine (q166's CTEs) then APPLY: deletion rules strip
+            -- their raw components; canon is rebuilt from the raw
+            -- url (host + surviving path + sorted surviving params).
+            -- Spark: operators/mirrors.py::apply_dust_rules.
+            WITH corpus AS (
+              SELECT CASE
+                       WHEN (o_orderkey // 300) % 15 = 2
+                         THEN 'https://www.shop.example/item/'
+                              || CAST(o_orderkey % 300 AS VARCHAR)
+                              || '?sid=' || CAST(o_orderkey AS VARCHAR)
+                       WHEN (o_orderkey // 300) % 15 IN (5, 8)
+                         THEN 'https://www.shop.example/item/'
+                              || CAST(o_orderkey % 300 AS VARCHAR)
+                              || '?ref=home'
+                       ELSE 'https://www.shop.example/item/'
+                            || CAST(o_orderkey % 300 AS VARCHAR)
+                     END AS url,
+                     md5('c:' || CAST(o_orderkey % 300 AS VARCHAR))
+                       AS fp
+              FROM orders
+            ),
+            urls AS (
+              SELECT DISTINCT
+                     lower(regexp_extract(url, 'https://([^/]+)', 1))
+                       AS host,
+                     fp, url
+              FROM corpus
+            ),
+            gsz AS (SELECT host, fp, count(*) AS n
+                    FROM urls GROUP BY host, fp),
+            toked AS (
+              SELECT u.host, u.fp, u.url,
+                     list_sort(list_distinct(
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(u.url,
+                             'https://[^/]+([^?]*)', 1), '/'),
+                           x -> x <> ''),
+                         x -> 'p:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                       ||
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(u.url, '\\?(.*)$', 1), '&'),
+                           x -> x <> ''),
+                         x -> 'q:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                     )) AS toks
+              FROM urls u
+              JOIN gsz g ON u.host = g.host AND u.fp = g.fp
+              WHERE g.n <= 64
+            ),
+            pairs AS (
+              SELECT coalesce(array_to_string(list_sort(list_distinct(
+                       list_filter(a.toks,
+                         x -> NOT list_contains(b.toks, x)))), '|'), '')
+                       AS lhs,
+                     coalesce(array_to_string(list_sort(list_distinct(
+                       list_filter(b.toks,
+                         x -> NOT list_contains(a.toks, x)))), '|'), '')
+                       AS rhs,
+                     a.fp AS fp
+              FROM toked a JOIN toked b
+                ON a.host = b.host AND a.fp = b.fp AND a.url < b.url
+            ),
+            agg AS (
+              SELECT lhs, rhs, count(*) AS support,
+                     count(DISTINCT fp) AS n_contents
+              FROM pairs WHERE lhs <> '' OR rhs <> ''
+              GROUP BY lhs, rhs
+            ),
+            dels AS (
+              SELECT DISTINCT string_split(
+                       CASE WHEN rhs = '' THEN lhs ELSE rhs END, '|')
+                       AS strip
+              FROM agg
+              WHERE support >= 3 AND n_contents >= 2
+                AND (lhs = '' OR rhs = '')
+            ),
+            utok AS (
+              SELECT url,
+                     lower(regexp_extract(url, 'https://([^/]+)', 1))
+                       AS host,
+                     list_sort(list_distinct(
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(url,
+                             'https://[^/]+([^?]*)', 1), '/'),
+                           x -> x <> ''),
+                         x -> 'p:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                       ||
+                       list_transform(
+                         list_filter(string_split(
+                           regexp_extract(url, '\\?(.*)$', 1), '&'),
+                           x -> x <> ''),
+                         x -> 'q:' || regexp_replace(regexp_replace(
+                           lower(x), '[0-9a-f]{8,}', '<H>', 'g'),
+                           '[0-9]+', '<N>', 'g'))
+                     )) AS toks,
+                     list_filter(string_split(
+                       regexp_extract(url,
+                         'https://[^/]+([^?]*)', 1), '/'),
+                       x -> x <> '') AS p_raw,
+                     list_filter(string_split(
+                       regexp_extract(url, '\\?(.*)$', 1), '&'),
+                       x -> x <> '') AS q_raw
+              FROM (SELECT DISTINCT url FROM corpus)
+            ),
+            m AS (
+              SELECT u.url, CAST(count(*) AS BIGINT) AS n_rules,
+                     list_distinct(flatten(list(d.strip)))
+                       AS all_strip
+              FROM utok u JOIN dels d
+                ON len(list_filter(d.strip,
+                     x -> NOT list_contains(u.toks, x))) = 0
+              GROUP BY u.url
+            ),
+            app AS (
+              SELECT u.url, u.host, u.p_raw, u.q_raw,
+                     coalesce(m.n_rules, 0) AS n_rules,
+                     coalesce(m.all_strip, []) AS all_strip
+              FROM utok u LEFT JOIN m ON u.url = m.url
+            ),
+            rend AS (
+              SELECT url, host, n_rules,
+                     list_filter(p_raw, x -> NOT list_contains(
+                       all_strip,
+                       'p:' || regexp_replace(regexp_replace(lower(x),
+                         '[0-9a-f]{8,}', '<H>', 'g'),
+                         '[0-9]+', '<N>', 'g'))) AS sp,
+                     list_sort(list_filter(q_raw,
+                       x -> NOT list_contains(all_strip,
+                       'q:' || regexp_replace(regexp_replace(lower(x),
+                         '[0-9a-f]{8,}', '<H>', 'g'),
+                         '[0-9]+', '<N>', 'g')))) AS sq
+              FROM app
+            )
+            SELECT url, host, n_rules,
+                   host || '/' || array_to_string(sp, '/')
+                   || CASE WHEN len(sq) > 0
+                      THEN '?' || array_to_string(sq, '&')
+                      ELSE '' END AS canon
+            FROM rend ORDER BY url
         """,
         "q166_dust_rules": """
             WITH corpus AS (

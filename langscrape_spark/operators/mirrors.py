@@ -361,3 +361,125 @@ def param_significance(
         "n_varying",
         verdict.alias("verdict"),
     )
+
+
+def apply_dust_rules(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    max_rules: int = 256,
+) -> DataFrame:
+    """Apply mined :func:`dust_rules` to canonicalize a URL corpus —
+    the second half of the Bar-Yossef pipeline: mining finds "these
+    spellings are the same page", application COLLAPSES the frontier
+    so the crawler stops re-fetching sid= clones.
+
+    Only DELETION rules are applied (``rhs = ''``, or the mirrored
+    ``lhs = ''`` whose extra tokens sit on the u2 side): strip the
+    rule's templated tokens from any URL whose token set contains
+    them. Substitution rules are reported by the miner but not
+    applied — a token-set rewrite cannot faithfully reconstruct the
+    substituted URL string, and deletions are the overwhelming DUST
+    class (session ids, tracking params). All matching deletions
+    apply (set subtraction is order-free, so the result is
+    deterministic without a rule-priority contract).
+
+    Scale shape: the VALID rule table is bounded (it came out of the
+    miner's support gates — ``max_rules`` guards the broadcast);
+    application is one broadcast nested join of distinct urls ×
+    rules with a subset filter, then a per-url union of matched strip
+    sets (collect bounded by rule count) and one array_except. The
+    url side never shuffles on anything but its own distinct.
+
+    Returns one row per DISTINCT input url:
+    ``(url, host, n_rules, canon)``. ``canon`` is rebuilt from the
+    RAW url — host + path segments whose templated token survived
+    (original order) + '?' + the sorted surviving raw query params —
+    because rules live in TEMPLATED token space (``q:sid=<N>``) while
+    identity lives in the raw spelling: stripping must remove ``?sid=
+    1007`` from THIS url without collapsing ``/item/7`` and
+    ``/item/8`` (both ``p:<N>``) into one key. Urls sharing a
+    ``canon`` are the same page under the mined rules.
+    """
+    strip_arr = F.when(
+        F.col("rhs") == "", F.split(F.col("lhs"), "\\|")
+    ).otherwise(F.split(F.col("rhs"), "\\|"))
+    dels = (
+        rules.where(F.col("valid") == 1)
+        .where((F.col("rhs") == "") | (F.col("lhs") == ""))
+        .select(strip_arr.alias("strip"))
+        .distinct()
+    )
+    n_rules = dels.count()
+    if n_rules > max_rules:
+        raise ValueError(
+            f"apply_dust_rules: {n_rules} deletion rules exceed "
+            f"max_rules={max_rules} — raise the miner's support gates"
+        )
+    u = F.col(url_col)
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+    query = F.coalesce(
+        F.try_parse_url(F.col("url"), F.lit("QUERY")), F.lit("")
+    )
+    urls = (
+        df.select(u.alias("url"))
+        .distinct()
+        .select(
+            "url",
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias(
+                "host"
+            ),
+            url_tokens(F.col("url")).alias("toks"),
+            F.filter(F.split(path, "/"), lambda x: x != F.lit("")).alias(
+                "p_raw"
+            ),
+            F.filter(F.split(query, "&"), lambda x: x != F.lit("")).alias(
+                "q_raw"
+            ),
+        )
+    )
+    matched = (
+        urls.select("url", "toks")
+        .crossJoin(F.broadcast(dels))
+        .where(F.size(F.array_except(F.col("strip"), F.col("toks"))) == 0)
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_rules"),
+            F.array_distinct(
+                F.flatten(F.collect_list("strip"))
+            ).alias("all_strip"),
+        )
+    )
+    joined = urls.join(matched, "url", "left").withColumn(
+        "all_strip",
+        F.coalesce(F.col("all_strip"), F.array().cast("array<string>")),
+    )
+    surv_p = F.filter(
+        F.col("p_raw"),
+        lambda x: ~F.array_contains(
+            F.col("all_strip"), F.concat(F.lit("p:"), _tmpl(x))
+        ),
+    )
+    surv_q = F.array_sort(
+        F.filter(
+            F.col("q_raw"),
+            lambda x: ~F.array_contains(
+                F.col("all_strip"), F.concat(F.lit("q:"), _tmpl(x))
+            ),
+        )
+    )
+    canon = F.concat(
+        F.coalesce(F.col("host"), F.lit("")),
+        F.lit("/"),
+        F.concat_ws("/", surv_p),
+        F.when(
+            F.size(surv_q) > 0,
+            F.concat(F.lit("?"), F.concat_ws("&", surv_q)),
+        ).otherwise(F.lit("")),
+    )
+    return joined.select(
+        "url",
+        "host",
+        F.coalesce("n_rules", F.lit(0)).cast("long").alias("n_rules"),
+        canon.alias("canon"),
+    )

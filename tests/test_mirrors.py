@@ -194,3 +194,57 @@ class TestHarmonicCentrality:
         # d is 3 hops out -> beyond the 2-round horizon, contributes 0
         assert got["a"].n_reached == 2
         assert got["a"].harmonic_micro == 1_500_000
+
+
+class TestApplyDust:
+    def test_deletion_rules_collapse_spellings(self, spark):
+        from langscrape_spark.operators.mirrors import (
+            apply_dust_rules,
+            dust_rules,
+        )
+
+        rows = []
+        for i in range(30):
+            rows.append((f"https://s.example/item/{i}", f"f{i}"))
+            rows.append((f"https://s.example/item/{i}?sid={1000+i}", f"f{i}"))
+        df = spark.createDataFrame(rows, "url string, fp string")
+        rules = dust_rules(df, min_support=3, min_contents=2)
+        out = apply_dust_rules(df, rules)
+        got = {r["url"]: r for r in out.collect()}
+        clean = got["https://s.example/item/7"]
+        dusty = got["https://s.example/item/7?sid=1007"]
+        assert clean["n_rules"] == 0
+        assert dusty["n_rules"] == 1
+        assert clean["canon"] == dusty["canon"] == "s.example/item/7"
+        # distinct canon count = number of real pages
+        assert out.select("canon").distinct().count() == 30
+
+    def test_non_matching_urls_untouched(self, spark):
+        from langscrape_spark.operators.mirrors import apply_dust_rules
+
+        rules = spark.createDataFrame(
+            [("q:sid=<N>", "", 5, 3, 1), ("q:a=<N>", "q:b=<N>", 9, 9, 1),
+             ("q:ref=home", "", 1, 1, 0)],
+            "lhs string, rhs string, support long, n_contents long, valid int",
+        )
+        df = spark.createDataFrame(
+            [("https://s.example/p?ref=home",),
+             ("https://s.example/p?a=1",)],
+            "url string",
+        )
+        out = {r["url"]: r for r in apply_dust_rules(df, rules).collect()}
+        # invalid rule not applied; substitution rule not applied
+        assert out["https://s.example/p?ref=home"]["n_rules"] == 0
+        assert out["https://s.example/p?a=1"]["n_rules"] == 0
+
+    def test_max_rules_guard(self, spark):
+        import pytest as _pytest
+        from langscrape_spark.operators.mirrors import apply_dust_rules
+
+        rules = spark.createDataFrame(
+            [(f"q:x{i}=<N>", "", 5, 3, 1) for i in range(10)],
+            "lhs string, rhs string, support long, n_contents long, valid int",
+        )
+        df = spark.createDataFrame([("https://s.example/p",)], "url string")
+        with _pytest.raises(ValueError, match="max_rules"):
+            apply_dust_rules(df, rules, max_rules=5)
