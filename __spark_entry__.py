@@ -5043,6 +5043,40 @@ def q178_dust_apply(spark, sf):
     return apply_dust_rules(corpus, rules).orderBy("url")
 
 
+def q179_surt(spark, sf):
+    """SURT index keys (operators/urls.py::surt_key) — the Heritrix/
+    Wayback/Common-Crawl CDX key: host reversed on dots so a
+    registrable domain's urls sort contiguously (the range-pruning
+    layout for a 10^10-url seen-set), scheme/port dropped, path
+    lowercased, trackers stripped, params sorted. Pure codegen
+    projection over a mixed-subdomain/port/case/tracker synthetic
+    corpus; the oracle mirrors every canonicalization step with list
+    lambdas."""
+    from langscrape_spark.operators.urls import surt_key
+
+    k = F.col("o_orderkey")
+    c = k % 50
+    w = F.expr("(o_orderkey div 50) % 4")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(w == 0, "www.").when(w == 1, "cdn.").otherwise(""),
+        F.lit("site"),
+        (c % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(w == 3, ":8080").otherwise(""),
+        F.lit("/Cat"),
+        c.cast("string"),
+        F.when(k % 2 == 0, "/").otherwise(""),
+        F.lit("?b="),
+        (k % 5).cast("string"),
+        F.lit("&utm_source=x&a=1"),
+    )
+    urls = _t(spark, sf, "orders").select(url.alias("url")).distinct()
+    return urls.select("url", surt_key(F.col("url")).alias("surt")).orderBy(
+        "url"
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5417,6 +5451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_best_passage": q176_best_passage,
         "q177_scc": q177_scc,
         "q178_dust_apply": q178_dust_apply,
+        "q179_surt": q179_surt,
     })
 
 
@@ -10583,6 +10618,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON p.host_a = sa.host
             JOIN sizes sb ON p.host_b = sb.host
             ORDER BY p.host_a, p.host_b
+        """,
+        "q179_surt": """
+            -- SURT re-derived: shared host regex, dot-reversed host,
+            -- lowercased trailing-slash-trimmed path, tracker-
+            -- filtered sorted params. Spark: operators/urls.py::
+            -- surt_key.
+            WITH urls AS (
+              SELECT DISTINCT
+                'https://'
+                || CASE WHEN (o_orderkey // 50) % 4 = 0 THEN 'www.'
+                        WHEN (o_orderkey // 50) % 4 = 1 THEN 'cdn.'
+                        ELSE '' END
+                || 'site' || CAST((o_orderkey % 50) % 7 AS VARCHAR)
+                || '.example.com'
+                || CASE WHEN (o_orderkey // 50) % 4 = 3
+                        THEN ':8080' ELSE '' END
+                || '/Cat' || CAST(o_orderkey % 50 AS VARCHAR)
+                || CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END
+                || '?b=' || CAST(o_orderkey % 5 AS VARCHAR)
+                || '&utm_source=x&a=1' AS url
+              FROM orders),
+            parts AS (
+              SELECT url,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)',
+                       1), ':[0-9]+$', '')) AS host,
+                     regexp_replace(lower(coalesce(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                       1), '')), '/$', '') AS path,
+                     list_sort(list_filter(string_split(
+                       lower(coalesce(regexp_extract(url,
+                         '\\?([^#]*)', 1), '')), '&'),
+                       p -> p <> ''
+                         AND NOT starts_with(p, 'utm_')
+                         AND NOT list_contains(['gclid', 'fbclid'],
+                               split_part(p, '=', 1)))) AS q
+              FROM urls)
+            SELECT url,
+                   CASE WHEN host IS NOT NULL AND host <> '' THEN
+                     array_to_string(list_reverse(
+                       string_split(host, '.')), ',')
+                     || ')' || path
+                     || CASE WHEN len(q) > 0
+                        THEN '?' || array_to_string(q, '&')
+                        ELSE '' END
+                   END AS surt
+            FROM parts ORDER BY url
         """,
         "q178_dust_apply": """
             -- Mine (q166's CTEs) then APPLY: deletion rules strip

@@ -477,3 +477,42 @@ def registrable_domain(
     return all_h.select(
         "host", suffix.alias("suffix"), registrable.alias("registrable")
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT form (Sort-friendly URI Reordering Transform) — the
+    Heritrix / Wayback / Common-Crawl CDX index key:
+    ``com,example,www)/path?b=2&a=1`` with the host reversed on dots
+    so one registrable domain's urls SORT CONTIGUOUSLY. That sort
+    locality is the point at 10^10 urls: a seen-set, CDX index or
+    frontier partitioned by SURT range groups a domain's crawl state
+    into the same partitions/row groups (range pruning on eTLD+1
+    prefixes), where raw-url ordering scatters it by subdomain.
+
+    Canonicalization applied (the engine's subset of Heritrix's):
+    scheme and userinfo dropped, host lowercased and port stripped
+    (:func:`host_of`), path lowercased with a lone trailing slash
+    trimmed, query params lowercased, tracker params dropped and the
+    rest SORTED (:func:`_params_clean`'s gates). Session-id stripping
+    is deliberately not here — that is mined evidence, not syntax
+    (``mirrors.dust_rules`` + ``apply_dust_rules``). NULL/hostless
+    urls yield NULL.
+    """
+    host = host_of(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    )
+    path = F.regexp_replace(path, "/$", "")
+    q = _params_clean(
+        F.lower(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")))
+    )
+    key = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(
+            F.size(q) > 0, F.concat(F.lit("?"), F.array_join(q, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return F.when(host.isNotNull() & (host != ""), key)

@@ -5017,3 +5017,47 @@ class TestBestPassage:
         docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="empty query"):
             best_passage(docs, "   ")
+
+
+class TestSurt:
+    def test_surt_forms(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.urls import surt_key
+
+        df = spark.createDataFrame(
+            [
+                ("https://www.Example.COM:8080/Path/Sub/?b=2&a=1",),
+                ("http://example.com/",),
+                ("https://cdn.site.example/x?utm_source=nl&gclid=99&z=1",),
+                ("notaurl",),
+                (None,),
+            ],
+            "url string",
+        )
+        got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
+        assert got[0] == "com,example,www)/path/sub?a=1&b=2"
+        assert got[1] == "com,example)"
+        assert got[2] == "example,site,cdn)/x?z=1"  # trackers dropped
+        assert got[3] is None
+        assert got[4] is None
+
+    def test_surt_sort_locality(self, spark):
+        """One registrable domain's subdomains sort contiguously in
+        SURT space but scatter in raw-url space."""
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.urls import surt_key
+
+        urls = [
+            "https://a.shop.example/x",
+            "https://z.shop.example/y",
+            "https://shop.example/z",
+            "https://aaa.other.example/w",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        surted = sorted(
+            r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()
+        )
+        shop = [s for s in surted if s.startswith("example,shop")]
+        i = surted.index(shop[0])
+        assert surted[i : i + len(shop)] == shop  # contiguous block
+        assert len(shop) == 3
