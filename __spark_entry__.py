@@ -5077,6 +5077,57 @@ def q179_surt(spark, sf):
     )
 
 
+_HUBGRAPH_RAW_SQL = """
+    SELECT CASE WHEN doc_id % 60 < 40 THEN 'hub0'
+                ELSE 's' || CAST(2 * ((doc_id % 60) - 40) AS VARCHAR)
+           END AS src,
+           CASE WHEN doc_id % 60 < 40
+                THEN 's' || CAST(doc_id % 60 AS VARCHAR)
+                ELSE 's' || CAST(2 * ((doc_id % 60) - 40) + 1
+                                 AS VARCHAR)
+           END AS dst
+    FROM documents
+"""
+
+
+def q180_hub_removal(spark, sf):
+    """Hub-removal resilience (operators/linkgraph.py::
+    hub_removal_resilience, k ∈ {0,1,2}, 6 relaxations): a planted
+    hub-and-spoke with pair links — one giant component that
+    shatters into pairs when the hub is blocklisted, the
+    Albert-Jeong-Barabási targeted-attack audit a crawl runs before
+    trusting its seed coverage. Per scenario one O(n) min-label
+    propagation; the oracle unrolls hub ranking and every scenario's
+    relaxations."""
+    from langscrape_spark.operators.linkgraph import hub_removal_resilience
+
+    m = F.col("doc_id") % 60
+    docs = _t(spark, sf, "documents")
+    edges = docs.select(
+        F.when(m < 40, "hub0")
+        .otherwise(
+            F.concat(F.lit("s"), (2 * (m - 40)).cast("string"))
+        )
+        .alias("src_host"),
+        F.when(
+            m < 40, F.concat(F.lit("s"), m.cast("string"))
+        )
+        .otherwise(
+            F.concat(F.lit("s"), (2 * (m - 40) + 1).cast("string"))
+        )
+        .alias("dst_host"),
+    )
+    return hub_removal_resilience(edges, ks=(0, 1, 2), rounds=6).orderBy(
+        "k"
+    )
+
+
+def _hub_removal_oracle() -> str:
+    from langscrape_spark.operators.linkgraph import hub_removal_oracle_sql
+
+    return hub_removal_oracle_sql(_HUBGRAPH_RAW_SQL, ks=(0, 1, 2), rounds=6)
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5452,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_scc": q177_scc,
         "q178_dust_apply": q178_dust_apply,
         "q179_surt": q179_surt,
+        "q180_hub_removal": q180_hub_removal,
     })
 
 
@@ -10967,6 +11019,7 @@ def oracle_sql() -> dict[str, str]:
         "q170_bowtie": _bowtie_oracle(),
         "q173_logreg_gd": _logreg_oracle(),
         "q177_scc": _scc_oracle(),
+        "q180_hub_removal": _hub_removal_oracle(),
         "q176_best_passage": """
             -- Best-passage re-derived: hit positions for the query
             -- terms, per-doc windowed pair join over hit starts,

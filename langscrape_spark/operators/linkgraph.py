@@ -1426,3 +1426,180 @@ def scc_oracle_sql(
         " ORDER BY comp.host"
     )
     return "\n".join(parts) + "\n" + final
+
+
+def hub_removal_resilience(
+    edges: DataFrame,
+    ks: "tuple[int, ...]" = (0, 1, 2),
+    rounds: int = 6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Percolation / robustness audit of the host graph: weakly-
+    connected component structure BEFORE and AFTER removing the
+    top-k highest-degree hubs — the classic scale-free fragility
+    measurement (Albert-Jeong-Barabási: random failure barely dents a
+    power-law web, targeted hub removal shatters it). Crawl reading:
+    if blocklisting / rate-limiting the top hubs fragments the
+    reachable web, seed diversity — not frontier priority — is the
+    coverage insurance.
+
+    Per scenario k: drop the k hubs (undirected degree desc, host asc
+    — deterministic), run min-label propagation over the remaining
+    undirected edges (``rounds`` relaxations, exact when ≥ diameter,
+    the fixed-round contract), roll up component count / largest
+    size / isolated survivors. Hub election is a bounded
+    ``max(ks)``-row collect (per-round scalar convention).
+
+    Scale: per k ONE label frame of O(n) rows relaxed ``rounds``
+    times (equi-join + min-groupBy each) — the q177 register shape;
+    degree is one hash agg. Returns one row per k:
+    ``(k, n_hosts, n_components, largest, largest_share_micro)``.
+    """
+    und = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        und.select(F.col("u").alias("host"))
+        .unionByName(und.select(F.col("v").alias("host")))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionByName(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    kmax = max(ks)
+    hubs = [
+        r["host"]
+        for r in deg.orderBy(F.col("deg").desc(), F.col("host").asc())
+        .limit(kmax)
+        .collect()
+    ]
+
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        drop = set(hubs[:k])
+        surv_nodes = nodes.where(~F.col("host").isin(*drop) if drop else F.lit(True))
+        ee = und
+        if drop:
+            ee = und.where(
+                ~F.col("u").isin(*drop) & ~F.col("v").isin(*drop)
+            )
+        bi = ee.select("u", "v").unionByName(
+            ee.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        d = surv_nodes.select(
+            F.col("host").alias("n"), F.col("host").alias("lab")
+        )
+        for _ in range(rounds):
+            step = (
+                d.alias("d")
+                .join(bi.alias("e"), F.col("d.n") == F.col("e.u"))
+                .select(F.col("e.v").alias("n"), F.col("d.lab").alias("lab"))
+            )
+            d = (
+                d.unionByName(step)
+                .groupBy("n")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint(eager=False)
+            )
+        sizes = d.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.lit(k).alias("k"),
+            F.sum("sz").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest"),
+        ).withColumn(
+            "largest_share_micro",
+            F.expr(
+                "CASE WHEN n_hosts > 0 THEN (largest * CAST(1000000"
+                " AS BIGINT)) DIV n_hosts ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def hub_removal_oracle_sql(
+    raw_edges_sql: str,
+    ks: "tuple[int, ...]" = (0, 1, 2),
+    rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hub_removal_resilience`: hub ranking +
+    per-scenario unrolled min-label propagation + rollup."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({raw_edges_sql}),",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        " greatest(src, dst) AS v FROM raw WHERE src IS NOT NULL"
+        " AND dst IS NOT NULL AND src <> dst),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT u AS host FROM und UNION ALL SELECT v FROM und)),",
+        "deg AS MATERIALIZED (SELECT host, count(*) AS deg FROM"
+        " (SELECT u AS host FROM und UNION ALL SELECT v FROM und)"
+        " GROUP BY host),",
+        "hubs AS MATERIALIZED (SELECT host, row_number() OVER"
+        " (ORDER BY deg DESC, host ASC) AS rk FROM deg),",
+    ]
+    selects = []
+    for k in ks:
+        parts.append(
+            f"sn{k} AS MATERIALIZED (SELECT host FROM nodes WHERE"
+            f" host NOT IN (SELECT host FROM hubs WHERE rk <= {k})),"
+        )
+        parts.append(
+            f"se{k} AS MATERIALIZED (SELECT u, v FROM und WHERE"
+            f" u IN (SELECT host FROM sn{k})"
+            f" AND v IN (SELECT host FROM sn{k})),"
+        )
+        parts.append(
+            f"bi{k} AS MATERIALIZED (SELECT u, v FROM se{k}"
+            f" UNION ALL SELECT v AS u, u AS v FROM se{k}),"
+        )
+        parts.append(
+            f"d{k}_0 AS MATERIALIZED (SELECT host AS n, host AS lab"
+            f" FROM sn{k}),"
+        )
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"d{k}_{i} AS MATERIALIZED (SELECT n, min(lab) AS lab"
+                f" FROM (SELECT n, lab FROM d{k}_{i - 1}"
+                f" UNION ALL SELECT bi{k}.v AS n, d.lab"
+                f" FROM bi{k} JOIN d{k}_{i - 1} d ON bi{k}.u = d.n) x"
+                " GROUP BY n),"
+            )
+        parts.append(
+            f"sz{k} AS MATERIALIZED (SELECT lab, count(*) AS sz"
+            f" FROM d{k}_{rounds} GROUP BY lab),"
+        )
+        selects.append(
+            f"SELECT {k} AS k, CAST(sum(sz) AS BIGINT) AS n_hosts,"
+            " CAST(count(*) AS BIGINT) AS n_components,"
+            " CAST(max(sz) AS BIGINT) AS largest,"
+            " CASE WHEN sum(sz) > 0 THEN (max(sz) * CAST(1000000 AS"
+            " BIGINT)) // sum(sz) ELSE CAST(0 AS BIGINT) END"
+            f" AS largest_share_micro FROM sz{k}"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    body = " UNION ALL ".join(selects)
+    return (
+        "\n".join(parts)
+        + ",\nres AS ("
+        + body
+        + ")\nSELECT * FROM res ORDER BY k"
+    )

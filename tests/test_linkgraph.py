@@ -769,3 +769,20 @@ def test_scc_matches_python_tarjan_on_random_graph(spark):
         if v not in index:
             strongconnect(v)
     assert got == comp
+
+
+def test_hub_removal_fragments_star(spark):
+    """Hub-and-spoke + pair links: removing the hub shatters the
+    giant component into pairs (Albert-Jeong-Barabási fragility)."""
+    from langscrape_spark.operators.linkgraph import hub_removal_resilience
+
+    edges = []
+    for i in range(12):
+        edges.append(("hub0", f"s{i:02d}"))
+    for j in range(6):
+        edges.append((f"s{2*j:02d}", f"s{2*j+1:02d}"))
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["k"]: r for r in hub_removal_resilience(df, ks=(0, 1), rounds=4).collect()}
+    assert (got[0]["n_hosts"], got[0]["n_components"], got[0]["largest"]) == (13, 1, 13)
+    assert (got[1]["n_hosts"], got[1]["n_components"], got[1]["largest"]) == (12, 6, 2)
+    assert got[1]["largest_share_micro"] == 2 * 1000000 // 12
