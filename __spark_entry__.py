@@ -5128,6 +5128,47 @@ def _hub_removal_oracle() -> str:
     return hub_removal_oracle_sql(_HUBGRAPH_RAW_SQL, ks=(0, 1, 2), rounds=6)
 
 
+def q181_ring_churn(spark, sf):
+    """Consistent-hash ring sharding + resize churn (operators/
+    layout.py::ring_assign, 16 vnodes): every host assigned under a
+    4-shard and a 5-shard ring; the moved set must land ENTIRELY on
+    the new shard (the consistent-hashing contract rendezvous q143
+    also honors, here with ring/vnode mechanics). Pure-codegen HOF
+    scan over a broadcast-literal sorted ring — no join, no shuffle.
+    The oracle rebuilds both rings from the same md5 positions and
+    re-derives first-clockwise-vnode assignment and the churn flag."""
+    from langscrape_spark.operators.layout import ring_assign
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 97).cast("string")
+            ).alias("host")
+        )
+        .distinct()
+    )
+    a = ring_assign(hosts, ["s0", "s1", "s2", "s3"]).select(
+        "host", "ring_h", F.col("shard").alias("shard4")
+    )
+    b = ring_assign(hosts, ["s0", "s1", "s2", "s3", "s4"]).select(
+        "host", F.col("shard").alias("shard5")
+    )
+    return (
+        a.join(b, "host")
+        .select(
+            "host",
+            "ring_h",
+            "shard4",
+            "shard5",
+            (F.col("shard4") != F.col("shard5")).cast("int").alias(
+                "moved"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5504,6 +5545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_dust_apply": q178_dust_apply,
         "q179_surt": q179_surt,
         "q180_hub_removal": q180_hub_removal,
+        "q181_ring_churn": q181_ring_churn,
     })
 
 
@@ -10670,6 +10712,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON p.host_a = sa.host
             JOIN sizes sb ON p.host_b = sb.host
             ORDER BY p.host_a, p.host_b
+        """,
+        "q181_ring_churn": """
+            -- Consistent ring re-derived: vnode positions
+            -- md5_number_lower('ring:shard#i') % 2^53, key position
+            -- likewise, first-clockwise-vnode (wrap to ring min) via
+            -- conditional mins + join-back, churn vs the 5-shard
+            -- ring. Spark: operators/layout.py::ring_assign.
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR)
+                       AS host
+              FROM documents),
+            keyed AS (
+              SELECT host,
+                     CAST(md5_number_lower('ring:' || host)
+                          % 9007199254740992 AS BIGINT) AS h
+              FROM hosts),
+            vn AS (SELECT unnest(range(16)) AS i),
+            ring4 AS (
+              SELECT s AS shard,
+                     CAST(md5_number_lower('ring:' || s || '#'
+                            || CAST(i AS VARCHAR))
+                          % 9007199254740992 AS BIGINT) AS p
+              FROM (VALUES ('s0'), ('s1'), ('s2'), ('s3')) t(s), vn),
+            ring5 AS (
+              SELECT s AS shard,
+                     CAST(md5_number_lower('ring:' || s || '#'
+                            || CAST(i AS VARCHAR))
+                          % 9007199254740992 AS BIGINT) AS p
+              FROM (VALUES ('s0'), ('s1'), ('s2'), ('s3'), ('s4'))
+                   t(s), vn),
+            a4 AS (
+              SELECT k.host, k.h,
+                     min(CASE WHEN r.p >= k.h THEN r.p END) AS mge,
+                     min(r.p) AS mall
+              FROM keyed k, ring4 r GROUP BY k.host, k.h),
+            g4 AS (
+              SELECT a.host, a.h, r.shard AS shard4
+              FROM a4 a JOIN ring4 r
+                ON r.p = coalesce(a.mge, a.mall)),
+            a5 AS (
+              SELECT k.host, k.h,
+                     min(CASE WHEN r.p >= k.h THEN r.p END) AS mge,
+                     min(r.p) AS mall
+              FROM keyed k, ring5 r GROUP BY k.host, k.h),
+            g5 AS (
+              SELECT a.host, r.shard AS shard5
+              FROM a5 a JOIN ring5 r
+                ON r.p = coalesce(a.mge, a.mall))
+            SELECT g4.host, g4.h AS ring_h, g4.shard4, g5.shard5,
+                   CAST(CASE WHEN g4.shard4 <> g5.shard5
+                        THEN 1 ELSE 0 END AS INT) AS moved
+            FROM g4 JOIN g5 ON g4.host = g5.host
+            ORDER BY g4.host
         """,
         "q179_surt": """
             -- SURT re-derived: shared host regex, dot-reversed host,

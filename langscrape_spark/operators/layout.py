@@ -235,3 +235,68 @@ def rendezvous_assign(
         .where(F.col("_rn") == 1)
         .select("key", F.col("_w").alias("worker"))
     )
+
+
+def ring_assign(
+    df: DataFrame,
+    shards: "list[str]",
+    vnodes: int = 16,
+    key_col: str = "host",
+    salt: str = "ring",
+) -> DataFrame:
+    """Consistent-hash RING assignment with virtual nodes — the other
+    classic resize-stable sharding scheme next to
+    :func:`rendezvous_assign` (Karger et al. 1997; memcached/Dynamo
+    lineage). Each shard owns ``vnodes`` ring positions
+    ``h(salt:shard#i)``; a key goes to the first vnode clockwise from
+    its own hash (wrapping to the ring minimum). Versus rendezvous:
+    O(log V) / O(V) lookup against a STATIC ring instead of W scores
+    per key, at the cost of vnode-count-dependent load variance —
+    which is why both live here; the churn query (q181) measures the
+    trade empirically.
+
+    Engine-portable ordering: all positions are the md5-lower64
+    masked to 53 bits (non-negative in a signed long, identical to
+    DuckDB's ``md5_number_lower % 2^53`` — the q160 uniform's mask),
+    so no sign-flip trick is needed. The ring is a BROADCAST-LITERAL
+    sorted array scanned with one higher-order ``filter`` per key —
+    pure codegen, no join, no shuffle: |shards|·vnodes is a few
+    thousand entries, and the scan is the whole lookup cost. (A real
+    10^4-shard ring would binary-search; the linear HOF scan is the
+    Spark-expressible form and vnode counts here keep it cheap —
+    documented trade.)
+
+    Output: input columns + ``ring_h`` (the key's ring position) +
+    ``shard``. Empty ``shards`` raises.
+    """
+    import hashlib
+
+    from .dedup import _md5_lower64
+
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    mask = (1 << 53) - 1
+
+    def h53(s: str) -> int:
+        d = hashlib.md5(s.encode()).digest()
+        return int.from_bytes(d[8:16], "little") & mask
+
+    ring = sorted(
+        (h53(f"{salt}:{s}#{i}"), s)
+        for s in shards
+        for i in range(vnodes)
+    )
+    pos_arr = F.array(*[F.lit(p) for p, _ in ring])
+    shard_arr = F.array(*[F.lit(s) for _, s in ring])
+    kh = _md5_lower64(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    ).bitwiseAND(F.lit(mask))
+    ge = F.filter(pos_arr, lambda p: p >= F.col("ring_h"))
+    chosen_pos = F.when(F.size(ge) > 0, F.element_at(ge, 1)).otherwise(
+        F.element_at(pos_arr, 1)
+    )
+    idx = F.array_position(pos_arr, chosen_pos)
+    return (
+        df.withColumn("ring_h", kh)
+        .withColumn("shard", F.element_at(shard_arr, idx.cast("int")))
+    )
