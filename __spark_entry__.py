@@ -5169,6 +5169,53 @@ def q181_ring_churn(spark, sf):
     )
 
 
+def q182_lsh_recall(spark, sf):
+    """LSH self-measurement: MinHash-LSH candidate pairs (q10's
+    16-hash/4-band config) scored against EXACT shingle-Jaccard ≥ 0.5
+    ground truth (q09's machinery, df-cap off) on the same corpus —
+    the recall/precision audit a production dedup pipeline runs
+    before trusting its banding config. One full-outer join of the
+    two bounded pair sets; counts and micro-unit rates are exact
+    integers. The oracle re-derives BOTH pair generators (posting
+    self-join + Kirsch-Mitzenmacher banded signatures) and the same
+    confusion counts."""
+    from langscrape_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3
+    ).select("id_a", "id_b", F.lit(1).alias("c"))
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("c").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_tp"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "n_tp",
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN (n_tp * CAST(1000000 AS"
+            " BIGINT)) DIV n_truth ELSE CAST(1000000 AS BIGINT) END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN n_cand > 0 THEN (n_tp * CAST(1000000 AS"
+            " BIGINT)) DIV n_cand ELSE CAST(1000000 AS BIGINT) END"
+        ).alias("precision_micro"),
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5546,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_surt": q179_surt,
         "q180_hub_removal": q180_hub_removal,
         "q181_ring_churn": q181_ring_churn,
+        "q182_lsh_recall": q182_lsh_recall,
     })
 
 
@@ -5935,6 +5983,68 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         """,
+        "q182_lsh_recall": f"""
+            -- Both generators re-derived (q09's exact posting join,
+            -- df-cap off, threshold 0.5; q10's banded signatures)
+            -- plus the confusion counts. Spark: q182_lsh_recall.
+            WITH base AS (
+              SELECT doc_id AS id, {{_SH}} AS sh
+              FROM (SELECT doc_id, text, {{_TK}} AS tok
+                    FROM documents WHERE doc_id < 200)),
+            ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s
+                   FROM base),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a,
+                     b.n_sh AS n_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4),
+            truth AS (
+              SELECT id_a, id_b FROM inter
+              WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE)
+                    >= 0.5),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s)
+                                          AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR))
+                       AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2]
+                         || '|' || sg[b*4+3] || '|' || sg[b*4+4])))
+                AS bucket
+              FROM sig),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.bucket = b.bucket AND a.id < b.id),
+            j AS (
+              SELECT coalesce(t.id_a, c.id_a) AS id_a,
+                     CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS t,
+                     CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS c
+              FROM truth t FULL OUTER JOIN cand c
+                ON t.id_a = c.id_a AND t.id_b = c.id_b),
+            agg AS (
+              SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_truth,
+                     CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cand,
+                     CAST(coalesce(sum(t * c), 0) AS BIGINT) AS n_tp
+              FROM j)
+            SELECT n_truth, n_cand, n_tp,
+                   CASE WHEN n_truth > 0 THEN
+                     (n_tp * CAST(1000000 AS BIGINT)) // n_truth
+                   ELSE CAST(1000000 AS BIGINT) END AS recall_micro,
+                   CASE WHEN n_cand > 0 THEN
+                     (n_tp * CAST(1000000 AS BIGINT)) // n_cand
+                   ELSE CAST(1000000 AS BIGINT) END
+                     AS precision_micro
+            FROM agg
+        """.format(_SH=_SHINGLES3, _TK=_TOKENS),
         "q10_minhash_lsh": f"""
             WITH base AS (
               SELECT doc_id AS id, {_SHINGLES3} AS sh
