@@ -5216,6 +5216,113 @@ def q182_lsh_recall(spark, sf):
     )
 
 
+def q183_image_dhash(spark, sf):
+    """Perceptual image near-dup (operators/multimodal.py::dhash64 +
+    dhash_pairs): 120 synthetic 16×16 grayscale images (md5-derived
+    pixels, identical in BOTH engines) plus planted exact twins
+    (+1000) and first-row-perturbed twins (+2000); dHash 9×8 gradient
+    fingerprints, 4×16-bit pigeonhole candidate buckets, exact
+    popcount verify ≤ 10. The REAL image-dedup algorithm on top of
+    the multimodal plumbing — pure codegen end to end, no UDF — and
+    the oracle re-derives pixels, all 64 gradient bits, the unsigned
+    block split and the Hamming verify."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.multimodal import dhash64, dhash_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 120)
+    ids = (
+        docs.select(F.col("doc_id").cast("long").alias("media_id"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1000).cast("long").alias("media_id")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 2000).cast("long").alias("media_id")
+            )
+        )
+    )
+    b = F.col("media_id") % 1000
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda i: (
+            _md5_lower64(
+                F.concat(
+                    F.lit("px:"),
+                    b.cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            ).bitwiseAND(F.lit(255))
+            + F.when(
+                (F.col("media_id") >= 2000) & (i < 16), F.lit(40)
+            ).otherwise(F.lit(0))
+        )
+        % 256,
+    )
+    # Materialize the pixel arrays BEFORE hashing: without the
+    # lineage cut, projection collapse inlines the 256-element md5
+    # transform into every one of dhash64's 128 element_at references
+    # — a codegen explosion that kills the JVM, not a slowdown.
+    pix = ids.select("media_id", px.alias("px")).localCheckpoint(
+        eager=False
+    )
+    hashed = pix.select(
+        "media_id", dhash64(F.col("px"), 16, 16).alias("dhash")
+    )
+    return dhash_pairs(hashed, max_hamming=10).orderBy("id_a", "id_b")
+
+
+def _image_dhash_oracle() -> str:
+    from langscrape_spark.operators.multimodal import dhash_oracle_expr
+
+    dh = dhash_oracle_expr("px", 16, 16)
+    return f"""
+        -- dHash re-derived: md5 pixels (+40 first-row perturbation
+        -- on the +2000 twins), all 64 gradient bits, unsigned 16-bit
+        -- block split, popcount verify. Spark: q183_image_dhash.
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id
+          FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents
+          WHERE doc_id < 120 AND doc_id % 4 = 0
+          UNION ALL
+          SELECT CAST(doc_id + 2000 AS BIGINT) FROM documents
+          WHERE doc_id < 120 AND doc_id % 4 = 1),
+        pix AS (
+          SELECT media_id,
+                 list_transform(range(0, 256), i -> CAST(
+                   (md5_number_lower('px:'
+                      || CAST(media_id % 1000 AS VARCHAR) || ':'
+                      || CAST(i AS VARCHAR)) % 256
+                    + CASE WHEN media_id >= 2000 AND i < 16
+                           THEN 40 ELSE 0 END) % 256 AS INT)) AS px
+          FROM ids),
+        hashed AS (
+          SELECT media_id, {dh} AS dhash FROM pix),
+        blocks AS (
+          SELECT media_id AS id, dhash AS hv, b.b AS blk,
+                 CAST(((CAST(dhash AS HUGEINT)
+                        + 18446744073709551616)
+                       % 18446744073709551616)
+                      // (CASE b.b WHEN 0 THEN 1
+                          WHEN 1 THEN 65536
+                          WHEN 2 THEN 4294967296
+                          ELSE 281474976710656 END)
+                      % 65536 AS BIGINT) AS bv
+          FROM hashed, (SELECT unnest(range(4)) AS b) b),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                 CAST(bit_count(xor(a.hv, b2.hv)) AS INT) AS hamming
+          FROM blocks a JOIN blocks b2
+            ON a.blk = b2.blk AND a.bv = b2.bv AND a.id < b2.id
+          WHERE bit_count(xor(a.hv, b2.hv)) <= 10)
+        SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5594,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_hub_removal": q180_hub_removal,
         "q181_ring_churn": q181_ring_churn,
         "q182_lsh_recall": q182_lsh_recall,
+        "q183_image_dhash": q183_image_dhash,
     })
 
 
@@ -10823,6 +10931,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON p.host_b = sb.host
             ORDER BY p.host_a, p.host_b
         """,
+        "q183_image_dhash": _image_dhash_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -221,3 +221,124 @@ def build_media_df(spark, n_rows: int, partitions: int = 8) -> DataFrame:
             )
 
     return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=MEDIA_DDL)
+
+
+# --------------------------------------------------------------------------
+# perceptual hashing (REAL algorithm over decoded pixel arrays)
+# --------------------------------------------------------------------------
+
+def dhash64(pixels, w: int, h: int):
+    """64-bit difference hash (dHash, the standard perceptual
+    image-dedup fingerprint) over a grayscale pixel ARRAY column
+    (row-major ``array<int>``, length ``w*h`` — the shape
+    :func:`decode_images` produces once its buffer is unpacked, or
+    any real decoder emits): nearest-neighbor downsample to a 9×8
+    grid, one bit per horizontal gradient ``p[y][x] > p[y][x+1]``.
+    Unlike the codec decode (faked in-sandbox), this IS the real
+    algorithm — and it is pure codegen: 64 ``when`` terms over
+    ``element_at``, no UDF, reproducible bit-for-bit in SQL.
+
+    Returns a LONG column (bit b = grid row ``b//8``, gradient
+    ``b%8``). Near-duplicate images differ in a few bits; exact
+    duplicates collide exactly — pair up with :func:`dhash_pairs`.
+    """
+    from pyspark.sql import functions as F
+
+    sx = [(k * w) // 9 for k in range(9)]
+    sy = [(r * h) // 8 for r in range(8)]
+    acc = F.lit(0).cast("long")
+    for r in range(8):
+        for x in range(8):
+            i1 = sy[r] * w + sx[x]
+            i2 = sy[r] * w + sx[x + 1]
+            bit = r * 8 + x
+            # bit 63's weight is -2^63 in two's complement (1 << 63
+            # overflows a signed long literal; adding -2^63 sets the
+            # sign bit exactly)
+            weight = (1 << bit) if bit < 63 else -(1 << 63)
+            acc = acc + F.when(
+                F.element_at(pixels, i1 + 1)
+                > F.element_at(pixels, i2 + 1),
+                F.lit(weight).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def dhash_oracle_expr(pixels_sql: str, w: int, h: int) -> str:
+    """DuckDB twin of :func:`dhash64` (same grid, same bit packing)
+    as a SQL expression over a list-typed pixels expression."""
+    sx = [(k * w) // 9 for k in range(9)]
+    sy = [(r * h) // 8 for r in range(8)]
+    terms = []
+    for r in range(8):
+        for x in range(8):
+            i1 = sy[r] * w + sx[x]
+            i2 = sy[r] * w + sx[x + 1]
+            bit = r * 8 + x
+            weight = (1 << bit) if bit < 63 else -(1 << 63)
+            terms.append(
+                f"CASE WHEN ({pixels_sql})[{i1 + 1}] >"
+                f" ({pixels_sql})[{i2 + 1}]"
+                f" THEN CAST({weight} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def dhash_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 10,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash fingerprints by the
+    SimHash pigeonhole (q16's scheme, lifted to images): split the 64
+    bits into 4 16-bit blocks — any pair within Hamming distance 3
+    shares a block exactly; wider radii trade recall — bucket-join on
+    (block_idx, block_value), then verify with the EXACT popcount of
+    the XOR. Buckets larger than ``max_bucket`` are dropped whole
+    (identical-image floods are exact-dedup's job first — the
+    standing hot-bucket policy). Output ``(id_a, id_b, hamming)``,
+    ``id_a < id_b``, distinct pairs.
+    """
+    from pyspark.sql import functions as F
+
+    blocks = None
+    for b in range(4):
+        blk = hashed.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("hv"),
+            F.lit(b).alias("blk"),
+            F.shiftrightunsigned(F.col(hash_col), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bv"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    sizes = blocks.groupBy("blk", "bv").agg(F.count(F.lit(1)).alias("n"))
+    kept = blocks.join(
+        F.broadcast(
+            sizes.where(F.col("n") <= max_bucket).select("blk", "bv")
+        ),
+        ["blk", "bv"],
+    )
+    a = kept.select(
+        "blk", "bv", F.col("id").alias("id_a"), F.col("hv").alias("ha")
+    )
+    b2 = kept.select(
+        "blk", "bv", F.col("id").alias("id_b"), F.col("hv").alias("hb")
+    )
+    pairs = (
+        a.join(b2, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

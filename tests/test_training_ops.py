@@ -5113,3 +5113,56 @@ class TestRingAssign:
         df = spark.createDataFrame([("x",)], "host string")
         with _pytest.raises(ValueError, match="non-empty"):
             ring_assign(df, [])
+
+
+class TestDhash:
+    def test_dhash_gradient_bits_and_pairs(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.multimodal import (
+            dhash64,
+            dhash_pairs,
+        )
+
+        w = h = 16
+        # image A: horizontal ramp descending -> every gradient bit 1
+        ramp = [255 - x * 10 for x in range(w)] * h
+        # image B: flat -> all bits 0
+        flat = [7] * (w * h)
+        # image C: copy of A -> exact dup
+        df = spark.createDataFrame(
+            [(1, ramp), (2, flat), (3, ramp)],
+            "media_id long, px array<int>",
+        )
+        hashed = df.select(
+            "media_id", dhash64(F.col("px"), w, h).alias("dhash")
+        )
+        got = {r["media_id"]: r["dhash"] for r in hashed.collect()}
+        assert got[2] == 0
+        assert got[1] == -1  # all 64 bits set = -1 as signed long
+        assert got[3] == got[1]
+        pairs = dhash_pairs(hashed, max_hamming=3).collect()
+        assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
+            (1, 3, 0)
+        ]
+
+    def test_near_dup_within_radius(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.multimodal import (
+            dhash64,
+            dhash_pairs,
+        )
+
+        w = h = 16
+        ramp = [255 - x * 10 for x in range(w)] * h
+        # flip two sampled gradients in the last grid row only
+        mod = list(ramp)
+        mod[14 * w + 0] = 0  # breaks p[0] > p[1] at grid row 7
+        df = spark.createDataFrame(
+            [(1, ramp), (2, mod)], "media_id long, px array<int>"
+        )
+        hashed = df.select(
+            "media_id", dhash64(F.col("px"), w, h).alias("dhash")
+        )
+        pairs = dhash_pairs(hashed, max_hamming=10).collect()
+        assert len(pairs) == 1
+        assert 0 < pairs[0]["hamming"] <= 10
