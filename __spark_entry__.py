@@ -5323,6 +5323,134 @@ def _image_dhash_oracle() -> str:
     """
 
 
+def q184_audio_fp(spark, sf):
+    """Audio near-dup (operators/multimodal.py::audio_fingerprint64 +
+    dhash_pairs): 100 synthetic 1360-sample clips (md5-derived PCM,
+    identical in both engines) with planted exact twins (+1000),
+    volume-doubled twins (+2000 — MUST collide exactly: energy-
+    difference signs are scale-invariant, the Haitsma-Kalker
+    property) and ±3-noise twins (+3000, small Hamming). Banded
+    energy differences → 64-bit fingerprint → the same pigeonhole
+    blocker as image dHash. The oracle re-derives samples, all 85
+    band energies, the 64 difference bits, blocks and popcount."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.multimodal import (
+        audio_fingerprint64,
+        dhash_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    for off, pred in ((1000, 0), (2000, 1), (3000, 2)):
+        ids = ids.unionByName(
+            docs.where(F.col("doc_id") % 4 == pred).select(
+                (F.col("doc_id") + off).cast("long").alias("media_id")
+            )
+        )
+    b = F.col("media_id") % 1000
+    mid = F.col("media_id")
+
+    def draw(prefix, i):
+        return _md5_lower64(
+            F.concat(
+                F.lit(prefix),
+                b.cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        )
+
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(17 * 80 - 1)),
+        lambda i: (
+            F.when(
+                mid >= 3000,
+                (draw("au:", i).bitwiseAND(F.lit(65535)) - 32768)
+                + draw("nz:", i).bitwiseAND(F.lit(7))
+                - 3,
+            )
+            .when(
+                mid >= 2000,
+                (draw("au:", i).bitwiseAND(F.lit(65535)) - 32768) * 2,
+            )
+            .otherwise(
+                draw("au:", i).bitwiseAND(F.lit(65535)) - 32768
+            )
+        ).cast("long"),
+    )
+    # lineage barrier: same codegen-explosion guard as q183.
+    clips = ids.select("media_id", samples.alias("samples")).localCheckpoint(
+        eager=False
+    )
+    hashed = clips.select(
+        "media_id", audio_fingerprint64(F.col("samples")).alias("fp")
+    )
+    return dhash_pairs(
+        hashed, hash_col="fp", max_hamming=10
+    ).orderBy("id_a", "id_b")
+
+
+def _audio_fp_oracle() -> str:
+    from langscrape_spark.operators.multimodal import audio_fp_oracle_expr
+
+    fp = audio_fp_oracle_expr("samples")
+    return f"""
+        -- Audio fingerprint re-derived end to end. Spark:
+        -- q184_audio_fp.
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents
+          WHERE doc_id < 100
+          UNION ALL SELECT CAST(doc_id + 1000 AS BIGINT)
+          FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+          UNION ALL SELECT CAST(doc_id + 2000 AS BIGINT)
+          FROM documents WHERE doc_id < 100 AND doc_id % 4 = 1
+          UNION ALL SELECT CAST(doc_id + 3000 AS BIGINT)
+          FROM documents WHERE doc_id < 100 AND doc_id % 4 = 2),
+        clips AS (
+          SELECT media_id,
+                 list_transform(range(0, 1360), i -> CAST(
+                   CASE
+                     WHEN media_id >= 3000 THEN
+                       (CAST(md5_number_lower('au:'
+                          || CAST(media_id % 1000 AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)) % 65536 AS BIGINT)
+                        - 32768)
+                       + CAST(md5_number_lower('nz:'
+                          || CAST(media_id % 1000 AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)) % 8 AS BIGINT) - 3
+                     WHEN media_id >= 2000 THEN
+                       (CAST(md5_number_lower('au:'
+                          || CAST(media_id % 1000 AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)) % 65536 AS BIGINT)
+                        - 32768) * 2
+                     ELSE
+                       CAST(md5_number_lower('au:'
+                          || CAST(media_id % 1000 AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)) % 65536 AS BIGINT)
+                       - 32768
+                   END AS BIGINT)) AS samples
+          FROM ids),
+        hashed AS (SELECT media_id, {fp} AS fp FROM clips),
+        blocks AS (
+          SELECT media_id AS id, fp AS hv, bb.b AS blk,
+                 CAST(((CAST(fp AS HUGEINT) + 18446744073709551616)
+                       % 18446744073709551616)
+                      // (CASE bb.b WHEN 0 THEN 1
+                          WHEN 1 THEN 65536
+                          WHEN 2 THEN 4294967296
+                          ELSE 281474976710656 END)
+                      % 65536 AS BIGINT) AS bv
+          FROM hashed, (SELECT unnest(range(4)) AS b) bb),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                 CAST(bit_count(xor(a.hv, b2.hv)) AS INT) AS hamming
+          FROM blocks a JOIN blocks b2
+            ON a.blk = b2.blk AND a.bv = b2.bv AND a.id < b2.id
+          WHERE bit_count(xor(a.hv, b2.hv)) <= 10)
+        SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5702,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_ring_churn": q181_ring_churn,
         "q182_lsh_recall": q182_lsh_recall,
         "q183_image_dhash": q183_image_dhash,
+        "q184_audio_fp": q184_audio_fp,
     })
 
 
@@ -10932,6 +11061,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.host_a, p.host_b
         """,
         "q183_image_dhash": _image_dhash_oracle(),
+        "q184_audio_fp": _audio_fp_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

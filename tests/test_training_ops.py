@@ -5166,3 +5166,69 @@ class TestDhash:
         pairs = dhash_pairs(hashed, max_hamming=10).collect()
         assert len(pairs) == 1
         assert 0 < pairs[0]["hamming"] <= 10
+
+
+class TestAudioFp:
+    def test_volume_invariance_and_dup_detection(self, spark):
+        """Scaling every sample by 3 preserves all energy-difference
+        signs -> identical fingerprint (the Haitsma-Kalker point)."""
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.multimodal import (
+            audio_fingerprint64,
+        )
+        import hashlib
+
+        n = 17 * 80
+
+        def clip(seed, scale=1):
+            out = []
+            for i in range(n):
+                h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+                v = int.from_bytes(h[:2], "big") - 32768
+                out.append(v * scale)
+            return out
+
+        df = spark.createDataFrame(
+            [(1, clip("a")), (2, clip("a", 3)), (3, clip("b"))],
+            "media_id long, samples array<long>",
+        )
+        got = {
+            r["media_id"]: r["fp"]
+            for r in df.select(
+                "media_id",
+                audio_fingerprint64(F.col("samples")).alias("fp"),
+            ).collect()
+        }
+        assert got[1] == got[2]  # volume-scaled copy collides
+        assert got[1] != got[3]  # different content separates
+
+    def test_matches_pure_python_reference(self, spark):
+        from pyspark.sql import functions as F
+        from langscrape_spark.operators.multimodal import (
+            audio_fingerprint64,
+        )
+        import hashlib
+
+        n = 17 * 80
+        samples = [
+            (int.from_bytes(hashlib.md5(f"c:{i}".encode()).digest()[:2], "big") - 32768)
+            for i in range(n)
+        ]
+
+        def energy(f, b):
+            s = f * 80 + b * 16
+            return sum(abs(x) for x in samples[s : s + 16])
+
+        fp = 0
+        for f in range(1, 17):
+            for b in range(4):
+                bit = (f - 1) * 4 + b
+                if (energy(f, b) - energy(f, b + 1)) > (
+                    energy(f - 1, b) - energy(f - 1, b + 1)
+                ):
+                    fp += (1 << bit) if bit < 63 else -(1 << 63)
+        df = spark.createDataFrame([(1, samples)], "media_id long, samples array<long>")
+        got = df.select(
+            audio_fingerprint64(F.col("samples")).alias("fp")
+        ).collect()[0]["fp"]
+        assert got == fp
