@@ -5451,6 +5451,111 @@ def _audio_fp_oracle() -> str:
     """
 
 
+def q185_video_framedup(spark, sf):
+    """Video near-dup by shared frame fingerprints: 60 synthetic
+    4-frame videos (16×16 md5 pixels per frame), planted exact twins
+    (+1000) and ONE-FRAME-SHIFTED twins (+2000 — the re-encoded/
+    trimmed copy case): per frame the q183 dHash, then videos pair
+    when they share ≥ 2 distinct frame hashes — alignment-free by
+    construction (set intersection, not positional compare), which is
+    why shifted twins still match on their 3 overlapping frames. The
+    frame-hash equi-join is the scale shape (hash-partitioned, no
+    pairwise video join); the oracle re-derives frames, hashes, the
+    pair join and the distinct-hash count."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.multimodal import dhash64
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 60)
+    vids = (
+        docs.select(F.col("doc_id").cast("long").alias("vid"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 1000).cast("long").alias("vid")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 2000).cast("long").alias("vid")
+            )
+        )
+    )
+    frames = vids.select(
+        "vid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("fidx")
+    )
+    b = F.col("vid") % 1000
+    feff = F.col("fidx") + F.when(F.col("vid") >= 2000, 1).otherwise(0)
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda i: _md5_lower64(
+            F.concat(
+                F.lit("vf:"),
+                b.cast("string"),
+                F.lit(":"),
+                feff.cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        )
+        .bitwiseAND(F.lit(255))
+        .cast("int"),
+    )
+    pix = frames.select("vid", "fidx", px.alias("px")).localCheckpoint(
+        eager=False
+    )
+    hashed = pix.select(
+        "vid", "fidx", dhash64(F.col("px"), 16, 16).alias("fh")
+    )
+    a = hashed.select(F.col("vid").alias("vid_a"), F.col("fh"))
+    b2 = hashed.select(F.col("vid").alias("vid_b"), F.col("fh"))
+    return (
+        a.join(b2, "fh")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count_distinct("fh").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("vid_a", "vid_b")
+    )
+
+
+def _video_framedup_oracle() -> str:
+    from langscrape_spark.operators.multimodal import dhash_oracle_expr
+
+    dh = dhash_oracle_expr("px", 16, 16)
+    return f"""
+        -- Frame-set video dedup re-derived. Spark:
+        -- q185_video_framedup.
+        WITH vids AS (
+          SELECT CAST(doc_id AS BIGINT) AS vid FROM documents
+          WHERE doc_id < 60
+          UNION ALL SELECT CAST(doc_id + 1000 AS BIGINT)
+          FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+          UNION ALL SELECT CAST(doc_id + 2000 AS BIGINT)
+          FROM documents WHERE doc_id < 60 AND doc_id % 3 = 1),
+        frames AS (
+          SELECT vid, f.fidx,
+                 CAST(f.fidx + CASE WHEN vid >= 2000 THEN 1 ELSE 0
+                      END AS BIGINT) AS feff
+          FROM vids, (SELECT unnest(range(4)) AS fidx) f),
+        pix AS (
+          SELECT vid, fidx,
+                 list_transform(range(0, 256), i -> CAST(
+                   md5_number_lower('vf:'
+                     || CAST(vid % 1000 AS VARCHAR) || ':'
+                     || CAST(feff AS VARCHAR) || ':'
+                     || CAST(i AS VARCHAR)) % 256 AS INT)) AS px
+          FROM frames),
+        hashed AS (SELECT vid, fidx, {dh} AS fh FROM pix),
+        pairs AS (
+          SELECT a.vid AS vid_a, b.vid AS vid_b,
+                 CAST(count(DISTINCT a.fh) AS BIGINT) AS n_shared
+          FROM hashed a JOIN hashed b
+            ON a.fh = b.fh AND a.vid < b.vid
+          GROUP BY a.vid, b.vid)
+        SELECT vid_a, vid_b, n_shared FROM pairs
+        WHERE n_shared >= 2 ORDER BY vid_a, vid_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5831,6 +5936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_lsh_recall": q182_lsh_recall,
         "q183_image_dhash": q183_image_dhash,
         "q184_audio_fp": q184_audio_fp,
+        "q185_video_framedup": q185_video_framedup,
     })
 
 
@@ -11062,6 +11168,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q183_image_dhash": _image_dhash_oracle(),
         "q184_audio_fp": _audio_fp_oracle(),
+        "q185_video_framedup": _video_framedup_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position
