@@ -5556,6 +5556,138 @@ def _video_framedup_oracle() -> str:
     """
 
 
+def q186_theta_snapshots(spark, sf):
+    """Theta/KMV-sketch set operations between two crawl windows
+    (operators/sketch.py::theta_set_stats, k=256): the page sets
+    touched before/after Jan 16 are each reduced to their 256
+    smallest distinct 63-bit md5 hashes; union/intersection/Jaccard
+    estimates come from those two k-row frames alone — the
+    cross-snapshot overlap question without ever joining the raw URL
+    sets (mergeable-sketch contract: per-snapshot k-row parquet
+    replaces the 10^10-url set). Exact counts ride along as the audit
+    columns plus the intersection's relative error. The oracle
+    re-derives the bottom-k sketches (md5_number_lower % 2^63, ORDER
+    BY LIMIT k), the theta* gate and every estimate in SQL."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+    from langscrape_spark.operators.sketch import theta_set_stats
+
+    ev = _t(spark, sf, "events")
+    page = F.concat(
+        F.lit("page"),
+        F.pmod(
+            _md5_lower64(F.col("event_id").cast("string")).bitwiseAND(
+                F.lit(0x7FFFFFFFFFFFFFFF)
+            ),
+            F.lit(6000),
+        ).cast("string"),
+    )
+    base = ev.select(page.alias("v"), F.col("ts"))
+    cut = F.lit("2024-01-16").cast("timestamp")
+    a = base.where(F.col("ts") < cut).select("v")
+    b = base.where(F.col("ts") >= cut).select("v")
+    stats = theta_set_stats(a, b, "v", k=256)
+    ex = (
+        a.distinct()
+        .select("v", F.lit(1).alias("_ia"))
+        .join(
+            b.distinct().select("v", F.lit(1).alias("_ib")),
+            "v",
+            "full_outer",
+        )
+        .agg(
+            F.count("_ia").alias("exact_a"),
+            F.count("_ib").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                (
+                    F.col("_ia").isNotNull() & F.col("_ib").isNotNull()
+                ).cast("long")
+            ).alias("exact_intersect"),
+        )
+    )
+    return stats.crossJoin(ex).withColumn(
+        "rel_err_intersect",
+        F.round(
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            / F.col("exact_intersect"),
+            6,
+        ),
+    )
+
+
+def _theta_snapshots_oracle() -> str:
+    return """
+        -- Theta/KMV sketch re-derivation (q186): 63-bit-masked
+        -- md5_number_lower hashes, per-side bottom-256 DISTINCT,
+        -- theta = kth smallest when full else NULL (exact side),
+        -- theta* = min as a fraction of 2^63, strict < gate (the
+        -- unbiased (k-1)/theta estimator), estimates = count/theta*.
+        -- Spark: operators/sketch.py::theta_set_stats.
+        WITH base AS (
+          SELECT 'page' || CAST(CAST(
+                   CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                        AS HUGEINT)
+                   % (CAST(1 AS HUGEINT) << 63) % 6000 AS BIGINT)
+                 AS VARCHAR) AS v, ts
+          FROM events),
+        a AS (SELECT DISTINCT v FROM base
+              WHERE ts < TIMESTAMP '2024-01-16'),
+        b AS (SELECT DISTINCT v FROM base
+              WHERE ts >= TIMESTAMP '2024-01-16'),
+        ha AS (SELECT CAST(CAST(md5_number_lower(v) AS HUGEINT)
+                 % (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS h
+               FROM a ORDER BY h LIMIT 256),
+        hb AS (SELECT CAST(CAST(md5_number_lower(v) AS HUGEINT)
+                 % (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS h
+               FROM b ORDER BY h LIMIT 256),
+        ta AS (SELECT count(*) AS na, CASE WHEN count(*) < 256
+                 THEN NULL ELSE max(h) END AS tha FROM ha),
+        tb AS (SELECT count(*) AS nb, CASE WHEN count(*) < 256
+                 THEN NULL ELSE max(h) END AS thb FROM hb),
+        th AS (SELECT na, nb, tha, thb,
+                least(coalesce(CAST(tha AS DOUBLE)
+                        / 9223372036854775808.0, 1.0),
+                      coalesce(CAST(thb AS DOUBLE)
+                        / 9223372036854775808.0, 1.0)) AS theta_frac,
+                coalesce(least(tha, thb), greatest(tha, thb))
+                  AS theta_raw
+               FROM ta CROSS JOIN tb),
+        uni AS (SELECT DISTINCT h FROM
+                (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+        ib AS (SELECT ha.h FROM ha JOIN hb ON ha.h = hb.h),
+        cu AS (SELECT count(*) AS cu FROM uni, th
+               WHERE th.theta_raw IS NULL OR uni.h < th.theta_raw),
+        ci AS (SELECT count(*) AS ci FROM ib, th
+               WHERE th.theta_raw IS NULL OR ib.h < th.theta_raw),
+        ca AS (SELECT count(*) AS ca FROM ha, th
+               WHERE th.theta_raw IS NULL OR ha.h < th.theta_raw),
+        cb AS (SELECT count(*) AS cb FROM hb, th
+               WHERE th.theta_raw IS NULL OR hb.h < th.theta_raw),
+        ex AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+                (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+                (SELECT CAST(count(*) AS BIGINT) FROM
+                  (SELECT v FROM a UNION SELECT v FROM b))
+                  AS exact_union,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM a JOIN b USING (v)) AS exact_intersect)
+        SELECT CAST(256 AS INT) AS k,
+               CAST(na >= 256 AS INT) AS full_a,
+               CAST(nb >= 256 AS INT) AS full_b,
+               round(theta_frac, 6) AS theta_star,
+               round(ca / theta_frac, 6) AS est_a,
+               round(cb / theta_frac, 6) AS est_b,
+               round(cu / theta_frac, 6) AS est_union,
+               round(ci / theta_frac, 6) AS est_intersect,
+               round(CASE WHEN cu > 0 THEN CAST(ci AS DOUBLE) / cu
+                     ELSE 0.0 END, 6) AS est_jaccard,
+               exact_a, exact_b, exact_union, exact_intersect,
+               round(abs(round(ci / theta_frac, 6) - exact_intersect)
+                     / exact_intersect, 6) AS rel_err_intersect
+        FROM th, cu, ci, ca, cb, ex
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5937,6 +6069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_image_dhash": q183_image_dhash,
         "q184_audio_fp": q184_audio_fp,
         "q185_video_framedup": q185_video_framedup,
+        "q186_theta_snapshots": q186_theta_snapshots,
     })
 
 
@@ -11169,6 +11302,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_image_dhash": _image_dhash_oracle(),
         "q184_audio_fp": _audio_fp_oracle(),
         "q185_video_framedup": _video_framedup_oracle(),
+        "q186_theta_snapshots": _theta_snapshots_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -295,3 +295,177 @@ def mg_heavy_hitters(
             F.round(F.col("freq") / F.col("_total"), 6).alias("share"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    out: str = "h",
+) -> DataFrame:
+    """Bottom-k (KMV / theta) sketch of the distinct values of
+    ``value_col``: the ``k`` smallest DISTINCT 63-bit md5-lower
+    hashes, one per row (Bar-Yossef et al. 2002; the Theta-sketch
+    framework of Dasgupta et al. 2016). NULLs ignored.
+
+    Scale shape: a per-partition Arrow pass emits each partition's
+    own k smallest distinct hashes (``np.unique`` is sort-based, so
+    the slice is exact) — at most ``k`` rows per partition ever reach
+    the final ``TakeOrderedAndProject``; the full distinct set is
+    never shuffled. Correct because the global bottom-k of a union is
+    contained in the union of per-partition bottom-k's. Deterministic:
+    the sketch is a pure function of the value SET (md5 arithmetic,
+    no RNG, no order sensitivity), so a DuckDB oracle re-derives it
+    with ``md5_number_lower % 2^63`` + ``ORDER BY ... LIMIT k``, and
+    sketches built on different partitionings are identical.
+
+    Mergeability (the 100 TB contract): the union of two sketches,
+    re-limited to the k smallest, IS the sketch of the union — daily
+    crawl snapshots keep a k-row parquet each and any cross-snapshot
+    estimate needs only those k-row frames, never the raw URL sets.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("kmv_sketch needs k >= 2")
+    h = _md5_lower64(F.col(value_col).cast("string")).bitwiseAND(
+        F.lit(_MASK63)
+    )
+    hashed = df.select(h.alias(out)).where(F.col(out).isNotNull())
+
+    def part_bottom_k(batches):
+        import numpy as np
+
+        best = None
+        for pdf in batches:
+            v = np.unique(pdf[out].to_numpy(dtype="int64"))[:k]
+            if best is None:
+                best = v
+            else:
+                best = np.unique(np.concatenate([best, v]))[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({out: best})
+
+    return (
+        hashed.mapInPandas(part_bottom_k, schema=f"{out} long")
+        .groupBy(out)
+        .agg(F.lit(1))
+        .select(out)
+        .orderBy(out)
+        .limit(k)
+    )
+
+
+def theta_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set-operation estimates between the distinct
+    ``value_col`` sets of ``a`` and ``b`` — the crawl question "how
+    many hosts/urls did both snapshots touch" without ever joining
+    the raw sets.
+
+    Mechanics (Theta framework): each side keeps its bottom-k sketch;
+    theta = the k-th smallest hash when the sketch is full, else
+    2^63 (the sketch then IS the exact distinct set). With
+    theta* = min(theta_a, theta_b), every retained hash strictly below theta* is a
+    uniform sample of the union at rate theta*/2^63, so
+    |X| ~= count(X's hashes < theta*) * 2^63 / theta* (the k-th hash itself is excluded — the unbiased (k-1)/theta KMV estimator). Estimates for
+    A, B, the union and the intersection all come from the two k-row
+    frames; Jaccard = est_intersect / est_union. When both sketches
+    are under-full every estimate collapses to the exact count —
+    tested.
+
+    Everything after the two sketches runs on <= 2k rows (driver-
+    scale); only integer comparisons feed the counts, one float
+    division per estimate at the end, round-6 output. Exact distinct
+    counts are NOT computed here — pair with countDistinct in audit
+    queries at test scale; at 100 TB the sketches replace them.
+
+    Output: one row ``(k, full_a, full_b, theta_star, est_a, est_b,
+    est_union, est_intersect, est_jaccard)``.
+    """
+    sa = kmv_sketch(a, value_col, k).select(F.col("h").alias("ha"))
+    sb = kmv_sketch(b, value_col, k).select(F.col("h").alias("hb"))
+    lim = 1 << 63  # python int; exceeds LONG by 1 — kept driver-side
+    ta = sa.agg(
+        F.count("ha").alias("na"), F.max("ha").alias("maxa")
+    ).select(
+        "na",
+        F.when(F.col("na") < k, F.lit(None).cast("long"))
+        .otherwise(F.col("maxa"))
+        .alias("tha"),
+    )
+    tb = sb.agg(
+        F.count("hb").alias("nb"), F.max("hb").alias("maxb")
+    ).select(
+        "nb",
+        F.when(F.col("nb") < k, F.lit(None).cast("long"))
+        .otherwise(F.col("maxb"))
+        .alias("thb"),
+    )
+    # theta* as a DOUBLE fraction of 2^63; NULL theta means "exact
+    # side" (theta fraction 1.0). least() over the two fractions.
+    th = ta.crossJoin(tb).select(
+        "na",
+        "nb",
+        "tha",
+        "thb",
+        F.least(
+            F.coalesce(F.col("tha").cast("double") / F.lit(float(lim)), F.lit(1.0)),
+            F.coalesce(F.col("thb").cast("double") / F.lit(float(lim)), F.lit(1.0)),
+        ).alias("theta_frac"),
+        F.coalesce(F.least("tha", "thb"), F.greatest("tha", "thb")).alias(
+            "theta_raw"
+        ),
+    )
+    uni = (
+        sa.select(F.col("ha").alias("h"))
+        .unionByName(sb.select(F.col("hb").alias("h")))
+        .distinct()
+    )
+    both = sa.join(sb, sa.ha == sb.hb).select(F.col("ha").alias("h"))
+    # Retention gate: h < theta_raw when a raw theta exists, else all.
+    cu = uni.crossJoin(F.broadcast(th)).where(
+        F.col("theta_raw").isNull() | (F.col("h") < F.col("theta_raw"))
+    )
+    ci = both.crossJoin(F.broadcast(th)).where(
+        F.col("theta_raw").isNull() | (F.col("h") < F.col("theta_raw"))
+    )
+    cnt_u = cu.agg(F.count("h").alias("cu"))
+    cnt_i = ci.agg(F.count("h").alias("ci"))
+    ca = (
+        sa.crossJoin(F.broadcast(th))
+        .where(F.col("theta_raw").isNull() | (F.col("ha") < F.col("theta_raw")))
+        .agg(F.count("ha").alias("ca"))
+    )
+    cb = (
+        sb.crossJoin(F.broadcast(th))
+        .where(F.col("theta_raw").isNull() | (F.col("hb") < F.col("theta_raw")))
+        .agg(F.count("hb").alias("cb"))
+    )
+    est = (
+        th.crossJoin(cnt_u)
+        .crossJoin(cnt_i)
+        .crossJoin(ca)
+        .crossJoin(cb)
+    )
+    scale = F.lit(1.0) / F.col("theta_frac")
+    return est.select(
+        F.lit(k).alias("k"),
+        (F.col("na") >= k).cast("int").alias("full_a"),
+        (F.col("nb") >= k).cast("int").alias("full_b"),
+        F.round(F.col("theta_frac"), 6).alias("theta_star"),
+        F.round(F.col("ca") * scale, 6).alias("est_a"),
+        F.round(F.col("cb") * scale, 6).alias("est_b"),
+        F.round(F.col("cu") * scale, 6).alias("est_union"),
+        F.round(F.col("ci") * scale, 6).alias("est_intersect"),
+        F.round(
+            F.when(F.col("cu") > 0, F.col("ci") / F.col("cu")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("est_jaccard"),
+    )

@@ -5232,3 +5232,96 @@ class TestAudioFp:
             audio_fingerprint64(F.col("samples")).alias("fp")
         ).collect()[0]["fp"]
         assert got == fp
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (q186)
+# ---------------------------------------------------------------------------
+
+def test_kmv_partition_invariance(spark):
+    """The sketch is a pure function of the value SET: repartitioning
+    must not change a single hash (the per-partition bottom-k pass is
+    exact, not heuristic)."""
+    from langscrape_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("v")
+    )
+    one = [r["h"] for r in kmv_sketch(df.repartition(1), "v", 64).collect()]
+    many = [r["h"] for r in kmv_sketch(df.repartition(13), "v", 64).collect()]
+    assert one == many
+    assert len(one) == 64
+    assert one == sorted(one)
+
+
+def test_kmv_mergeability(spark):
+    """Union-then-sketch == sketch-then-merge-then-relimit: the
+    snapshot-parquet contract that lets daily k-row sketches answer
+    cross-snapshot questions without raw sets."""
+    from langscrape_spark.operators.sketch import kmv_sketch
+
+    a = spark.range(3000).select(
+        F.concat(F.lit("a"), F.col("id").cast("string")).alias("v")
+    )
+    b = spark.range(1500, 4500).select(
+        F.concat(F.lit("a"), F.col("id").cast("string")).alias("v")
+    )
+    direct = [
+        r["h"] for r in kmv_sketch(a.unionByName(b), "v", 128).collect()
+    ]
+    merged = (
+        kmv_sketch(a, "v", 128)
+        .unionByName(kmv_sketch(b, "v", 128))
+        .distinct()
+        .orderBy("h")
+        .limit(128)
+    )
+    assert [r["h"] for r in merged.collect()] == direct
+
+
+def test_kmv_dedup_and_nulls(spark):
+    """Duplicates collapse (DISTINCT semantics) and NULLs are ignored,
+    matching count(DISTINCT ...)."""
+    from langscrape_spark.operators.sketch import kmv_sketch
+
+    base = spark.createDataFrame(
+        [("x",), ("y",), ("z",), (None,)], ["v"]
+    )
+    tripled = base.unionByName(base).unionByName(base)
+    got = kmv_sketch(tripled, "v", 16).collect()
+    assert len(got) == 3
+
+
+def test_theta_exact_mode_underfull(spark):
+    """Both sketches under-full -> every estimate IS the exact count
+    and theta* is 1.0."""
+    from langscrape_spark.operators.sketch import theta_set_stats
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["v"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20, 60)], ["v"])
+    row = theta_set_stats(a, b, "v", k=256).collect()[0]
+    assert row["full_a"] == 0 and row["full_b"] == 0
+    assert row["theta_star"] == 1.0
+    assert row["est_a"] == 40.0 and row["est_b"] == 40.0
+    assert row["est_union"] == 60.0 and row["est_intersect"] == 20.0
+    assert abs(row["est_jaccard"] - 20.0 / 60.0) < 1e-6
+
+
+def test_theta_estimation_accuracy(spark):
+    """Full sketches at k=256 over 4k-element sets: every estimate
+    within 20% of truth (3-sigma for KMV is ~1/sqrt(k-1) ~ 6% per
+    set; the intersection compounds, hence the loose band)."""
+    from langscrape_spark.operators.sketch import theta_set_stats
+
+    a = spark.range(4000).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("v")
+    )
+    b = spark.range(2000, 6000).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("v")
+    )
+    row = theta_set_stats(a, b, "v", k=256).collect()[0]
+    assert row["full_a"] == 1 and row["full_b"] == 1
+    assert abs(row["est_a"] - 4000) / 4000 < 0.2
+    assert abs(row["est_b"] - 4000) / 4000 < 0.2
+    assert abs(row["est_union"] - 6000) / 6000 < 0.2
+    assert abs(row["est_intersect"] - 2000) / 2000 < 0.2
