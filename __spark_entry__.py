@@ -5688,6 +5688,106 @@ def _theta_snapshots_oracle() -> str:
     """
 
 
+def q187_cuckoo_revisit(spark, sf):
+    """Cuckoo-filter seen-set screening with revisit deletions
+    (scheduler/cuckoo.py — the deletion-capable half of the north
+    rule's "bloom/cuckoo URL-seen set"): the crawled url set builds
+    the partitioned filter, revisit-due urls (doc_id % 7 == 0) are
+    DELETED from it, then a candidate batch (a slice of known urls +
+    a batch of fresh ones) is screened — cuckoo maybe/no first, exact
+    anti-join against the effective seen set (seen minus due) only
+    for the maybes. Output: every candidate with its admission flag.
+    The oracle is the plain effective-seen anti-join — equality
+    proves the screen admits EXACTLY the not-effectively-seen set
+    end-to-end (a filter false negative would wrongly admit a seen
+    url and break parity). Filter-health and FPP behavior are pinned
+    in tests/test_cuckoo.py."""
+    from langscrape_spark.scheduler.cuckoo import (
+        CuckooConfig,
+        cuckoo_build,
+        cuckoo_probe,
+        cuckoo_update,
+    )
+
+    cfg = CuckooConfig(n_buckets=16, m=4096, b=4, fbits=16)
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = docs.select(url.alias("url"), "doc_id")
+    seen = urls.select("url")
+    due = urls.where(F.col("doc_id") % 7 == 0).select("url")
+    cand = (
+        urls.where(F.col("doc_id") % 3 == 0)
+        .select("url")
+        .unionByName(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                F.concat(
+                    F.lit("https://h"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".example/n/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url")
+            )
+        )
+    )
+    state = cuckoo_update(
+        cuckoo_build(seen, cfg), None, cfg, delete_urls=due
+    )
+    probed = cuckoo_probe(cand, state, cfg)
+    effective = seen.join(due, "url", "left_anti")
+    definitely_new = probed.where(~F.col("maybe_seen")).select("url")
+    checked_new = (
+        probed.where(F.col("maybe_seen"))
+        .select("url")
+        .join(effective, "url", "left_anti")
+    )
+    admitted = (
+        definitely_new.unionByName(checked_new)
+        .withColumn("admitted", F.lit(1))
+    )
+    return (
+        cand.join(admitted, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("admitted"), F.lit(0)).cast("int").alias(
+                "admitted"
+            ),
+        )
+        .orderBy("url")
+    )
+
+
+def _cuckoo_revisit_oracle() -> str:
+    return """
+        -- Effective-seen admission re-derived relationally: admitted
+        -- iff the candidate is NOT in (seen MINUS revisit-due). The
+        -- Spark side routes through the partitioned cuckoo filter
+        -- (build -> delete due -> probe -> exact check on maybes);
+        -- parity proves the screen is admission-exact end-to-end.
+        WITH urls AS (
+          SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+                 doc_id
+          FROM documents),
+        cand AS (
+          SELECT url FROM urls WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/n/' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 5 = 0),
+        eff AS (SELECT url FROM urls WHERE doc_id % 7 <> 0)
+        SELECT c.url,
+               CAST(CASE WHEN e.url IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS admitted
+        FROM cand c LEFT JOIN eff e ON c.url = e.url
+        ORDER BY c.url
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -5812,6 +5912,7 @@ def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
 _PRIORITY_ORDER = [
     "q18_extract_kernel",          # fused extraction kernel
     "q19_crawl_schedule",          # frontier scheduler / politeness
+    "q187_cuckoo_revisit",         # cuckoo seen-set screen + revisit deletes
     "q08_exact_dedup",             # exact dedup
     "q10_minhash_lsh",             # MinHash-LSH near-dup
     "q154_minhash_incremental",    # incremental dedup vs catalog state
@@ -6070,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_audio_fp": q184_audio_fp,
         "q185_video_framedup": q185_video_framedup,
         "q186_theta_snapshots": q186_theta_snapshots,
+        "q187_cuckoo_revisit": q187_cuckoo_revisit,
     })
 
 
@@ -11303,6 +11405,7 @@ def oracle_sql() -> dict[str, str]:
         "q184_audio_fp": _audio_fp_oracle(),
         "q185_video_framedup": _video_framedup_oracle(),
         "q186_theta_snapshots": _theta_snapshots_oracle(),
+        "q187_cuckoo_revisit": _cuckoo_revisit_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

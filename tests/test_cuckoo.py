@@ -1,0 +1,169 @@
+"""Partitioned cuckoo filter (scheduler/cuckoo.py) — the
+deletion-capable URL-seen prefilter. Contracts pinned here:
+no false negatives (including under saturation), measured FPP near
+the 2b/2^f analytic bound, deletion re-opens urls, set-function
+determinism (partitioning/arrival order never changes the blobs),
+and incremental update ≡ rebuild in membership semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from langscrape_spark.scheduler.cuckoo import (
+    CuckooConfig,
+    cuckoo_build,
+    cuckoo_probe,
+    cuckoo_stats,
+    cuckoo_update,
+)
+
+CFG = CuckooConfig(n_buckets=8, m=1024, b=4, fbits=16)
+
+
+def _urls(spark, lo, hi, tag="u"):
+    return spark.range(lo, hi).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 97).cast("string"),
+            F.lit(f".example/{tag}/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+
+
+def test_no_false_negatives(spark):
+    seen = _urls(spark, 0, 5000)
+    state = cuckoo_build(seen, CFG)
+    probed = cuckoo_probe(seen, state, CFG)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_fpp_near_analytic_bound(spark):
+    seen = _urls(spark, 0, 5000)
+    state = cuckoo_build(seen, CFG)
+    fresh = _urls(spark, 100_000, 120_000)
+    fp = cuckoo_probe(fresh, state, CFG).where(F.col("maybe_seen")).count()
+    fpp = fp / 20_000
+    bound = 2 * CFG.b / (1 << CFG.fbits)  # ~1.2e-4
+    assert fpp <= 5 * bound + 1e-9, f"fpp {fpp} vs bound {bound}"
+
+
+def test_partition_invariance_byte_equal(spark):
+    seen = _urls(spark, 0, 4000)
+    a = {
+        r["bucket"]: bytes(r["table"])
+        for r in cuckoo_build(seen.repartition(1), CFG).collect()
+    }
+    b = {
+        r["bucket"]: bytes(r["table"])
+        for r in cuckoo_build(seen.repartition(17), CFG).collect()
+    }
+    assert a == b
+
+
+def test_build_equals_update_on_empty(spark):
+    seen = _urls(spark, 0, 3000)
+    empty = spark.createDataFrame(
+        [],
+        "bucket int, table binary, n_items long, saturated boolean, "
+        "n_deleted_miss long",
+    )
+    built = {
+        r["bucket"]: bytes(r["table"]) for r in cuckoo_build(seen, CFG).collect()
+    }
+    updated = {
+        r["bucket"]: bytes(r["table"])
+        for r in cuckoo_update(empty, seen, CFG).collect()
+    }
+    assert built == updated
+
+
+def test_incremental_update_membership_equivalent(spark):
+    """Blob bytes may differ between one-shot and two-round builds
+    (slot arrangement is order-dependent across batches); MEMBERSHIP
+    must not: same maybe_seen answer for every probe."""
+    a = _urls(spark, 0, 2500)
+    b = _urls(spark, 2500, 5000)
+    full = cuckoo_build(a.unionByName(b), CFG)
+    inc = cuckoo_update(cuckoo_build(a, CFG), b, CFG)
+    probes = _urls(spark, 0, 6000)
+    got_full = {
+        r["url"]: r["maybe_seen"]
+        for r in cuckoo_probe(probes, full, CFG).collect()
+    }
+    got_inc = {
+        r["url"]: r["maybe_seen"]
+        for r in cuckoo_probe(probes, inc, CFG).collect()
+    }
+    # Seen urls must be True in BOTH (no false negatives); unseen may
+    # differ only in the false-positive direction.
+    seen_urls = {r["url"] for r in a.unionByName(b).collect()}
+    for u in seen_urls:
+        assert got_full[u] and got_inc[u]
+    diff = [u for u in got_full if got_full[u] != got_inc[u]]
+    assert len(diff) <= 5  # only FP-noise may differ
+
+
+def test_deletion_reopens_urls(spark):
+    seen = _urls(spark, 0, 5000)
+    due = _urls(spark, 0, 5000).where(F.xxhash64("url") % 7 == 0)
+    state = cuckoo_update(cuckoo_build(seen, CFG), None, CFG, delete_urls=due)
+    probed = {
+        r["url"]: r["maybe_seen"]
+        for r in cuckoo_probe(seen, state, CFG).collect()
+    }
+    due_urls = {r["url"] for r in due.collect()}
+    kept = [u for u in probed if u not in due_urls]
+    reopened = [u for u in due_urls if not probed[u]]
+    # Every kept url still screens True (fp collisions with a deleted
+    # url's pair can ONLY arise at ~2b/2^f rate — allow a few).
+    false_neg_kept = [u for u in kept if not probed[u]]
+    assert len(false_neg_kept) <= 3, false_neg_kept
+    # The vast majority of deleted urls screen False again.
+    assert len(reopened) >= 0.99 * len(due_urls)
+    st = cuckoo_stats(state, CFG).collect()[0]
+    assert st["n_deleted_miss"] == 0
+
+
+def test_delete_then_reinsert_same_round_is_present(spark):
+    urls = _urls(spark, 0, 100)
+    state = cuckoo_build(urls, CFG)
+    state2 = cuckoo_update(state, urls, CFG, delete_urls=urls)
+    assert (
+        cuckoo_probe(urls, state2, CFG).where(~F.col("maybe_seen")).count()
+        == 0
+    )
+
+
+def test_deletion_miss_counter(spark):
+    state = cuckoo_build(_urls(spark, 0, 100), CFG)
+    ghost = _urls(spark, 50_000, 50_020)
+    state2 = cuckoo_update(state, None, CFG, delete_urls=ghost)
+    st = cuckoo_stats(state2, CFG).collect()[0]
+    # A ghost deletion is a no-op on the table but counts as a miss
+    # (minus any fp collision that "found" something to delete).
+    assert st["n_deleted_miss"] >= 18
+
+
+def test_saturation_degrades_to_all_maybe_not_false_negative(spark):
+    tiny = CuckooConfig(n_buckets=1, m=16, b=2, fbits=8)
+    urls = _urls(spark, 0, 2000)  # way past 16*2 capacity
+    state = cuckoo_build(urls, tiny)
+    st = cuckoo_stats(state, tiny).collect()[0]
+    assert st["n_saturated"] == 1
+    probed = cuckoo_probe(urls, state, tiny)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_changed_only_emits_touched_buckets(spark):
+    state = cuckoo_build(_urls(spark, 0, 4000), CFG)
+    one = _urls(spark, 9_000_000, 9_000_001)
+    delta = cuckoo_update(state, one, CFG, changed_only=True)
+    assert delta.count() == 1
+
+
+def test_stats_load_factor(spark):
+    seen = _urls(spark, 0, 5000)
+    st = cuckoo_stats(cuckoo_build(seen, CFG), CFG).collect()[0]
+    assert st["n_items"] == 5000
+    assert 0 < st["load_factor"] < 0.84
+    assert st["n_saturated"] == 0
