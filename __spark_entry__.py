@@ -5788,6 +5788,131 @@ def _cuckoo_revisit_oracle() -> str:
     """
 
 
+def q188_record_linkage(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage across two crawl
+    snapshots (operators/linkage.py::fs_link_pairs): snapshot B is a
+    deterministic re-crawl of half the corpus with field drift (lang
+    flips on doc_id%6, size-bucket drift on doc_id%10, title edits on
+    doc_id%14); pairs block on (source, title-prefix-8) — the
+    quadratic-explosion guard — and score as exact integer micro-unit
+    sums of log2(m/u) agreement weights, classified link / possible /
+    non_link. The oracle replays the same blocking join with the SAME
+    Python-rounded weight literals, so the parity check covers the
+    sentinel NULL handling, the weight table and both thresholds."""
+    from langscrape_spark.operators.linkage import FsField, fs_link_pairs
+
+    fields = [
+        FsField("title", 0.95, 0.01),
+        FsField("lang_f", 0.98, 0.30),
+        FsField("len_bucket", 0.90, 0.10),
+    ]
+    docs = _t(spark, sf, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        "source",
+        F.substring("text", 1, 8).alias("pfx"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("lang").alias("lang_f"),
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+    )
+    b = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id_b"),
+            "source",
+            F.substring("text", 1, 8).alias("pfx"),
+            F.when(
+                F.col("doc_id") % 14 == 0,
+                F.concat(F.substring("text", 1, 40), F.lit("X")),
+            )
+            .otherwise(F.substring("text", 1, 40))
+            .alias("title"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang_f"),
+            (
+                F.floor(F.col("n_chars") / 100)
+                + F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("len_bucket"),
+        )
+    )
+    return fs_link_pairs(
+        a,
+        b,
+        "id_a",
+        "id_b",
+        ["source", "pfx"],
+        fields,
+        link_ge_micro=6_000_000,
+        nonlink_le_micro=0,
+    ).orderBy("id_a", "id_b")
+
+
+def _record_linkage_oracle() -> str:
+    from langscrape_spark.operators.linkage import (
+        FsField,
+        fs_oracle_weights,
+    )
+
+    w = fs_oracle_weights(
+        [
+            FsField("title", 0.95, 0.01),
+            FsField("lang_f", 0.98, 0.30),
+            FsField("len_bucket", 0.90, 0.10),
+        ]
+    )
+    wt_a, wt_d = w["title"]
+    wl_a, wl_d = w["lang_f"]
+    wb_a, wb_d = w["len_bucket"]
+    return f"""
+        -- Fellegi-Sunter replay: same snapshot-B derivation, same
+        -- (source, prefix-8) blocking join, same integer micro-unit
+        -- weight literals (python-rounded once, shared with Spark via
+        -- fs_oracle_weights), same thresholds. NULL fields compare
+        -- through the '<NULL-FS>' sentinel exactly like the operator.
+        WITH a AS (
+          SELECT doc_id AS id_a, source,
+                 substr(text, 1, 8) AS pfx,
+                 coalesce(substr(text, 1, 40), '<NULL-FS>') AS title,
+                 coalesce(lang, '<NULL-FS>') AS lang_f,
+                 CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket
+          FROM documents),
+        b AS (
+          SELECT doc_id + 100000 AS id_b, source,
+                 substr(text, 1, 8) AS pfx,
+                 coalesce(CASE WHEN doc_id % 14 = 0
+                   THEN substr(text, 1, 40) || 'X'
+                   ELSE substr(text, 1, 40) END, '<NULL-FS>') AS title,
+                 coalesce(CASE WHEN doc_id % 6 = 0 THEN 'xx'
+                   ELSE lang END, '<NULL-FS>') AS lang_f,
+                 CAST(floor(n_chars / 100.0) AS BIGINT)
+                   + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END
+                   AS len_bucket
+          FROM documents WHERE doc_id % 2 = 0),
+        scored AS (
+          SELECT a.id_a, b.id_b,
+                 (CASE WHEN a.title = b.title
+                   THEN CAST({wt_a} AS BIGINT)
+                   ELSE CAST({wt_d} AS BIGINT) END
+                + CASE WHEN a.lang_f = b.lang_f
+                   THEN CAST({wl_a} AS BIGINT)
+                   ELSE CAST({wl_d} AS BIGINT) END
+                + CASE WHEN CAST(a.len_bucket AS VARCHAR)
+                         = CAST(b.len_bucket AS VARCHAR)
+                   THEN CAST({wb_a} AS BIGINT)
+                   ELSE CAST({wb_d} AS BIGINT) END) AS score_micro
+          FROM a JOIN b
+            ON a.source = b.source AND a.pfx = b.pfx)
+        SELECT id_a, id_b, score_micro,
+               CASE WHEN score_micro >= 6000000 THEN 'link'
+                    WHEN score_micro <= 0 THEN 'non_link'
+                    ELSE 'possible' END AS decision
+        FROM scored ORDER BY id_a, id_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6172,6 +6297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_video_framedup": q185_video_framedup,
         "q186_theta_snapshots": q186_theta_snapshots,
         "q187_cuckoo_revisit": q187_cuckoo_revisit,
+        "q188_record_linkage": q188_record_linkage,
     })
 
 
@@ -11406,6 +11532,7 @@ def oracle_sql() -> dict[str, str]:
         "q185_video_framedup": _video_framedup_oracle(),
         "q186_theta_snapshots": _theta_snapshots_oracle(),
         "q187_cuckoo_revisit": _cuckoo_revisit_oracle(),
+        "q188_record_linkage": _record_linkage_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -5325,3 +5325,95 @@ def test_theta_estimation_accuracy(spark):
     assert abs(row["est_b"] - 4000) / 4000 < 0.2
     assert abs(row["est_union"] - 6000) / 6000 < 0.2
     assert abs(row["est_intersect"] - 2000) / 2000 < 0.2
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage (q188)
+# ---------------------------------------------------------------------------
+
+class TestRecordLinkage:
+    def _frames(self, spark):
+        a = spark.createDataFrame(
+            [
+                (1, "s0", "Alpha", "en", 3),
+                (2, "s0", "Beta", "en", 4),
+                (3, "s1", "Gamma", None, 5),
+                (4, None, "Delta", "en", 6),
+            ],
+            ["id_a", "blk", "title", "lang_f", "len_bucket"],
+        )
+        b = spark.createDataFrame(
+            [
+                (11, "s0", "Alpha", "en", 3),    # full agree with 1
+                (12, "s0", "Beta", "fr", 9),     # partial with 2
+                (13, "s1", "Other", None, 5),    # title off, NULL==NULL lang
+                (14, None, "Delta", "en", 6),    # NULL block key
+            ],
+            ["id_b", "blk", "title", "lang_f", "len_bucket"],
+        )
+        return a, b
+
+    def _fields(self):
+        from langscrape_spark.operators.linkage import FsField
+
+        return [
+            FsField("title", 0.95, 0.01),
+            FsField("lang_f", 0.98, 0.30),
+            FsField("len_bucket", 0.90, 0.10),
+        ]
+
+    def test_decisions_and_null_semantics(self, spark):
+        from langscrape_spark.operators.linkage import fs_link_pairs
+
+        a, b = self._frames(spark)
+        out = {
+            (r["id_a"], r["id_b"]): (r["score_micro"], r["decision"])
+            for r in fs_link_pairs(
+                a, b, "id_a", "id_b", ["blk"], self._fields(),
+                link_ge_micro=6_000_000, nonlink_le_micro=0,
+            ).collect()
+        }
+        # NULL block key rows pair with NOTHING (no (4,14) pair).
+        assert (4, 14) not in out
+        # Full agreement -> link; all-field sum = 6.57+1.70+3.17 bits.
+        s, d = out[(1, 11)]
+        assert d == "link" and s > 6_000_000
+        # Title agrees, lang+len disagree -> negative -> non_link.
+        s, d = out[(2, 12)]
+        assert d == "non_link" and s <= 0
+        # NULL lang on both sides compares as agreement (sentinel ==
+        # sentinel, the documented two-state treatment).
+        s13, _ = out[(3, 13)]
+        f = self._fields()
+        expected = (
+            f[0].w_disagree_micro + f[1].w_agree_micro + f[2].w_agree_micro
+        )
+        assert s13 == expected
+
+    def test_block_profile_and_guard(self, spark):
+        from langscrape_spark.operators.linkage import (
+            block_profile,
+            fs_link_pairs,
+        )
+
+        a, b = self._frames(spark)
+        prof = {
+            r["blk"]: r["pairs"]
+            for r in block_profile(a, b, ["blk"]).collect()
+        }
+        assert prof == {"s0": 4, "s1": 1}
+        with pytest.raises(ValueError, match="split or salt"):
+            fs_link_pairs(
+                a, b, "id_a", "id_b", ["blk"], self._fields(),
+                link_ge_micro=6_000_000, nonlink_le_micro=0,
+                max_block_pairs=3,
+            )
+
+    def test_weights_are_integer_and_shared(self):
+        from langscrape_spark.operators.linkage import fs_oracle_weights
+
+        w = fs_oracle_weights(self._fields())
+        assert all(
+            isinstance(x, int) for pair in w.values() for x in pair
+        )
+        assert w["title"][0] > 0 > w["title"][1]
