@@ -5913,6 +5913,68 @@ def _record_linkage_oracle() -> str:
     """
 
 
+_BLOCKLIST_PHRASES = [
+    "fast table",
+    "agg row scan",
+    "big vector",
+    "slow filter",
+    "customer query line",
+    "window table table",
+    "nonexistent phrase xyz",
+]
+
+
+def q189_blocklist(spark, sf):
+    """Phrase-blocklist content gate (operators/blocklist.py::
+    blocklist_matches — the C4 bad-words mechanism): word-boundary
+    phrase matching over normalized text via the lossless first-token
+    posting join (docs explode once to distinct tokens; phrases probe
+    by first token; survivors verify with one JVM contains — no UDF,
+    phrase side broadcast here, shuffle-joinable at millions of
+    phrases). Output: every blocked doc with hit count and the sorted
+    comma-joined phrase list. The oracle is the NAIVE doc x phrase
+    cross join — equality proves the prune drops zero true matches."""
+    from langscrape_spark.operators.blocklist import blocklist_matches
+
+    phrases = spark.createDataFrame(
+        [(p,) for p in _BLOCKLIST_PHRASES], ["phrase"]
+    )
+    docs = _t(spark, sf, "documents")
+    return (
+        blocklist_matches(docs, "doc_id", "text", phrases)
+        .select(
+            "doc_id",
+            "n_blocked",
+            F.array_join("phrases_hit", ",").alias("phrases_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _blocklist_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in _BLOCKLIST_PHRASES)
+    return f"""
+        -- Naive blocklist evaluation: every (doc, phrase) pair gets
+        -- the padded word-boundary containment test directly — no
+        -- first-token prune. Parity with the Spark posting-join plan
+        -- proves the prune is lossless. Same normalization both
+        -- sides: lower, non-alnum runs -> single space, trim, pad.
+        WITH ph(p) AS (VALUES {vals}),
+        docs AS (
+          SELECT doc_id,
+                 ' ' || trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')) || ' ' AS pt
+          FROM documents),
+        hits AS (
+          SELECT doc_id, p FROM docs, ph
+          WHERE length(pt) > 2
+            AND position(' ' || p || ' ' IN pt) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked,
+               string_agg(p, ',' ORDER BY p) AS phrases_hit
+        FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6298,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_theta_snapshots": q186_theta_snapshots,
         "q187_cuckoo_revisit": q187_cuckoo_revisit,
         "q188_record_linkage": q188_record_linkage,
+        "q189_blocklist": q189_blocklist,
     })
 
 
@@ -11533,6 +11596,7 @@ def oracle_sql() -> dict[str, str]:
         "q186_theta_snapshots": _theta_snapshots_oracle(),
         "q187_cuckoo_revisit": _cuckoo_revisit_oracle(),
         "q188_record_linkage": _record_linkage_oracle(),
+        "q189_blocklist": _blocklist_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

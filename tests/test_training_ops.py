@@ -5417,3 +5417,99 @@ class TestRecordLinkage:
             isinstance(x, int) for pair in w.values() for x in pair
         )
         assert w["title"][0] > 0 > w["title"][1]
+
+
+# ---------------------------------------------------------------------------
+# Phrase blocklist (q189)
+# ---------------------------------------------------------------------------
+
+class TestBlocklist:
+    DOCS = [
+        (1, "The CAT sat on the mat."),
+        (2, "concatenate is not a cat"),
+        (3, "bad  phrase, here; bad phrase again"),
+        (4, "totally clean text"),
+        (5, "edge bad phrase"),
+        (6, ""),
+        (7, None),
+    ]
+    PHRASES = ["cat", "bad phrase", "Mat!", "missing term"]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+
+    def test_word_boundary_and_normalization(self, spark):
+        from langscrape_spark.operators.blocklist import blocklist_matches
+
+        ph = spark.createDataFrame([(p,) for p in self.PHRASES], ["phrase"])
+        got = {
+            r["doc_id"]: (r["n_blocked"], list(r["phrases_hit"]))
+            for r in blocklist_matches(
+                self._docs(spark), "doc_id", "text", ph
+            ).collect()
+        }
+        # doc 1: "cat" (case-folded) and "mat" (punct-stripped phrase).
+        assert got[1] == (2, ["cat", "mat"])
+        # doc 2: "cat" as a word — "concatenate" must NOT match.
+        assert got[2] == (1, ["cat"])
+        # doc 3: repeated phrase counts once (distinct semantics).
+        assert got[3] == (1, ["bad phrase"])
+        # phrase at string edge still matches (padding).
+        assert got[5] == (1, ["bad phrase"])
+        # clean/empty/null docs absent.
+        assert 4 not in got and 6 not in got and 7 not in got
+
+    def test_shuffle_join_path_equal(self, spark):
+        from langscrape_spark.operators.blocklist import blocklist_matches
+
+        ph = spark.createDataFrame([(p,) for p in self.PHRASES], ["phrase"])
+        d = self._docs(spark)
+        a = blocklist_matches(d, "doc_id", "text", ph).collect()
+        b = blocklist_matches(
+            d, "doc_id", "text", ph, broadcast_phrases=False
+        ).collect()
+        assert sorted(
+            (r["doc_id"], r["n_blocked"], tuple(r["phrases_hit"])) for r in a
+        ) == sorted(
+            (r["doc_id"], r["n_blocked"], tuple(r["phrases_hit"])) for r in b
+        )
+
+    def test_rlike_flag_equals_join_flag(self, spark):
+        from langscrape_spark.operators.blocklist import (
+            blocklist_flag_rlike,
+            blocklist_matches,
+        )
+
+        d = self._docs(spark)
+        ph = spark.createDataFrame([(p,) for p in self.PHRASES], ["phrase"])
+        joined = {
+            r["doc_id"]
+            for r in blocklist_matches(d, "doc_id", "text", ph).collect()
+        }
+        flags = {
+            r["doc_id"]: r["blocked"]
+            for r in blocklist_flag_rlike(
+                d, "doc_id", "text", self.PHRASES
+            ).collect()
+        }
+        for doc_id, _ in self.DOCS:
+            assert bool(flags.get(doc_id)) == (doc_id in joined), doc_id
+
+    def test_regex_metacharacters_escaped(self, spark):
+        from langscrape_spark.operators.blocklist import blocklist_flag_rlike
+
+        d = spark.createDataFrame([(1, "a b c"), (2, "a.b c")], ["doc_id", "text"])
+        # '.' normalizes to a space — phrase 'a b' hits both docs; the
+        # escape path must not turn '.' into regex-any.
+        out = {
+            r["doc_id"]: r["blocked"]
+            for r in blocklist_flag_rlike(d, "doc_id", "text", ["a.b"]).collect()
+        }
+        assert out == {1: True, 2: True}
+
+    def test_empty_phrase_list(self, spark):
+        from langscrape_spark.operators.blocklist import blocklist_flag_rlike
+
+        d = self._docs(spark)
+        out = blocklist_flag_rlike(d, "doc_id", "text", ["", "  ;"]).collect()
+        assert all(not r["blocked"] for r in out)
