@@ -5975,6 +5975,73 @@ def _blocklist_oracle() -> str:
     """
 
 
+def q190_bitext_mining(spark, sf):
+    """CCAligned-style bitext candidate mining (operators/bitext.py::
+    bitext_url_pairs): each document is published under a
+    language-tagged URL (/en/, /fr/, /de/, /es/ by doc_id mod 4;
+    article id = doc_id div 4), candidate translation pairs come from
+    ONE self-join on the language-stripped URL key, and the integer
+    length-ratio gate (<= 2x both ways, no float logs) rides along as
+    a column. The oracle re-derives the lang extraction, the '/*/'
+    key replacement, the ordered pairing and the gate in SQL."""
+    from langscrape_spark.operators.bitext import bitext_url_pairs
+
+    docs = _t(spark, sf, "documents")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    art = F.floor(F.col("doc_id") / 4)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (art % 40).cast("string"),
+            F.lit(".example/"),
+            lang,
+            F.lit("/art/"),
+            art.cast("string"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return bitext_url_pairs(pages).orderBy(
+        "lang_key", "lang_a", "lang_b", "url_a", "url_b"
+    )
+
+
+def _bitext_oracle() -> str:
+    return """
+        -- CCAligned pairing replayed: same lang-by-doc_id%4 URL
+        -- synthesis, regexp lang extraction + '/*/' key replacement,
+        -- self-join with lang_a < lang_b, integer 2x ratio gate.
+        -- Spark: operators/bitext.py::bitext_url_pairs.
+        WITH pages AS (
+          SELECT 'https://h' || CAST((doc_id // 4) % 40 AS VARCHAR)
+                 || '.example/'
+                 || (['en','fr','de','es'])[(doc_id % 4) + 1]
+                 || '/art/' || CAST(doc_id // 4 AS VARCHAR) AS url,
+                 n_chars
+          FROM documents),
+        keyed AS (
+          SELECT regexp_replace(url,
+                   '/([a-z]{2})(-[a-z]{2})?/', '/*/', 'g') AS lang_key,
+                 regexp_extract(url,
+                   '/([a-z]{2})(-[a-z]{2})?/', 1) AS lang,
+                 url, CAST(n_chars AS BIGINT) AS n
+          FROM pages
+          WHERE regexp_extract(url,
+                  '/([a-z]{2})(-[a-z]{2})?/', 1) <> '')
+        SELECT a.lang_key,
+               a.lang AS lang_a, b.lang AS lang_b,
+               a.url AS url_a, b.url AS url_b,
+               a.n AS len_a, b.n AS len_b,
+               CAST(a.n <= 2 * b.n AND b.n <= 2 * a.n AS INT)
+                 AS ok_ratio
+        FROM keyed a JOIN keyed b ON a.lang_key = b.lang_key
+        WHERE a.lang < b.lang
+        ORDER BY a.lang_key, lang_a, lang_b, url_a, url_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6361,6 +6428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_cuckoo_revisit": q187_cuckoo_revisit,
         "q188_record_linkage": q188_record_linkage,
         "q189_blocklist": q189_blocklist,
+        "q190_bitext_mining": q190_bitext_mining,
     })
 
 
@@ -11597,6 +11665,7 @@ def oracle_sql() -> dict[str, str]:
         "q187_cuckoo_revisit": _cuckoo_revisit_oracle(),
         "q188_record_linkage": _record_linkage_oracle(),
         "q189_blocklist": _blocklist_oracle(),
+        "q190_bitext_mining": _bitext_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

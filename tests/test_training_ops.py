@@ -5513,3 +5513,57 @@ class TestBlocklist:
         d = self._docs(spark)
         out = blocklist_flag_rlike(d, "doc_id", "text", ["", "  ;"]).collect()
         assert all(not r["blocked"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Bitext URL-pair mining (q190)
+# ---------------------------------------------------------------------------
+
+class TestBitextMining:
+    def test_pairs_region_tags_and_no_lang(self, spark):
+        from langscrape_spark.operators.bitext import bitext_url_pairs
+
+        pages = spark.createDataFrame(
+            [
+                ("https://x.org/en/a", 100),
+                ("https://x.org/fr/a", 150),
+                ("https://x.org/pt-br/a", 120),
+                ("https://x.org/static/a", 90),     # 'static' != 2-letter
+                ("https://y.org/en/a", 100),        # different host/key
+            ],
+            ["url", "n_chars"],
+        )
+        got = {
+            (r["lang_a"], r["lang_b"]): r["ok_ratio"]
+            for r in bitext_url_pairs(pages).collect()
+            if r["lang_key"] == "https://x.org/*/a"
+        }
+        # en/fr/pt pair among themselves only; 'static' page excluded.
+        assert set(got) == {("en", "fr"), ("en", "pt"), ("fr", "pt")}
+        assert all(v == 1 for v in got.values())
+        # y.org key pairs with nothing (singleton).
+        all_pairs = bitext_url_pairs(pages).collect()
+        assert not any("y.org" in r["lang_key"] for r in all_pairs)
+
+    def test_ratio_gate_is_column_not_filter(self, spark):
+        from langscrape_spark.operators.bitext import bitext_url_pairs
+
+        pages = spark.createDataFrame(
+            [("https://x.org/en/a", 100), ("https://x.org/fr/a", 500)],
+            ["url", "n_chars"],
+        )
+        rows = bitext_url_pairs(pages).collect()
+        assert len(rows) == 1 and rows[0]["ok_ratio"] == 0
+
+    def test_trap_profile_surfaces_fanout(self, spark):
+        from langscrape_spark.operators.bitext import bitext_key_profile
+
+        pages = spark.createDataFrame(
+            [(f"https://trap.org/{a}{b}/p", 10)
+             for a in "abcdefghij" for b in "abcdefghij"]
+            + [("https://ok.org/en/p", 10), ("https://ok.org/fr/p", 10)],
+            ["url", "n_chars"],
+        )
+        top = bitext_key_profile(pages).collect()[0]
+        assert top["lang_key"] == "https://trap.org/*/p"
+        assert top["n_versions"] == 100
