@@ -6042,6 +6042,106 @@ def _bitext_oracle() -> str:
     """
 
 
+def q191_k_anonymity(spark, sf):
+    """k-anonymity / l-diversity release audit (operators/privacy.py
+    ::k_anonymity_summary): quasi-identifiers (source, 50-char size
+    bucket), sensitive attribute = lang, k=5. One hash-agg over the
+    QI tuple (map-side partials, no windows/joins) yields the corpus
+    k (smallest group), violating group/row counts, the violating-row
+    fraction and distinct-l. Oracle: the same two-level GROUP BY in
+    SQL."""
+    from langscrape_spark.operators.privacy import k_anonymity_summary
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 50).alias("len_bucket"),
+        "lang",
+    )
+    return k_anonymity_summary(
+        docs, ["source", "len_bucket"], k=5, sensitive_col="lang"
+    )
+
+
+def _k_anonymity_oracle() -> str:
+    return """
+        -- k-anonymity summary re-derived: per-QI-group counts +
+        -- distinct sensitive values, then one aggregate row. Spark:
+        -- operators/privacy.py::k_anonymity_summary (k=5).
+        WITH groups AS (
+          SELECT source, CAST(floor(n_chars / 50.0) AS BIGINT)
+                   AS len_bucket,
+                 CAST(count(*) AS BIGINT) AS group_rows,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS l
+          FROM documents GROUP BY 1, 2)
+        SELECT CAST(sum(group_rows) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(group_rows) AS BIGINT) AS k_actual,
+               CAST(sum(CASE WHEN group_rows < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violating_groups,
+               CAST(sum(CASE WHEN group_rows < 5 THEN group_rows
+                    ELSE 0 END) AS BIGINT) AS violating_rows,
+               CAST(min(l) AS BIGINT) AS l_actual,
+               round(sum(CASE WHEN group_rows < 5 THEN group_rows
+                     ELSE 0 END) * 1.0 / sum(group_rows), 6)
+                 AS violating_frac
+        FROM groups
+    """
+
+
+def q192_range_partitioner(spark, sf):
+    """Deterministic sample-based range-partitioner audit (operators/
+    layout.py::range_partition_audit — the RangePartitioner mechanism
+    behind every distributed sort, made reproducible): systematic
+    md5 sample (pmod 7 == 0) of the 12-char text-prefix keys, exact
+    rank-pick boundaries for 8 partitions, then the TRUE per-range
+    row counts and skew ratio over the whole corpus via a broadcast
+    boundary array (strictly-less count assignment; only the SAMPLE
+    is ever sorted). Oracle replays sample, rank picks and the
+    boundary-count assignment in SQL."""
+    from langscrape_spark.operators.layout import range_partition_audit
+
+    docs = _t(spark, sf, "documents").select(
+        F.substring("text", 1, 12).alias("k12")
+    )
+    return range_partition_audit(docs, "k12", n_parts=8, sample_mod=7)
+
+
+def _range_partitioner_oracle() -> str:
+    return """
+        -- RangePartitioner audit replay: 63-bit-masked md5 systematic
+        -- sample (mod 7), boundaries at ranks ceil(i*n/8) of the
+        -- sorted sample (deduped), partition = count of boundaries
+        -- strictly below the key, exact counts + skew = max*8/total.
+        -- Spark: operators/layout.py::range_partition_audit.
+        WITH src AS (
+          SELECT substr(text, 1, 12) AS k FROM documents
+          WHERE substr(text, 1, 12) IS NOT NULL),
+        samp AS (
+          SELECT k FROM src
+          WHERE CAST(CAST(md5_number_lower(k) AS HUGEINT)
+                % (CAST(1 AS HUGEINT) << 63) % 7 AS BIGINT) = 0),
+        ranked AS (
+          SELECT k, row_number() OVER (ORDER BY k) AS rn FROM samp),
+        ns AS (SELECT max(rn) AS n FROM ranked),
+        bounds AS (
+          SELECT DISTINCT r.k AS b FROM ranked r, ns
+          WHERE EXISTS (
+            SELECT 1 FROM range(1, 8) t(i)
+            WHERE r.rn = CAST(ceil(i * ns.n / 8.0) AS INT))),
+        assigned AS (
+          SELECT (SELECT count(*) FROM bounds WHERE b < src.k)
+                   AS part
+          FROM src),
+        counts AS (
+          SELECT CAST(part AS INT) AS part,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM assigned GROUP BY part),
+        tot AS (SELECT sum(n_rows) AS t, max(n_rows) AS mx FROM counts)
+        SELECT part, n_rows, round(mx * 8.0 / t, 6) AS skew
+        FROM counts, tot ORDER BY part
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6429,6 +6529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_record_linkage": q188_record_linkage,
         "q189_blocklist": q189_blocklist,
         "q190_bitext_mining": q190_bitext_mining,
+        "q191_k_anonymity": q191_k_anonymity,
+        "q192_range_partitioner": q192_range_partitioner,
     })
 
 
@@ -11666,6 +11768,8 @@ def oracle_sql() -> dict[str, str]:
         "q188_record_linkage": _record_linkage_oracle(),
         "q189_blocklist": _blocklist_oracle(),
         "q190_bitext_mining": _bitext_oracle(),
+        "q191_k_anonymity": _k_anonymity_oracle(),
+        "q192_range_partitioner": _range_partitioner_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

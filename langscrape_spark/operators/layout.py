@@ -300,3 +300,101 @@ def ring_assign(
         df.withColumn("ring_h", kh)
         .withColumn("shard", F.element_at(shard_arr, idx.cast("int")))
     )
+
+
+def range_partition_audit(
+    df: DataFrame,
+    key_col: str,
+    n_parts: int,
+    sample_mod: int = 7,
+) -> DataFrame:
+    """Sample-based range-partitioner boundary selection + exact
+    balance audit — the mechanism behind Spark's own
+    ``RangePartitioner``/global sort (reservoir-sample boundaries,
+    then range assignment), made DETERMINISTIC and auditable: the
+    sample is the md5-hash systematic sample ``md5_64(key) pmod
+    sample_mod == 0`` (no RNG, any engine re-derives it), the
+    ``n_parts - 1`` boundaries are exact rank picks from the sorted
+    sample (rank ``ceil(i * n_sample / n_parts)``), and every corpus
+    row is then assigned ``part = #boundaries < key`` (strictly-less,
+    ties right) so the TRUE per-partition counts and the skew ratio
+    (max/ideal) are exact.
+
+    Scale shape: the sample is |corpus|/sample_mod rows and ONLY the
+    sample is sorted (one window over the sample — at production
+    scale pick sample_mod so the sample fits one partition
+    comfortably, e.g. 1e-4 of 10^10 urls = 10^6 rows; the boundary
+    frame itself is n_parts-1 rows, broadcast); the corpus-side
+    assignment is a broadcast join + one aggregate, no global sort
+    ever touches the full data. This is the pre-flight you run
+    BEFORE committing a sort/bucket layout: a skew ratio far above
+    1.0 means the key is too clumped for even ranges and needs
+    salting or a different layout key.
+
+    Output: one row per partition id ``(part, n_rows)`` plus
+    ``skew`` (max/ideal, round-6) replicated on each row for
+    single-frame consumption.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _md5_lower64
+
+    k = F.col(key_col).cast("string")
+    src = df.select(k.alias("_k")).where(F.col("_k").isNotNull())
+    # 63-bit mask BEFORE the modulus: an unsigned engine (DuckDB's
+    # md5_number_lower) and Spark's signed pmod only agree on the
+    # masked value (2^64 % m != 0 for general m).
+    samp = src.where(
+        F.pmod(
+            _md5_lower64(F.col("_k")).bitwiseAND(
+                F.lit(0x7FFFFFFFFFFFFFFF)
+            ),
+            F.lit(sample_mod),
+        )
+        == 0
+    )
+    w = Window.orderBy("_k")
+    ranked = samp.select(
+        "_k", F.row_number().over(w).alias("_rn")
+    )
+    n_s = ranked.agg(F.max("_rn").alias("_n"))
+    # boundary i (1..n_parts-1) = sample value at rank
+    # ceil(i * n_sample / n_parts); duplicates collapse (a boundary
+    # may repeat when the sample is clumped — assignment still
+    # well-defined via the strict < count).
+    bounds = (
+        ranked.crossJoin(F.broadcast(n_s))
+        .where(
+            F.expr(
+                f"array_contains(transform(sequence(1, {n_parts - 1}), "
+                f"i -> cast(ceil(i * _n / {n_parts}) as int)), _rn)"
+            )
+        )
+        .select(F.col("_k").alias("_b"))
+        .distinct()
+    )
+    blist = bounds.agg(
+        F.array_sort(F.collect_list("_b")).alias("_bs")
+    )
+    assigned = src.crossJoin(F.broadcast(blist)).select(
+        F.size(F.filter(F.col("_bs"), lambda b: b < F.col("_k"))).alias(
+            "part"
+        )
+    )
+    counts = assigned.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(
+        F.sum("n_rows").alias("_tot"), F.max("n_rows").alias("_mx")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "part",
+            "n_rows",
+            F.round(
+                F.col("_mx") * F.lit(n_parts) / F.col("_tot"), 6
+            ).alias("skew"),
+        )
+        .orderBy("part")
+    )

@@ -5567,3 +5567,94 @@ class TestBitextMining:
         top = bitext_key_profile(pages).collect()[0]
         assert top["lang_key"] == "https://trap.org/*/p"
         assert top["n_versions"] == 100
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity (q191) + range partitioner audit (q192)
+# ---------------------------------------------------------------------------
+
+class TestPrivacyAudit:
+    def test_summary_and_violations(self, spark):
+        from langscrape_spark.operators.privacy import (
+            k_anonymity_summary,
+            k_anonymity_violations,
+        )
+
+        df = spark.createDataFrame(
+            [("h1", 1, "en")] * 6
+            + [("h1", 2, "en"), ("h1", 2, "fr")]
+            + [("h2", 1, "de")],
+            ["host", "bucket", "lang"],
+        )
+        s = k_anonymity_summary(
+            df, ["host", "bucket"], k=3, sensitive_col="lang"
+        ).collect()[0]
+        assert s["n_rows"] == 9 and s["n_groups"] == 3
+        assert s["k_actual"] == 1
+        assert s["violating_groups"] == 2 and s["violating_rows"] == 3
+        assert s["l_actual"] == 1  # the 6-row group is lang-uniform
+        assert abs(s["violating_frac"] - 3 / 9) < 1e-6  # round-6 output
+        v = k_anonymity_violations(df, ["host", "bucket"], k=3).collect()
+        assert [(r["host"], r["bucket"], r["group_rows"]) for r in v] == [
+            ("h2", 1, 1),
+            ("h1", 2, 2),
+        ]
+
+    def test_null_qi_groups_like_sql(self, spark):
+        from langscrape_spark.operators.privacy import k_anonymity_summary
+
+        df = spark.createDataFrame(
+            [(None, "en"), (None, "en"), ("h", "fr")], ["host", "lang"]
+        )
+        s = k_anonymity_summary(df, ["host"], k=2).collect()[0]
+        # NULL host forms its OWN group of 2 (not dropped): one
+        # violating singleton remains.
+        assert s["n_groups"] == 2 and s["violating_groups"] == 1
+
+
+class TestRangePartitionerAudit:
+    def test_balanced_on_uniform_keys(self, spark):
+        from langscrape_spark.operators.layout import range_partition_audit
+
+        df = spark.range(8000).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        rows = range_partition_audit(df, "k", n_parts=8, sample_mod=5).collect()
+        assert sum(r["n_rows"] for r in rows) == 8000
+        assert len(rows) == 8
+        # Uniform hex keys + dense sample -> near-even ranges.
+        assert rows[0]["skew"] < 1.5
+
+    def test_skew_is_visible_on_clumped_keys(self, spark):
+        from langscrape_spark.operators.layout import range_partition_audit
+
+        # 95% of keys identical: most boundaries collapse onto the
+        # clump value and one range swallows the clump - skew >> 1.
+        df = spark.range(4000).select(
+            F.when(F.col("id") % 20 != 0, F.lit("clump"))
+            .otherwise(F.md5(F.col("id").cast("string")))
+            .alias("k")
+        )
+        rows = range_partition_audit(df, "k", n_parts=8, sample_mod=3).collect()
+        assert sum(r["n_rows"] for r in rows) == 4000
+        assert rows[0]["skew"] > 3.0
+
+    def test_deterministic_across_partitionings(self, spark):
+        from langscrape_spark.operators.layout import range_partition_audit
+
+        df = spark.range(3000).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        a = [
+            (r["part"], r["n_rows"])
+            for r in range_partition_audit(
+                df.repartition(1), "k", 4, 5
+            ).collect()
+        ]
+        b = [
+            (r["part"], r["n_rows"])
+            for r in range_partition_audit(
+                df.repartition(11), "k", 4, 5
+            ).collect()
+        ]
+        assert a == b
