@@ -6142,6 +6142,134 @@ def _range_partitioner_oracle() -> str:
     """
 
 
+_HOSTGRAPH_OLD_RAW_SQL = """
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id % 20
+                                  + (doc_id // 20) * (doc_id // 20)) % 20
+                            AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR),
+                     'h' || CAST((doc_id % 20 * 13 + 5) % 20 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'hubx', 'h' || CAST(r AS VARCHAR) FROM range(20) t(r)
+              UNION ALL
+              SELECT 'h' || CAST(r AS VARCHAR), 'sinkx' FROM range(20) t(r)
+"""
+
+
+def q193_incremental_pagerank(spark, sf):
+    """Incremental warm-start PageRank (operators/hostrank.py::
+    pagerank_warm): phase 1 runs cold PageRank (6 rounds) on LAST
+    round's link snapshot (organic edges from docs with doc_id%5!=0
+    plus the planted hub/sink); phase 2 re-ranks the CURRENT full
+    graph in only 3 warm rounds initialized from phase 1's vector
+    (new hosts enter at 1/n, vector L1-renormalized) — the per-crawl
+    -round production shape that replaces a 12-round cold rerun.
+    Output: host, previous rank (NULL for new hosts), warm rank, and
+    the movement |delta|. The oracle unrolls BOTH phases as
+    MATERIALIZED CTE chains including the renormalization and
+    per-round dangling-mass terms."""
+    from langscrape_spark.operators.hostrank import pagerank_warm
+
+    k = F.col("doc_id") % 20
+    j = F.floor(F.col("doc_id") / 20)
+
+    def organic(docs):
+        return docs.select(
+            F.concat(F.lit("h"), k.cast("string")).alias("src_host"),
+            F.concat(
+                F.lit("h"), ((k + j * j) % 20).cast("string")
+            ).alias("dst_host"),
+        ).unionByName(
+            docs.select(
+                F.concat(
+                    F.lit("h"), ((k * 7 + 3) % 20).cast("string")
+                ).alias("src_host"),
+                F.concat(
+                    F.lit("h"), ((k * 13 + 5) % 20).cast("string")
+                ).alias("dst_host"),
+            )
+        )
+
+    docs = _t(spark, sf, "documents")
+    hub = spark.range(20).select(
+        F.lit("hubx").alias("src_host"),
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    sink = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias(
+            "src_host"
+        ),
+        F.lit("sinkx").alias("dst_host"),
+    )
+    old_edges = (
+        organic(docs.where(F.col("doc_id") % 5 != 0))
+        .unionByName(hub)
+        .unionByName(sink)
+    )
+    # This round also DISCOVERED brand-new hosts (hnew0..hnew2) —
+    # they exercise the 1/n cold-entry path of the warm start.
+    discovered = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("h"), k.cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("hnew"), (F.col("doc_id") % 3).cast("string")
+        ).alias("dst_host"),
+    )
+    new_edges = (
+        organic(docs)
+        .unionByName(hub)
+        .unionByName(sink)
+        .unionByName(discovered)
+    )
+    prev = pagerank_warm(old_edges, None, iterations=6)
+    warm = pagerank_warm(new_edges, prev, iterations=3)
+    return (
+        warm.join(
+            prev.select("host", F.col("rank").alias("prev_rank")),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            "prev_rank",
+            "rank",
+            F.round(
+                F.abs(
+                    F.col("rank") - F.coalesce("prev_rank", F.lit(0.0))
+                ),
+                6,
+            ).alias("moved"),
+        )
+        .orderBy("host")
+    )
+
+
+def _incremental_pagerank_oracle() -> str:
+    from langscrape_spark.operators.hostrank import (
+        incremental_pagerank_oracle_sql,
+    )
+
+    new_raw = (
+        _HOSTGRAPH_RAW_SQL
+        + """
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR),
+                     'hnew' || CAST(doc_id % 3 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+        """
+    )
+    return incremental_pagerank_oracle_sql(
+        _HOSTGRAPH_OLD_RAW_SQL,
+        new_raw,
+        it_old=6,
+        it_warm=3,
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6531,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_bitext_mining": q190_bitext_mining,
         "q191_k_anonymity": q191_k_anonymity,
         "q192_range_partitioner": q192_range_partitioner,
+        "q193_incremental_pagerank": q193_incremental_pagerank,
     })
 
 
@@ -11770,6 +11899,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_bitext_mining": _bitext_oracle(),
         "q191_k_anonymity": _k_anonymity_oracle(),
         "q192_range_partitioner": _range_partitioner_oracle(),
+        "q193_incremental_pagerank": _incremental_pagerank_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -5658,3 +5658,66 @@ class TestRangePartitionerAudit:
             ).collect()
         ]
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Incremental warm-start PageRank (q193)
+# ---------------------------------------------------------------------------
+
+class TestPagerankWarm:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, ["src_host", "dst_host"])
+
+    def test_cold_start_sums_to_one_and_matches_12round(self, spark):
+        from langscrape_spark.operators.hostrank import pagerank_warm
+
+        e = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        )
+        r = {x["host"]: x["rank"] for x in pagerank_warm(e, None, 12).collect()}
+        assert abs(sum(r.values()) - 1.0) < 1e-4
+        # cycle core outranks the dangling-ish feeder
+        assert r["a"] > r["d"] and r["c"] > r["d"]
+
+    def test_warm_start_converges_faster_than_cold(self, spark):
+        """3 warm rounds from the previous snapshot's vector must land
+        closer to the converged answer than 3 cold rounds do — the
+        whole point of the warm start."""
+        from langscrape_spark.operators.hostrank import pagerank_warm
+
+        old = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        )
+        new = self._edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("c", "d"), ("b", "a")],
+        )
+        prev = pagerank_warm(old, None, 12)
+        conv = {x["host"]: x["rank"] for x in pagerank_warm(new, None, 40).collect()}
+        warm3 = {x["host"]: x["rank"] for x in pagerank_warm(new, prev, 3).collect()}
+        cold3 = {x["host"]: x["rank"] for x in pagerank_warm(new, None, 3).collect()}
+        err_warm = max(abs(warm3[h] - conv[h]) for h in conv)
+        err_cold = max(abs(cold3[h] - conv[h]) for h in conv)
+        assert err_warm < err_cold
+
+    def test_new_hosts_enter_and_stale_mass_renormalized(self, spark):
+        from langscrape_spark.operators.hostrank import pagerank_warm
+
+        old = self._edges(spark, [("a", "b"), ("b", "a"), ("z", "a")])
+        new = self._edges(spark, [("a", "b"), ("b", "a"), ("a", "n1")])
+        prev = pagerank_warm(old, None, 6)  # has z, no n1
+        out = {x["host"]: x["rank"] for x in pagerank_warm(new, prev, 4).collect()}
+        assert "n1" in out and "z" not in out
+        assert abs(sum(out.values()) - 1.0) < 1e-4  # z's mass renormalized away
+        assert out["n1"] > 0
+
+    def test_empty_graph(self, spark):
+        from langscrape_spark.operators.hostrank import pagerank_warm
+
+        e = self._edges(spark, []) if False else spark.createDataFrame(
+            [], "src_host string, dst_host string"
+        )
+        assert pagerank_warm(e, None, 3).count() == 0
