@@ -6270,6 +6270,61 @@ def _incremental_pagerank_oracle() -> str:
     )
 
 
+def q194_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (operators/ann.py::
+    hard_negative_pairs): per anchor, the 3 most-similar
+    DIFFERENT-label vectors inside its IVF cluster with round-6
+    cosine in [0.05, 0.35) — informative negatives below the
+    near-dup band where a "negative" is likely a mislabeled
+    positive (the SimCLR/DPR recipe). k=16 / 2 Lloyd iterations
+    matches the frozen q35 fixture, so the oracle reads the pinned
+    (vec_id, cluster) map and re-derives the different-label pair
+    join, the banded round-6 cosine and the per-anchor top-3 window
+    in SQL — driver parity pins the live Lloyd/assign path AND the
+    mining logic."""
+    from langscrape_spark.operators.ann import hard_negative_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return hard_negative_pairs(
+        emb, k=16, iterations=2, lo=0.05, hi=0.35, per_anchor=3
+    ).orderBy("vec_id", "rk")
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+        -- Hard-negative mining over the FROZEN q35 IVF cluster map:
+        -- different-label within-cluster pairs, round-6 cosine band
+        -- [0.05, 0.35), per-anchor top-3 by (sim DESC, neg_id).
+        -- Spark: operators/ann.py::hard_negative_pairs.
+        WITH a AS (
+          SELECT vec_id, bucket
+          FROM read_parquet('{_fixture("q35_ivf_assign.parquet")}')),
+        j AS (
+          SELECT a.vec_id AS id, a.bucket, e.label,
+                 list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE)) AS v
+          FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+        sims AS (
+          SELECT x.id AS vec_id, y.id AS neg_id,
+            round(
+              list_sum(list_transform(range(1, len(x.v) + 1),
+                                      i -> x.v[i] * y.v[i]))
+              / (sqrt(list_sum(list_transform(x.v, q -> q*q)))
+                 * sqrt(list_sum(list_transform(y.v, q -> q*q)))),
+            6) AS sim
+          FROM j x JOIN j y
+            ON x.bucket = y.bucket AND x.id <> y.id
+           AND x.label <> y.label),
+        band AS (
+          SELECT * FROM sims
+          WHERE NOT isnan(sim) AND sim >= 0.05 AND sim < 0.35)
+        SELECT vec_id, neg_id, sim,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, neg_id) AS INT) AS rk
+        FROM band QUALIFY rk <= 3 ORDER BY vec_id, rk
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6660,6 +6715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_k_anonymity": q191_k_anonymity,
         "q192_range_partitioner": q192_range_partitioner,
         "q193_incremental_pagerank": q193_incremental_pagerank,
+        "q194_hard_negatives": q194_hard_negatives,
     })
 
 
@@ -11900,6 +11956,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_k_anonymity": _k_anonymity_oracle(),
         "q192_range_partitioner": _range_partitioner_oracle(),
         "q193_incremental_pagerank": _incremental_pagerank_oracle(),
+        "q194_hard_negatives": _hard_negatives_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -1239,3 +1239,82 @@ def mmr_select(
         F.round("_rel", 6).alias("relevance"),
         F.round("_mmr", 6).alias("mmr_score"),
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    lo: float = 0.05,
+    hi: float = 0.35,
+    per_anchor: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining for embedding training: for
+    each anchor, the ``per_anchor`` most-similar DIFFERENT-label
+    vectors whose cosine lies in the [lo, hi) band — similar enough
+    to be informative gradients, below the near-dup band where a
+    "negative" is probably a mislabeled positive (the SimCLR/DPR
+    hard-negative recipe; the band is the standard false-negative
+    guard).
+
+    Scale shape: candidates come only from the anchor's IVF cluster
+    (same frozen-seed Lloyd as :func:`semdedup` — one gemm assign
+    pass), so the pair join is per-cluster, never corpus x corpus;
+    the top-``per_anchor`` cut is a window over each anchor's OWN
+    candidate list (bounded by cluster size). The band filter applies
+    to the ROUND-6 cosine so any engine reproduces the exact cut.
+    Zero-norm poison vectors yield NULL cosine (try_divide) and drop
+    at the band filter.
+
+    Output: ``(vec_id, neg_id, sim round-6, rk)`` with
+    rk = 1..per_anchor ordered by (sim desc, neg_id).
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(df, k=k, iterations=iterations,
+                          vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(df, cents, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col(label_col), "bucket"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        F.col(label_col).alias("_la"),
+        "bucket",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col(label_col).alias("_lb"),
+        "bucket",
+    )
+    sims = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("vec_id") != F.col("neg_id"))
+            & (F.col("_la") != F.col("_lb"))
+        )
+        .select(
+            "vec_id",
+            "neg_id",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias(
+                "sim"
+            ),
+        )
+        .where(
+            F.col("sim").isNotNull()
+            & (F.col("sim") >= lo)
+            & (F.col("sim") < hi)
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.col("neg_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_anchor)
+        .select("vec_id", "neg_id", "sim", F.col("rk").cast("int"))
+    )

@@ -5721,3 +5721,69 @@ class TestPagerankWarm:
             [], "src_host string, dst_host string"
         )
         assert pagerank_warm(e, None, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (q194)
+# ---------------------------------------------------------------------------
+
+class TestHardNegatives:
+    def test_band_label_and_poison_semantics(self, spark):
+        from langscrape_spark.operators.ann import hard_negative_pairs
+
+        # One cluster's worth of 2-d vectors (k=1 -> everything in one
+        # cluster): anchor u0; u1 near-dup same direction (sim ~1,
+        # above band); u2 mid-similarity different label (the hard
+        # negative); u3 mid-similarity SAME label (excluded); u4
+        # orthogonal (below band); u5 zero vector (poison -> NULL sim).
+        rows = [
+            (0, [1.0, 0.0], "A"),
+            (1, [0.999, 0.01], "B"),
+            (2, [0.3, 0.954], "B"),
+            (3, [0.3, 0.954], "A"),
+            (4, [0.0, 1.0], "B"),
+            (5, [0.0, 0.0], "B"),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        out = hard_negative_pairs(
+            emb, k=1, iterations=1, lo=0.05, hi=0.9, per_anchor=5
+        )
+        got = {
+            (r["vec_id"], r["neg_id"]): (r["sim"], r["rk"])
+            for r in out.collect()
+        }
+        negs_of_0 = sorted(n for (a, n) in got if a == 0)
+        # u1 above band (sim>0.9), u3 same label, u4 below band (0.0),
+        # u5 NULL sim -> only u2 remains.
+        assert negs_of_0 == [2]
+        assert got[(0, 2)][1] == 1
+        assert 0.05 <= got[(0, 2)][0] < 0.9
+
+    def test_per_anchor_cap_and_ordering(self, spark):
+        from langscrape_spark.operators.ann import hard_negative_pairs
+
+        import math
+
+        rows = [(0, [1.0, 0.0], "A")] + [
+            (i, [math.cos(0.4 + i * 0.1), math.sin(0.4 + i * 0.1)], "B")
+            for i in range(1, 8)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        out = [
+            (r["neg_id"], r["sim"], r["rk"])
+            for r in hard_negative_pairs(
+                emb, k=1, iterations=1, lo=0.05, hi=0.999, per_anchor=3
+            )
+            .where(F.col("vec_id") == 0)
+            .orderBy("rk")
+            .collect()
+        ]
+        assert len(out) == 3
+        sims = [s for _, s, _ in out]
+        assert sims == sorted(sims, reverse=True)
+        # nearest angles first: vec 1 (0.5 rad), 2 (0.6), 3 (0.7)
+        assert [n for n, _, _ in out] == [1, 2, 3]
