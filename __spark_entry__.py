@@ -5899,8 +5899,10 @@ def _record_linkage_oracle() -> str:
                 + CASE WHEN a.lang_f = b.lang_f
                    THEN CAST({wl_a} AS BIGINT)
                    ELSE CAST({wl_d} AS BIGINT) END
-                + CASE WHEN CAST(a.len_bucket AS VARCHAR)
-                         = CAST(b.len_bucket AS VARCHAR)
+                + CASE WHEN coalesce(CAST(a.len_bucket AS VARCHAR),
+                                     '<NULL-FS>')
+                         = coalesce(CAST(b.len_bucket AS VARCHAR),
+                                    '<NULL-FS>')
                    THEN CAST({wb_a} AS BIGINT)
                    ELSE CAST({wb_d} AS BIGINT) END) AS score_micro
           FROM a JOIN b

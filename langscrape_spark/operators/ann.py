@@ -1276,8 +1276,13 @@ def hard_negative_pairs(
 
     cents = ivf_centroids(df, k=k, iterations=iterations,
                           vec_col=vec_col, id_col=id_col)
-    assigned = ivf_assign(df, cents, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col(label_col), "bucket"
+    # bucket -1 is ivf_assign's poison list (NULL / wrong-dimension
+    # vectors): excluded here, otherwise corrupt rows of matching
+    # length would mine each other as "hard negatives".
+    assigned = (
+        ivf_assign(df, cents, vec_col=vec_col)
+        .where(F.col("bucket") >= 0)
+        .select(F.col(id_col), F.col(vec_col), F.col(label_col), "bucket")
     )
     a = assigned.select(
         F.col(id_col).alias("vec_id"),

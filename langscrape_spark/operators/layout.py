@@ -339,14 +339,30 @@ def range_partition_audit(
 
     from .dedup import _md5_lower64
 
-    k = F.col(key_col).cast("string")
-    src = df.select(k.alias("_k")).where(F.col("_k").isNotNull())
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    # The key keeps its NATIVE type: boundaries, the sample sort and
+    # the strictly-less assignment all use the column's own ordering
+    # (a numeric key audited lexicographically would describe a
+    # layout nobody builds). Only the md5 SAMPLE hash stringifies.
+    src = df.select(F.col(key_col).alias("_k")).where(
+        F.col("_k").isNotNull()
+    )
+    if n_parts == 1:
+        # One partition: no boundaries, no sample — exact by
+        # definition (and Spark's sequence(1, 0) would DESCEND, not
+        # be empty, planting a spurious boundary).
+        return src.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(0).alias("part"),
+            "n_rows",
+            F.lit(1.0).alias("skew"),
+        )
     # 63-bit mask BEFORE the modulus: an unsigned engine (DuckDB's
     # md5_number_lower) and Spark's signed pmod only agree on the
     # masked value (2^64 % m != 0 for general m).
     samp = src.where(
         F.pmod(
-            _md5_lower64(F.col("_k")).bitwiseAND(
+            _md5_lower64(F.col("_k").cast("string")).bitwiseAND(
                 F.lit(0x7FFFFFFFFFFFFFFF)
             ),
             F.lit(sample_mod),

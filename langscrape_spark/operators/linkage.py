@@ -104,6 +104,8 @@ def fs_link_pairs(
     Output: ``(id_a, id_b, score_micro long, decision string)``,
     decision in {'link','possible','non_link'}.
     """
+    if not fields:
+        raise ValueError("fs_link_pairs needs at least one FsField")
     bc = list(block_cols)
     if max_block_pairs is not None:
         hot = (

@@ -38,13 +38,14 @@ pinned by tests):
   victim slot = kick mod b).  A failed walk marks the whole bucket
   ``saturated`` — probes there answer maybe=True, so saturation
   degrades precision, NEVER correctness (no false negatives).
-- duplicate fingerprints in a bucket pair are stored ONCE
-  (set semantics).  Corollary shared by every counting-free cuckoo
-  filter: deleting url x also "deletes" a distinct url y that
-  collides with x's (bucket-pair, fp) — probability ~ 2b/2^fbits per
-  pair.  The frontier's contract absorbs this: the filter is a
-  PREFILTER; admission stays exact via the anti-join on the real
-  seen table, and a wrongly-deleted y merely pays that join once.
+- colliding fingerprints in a bucket pair are stored as DUPLICATE
+  COPIES (paper §3.2, up to 2b of them): two distinct urls on the
+  same (bucket-pair, fp) each keep a copy, so deleting one never
+  removes the other's evidence — deletion introduces NO false
+  negatives as long as each url is inserted at most once (which the
+  frontier guarantees: only exact-checked NEW urls are inserted).
+  Per-batch duplicate urls collapse via the canonical hash sort, so
+  a url repeated within one batch still stores one copy.
 - deletion of a never-inserted url is a no-op (counted in the blob's
   ``n_deleted_miss`` so the caller can assert the invariant that
   deletions come from the seen set).
@@ -139,8 +140,13 @@ def _insert_into(table, fps, i1s, i2s, cfg: CuckooConfig):
     for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
         s1 = _slot_view(table, i1, cfg)
         s2 = _slot_view(table, i2, cfg)
-        if (s1 == fp).any() or (s2 == fp).any():
-            continue
+        # DUPLICATE COPIES ARE STORED (paper §3.2, up to 2b): two
+        # distinct urls colliding on (bucket-pair, fp) each keep
+        # their own copy, so deleting one NEVER removes the other's
+        # evidence — the property that keeps deletion free of false
+        # negatives. The caller contract (enforced by the frontier's
+        # exact-check-before-insert flow, documented in cuckoo_update)
+        # is that each url is inserted at most once.
         placed = False
         for s in (s1, s2):
             empties = (s == 0).nonzero()[0]
@@ -238,7 +244,13 @@ def cuckoo_update(
     first so a url revoked and re-crawled in the same round ends up
     PRESENT).  ``changed_only=True`` emits only touched buckets — the
     dynamic-partition-overwrite merge unit, exactly the bloom's
-    per-round I/O contract."""
+    per-round I/O contract.
+
+    Caller contract: insert each url AT MOST ONCE across the state's
+    lifetime (the frontier satisfies this — only urls that passed the
+    exact seen-check are inserted).  Re-inserting stores a second
+    copy, which is harmless for probes but means one delete leaves
+    the url still "present"."""
     import pandas as pd
 
     spark = state.sparkSession
@@ -311,11 +323,17 @@ def cuckoo_probe(
     out: str = "maybe_seen",
 ) -> DataFrame:
     """Candidates + ``maybe_seen`` flag: fingerprint present in either
-    bucket of its pair, or the bucket blob is saturated / absent-but-
-    saturation-unknown.  One cogrouped Arrow pass; inside each bucket
-    the membership test is a vectorized table gather, no per-row
-    python.  No false negatives (tested); false positives fall through
-    to the exact anti-join, so admission stays exact."""
+    bucket of its pair, or the whole bucket blob is saturated.  One
+    cogrouped Arrow pass; inside each bucket the membership test is a
+    vectorized table gather, no per-row python.  No false negatives
+    (tested); false positives fall through to the exact anti-join, so
+    admission stays exact.
+
+    ``state`` must be the FULL filter state (every bucket ever
+    touched): a candidate whose bucket has no blob reads as
+    definitely-new.  Probing a ``changed_only`` DELTA frame would
+    silently answer False for untouched buckets — merge deltas into
+    the stored full state first (the bloom `_STATE` marker flow)."""
     import pandas as pd
 
     cand = candidates.withColumn("_bucket", _bucket_col(cfg)).withColumn(

@@ -114,10 +114,11 @@ def test_deletion_reopens_urls(spark):
     due_urls = {r["url"] for r in due.collect()}
     kept = [u for u in probed if u not in due_urls]
     reopened = [u for u in due_urls if not probed[u]]
-    # Every kept url still screens True (fp collisions with a deleted
-    # url's pair can ONLY arise at ~2b/2^f rate — allow a few).
+    # Every kept url still screens True — duplicate-copy storage
+    # (paper §3.2) makes deletion exactly safe: x's delete removes
+    # x's copy, never y's, so ZERO false negatives, not "a few".
     false_neg_kept = [u for u in kept if not probed[u]]
-    assert len(false_neg_kept) <= 3, false_neg_kept
+    assert false_neg_kept == [], false_neg_kept
     # The vast majority of deleted urls screen False again.
     assert len(reopened) >= 0.99 * len(due_urls)
     st = cuckoo_stats(state, CFG).collect()[0]
@@ -167,3 +168,32 @@ def test_stats_load_factor(spark):
     assert st["n_items"] == 5000
     assert 0 < st["load_factor"] < 0.84
     assert st["n_saturated"] == 0
+
+
+def test_colliding_fingerprints_stored_as_copies_delete_safe():
+    """Direct kernel test of the paper-§3.2 duplicate-copy rule: two
+    entries with the SAME (fp, bucket-pair) each store a copy, and
+    deleting one leaves the other present — deletion can never
+    manufacture a false negative for a distinct colliding url."""
+    import numpy as np
+
+    from langscrape_spark.scheduler.cuckoo import (
+        CuckooConfig,
+        _delete_from,
+        _insert_into,
+        _new_table,
+    )
+
+    cfg = CuckooConfig(n_buckets=1, m=16, b=4, fbits=16)
+    table = _new_table(cfg)
+    fps = np.array([7, 7], dtype=np.uint64)
+    i1s = np.array([3, 3], dtype=np.int64)
+    i2s = np.array([9, 9], dtype=np.int64)
+    n, sat = _insert_into(table, fps, i1s, i2s, cfg)
+    assert n == 2 and not sat
+    assert (table == 7).sum() == 2  # two copies live
+    n_del, n_miss = _delete_from(
+        table, fps[:1], i1s[:1], i2s[:1], cfg
+    )
+    assert n_del == 1 and n_miss == 0
+    assert (table == 7).sum() == 1  # the collider's copy survives

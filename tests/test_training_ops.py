@@ -5787,3 +5787,67 @@ class TestHardNegatives:
         assert sims == sorted(sims, reverse=True)
         # nearest angles first: vec 1 (0.5 rad), 2 (0.6), 3 (0.7)
         assert [n for n, _, _ in out] == [1, 2, 3]
+
+
+class TestRangePartitionerFixes:
+    def test_single_partition_no_spurious_boundary(self, spark):
+        from langscrape_spark.operators.layout import range_partition_audit
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        rows = range_partition_audit(df, "k", n_parts=1, sample_mod=1).collect()
+        assert [(r["part"], r["n_rows"], r["skew"]) for r in rows] == [
+            (0, 100, 1.0)
+        ]
+
+    def test_native_numeric_ordering_not_lexicographic(self, spark):
+        """2 x100, 3 x100, 10 x1000, full sample, 2 parts: the median
+        boundary is 10 under NUMERIC order (everything below it ->
+        one loaded partition, skew 2.0). Lexicographic order would
+        instead split '10' | '2','3' into 1000/200 — the audit must
+        describe the layout a numeric RangePartitioner builds."""
+        from langscrape_spark.operators.layout import range_partition_audit
+
+        vals = [2] * 100 + [3] * 100 + [10] * 1000
+        df = spark.createDataFrame([(v,) for v in vals], ["k"])
+        rows = {
+            r["part"]: (r["n_rows"], r["skew"])
+            for r in range_partition_audit(
+                df, "k", n_parts=2, sample_mod=1
+            ).collect()
+        }
+        assert rows == {0: (1200, 2.0)}
+
+
+class TestLinkageEmptyFields:
+    def test_raises_clearly(self, spark):
+        from langscrape_spark.operators.linkage import fs_link_pairs
+
+        a = spark.createDataFrame([(1, "b")], ["id_a", "blk"])
+        b = spark.createDataFrame([(2, "b")], ["id_b", "blk"])
+        with pytest.raises(ValueError, match="at least one FsField"):
+            fs_link_pairs(a, b, "id_a", "id_b", ["blk"], [], 0, 0)
+
+
+class TestHardNegativePoison:
+    def test_wrong_dimension_vectors_never_mined(self, spark):
+        from langscrape_spark.operators.ann import hard_negative_pairs
+
+        # md5 seed order for {0,1,2,3} is [1,2,0,3] — the k=1
+        # centroid seeds from 2-dim vec 1, so the 3-dim rows are the
+        # poison (wrong dimension RELATIVE to the learned centroids).
+        rows = [
+            (0, [1.0, 0.0], "A"),
+            (1, [0.5, 0.866], "B"),
+            # wrong-dimension poison pair — must NOT appear as a pair
+            (2, [1.0, 0.0, 0.0], "A"),
+            (3, [0.5, 0.866, 0.0], "B"),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        out = hard_negative_pairs(
+            emb, k=1, iterations=1, lo=0.05, hi=0.99, per_anchor=5
+        ).collect()
+        ids = {r["vec_id"] for r in out} | {r["neg_id"] for r in out}
+        assert 2 not in ids and 3 not in ids
+        assert (0, 1) in {(r["vec_id"], r["neg_id"]) for r in out}
