@@ -6327,6 +6327,182 @@ def _hard_negatives_oracle() -> str:
     """
 
 
+def q195_oph_minhash(spark, sf):
+    """One-Permutation MinHash with rotation densification
+    (operators/dedup.py::oph_signature_table — ONE md5 per shingle
+    instead of k, the signature-building CPU saver at corpus scale;
+    Li/Owen/Zhang 2012, Shrivastava/Li 2014): every doc plus a
+    deterministic mutated twin (1..8 appended filler words) gets a
+    32-slot OPH signature; planted dup pairs (doc, twin) and
+    unrelated pairs (doc, previous doc's twin) are scored
+    est_J = equal-slots/32 next to the EXACT shingle Jaccard and the
+    absolute error. The oracle replays the whole decomposition in
+    SQL — hash scatter, per-bin min, doubled-grid circular
+    densification with XOR distance mixing, slot-equality counts and
+    the exact list-intersection Jaccard."""
+    from langscrape_spark.operators.dedup import (
+        oph_jaccard_estimates,
+        oph_signature_table,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 8 + 1).cast("int")),
+            lambda i: F.concat(F.lit("zz"), i.cast("string")),
+        ),
+        " ",
+    )
+    mutant = docs.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.concat(F.col("text"), F.lit(" "), pad).alias("text"),
+    )
+    corpus = base.unionByName(mutant)
+    sigs = oph_signature_table(corpus, "id", "text", k_slots=32)
+    dup_pairs = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+        F.lit("dup").alias("kind"),
+    )
+    other_pairs = docs.where(
+        (F.col("doc_id") % 7 == 1) & (F.col("doc_id") >= 1)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - 1 + 100000).alias("id_b"),
+        F.lit("other").alias("kind"),
+    )
+    pairs = dup_pairs.unionByName(other_pairs)
+    est = oph_jaccard_estimates(
+        pairs.select("id_a", "id_b"), sigs, "id", 32
+    )
+    sha = corpus.select(
+        F.col("id").alias("id_a"),
+        shingles(F.col("text")).alias("_sha"),
+    )
+    shb = corpus.select(
+        F.col("id").alias("id_b"),
+        shingles(F.col("text")).alias("_shb"),
+    )
+    exact = (
+        pairs.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "kind",
+            F.round(
+                F.try_divide(
+                    F.size(F.array_intersect("_sha", "_shb")),
+                    F.size(F.array_union("_sha", "_shb")),
+                ),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        exact.join(est, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "kind",
+            "slots_equal",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oph_minhash_oracle() -> str:
+    return f"""
+        -- OPH replay: one md5 per shingle, 32-bin scatter, per-bin
+        -- min, doubled-grid circular densification (first_value
+        -- IGNORE NULLS forward window), XOR borrow-distance mixing,
+        -- equal-slot counts / 32, exact list-intersection Jaccard.
+        -- Spark: operators/dedup.py::oph_signature_table.
+        WITH base AS (
+          SELECT doc_id AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' ' || array_to_string(
+                   list_transform(range(1, (doc_id % 8) + 2),
+                                  i -> 'zz' || CAST(i AS VARCHAR)), ' ')
+          FROM documents),
+        shing AS (
+          SELECT id, {_SHINGLES3} AS sh
+          FROM (SELECT id, {_TOKENS} AS tok FROM base)),
+        hashes AS (
+          SELECT id, CAST(CAST(md5_number_lower(s) AS HUGEINT)
+                 % (CAST(1 AS HUGEINT) << 63) AS BIGINT) AS h
+          FROM (SELECT id, unnest(sh) AS s FROM shing)),
+        binned AS (
+          SELECT id, CAST(h % 32 AS INT) AS slot, min(h) AS v
+          FROM hashes GROUP BY id, h % 32),
+        grid AS (
+          SELECT id, CAST(s2 AS INT) AS slot2
+          FROM shing, range(0, 64) t(s2)),
+        filled AS (
+          SELECT g.id, g.slot2, b.v
+          FROM grid g LEFT JOIN
+            (SELECT id, slot AS slot2, v FROM binned
+             UNION ALL
+             SELECT id, slot + 32, v FROM binned) b
+            ON g.id = b.id AND g.slot2 = b.slot2),
+        dense AS (
+          SELECT id, slot2,
+                 first_value(v IGNORE NULLS) OVER w AS bv,
+                 first_value(CASE WHEN v IS NOT NULL THEN slot2 END
+                             IGNORE NULLS) OVER w AS bs
+          FROM filled
+          WINDOW w AS (PARTITION BY id ORDER BY slot2
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING)),
+        sigs AS (
+          SELECT id, slot2 AS slot,
+                 xor(bv, CAST(bs - slot2 AS BIGINT)) AS sig
+          FROM dense WHERE slot2 < 32),
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                 'dup' AS kind
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, doc_id - 1 + 100000, 'other'
+          FROM documents WHERE doc_id % 7 = 1 AND doc_id >= 1),
+        eq AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(sum(CASE WHEN a.sig IS NOT NULL
+                           AND b.sig IS NOT NULL
+                           AND a.sig = b.sig THEN 1 ELSE 0 END)
+                      AS BIGINT) AS slots_equal
+          FROM pairs p
+          JOIN sigs a ON a.id = p.id_a
+          JOIN sigs b ON b.id = p.id_b AND b.slot = a.slot
+          GROUP BY p.id_a, p.id_b),
+        ex AS (
+          SELECT p.id_a, p.id_b, p.kind,
+                 round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0
+                       THEN NULL
+                       ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0
+                            / len(list_distinct(sa.sh || sb.sh)) END,
+                       6) AS exact_jaccard
+          FROM pairs p
+          JOIN shing sa ON sa.id = p.id_a
+          JOIN shing sb ON sb.id = p.id_b)
+        SELECT ex.id_a, ex.id_b, ex.kind, eq.slots_equal,
+               round(eq.slots_equal / 32.0, 6) AS est_jaccard,
+               ex.exact_jaccard,
+               round(abs(round(eq.slots_equal / 32.0, 6)
+                     - ex.exact_jaccard), 6) AS abs_err
+        FROM ex JOIN eq ON ex.id_a = eq.id_a AND ex.id_b = eq.id_b
+        ORDER BY ex.id_a, ex.id_b
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6718,6 +6894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_range_partitioner": q192_range_partitioner,
         "q193_incremental_pagerank": q193_incremental_pagerank,
         "q194_hard_negatives": q194_hard_negatives,
+        "q195_oph_minhash": q195_oph_minhash,
     })
 
 
@@ -11959,6 +12136,7 @@ def oracle_sql() -> dict[str, str]:
         "q192_range_partitioner": _range_partitioner_oracle(),
         "q193_incremental_pagerank": _incremental_pagerank_oracle(),
         "q194_hard_negatives": _hard_negatives_oracle(),
+        "q195_oph_minhash": _oph_minhash_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

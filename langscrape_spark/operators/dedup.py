@@ -1367,3 +1367,136 @@ def novelty_fraction(
             ),
         )
     )
+
+
+def oph_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_slots: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One-Permutation MinHash with rotation densification — the
+    signature that costs ONE hash per shingle instead of ``k_slots``
+    (Li, Owen & Zhang, NIPS 2012; densification: Shrivastava & Li,
+    ICML 2014).
+
+    Classic ``minhash_signature`` evaluates k hash functions per
+    shingle (k·|shingles| md5 computations per doc — the dominant CPU
+    cost of signature building at corpus scale). OPH hashes each
+    shingle ONCE, scatters hashes into ``pmod(h, k_slots)`` bins, and
+    takes the per-bin minimum; an empty bin borrows from the nearest
+    non-empty bin to its right (circular), with the borrow distance
+    XOR-mixed in (``v XOR t`` — XOR, never ``+``: addition near 2^63
+    would overflow, which ANSI Spark throws on and DuckDB rejects)
+    so two docs sharing a donor bin at different distances don't
+    fake-collide. Per-slot collision probability remains ~Jaccard
+    (the 2014 paper's unbiasedness argument), so
+    est_J = |equal slots| / k_slots.
+
+    Scale shape: the hash scatter is one explode + hash-agg
+    (map-side-combinable min); densification runs per doc over a
+    2·k_slots-row frame (bounded window inside the doc partition,
+    wraparound via the doubled-grid trick) — no joins between docs,
+    no k-hash fan-out. Empty docs (no shingles) yield NULL
+    signatures in every slot.
+
+    Output: ``(id_col, slot int, sig long|NULL)`` — exactly
+    ``k_slots`` rows per input doc.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col)).distinct()
+    ex = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    ).select(
+        id_col,
+        _md5_lower64(F.col("_sh"))
+        .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+        .alias("_h"),
+    )
+    binned = ex.groupBy(
+        id_col, F.pmod(F.col("_h"), F.lit(k_slots)).alias("slot")
+    ).agg(F.min("_h").alias("_v"))
+    # Doubled grid 0..2k-1: the second copy carries the same filled
+    # values at slot+k so a forward-looking window sees the circular
+    # wraparound; only slots < k survive.
+    grid = ids.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(2 * k_slots - 1))).alias(
+            "slot2"
+        ),
+    )
+    filled = grid.join(
+        binned.select(
+            id_col, F.col("slot").alias("slot2"), F.col("_v")
+        ).unionByName(
+            binned.select(
+                id_col,
+                (F.col("slot") + k_slots).alias("slot2"),
+                F.col("_v"),
+            )
+        ),
+        [id_col, "slot2"],
+        "left",
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("slot2")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    src_slot = F.when(F.col("_v").isNotNull(), F.col("slot2"))
+    densified = filled.select(
+        id_col,
+        F.col("slot2"),
+        F.first("_v", ignorenulls=True).over(w).alias("_bv"),
+        F.first(src_slot, ignorenulls=True).over(w).alias("_bs"),
+    ).where(F.col("slot2") < k_slots)
+    return densified.select(
+        id_col,
+        F.col("slot2").cast("int").alias("slot"),
+        F.col("_bv")
+        .bitwiseXOR(F.col("_bs") - F.col("slot2"))
+        .alias("sig"),
+    )
+
+
+def oph_jaccard_estimates(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k_slots: int = 32,
+) -> DataFrame:
+    """Per-pair OPH Jaccard estimate from two signature tables: join
+    both sides' k-slot rows and count equal signatures. ``pairs``
+    must carry ``id_a``/``id_b``; NULL slots (empty docs) never count
+    as equal. Output: ``(id_a, id_b, slots_equal, est_jaccard)``."""
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), "slot", F.col("sig").alias("_sa")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), "slot", F.col("sig").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "slot"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (
+                    F.col("_sa").isNotNull()
+                    & F.col("_sb").isNotNull()
+                    & (F.col("_sa") == F.col("_sb"))
+                ).cast("long")
+            ).alias("slots_equal")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "slots_equal",
+            F.round(F.col("slots_equal") / F.lit(float(k_slots)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -5851,3 +5851,87 @@ class TestHardNegativePoison:
         ids = {r["vec_id"] for r in out} | {r["neg_id"] for r in out}
         assert 2 not in ids and 3 not in ids
         assert (0, 1) in {(r["vec_id"], r["neg_id"]) for r in out}
+
+
+# ---------------------------------------------------------------------------
+# One-permutation MinHash (q195)
+# ---------------------------------------------------------------------------
+
+class TestOphMinhash:
+    def _sigs(self, spark, rows, k=16):
+        from langscrape_spark.operators.dedup import oph_signature_table
+
+        df = spark.createDataFrame(rows, ["id", "text"])
+        return oph_signature_table(df, "id", "text", k_slots=k)
+
+    def test_identical_docs_full_agreement(self, spark):
+        from langscrape_spark.operators.dedup import oph_jaccard_estimates
+
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        sigs = self._sigs(spark, [(1, t), (2, t)])
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = oph_jaccard_estimates(pairs, sigs, "id", 16).collect()[0]
+        assert r["slots_equal"] == 16 and r["est_jaccard"] == 1.0
+
+    def test_disjoint_docs_no_agreement(self, spark):
+        from langscrape_spark.operators.dedup import oph_jaccard_estimates
+
+        a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(10))
+        b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(10))
+        sigs = self._sigs(spark, [(1, a), (2, b)])
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = oph_jaccard_estimates(pairs, sigs, "id", 16).collect()[0]
+        # XOR distance mixing means borrowed slots from different
+        # donors almost never collide; allow tiny noise.
+        assert r["est_jaccard"] <= 0.125
+
+    def test_exact_row_count_and_empty_doc_nulls(self, spark):
+        sigs = self._sigs(spark, [(1, "one two three four five"), (2, "x")])
+        rows = sigs.collect()
+        assert len(rows) == 32  # 16 slots x 2 docs, even for empty
+        doc2 = [r for r in rows if r["id"] == 2]
+        # "x" alone yields zero 3-shingles -> every slot NULL
+        assert len(doc2) == 16 and all(r["sig"] is None for r in doc2)
+
+    def test_filled_slots_carry_raw_bin_minimum(self, spark):
+        """A slot that received hashes must hold the raw per-bin min
+        (borrow distance 0 -> XOR 0 is the identity)."""
+        from langscrape_spark.operators.dedup import (
+            _md5_lower64,
+            shingles,
+        )
+
+        t = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame([(1, t)], ["id", "text"])
+        expected = (
+            df.select(F.explode(shingles(F.col("text"))).alias("s"))
+            .select(
+                _md5_lower64(F.col("s"))
+                .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+                .alias("h")
+            )
+            .select(F.pmod("h", F.lit(16)).alias("slot"), "h")
+            .groupBy("slot")
+            .agg(F.min("h").alias("v"))
+        )
+        exp = {r["slot"]: r["v"] for r in expected.collect()}
+        got = {
+            r["slot"]: r["sig"] for r in self._sigs(spark, [(1, t)]).collect()
+        }
+        for slot, v in exp.items():
+            assert got[slot] == v
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, f"doc {i} words " + " ".join(f"t{j}" for j in range(i % 9 + 3))) for i in range(40)]
+        from langscrape_spark.operators.dedup import oph_signature_table
+
+        df = spark.createDataFrame(rows, ["id", "text"])
+        a = sorted(
+            (r["id"], r["slot"], r["sig"])
+            for r in oph_signature_table(df.repartition(1), "id", "text", 16).collect()
+        )
+        b = sorted(
+            (r["id"], r["slot"], r["sig"])
+            for r in oph_signature_table(df.repartition(7), "id", "text", 16).collect()
+        )
+        assert a == b
