@@ -6503,6 +6503,98 @@ def _oph_minhash_oracle() -> str:
     """
 
 
+def q196_waterfill(spark, sf):
+    """Max-min fair (water-filling) crawl-budget allocation
+    (operators/sharding.py::waterfill_allocation — the fairness
+    complement of q139's proportional Hamilton split): per-host
+    frontier backlogs (docs per (source, doc_id%31) cell) share an
+    integer budget of 60% of total demand; the water level is found
+    over the DISTINCT-demand distribution (one window over demand
+    values, never a per-host sort), leftover units go to the
+    lowest-host-id unsatisfied hosts. The oracle re-derives the
+    cumulative distribution, the level fit, the integer
+    level/remainder closed form and the per-host allocation."""
+    from langscrape_spark.operators.sharding import waterfill_allocation
+
+    docs = _t(spark, sf, "documents")
+    hosts = docs.groupBy(
+        F.concat(
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 31).cast("string"),
+        ).alias("host")
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    budget = docs.count() * 3 // 5  # bounded scalar, mirrored in SQL
+    return waterfill_allocation(hosts, "host", "demand", budget).orderBy(
+        "host"
+    )
+
+
+def _waterfill_oracle() -> str:
+    return """
+        -- Water-filling replay: distinct-demand cumulative
+        -- distribution, largest fitting level v0, integer
+        -- level/remainder closed form, per-host allocation with
+        -- host-ascending remainder. Spark: operators/sharding.py::
+        -- waterfill_allocation (budget = 3/5 of total docs).
+        WITH b AS (
+          SELECT CAST(count(*) * 3 // 5 AS BIGINT) AS budget
+          FROM documents),
+        hosts AS (
+          SELECT source || '-' || CAST(doc_id % 31 AS VARCHAR) AS host,
+                 CAST(count(*) AS BIGINT) AS demand
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(demand) AS BIGINT) AS d_tot FROM hosts),
+        dist AS (
+          SELECT demand, CAST(count(*) AS BIGINT) AS cnt
+          FROM hosts GROUP BY demand),
+        lv AS (
+          SELECT demand,
+                 sum(demand * cnt) OVER w AS cum_d,
+                 sum(cnt) OVER w AS cum_n
+          FROM dist
+          WINDOW w AS (ORDER BY demand ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)),
+        fits AS (
+          SELECT lv.demand AS v0, lv.cum_d AS cd0, lv.cum_n AS cn0
+          FROM lv, tot, b
+          WHERE lv.cum_d + (tot.n - lv.cum_n) * lv.demand <= b.budget
+          ORDER BY lv.demand DESC LIMIT 1),
+        parm AS (
+          SELECT coalesce(f.v0, 0) AS v0, coalesce(f.cd0, 0) AS cd0,
+                 coalesce(f.cn0, 0) AS cn0, t.n, t.d_tot, b.budget
+          FROM tot t CROSS JOIN b LEFT JOIN fits f ON TRUE),
+        lvl AS (
+          SELECT CASE WHEN d_tot <= budget THEN NULL
+                 ELSE v0 + CASE WHEN n - cn0 > 0 THEN
+                   (budget - cd0 - (n - cn0) * v0) // (n - cn0)
+                   ELSE 0 END END AS level,
+                 CASE WHEN d_tot <= budget OR n - cn0 <= 0 THEN 0
+                 ELSE (budget - cd0 - (n - cn0) * v0)
+                      % (n - cn0) END AS rem,
+                 d_tot, budget
+          FROM parm),
+        unsat AS (
+          SELECT host,
+                 row_number() OVER (ORDER BY host) AS rn
+          FROM hosts, lvl
+          WHERE lvl.level IS NOT NULL AND demand > lvl.level)
+        SELECT h.host, h.demand,
+               CAST(CASE WHEN l.level IS NULL THEN h.demand
+                    WHEN h.demand <= l.level THEN h.demand
+                    ELSE l.level + CASE WHEN u.rn <= l.rem
+                         THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+               CAST(CASE WHEN l.level IS NULL
+                         OR h.demand <= l.level
+                    THEN 1 ELSE 0 END AS INT) AS satisfied
+        FROM hosts h CROSS JOIN lvl l
+        LEFT JOIN unsat u ON h.host = u.host
+        ORDER BY h.host
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6895,6 +6987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_incremental_pagerank": q193_incremental_pagerank,
         "q194_hard_negatives": q194_hard_negatives,
         "q195_oph_minhash": q195_oph_minhash,
+        "q196_waterfill": q196_waterfill,
     })
 
 
@@ -12137,6 +12230,7 @@ def oracle_sql() -> dict[str, str]:
         "q193_incremental_pagerank": _incremental_pagerank_oracle(),
         "q194_hard_negatives": _hard_negatives_oracle(),
         "q195_oph_minhash": _oph_minhash_oracle(),
+        "q196_waterfill": _waterfill_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

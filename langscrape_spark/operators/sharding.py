@@ -621,3 +621,133 @@ h{k} AS MATERIALIZED (
          AS BIGINT) AS cum_cost
 FROM steps, chk WHERE chk.c = {n_shards} ORDER BY step"""
     return ",\n".join(parts) + "\n" + final
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    host_col: str,
+    demand_col: str,
+    budget: int,
+) -> DataFrame:
+    """Max-min fair (water-filling) crawl-budget allocation: split an
+    integer URL budget across hosts so no host gets more than its
+    demand and, subject to that, the smallest allocations are as
+    large as possible — the fairness rule that stops a handful of
+    mega-hosts from starving the long tail (the complement of
+    :func:`apportion_budget`'s proportional Hamilton split: water-
+    filling is what you want when demand EQUALS frontier backlog and
+    politeness already caps per-host rates).
+
+    Exact integer mechanics: with hosts sorted by demand, the water
+    level L is the largest level where satisfying every demand <= L
+    in full and giving L to everyone else stays within budget;
+    leftover units (< hosts above L) go one each to the
+    lowest-host-id unsatisfied hosts (deterministic largest-remainder
+    twin of q139's rule).
+
+    Scale shape: the level search runs over the DISTINCT-demand
+    distribution, not hosts — groupBy(demand) → counts → one window
+    over distinct demand values (thousands of distinct backlog sizes
+    even at 10^10 urls, vs millions of hosts), then the level and
+    remainder broadcast back as one-row literals. The only per-host
+    work is a projection plus a bounded row_number over the hosts at
+    the waterline that split the remainder.
+
+    Output: ``(host, demand, alloc, satisfied int)`` with
+    sum(alloc) == min(budget, sum(demand)).
+    """
+    from pyspark.sql import Window
+
+    hosts = df.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    ).where(F.col("demand") > 0)
+    dist = hosts.groupBy("demand").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # For each distinct demand value v: consumed(v) = full service of
+    # all demands <= v plus v for every host above. The level is the
+    # largest v with consumed(v) <= budget.
+    n_tot = hosts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("demand").alias("d_tot")
+    )
+    lv = (
+        dist.withColumn("cum_d", F.sum(F.col("demand") * F.col("cnt")).over(wv))
+        .withColumn("cum_n", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "consumed",
+            F.col("cum_d") + (F.col("n") - F.col("cum_n")) * F.col("demand"),
+        )
+    )
+    # Base level: largest distinct demand whose consumed <= budget; if
+    # none (even level 0... budget smaller than n), level comes from
+    # the closed form below. If total demand <= budget, everyone is
+    # satisfied and the level is irrelevant.
+    fits = (
+        lv.where(F.col("consumed") <= budget)
+        .orderBy(F.desc("demand"))
+        .limit(1)
+        .select(
+            F.col("demand").alias("v0"),
+            F.col("cum_d").alias("cd0"),
+            F.col("cum_n").alias("cn0"),
+        )
+    )
+    spark = df.sparkSession
+    base = fits.collect()  # ONE row (or none) — bounded driver scalar
+    tot = n_tot.collect()[0]
+    n, d_tot = tot["n"] or 0, tot["d_tot"] or 0
+    if n == 0 or budget <= 0:
+        return hosts.select(
+            "host",
+            "demand",
+            F.lit(0).cast("long").alias("alloc"),
+            F.lit(0).alias("satisfied"),
+        )
+    if d_tot <= budget:
+        return hosts.select(
+            "host",
+            "demand",
+            F.col("demand").alias("alloc"),
+            F.lit(1).alias("satisfied"),
+        )
+    if base:
+        v0, cd0, cn0 = base[0]["v0"], base[0]["cd0"], base[0]["cn0"]
+    else:
+        v0, cd0, cn0 = 0, 0, 0
+    above = n - cn0
+    # Raise the level integer-exactly past v0: extra full units each
+    # of the `above` hosts can take without passing the next demand
+    # value or the budget.
+    spare = budget - (cd0 + above * v0)
+    level = v0 + (spare // above if above else 0)
+    rem = spare - (spare // above) * above if above else 0
+    # Hosts with demand > level get `level` (+1 for the `rem`
+    # lowest-host-id among them). The remainder pick is orderBy +
+    # limit — TakeOrderedAndProject's per-partition top-k, NOT a
+    # global row_number window (which would single-partition every
+    # unsatisfied host; rem < hosts-above-level, usually tiny).
+    plus_one = (
+        hosts.where(F.col("demand") > level)
+        .select("host")
+        .orderBy("host")
+        .limit(int(rem))
+        .select("host", F.lit(1).cast("long").alias("_plus"))
+    )
+    return (
+        hosts.join(F.broadcast(plus_one), "host", "left")
+        .select(
+            "host",
+            "demand",
+            F.when(
+                F.col("demand") <= level, F.col("demand")
+            )
+            .otherwise(F.lit(level) + F.coalesce("_plus", F.lit(0)))
+            .alias("alloc"),
+            (F.col("demand") <= level).cast("int").alias("satisfied"),
+        )
+    )

@@ -5935,3 +5935,63 @@ class TestOphMinhash:
             for r in oph_signature_table(df.repartition(7), "id", "text", 16).collect()
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Water-filling budget allocation (q196)
+# ---------------------------------------------------------------------------
+
+class TestWaterfill:
+    def _run(self, spark, demands, budget):
+        from langscrape_spark.operators.sharding import waterfill_allocation
+
+        df = spark.createDataFrame(
+            [(f"h{i:02d}", d) for i, d in enumerate(demands)],
+            ["host", "demand"],
+        )
+        return {
+            r["host"]: (r["alloc"], r["satisfied"])
+            for r in waterfill_allocation(df, "host", "demand", budget).collect()
+        }
+
+    def test_capped_level_and_remainder(self, spark):
+        # demands [1, 4, 10, 10], budget 12 -> level fit: v0=1
+        # (1 + 3*1 = 4 <= 12), spare = 12-1-3 = 8, level = 1+2 = 3,
+        # rem = 2 -> two lowest unsat hosts (h01, h02) get 4, h03 gets 3.
+        out = self._run(spark, [1, 4, 10, 10], 12)
+        assert out == {
+            "h00": (1, 1),
+            "h01": (4, 0),
+            "h02": (4, 0),
+            "h03": (3, 0),
+        }
+        assert sum(a for a, _ in out.values()) == 12
+
+    def test_all_satisfied_when_budget_covers(self, spark):
+        out = self._run(spark, [3, 5, 2], 100)
+        assert out == {"h00": (3, 1), "h01": (5, 1), "h02": (2, 1)}
+
+    def test_budget_below_host_count(self, spark):
+        # budget 2 over 3 hosts: level 0, rem 2 -> first two hosts 1.
+        out = self._run(spark, [5, 5, 5], 2)
+        assert out == {"h00": (1, 0), "h01": (1, 0), "h02": (1, 0)} or out == {
+            "h00": (1, 0),
+            "h01": (1, 0),
+            "h02": (0, 0),
+        }
+        assert sum(a for a, _ in out.values()) == 2
+
+    def test_conservation_property(self, spark):
+        import random
+
+        rng = random.Random(7)
+        demands = [rng.randint(1, 50) for _ in range(40)]
+        for budget in (10, 137, 600, sum(demands)):
+            out = self._run(spark, demands, budget)
+            total = sum(a for a, _ in out.values())
+            assert total == min(budget, sum(demands)), (budget, total)
+            # no host exceeds its demand; max-min: every unsatisfied
+            # host's alloc within 1 of every other unsatisfied host's
+            unsat = [a for a, s in out.values() if s == 0]
+            if unsat:
+                assert max(unsat) - min(unsat) <= 1
