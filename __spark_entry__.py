@@ -6595,6 +6595,97 @@ def _waterfill_oracle() -> str:
     """
 
 
+def q197_texttiling(spark, sf):
+    """TextTiling topical segmentation (operators/segmentation.py::
+    texttile_boundaries, w=20, radius=2, offset 0.05): documents
+    split into 20-token blocks, each inter-block gap scored by the
+    integer-count cosine of its two blocks (micro-units), depth =
+    bounded-window valley depth, boundary iff depth clears
+    mean + 0.05 by exact integer cross-multiplication — chunk long
+    pages at topic shifts instead of arbitrary token counts. The
+    oracle replays block counts, the adjacent-block dot join, both
+    bounded windows and the integer boundary rule."""
+    from langscrape_spark.operators.segmentation import (
+        texttile_boundaries,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return (
+        texttile_boundaries(docs, "doc_id", "text", w=20, radius=2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _texttiling_oracle() -> str:
+    return f"""
+        -- TextTiling replay: 20-token blocks, integer block-term
+        -- counts, adjacent-block integer dot / sqrt-norm cosine in
+        -- micro-units, radius-2 bounded peak windows, integer
+        -- cross-multiplied mean+0.05 boundary rule. Spark:
+        -- operators/segmentation.py::texttile_boundaries.
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 generate_subscripts(tok, 1) - 1 AS pos,
+                 unnest(tok) AS term
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+        counts AS (
+          SELECT id, pos // 20 AS blk, term,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY id, pos // 20, term),
+        norms AS (
+          SELECT id, blk, sum(c * c) AS n2
+          FROM counts GROUP BY id, blk),
+        nb AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_blocks
+          FROM norms GROUP BY id),
+        dots AS (
+          SELECT a.id, a.blk AS g, sum(a.c * b.c) AS dot
+          FROM counts a JOIN counts b
+            ON a.id = b.id AND b.blk = a.blk + 1 AND a.term = b.term
+          GROUP BY a.id, a.blk),
+        gaps AS (
+          SELECT na.id, na.blk AS g,
+                 CAST(round(coalesce(d.dot, 0)
+                   / (sqrt(na.n2) * sqrt(nbn.n2)) * 1e6) AS BIGINT)
+                   AS sim_micro
+          FROM norms na
+          JOIN norms nbn ON na.id = nbn.id AND nbn.blk = na.blk + 1
+          LEFT JOIN dots d ON d.id = na.id AND d.g = na.blk),
+        depth AS (
+          SELECT id, g,
+                 (max(sim_micro) OVER wl - sim_micro)
+                 + (max(sim_micro) OVER wr - sim_micro) AS depth_micro
+          FROM gaps
+          WINDOW wl AS (PARTITION BY id ORDER BY g
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 wr AS (PARTITION BY id ORDER BY g
+                        ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)),
+        stats AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_gaps,
+                 sum(depth_micro) AS sum_depth
+          FROM depth GROUP BY id),
+        marked AS (
+          SELECT d.id, d.g
+          FROM depth d JOIN stats s ON d.id = s.id
+          WHERE d.depth_micro * s.n_gaps
+                >= s.sum_depth + 50000 * s.n_gaps),
+        bounds AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_boundaries,
+                 string_agg(CAST(g AS VARCHAR), ',' ORDER BY g)
+                   AS boundaries
+          FROM marked GROUP BY id)
+        SELECT nb.id AS doc_id, nb.n_blocks,
+               coalesce(s.n_gaps, 0) AS n_gaps,
+               coalesce(b.n_boundaries, 0) AS n_boundaries,
+               coalesce(b.boundaries, '') AS boundaries
+        FROM nb
+        LEFT JOIN stats s ON nb.id = s.id
+        LEFT JOIN bounds b ON nb.id = b.id
+        ORDER BY nb.id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -6988,6 +7079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_hard_negatives": q194_hard_negatives,
         "q195_oph_minhash": q195_oph_minhash,
         "q196_waterfill": q196_waterfill,
+        "q197_texttiling": q197_texttiling,
     })
 
 
@@ -12231,6 +12323,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_hard_negatives": _hard_negatives_oracle(),
         "q195_oph_minhash": _oph_minhash_oracle(),
         "q196_waterfill": _waterfill_oracle(),
+        "q197_texttiling": _texttiling_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

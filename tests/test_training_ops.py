@@ -5995,3 +5995,48 @@ class TestWaterfill:
             unsat = [a for a, s in out.values() if s == 0]
             if unsat:
                 assert max(unsat) - min(unsat) <= 1
+
+
+# ---------------------------------------------------------------------------
+# TextTiling segmentation (q197)
+# ---------------------------------------------------------------------------
+
+class TestTextTiling:
+    def test_topic_shift_is_detected(self, spark):
+        from langscrape_spark.operators.segmentation import (
+            texttile_boundaries,
+        )
+
+        # Three topical sections of 40 tokens each (w=20 -> 6 blocks):
+        # cosine is high INSIDE a section, ~0 across section borders,
+        # so gaps 1 and 3 (the borders) are the valleys.
+        secs = [
+            " ".join(f"apple banana cherry date" for _ in range(10)),
+            " ".join(f"quark lepton boson gluon" for _ in range(10)),
+            " ".join(f"sonnet stanza meter rhyme" for _ in range(10)),
+        ]
+        doc = " ".join(secs)
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        row = texttile_boundaries(df, "doc_id", "text", w=20).collect()[0]
+        assert row["n_blocks"] == 6 and row["n_gaps"] == 5
+        assert row["boundaries"] == "1,3"
+
+    def test_uniform_doc_has_no_boundaries(self, spark):
+        from langscrape_spark.operators.segmentation import (
+            texttile_boundaries,
+        )
+
+        doc = " ".join("same words every time here" for _ in range(20))
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        row = texttile_boundaries(df, "doc_id", "text", w=20).collect()[0]
+        assert row["n_boundaries"] == 0 and row["boundaries"] == ""
+
+    def test_short_doc_zero_gaps(self, spark):
+        from langscrape_spark.operators.segmentation import (
+            texttile_boundaries,
+        )
+
+        df = spark.createDataFrame([(1, "just a few words")], ["doc_id", "text"])
+        row = texttile_boundaries(df, "doc_id", "text", w=20).collect()[0]
+        assert row["n_blocks"] == 1 and row["n_gaps"] == 0
+        assert row["n_boundaries"] == 0
