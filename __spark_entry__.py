@@ -6686,6 +6686,102 @@ def _texttiling_oracle() -> str:
     """
 
 
+def q198_hilbert_layout(spark, sf):
+    """Hilbert-curve layout audit vs Z-order (operators/layout.py::
+    hilbert_file_stats — the liquid-clustering/Iceberg-writer default
+    curve): both layouts bucket the events (ts, user_id) plane
+    identically (8-bit cells, 16 curve-range files) and report each
+    file's bounding rectangle plus its area — the Hilbert curve has
+    no Morton seams, so its rectangles are tighter and min/max
+    pruning sharper (visible in the area column). The xy->d
+    transform is one Arrow numpy pass; the oracle rebuilds it as an
+    unrolled per-bit CTE chain (hilbert_sql_chain, verified
+    bijective against the textbook xy2d) next to the q117 morton
+    twin."""
+    from langscrape_spark.operators.layout import (
+        hilbert_file_stats,
+        zorder_file_stats,
+    )
+
+    ev = _t(spark, sf, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp"))
+    y = F.col("user_id")
+    h = hilbert_file_stats(ev, x, y, bits=8, files=16).withColumn(
+        "layout", F.lit("hilbert")
+    )
+    z = zorder_file_stats(ev, x, y, bits=8, files=16).withColumn(
+        "layout", F.lit("zorder")
+    )
+    return (
+        h.unionByName(z)
+        .select(
+            "layout",
+            "file_id",
+            "n_rows",
+            "xb_min",
+            "xb_max",
+            "yb_min",
+            "yb_max",
+            (
+                (F.col("xb_max") - F.col("xb_min") + 1)
+                * (F.col("yb_max") - F.col("yb_min") + 1)
+            ).alias("rect_area"),
+        )
+        .orderBy("layout", "file_id")
+    )
+
+
+def _hilbert_oracle() -> str:
+    from langscrape_spark.operators.layout import (
+        hilbert_sql_chain,
+        morton_sql,
+    )
+
+    ctes, fin = hilbert_sql_chain("b", 8)
+    bucket = lambda v, lo, hi: (  # noqa: E731
+        f"least(greatest(CAST(coalesce(floor(({v} - {lo}) * 256.0 / "
+        f"nullif({hi} - {lo}, 0)), 0) AS BIGINT), 0), 255)"
+    )
+    return f"""
+        -- Hilbert + Morton layout twin: q117's bucket formula, the
+        -- unrolled per-bit Hilbert CTE chain (hilbert_sql_chain) and
+        -- morton_sql over the SAME cells, 4096-wide curve ranges,
+        -- bounding rectangles + areas.
+        WITH d AS (
+          SELECT CAST(epoch_us(ts) AS DOUBLE) AS x,
+                 CAST(user_id AS DOUBLE) AS y
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        r AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                     min(y) AS ylo, max(y) AS yhi FROM d),
+        b AS (
+          SELECT {bucket("x", "xlo", "xhi")} AS xb,
+                 {bucket("y", "ylo", "yhi")} AS yb
+          FROM d, r),
+        {ctes},
+        hf AS (
+          SELECT 'hilbert' AS layout,
+                 CAST(floor(hval / 4096) AS BIGINT) AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(xb) AS xb_min, max(xb) AS xb_max,
+                 min(yb) AS yb_min, max(yb) AS yb_max
+          FROM {fin} GROUP BY 2),
+        zf AS (
+          SELECT 'zorder' AS layout,
+                 CAST(floor({morton_sql("xb", "yb", 8)} / 4096)
+                      AS BIGINT) AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(xb) AS xb_min, max(xb) AS xb_max,
+                 min(yb) AS yb_min, max(yb) AS yb_max
+          FROM b GROUP BY 2),
+        u AS (SELECT * FROM hf UNION ALL SELECT * FROM zf)
+        SELECT layout, file_id, n_rows, xb_min, xb_max, yb_min,
+               yb_max,
+               (xb_max - xb_min + 1) * (yb_max - yb_min + 1)
+                 AS rect_area
+        FROM u ORDER BY layout, file_id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7080,6 +7176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_oph_minhash": q195_oph_minhash,
         "q196_waterfill": q196_waterfill,
         "q197_texttiling": q197_texttiling,
+        "q198_hilbert_layout": q198_hilbert_layout,
     })
 
 
@@ -12324,6 +12421,7 @@ def oracle_sql() -> dict[str, str]:
         "q195_oph_minhash": _oph_minhash_oracle(),
         "q196_waterfill": _waterfill_oracle(),
         "q197_texttiling": _texttiling_oracle(),
+        "q198_hilbert_layout": _hilbert_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

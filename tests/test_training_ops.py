@@ -6040,3 +6040,35 @@ class TestTextTiling:
         row = texttile_boundaries(df, "doc_id", "text", w=20).collect()[0]
         assert row["n_blocks"] == 1 and row["n_gaps"] == 0
         assert row["n_boundaries"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout audit (q198)
+# ---------------------------------------------------------------------------
+
+class TestHilbertLayout:
+    def test_curve_is_bijective_and_locality_beats_morton(self, spark):
+        from langscrape_spark.operators.layout import (
+            hilbert_file_stats,
+            zorder_file_stats,
+        )
+
+        # full 32x32 grid (bits=5) — every cell exactly once
+        grid = spark.range(1024).select(
+            (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+        )
+        h = hilbert_file_stats(grid, F.col("x"), F.col("y"), bits=5, files=16)
+        z = zorder_file_stats(grid, F.col("x"), F.col("y"), bits=5, files=16)
+        hr = {r["file_id"]: r for r in h.collect()}
+        zr = {r["file_id"]: r for r in z.collect()}
+        # bijective: every file holds exactly 1024/16 cells
+        assert all(r["n_rows"] == 64 for r in hr.values()) and len(hr) == 16
+        assert all(r["n_rows"] == 64 for r in zr.values()) and len(zr) == 16
+        area = lambda r: (r["xb_max"] - r["xb_min"] + 1) * (  # noqa: E731
+            r["yb_max"] - r["yb_min"] + 1
+        )
+        # On a full grid both curves tile 64-cell files; Hilbert's
+        # total bounding area never exceeds Morton's (no seams).
+        assert sum(map(area, hr.values())) <= sum(map(area, zr.values()))
+        # and every Hilbert file is a perfect 64-cell rectangle
+        assert all(area(r) == 64 for r in hr.values())
