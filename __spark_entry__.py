@@ -6782,6 +6782,68 @@ def _hilbert_oracle() -> str:
     """
 
 
+def q199_aimd_rates(spark, sf):
+    """AIMD adaptive politeness rates (operators/sessions.py::
+    aimd_rate_trajectory — TCP congestion control for crawl rates):
+    per-host overload history (any event with value > 200 in a
+    day-mod-8 round = a 429-class signal) drives the exact integer
+    micro-unit recurrence rate+0.25 on clean rounds, rate/2 floored
+    at 0.125 on overload. The whole 8-round trajectory is ONE JVM
+    aggregate fold over a densified boolean array per host — no
+    per-round joins; the oracle unrolls the identical recurrence as
+    one CTE per round."""
+    from langscrape_spark.operators.sessions import aimd_rate_trajectory
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 23).cast("string")
+        ).alias("host"),
+        (F.dayofmonth("ts") % 8).alias("r"),
+        (F.col("value") > 200).alias("e"),
+    )
+    return aimd_rate_trajectory(
+        ev, "host", "r", "e", n_rounds=8
+    ).orderBy("host", "round")
+
+
+def _aimd_oracle() -> str:
+    parts = [
+        """
+        WITH errs AS (
+          SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                 CAST(EXTRACT(day FROM ts) % 8 AS INT) AS r,
+                 max(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS e
+          FROM events GROUP BY 1, 2),
+        hosts AS (SELECT DISTINCT host FROM errs),
+        t0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rate,
+                      CAST(NULL AS INT) AS err FROM hosts)"""
+    ]
+    for r in range(8):
+        parts.append(
+            f"""
+        t{r + 1} AS (
+          SELECT t.host,
+                 CASE WHEN coalesce(e.e, 0) = 1
+                      THEN greatest(CAST(125000 AS BIGINT),
+                           CAST(floor((t.rate * 1) / 2) AS BIGINT))
+                      ELSE t.rate + 250000 END AS rate,
+                 CAST(coalesce(e.e, 0) AS INT) AS err
+          FROM t{r} t LEFT JOIN errs e
+            ON e.host = t.host AND e.r = {r})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT host, CAST({r} AS INT) AS round, err,"
+        f" rate AS rate_micro FROM t{r + 1}"
+        for r in range(8)
+    )
+    return (
+        "-- AIMD recurrence unrolled (one CTE per round); Spark:\n"
+        "-- operators/sessions.py::aimd_rate_trajectory.\n"
+        + ",".join(parts)
+        + f"\n{sel}\nORDER BY host, round"
+    )
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7177,6 +7239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_waterfill": q196_waterfill,
         "q197_texttiling": q197_texttiling,
         "q198_hilbert_layout": q198_hilbert_layout,
+        "q199_aimd_rates": q199_aimd_rates,
     })
 
 
@@ -12422,6 +12485,7 @@ def oracle_sql() -> dict[str, str]:
         "q196_waterfill": _waterfill_oracle(),
         "q197_texttiling": _texttiling_oracle(),
         "q198_hilbert_layout": _hilbert_oracle(),
+        "q199_aimd_rates": _aimd_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -169,3 +169,109 @@ def politeness_audit(
             ),
         )
     )
+
+
+def aimd_rate_trajectory(
+    events: DataFrame,
+    host_col: str,
+    round_col: str,
+    err_col: str,
+    n_rounds: int,
+    r0_micro: int = 1_000_000,
+    add_micro: int = 250_000,
+    mult_num: int = 1,
+    mult_den: int = 2,
+    floor_micro: int = 125_000,
+) -> DataFrame:
+    """AIMD (additive-increase / multiplicative-decrease) adaptive
+    per-host fetch-rate controller — TCP congestion control applied
+    to crawl politeness (what production crawlers do with 429/503
+    responses, RFC 6585's Retry-After spirit): each round without
+    overload raises the host's request rate additively; an overload
+    round cuts it multiplicatively (never below the floor).
+
+    Exact integer micro-unit recurrence per host over rounds
+    0..n_rounds-1, missing (host, round) observations counting as
+    no-error:
+
+        rate_0   = r0
+        rate_t+1 = max(floor, rate_t * mult_num // mult_den)  if err_t
+                   rate_t + add                               else
+
+    Scale shape: the per-host error history densifies into ONE
+    array<boolean> of length n_rounds (a bounded per-host groupBy —
+    rounds are dozens, not data-sized) and the whole trajectory is a
+    single JVM ``aggregate`` lambda over that array — no per-round
+    joins, no window, no Python. The oracle unrolls the same
+    recurrence as one CTE per round.
+
+    Output: ``(host, round, err int, rate_micro)`` for every round —
+    rate_micro is the rate AFTER the round's update.
+    """
+    errs = (
+        events.select(
+            F.col(host_col).alias("host"),
+            F.col(round_col).cast("int").alias("r"),
+            F.col(err_col).cast("boolean").alias("e"),
+        )
+        .where((F.col("r") >= 0) & (F.col("r") < n_rounds))
+        .groupBy("host", "r")
+        .agg(F.max(F.col("e").cast("int")).alias("e"))
+    )
+    dense = errs.groupBy("host").agg(
+        F.map_from_arrays(
+            F.collect_list("r"), F.collect_list("e")
+        ).alias("_m")
+    ).select(
+        "host",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_rounds - 1)),
+            lambda r: F.coalesce(
+                F.element_at(F.col("_m"), r), F.lit(0)
+            ),
+        ).alias("_errs"),
+    )
+    # fold: accumulator is the rate trajectory array (element 1 = r0)
+    traj = dense.select(
+        "host",
+        "_errs",
+        F.aggregate(
+            F.col("_errs"),
+            F.array(F.lit(r0_micro).cast("long")),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        e == 1,
+                        F.greatest(
+                            F.lit(floor_micro).cast("long"),
+                            F.floor(
+                                F.element_at(acc, -1)
+                                * F.lit(mult_num)
+                                / F.lit(mult_den)
+                            ).cast("long"),
+                        ),
+                    ).otherwise(
+                        F.element_at(acc, -1) + F.lit(add_micro)
+                    )
+                ),
+            ),
+        ).alias("_traj"),
+    )
+    return (
+        traj.withColumn(
+            "_rates", F.slice(F.col("_traj"), 2, n_rounds)
+        )
+        .select(
+            "host",
+            F.posexplode(
+                F.arrays_zip(F.col("_errs"), F.col("_rates"))
+            ).alias("round", "_z"),
+        )
+        .select(
+            "host",
+            F.col("round").cast("int"),
+            F.col("_z._errs").cast("int").alias("err"),
+            F.col("_z._rates").alias("rate_micro"),
+        )
+    )

@@ -6072,3 +6072,49 @@ class TestHilbertLayout:
         assert sum(map(area, hr.values())) <= sum(map(area, zr.values()))
         # and every Hilbert file is a perfect 64-cell rectangle
         assert all(area(r) == 64 for r in hr.values())
+
+
+# ---------------------------------------------------------------------------
+# AIMD politeness rates (q199)
+# ---------------------------------------------------------------------------
+
+class TestAimdRates:
+    def test_recurrence_exact(self, spark):
+        from langscrape_spark.operators.sessions import aimd_rate_trajectory
+
+        rows = [
+            ("a", 0, False), ("a", 1, True), ("a", 3, True),
+            ("b", 2, False),
+        ]
+        ev = spark.createDataFrame(rows, ["host", "r", "e"])
+        out = {
+            (r["host"], r["round"]): (r["err"], r["rate_micro"])
+            for r in aimd_rate_trajectory(
+                ev, "host", "r", "e", n_rounds=5
+            ).collect()
+        }
+        # host a: 1.0 -> +0.25 (r0 clean) -> halve (r1) -> +0.25 (r2,
+        # missing = clean) -> halve (r3) -> +0.25 (r4 missing)
+        assert out[("a", 0)] == (0, 1_250_000)
+        assert out[("a", 1)] == (1, 625_000)
+        assert out[("a", 2)] == (0, 875_000)
+        assert out[("a", 3)] == (1, 437_500)
+        assert out[("a", 4)] == (0, 687_500)
+        # host b: all clean -> additive every round
+        assert out[("b", 4)] == (0, 2_250_000)
+        assert len(out) == 10
+
+    def test_floor_is_respected(self, spark):
+        from langscrape_spark.operators.sessions import aimd_rate_trajectory
+
+        ev = spark.createDataFrame(
+            [("a", r, True) for r in range(6)], ["host", "r", "e"]
+        )
+        rates = [
+            r["rate_micro"]
+            for r in aimd_rate_trajectory(ev, "host", "r", "e", 6)
+            .orderBy("round")
+            .collect()
+        ]
+        # 1.0 -> .5 -> .25 -> .125 (floor) -> stays at floor
+        assert rates == [500_000, 250_000, 125_000, 125_000, 125_000, 125_000]
