@@ -5184,7 +5184,13 @@ def q182_lsh_recall(spark, sf):
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    # repartition: 200 docs in one parquet row group would compute
+    # the 16-hash signatures and shingle postings single-core.
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 200)
+        .repartition(8)
+    )
     truth = ngram_jaccard_pairs(
         docs, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
     ).select("id_a", "id_b", F.lit(1).alias("t"))
@@ -5265,7 +5271,9 @@ def q183_image_dhash(spark, sf):
     # lineage cut, projection collapse inlines the 256-element md5
     # transform into every one of dhash64's 128 element_at references
     # — a codegen explosion that kills the JVM, not a slowdown.
-    pix = ids.select("media_id", px.alias("px")).localCheckpoint(
+    pix = ids.repartition(8).select(
+        "media_id", px.alias("px")
+    ).localCheckpoint(
         eager=False
     )
     hashed = pix.select(
@@ -5378,13 +5386,18 @@ def q184_audio_fp(spark, sf):
             )
         ).cast("long"),
     )
-    # lineage barrier: same codegen-explosion guard as q183.
-    clips = ids.select("media_id", samples.alias("samples")).localCheckpoint(
-        eager=False
+    # Parallelize the per-row-enormous projections (1360 samples x
+    # ~2 draws x 8-term md5 expansion, then 85 band energies) across
+    # a few tasks — the source parquet is a single row group — and
+    # put the lineage/codegen barrier AFTER the fingerprint so the
+    # expensive expression evaluates ONCE, not once per dhash_pairs
+    # consumer.
+    clips = ids.repartition(8).select(
+        "media_id", samples.alias("samples")
     )
     hashed = clips.select(
         "media_id", audio_fingerprint64(F.col("samples")).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     return dhash_pairs(
         hashed, hash_col="fp", max_hamming=10
     ).orderBy("id_a", "id_b")
@@ -5499,7 +5512,9 @@ def q185_video_framedup(spark, sf):
         .bitwiseAND(F.lit(255))
         .cast("int"),
     )
-    pix = frames.select("vid", "fidx", px.alias("px")).localCheckpoint(
+    pix = frames.repartition(8).select(
+        "vid", "fidx", px.alias("px")
+    ).localCheckpoint(
         eager=False
     )
     hashed = pix.select(
@@ -5571,7 +5586,10 @@ def q186_theta_snapshots(spark, sf):
     from langscrape_spark.operators.dedup import _md5_lower64
     from langscrape_spark.operators.sketch import theta_set_stats
 
-    ev = _t(spark, sf, "events")
+    # _t_parallel: the testdata parquet is ONE row group; the md5
+    # page projection is per-row expensive and must not run
+    # single-core (see _t_parallel docstring).
+    ev = _t_parallel(spark, sf, "events")
     page = F.concat(
         F.lit("page"),
         F.pmod(
@@ -5581,7 +5599,14 @@ def q186_theta_snapshots(spark, sf):
             F.lit(6000),
         ).cast("string"),
     )
-    base = ev.select(page.alias("v"), F.col("ts"))
+    # Materialize the page projection ONCE: _md5_lower64 expands its
+    # md5 into 8 substring terms, so leaving this lazy would nest the
+    # page-id md5 inside the sketch's own md5 — a ~64x-duplicated
+    # expression tree that falls out of codegen (measured 16s for a
+    # 50k-row count at sf0.1; checkpointed: sub-second).
+    base = ev.select(page.alias("v"), F.col("ts")).localCheckpoint(
+        eager=False
+    )
     cut = F.lit("2024-01-16").cast("timestamp")
     a = base.where(F.col("ts") < cut).select("v")
     b = base.where(F.col("ts") >= cut).select("v")
@@ -6346,7 +6371,10 @@ def q195_oph_minhash(spark, sf):
         shingles,
     )
 
-    docs = _t(spark, sf, "documents")
+    # _t_parallel: one md5 per shingle is the OPH selling point, but
+    # 300k md5-lower64 evaluations on the testdata's single-row-group
+    # parquet would run single-core (see _t_parallel docstring).
+    docs = _t_parallel(spark, sf, "documents")
     base = docs.select(F.col("doc_id").alias("id"), "text")
     pad = F.array_join(
         F.transform(
@@ -6359,8 +6387,13 @@ def q195_oph_minhash(spark, sf):
         (F.col("doc_id") + 100000).alias("id"),
         F.concat(F.col("text"), F.lit(" "), pad).alias("text"),
     )
+    # One materialization: the signature table feeds BOTH sides of
+    # the pair join (sa and sb) — uncheckpointed, the whole
+    # explode+hash+densify subtree would execute twice.
     corpus = base.unionByName(mutant)
-    sigs = oph_signature_table(corpus, "id", "text", k_slots=32)
+    sigs = oph_signature_table(
+        corpus, "id", "text", k_slots=32
+    ).localCheckpoint(eager=False)
     dup_pairs = docs.where(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 100000).alias("id_b"),
