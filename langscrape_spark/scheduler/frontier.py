@@ -73,6 +73,14 @@ class CrawlConfig:
     # Below this seen-set size the bloom pre-filter costs more (full
     # seen scan + driver collect per round) than the shuffle it saves.
     bloom_min_seen: int = 2_000_000
+    # Approximate-membership prefilter implementation once active:
+    # "bloom" (default; SQL bloom or the partitioned bitset path) or
+    # "cuckoo" (scheduler/cuckoo.py — same maybe/definitely-new
+    # screen and admission exactness, but fingerprints are
+    # DELETABLE, so a revisit sweep can re-open urls without a full
+    # rebuild; geometry derives from bloom_items/bloom_buckets).
+    # Both paths are admission-identical (schedule-md5 parity test).
+    prefilter: str = "bloom"
     # When set, each round runs the extraction kernel over its fetched
     # batch and appends to the catalog's "results" table — the full
     # "scheduled+extracted per round" production shape. None keeps the
@@ -551,6 +559,128 @@ def _advance_bloom(
     _write_bloom_state(catalog, next_round, cfg)
 
 
+# -- cuckoo prefilter storage (deletion-capable bloom alternative) ----------
+# Same bucket-partitioned dir + invalidate-write-stamp marker protocol
+# as the bloom (see the crash-safety discussion above _bloom_layout):
+# a geometry or round mismatch forces a rebuild from the committed
+# seen set, and any crash inside the dynamic-partition-overwrite
+# window resolves to that rebuild rather than probing a state with a
+# silently-missing bucket.
+
+
+def _cuckoo_cfg(cfg: CrawlConfig):
+    """CuckooConfig derived from the CrawlConfig's bloom sizing: the
+    per-bucket table holds bloom_items/n_buckets urls at <=0.84 load
+    (b=4, 16-bit fingerprints — FPP ~1.2e-4, far below the bloom's;
+    memory 2 bytes/slot vs the bitset's bloom_bits/8)."""
+    import math
+
+    from .cuckoo import CuckooConfig
+
+    nb = cfg.bloom_buckets or cfg.seen_partitions
+    per_bucket = max(1024, cfg.bloom_items // max(nb, 1))
+    m = 1 << max(8, math.ceil(math.log2(per_bucket / 4 / 0.84)))
+    return CuckooConfig(n_buckets=nb, m=m, b=4, fbits=16)
+
+
+def _cuckoo_dir(catalog: Catalog) -> str:
+    import os
+
+    return os.path.join(catalog.root, "cuckoo_parts")
+
+
+def _cuckoo_marker(ccfg, round_no: int) -> dict:
+    return {
+        "round": round_no,
+        "m": ccfg.m,
+        "b": ccfg.b,
+        "fbits": ccfg.fbits,
+        "buckets": ccfg.n_buckets,
+    }
+
+
+def _cuckoo_state_read(catalog: Catalog):
+    import json
+    import os
+
+    try:
+        with open(os.path.join(_cuckoo_dir(catalog), "_STATE")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_cuckoo_state(catalog: Catalog, round_no: int, cfg: CrawlConfig) -> None:
+    import json
+    import os
+
+    path = os.path.join(_cuckoo_dir(catalog), "_STATE")
+    tmp = path + ".tmp"
+    os.makedirs(_cuckoo_dir(catalog), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(_cuckoo_marker(_cuckoo_cfg(cfg), round_no), f)
+    os.replace(tmp, path)
+
+
+def _invalidate_cuckoo_state(catalog: Catalog) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(_cuckoo_dir(catalog), "_STATE"))
+
+
+def _ensure_cuckoo(
+    catalog: Catalog, seen: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """Return the cuckoo state at ``round_no``, rebuilding from the
+    full committed seen set on marker absence, round drift or a
+    geometry change — the same failure classes that force a bloom
+    rebuild (probing with wrong geometry would manufacture false
+    negatives, which admission exactness cannot absorb)."""
+    from .cuckoo import cuckoo_build
+
+    spark = seen.sparkSession
+    if _cuckoo_state_read(catalog) != _cuckoo_marker(
+        _cuckoo_cfg(cfg), round_no
+    ):
+        (
+            cuckoo_build(seen.select("url"), _cuckoo_cfg(cfg))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_cuckoo_dir(catalog))
+        )
+        _write_cuckoo_state(catalog, round_no, cfg)
+    return spark.read.parquet(_cuckoo_dir(catalog))
+
+
+def _advance_cuckoo(
+    catalog: Catalog,
+    state: DataFrame,
+    new_urls: DataFrame,
+    cfg: CrawlConfig,
+    next_round: int,
+) -> None:
+    """Insert the round's new urls (each url is new-by-construction —
+    it passed the exact membership check — so the insert-once caller
+    contract of cuckoo_update holds) and commit the marker. Only
+    touched buckets rewrite (dynamic partition overwrite), with the
+    bloom's invalidate-write-stamp crash protocol."""
+    from .cuckoo import cuckoo_update
+
+    changed = cuckoo_update(
+        state, new_urls, _cuckoo_cfg(cfg), changed_only=True
+    ).localCheckpoint(eager=True)
+    _invalidate_cuckoo_state(catalog)
+    (
+        changed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(_cuckoo_dir(catalog))
+    )
+    _write_cuckoo_state(catalog, next_round, cfg)
+
+
 # -- exact membership via bucket probe (no seen-side shuffle) ---------------
 
 def _seen_bucket_expr(cfg: CrawlConfig):
@@ -854,8 +984,21 @@ def run_crawl(
             # to cut *shuffle* volume, which only matters once seen dwarfs
             # the candidate batch).
             bloom_df = None
+            cuckoo_df = None
             if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
-                if _bloom_sql_available(spark):
+                if cfg.prefilter == "cuckoo":
+                    from .cuckoo import cuckoo_probe
+
+                    cuckoo_df = _ensure_cuckoo(
+                        catalog, seen, cfg, round_no
+                    )
+                    # Cached for the same two-consumer reason as the
+                    # partitioned bloom probe below.
+                    probed_cache = cuckoo_probe(
+                        cand, cuckoo_df, _cuckoo_cfg(cfg)
+                    ).cache()
+                    cand = probed_cache
+                elif _bloom_sql_available(spark):
                     cand = _bloom_prefilter(spark, cand, seen, cfg)
                 else:
                     bloom_df = _ensure_bloom(catalog, seen, cfg, round_no)
@@ -969,6 +1112,18 @@ def run_crawl(
                         "bloom",
                         lambda: _advance_bloom(
                             catalog, bloom_df, new_entries.select("url"),
+                            cfg, round_no + 1,
+                        ),
+                    )
+                )
+            if cuckoo_df is not None:
+                # Same incremental contract for the cuckoo state:
+                # touched buckets only, marker after data.
+                writes.append(
+                    _timed(
+                        "cuckoo",
+                        lambda: _advance_cuckoo(
+                            catalog, cuckoo_df, new_entries.select("url"),
                             cfg, round_no + 1,
                         ),
                     )

@@ -198,3 +198,51 @@ def test_bucket_layout_with_shuffle_fallback_matches_simulator(
     sim_schedule, sim_seen = oracle
     assert _schedule_of(state) == sim_schedule
     assert {r["url"] for r in state.seen.collect()} == sim_seen
+
+
+def test_cuckoo_prefilter_matches_simulator(spark, corpus, oracle, tmp_path):
+    """prefilter='cuckoo' forced on from round 0: the deletion-capable
+    fingerprint screen replaces the bloom, maybe-seen candidates still
+    route through the exact check, and admission stays simulator-exact
+    — the bloom/cuckoo paths are interchangeable per the north rule."""
+    state, catalog, _ = _crawl(
+        spark, corpus, tmp_path,
+        bloom_min_seen=0, prefilter="cuckoo", bloom_items=100_000,
+    )
+    sim_schedule, sim_seen = oracle
+    assert _schedule_of(state) == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
+    # the cuckoo state dir was created, committed and stamped
+    import json
+    import os
+
+    st = json.load(open(os.path.join(str(tmp_path), "cuckoo_parts", "_STATE")))
+    assert st["fbits"] == 16 and st["b"] == 4
+
+
+def test_cuckoo_prefilter_resume_and_geometry_rebuild(
+    spark, corpus, oracle, tmp_path
+):
+    """Resume after 3 rounds with a DIFFERENT filter geometry
+    (bloom_items changed): the marker mismatch forces a rebuild from
+    the committed seen set and the crawl still completes
+    simulator-exact — wrong-geometry probing (false negatives) is
+    structurally impossible."""
+    pages, seeds, robots, host_rank = corpus
+    catalog = Catalog(spark, str(tmp_path))
+    base = dict(
+        batch_size=BATCH, max_depth=MAX_DEPTH, seen_partitions=8,
+        membership="bucket_probe", probe_min_seen=0,
+        bloom_min_seen=0, prefilter="cuckoo",
+    )
+    run_crawl(
+        spark, pages, seeds, robots, host_rank, catalog,
+        CrawlConfig(max_rounds=3, bloom_items=100_000, **base),
+    )
+    state = run_crawl(
+        spark, pages, seeds, robots, host_rank, catalog,
+        CrawlConfig(max_rounds=MAX_ROUNDS, bloom_items=400_000, **base),
+    )
+    sim_schedule, sim_seen = oracle
+    assert _schedule_of(state) == sim_schedule
+    assert {r["url"] for r in state.seen.collect()} == sim_seen
