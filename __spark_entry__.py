@@ -6877,6 +6877,121 @@ def _aimd_oracle() -> str:
     )
 
 
+def q200_fuzzy_decontaminate(spark, sf):
+    """Cross-corpus fuzzy decontamination (operators/contamination.py
+    ::fuzzy_decontaminate — the paraphrase-robust complement of q41's
+    exact 13-gram gate): the benchmark set is every 10th document
+    TRUNCATED to its first 80% of tokens (leakage the exact n-gram
+    tail would weaken) plus unrelated synthetic questions (doc_id%10
+    == 5, must NOT flag); candidates come from shared MinHash-LSH
+    band buckets across corpora, verified by the exact shingle
+    Jaccard under the integer 1/2 cross-multiplied gate. The oracle
+    re-derives the eval construction, the q10 signature kernel on
+    both corpora, the cross-bucket join and the exact verify."""
+    from langscrape_spark.operators.contamination import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    train = docs.select(F.col("doc_id").alias("id"), "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    n80 = F.floor((F.size(toks) * 4 + 4) / 5).cast("int")
+    leaked = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("id"),
+        F.array_join(F.slice(toks, 1, n80), " ").alias("text"),
+    )
+    clean = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 500000).alias("id"),
+        F.concat(
+            F.lit("benchmark question number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" about nothing shared whatsoever"),
+        ).alias("text"),
+    )
+    evalset = leaked.unionByName(clean)
+    return fuzzy_decontaminate(
+        train, evalset, "text", "id"
+    ).orderBy("train_id", "eval_id")
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    return f"""
+        -- Fuzzy decontamination replay: 80%-token truncated leaked
+        -- evals (integer ceil via (4n+4)//5) + clean rows, the q10
+        -- Kirsch-Mitzenmacher signature/banding kernel on BOTH
+        -- corpora, cross-corpus bucket join, exact shingle-Jaccard
+        -- 1/2 gate by integer cross-multiplication. Spark:
+        -- operators/contamination.py::fuzzy_decontaminate.
+        WITH train AS (
+          SELECT doc_id AS id, text FROM documents),
+        ev AS (
+          SELECT doc_id + 500000 AS id,
+                 array_to_string(
+                   tok[1:(4 * len(tok) + 4) // 5], ' ') AS text
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 500000,
+                 'benchmark question number ' || CAST(doc_id AS VARCHAR)
+                 || ' about nothing shared whatsoever'
+          FROM documents WHERE doc_id % 10 = 5),
+        tsh AS (
+          SELECT id, {_SHINGLES3} AS sh
+          FROM (SELECT id, {_TOKENS} AS tok FROM train)),
+        esh AS (
+          SELECT id, {_SHINGLES3} AS sh
+          FROM (SELECT id, {_TOKENS} AS tok FROM ev)),
+        tsig AS (
+          SELECT id,
+                 list_transform(range(0, 16),
+                   h -> CAST(list_min(list_transform(sh,
+                     s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                           + h * CAST(md5_number_upper(s) AS HUGEINT))
+                          % 18446744073709551616)) AS VARCHAR)) AS sg
+          FROM tsh WHERE len(sh) > 0),
+        esig AS (
+          SELECT id,
+                 list_transform(range(0, 16),
+                   h -> CAST(list_min(list_transform(sh,
+                     s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                           + h * CAST(md5_number_upper(s) AS HUGEINT))
+                          % 18446744073709551616)) AS VARCHAR)) AS sg
+          FROM esh WHERE len(sh) > 0),
+        tband AS (
+          SELECT id, unnest(list_transform(range(0, 4),
+            b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2]
+                     || '|' || sg[b*4+3] || '|' || sg[b*4+4])))
+            AS bucket
+          FROM tsig),
+        eband AS (
+          SELECT id, unnest(list_transform(range(0, 4),
+            b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2]
+                     || '|' || sg[b*4+3] || '|' || sg[b*4+4])))
+            AS bucket
+          FROM esig),
+        cand AS (
+          SELECT DISTINCT t.id AS train_id, e.id AS eval_id
+          FROM tband t JOIN eband e ON t.bucket = e.bucket),
+        v AS (
+          SELECT c.train_id, c.eval_id,
+                 len(list_intersect(a.sh, b.sh)) AS n_common,
+                 len(a.sh) AS n_train, len(b.sh) AS n_eval
+          FROM cand c
+          JOIN tsh a ON a.id = c.train_id
+          JOIN esh b ON b.id = c.eval_id)
+        SELECT train_id, eval_id,
+               CAST(n_common AS INT) AS n_common,
+               CAST(n_train AS INT) AS n_train,
+               CAST(n_eval AS INT) AS n_eval,
+               round(n_common * 1.0
+                     / (n_train + n_eval - n_common), 6) AS jaccard
+        FROM v
+        WHERE n_train + n_eval - n_common > 0
+          AND n_common * 2 >= (n_train + n_eval - n_common)
+        ORDER BY train_id, eval_id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7273,6 +7388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_texttiling": q197_texttiling,
         "q198_hilbert_layout": q198_hilbert_layout,
         "q199_aimd_rates": q199_aimd_rates,
+        "q200_fuzzy_decontaminate": q200_fuzzy_decontaminate,
     })
 
 
@@ -12519,6 +12635,7 @@ def oracle_sql() -> dict[str, str]:
         "q197_texttiling": _texttiling_oracle(),
         "q198_hilbert_layout": _hilbert_oracle(),
         "q199_aimd_rates": _aimd_oracle(),
+        "q200_fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -64,3 +64,89 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate decontamination — the fuzzy
+    complement of :func:`decontaminate`'s exact 13-gram gate: exact
+    n-gram matching misses paraphrased or truncated benchmark leakage
+    (GPT-3 appendix C documents exactly this failure), so candidate
+    (train, eval) pairs come from shared MinHash-LSH band buckets
+    computed over BOTH corpora with the q10 signature kernel, and
+    survivors verify with the EXACT shingle Jaccard under the integer
+    cross-multiplied gate ``den·|I| >= num·|U|`` (no float threshold
+    ties).
+
+    Scale shape: each corpus pays one signature pass
+    (``minhash_band_buckets`` — the shared banding front half, so
+    batch dedup, the incremental state and this decontamination can
+    never drift apart); the bucket join emits only cross-corpus
+    candidates (the eval side is benchmark-sized, so its bucket table
+    broadcast-joins against the train buckets), and the exact verify
+    touches only candidate pairs, never train x eval.
+
+    Output: flagged pairs ``(train_id, eval_id, n_common, n_train,
+    n_eval, jaccard round-6)`` — every train doc that should be
+    DROPPED before training, with the eval doc it leaks.
+    """
+    from .dedup import minhash_band_buckets, shingles
+
+    tb = minhash_band_buckets(
+        train, text_col, id_col, num_hashes, bands, k
+    ).select(F.col("id").alias("train_id"), "bucket")
+    eb = minhash_band_buckets(
+        evalset, text_col, id_col, num_hashes, bands, k
+    ).select(F.col("id").alias("eval_id"), "bucket")
+    cand = (
+        tb.join(F.broadcast(eb), "bucket")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    tsh = train.select(
+        F.col(id_col).alias("train_id"),
+        shingles(F.col(text_col), k).alias("_sa"),
+    )
+    esh = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        shingles(F.col(text_col), k).alias("_sb"),
+    )
+    v = (
+        cand.join(tsh, "train_id")
+        .join(esh, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("n_train"),
+            F.size("_sb").alias("n_eval"),
+        )
+        .withColumn(
+            "_union",
+            F.col("n_train") + F.col("n_eval") - F.col("n_common"),
+        )
+        .where(
+            (F.col("_union") > 0)
+            & (
+                F.col("n_common") * threshold_den
+                >= F.col("_union") * threshold_num
+            )
+        )
+    )
+    return v.select(
+        "train_id",
+        "eval_id",
+        "n_common",
+        "n_train",
+        "n_eval",
+        F.round(F.col("n_common") / F.col("_union"), 6).alias("jaccard"),
+    )

@@ -6118,3 +6118,61 @@ class TestAimdRates:
         ]
         # 1.0 -> .5 -> .25 -> .125 (floor) -> stays at floor
         assert rates == [500_000, 250_000, 125_000, 125_000, 125_000, 125_000]
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination (q200)
+# ---------------------------------------------------------------------------
+
+class TestFuzzyDecontaminate:
+    def test_truncated_leak_flagged_unrelated_not(self, spark):
+        from langscrape_spark.operators.contamination import (
+            fuzzy_decontaminate,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        train = spark.createDataFrame(
+            [(1, base), (2, "totally different words entirely here now")],
+            ["id", "text"],
+        )
+        evalset = spark.createDataFrame(
+            [
+                (101, " ".join(base.split()[:8])),  # 80% truncation of 1
+                (102, "unrelated benchmark prompt question"),
+            ],
+            ["id", "text"],
+        )
+        got = {
+            (r["train_id"], r["eval_id"]): r["jaccard"]
+            for r in fuzzy_decontaminate(
+                train, evalset, "text", "id"
+            ).collect()
+        }
+        assert (1, 101) in got and got[(1, 101)] >= 0.5
+        assert all(t != 2 for t, _ in got)
+        assert all(e != 102 for _, e in got)
+
+    def test_exact_gate_boundary_integer(self, spark):
+        """A pair at exactly Jaccard 1/2 passes (>= gate, integer
+        cross-multiplied — no float-tie ambiguity)."""
+        from langscrape_spark.operators.contamination import (
+            fuzzy_decontaminate,
+        )
+
+        # 6 tokens -> 4 shingles; eval shares exactly 2 of 4, union 6?
+        # Construct: train 'a b c d e f' (sh: abc bcd cde def);
+        # eval 'a b c d x y' (sh: abc bcd cdx dxy) -> I=2, U=6 -> 1/3
+        # below gate; eval2 'a b c d e x' (abc bcd cde dex) -> I=3,
+        # U=5 -> 0.6 passes.
+        train = spark.createDataFrame([(1, "a b c d e f")], ["id", "text"])
+        evalset = spark.createDataFrame(
+            [(11, "a b c d x y"), (12, "a b c d e x")], ["id", "text"]
+        )
+        got = {
+            r["eval_id"]: r["jaccard"]
+            for r in fuzzy_decontaminate(
+                train, evalset, "text", "id"
+            ).collect()
+        }
+        assert 12 in got and abs(got[12] - 0.6) < 1e-6
+        assert 11 not in got
