@@ -6992,6 +6992,127 @@ def _fuzzy_decontaminate_oracle() -> str:
     """
 
 
+def q201_min_k_prob(spark, sf):
+    """Min-K% Prob membership-inference audit (operators/text.py::
+    min_k_prob — Shi et al. 2024): the q62 bigram LM (V=24,
+    alpha=0.5, lam=0.75) trains on the corpus; probes are member
+    docs (doc_id%4==0, verbatim) vs non-member constructions
+    (doc_id%4==1, token order REVERSED — same unigrams, alien
+    bigrams) and each probe keeps the mean of its 20% lowest token
+    logps ((logp, pos)-ranked, integer ceil cut). Members score
+    systematically higher min-k means — the memorization/leakage
+    audit. The oracle replays LM training, probe scoring, the
+    deterministic bottom-k cut and the per-probe mean."""
+    from langscrape_spark.operators.text import min_k_prob
+
+    docs = _t_parallel(spark, sf, "documents")
+    train = docs.select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    members = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    nonmembers = docs.where(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    probes = members.unionByName(nonmembers)
+    out = min_k_prob(train, probes, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        (F.col("doc_id") < 700000).cast("int").alias("member"),
+        "n_tokens",
+        "k_used",
+        "mink_logp_mean",
+    ).orderBy("doc_id")
+
+
+def _min_k_prob_oracle() -> str:
+    return f"""
+        -- Min-K% Prob replay: q62's LM (vocab-24 closure, add-0.5,
+        -- 0.75/0.25 interpolation, first token unigram), probe set =
+        -- members + token-reversed non-members, bottom-20% cut by
+        -- (logp, pos) rank with integer ceil, per-probe mean.
+        -- Spark: operators/text.py::min_k_prob.
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(tok, 1) AS pos,
+                 unnest(tok) AS t
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)),
+        counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                       count(*) AS n_types FROM counts),
+        consts AS (
+          SELECT total + 0.5 * (least(24, n_types) + 1) AS denom_u,
+                 0.5 * (least(24, n_types) + 1) AS a_v
+          FROM tot),
+        vocab AS (SELECT t FROM counts ORDER BY c DESC, t LIMIT 24),
+        m AS (
+          SELECT doc_id, pos,
+                 CASE WHEN t IN (SELECT t FROM vocab)
+                      THEN t ELSE '<unk>' END AS w
+          FROM toks),
+        uni AS (
+          SELECT w, (count(*) + 0.5) / (SELECT denom_u FROM consts)
+                   AS p_uni
+          FROM m GROUP BY w),
+        tpairs AS (
+          SELECT doc_id, pos, w,
+                 lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          FROM m),
+        big AS (
+          SELECT w1, w, count(*) AS cb FROM tpairs
+          WHERE w1 IS NOT NULL GROUP BY w1, w),
+        ctx AS (SELECT w1, sum(cb) AS cctx FROM big GROUP BY w1),
+        probes AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 700000,
+                 array_to_string(list_reverse(tok), ' ')
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM documents)
+          WHERE doc_id % 4 = 1),
+        ptoks AS (
+          SELECT doc_id, generate_subscripts(tok, 1) AS pos,
+                 unnest(tok) AS t
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM probes)),
+        pmap AS (
+          SELECT doc_id, pos,
+                 CASE WHEN t IN (SELECT t FROM vocab)
+                      THEN t ELSE '<unk>' END AS w
+          FROM ptoks),
+        ppairs AS (
+          SELECT doc_id, pos, w,
+                 lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          FROM pmap),
+        scored AS (
+          SELECT p.doc_id, p.pos,
+                 CASE WHEN p.w1 IS NULL THEN ln(u.p_uni)
+                      ELSE ln(0.75 * ((coalesce(b.cb, 0) + 0.5)
+                               / (coalesce(c.cctx, 0)
+                                  + (SELECT a_v FROM consts)))
+                              + 0.25 * u.p_uni) END AS logp
+          FROM ppairs p
+          JOIN uni u USING (w)
+          LEFT JOIN big b ON p.w1 = b.w1 AND p.w = b.w
+          LEFT JOIN ctx c ON p.w1 = c.w1),
+        ranked AS (
+          SELECT doc_id, logp,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY logp, pos) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n_tokens
+          FROM scored),
+        kept AS (
+          SELECT doc_id, n_tokens, logp FROM ranked
+          WHERE rn <= (20 * n_tokens + 99) // 100)
+        SELECT doc_id,
+               CAST(doc_id < 700000 AS INT) AS member,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS k_used,
+               round(avg(logp), 6) AS mink_logp_mean
+        FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7389,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_hilbert_layout": q198_hilbert_layout,
         "q199_aimd_rates": q199_aimd_rates,
         "q200_fuzzy_decontaminate": q200_fuzzy_decontaminate,
+        "q201_min_k_prob": q201_min_k_prob,
     })
 
 
@@ -12636,6 +12758,7 @@ def oracle_sql() -> dict[str, str]:
         "q198_hilbert_layout": _hilbert_oracle(),
         "q199_aimd_rates": _aimd_oracle(),
         "q200_fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
+        "q201_min_k_prob": _min_k_prob_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -1848,3 +1848,133 @@ def rake_keywords(
             "rank",
         )
     )
+
+
+def min_k_prob(
+    train: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 24,
+    alpha: float = 0.5,
+    lam: float = 0.75,
+    k_pct: int = 20,
+) -> DataFrame:
+    """Min-K% Prob membership-inference audit (Shi et al., ICLR 2024
+    "Detecting Pretraining Data from Large Language Models"): score a
+    probe document by the MEAN of its k% lowest token log-probs under
+    a reference LM trained on the corpus — members' most-surprising
+    tokens are systematically less surprising than non-members', so
+    a high min-k mean flags likely training-set membership (the
+    leakage/memorization audit run before releasing eval numbers).
+
+    The reference model is the q62 interpolated add-alpha bigram LM
+    (same vocab closure, same first-token-unigram rule) trained on
+    ``train``; probes score against it with the identical logp
+    expression, then each probe keeps its ``ceil(k_pct·n/100)``
+    lowest logps (rank ordered by (logp, pos) — the pos tie-break
+    makes the cut deterministic across engines) and averages them.
+
+    Scale shape: LM counts are equi-key hash aggs over the train
+    explode; probe scoring is a broadcast-vocab map + equi-key joins
+    against the bigram table; the bottom-k cut is a window
+    partitioned BY PROBE DOC (bounded frames, fully parallel).
+
+    Output: ``(id_col, n_tokens, k_used, mink_logp_mean round-6)``
+    per probe doc with >=1 token.
+    """
+    spark = train.sparkSession
+    ttoks = train.select(
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "tok")
+    )
+    counts = ttoks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        row = counts.agg(
+            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+        ).collect()[0]
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    total = int(row["total"] or 0)
+    v = min(vocab_size, int(row["n_types"] or 0))
+    denom_u = float(total) + alpha * (v + 1)
+    a_v = alpha * (v + 1)
+    vmark = F.broadcast(
+        spark.createDataFrame(
+            [(r["tok"],) for r in top], "tok string"
+        ).withColumn("_v", F.lit(True))
+    )
+
+    tm = train.select(
+        F.col(id_col), F.posexplode(words_col(F.col(text_col))).alias(
+            "pos", "tok"
+        )
+    ).join(vmark, "tok", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("w"),
+    )
+    uni = tm.groupBy("w").agg(
+        ((F.count(F.lit(1)) + F.lit(alpha)) / F.lit(denom_u)).alias(
+            "p_uni"
+        )
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    tpairs = tm.withColumn("w1", F.lag("w").over(wdoc))
+    big = (
+        tpairs.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+
+    pm = probes.select(
+        F.col(id_col), F.posexplode(words_col(F.col(text_col))).alias(
+            "pos", "tok"
+        )
+    ).join(vmark, "tok", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("w"),
+    )
+    ppairs = pm.withColumn("w1", F.lag("w").over(wdoc))
+    p_bi = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("cctx"), F.lit(0)) + F.lit(a_v)
+    )
+    scored = (
+        ppairs.join(uni, "w")
+        .join(big, ["w1", "w"], "left")
+        .join(ctx, "w1", "left")
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("w1").isNull(), F.log(F.col("p_uni")))
+            .otherwise(
+                F.log(F.lit(lam) * p_bi + F.lit(1 - lam) * F.col("p_uni"))
+            )
+            .alias("logp"),
+        )
+    )
+    wrank = Window.partitionBy(id_col).orderBy("logp", "pos")
+    stats = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(wrank)).join(
+        stats, id_col
+    )
+    kept = ranked.where(
+        F.col("_rn")
+        <= F.floor((F.lit(k_pct) * F.col("n_tokens") + 99) / 100)
+    )
+    return kept.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.round(F.avg("logp"), 6).alias("mink_logp_mean"),
+    ).select(id_col, "n_tokens", "k_used", "mink_logp_mean")

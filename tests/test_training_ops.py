@@ -6176,3 +6176,46 @@ class TestFuzzyDecontaminate:
         }
         assert 12 in got and abs(got[12] - 0.6) < 1e-6
         assert 11 not in got
+
+
+# ---------------------------------------------------------------------------
+# Min-K% Prob membership inference (q201)
+# ---------------------------------------------------------------------------
+
+class TestMinKProb:
+    def test_members_score_above_scrambled_nonmembers(self, spark):
+        from langscrape_spark.operators.text import min_k_prob
+
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog " * 4)
+            for i in range(6)
+        ] + [
+            (i, "data table scan hash join filter sort merge " * 4)
+            for i in range(6, 12)
+        ]
+        train = spark.createDataFrame(rows, ["doc_id", "text"])
+        member = train.where(F.col("doc_id") == 0)
+        scrambled = spark.createDataFrame(
+            [(100, "dog lazy the over jumps fox brown quick the " * 4)],
+            ["doc_id", "text"],
+        )
+        probes = member.unionByName(scrambled)
+        got = {
+            r["doc_id"]: r["mink_logp_mean"]
+            for r in min_k_prob(train, probes, "text", "doc_id").collect()
+        }
+        # the member's worst-20% tokens are familiar bigrams; the
+        # scrambled probe's are unseen bigrams -> much lower logp
+        assert got[0] > got[100] + 0.5
+
+    def test_k_cut_is_integer_ceil_and_deterministic(self, spark):
+        from langscrape_spark.operators.text import min_k_prob
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k")], ["doc_id", "text"]
+        )
+        out = min_k_prob(
+            train, train, "text", "doc_id", k_pct=20
+        ).collect()[0]
+        # 11 tokens -> ceil(2.2) = 3 kept
+        assert out["n_tokens"] == 11 and out["k_used"] == 3
