@@ -7085,14 +7085,21 @@ def _min_k_prob_oracle() -> str:
                  lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
           FROM pmap),
         scored AS (
+          -- LEFT JOIN + smoothed fallback mirrors the operator: a
+          -- probe-only <unk> with no train-side uni row scores the
+          -- pure-smoothing mass 0.5/denom_u instead of being dropped.
           SELECT p.doc_id, p.pos,
-                 CASE WHEN p.w1 IS NULL THEN ln(u.p_uni)
+                 CASE WHEN p.w1 IS NULL
+                      THEN ln(coalesce(u.p_uni,
+                              0.5 / (SELECT denom_u FROM consts)))
                       ELSE ln(0.75 * ((coalesce(b.cb, 0) + 0.5)
                                / (coalesce(c.cctx, 0)
                                   + (SELECT a_v FROM consts)))
-                              + 0.25 * u.p_uni) END AS logp
+                              + 0.25 * coalesce(u.p_uni,
+                                0.5 / (SELECT denom_u FROM consts)))
+                      END AS logp
           FROM ppairs p
-          JOIN uni u USING (w)
+          LEFT JOIN uni u ON p.w = u.w
           LEFT JOIN big b ON p.w1 = b.w1 AND p.w = b.w
           LEFT JOIN ctx c ON p.w1 = c.w1),
         ranked AS (

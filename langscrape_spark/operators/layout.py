@@ -75,6 +75,19 @@ def zorder_file_stats(
     min/max stats prune scans on EITHER dimension.
     Output: ``file_id, n_rows, xb_min, xb_max, yb_min, yb_max``.
     """
+    return _curve_file_stats(
+        df, x_col, y_col, bits, files,
+        lambda xb, yb: morton_col(xb, yb, bits),
+    )
+
+
+def _curve_file_stats(df, x_col, y_col, bits, files, curve):
+    """Shared scaffold of the space-filling-curve layout audits
+    (Z-order and Hilbert): equal-width 2**bits bucketing over the
+    observed min/max (1-row broadcast range, no driver collect),
+    ``curve(xb, yb)`` -> curve value, equal-width curve-range file
+    assignment, per-file counts + bounding rectangles. ONE definition
+    so bucketing/validation fixes cannot diverge between curves."""
     m = 1 << bits
     if files <= 0 or files & (files - 1) or files > m * m:
         raise ValueError("files must be a power of two <= 4**bits")
@@ -91,11 +104,11 @@ def zorder_file_stats(
         _bucket(F.col("_x"), F.col("_xlo"), F.col("_xhi"), m).alias("xb"),
         _bucket(F.col("_y"), F.col("_ylo"), F.col("_yhi"), m).alias("yb"),
     )
-    z = b.withColumn("zval", morton_col(F.col("xb"), F.col("yb"), bits))
+    z = b.withColumn("_cv", curve(F.col("xb"), F.col("yb")))
     per_file = m * m // files
     return (
         z.withColumn(
-            "file_id", F.floor(F.col("zval") / F.lit(per_file)).cast("long")
+            "file_id", F.floor(F.col("_cv") / F.lit(per_file)).cast("long")
         )
         .groupBy("file_id")
         .agg(
@@ -447,10 +460,6 @@ def hilbert_file_stats(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    m = 1 << bits
-    if files <= 0 or files & (files - 1) or files > m * m:
-        raise ValueError("files must be a power of two <= 4**bits")
-
     def _h(xb, yb):
         import numpy as np
 
@@ -470,33 +479,8 @@ def hilbert_file_stats(
         return pd.Series(d)
 
     hud = pandas_udf(_h, LongType())
-    d = df.select(
-        x_col.cast("double").alias("_x"), y_col.cast("double").alias("_y")
-    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
-    rng = d.agg(
-        F.min("_x").alias("_xlo"),
-        F.max("_x").alias("_xhi"),
-        F.min("_y").alias("_ylo"),
-        F.max("_y").alias("_yhi"),
-    )
-    b = d.crossJoin(F.broadcast(rng)).select(
-        _bucket(F.col("_x"), F.col("_xlo"), F.col("_xhi"), m).alias("xb"),
-        _bucket(F.col("_y"), F.col("_ylo"), F.col("_yhi"), m).alias("yb"),
-    )
-    h = b.withColumn("hval", hud(F.col("xb"), F.col("yb")))
-    per_file = m * m // files
-    return (
-        h.withColumn(
-            "file_id", F.floor(F.col("hval") / F.lit(per_file)).cast("long")
-        )
-        .groupBy("file_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("xb").alias("xb_min"),
-            F.max("xb").alias("xb_max"),
-            F.min("yb").alias("yb_min"),
-            F.max("yb").alias("yb_max"),
-        )
+    return _curve_file_stats(
+        df, x_col, y_col, bits, files, lambda xb, yb: hud(xb, yb)
     )
 
 

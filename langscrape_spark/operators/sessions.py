@@ -208,26 +208,35 @@ def aimd_rate_trajectory(
     Output: ``(host, round, err int, rate_micro)`` for every round —
     rate_micro is the rate AFTER the round's update.
     """
+    base = events.select(
+        F.col(host_col).alias("host"),
+        F.col(round_col).cast("int").alias("r"),
+        F.col(err_col).cast("boolean").alias("e"),
+    )
+    # The host UNIVERSE comes from ALL observations — a host whose
+    # every event falls outside [0, n_rounds) still gets its
+    # documented all-clean additive trajectory (the window filter
+    # below only scopes which rounds can carry errors).
+    hosts = base.select("host").distinct()
     errs = (
-        events.select(
-            F.col(host_col).alias("host"),
-            F.col(round_col).cast("int").alias("r"),
-            F.col(err_col).cast("boolean").alias("e"),
-        )
-        .where((F.col("r") >= 0) & (F.col("r") < n_rounds))
+        base.where((F.col("r") >= 0) & (F.col("r") < n_rounds))
         .groupBy("host", "r")
         .agg(F.max(F.col("e").cast("int")).alias("e"))
     )
-    dense = errs.groupBy("host").agg(
+    emap = errs.groupBy("host").agg(
         F.map_from_arrays(
             F.collect_list("r"), F.collect_list("e")
         ).alias("_m")
-    ).select(
+    )
+    dense = hosts.join(emap, "host", "left").select(
         "host",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_rounds - 1)),
+            # try_element_at: a missing round (or a host with NO
+            # in-window rounds, _m NULL) is clean — ANSI element_at
+            # would THROW on the missing key instead.
             lambda r: F.coalesce(
-                F.element_at(F.col("_m"), r), F.lit(0)
+                F.try_element_at(F.col("_m"), r), F.lit(0)
             ),
         ).alias("_errs"),
     )

@@ -683,23 +683,7 @@ def waterfill_allocation(
             F.col("cum_d") + (F.col("n") - F.col("cum_n")) * F.col("demand"),
         )
     )
-    # Base level: largest distinct demand whose consumed <= budget; if
-    # none (even level 0... budget smaller than n), level comes from
-    # the closed form below. If total demand <= budget, everyone is
-    # satisfied and the level is irrelevant.
-    fits = (
-        lv.where(F.col("consumed") <= budget)
-        .orderBy(F.desc("demand"))
-        .limit(1)
-        .select(
-            F.col("demand").alias("v0"),
-            F.col("cum_d").alias("cd0"),
-            F.col("cum_n").alias("cn0"),
-        )
-    )
-    spark = df.sparkSession
-    base = fits.collect()  # ONE row (or none) — bounded driver scalar
-    tot = n_tot.collect()[0]
+    tot = n_tot.collect()[0]  # bounded driver scalar
     n, d_tot = tot["n"] or 0, tot["d_tot"] or 0
     if n == 0 or budget <= 0:
         return hosts.select(
@@ -715,6 +699,20 @@ def waterfill_allocation(
             F.col("demand").alias("alloc"),
             F.lit(1).alias("satisfied"),
         )
+    # Base level: largest distinct demand whose consumed <= budget
+    # (run only on the genuinely-capped path — the satisfied/empty
+    # early returns above never pay this job).
+    base = (
+        lv.where(F.col("consumed") <= budget)
+        .orderBy(F.desc("demand"))
+        .limit(1)
+        .select(
+            F.col("demand").alias("v0"),
+            F.col("cum_d").alias("cd0"),
+            F.col("cum_n").alias("cn0"),
+        )
+        .collect()
+    )  # ONE row (or none) — bounded driver scalar
     if base:
         v0, cd0, cn0 = base[0]["v0"], base[0]["cd0"], base[0]["cn0"]
     else:

@@ -661,7 +661,7 @@ def ppl_buckets(
     )
 
 
-def _vocab_mapped(docs, text_col, id_col, vocab_size):
+def _vocab_mapped(docs, text_col, id_col, vocab_size, return_vocab=False):
     """Shared vocab-closure stage of the bigram LMs: top-``vocab_size``
     tokens by (count desc, token asc), everything else mapped to
     ``<unk>`` via ONE broadcast LEFT join over a single corpus
@@ -698,6 +698,8 @@ def _vocab_mapped(docs, text_col, id_col, vocab_size):
         .otherwise(F.lit("<unk>"))
         .alias("w"),
     )
+    if return_vocab:
+        return m, v, total, vmark
     return m, v, total
 
 
@@ -1883,43 +1885,14 @@ def min_k_prob(
     Output: ``(id_col, n_tokens, k_used, mink_logp_mean round-6)``
     per probe doc with >=1 token.
     """
-    spark = train.sparkSession
-    ttoks = train.select(
-        F.posexplode(words_col(F.col(text_col))).alias("pos", "tok")
+    # LM training is SHARED with bigram_ppl via _vocab_mapped (the
+    # vocab marker comes back so probes map through the SAME closure)
+    # — no duplicated counts/top-V/mapping logic to drift.
+    tm, v, total, vmark = _vocab_mapped(
+        train, text_col, id_col, vocab_size, return_vocab=True
     )
-    counts = ttoks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    try:
-        row = counts.agg(
-            F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
-        ).collect()[0]
-        top = (
-            counts.orderBy(F.desc("c"), F.asc("tok"))
-            .limit(vocab_size)
-            .collect()
-        )
-    finally:
-        counts.unpersist()
-    total = int(row["total"] or 0)
-    v = min(vocab_size, int(row["n_types"] or 0))
     denom_u = float(total) + alpha * (v + 1)
     a_v = alpha * (v + 1)
-    vmark = F.broadcast(
-        spark.createDataFrame(
-            [(r["tok"],) for r in top], "tok string"
-        ).withColumn("_v", F.lit(True))
-    )
-
-    tm = train.select(
-        F.col(id_col), F.posexplode(words_col(F.col(text_col))).alias(
-            "pos", "tok"
-        )
-    ).join(vmark, "tok", "left").select(
-        id_col,
-        "pos",
-        F.when(F.col("_v").isNotNull(), F.col("tok"))
-        .otherwise(F.lit("<unk>"))
-        .alias("w"),
-    )
     uni = tm.groupBy("w").agg(
         ((F.count(F.lit(1)) + F.lit(alpha)) / F.lit(denom_u)).alias(
             "p_uni"
@@ -1938,7 +1911,7 @@ def min_k_prob(
         F.col(id_col), F.posexplode(words_col(F.col(text_col))).alias(
             "pos", "tok"
         )
-    ).join(vmark, "tok", "left").select(
+    ).join(F.broadcast(vmark), "tok", "left").select(
         id_col,
         "pos",
         F.when(F.col("_v").isNotNull(), F.col("tok"))
@@ -1949,16 +1922,23 @@ def min_k_prob(
     p_bi = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("cctx"), F.lit(0)) + F.lit(a_v)
     )
+    # LEFT join + smoothed fallback: when the TRAIN corpus has fewer
+    # types than vocab_size, nothing maps to <unk> during training and
+    # uni has no <unk> row — but probe-only tokens still map there,
+    # and dropping them (an inner join did, pre-review) would exclude
+    # exactly the most-surprising tokens a Min-K% audit scores. Their
+    # closed-space probability is the pure-smoothing mass alpha/denom.
+    p_uni_eff = F.coalesce(F.col("p_uni"), F.lit(alpha / denom_u))
     scored = (
-        ppairs.join(uni, "w")
+        ppairs.join(F.broadcast(uni), "w", "left")
         .join(big, ["w1", "w"], "left")
         .join(ctx, "w1", "left")
         .select(
             id_col,
             "pos",
-            F.when(F.col("w1").isNull(), F.log(F.col("p_uni")))
+            F.when(F.col("w1").isNull(), F.log(p_uni_eff))
             .otherwise(
-                F.log(F.lit(lam) * p_bi + F.lit(1 - lam) * F.col("p_uni"))
+                F.log(F.lit(lam) * p_bi + F.lit(1 - lam) * p_uni_eff)
             )
             .alias("logp"),
         )

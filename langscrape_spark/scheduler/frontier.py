@@ -820,6 +820,14 @@ def run_crawl(
     """Drive the crawl to frontier exhaustion (or ``max_rounds``),
     checkpointing every round. Restartable: if the catalog already has
     committed rounds, the loop resumes after the last committed one."""
+    if cfg.prefilter not in ("bloom", "cuckoo"):
+        # fail LOUD before any work: a typo would silently run the
+        # bloom path while the caller believes deletion-capable
+        # cuckoo state is being maintained for a later revisit sweep
+        raise ValueError(
+            f"unknown prefilter {cfg.prefilter!r}; "
+            "expected 'bloom' or 'cuckoo'"
+        )
     state = CrawlState()
 
     start_round = catalog.committed_round()

@@ -5974,11 +5974,9 @@ class TestWaterfill:
     def test_budget_below_host_count(self, spark):
         # budget 2 over 3 hosts: level 0, rem 2 -> first two hosts 1.
         out = self._run(spark, [5, 5, 5], 2)
-        assert out == {"h00": (1, 0), "h01": (1, 0), "h02": (1, 0)} or out == {
-            "h00": (1, 0),
-            "h01": (1, 0),
-            "h02": (0, 0),
-        }
+        # deterministic lowest-host-id remainder: h00 and h01 get the
+        # two units, h02 gets zero
+        assert out == {"h00": (1, 0), "h01": (1, 0), "h02": (0, 0)}
         assert sum(a for a, _ in out.values()) == 2
 
     def test_conservation_property(self, spark):
@@ -6219,3 +6217,73 @@ class TestMinKProb:
         ).collect()[0]
         # 11 tokens -> ceil(2.2) = 3 kept
         assert out["n_tokens"] == 11 and out["k_used"] == 3
+
+
+class TestReviewRegressions2:
+    def test_min_k_scores_probe_only_unk_tokens(self, spark):
+        """Probe-only tokens (mapped to <unk> with NO train-side uni
+        row) must be SCORED at the smoothed fallback, not dropped —
+        they are exactly the most-surprising tokens the audit wants."""
+        from langscrape_spark.operators.text import min_k_prob
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], ["doc_id", "text"]
+        )
+        probe = spark.createDataFrame(
+            [(9, "a b c d zz1 zz2 zz3 zz4 zz5 zz6")], ["doc_id", "text"]
+        )
+        out = min_k_prob(train, probe, "text", "doc_id").collect()[0]
+        assert out["n_tokens"] == 10  # was 4 pre-fix (inner join)
+        assert out["k_used"] == 2
+
+    def test_aimd_host_with_only_out_of_window_rounds_kept(self, spark):
+        from langscrape_spark.operators.sessions import aimd_rate_trajectory
+
+        ev = spark.createDataFrame(
+            [("a", 9, True), ("b", 0, True)], ["host", "r", "e"]
+        )
+        out = aimd_rate_trajectory(ev, "host", "r", "e", n_rounds=4)
+        rows = {
+            (r["host"], r["round"]): r["rate_micro"] for r in out.collect()
+        }
+        # host a: all 4 rounds clean (its only event is out of window)
+        assert rows[("a", 3)] == 2_000_000
+        assert len([k for k in rows if k[0] == "a"]) == 4
+
+    def test_waterfill_satisfied_path(self, spark):
+        from langscrape_spark.operators.sharding import waterfill_allocation
+
+        df = spark.createDataFrame(
+            [("h1", 5), ("h2", 3)], ["host", "demand"]
+        )
+        out = {
+            r["host"]: (r["alloc"], r["satisfied"])
+            for r in waterfill_allocation(df, "host", "demand", 100).collect()
+        }
+        assert out == {"h1": (5, 1), "h2": (3, 1)}
+
+    def test_prefilter_typo_fails_loud(self, spark, tmp_path):
+        from langscrape_spark.scheduler.frontier import (
+            CrawlConfig,
+            run_crawl,
+        )
+        from langscrape_spark.sources.catalog import Catalog
+        from langscrape_spark import synth
+
+        pages = spark.createDataFrame([], "url string, html string")
+        seeds = spark.createDataFrame(
+            [(synth.url_of(0), 0)], "url string, depth int"
+        )
+        robots = spark.createDataFrame(
+            [],
+            "host string, disallow array<string>, "
+            "crawl_delay double, allowed boolean",
+        )
+        rank = spark.createDataFrame([], "host string, rank double")
+        # validation fires at entry, BEFORE any seeding/catalog work
+        with pytest.raises(ValueError, match="unknown prefilter"):
+            run_crawl(
+                spark, pages, seeds, robots, rank,
+                Catalog(spark, str(tmp_path)),
+                CrawlConfig(max_rounds=1, prefilter="Cuckoo "),
+            )
