@@ -7120,6 +7120,208 @@ def _min_k_prob_oracle() -> str:
     """
 
 
+def q202_average_precision(spark, sf):
+    """Exact binary Average Precision@10 (operators/evalops.py::
+    average_precision_at_k — TREC's primary metric, the
+    area-under-PR complement to q153's nDCG): the same q59 BM25
+    top-10 against the same length>=300 silver relevance; AP sums
+    P@i at every relevant rank as exact integer rationals (hits_i/i)
+    and normalizes by min(R, 10). Same round-6 score cut, id
+    tie-break, duplicate-relevance collapse and TakeOrdered plan
+    shape as nDCG; the oracle rebuilds the BM25 top-10 and replays
+    the running-hit AP sum."""
+    from langscrape_spark.operators.evalops import (
+        average_precision_at_k,
+    )
+    from langscrape_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = _t_parallel(spark, sf, "documents")
+    postings, doc_lens = build_inverted_index(docs)
+    ranking = bm25_topk(postings, doc_lens, "hash scan table", k=10)
+    rel = docs.select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("rel")
+    )
+    return average_precision_at_k(ranking, rel, k=10)
+
+
+def _ap_oracle() -> str:
+    return f"""
+        -- AP@10 over the q153/q59 BM25 top-10: running hit counts,
+        -- P@i at relevant ranks, normalize by min(R, 10). Spark:
+        -- operators/evalops.py::average_precision_at_k.
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        postings AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY term, doc_id),
+        dl AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        consts AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+        q(term) AS (VALUES ('hash'), ('scan'), ('table')),
+        hits AS (SELECT p.* FROM postings p JOIN q USING (term)),
+        dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM hits GROUP BY term),
+        scored AS (
+          SELECT h.doc_id,
+                 sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                     * h.tf
+                     / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                   AS score
+          FROM hits h
+          JOIN dfs d USING (term)
+          JOIN dl l USING (doc_id), consts c
+          GROUP BY h.doc_id),
+        top AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY round(score, 6) DESC,
+                                    doc_id) AS rn
+          FROM scored QUALIFY rn <= 10),
+        rel AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS r
+          FROM documents),
+        joined AS (
+          SELECT t.rn, coalesce(rel.r, 0) AS r
+          FROM top t LEFT JOIN rel USING (doc_id)),
+        run AS (
+          SELECT rn, r,
+                 sum(r) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS hits_i
+          FROM joined),
+        rt AS (SELECT CAST(sum(r) AS BIGINT) AS n_relevant FROM rel),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                 CAST(sum(r) AS BIGINT) AS n_hits,
+                 coalesce(sum(CASE WHEN r = 1
+                          THEN hits_i * 1.0 / rn ELSE 0.0 END), 0.0)
+                   AS ap_num
+          FROM run)
+        SELECT CAST(10 AS INT) AS k, n_ranked,
+               coalesce(n_relevant, 0) AS n_relevant, n_hits,
+               round(CASE WHEN least(coalesce(n_relevant, 0), 10) > 0
+                     THEN ap_num / least(n_relevant, 10) END, 6)
+                 AS ap
+        FROM a, rt
+    """
+
+
+def q203_cdc_reuse(spark, sf):
+    """Cross-version CDC chunk reuse (operators/text.py::cdc_chunks —
+    the rsync/restic delta-storage question): every document gets a
+    re-crawled version with a PREPENDED update banner (the edit that
+    shifts every fixed-stride chunk but leaves CDC chunks after the
+    first boundary byte-identical); per doc we count distinct chunk
+    hashes in each version, the shared set, and the reuse ratio — the
+    fraction of the new version's chunks a chunk-hash store already
+    holds (storage saved by content-defined addressing). The oracle
+    replays the CDC derivation on BOTH versions plus the distinct-
+    hash intersection."""
+    from langscrape_spark.operators.text import cdc_chunks
+
+    docs = _t_parallel(spark, sf, "documents")
+    a = docs.select("doc_id", "text")
+    b = docs.select(
+        "doc_id",
+        F.concat(F.lit("breaking update today "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    ca = cdc_chunks(a).select("doc_id", "chunk_hash").distinct()
+    cb = cdc_chunks(b).select("doc_id", "chunk_hash").distinct()
+    na = ca.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_old"))
+    nbf = cb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    shared = (
+        ca.join(cb, ["doc_id", "chunk_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        na.join(nbf, "doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_old",
+            "n_new",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_new"), 6
+            ).alias("reuse_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_reuse_oracle() -> str:
+    def chunk_block(tag: str, docs_cte: str) -> str:
+        return f"""
+        {tag}toks AS (
+          SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos,
+                 unnest(tok) AS w
+          FROM (SELECT doc_id, {_TOKENS} AS tok FROM {docs_cte})),
+        {tag}rolled AS (
+          SELECT doc_id, pos, w,
+                 string_agg(w, ' ') OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN 3 PRECEDING
+                   AND CURRENT ROW) AS win
+          FROM {tag}toks),
+        {tag}flagged AS (
+          SELECT doc_id, pos, w,
+                 CASE WHEN pos >= 3 AND
+                   CAST(CAST(md5_number_lower(win) AS HUGEINT)
+                        % (CAST(1 AS HUGEINT) << 63) AS BIGINT)
+                   % 32 = 0
+                 THEN 1 ELSE 0 END AS b
+          FROM {tag}rolled),
+        {tag}chunked AS (
+          SELECT doc_id, pos, w,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS chunk_idx
+          FROM {tag}flagged),
+        {tag}hraw AS (
+          SELECT doc_id,
+                 md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+          FROM {tag}chunked GROUP BY doc_id, chunk_idx),
+        {tag}hashes AS (
+          SELECT DISTINCT doc_id, chunk_hash FROM {tag}hraw)"""
+
+    a = chunk_block("a_", "olddocs")
+    b = chunk_block("b_", "newdocs")
+    return f"""
+        -- CDC chunk reuse across versions: q104's chunk derivation on
+        -- both versions, distinct chunk-hash sets, intersection and
+        -- reuse ratio. Spark: q203_cdc_reuse.
+        WITH olddocs AS (SELECT doc_id, text FROM documents),
+        newdocs AS (
+          SELECT doc_id, 'breaking update today ' || text AS text
+          FROM documents),
+        {a},
+        {b},
+        na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_old
+               FROM a_hashes GROUP BY doc_id),
+        nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+               FROM b_hashes GROUP BY doc_id),
+        sh AS (
+          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM a_hashes a JOIN b_hashes b
+            ON a.doc_id = b.doc_id AND a.chunk_hash = b.chunk_hash
+          GROUP BY a.doc_id)
+        SELECT na.doc_id, na.n_old, nb.n_new,
+               coalesce(sh.n_shared, 0) AS n_shared,
+               round(coalesce(sh.n_shared, 0) * 1.0 / nb.n_new, 6)
+                 AS reuse_ratio
+        FROM na JOIN nb ON na.doc_id = nb.doc_id
+        LEFT JOIN sh ON na.doc_id = sh.doc_id
+        ORDER BY na.doc_id
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7518,6 +7720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_aimd_rates": q199_aimd_rates,
         "q200_fuzzy_decontaminate": q200_fuzzy_decontaminate,
         "q201_min_k_prob": q201_min_k_prob,
+        "q202_average_precision": q202_average_precision,
+        "q203_cdc_reuse": q203_cdc_reuse,
     })
 
 
@@ -12766,6 +12970,8 @@ def oracle_sql() -> dict[str, str]:
         "q199_aimd_rates": _aimd_oracle(),
         "q200_fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "q201_min_k_prob": _min_k_prob_oracle(),
+        "q202_average_precision": _ap_oracle(),
+        "q203_cdc_reuse": _cdc_reuse_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

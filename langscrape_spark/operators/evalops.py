@@ -232,3 +232,89 @@ def ndcg_at_k(
             ),
         )
     )
+
+
+def average_precision_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    order_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Exact binary Average Precision@k — the area-under-PR verdict
+    that complements :func:`ndcg_at_k` (nDCG rewards graded position,
+    AP rewards precision at every recall point; TREC's primary
+    metric).
+
+    AP@k = (1/min(R, k)) Σ_{i<=k, rel_i=1} P@i with
+    P@i = (#relevant in top i)/i — every term an exact integer
+    rational until the final round-6 division (hits_i / i summed as
+    DOUBLE over <=k literal-free terms; <=k additions of exact
+    binary fractions, same expression order both engines).
+
+    Same contracts as ndcg_at_k: the k cut is orderBy+limit
+    (TakeOrderedAndProject — never a global window over the corpus),
+    ranking on the ROUND-6 score with id tie-break, duplicate
+    relevance rows collapse to max BEFORE the join, R = 0 reports
+    NULL via try_divide.
+
+    Output (one row): ``(k, n_ranked, n_relevant, n_hits, ap)``.
+    """
+    from pyspark.sql import Window
+
+    rel1 = (
+        relevance.select(
+            F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
+        )
+        .groupBy(id_col)
+        .agg(F.max("_rel").alias("_rel"))
+    )
+    top = (
+        ranked.select(
+            F.col(id_col), F.round(F.col(order_col), 6).alias("_s6")
+        )
+        .orderBy(F.desc("_s6"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("_s6"), F.asc(id_col))
+    joined = top.join(rel1, id_col, "left").select(
+        id_col,
+        "_s6",
+        F.coalesce((F.col("_rel") > 0).cast("int"), F.lit(0)).alias("_r"),
+    )
+    # rank + running hit count over the <=k-row frame (bounded window)
+    scored = joined.select(
+        "_r",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_r").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_hits"),
+    )
+    tot_rel = rel1.agg(
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_relevant")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum("_r").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("_r") == 1, F.col("_hits") / F.col("_i")
+            ).otherwise(F.lit(0.0))
+        ).alias("_ap_num"),
+    )
+    return agg.crossJoin(F.broadcast(tot_rel)).select(
+        F.lit(k).alias("k"),
+        "n_ranked",
+        F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+        "n_hits",
+        F.round(
+            F.try_divide(
+                F.col("_ap_num"),
+                F.least(F.coalesce("n_relevant", F.lit(0)), F.lit(k)).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("ap"),
+    )

@@ -6287,3 +6287,70 @@ class TestReviewRegressions2:
                 Catalog(spark, str(tmp_path)),
                 CrawlConfig(max_rounds=1, prefilter="Cuckoo "),
             )
+
+
+# ---------------------------------------------------------------------------
+# Average Precision (q202)
+# ---------------------------------------------------------------------------
+
+class TestAveragePrecision:
+    def _run(self, spark, ranking, rels, k=5):
+        from langscrape_spark.operators.evalops import (
+            average_precision_at_k,
+        )
+
+        ranked = spark.createDataFrame(ranking, ["doc_id", "score"])
+        rel = spark.createDataFrame(rels, ["doc_id", "rel"])
+        return average_precision_at_k(ranked, rel, k=k).collect()[0]
+
+    def test_textbook_ap(self, spark):
+        # ranks 1,3,5 relevant of R=3: AP = (1/1 + 2/3 + 3/5)/3
+        ranking = [(i, 10.0 - i) for i in range(1, 6)]
+        rels = [(1, 1), (3, 1), (5, 1)]
+        out = self._run(spark, ranking, rels)
+        assert out["n_hits"] == 3 and out["n_relevant"] == 3
+        assert abs(out["ap"] - (1 + 2 / 3 + 3 / 5) / 3) < 1e-6
+
+    def test_perfect_and_zero(self, spark):
+        ranking = [(i, 10.0 - i) for i in range(1, 6)]
+        out = self._run(spark, ranking, [(1, 1), (2, 1)])
+        assert out["ap"] == 1.0
+        out0 = self._run(spark, ranking, [(99, 1)])
+        assert out0["ap"] == 0.0 and out0["n_hits"] == 0
+        # R = 0 -> NULL, not a crash
+        outn = self._run(spark, ranking, [(1, 0)])
+        assert outn["ap"] is None
+
+    def test_duplicate_relevance_rows_collapse(self, spark):
+        ranking = [(1, 5.0), (2, 4.0)]
+        out = self._run(spark, ranking, [(1, 1), (1, 1), (1, 0)])
+        assert out["n_relevant"] == 1 and out["ap"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# CDC chunk reuse (q203)
+# ---------------------------------------------------------------------------
+
+class TestCdcReuse:
+    def test_prepend_preserves_tail_chunks(self, spark):
+        """The CDC selling point: prepending text only disturbs chunks
+        up to the first content boundary — everything after is
+        byte-identical, so reuse is high; a fixed-stride chunker
+        would share ~nothing."""
+        from langscrape_spark.operators.text import cdc_chunks
+
+        import random
+
+        rng = random.Random(3)
+        words = " ".join(
+            f"w{rng.randint(0, 500)}" for _ in range(400)
+        )
+        a = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        b = spark.createDataFrame(
+            [(1, "breaking update today " + words)], ["doc_id", "text"]
+        )
+        ha = {r["chunk_hash"] for r in cdc_chunks(a).collect()}
+        hb = {r["chunk_hash"] for r in cdc_chunks(b).collect()}
+        shared = ha & hb
+        assert len(shared) >= 0.6 * len(hb)  # most chunks survive
+        assert len(hb - ha) >= 1             # the head chunk changed
