@@ -7322,6 +7322,61 @@ def _cdc_reuse_oracle() -> str:
     """
 
 
+def q204_eb_shrinkage(spark, sf):
+    """Empirical-Bayes shrinkage of per-host quality rates
+    (operators/hostquality.py::eb_shrunken_rates — Efron-Morris in
+    beta-binomial form): host cells (source, doc_id%13) pass/fail
+    the length>=300 gate; tiny hosts' extreme raw rates shrink
+    toward the corpus prior with method-of-moments strength
+    K = m(1-m)/v - 1 while big hosts barely move — the stabilizer
+    every rate-ranked crawl/filter decision needs. The oracle
+    re-derives group counts, the prior moments, the clamped K and
+    the shrink formula."""
+    from langscrape_spark.operators.hostquality import eb_shrunken_rates
+
+    docs = _t(spark, sf, "documents").select(
+        F.concat(
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 13).cast("string"),
+        ).alias("host"),
+        (F.length("text") >= 300).cast("int").alias("pass_flag"),
+    )
+    return eb_shrunken_rates(docs, "host", "pass_flag").orderBy("host")
+
+
+def _eb_shrinkage_oracle() -> str:
+    return """
+        -- EB beta-binomial shrinkage replay: per-group (n, y, rate),
+        -- prior mean/variance over the GROUP table (population
+        -- variance), K = m(1-m)/v - 1 clamped at 0, shrunk =
+        -- (y + K m)/(n + K). Spark: operators/hostquality.py::
+        -- eb_shrunken_rates.
+        WITH g AS (
+          SELECT source || '-' || CAST(doc_id % 13 AS VARCHAR)
+                   AS host,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN length(text) >= 300
+                      THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM documents GROUP BY 1),
+        gr AS (SELECT host, n, y, y * 1.0 / n AS rate FROM g),
+        prior AS (
+          SELECT avg(rate) AS m, var_pop(rate) AS v FROM gr),
+        kp AS (
+          SELECT m,
+                 CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                      THEN m * (1 - m) / v - 1 ELSE 0.0 END AS k
+          FROM prior)
+        SELECT gr.host, gr.n AS n_rows, gr.y AS n_pos,
+               round(gr.rate, 6) AS raw_rate,
+               round(kp.k, 6) AS k_strength,
+               round(kp.m, 6) AS prior_mean,
+               round((gr.y + kp.k * kp.m) / (gr.n + kp.k), 6)
+                 AS shrunk_rate
+        FROM gr, kp ORDER BY gr.host
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7722,6 +7777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_min_k_prob": q201_min_k_prob,
         "q202_average_precision": q202_average_precision,
         "q203_cdc_reuse": q203_cdc_reuse,
+        "q204_eb_shrinkage": q204_eb_shrinkage,
     })
 
 
@@ -12972,6 +13028,7 @@ def oracle_sql() -> dict[str, str]:
         "q201_min_k_prob": _min_k_prob_oracle(),
         "q202_average_precision": _ap_oracle(),
         "q203_cdc_reuse": _cdc_reuse_oracle(),
+        "q204_eb_shrinkage": _eb_shrinkage_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

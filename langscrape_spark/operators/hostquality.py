@@ -264,3 +264,70 @@ def ucb_rank_table(
         F.col("arm").alias("host"),
         F.round(F.col("ucb") / F.lit(float(mx)), 6).alias("rank"),
     )
+
+
+def eb_shrunken_rates(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage
+    of per-group binary rates — the fix for the classic hosting-rate
+    fallacy: a 2-page host with 2 quality passes is NOT a better host
+    than a 10k-page host at 92%, yet raw rates say so, and every
+    rate-ranked decision (crawl budgets, filter policies, q64's
+    rollup) inherits the noise. Shrinkage pulls each host toward the
+    corpus prior with strength inversely proportional to evidence:
+
+        m = mean of raw group rates,  v = their variance
+        K = m(1-m)/v - 1              (prior pseudo-count; clamp >= 0,
+                                       and v = 0 -> K = 0: identical
+                                       rates need no shrinking)
+        shrunk_g = (y_g + K*m) / (n_g + K)
+
+    (Efron & Morris 1975's baseball estimator in beta-binomial form.)
+
+    Scale shape: one hash-agg to (group, n, y); the prior (m, v, K)
+    is a 1-row aggregate over the GROUP table (hosts-sized, not
+    corpus-sized) broadcast back — no collect; the shrink itself is
+    a codegen projection. Output per group:
+    ``(group, n_rows, n_pos, raw_rate, k_strength, prior_mean,
+    shrunk_rate)`` — rates round-6.
+    """
+    g = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(flag_col).cast("long")).alias("y"),
+        )
+        .withColumn("rate", F.col("y") / F.col("n"))
+    )
+    prior = g.agg(
+        F.avg("rate").alias("m"),
+        F.var_pop("rate").alias("v"),
+    ).select(
+        "m",
+        F.when(
+            (F.col("v") > 0)
+            & (F.col("m") * (1 - F.col("m")) / F.col("v") - 1 > 0),
+            F.col("m") * (1 - F.col("m")) / F.col("v") - 1,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("k"),
+    )
+    return (
+        g.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_rows"),
+            F.col("y").alias("n_pos"),
+            F.round("rate", 6).alias("raw_rate"),
+            F.round("k", 6).alias("k_strength"),
+            F.round("m", 6).alias("prior_mean"),
+            F.round(
+                (F.col("y") + F.col("k") * F.col("m"))
+                / (F.col("n") + F.col("k")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+    )

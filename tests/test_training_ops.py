@@ -6354,3 +6354,44 @@ class TestCdcReuse:
         shared = ha & hb
         assert len(shared) >= 0.6 * len(hb)  # most chunks survive
         assert len(hb - ha) >= 1             # the head chunk changed
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage (q204)
+# ---------------------------------------------------------------------------
+
+class TestEbShrinkage:
+    def test_small_hosts_shrink_more(self, spark):
+        from langscrape_spark.operators.hostquality import (
+            eb_shrunken_rates,
+        )
+
+        rows = (
+            [("big", 1)] * 90 + [("big", 0)] * 10     # 0.9 on n=100
+            + [("tiny", 1)] * 2                        # 1.0 on n=2
+            + [("mid", 1)] * 5 + [("mid", 0)] * 15     # 0.25 on n=20
+        )
+        df = spark.createDataFrame(rows, ["host", "f"])
+        out = {
+            r["host"]: r for r in eb_shrunken_rates(df, "host", "f").collect()
+        }
+        m = out["big"]["prior_mean"]
+        # shrinkage direction: every host moves TOWARD the prior
+        for h in out:
+            raw, sh = out[h]["raw_rate"], out[h]["shrunk_rate"]
+            assert abs(sh - m) <= abs(raw - m) + 1e-9
+        # the tiny host moves proportionally farthest
+        move = lambda h: abs(out[h]["shrunk_rate"] - out[h]["raw_rate"])  # noqa: E731
+        assert move("tiny") > move("big")
+
+    def test_zero_variance_no_shrink(self, spark):
+        from langscrape_spark.operators.hostquality import (
+            eb_shrunken_rates,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 0), ("b", 1), ("b", 0)], ["host", "f"]
+        )
+        out = eb_shrunken_rates(df, "host", "f").collect()
+        assert all(r["k_strength"] == 0.0 for r in out)
+        assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
