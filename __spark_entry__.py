@@ -7377,6 +7377,87 @@ def _eb_shrinkage_oracle() -> str:
     """
 
 
+def q205_bootstrap_ci(spark, sf):
+    """Deterministic Poisson-bootstrap CI for the mean document
+    length (operators/ranking.py::poisson_bootstrap_ci, B=64 —
+    Chamandy et al.'s RNG-free distributed bootstrap): each resample
+    weights every doc by a Poisson(1) multiplicity read off
+    md5(id:b)/2^63 through Python-literal inverse-CDF thresholds;
+    integer value sums make every resample mean an exact rational,
+    and the 2.5/97.5 percentile picks are exact order statistics
+    over the 64-row frame. The oracle replays thresholds,
+    multiplicities, resample means and the rank picks."""
+    from langscrape_spark.operators.ranking import poisson_bootstrap_ci
+
+    docs = _t_parallel(spark, sf, "documents")
+    return poisson_bootstrap_ci(docs, "n_chars", "doc_id", 64)
+
+
+def _bootstrap_ci_oracle() -> str:
+    import math
+
+    cdf = []
+    acc = 0.0
+    fact = 1.0
+    for k in range(8):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cdf.append(acc)
+    thresholds = cdf[:-1]
+    mult = " + ".join(
+        f"CASE WHEN u >= {t!r} THEN 1 ELSE 0 END" for t in thresholds
+    )
+    lo_rank = max(1, math.ceil(2.5 / 100.0 * 64))
+    hi_rank = max(1, math.ceil(97.5 / 100.0 * 64))
+    return f"""
+        -- Poisson bootstrap replay: same python-literal inverse-CDF
+        -- thresholds, md5(id:b) uniforms, integer weighted sums,
+        -- exact order-statistic CI picks (ranks {lo_rank}/{hi_rank}
+        -- of 64). Spark: operators/ranking.py::poisson_bootstrap_ci.
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        e AS (
+          SELECT id, v, CAST(b AS INT) AS b
+          FROM src, range(1, 65) t(b)),
+        uu AS (
+          SELECT v, b,
+                 CAST(CAST(md5_number_lower(id || ':'
+                        || CAST(b AS VARCHAR)) AS HUGEINT)
+                   % (CAST(1 AS HUGEINT) << 63) AS BIGINT)
+                 / 9223372036854775808.0 AS u
+          FROM e),
+        wtd AS (SELECT b, v, ({mult}) AS m FROM uu),
+        sums AS (
+          SELECT b, sum(CAST(m AS BIGINT) * v) AS sx,
+                 sum(CAST(m AS BIGINT)) AS sw
+          FROM wtd GROUP BY b),
+        means AS (
+          SELECT sx * 1.0 / sw AS mean FROM sums WHERE sw > 0),
+        ranked AS (
+          SELECT mean, row_number() OVER (ORDER BY mean) AS rn
+          FROM means),
+        picks AS (
+          SELECT count(*) AS nb,
+                 max(CASE WHEN rn = {lo_rank} THEN mean END) AS lo,
+                 max(CASE WHEN rn = {hi_rank} THEN mean END) AS hi,
+                 stddev_pop(mean) AS se
+          FROM ranked),
+        fl AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 avg(v) AS mf
+          FROM src)
+        SELECT fl.n_rows, CAST(64 AS INT) AS n_resamples,
+               round(fl.mf, 6) AS mean_full,
+               round(picks.lo, 6) AS ci_lo,
+               round(picks.hi, 6) AS ci_hi,
+               round(picks.se, 6) AS se
+        FROM fl, picks
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7778,6 +7859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_average_precision": q202_average_precision,
         "q203_cdc_reuse": q203_cdc_reuse,
         "q204_eb_shrinkage": q204_eb_shrinkage,
+        "q205_bootstrap_ci": q205_bootstrap_ci,
     })
 
 
@@ -13029,6 +13111,7 @@ def oracle_sql() -> dict[str, str]:
         "q202_average_precision": _ap_oracle(),
         "q203_cdc_reuse": _cdc_reuse_oracle(),
         "q204_eb_shrinkage": _eb_shrinkage_oracle(),
+        "q205_bootstrap_ci": _bootstrap_ci_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -284,3 +284,107 @@ def poisson_sample_ht(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(contrib).alias("ht_total_micro"),
     )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 64,
+    lo_pct: float = 2.5,
+    hi_pct: float = 97.5,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the
+    corpus MEAN of an integer column — error bars for corpus metrics
+    (mean doc length, token counts, quality scores) without any RNG
+    state: resample b weights row i by a Poisson(1) draw read off the
+    uniform ``md5(id:b)/2^63`` through Python-literal inverse-CDF
+    thresholds (identical bits in any engine), the standard
+    distributed bootstrap (Chamandy et al., Google 2012 — Poisson
+    weights need no global n, so the pass is embarrassingly
+    parallel).
+
+    Scale shape: the explode to (row x B) feeds a groupBy(b) whose
+    map-side partials collapse each partition to ``B`` rows — the
+    shuffle is B x partitions rows regardless of corpus size; the
+    B-row frame then yields exact order-statistic percentile picks
+    (rank = ceil(pct/100·B), deterministic). With an INTEGER value
+    column every resample sum is exact, so the resample means are
+    identical rationals cross-engine.
+
+    Output (one row): ``(n_rows, n_resamples, mean_full, ci_lo,
+    ci_hi, se)`` — round-6.
+    """
+    import math
+
+    cdf = []
+    acc = 0.0
+    fact = 1.0
+    for k in range(8):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cdf.append(acc)
+    thresholds = cdf[:-1]  # multiplicity = #thresholds <= u, max 7
+
+    src = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    from .dedup import _md5_lower64
+
+    b = src.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("_b"),
+    )
+    u = (
+        _md5_lower64(
+            F.concat(F.col("_id"), F.lit(":"), F.col("_b").cast("string"))
+        ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+        / F.lit(float(1 << 63))
+    )
+    mult = sum(
+        [(u >= F.lit(t)).cast("int") for t in thresholds],
+        F.lit(0),
+    )
+    sums = (
+        b.select("_b", (mult.cast("long") * F.col("_v")).alias("_wx"),
+                 mult.cast("long").alias("_w"))
+        .groupBy("_b")
+        .agg(F.sum("_wx").alias("_sx"), F.sum("_w").alias("_sw"))
+        .select(
+            F.try_divide(
+                F.col("_sx").cast("double"), F.col("_sw").cast("double")
+            ).alias("_mean")
+        )
+        .where(F.col("_mean").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_mean")
+    ranked = sums.withColumn("_rn", F.row_number().over(w))
+    lo_rank = max(1, math.ceil(lo_pct / 100.0 * n_resamples))
+    hi_rank = max(1, math.ceil(hi_pct / 100.0 * n_resamples))
+    picks = ranked.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.max(F.when(F.col("_rn") == lo_rank, F.col("_mean"))).alias(
+            "_lo"
+        ),
+        F.max(F.when(F.col("_rn") == hi_rank, F.col("_mean"))).alias(
+            "_hi"
+        ),
+        F.stddev_pop("_mean").alias("_se"),
+    )
+    full = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("_v").alias("_mf"),
+    )
+    return full.crossJoin(F.broadcast(picks)).select(
+        "n_rows",
+        F.lit(n_resamples).alias("n_resamples"),
+        F.round("_mf", 6).alias("mean_full"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+        F.round("_se", 6).alias("se"),
+    )

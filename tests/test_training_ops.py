@@ -6395,3 +6395,39 @@ class TestEbShrinkage:
         out = eb_shrunken_rates(df, "host", "f").collect()
         assert all(r["k_strength"] == 0.0 for r in out)
         assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (q205)
+# ---------------------------------------------------------------------------
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from langscrape_spark.operators.ranking import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, 100 + (i * 37) % 50) for i in range(2000)],
+            ["doc_id", "v"],
+        )
+        a = poisson_bootstrap_ci(df, "v", "doc_id", 64).collect()[0]
+        b = poisson_bootstrap_ci(
+            df.repartition(13), "v", "doc_id", 64
+        ).collect()[0]
+        assert a.asDict() == b.asDict()  # no RNG, partition-invariant
+        assert a["ci_lo"] <= a["mean_full"] <= a["ci_hi"]
+        # ~1/sqrt(n) scale sanity: CI half-width well under the data SD
+        assert (a["ci_hi"] - a["ci_lo"]) < 5.0
+        assert a["n_rows"] == 2000 and a["se"] > 0
+
+    def test_narrower_with_more_data(self, spark):
+        from langscrape_spark.operators.ranking import poisson_bootstrap_ci
+
+        small = spark.createDataFrame(
+            [(i, 100 + (i * 37) % 50) for i in range(100)], ["doc_id", "v"]
+        )
+        big = spark.createDataFrame(
+            [(i, 100 + (i * 37) % 50) for i in range(5000)], ["doc_id", "v"]
+        )
+        ws = poisson_bootstrap_ci(small, "v", "doc_id", 64).collect()[0]
+        wb = poisson_bootstrap_ci(big, "v", "doc_id", 64).collect()[0]
+        assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
