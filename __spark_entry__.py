@@ -7458,6 +7458,296 @@ def _bootstrap_ci_oracle() -> str:
     """
 
 
+def q206_sitemap_coverage(spark, sf):
+    """Sitemap-vs-crawl coverage audit — the crawl-ops question after
+    every sitemap ingest (q47): per host, how many DECLARED urls were
+    actually crawled (coverage), how many crawled urls were never
+    declared (orphans — discoverable only by link walking), and both
+    exception lists' sizes. Declared = every doc url; crawled = docs
+    with doc_id%3 != 0 plus an undeclared orphan set (doc_id%4==0).
+    One full-outer equi-join + per-host aggregation (map-side
+    combinable). Oracle: same sets, same join, same rates."""
+    docs = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 15).cast("string")
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 15).cast("string"),
+        F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+    )
+    declared = docs.select(host.alias("host"), url.alias("url"))
+    crawled = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select(host.alias("host"), url.alias("url"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 4 == 0).select(
+                host.alias("host"),
+                F.concat(
+                    F.lit("https://h"),
+                    (F.col("doc_id") % 15).cast("string"),
+                    F.lit(".example/orphan"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+            )
+        )
+    )
+    j = declared.withColumn("_d", F.lit(1)).join(
+        crawled.withColumn("_c", F.lit(1)), ["host", "url"], "full_outer"
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("_d").cast("long").alias("n_declared"),
+            F.count("_c").cast("long").alias("n_crawled"),
+            F.sum(
+                (F.col("_d").isNotNull() & F.col("_c").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_both"),
+            F.sum(
+                (F.col("_d").isNotNull() & F.col("_c").isNull()).cast(
+                    "long"
+                )
+            ).alias("declared_only"),
+            F.sum(
+                (F.col("_d").isNull() & F.col("_c").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("crawled_only"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(
+                F.try_divide(F.col("n_both"), F.col("n_declared")), 6
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+def _sitemap_coverage_oracle() -> str:
+    return """
+        -- Coverage audit replay: declared/crawled sets, full outer
+        -- join, per-host counts + coverage. Spark:
+        -- q206_sitemap_coverage.
+        WITH declared AS (
+          SELECT 'h' || CAST(doc_id % 15 AS VARCHAR) AS host,
+                 'https://h' || CAST(doc_id % 15 AS VARCHAR)
+                 || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        crawled AS (
+          SELECT 'h' || CAST(doc_id % 15 AS VARCHAR) AS host,
+                 'https://h' || CAST(doc_id % 15 AS VARCHAR)
+                 || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 15 AS VARCHAR),
+                 'https://h' || CAST(doc_id % 15 AS VARCHAR)
+                 || '.example/orphan' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 4 = 0),
+        j AS (
+          SELECT coalesce(d.host, c.host) AS host,
+                 d.url AS du, c.url AS cu
+          FROM declared d FULL OUTER JOIN crawled c
+            ON d.host = c.host AND d.url = c.url)
+        SELECT host,
+               CAST(count(du) AS BIGINT) AS n_declared,
+               CAST(count(cu) AS BIGINT) AS n_crawled,
+               CAST(sum(CASE WHEN du IS NOT NULL AND cu IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN du IS NOT NULL AND cu IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS declared_only,
+               CAST(sum(CASE WHEN du IS NULL AND cu IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS crawled_only,
+               round(sum(CASE WHEN du IS NOT NULL AND cu IS NOT NULL
+                     THEN 1 ELSE 0 END) * 1.0
+                     / nullif(count(du), 0), 6) AS coverage
+        FROM j GROUP BY host ORDER BY host
+    """
+
+
+def q207_hreflang_reciprocity(spark, sf):
+    """hreflang reciprocity audit — Google ignores hreflang pairs
+    that are not RECIPROCAL, so multilingual sites audit exactly
+    this: each language version of an article declares alternates to
+    its siblings (q190's /lang/ URL scheme), but a deterministic
+    fault knocks out every 5th declaration (md5-parity of the edge);
+    per (lang_from, lang_to) pair we report declared edges,
+    reciprocal edges and the reciprocity rate. One self-join of the
+    edge table on the reversed key. Oracle replays edges, the fault
+    rule and the reverse join."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+
+    docs = _t(spark, sf, "documents")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    art = F.floor(F.col("doc_id") / 4)
+    pages = docs.select(art.alias("art"), lang.alias("lang"))
+    a = pages.select("art", F.col("lang").alias("lang_from"))
+    b = pages.select("art", F.col("lang").alias("lang_to"))
+    edges = (
+        a.join(b, "art")
+        .where(F.col("lang_from") != F.col("lang_to"))
+        .where(
+            F.pmod(
+                _md5_lower64(
+                    F.concat(
+                        F.col("art").cast("string"),
+                        F.lit(":"),
+                        F.col("lang_from"),
+                        F.lit(">"),
+                        F.col("lang_to"),
+                    )
+                ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)),
+                F.lit(5),
+            )
+            != 0
+        )
+    )
+    rev = edges.select(
+        "art",
+        F.col("lang_from").alias("lang_to"),
+        F.col("lang_to").alias("lang_from"),
+        F.lit(1).alias("_r"),
+    )
+    j = edges.join(rev, ["art", "lang_from", "lang_to"], "left")
+    return (
+        j.groupBy("lang_from", "lang_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_declared"),
+            F.sum(F.coalesce("_r", F.lit(0))).cast("long").alias(
+                "n_reciprocal"
+            ),
+        )
+        .withColumn(
+            "reciprocity",
+            F.round(F.col("n_reciprocal") / F.col("n_declared"), 6),
+        )
+        .orderBy("lang_from", "lang_to")
+    )
+
+
+def _hreflang_oracle() -> str:
+    return """
+        -- hreflang reciprocity replay: same (art, lang) pages, same
+        -- md5-parity declaration fault, reverse-key self-join,
+        -- per-lang-pair rates. Spark: q207_hreflang_reciprocity.
+        WITH pages AS (
+          SELECT doc_id // 4 AS art,
+                 (['en','fr','de','es'])[(doc_id % 4) + 1] AS lang
+          FROM documents),
+        edges AS (
+          SELECT a.art, a.lang AS lang_from, b.lang AS lang_to
+          FROM pages a JOIN pages b ON a.art = b.art
+          WHERE a.lang <> b.lang
+            AND CAST(CAST(md5_number_lower(
+                  CAST(a.art AS VARCHAR) || ':' || a.lang
+                  || '>' || b.lang) AS HUGEINT)
+                % (CAST(1 AS HUGEINT) << 63) % 5 AS BIGINT) <> 0),
+        j AS (
+          SELECT e.lang_from, e.lang_to,
+                 CASE WHEN r.art IS NOT NULL THEN 1 ELSE 0 END AS rr
+          FROM edges e LEFT JOIN edges r
+            ON e.art = r.art AND e.lang_from = r.lang_to
+           AND e.lang_to = r.lang_from)
+        SELECT lang_from, lang_to,
+               CAST(count(*) AS BIGINT) AS n_declared,
+               CAST(sum(rr) AS BIGINT) AS n_reciprocal,
+               round(sum(rr) * 1.0 / count(*), 6) AS reciprocity
+        FROM j GROUP BY lang_from, lang_to
+        ORDER BY lang_from, lang_to
+    """
+
+
+def q208_status_transitions(spark, sf):
+    """HTTP status transition matrix across two crawl snapshots —
+    the page-lifecycle Markov view crawl-ops watches (200->404 death
+    rate, 404->200 resurrection, redirect churn): each url's status
+    per snapshot is a deterministic md5 draw over the realistic
+    marginal (70% 200, 10% 301, 10% 404, 10% 503); the matrix is ONE
+    groupBy over (from, to) with row-conditional rates as exact
+    integer rationals until round-6. Oracle replays draws and
+    rates."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+
+    docs = _t(spark, sf, "documents")
+
+    def status(tag):
+        d = F.pmod(
+            _md5_lower64(
+                F.concat(
+                    F.lit(tag), F.col("doc_id").cast("string")
+                )
+            ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)),
+            F.lit(10),
+        )
+        return (
+            F.when(d < 7, F.lit(200))
+            .when(d < 8, F.lit(301))
+            .when(d < 9, F.lit(404))
+            .otherwise(F.lit(503))
+        )
+
+    s = docs.select(
+        status("s1:").alias("status_from"),
+        status("s2:").alias("status_to"),
+    )
+    counts = s.groupBy("status_from", "status_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = counts.groupBy("status_from").agg(
+        F.sum("n").alias("_rt")
+    )
+    return (
+        counts.join(row_tot, "status_from")
+        .select(
+            "status_from",
+            "status_to",
+            "n",
+            F.round(F.col("n") / F.col("_rt"), 6).alias("p_transition"),
+        )
+        .orderBy("status_from", "status_to")
+    )
+
+
+def _status_transitions_oracle() -> str:
+    return """
+        -- Status-lifecycle matrix replay: md5-draw statuses per
+        -- snapshot, (from, to) counts, row-conditional rates.
+        -- Spark: q208_status_transitions.
+        WITH s AS (
+          SELECT
+            CASE WHEN d1 < 7 THEN 200 WHEN d1 < 8 THEN 301
+                 WHEN d1 < 9 THEN 404 ELSE 503 END AS status_from,
+            CASE WHEN d2 < 7 THEN 200 WHEN d2 < 8 THEN 301
+                 WHEN d2 < 9 THEN 404 ELSE 503 END AS status_to
+          FROM (
+            SELECT
+              CAST(CAST(md5_number_lower('s1:'
+                || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                % (CAST(1 AS HUGEINT) << 63) % 10 AS BIGINT) AS d1,
+              CAST(CAST(md5_number_lower('s2:'
+                || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                % (CAST(1 AS HUGEINT) << 63) % 10 AS BIGINT) AS d2
+            FROM documents)),
+        c AS (
+          SELECT status_from, status_to,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY status_from, status_to),
+        rt AS (
+          SELECT status_from, sum(n) AS rtot FROM c
+          GROUP BY status_from)
+        SELECT c.status_from, c.status_to, c.n,
+               round(c.n * 1.0 / rt.rtot, 6) AS p_transition
+        FROM c JOIN rt USING (status_from)
+        ORDER BY c.status_from, c.status_to
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -7860,6 +8150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_cdc_reuse": q203_cdc_reuse,
         "q204_eb_shrinkage": q204_eb_shrinkage,
         "q205_bootstrap_ci": q205_bootstrap_ci,
+        "q206_sitemap_coverage": q206_sitemap_coverage,
+        "q207_hreflang_reciprocity": q207_hreflang_reciprocity,
+        "q208_status_transitions": q208_status_transitions,
     })
 
 
@@ -13112,6 +13405,9 @@ def oracle_sql() -> dict[str, str]:
         "q203_cdc_reuse": _cdc_reuse_oracle(),
         "q204_eb_shrinkage": _eb_shrinkage_oracle(),
         "q205_bootstrap_ci": _bootstrap_ci_oracle(),
+        "q206_sitemap_coverage": _sitemap_coverage_oracle(),
+        "q207_hreflang_reciprocity": _hreflang_oracle(),
+        "q208_status_transitions": _status_transitions_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position
