@@ -44,3 +44,57 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_stream_dedup_ingest_matches_batch_join(spark, tmp_path):
+    """Streaming micro-batches through the incremental MinHash state
+    must union to EXACTLY the batch full-corpus LSH pairs — the same
+    union-equivalence contract the batch rounds prove, now via
+    foreachBatch with exactly-once file semantics."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.dedup import minhash_lsh_pairs
+    from langscrape_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    docs_dir = str(tmp_path / "docs")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend(
+            (r["id_a"], r["id_b"]) for r in pairs.collect()
+        )
+
+    q = stream_dedup_ingest(
+        spark,
+        docs_dir,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        sink,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4, k=3,
+            max_bucket=None,
+        ).collect()
+    }
+    norm = {(min(a, b), max(a, b)) for a, b in got}
+    assert norm == {(min(a, b), max(a, b)) for a, b in expected}
+    assert len(got) == len(norm)  # each pair exactly once across batches
