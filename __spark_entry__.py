@@ -7748,6 +7748,137 @@ def _status_transitions_oracle() -> str:
     """
 
 
+def q209_path_entropy(spark, sf):
+    """Conditional path-segment entropy as a crawler-trap signal —
+    the information-theoretic complement of q50's rule-based trap
+    heuristics: on an ORGANIC host the segment after /cat/ is one of
+    a few article slugs (low H(next|prev)), on a calendar/session
+    trap it is effectively random (H -> log of the fanout). Synth
+    urls: organic hosts h0-h9 draw next-segments from a 4-slug menu;
+    the planted trap host draws from a 1000-value md5 space. Per
+    host: segment-bigram count, distinct continuations, and the
+    conditional entropy H(next|prev) = Σ p(prev) H(next|prev) in
+    nats (round-6) — the trap host tops the ranking. The oracle
+    replays url synthesis, bigram counts and the entropy sums."""
+    from langscrape_spark.operators.dedup import _md5_lower64
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+    is_trap = F.col("doc_id") % 11 == 10
+    prev_seg = F.concat(
+        F.lit("cat"), (F.col("doc_id") % 3).cast("string")
+    )
+    organic_next = F.concat(
+        F.lit("slug"),
+        F.pmod(
+            _md5_lower64(
+                F.concat(F.lit("n:"), F.col("doc_id").cast("string"))
+            ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)),
+            F.lit(4),
+        ).cast("string"),
+    )
+    trap_next = F.concat(
+        F.lit("sess"),
+        F.pmod(
+            _md5_lower64(
+                F.concat(F.lit("t:"), F.col("doc_id").cast("string"))
+            ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)),
+            F.lit(1000),
+        ).cast("string"),
+    )
+    segs = docs.select(
+        host.alias("host"),
+        prev_seg.alias("prev"),
+        F.when(is_trap, trap_next).otherwise(organic_next).alias("nxt"),
+    )
+    big = segs.groupBy("host", "prev", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx = big.groupBy("host", "prev").agg(F.sum("c").alias("cc"))
+    hc = (
+        big.join(ctx, ["host", "prev"])
+        .groupBy("host", "prev")
+        .agg(
+            F.max("cc").alias("cc"),
+            (
+                -F.sum(
+                    (F.col("c") / F.col("cc"))
+                    * F.log(F.col("c") / F.col("cc"))
+                )
+            ).alias("h_cond"),
+        )
+    )
+    tot = segs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("nxt").alias("n_distinct_next"),
+    )
+    ent = hc.groupBy("host").agg(
+        F.sum(F.col("cc") * F.col("h_cond")).alias("_num"),
+        F.sum("cc").alias("_den"),
+    )
+    return (
+        tot.join(ent, "host")
+        .select(
+            "host",
+            "n_urls",
+            "n_distinct_next",
+            F.round(F.col("_num") / F.col("_den"), 6).alias(
+                "h_next_given_prev"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+def _path_entropy_oracle() -> str:
+    return """
+        -- Conditional path entropy replay: same md5-draw segments,
+        -- bigram/context counts, per-context entropy and the
+        -- count-weighted mixture. Spark: q209_path_entropy.
+        WITH segs AS (
+          SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+                 'cat' || CAST(doc_id % 3 AS VARCHAR) AS prev,
+                 CASE WHEN doc_id % 11 = 10
+                 THEN 'sess' || CAST(CAST(
+                   CAST(md5_number_lower('t:'
+                     || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                   % (CAST(1 AS HUGEINT) << 63) % 1000 AS BIGINT)
+                   AS VARCHAR)
+                 ELSE 'slug' || CAST(CAST(
+                   CAST(md5_number_lower('n:'
+                     || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                   % (CAST(1 AS HUGEINT) << 63) % 4 AS BIGINT)
+                   AS VARCHAR)
+                 END AS nxt
+          FROM documents),
+        big AS (
+          SELECT host, prev, nxt, count(*) AS c
+          FROM segs GROUP BY host, prev, nxt),
+        ctx AS (
+          SELECT host, prev, sum(c) AS cc
+          FROM big GROUP BY host, prev),
+        hc AS (
+          SELECT b.host, b.prev, max(x.cc) AS cc,
+                 -sum((b.c * 1.0 / x.cc) * ln(b.c * 1.0 / x.cc))
+                   AS h_cond
+          FROM big b JOIN ctx x
+            ON b.host = x.host AND b.prev = x.prev
+          GROUP BY b.host, b.prev),
+        tot AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT nxt) AS BIGINT)
+                   AS n_distinct_next
+          FROM segs GROUP BY host),
+        ent AS (
+          SELECT host, sum(cc * h_cond) AS num, sum(cc) AS den
+          FROM hc GROUP BY host)
+        SELECT t.host, t.n_urls, t.n_distinct_next,
+               round(e.num / e.den, 6) AS h_next_given_prev
+        FROM tot t JOIN ent e ON t.host = e.host
+        ORDER BY t.host
+    """
+
+
 def _salsa_oracle() -> str:
     from langscrape_spark.operators.hostrank import salsa_oracle_sql
 
@@ -8153,6 +8284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_sitemap_coverage": q206_sitemap_coverage,
         "q207_hreflang_reciprocity": q207_hreflang_reciprocity,
         "q208_status_transitions": q208_status_transitions,
+        "q209_path_entropy": q209_path_entropy,
     })
 
 
@@ -13408,6 +13540,7 @@ def oracle_sql() -> dict[str, str]:
         "q206_sitemap_coverage": _sitemap_coverage_oracle(),
         "q207_hreflang_reciprocity": _hreflang_oracle(),
         "q208_status_transitions": _status_transitions_oracle(),
+        "q209_path_entropy": _path_entropy_oracle(),
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position
