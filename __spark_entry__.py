@@ -7440,8 +7440,7 @@ def _bootstrap_ci_oracle() -> str:
           SELECT mean, row_number() OVER (ORDER BY mean) AS rn
           FROM means),
         picks AS (
-          SELECT count(*) AS nb,
-                 max(CASE WHEN rn = {lo_rank} THEN mean END) AS lo,
+          SELECT max(CASE WHEN rn = {lo_rank} THEN mean END) AS lo,
                  max(CASE WHEN rn = {hi_rank} THEN mean END) AS hi,
                  stddev_pop(mean) AS se
           FROM ranked),

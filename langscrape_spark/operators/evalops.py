@@ -173,20 +173,12 @@ def ndcg_at_k(
     for x in w:
         t += x
         cum.append(t)
-    rel1 = (
-        relevance.select(
-            F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
-        )
-        .groupBy(id_col)
-        .agg(F.max("_rel").alias("_rel"))
+    rel1, topk = _collapsed_rel_and_top(
+        ranked, relevance, k, id_col, order_col, rel_col
     )
     order = [F.desc("_s6"), F.asc(id_col)]
     top = (
-        ranked.select(
-            F.col(id_col), F.round(F.col(order_col), 6).alias("_s6")
-        )
-        .orderBy(*order)
-        .limit(k)
+        topk
         .withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
         # no broadcast hint: the relevance table is corpus-sized in
         # real use (q153 derives it from every document) — shuffling
@@ -234,6 +226,32 @@ def ndcg_at_k(
     )
 
 
+def _collapsed_rel_and_top(
+    ranked, relevance, k, id_col, order_col, rel_col
+):
+    """Shared scaffold of the ranking metrics (nDCG, AP): collapse
+    duplicate relevance rows to max BEFORE any join (a raw left join
+    would fan top-k rows out), and cut the top k on the ROUND-6
+    score with id tie-break via orderBy+limit (TakeOrderedAndProject
+    — never a global window). ONE definition so a rounding- or
+    tie-break-convention change cannot drift between metrics."""
+    rel1 = (
+        relevance.select(
+            F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
+        )
+        .groupBy(id_col)
+        .agg(F.max("_rel").alias("_rel"))
+    )
+    top = (
+        ranked.select(
+            F.col(id_col), F.round(F.col(order_col), 6).alias("_s6")
+        )
+        .orderBy(F.desc("_s6"), F.asc(id_col))
+        .limit(k)
+    )
+    return rel1, top
+
+
 def average_precision_at_k(
     ranked: DataFrame,
     relevance: DataFrame,
@@ -263,19 +281,8 @@ def average_precision_at_k(
     """
     from pyspark.sql import Window
 
-    rel1 = (
-        relevance.select(
-            F.col(id_col), F.col(rel_col).cast("int").alias("_rel")
-        )
-        .groupBy(id_col)
-        .agg(F.max("_rel").alias("_rel"))
-    )
-    top = (
-        ranked.select(
-            F.col(id_col), F.round(F.col(order_col), 6).alias("_s6")
-        )
-        .orderBy(F.desc("_s6"), F.asc(id_col))
-        .limit(k)
+    rel1, top = _collapsed_rel_and_top(
+        ranked, relevance, k, id_col, order_col, rel_col
     )
     w = Window.orderBy(F.desc("_s6"), F.asc(id_col))
     joined = top.join(rel1, id_col, "left").select(

@@ -367,7 +367,6 @@ def poisson_bootstrap_ci(
     lo_rank = max(1, math.ceil(lo_pct / 100.0 * n_resamples))
     hi_rank = max(1, math.ceil(hi_pct / 100.0 * n_resamples))
     picks = ranked.agg(
-        F.count(F.lit(1)).alias("_nb"),
         F.max(F.when(F.col("_rn") == lo_rank, F.col("_mean"))).alias(
             "_lo"
         ),

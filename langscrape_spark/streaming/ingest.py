@@ -82,30 +82,81 @@ def stream_dedup_ingest(
 
     One code path for batch rounds AND streaming ingest, so the
     union-equivalence contract (per-round pairs union EXACTLY to the
-    batch full-corpus join) holds in both modes; the file source +
-    checkpointLocation give exactly-once per input file, and the
-    union property is order-independent, so micro-batch scheduling
-    cannot change the result set. Returns the StreamingQuery; caller
-    owns ``awaitTermination``/``stop``.
+    batch full-corpus join) holds in both modes, and the union
+    property is order-independent, so micro-batch scheduling cannot
+    change the result set. Returns the StreamingQuery; caller owns
+    ``awaitTermination``/``stop``.
 
-    Note the state append happens inside ``foreachBatch`` — Spark
-    guarantees foreachBatch runs micro-batches sequentially, which is
-    the single-writer assumption the bucket state's append protocol
-    already requires of the batch rounds.
+    Replay safety (foreachBatch is at-least-once): see the ordering +
+    per-batch-marker discussion in the body — sink failures replay
+    exactly-once; only a crash inside the narrow append-to-marker
+    window degrades to at-least-once for that one batch. The state
+    append runs inside ``foreachBatch`` — Spark runs micro-batches
+    sequentially, the single-writer assumption the bucket state's
+    append protocol already requires of the batch rounds.
     """
-    from ..operators.incremental import minhash_ingest_round
+    import os
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_dir)
 
+    # foreachBatch is AT-LEAST-once: a failure anywhere in this body
+    # replays the batch, and a blind second bucket_state_append of the
+    # same batch would make the probe see the batch's own rows as
+    # "old" state — double-emitting every within-batch pair and
+    # permanently duplicating state rows. Ordering + a per-batch
+    # marker make the replay paths safe:
+    #   1. pairs compute + CHECKPOINT against the PRE-batch state
+    #      (the same pairs-before-append order minhash_ingest_round
+    #      uses);
+    #   2. sink(pairs) — if it fails, the state is still untouched,
+    #      so the replay recomputes IDENTICAL pairs and retries the
+    #      sink (the common failure mode is fully exactly-once);
+    #   3. state append, then the atomic marker — a replayed batch
+    #      with a marker is skipped outright.
+    # Residual window, documented honestly: a crash BETWEEN append
+    # completion and marker rename replays the append once (the next
+    # bucket_state_compact dedups the rows) and re-runs the sink with
+    # pairs computed against a state that already holds the batch —
+    # the narrow 2PC gap every non-transactional foreachBatch sink
+    # has; batch_id is passed through so sinks can key their own
+    # idempotence on it.
+    from ..operators.incremental import (
+        _minhash_params,
+        bucket_state_append,
+        minhash_lsh_pairs_incremental,
+    )
+    from ..operators.dedup import minhash_band_buckets
+
+    marker_dir = os.path.join(state_dir, "_applied_batches")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = minhash_ingest_round(
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        handles: list = []
+        pairs = minhash_lsh_pairs_incremental(
             batch_df, state_dir, text_col, id_col,
             num_hashes, bands, k, None, n_parts,
-        )
+            unpersist_inputs=handles,
+        ).localCheckpoint(eager=True)
         sink(pairs, batch_id)
+        newb = minhash_band_buckets(
+            batch_df, text_col, id_col, num_hashes, bands, k
+        )
+        bucket_state_append(
+            newb, state_dir, n_parts,
+            params=_minhash_params(num_hashes, bands, k),
+        )
+        for h in handles:
+            h.unpersist()
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, marker)
 
     return (
         docs.writeStream.foreachBatch(process)

@@ -98,3 +98,48 @@ def test_stream_dedup_ingest_matches_batch_join(spark, tmp_path):
     norm = {(min(a, b), max(a, b)) for a, b in got}
     assert norm == {(min(a, b), max(a, b)) for a, b in expected}
     assert len(got) == len(norm)  # each pair exactly once across batches
+
+
+def test_stream_dedup_replay_is_idempotent(spark, tmp_path):
+    """Deleting the stream checkpoint forces a FULL replay of every
+    input file; the per-batch markers must skip all of them — no
+    duplicate state rows, no re-emitted pairs (the at-least-once
+    guard for the state mutation)."""
+    from pyspark.sql import functions as F
+
+    from langscrape_spark.operators.incremental import bucket_state_rows
+    from langscrape_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    docs_dir = str(tmp_path / "docs")
+    for i in range(2):
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    got = []
+
+    def sink(pairs, batch_id):
+        got.extend((r["id_a"], r["id_b"]) for r in pairs.collect())
+
+    state_dir = str(tmp_path / "state")
+    q = stream_dedup_ingest(
+        spark, docs_dir, state_dir, str(tmp_path / "ckpt1"), sink,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    first_pairs = list(got)
+    rows_before = bucket_state_rows(spark, state_dir).count()
+
+    # full replay: fresh checkpoint, same state dir
+    q2 = stream_dedup_ingest(
+        spark, docs_dir, state_dir, str(tmp_path / "ckpt2"), sink,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    assert got == first_pairs  # nothing re-emitted
+    assert bucket_state_rows(spark, state_dir).count() == rows_before
