@@ -8006,8 +8006,8 @@ _PRIORITY_ORDER = [
     "q08_exact_dedup",             # exact dedup
     "q10_minhash_lsh",             # MinHash-LSH near-dup
     "q154_minhash_incremental",    # incremental dedup vs catalog state
-    "q155_simhash_incremental",    # incremental pigeonhole dedup
-    "q156_novelty_incremental",    # cross-round novelty signal
+    "q195_oph_minhash",            # one-permutation MinHash (new family)
+    "q200_fuzzy_decontaminate",    # cross-corpus fuzzy decontamination
     "q159_semantic_incremental",   # cross-round SemDeDup state
     "q160_weighted_sample",        # A-ES weighted mixture sampling
     "q161_ucb_budget",             # UCB1 crawl-budget allocation
@@ -8022,16 +8022,16 @@ _PRIORITY_ORDER = [
     "q128_bm25_maxscore",          # Max-Score pruned retrieval
     "q147_neighborhood_function",  # HyperANF
     "q13_cosine_topk",             # exact ANN baseline
-    "q86_pq_ann",                  # product-quantization ANN
+    "q186_theta_snapshots",        # theta/KMV sketch set ops
     "q35_ivf_ann",                 # IVF ANN
     "q11_lang_quality",            # language-ID + quality
     "q44_gopher_quality",          # Gopher gates
     "q53_ppl_buckets",             # CCNet perplexity bucketing
-    "q67_nb_quality",              # NB quality classifier
+    "q193_incremental_pagerank",   # warm-start incremental PageRank
     "q56_dsir_select",             # DSIR importance resampling
     "q41_decontaminate",           # 13-gram decontamination
     "q57_shard_pack",              # shard packing prefix-scan
-    "q100_temperature_mix",        # temperature mixture
+    "q188_record_linkage",         # Fellegi-Sunter linkage
     "q59_bm25_search",             # BM25
     "q106_rrf_hybrid",             # hybrid-rank fusion
     "q32_host_pagerank",           # iterative graph: PageRank
@@ -8040,7 +8040,7 @@ _PRIORITY_ORDER = [
     "q89_count_min",               # sketch: Count-Min
     "q110_heavy_hitters",          # sketch: Misra-Gries
     "q54_crawl_delta",             # snapshot delta
-    "q127_ks_drift",               # KS drift
+    "q192_range_partitioner",      # range-partitioner audit
     "q43_canonical_urls",          # URL canonicalization
     "q142_registrable_domain",     # PSL eTLD+1
     "q143_rendezvous",             # rendezvous sharding
