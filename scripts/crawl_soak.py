@@ -51,6 +51,7 @@ def _du(path: str) -> int:
 
 def main() -> None:
     membership = sys.argv[1] if len(sys.argv) > 1 else "shuffle"
+    prefilter = sys.argv[2] if len(sys.argv) > 2 else "bloom"
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import functions as F
@@ -88,6 +89,7 @@ def main() -> None:
             bloom_min_seen=0,  # forced on from round 0
             compact_every=4,
             membership=membership,
+            prefilter=prefilter,
             # the soak's whole point is to exercise the PROBE under
             # maintenance churn: without this, the 200k default floor
             # makes a 40k-page soak silently run the shuffle anti-join
@@ -119,6 +121,7 @@ def main() -> None:
             json.dumps(
                 {
                     "membership": membership,
+                    "prefilter": prefilter,
                     "n_pages": N_PAGES,
                     "rounds": len(state.metrics),
                     "urls_scheduled": len(sched),
