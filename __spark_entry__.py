@@ -7988,78 +7988,147 @@ def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
     """
 
 
-# Family-interleaved priority order for the FIRST 50 query names.
+# Driver-verification rotation: never-driver-checked queries FIRST.
 #
 # The driver's independent CORRECTNESS check samples a fixed-size
-# window from the head of queries()/oracle_sql() iteration order
-# (r1-r3 sampled the first 50 names). With the original numeric order
-# that window never reached q51+ — the entire training-data-pipeline
-# surface (dedup variants, ANN, search, graph, sketches, sharding,
-# BPE, drift, layout) rode on in-repo tests alone. This list puts ONE
-# representative of every operator family inside any >=50-name window;
-# the remaining queries follow in their original numeric order. Names
-# and bodies are unchanged — only dict insertion order moves.
+# window (50 names in r1-r4) from the head of queries()/oracle_sql()
+# iteration order.  Rounds 1-4 verified 86 distinct queries (every
+# sampled one green, zero regressions ever); the remaining 122 had
+# only the in-repo DuckDB parity suite (tests/test_queries.py, which
+# runs ALL oracled queries at sf0.01).  Per the round-4 brief, each
+# round rotates 50 never-driver-checked names to the front so the
+# independent check accumulates full coverage: this round the head is
+# the entirely-unchecked q165-q185 block (mirrors, DUST, as-of,
+# bow-tie, IP-CIDR, media fingerprints) followed by the q52-q94
+# stragglers.  Names and bodies are unchanged -- only dict insertion
+# order moves.  The tail keeps the rest of the never-checked set in
+# numeric order (useful if the window ever widens), then
+# _family_interleaved appends all previously-verified names in their
+# original order.
 _PRIORITY_ORDER = [
-    "q18_extract_kernel",          # fused extraction kernel
-    "q19_crawl_schedule",          # frontier scheduler / politeness
-    "q187_cuckoo_revisit",         # cuckoo seen-set screen + revisit deletes
-    "q08_exact_dedup",             # exact dedup
-    "q10_minhash_lsh",             # MinHash-LSH near-dup
-    "q154_minhash_incremental",    # incremental dedup vs catalog state
-    "q195_oph_minhash",            # one-permutation MinHash (new family)
-    "q200_fuzzy_decontaminate",    # cross-corpus fuzzy decontamination
-    "q159_semantic_incremental",   # cross-round SemDeDup state
-    "q160_weighted_sample",        # A-ES weighted mixture sampling
-    "q161_ucb_budget",             # UCB1 crawl-budget allocation
-    "q162_salsa",                  # SALSA degree-normalized walk
-    "q163_exact_incremental",      # cross-round exact-dup state
-    "q164_psi_drift",              # PSI scorecard drift
-    "q157_soft404",                # soft-404 template screen
-    "q158_filter_funnel",          # gate-cascade attrition audit
-    "q84_bpe_train",               # BPE training
-    "q99_prefix_jaccard",          # prefix-filtered exact Jaccard join
-    "q108_suffix_array",           # distributed suffix array
-    "q128_bm25_maxscore",          # Max-Score pruned retrieval
-    "q147_neighborhood_function",  # HyperANF
-    "q13_cosine_topk",             # exact ANN baseline
-    "q186_theta_snapshots",        # theta/KMV sketch set ops
-    "q35_ivf_ann",                 # IVF ANN
-    "q11_lang_quality",            # language-ID + quality
-    "q44_gopher_quality",          # Gopher gates
-    "q53_ppl_buckets",             # CCNet perplexity bucketing
-    "q193_incremental_pagerank",   # warm-start incremental PageRank
-    "q56_dsir_select",             # DSIR importance resampling
-    "q41_decontaminate",           # 13-gram decontamination
-    "q57_shard_pack",              # shard packing prefix-scan
-    "q188_record_linkage",         # Fellegi-Sunter linkage
-    "q59_bm25_search",             # BM25
-    "q106_rrf_hybrid",             # hybrid-rank fusion
-    "q32_host_pagerank",           # iterative graph: PageRank
-    "q98_kcore",                   # iterative graph: peeling
-    "q87_hll_distinct",            # sketch: HLL
-    "q89_count_min",               # sketch: Count-Min
-    "q110_heavy_hitters",          # sketch: Misra-Gries
-    "q54_crawl_delta",             # snapshot delta
-    "q192_range_partitioner",      # range-partitioner audit
-    "q43_canonical_urls",          # URL canonicalization
-    "q142_registrable_domain",     # PSL eTLD+1
-    "q143_rendezvous",             # rendezvous sharding
-    "q117_zorder_layout",          # Z-order layout audit
-    "q137_partition_skew",         # skew pre-flight
-    "q45_parse_robots",            # robots.txt RFC 9309
-    "q47_sitemap_entries",         # sitemap source
-    "q49_warc_ingest",             # WARC source
-    "q51_cdx_fetch_plan",          # CDX source
-    "q63_exact_substring",         # ExactSubstr dedup
-    "q80_winnow_fingerprints",     # winnowing/MOSS
-    "q77_semdedup",                # SemDeDup
-    "q116_edit_join",              # FastSS edit-distance join
-    "q39_dup_clusters",            # connected components
-    "q72_c4_clean",                # C4 line dedup
-    "q55_boilerplate_removal",     # per-host boilerplate
-    "q24_media_features",          # multimodal plumbing
-    "q153_ndcg",                   # ranking eval (nDCG)
-    "q120_bpe_fertility",          # BPE encode/fertility
+    "q165_mirror_hosts",
+    "q166_dust_rules",
+    "q167_param_significance",
+    "q168_harmonic",
+    "q169_asof_join",
+    "q170_bowtie",
+    "q171_ip_asn",
+    "q172_ht_estimate",
+    "q173_logreg_gd",
+    "q174_rake",
+    "q175_revalidation",
+    "q176_best_passage",
+    "q177_scc",
+    "q178_dust_apply",
+    "q179_surt",
+    "q180_hub_removal",
+    "q181_ring_churn",
+    "q182_lsh_recall",
+    "q183_image_dhash",
+    "q184_audio_fp",
+    "q185_video_framedup",
+    "q52_anchor_rollup",
+    "q55_boilerplate_removal",
+    "q58_mixture_select",
+    "q60_revisit_priority",
+    "q61_more_like_this",
+    "q62_bigram_ppl",
+    "q63_exact_substring",
+    "q64_host_quality",
+    "q65_chunk_documents",
+    "q66_mojibake",
+    "q67_nb_quality",
+    "q68_page_filter",
+    "q69_page_meta",
+    "q70_split_leakage",
+    "q71_containment",
+    "q72_c4_clean",
+    "q73_link_farms",
+    "q74_change_similarity",
+    "q75_score_calibration",
+    "q76_robust_outliers",
+    "q77_semdedup",
+    "q78_pmi_collocations",
+    "q79_resolve_redirects",
+    "q80_winnow_fingerprints",
+    "q81_winnow_overlap",
+    "q82_zipf_stats",
+    "q83_tfidf_keywords",
+    "q85_bpe_encode",
+    "q86_pq_ann",
+    # --- beyond the 50-name window: remaining never-checked ---
+    "q88_kneser_ney",
+    "q90_entropy_profile",
+    "q91_query_likelihood",
+    "q92_phrase_search",
+    "q93_cocitation",
+    "q94_hits",
+    "q95_trustrank",
+    "q96_label_propagation",
+    "q97_int8_ann",
+    "q100_temperature_mix",
+    "q101_bfs_depths",
+    "q102_curation_funnel",
+    "q103_sessionize",
+    "q104_cdc_chunks",
+    "q105_triangles",
+    "q107_mmr_diversify",
+    "q109_repeated_grams",
+    "q111_link_prediction",
+    "q112_kmeans",
+    "q113_readability",
+    "q114_grid_quantiles",
+    "q115_sequence_pack",
+    "q116_edit_join",
+    "q118_opic",
+    "q119_js_drift",
+    "q120_bpe_fertility",
+    "q121_cusum_bursts",
+    "q122_seed_cover",
+    "q123_path_rollup",
+    "q124_textrank",
+    "q125_ema_revisit",
+    "q126_skyline",
+    "q127_ks_drift",
+    "q130_containment_join",
+    "q131_unimax",
+    "q132_spearman",
+    "q133_classifier_auc",
+    "q134_gini",
+    "q135_politeness_audit",
+    "q136_assortativity",
+    "q138_keep_rate_chi2",
+    "q139_apportion",
+    "q140_capture_recapture",
+    "q141_chao1",
+    "q144_benford",
+    "q145_burstiness",
+    "q146_vocab_growth",
+    "q148_novelty",
+    "q149_compaction_schedule",
+    "q150_index_compression",
+    "q151_f1_threshold",
+    "q152_hill_alpha",
+    "q153_ndcg",
+    "q155_simhash_incremental",
+    "q156_novelty_incremental",
+    "q189_blocklist",
+    "q190_bitext_mining",
+    "q191_k_anonymity",
+    "q194_hard_negatives",
+    "q196_waterfill",
+    "q197_texttiling",
+    "q198_hilbert_layout",
+    "q199_aimd_rates",
+    "q201_min_k_prob",
+    "q202_average_precision",
+    "q203_cdc_reuse",
+    "q204_eb_shrinkage",
+    "q205_bootstrap_ci",
+    "q206_sitemap_coverage",
+    "q207_hreflang_reciprocity",
+    "q208_status_transitions",
+    "q209_path_entropy",
 ]
 
 
