@@ -1,10 +1,13 @@
 """Partitioned cuckoo filter — the deletion-capable half of the
 "bloom/cuckoo URL-seen set" contract (BASELINE.json north rule).
 
-Reference behavior: the reference crawler keeps its seen set as a
-driver-side python set (`/root/reference/langscrape/scraper.py` url
-bookkeeping); neither filter exists there — this is the from-scratch
-scale design. Fan/Andersen/Kaminsky/Mitzenmacher, "Cuckoo Filter:
+Reference behavior: the reference crawler keeps its "seen" state as
+driver-side per-url JSON bookkeeping — each processed url is written
+to `logging.json` keyed by id/url
+(`/root/reference/langscrape/nodes/post_processor.py:71-94`) and the
+run loop re-reads/re-writes that log per id
+(`/root/reference/scripts/run.py:92-95`); neither filter exists there
+— this is the from-scratch scale design. Fan/Andersen/Kaminsky/Mitzenmacher, "Cuckoo Filter:
 Practically Better Than Bloom" (CoNEXT 2014).
 
 Why a cuckoo filter next to the partitioned bloom
@@ -30,9 +33,18 @@ In-bucket mechanics (all integer, deterministic, order-canonicalized
 pinned by tests):
 - 64-bit url hash ``h`` (Spark ``xxhash64``, computed JVM-side).
 - fingerprint  ``fp = 1 + (h >>> 20) % (2^fbits - 1)`` (never 0 = empty).
-- home bucket  ``i1 = h & (m-1)``; alternate
-  ``i2 = i1 XOR (fp * 0x5bd1e995 & (m-1))`` — an involution, so
-  either index recovers the other (the property deletion relies on).
+- home bucket  ``i1 = (h >> ceil(log2(n_buckets))) & (m-1)`` — the
+  shard key is ``pmod(h, n_buckets)``, i.e. (for the default
+  power-of-two shard counts) the LOW ``log2(n_buckets)`` bits of
+  ``h``; deriving i1 from the bits ABOVE those keeps the in-shard
+  home-bucket distribution uniform.  (Deriving i1 from ``h & (m-1)``
+  directly would freeze the low ``log2(n_buckets)`` bits of every i1
+  within a shard, leaving only ``m/n_buckets`` reachable home buckets
+  per shard and saturating insertion around 0.45 load — half the
+  0.84 design point.  Pinned by ``test_cuckoo.py``'s design-load
+  soak.)  Alternate ``i2 = i1 XOR (fp * 0x5bd1e995 & (m-1))`` — an
+  involution, so either index recovers the other (the property
+  deletion relies on).
 - insertion sorts each batch by (h, fp) first, tries i1's slots in
   order, then i2's, then a BOUNDED eviction walk (deterministic
   victim slot = kick mod b).  A failed walk marks the whole bucket
@@ -117,7 +129,13 @@ def _fp_i1_i2(h, cfg: CuckooConfig):
     u = h.astype(np.uint64)
     fp = (1 + (u >> np.uint64(20)) % np.uint64(cfg.fp_mod)).astype(np.uint64)
     mask = np.uint64(cfg.m - 1)
-    i1 = u & mask
+    # Skip the low bits consumed by the shard key pmod(h, n_buckets):
+    # for the default power-of-two shard counts those bits are
+    # CONSTANT within a shard, and using them for i1 would leave only
+    # m/n_buckets home buckets reachable per shard (saturation at
+    # ~0.45 load instead of the 0.84 design point).
+    shard_bits = np.uint64(max(0, cfg.n_buckets - 1).bit_length())
+    i1 = (u >> shard_bits) & mask
     i2 = i1 ^ ((fp * np.uint64(_FP_MIX)) & mask)
     return fp, i1.astype(np.int64), i2.astype(np.int64)
 
@@ -134,8 +152,10 @@ def _slot_view(table, idx, cfg: CuckooConfig):
 
 def _insert_into(table, fps, i1s, i2s, cfg: CuckooConfig):
     """Insert (fp, i1, i2) triples into a numpy table IN ORDER.
-    Returns (n_inserted, saturated). Set semantics: a fingerprint
-    already present in either bucket of the pair is not re-stored."""
+    Returns (n_inserted, saturated).  Colliding fingerprints are
+    stored as duplicate copies (paper §3.2) — see the comment below;
+    per-batch duplicate *urls* were already collapsed upstream by the
+    canonical hash sort."""
     n_new = 0
     for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
         s1 = _slot_view(table, i1, cfg)

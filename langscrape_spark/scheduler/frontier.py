@@ -568,17 +568,30 @@ def _advance_bloom(
 # silently-missing bucket.
 
 
-def _cuckoo_cfg(cfg: CrawlConfig):
-    """CuckooConfig derived from the CrawlConfig's bloom sizing: the
-    per-bucket table holds bloom_items/n_buckets urls at <=0.84 load
-    (b=4, 16-bit fingerprints — FPP ~1.2e-4, far below the bloom's;
-    memory 2 bytes/slot vs the bitset's bloom_bits/8)."""
+def _cuckoo_cfg(cfg: CrawlConfig, n_seen: int = 0):
+    """CuckooConfig sized for ``max(bloom_items, bloom_min_seen,
+    n_seen)`` urls at <=0.84 load (b=4, 16-bit fingerprints — FPP
+    ~1.2e-4, far below the bloom's; memory 2 bytes/slot vs the
+    bitset's bloom_bits/8).
+
+    ``bloom_min_seen`` is in the max because the prefilter only
+    activates once the seen set reaches it — sizing from
+    ``bloom_items`` alone (the old behavior) would build the filter
+    at ~0.95+ nominal load on first activation and hard-saturate
+    every shard to all-maybe immediately.  ``n_seen`` (the live seen
+    count at build time) keeps it sized as the crawl grows: ``m`` is
+    rounded up to a power of two, so the derived geometry is stable
+    until the count crosses the next sizing boundary, at which point
+    the ``_STATE`` marker mismatch forces one rebuild with doubled
+    ``m`` — amortized-doubling growth, O(log) rebuilds over a crawl's
+    life, never silent saturation."""
     import math
 
     from .cuckoo import CuckooConfig
 
     nb = cfg.bloom_buckets or cfg.seen_partitions
-    per_bucket = max(1024, cfg.bloom_items // max(nb, 1))
+    target = max(cfg.bloom_items, cfg.bloom_min_seen, int(n_seen))
+    per_bucket = max(1024, target // max(nb, 1))
     m = 1 << max(8, math.ceil(math.log2(per_bucket / 4 / 0.84)))
     return CuckooConfig(n_buckets=nb, m=m, b=4, fbits=16)
 
@@ -596,6 +609,12 @@ def _cuckoo_marker(ccfg, round_no: int) -> dict:
         "b": ccfg.b,
         "fbits": ccfg.fbits,
         "buckets": ccfg.n_buckets,
+        # In-bucket index-derivation version: v2 decorrelated the home
+        # bucket i1 from the shard key's low hash bits (cuckoo.py::
+        # _fp_i1_i2).  Blobs written under v1 place fingerprints at
+        # different indices, so a version drift must rebuild, exactly
+        # like any other geometry change.
+        "i1v": 2,
     }
 
 
@@ -610,7 +629,7 @@ def _cuckoo_state_read(catalog: Catalog):
         return None
 
 
-def _write_cuckoo_state(catalog: Catalog, round_no: int, cfg: CrawlConfig) -> None:
+def _write_cuckoo_state(catalog: Catalog, round_no: int, ccfg) -> None:
     import json
     import os
 
@@ -618,7 +637,7 @@ def _write_cuckoo_state(catalog: Catalog, round_no: int, cfg: CrawlConfig) -> No
     tmp = path + ".tmp"
     os.makedirs(_cuckoo_dir(catalog), exist_ok=True)
     with open(tmp, "w") as f:
-        json.dump(_cuckoo_marker(_cuckoo_cfg(cfg), round_no), f)
+        json.dump(_cuckoo_marker(ccfg, round_no), f)
     os.replace(tmp, path)
 
 
@@ -631,26 +650,32 @@ def _invalidate_cuckoo_state(catalog: Catalog) -> None:
 
 
 def _ensure_cuckoo(
-    catalog: Catalog, seen: DataFrame, cfg: CrawlConfig, round_no: int
+    catalog: Catalog,
+    seen: DataFrame,
+    cfg: CrawlConfig,
+    round_no: int,
+    n_seen: int = 0,
 ) -> DataFrame:
     """Return the cuckoo state at ``round_no``, rebuilding from the
     full committed seen set on marker absence, round drift or a
     geometry change — the same failure classes that force a bloom
     rebuild (probing with wrong geometry would manufacture false
-    negatives, which admission exactness cannot absorb)."""
+    negatives, which admission exactness cannot absorb).  ``n_seen``
+    (the live seen count) feeds the capacity sizing: when the crawl
+    outgrows the stored geometry the marker comparison fails here and
+    the state rebuilds with doubled ``m`` (see _cuckoo_cfg)."""
     from .cuckoo import cuckoo_build
 
     spark = seen.sparkSession
-    if _cuckoo_state_read(catalog) != _cuckoo_marker(
-        _cuckoo_cfg(cfg), round_no
-    ):
+    ccfg = _cuckoo_cfg(cfg, n_seen)
+    if _cuckoo_state_read(catalog) != _cuckoo_marker(ccfg, round_no):
         (
-            cuckoo_build(seen.select("url"), _cuckoo_cfg(cfg))
+            cuckoo_build(seen.select("url"), ccfg)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(_cuckoo_dir(catalog))
         )
-        _write_cuckoo_state(catalog, round_no, cfg)
+        _write_cuckoo_state(catalog, round_no, ccfg)
     return spark.read.parquet(_cuckoo_dir(catalog))
 
 
@@ -660,16 +685,22 @@ def _advance_cuckoo(
     new_urls: DataFrame,
     cfg: CrawlConfig,
     next_round: int,
+    n_seen: int = 0,
 ) -> None:
     """Insert the round's new urls (each url is new-by-construction —
     it passed the exact membership check — so the insert-once caller
     contract of cuckoo_update holds) and commit the marker. Only
     touched buckets rewrite (dynamic partition overwrite), with the
-    bloom's invalidate-write-stamp crash protocol."""
+    bloom's invalidate-write-stamp crash protocol.  ``n_seen`` must be
+    the SAME value the round's _ensure_cuckoo used (the seen count at
+    round start): updates must run under the stored state's geometry;
+    growth is handled by the NEXT round's ensure/rebuild, never by an
+    in-place geometry change."""
     from .cuckoo import cuckoo_update
 
+    ccfg = _cuckoo_cfg(cfg, n_seen)
     changed = cuckoo_update(
-        state, new_urls, _cuckoo_cfg(cfg), changed_only=True
+        state, new_urls, ccfg, changed_only=True
     ).localCheckpoint(eager=True)
     _invalidate_cuckoo_state(catalog)
     (
@@ -678,7 +709,7 @@ def _advance_cuckoo(
         .partitionBy("bucket")
         .parquet(_cuckoo_dir(catalog))
     )
-    _write_cuckoo_state(catalog, next_round, cfg)
+    _write_cuckoo_state(catalog, next_round, ccfg)
 
 
 # -- exact membership via bucket probe (no seen-side shuffle) ---------------
@@ -993,17 +1024,22 @@ def run_crawl(
             # the candidate batch).
             bloom_df = None
             cuckoo_df = None
+            # Snapshot for the cuckoo geometry: ensure/probe/advance
+            # within ONE round must agree on sizing, and total_seen is
+            # mutated (+= n_new) before the deferred advance lambda
+            # runs — capture the round-start value now.
+            seen_at_round_start = total_seen
             if cfg.use_bloom and total_seen >= cfg.bloom_min_seen:
                 if cfg.prefilter == "cuckoo":
                     from .cuckoo import cuckoo_probe
 
                     cuckoo_df = _ensure_cuckoo(
-                        catalog, seen, cfg, round_no
+                        catalog, seen, cfg, round_no, seen_at_round_start
                     )
                     # Cached for the same two-consumer reason as the
                     # partitioned bloom probe below.
                     probed_cache = cuckoo_probe(
-                        cand, cuckoo_df, _cuckoo_cfg(cfg)
+                        cand, cuckoo_df, _cuckoo_cfg(cfg, seen_at_round_start)
                     ).cache()
                     cand = probed_cache
                 elif _bloom_sql_available(spark):
@@ -1132,7 +1168,7 @@ def run_crawl(
                         "cuckoo",
                         lambda: _advance_cuckoo(
                             catalog, cuckoo_df, new_entries.select("url"),
-                            cfg, round_no + 1,
+                            cfg, round_no + 1, seen_at_round_start,
                         ),
                     )
                 )

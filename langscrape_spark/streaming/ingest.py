@@ -152,6 +152,13 @@ def stream_dedup_ingest(
         )
         for h in handles:
             h.unpersist()
+        # Release the eagerly-materialized pairs checkpoint too —
+        # without this every micro-batch leaks its checkpoint RDD
+        # blocks in executor storage for the streaming query's
+        # lifetime.  Safe here: both consumers (sink, state append)
+        # have completed; a failure above replays the whole batch and
+        # recomputes pairs from the untouched pre-batch state.
+        pairs.unpersist()
         os.makedirs(marker_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:

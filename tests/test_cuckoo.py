@@ -170,6 +170,82 @@ def test_stats_load_factor(spark):
     assert st["n_saturated"] == 0
 
 
+def test_design_load_no_saturation_under_shard_correlation():
+    """Per-shard design-load soak (pure numpy, no Spark): insert the
+    0.84-design-point number of urls whose hashes are ALL from one
+    shard (low ``log2(n_buckets)`` bits frozen — exactly what
+    ``pmod(xxhash64(url), n_buckets)`` sharding feeds each filter) and
+    assert the table does NOT saturate and the home-bucket
+    distribution stays uniform.
+
+    Regression-pins the i1/shard-key decorrelation: with the old
+    ``i1 = h & (m-1)`` derivation, frozen low bits left only
+    ``m/n_buckets`` home buckets reachable per shard (512 of 16384 at
+    this geometry) and insertion saturated around 0.45 load — half
+    the documented design point."""
+    import numpy as np
+
+    from langscrape_spark.scheduler.cuckoo import (
+        CuckooConfig,
+        _fp_i1_i2,
+        _insert_into,
+        _new_table,
+    )
+
+    cfg = CuckooConfig(n_buckets=32, m=16384, b=4, fbits=16)
+    n = int(0.84 * cfg.m * cfg.b)  # 55050 urls — the design point
+    rng = np.random.default_rng(20260821)
+    # Distinct 64-bit hashes, low 5 bits frozen to shard 5 — the
+    # in-shard hash population under pmod(h, 32) sharding.
+    top = rng.choice(np.iinfo(np.int64).max >> 5, size=n, replace=False)
+    h = ((top.astype(np.uint64) << np.uint64(5)) | np.uint64(5)).astype(
+        np.int64
+    )
+    fp, i1, i2 = _fp_i1_i2(h, cfg)
+    # Decorrelation: home buckets must span (nearly) the whole table,
+    # not the m/n_buckets sliver the correlated derivation reaches.
+    # Poisson coverage at n/m ~ 3.4 balls/bin is ~96.6% of bins.
+    assert len(np.unique(i1)) > 0.9 * cfg.m
+    table = _new_table(cfg)
+    n_ins, saturated = _insert_into(table, fp, i1, i2, cfg)
+    assert not saturated, (
+        f"saturated at design load: {n_ins}/{n} inserted "
+        f"({n_ins / (cfg.m * cfg.b):.2f} load)"
+    )
+    assert n_ins == n
+
+
+def test_cuckoo_cfg_sized_for_activation_threshold():
+    """frontier._cuckoo_cfg must size the filter for the seen count
+    at which it ACTIVATES (bloom_min_seen), not just bloom_items —
+    otherwise first activation builds at ~0.95+ nominal load and
+    hard-saturates every shard to all-maybe.  It must also grow with
+    the live seen count (amortized doubling via the _STATE marker
+    rebuild)."""
+    from langscrape_spark.scheduler.frontier import (
+        CrawlConfig,
+        _cuckoo_cfg,
+        _cuckoo_marker,
+    )
+
+    cfg = CrawlConfig()
+    base = _cuckoo_cfg(cfg)
+    # capacity at <=0.84 load must cover the activation threshold
+    target = max(cfg.bloom_items, cfg.bloom_min_seen)
+    capacity = base.n_buckets * base.m * base.b
+    assert target / capacity <= 0.84, (
+        f"nominal load {target / capacity:.2f} at first activation"
+    )
+    # live-count growth: 10x the threshold must yield a bigger table,
+    # and the geometry change must show up in the marker (forcing the
+    # rebuild path).
+    grown = _cuckoo_cfg(cfg, n_seen=10 * target)
+    assert grown.m > base.m
+    assert _cuckoo_marker(grown, 3) != _cuckoo_marker(base, 3)
+    n_seen = 10 * target
+    assert n_seen / (grown.n_buckets * grown.m * grown.b) <= 0.84
+
+
 def test_colliding_fingerprints_stored_as_copies_delete_safe():
     """Direct kernel test of the paper-§3.2 duplicate-copy rule: two
     entries with the SAME (fp, bucket-pair) each store a copy, and
