@@ -7829,6 +7829,160 @@ def q209_path_entropy(spark, sf):
     )
 
 
+def q210_crawl_dedup(spark, sf):
+    """End-to-end crawl + incremental-dedup integration: run_crawl()
+    (scheduler/frontier.py) drives a synthetic 512-page corpus to
+    frontier exhaustion, and EACH round's fetched batch flows through
+    minhash_ingest_round (operators/incremental.py) against ONE
+    on-disk bucket state — the production composition where every
+    crawl round dedups its new pages against everything fetched so
+    far.  Output: one marker row (id, id, 0) per fetched article page
+    (pinning the fetched SET) plus the union of the rounds' dup pairs
+    (pinning the incremental-dedup contract across crawl-shaped,
+    politeness-ordered batches).
+
+    The oracle derives BOTH halves without either machine: a
+    recursive-CTE BFS closure over the frozen raw link graph
+    (tests/fixtures/q210_crawl_graph.parquet — generator facts only,
+    scripts/freeze_crawl_graph.py) gives the set a correct crawl must
+    fetch (depth <= 2 from the seeds, robots-disallowed site19
+    excluded; nav urls absent from the pages table are fetch misses
+    with no text and no links, so they can affect neither half), and
+    the q10-proven full-corpus MinHash derivation over the closure's
+    texts gives the pairs the per-round union must reproduce
+    pair-for-pair."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark import synth
+    from langscrape_spark.operators.incremental import minhash_ingest_round
+    from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
+    from langscrape_spark.sources.catalog import Catalog
+
+    n_pages = 512
+    pages = synth.build_pages_df(spark, n_pages, partitions=8)
+    seeds = spark.createDataFrame(
+        [(synth.url_of(i), 0) for i in range(0, n_pages, 85)],
+        "url string, depth int",
+    )
+    # Flat politeness (crawl_delay 0.25 → k=16/host/round) so the
+    # crawl exhausts in ~7 rounds; site19 stays robots-disallowed so
+    # the closure proof keeps the exclusion path live.
+    robots = spark.createDataFrame(
+        [
+            (f"www.site{i}.example", [], 0.25, i != 19)
+            for i in range(synth.N_HOSTS)
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay double, allowed boolean",
+    )
+    cat_dir = tempfile.mkdtemp(prefix="q210_cat_")
+    state = tempfile.mkdtemp(prefix="q210_mh_state_")
+    try:
+        catalog = Catalog(spark, cat_dir)
+        cfg = CrawlConfig(
+            batch_size=128, max_depth=2, max_rounds=60, seen_partitions=8
+        )
+        run_crawl(
+            spark, pages, seeds, robots, synth.host_rank_df(spark),
+            catalog, cfg,
+        )
+        sched = catalog.read_appended("schedule")
+        docs = pages.select(
+            F.regexp_extract("url", "article-(\\d+)", 1)
+            .cast("long").alias("doc_id"),
+            "url", "text",
+        )
+        rounds = sorted(
+            r["round"] for r in sched.select("round").distinct().collect()
+        )
+        out = None
+        for r in rounds:
+            batch = (
+                sched.where(F.col("round") == r)
+                .join(docs, "url")
+                .select("doc_id", "text")
+            )
+            # Pairs are eagerly checkpointed inside the ingest (they
+            # must be — the pair plan reads the state files the append
+            # is about to grow); markers checkpoint too so the union
+            # survives the catalog tempdir's cleanup.
+            pairs = minhash_ingest_round(
+                batch, state, "text", "doc_id",
+                num_hashes=16, bands=4, k=3, n_parts=8,
+            )
+            markers = batch.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+                F.lit(0).cast("long").alias("n_shared_bands"),
+            ).localCheckpoint(eager=True)
+            both = pairs.select(
+                "id_a", "id_b",
+                F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
+            ).unionByName(markers)
+            out = both if out is None else out.unionByName(both)
+    finally:
+        shutil.rmtree(cat_dir, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def q211_semantic_incremental_pq(spark, sf):
+    """q159 with a PRODUCT-QUANTIZED state payload (operators/
+    incremental.py::semantic_ingest_round_pq) — the 10^10-doc fix the
+    raw-vector state's own docstring names: state rows store m=8 PQ
+    codes (8 bytes/doc) instead of dim·4 float bytes; the new×old
+    probe screens candidates with the asymmetric ADC cosine at
+    ``threshold - slack`` and survivors re-rank by EXACT cosine
+    against the system-of-record embeddings table.  Rounds are
+    vec_id % 3 over the q35/q77 IVF geometry (centroids and PQ
+    codebooks both frozen across rounds — their digests are pinned in
+    the state marker).  The oracle reads the SAME frozen (vec_id,
+    cluster) map and the q86 frozen codebooks/codes and derives the
+    full answer in SQL: same-round pairs cut at exact cosine ≥ 0.35;
+    cross-round pairs additionally gated by the later-round doc's ADC
+    cosine against the earlier doc's codes at ≥ 0.25 — the union of
+    the three incremental rounds must equal it exactly (the q154
+    union-equivalence contract with the PQ screen reproduced, not
+    merely bounded)."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark.operators.ann import (
+        ivf_assign,
+        ivf_centroids,
+        pq_codebooks,
+    )
+    from langscrape_spark.operators.incremental import (
+        semantic_ingest_round_pq,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_centroids(emb, k=16, iterations=2)
+    cbs = pq_codebooks(emb, m=8, ksub=16, iterations=2)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("bucket").alias("cluster"),
+        F.col("embedding").alias("vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    state = tempfile.mkdtemp(prefix="q211_sempq_state_")
+    try:
+        out = None
+        for r in range(3):
+            batch = assigned.where(F.col("id") % 3 == r)
+            pairs = semantic_ingest_round_pq(
+                batch, state, threshold=0.35, k=16,
+                codebooks=cbs, corpus_vecs=corpus, slack=0.1, n_parts=8,
+            )
+            out = pairs if out is None else out.unionByName(pairs)
+        return out.orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _path_entropy_oracle() -> str:
     return """
         -- Conditional path entropy replay: same md5-draw segments,
@@ -8006,6 +8160,8 @@ def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
 # _family_interleaved appends all previously-verified names in their
 # original order.
 _PRIORITY_ORDER = [
+    "q210_crawl_dedup",
+    "q211_semantic_incremental_pq",
     "q165_mirror_hosts",
     "q166_dust_rules",
     "q167_param_significance",
@@ -8353,6 +8509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_hreflang_reciprocity": q207_hreflang_reciprocity,
         "q208_status_transitions": q208_status_transitions,
         "q209_path_entropy": q209_path_entropy,
+        "q210_crawl_dedup": q210_crawl_dedup,
+        "q211_semantic_incremental_pq": q211_semantic_incremental_pq,
     })
 
 
@@ -13609,6 +13767,137 @@ def oracle_sql() -> dict[str, str]:
         "q207_hreflang_reciprocity": _hreflang_oracle(),
         "q208_status_transitions": _status_transitions_oracle(),
         "q209_path_entropy": _path_entropy_oracle(),
+        "q211_semantic_incremental_pq": f"""
+            -- PQ-payload cross-round SemDeDup equivalence over the
+            -- frozen q35 IVF map + q86 PQ codebooks/codes: same-round
+            -- pairs cut at exact round-6 cosine >= 0.35; cross-round
+            -- pairs additionally gated by the LATER-round doc's ADC
+            -- cosine (dot of its exact vector with the earlier doc's
+            -- codebook reconstruction, over the reconstruction norm)
+            -- at >= 0.25 (threshold - slack).  The 3-round
+            -- incremental union must equal this exactly — screen
+            -- reproduced, not bounded.  Spark: operators/
+            -- incremental.py::semantic_ingest_round_pq.
+            WITH a AS (
+              SELECT vec_id, bucket AS cluster
+              FROM read_parquet('{_fixture("q35_ivf_assign.parquet")}')
+              WHERE bucket >= 0),
+            cb AS (
+              SELECT sub, cid, centroid,
+                     list_sum(list_transform(centroid, c -> c * c))
+                       AS nsq
+              FROM read_parquet('{_fixture("q86_pq_codebooks.parquet")}')),
+            j AS (
+              SELECT a.vec_id AS id, a.cluster,
+                     CAST(a.vec_id % 3 AS INT) AS rnd,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v,
+                     c.codes
+              FROM a
+              JOIN embeddings e ON a.vec_id = e.vec_id
+              JOIN read_parquet('{_fixture("q86_pq_codes.parquet")}') c
+                ON a.vec_id = c.vec_id),
+            pairs AS (
+              SELECT x.id AS id_a, y.id AS id_b,
+                     CAST(x.cluster AS INTEGER) AS cluster,
+                     x.rnd AS ra, y.rnd AS rb,
+                     CASE WHEN x.rnd >= y.rnd THEN x.v ELSE y.v END
+                       AS vn,
+                     sqrt(list_sum(list_transform(
+                       CASE WHEN x.rnd >= y.rnd THEN x.v ELSE y.v END,
+                       q -> q*q))) AS vnorm,
+                     CASE WHEN x.rnd >= y.rnd THEN y.codes
+                          ELSE x.codes END AS co,
+                round(
+                  list_sum(list_transform(range(1, len(x.v) + 1),
+                                          i -> x.v[i] * y.v[i]))
+                  / (sqrt(list_sum(list_transform(x.v, q -> q*q)))
+                     * sqrt(list_sum(list_transform(y.v, q -> q*q)))),
+                6) AS sim
+              FROM j x JOIN j y
+                ON x.cluster = y.cluster AND x.id < y.id),
+            kept_same AS (
+              SELECT id_a, id_b, cluster, sim FROM pairs
+              WHERE ra = rb AND NOT isnan(sim) AND sim >= 0.35),
+            cross_sub AS (
+              SELECT p.id_a, p.id_b, p.cluster, p.sim, p.vnorm,
+                     list_sum(list_transform(range(1, 9),
+                       i -> p.vn[CAST((t.s) * 8 + i AS INT)]
+                            * cb.centroid[CAST(i AS INT)])) AS dsub,
+                     cb.nsq
+              FROM pairs p, UNNEST(range(0, 8)) AS t(s)
+              JOIN cb ON cb.sub = t.s
+                     AND cb.cid = p.co[CAST(t.s + 1 AS INT)]
+              WHERE p.ra <> p.rb AND NOT isnan(p.sim)
+                AND p.sim >= 0.35),
+            cross_adc AS (
+              SELECT id_a, id_b, cluster, sim,
+                     round(sum(dsub) / (vnorm * sqrt(sum(nsq))), 6)
+                       AS adc
+              FROM cross_sub
+              GROUP BY id_a, id_b, cluster, sim, vnorm),
+            kept_cross AS (
+              SELECT id_a, id_b, cluster, sim FROM cross_adc
+              WHERE NOT isnan(adc) AND adc >= 0.25)
+            SELECT id_a, id_b, cluster, sim FROM kept_same
+            UNION ALL
+            SELECT id_a, id_b, cluster, sim FROM kept_cross
+            ORDER BY id_a, id_b
+        """,
+        "q210_crawl_dedup": f"""
+            -- Crawl+dedup integration, derived with NEITHER machine:
+            -- (1) recursive-CTE BFS closure over the frozen raw link
+            -- graph (generator facts only) = the set a correct crawl
+            -- must fetch at depth<=2 with site19 robots-disallowed;
+            -- (2) the q10-proven batch MinHash-LSH derivation over
+            -- the closure's texts = the pairs the per-round
+            -- incremental union must reproduce.  Spark:
+            -- q210_crawl_dedup (run_crawl + minhash_ingest_round).
+            WITH RECURSIVE g AS (
+              SELECT * FROM read_parquet(
+                '{_fixture("q210_crawl_graph.parquet")}')),
+            reach(page_id, depth) AS (
+                SELECT page_id, 0 FROM g
+                WHERE page_id % 85 = 0
+                  AND host <> 'www.site19.example'
+              UNION
+                SELECT tgt.t, r.depth + 1
+                FROM reach r
+                JOIN g ON g.page_id = r.page_id,
+                UNNEST(g.out_ids) AS tgt(t)
+                JOIN g g2 ON g2.page_id = tgt.t
+                WHERE r.depth < 2
+                  AND g2.host <> 'www.site19.example'),
+            fetched AS (SELECT DISTINCT page_id FROM reach),
+            sel AS (
+              SELECT g.page_id AS doc_id, g.text
+              FROM g JOIN fetched USING (page_id)),
+            base AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, text, {_TOKENS} AS tok FROM sel)),
+            sig AS (
+              SELECT id,
+                     list_transform(range(0, 16),
+                       h -> CAST(list_min(list_transform(sh,
+                         s -> (CAST(md5_number_lower(s) AS HUGEINT)
+                               + h * CAST(md5_number_upper(s) AS HUGEINT))
+                              % 18446744073709551616)) AS VARCHAR)) AS sg
+              FROM base),
+            banded AS (
+              SELECT id, unnest(list_transform(range(0, 4),
+                b -> md5(b || '|' || sg[b*4+1] || '|' || sg[b*4+2] || '|' ||
+                         sg[b*4+3] || '|' || sg[b*4+4]))) AS bucket
+              FROM sig)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_bands
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.id < b.id
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id AS id_a, doc_id AS id_b,
+                   CAST(0 AS BIGINT) AS n_shared_bands
+            FROM sel
+        """,
         "q181_ring_churn": """
             -- Consistent ring re-derived: vnode positions
             -- md5_number_lower('ring:shard#i') % 2^53, key position

@@ -55,7 +55,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann import cosine_sim
+from .ann import cosine_sim, pq_encode
 from .dedup import (
     grouped_bucket_pairs,
     hamming64,
@@ -74,7 +74,9 @@ __all__ = [
     "minhash_ingest_round",
     "minhash_novelty_incremental",
     "semantic_ingest_round",
+    "semantic_ingest_round_pq",
     "semantic_pairs_incremental",
+    "semantic_pairs_incremental_pq",
     "simhash_near_dups_incremental",
     "simhash_ingest_round",
 ]
@@ -231,6 +233,7 @@ def bucket_state_probe(
     n_parts: int = 64,
     payload_cols: tuple[str, ...] = (),
     params: dict | None = None,
+    new_payload_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Join the new batch's ``(bucket, id[, …payload])`` assignments
     against the stored state WITHOUT shuffling the state: group the
@@ -238,23 +241,42 @@ def bucket_state_probe(
     direct-reads only its own partition's parquet with a
     ``bucket ∈ probe-set`` filter (row groups pruned by their sorted
     bucket min/max stats). Emits one row per shared bucket:
-    ``(bucket, id_new, id_old[, <payload>_new, <payload>_old])``.
-    Duplicate state rows (torn-append retries) are dropped per
-    partition before the join, so counts stay exact."""
+    ``(bucket, id_new, id_old[, <new payload>_new, <state
+    payload>_old])``.  ``payload_cols`` names the columns read from
+    the STATE files; ``new_payload_cols`` (default: same names) the
+    columns carried from the new side — they may differ when the
+    state stores a compressed payload (e.g. PQ codes) and the probe
+    scores it against the new side's exact vectors.  Duplicate state
+    rows (torn-append retries) are dropped per partition before the
+    join, so counts stay exact."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
+    if new_payload_cols is None:
+        new_payload_cols = payload_cols
     _check_geometry(state_dir, n_parts, create=False, params=params)
     spark = new_assignments.sparkSession
     files = _state_files(state_dir)
     cols = ["bucket", "id", *payload_cols]
+    # State payload dtypes: taken from the new side when the column
+    # exists there (symmetric probes), else the caller must carry a
+    # same-named, correctly-typed (possibly all-NULL) column — the
+    # asymmetric PQ path appends state from the same frame it probes
+    # with, so the dtype is always available.
+    missing = [c for c in payload_cols if c not in new_assignments.columns]
+    if missing:
+        raise ValueError(
+            f"state payload column(s) {missing} must also exist on the "
+            "probe frame (they supply the output dtype; the ingest "
+            "paths probe with the same frame they append from)"
+        )
     out_fields = [
         ("bucket", "string"),
         ("id_new", new_assignments.schema["id"].dataType.simpleString()),
         ("id_old", new_assignments.schema["id"].dataType.simpleString()),
     ] + [
         (f"{c}_new", new_assignments.schema[c].dataType.simpleString())
-        for c in payload_cols
+        for c in new_payload_cols
     ] + [
         (f"{c}_old", new_assignments.schema[c].dataType.simpleString())
         for c in payload_cols
@@ -281,9 +303,17 @@ def bucket_state_probe(
             return pd.DataFrame(
                 {n: pd.Series(dtype=object) for n, _ in out_fields}
             )
-        j = pdf[["bucket", "id", *payload_cols]].merge(
-            old, on="bucket", suffixes=("_new", "_old")
+        # Explicit renames (not merge suffixes): new/state payload
+        # name sets may differ, and suffixes only fire on collisions.
+        new_side = pdf[["bucket", "id", *new_payload_cols]].rename(
+            columns={"id": "id_new",
+                     **{c: f"{c}_new" for c in new_payload_cols}}
         )
+        old_side = old.rename(
+            columns={"id": "id_old",
+                     **{c: f"{c}_old" for c in payload_cols}}
+        )
+        j = new_side.merge(old_side, on="bucket")
         return j[[n for n, _ in out_fields]]
 
     return (
@@ -827,6 +857,218 @@ def semantic_ingest_round(
     )
     bucket_state_append(
         newb, state_dir, n_parts, params=_semantic_params(threshold, k)
+    )
+    for h in handles:
+        h.unpersist()
+    return pairs
+
+
+def _semantic_pq_params(
+    threshold: float, k: int, codebooks, slack: float
+) -> dict:
+    # The codebooks ARE geometry: state probed with different
+    # codebooks decodes different reconstructions and silently
+    # changes the candidate screen, exactly the num_hashes-drift
+    # failure class — so their digest is pinned in the marker and a
+    # drifted caller refuses instead of unlinking dups.
+    import hashlib
+    import json
+
+    digest = hashlib.md5(
+        json.dumps(codebooks, sort_keys=True).encode()
+    ).hexdigest()
+    return {
+        "family": "semantic_pq",
+        "threshold": round(float(threshold), 6),
+        "k": int(k),
+        "slack": round(float(slack), 6),
+        "m": len(codebooks),
+        "codebooks_md5": digest,
+    }
+
+
+def _adc_cosine(vec_new, codes_old, codebooks):
+    """JVM-side asymmetric-distance cosine: ``dot(vec_new,
+    reconstruct(codes_old)) / (‖vec_new‖·‖reconstruct(codes_old)‖)``
+    where reconstruction is m broadcast-literal codebook lookups —
+    the float vector of the OLD doc is never read (it isn't stored).
+    Index-aligned sequential folds, so the round-6 value is
+    engine-portable (the oracle reproduces it in SQL).  All
+    higher-order functions — no UDF; O(dim) work per pair."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in sub
+        ])
+        for sub in codebooks
+    ])
+    # per-(sub, code) squared norms — tiny m×ksub literal table
+    sqn_lit = F.array(*[
+        F.array(*[
+            F.lit(float(sum(x * x for x in c))) for c in sub
+        ])
+        for sub in codebooks
+    ])
+    dot = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            F.lit(0.0),
+            lambda a2, i: a2
+            + F.element_at(vec_new, (s - F.lit(1)) * F.lit(dsub) + i)
+            .cast("double")
+            * F.element_at(
+                F.element_at(
+                    F.element_at(cb_lit, s),
+                    F.element_at(codes_old, s) + F.lit(1),
+                ),
+                i,
+            ),
+        ),
+    )
+    new_sq = F.aggregate(
+        F.transform(vec_new, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    recon_sq = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(sqn_lit, s), F.element_at(codes_old, s) + F.lit(1)
+        ),
+    )
+    return F.round(F.try_divide(dot, F.sqrt(new_sq * recon_sq)), 6)
+
+
+def semantic_pairs_incremental_pq(
+    assigned: DataFrame,
+    state_dir: str,
+    threshold: float,
+    k: int,
+    codebooks,
+    corpus_vecs: DataFrame,
+    slack: float = 0.1,
+    n_parts: int = 64,
+    unpersist_inputs: list | None = None,
+) -> DataFrame:
+    """:func:`semantic_pairs_incremental` with a PRODUCT-QUANTIZED
+    state payload — the 10^10-doc fix its sibling's docstring names:
+    raw float vectors cost dim·4 B/doc of state (2.6 TB at 10^10 ×
+    64 dims), PQ codes cost m bytes (80 GB at m=8), and state I/O is
+    the per-round bottleneck the bucket design exists to bound.
+
+    Mechanics per round: the batch's vectors encode to codes
+    (:func:`.ann.pq_encode` against codebooks FROZEN across rounds —
+    digest pinned in the state geometry); new×new pairs stay exact
+    (both vectors are in hand); the new×old probe reads only
+    ``codes`` from state and screens candidates with the asymmetric
+    ADC cosine at ``threshold - slack``; survivors re-rank by exact
+    cosine against ``corpus_vecs`` — the system-of-record embeddings
+    table (id, vec), which a crawl always has — and the final cut is
+    the exact ``sim >= threshold``.  The screen is the one
+    approximation: a true pair whose ADC cosine falls below
+    ``threshold - slack`` is missed, the documented PQ recall trade
+    (size ``slack`` from the measured ADC error band; the oracle
+    reproduces the screen, so parity is exact, not merely bounded).
+
+    Scale shape: identical to the float-payload sibling — batch
+    shuffles once on cluster and once on bpart; state is only touched
+    by row-group-pruned direct reads of the m-byte codes; the re-rank
+    join touches ``corpus_vecs`` only for screened candidates
+    (O(candidates), not O(state))."""
+    enc = pq_encode(assigned.where(F.col("cluster") >= 0), codebooks, "vec")
+    buckets = enc.select(
+        F.col("cluster").cast("int").cast("string").alias("bucket"),
+        F.col("id"),
+        F.col("vec"),
+        F.col("codes"),
+    ).persist()
+    if unpersist_inputs is not None:
+        unpersist_inputs.append(buckets)
+    thr = float(threshold)
+    params = _semantic_pq_params(thr, k, codebooks, slack)
+    lhs = buckets.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("_va")
+    )
+    rhs = buckets.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("_vb")
+    )
+    new_new = (
+        lhs.join(rhs, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("bucket").cast("int").alias("cluster"),
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(thr))
+    )
+    hits = bucket_state_probe(
+        buckets,
+        state_dir,
+        n_parts,
+        payload_cols=("codes",),
+        params=params,
+        new_payload_cols=("vec",),
+    )
+    cands = (
+        hits.where(F.col("id_new") != F.col("id_old"))
+        .withColumn(
+            "_adc", _adc_cosine(F.col("vec_new"), F.col("codes_old"), codebooks)
+        )
+        .where(F.col("_adc") >= F.lit(thr - float(slack)))
+    )
+    reranked = (
+        cands.join(
+            corpus_vecs.select(
+                F.col("id").alias("id_old"), F.col("vec").alias("_vo")
+            ),
+            "id_old",
+        )
+        .select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+            F.col("bucket").cast("int").alias("cluster"),
+            F.round(cosine_sim(F.col("vec_new"), F.col("_vo")), 6).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= F.lit(thr))
+    )
+    return new_new.unionByName(reranked)
+
+
+def semantic_ingest_round_pq(
+    assigned: DataFrame,
+    state_dir: str,
+    threshold: float,
+    k: int,
+    codebooks,
+    corpus_vecs: DataFrame,
+    slack: float = 0.1,
+    n_parts: int = 64,
+) -> DataFrame:
+    """PQ-payload sibling of :func:`semantic_ingest_round`: pairs vs
+    the current state (ADC screen + exact re-rank), eager checkpoint,
+    then append the batch's ``(cluster, id, codes)`` rows — m bytes of
+    payload per doc instead of dim·4."""
+    handles: list = []
+    pairs = semantic_pairs_incremental_pq(
+        assigned, state_dir, threshold, k, codebooks, corpus_vecs,
+        slack, n_parts, unpersist_inputs=handles,
+    ).localCheckpoint(eager=True)
+    newb = handles[0].select("bucket", "id", "codes") if handles else None
+    bucket_state_append(
+        newb,
+        state_dir,
+        n_parts,
+        params=_semantic_pq_params(threshold, k, codebooks, slack),
     )
     for h in handles:
         h.unpersist()
