@@ -847,10 +847,24 @@ def run_crawl(
     host_rank: DataFrame,
     catalog: Catalog,
     cfg: CrawlConfig = CrawlConfig(),
+    traps: Optional[DataFrame] = None,
 ) -> CrawlState:
     """Drive the crawl to frontier exhaustion (or ``max_rounds``),
     checkpointing every round. Restartable: if the catalog already has
-    committed rounds, the loop resumes after the last committed one."""
+    committed rounds, the loop resumes after the last committed one.
+
+    ``traps`` (optional) engages the trap frontier filter: a
+    ``detect_url_traps``-shaped frame of flagged ``(host, template,
+    is_trap)`` rows (q50's explosion detector, q166's DUST study,
+    q209's path-entropy ranking all emit this shape).  Flagged urls
+    are dropped at BOTH frontier entry points — the seed list and
+    each round's link harvest — before the membership check, so a
+    trap url is never admitted, never marked seen, and costs no
+    politeness slot.  Opt-in, like ``membership="bucket_probe"``:
+    admission semantics stay simulator-verified either way
+    (``simulate_crawl(..., traps=...)`` mirrors the filter;
+    equivalence pinned in test_scheduler.py)."""
+    from ..operators.urls import trap_filter
     if cfg.prefilter not in ("bloom", "cuckoo"):
         # fail LOUD before any work: a typo would silently run the
         # bloom path while the caller believes deletion-capable
@@ -885,6 +899,8 @@ def run_crawl(
             .select("url", "depth")
             .dropDuplicates(["url"])
         )
+        if traps is not None:
+            seeded = trap_filter(seeded, traps)
         frontier0 = _with_policy_columns(seeded, robots, host_rank)
         catalog.write("frontier", frontier0, 0)
         # seen is a *delta* table: round k's delta holds only the urls
@@ -976,6 +992,12 @@ def run_crawl(
             # Held in its own variable: the bloom branch rebinds ``cand``,
             # so unpersisting ``cand`` at round end would release the
             # derived DF and leak this cache one round at a time.
+            if traps is not None:
+                # Trap screen BEFORE membership: a flagged url never
+                # reaches the seen check, is never marked seen, and
+                # re-discovery next round re-screens it (cheap — the
+                # traps side is a broadcast of distinct templates).
+                links = trap_filter(links, traps)
             cached_cand = links.repartition(
                 cfg.seen_partitions, F.xxhash64("url")
             ).cache()

@@ -24,6 +24,18 @@ from .policy import (
 )
 
 
+def _url_template(url: str) -> str:
+    """Python twin of ``operators/urls.py::url_template`` (lowercased
+    path, hex runs ≥8 → ``<H>`` before digit runs → ``<N>``) — must
+    stay expression-for-expression identical or the trap-filtered
+    equivalence test (test_scheduler.py) diverges."""
+    import re
+
+    path = (urlparse(url).path or "/").lower()
+    path = re.sub(r"[0-9a-f]{8,}", "<H>", path)
+    return re.sub(r"[0-9]+", "<N>", path)
+
+
 def simulate_crawl(
     seeds: List[str],
     pages: Dict[str, str],  # url -> html (the "fetch")
@@ -32,9 +44,14 @@ def simulate_crawl(
     batch_size: int = DEFAULT_BATCH,
     max_depth: int = DEFAULT_MAX_DEPTH,
     max_rounds: int = 100,
+    traps: Optional[set] = None,
 ) -> Tuple[List[Tuple[int, int, str]], set]:
     """Returns (schedule, seen): schedule rows are (round, seq, url) in
-    admission order; seen is the final URL-seen set."""
+    admission order; seen is the final URL-seen set.  ``traps`` is an
+    optional set of flagged ``(host, path-template)`` pairs (the
+    ``detect_url_traps`` output shape): a url matching one is never
+    enqueued, never marked seen — mirroring ``run_crawl``'s optional
+    ``traps`` frontier filter."""
     frontier: Dict[str, Tuple[str, int, float]] = {}  # url -> (host, depth, priority)
     seen: set = set()
 
@@ -44,6 +61,8 @@ def simulate_crawl(
             return
         host = url_host(norm)
         if host is None:
+            return
+        if traps and (host, _url_template(norm)) in traps:
             return
         # RFC 9309 match target = path + optional query (mirrors
         # frontier._with_policy_columns; '?sessionid=' rules must fire)

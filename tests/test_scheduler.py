@@ -4,6 +4,7 @@ same admitted (round, seq, url) schedule, same final seen-set — and
 resume identically from a mid-crawl checkpoint."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from langscrape_spark import synth
 from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
@@ -264,6 +265,99 @@ def test_registrable_domain_custom_rules_and_hygiene(spark):
     r = out[0]
     # *.custom (k=2 via b.custom) beats custom (k=1)
     assert r.suffix == "b.custom" and r.registrable == "a.b.custom"
+
+
+def test_trap_filter_simulator_equivalence(spark, corpus, tmp_path):
+    """The optional trap frontier filter must change admission ONLY by
+    the flagged (host, template) urls, and identically in both
+    engines: run_crawl(traps=...) reproduces simulate_crawl(traps=...)
+    schedule-exactly, no flagged url is ever scheduled or marked seen,
+    and dropping the filter reproduces the unfiltered oracle (the
+    baseline sim-equivalence test) — so engaging the filter cannot
+    perturb any non-flagged admission path."""
+    from langscrape_spark.operators.urls import url_template
+    from langscrape_spark.scheduler.simulator import _url_template
+
+    pages, seeds, robots, host_rank = corpus
+    # Flag one real (host, template) pair from the synth corpus: every
+    # article url on site3 (template '/<section>/article-<N>.html').
+    trap_host = "www.site3.example"
+    victim = next(
+        i for i in range(N_PAGES) if synth.host_of(i) == trap_host
+    )
+    trap_tmpl = _url_template(synth.url_of(victim))
+    # the python twin and the Spark expression must agree on the key
+    got_tmpl = (
+        spark.createDataFrame([(synth.url_of(victim),)], "url string")
+        .select(url_template(F.col("url")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got_tmpl == trap_tmpl
+    traps_df = spark.createDataFrame(
+        [(trap_host, trap_tmpl, True)],
+        "host string, template string, is_trap boolean",
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "trapcat"))
+    cfg = CrawlConfig(
+        batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
+        seen_partitions=8,
+    )
+    state = run_crawl(
+        spark, pages, seeds, robots, host_rank, catalog, cfg,
+        traps=traps_df,
+    )
+
+    sim_pages = {
+        synth.url_of(i): synth.page_html(i, N_PAGES) for i in range(N_PAGES)
+    }
+    sim_seeds = [synth.url_of(i * (N_PAGES // 10)) for i in range(10)]
+    sim_seeds += ["not a url", "ftp://site.example/x",
+                  f"https://{synth.host_of(0)}/docs/report.pdf"]
+    sim_robots = {
+        f"www.site{i}.example": (
+            ["/private/", "/admin/"],
+            2.0 if i == 0 else 0.5,
+            i != 19,
+        )
+        for i in range(synth.N_HOSTS)
+    }
+    sim_rank = {
+        f"www.site{i}.example": round(1.0 - i * 0.04, 4)
+        for i in range(synth.N_HOSTS)
+    }
+    sim_schedule, sim_seen = simulate_crawl(
+        sim_seeds, sim_pages, sim_robots, sim_rank,
+        batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
+        traps={(trap_host, trap_tmpl)},
+    )
+
+    got_schedule = [
+        (r["round"], r["seq"], r["url"])
+        for r in state.schedule.orderBy("round", "seq").collect()
+    ]
+    assert got_schedule == sim_schedule
+    got_seen = {r["url"] for r in state.seen.collect()}
+    assert got_seen == sim_seen
+
+    # No flagged url anywhere; the filter actually removed something.
+    # Flagged = this (host, template) pair only — same-host urls under
+    # a different section template must stay admitted.
+    flagged = {
+        u for u in sim_pages
+        if synth.host_of(int(u.rsplit("-", 1)[1][:8])) == trap_host
+        and _url_template(u) == trap_tmpl
+    }
+    scheduled_urls = {u for (_, _, u) in got_schedule}
+    assert not (scheduled_urls & flagged)
+    assert not (got_seen & flagged)
+    baseline_urls = {
+        u for (_, _, u) in simulate_crawl(
+            sim_seeds, sim_pages, sim_robots, sim_rank,
+            batch_size=BATCH, max_depth=MAX_DEPTH, max_rounds=MAX_ROUNDS,
+        )[0]
+    }
+    assert baseline_urls & flagged  # the trap WAS reachable unfiltered
 
 
 def test_ucb_rank_table_drives_a_crawl_round(spark, tmp_path):
