@@ -224,6 +224,115 @@ def _serialize_nodes(nodes: List[Node], out: List[str]) -> None:
                 stack.extend(reversed(item.children))
 
 
+# -- spec-correct attribute entity decoding ---------------------------------
+# html.parser unescapes attribute values with the TEXT tokenizer rules
+# (html.unescape), but the HTML5 spec's attribute mode differs for
+# legacy named references WITHOUT a trailing semicolon: when the next
+# character is '=' or an ASCII alphanumeric, the reference is NOT
+# decoded (13.2.5.73 "named character reference state").  html5lib —
+# the reference's parser (langscrape/html/utils.py:98) — and every
+# browser obey this, so a crawler using text rules would corrupt
+# real-world hrefs: "?a=1&not=2" must stay "&not=2" (html.unescape
+# yields "¬=2"), "&notify=1" must stay intact (text rules yield
+# "¬ify=1") — mangled urls mean a diverged frontier and broken
+# byte-identity on @href-predicated field maps.  We therefore discard
+# the values html.parser hands us and re-extract them from the RAW
+# start-tag text (get_starttag_text) with the attribute-mode rule.
+# The tolerant regexes are html.parser's own (present since 3.3);
+# if a future stdlib drops them we fall back to the decoded values.
+
+try:  # pragma: no cover - availability probe
+    from html.parser import attrfind_tolerant as _ATTRFIND
+    from html.parser import tagfind_tolerant as _TAGFIND
+except ImportError:  # pragma: no cover
+    _ATTRFIND = _TAGFIND = None
+
+from html.entities import html5 as _HTML5_ENTITIES
+
+_CHARREF_ATTR = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)"
+)
+_INVALID_CHARREFS = {
+    0x00: "�", 0x0D: "\r", 0x80: "€", 0x81: "\x81",
+    0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…",
+    0x86: "†", 0x87: "‡", 0x88: "ˆ", 0x89: "‰",
+    0x8A: "Š", 0x8B: "‹", 0x8C: "Œ", 0x8D: "\x8d",
+    0x8E: "Ž", 0x8F: "\x8f", 0x90: "\x90", 0x91: "‘",
+    0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+    0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™",
+    0x9A: "š", 0x9B: "›", 0x9C: "œ", 0x9D: "\x9d",
+    0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _replace_charref_attr(m) -> str:
+    """html._replace_charref with the ATTRIBUTE-mode legacy rule: a
+    named reference without its semicolon does not decode when the
+    character that follows it is '=' or alphanumeric."""
+    s = m.group(1)
+    if s[0] == "#":  # numeric: same as text mode
+        if s[1] in "xX":
+            num = int(s[2:].rstrip(";"), 16)
+        else:
+            num = int(s[1:].rstrip(";"), 10)
+        if num in _INVALID_CHARREFS:
+            return _INVALID_CHARREFS[num]
+        if 0xD800 <= num <= 0xDFFF or num > 0x10FFFF:
+            return "�"
+        return chr(num)
+    if s in _HTML5_ENTITIES:  # full match (with or without ';')
+        if not s.endswith(";"):
+            nxt = m.string[m.end() : m.end() + 1]
+            if nxt == "=" or nxt.isalnum():
+                return "&" + s
+        return _HTML5_ENTITIES[s]
+    # legacy longest prefix — attribute rule checks the char AFTER it
+    for x in range(len(s) - 1, 1, -1):
+        if s[:x] in _HTML5_ENTITIES:
+            if s[x] == "=" or s[x].isalnum():
+                return "&" + s
+            return _HTML5_ENTITIES[s[:x]] + s[x:]
+    return "&" + s
+
+
+def _unescape_attr_value(value: str) -> str:
+    if "&" not in value:
+        return value
+    return _CHARREF_ATTR.sub(_replace_charref_attr, value)
+
+
+def _attrs_from_raw(raw: Optional[str]):
+    """Re-extract (name, value) pairs from a raw start-tag string with
+    attribute-mode unescaping — the same tolerant scan html.parser's
+    parse_starttag runs, minus its text-mode unescape.  Returns None
+    when the raw text is unavailable (caller falls back to the
+    parser-decoded attrs)."""
+    if raw is None or _ATTRFIND is None or _TAGFIND is None:
+        return None
+    m = _TAGFIND.match(raw, 1)
+    if not m:
+        return None
+    attrs = []
+    k = m.end()
+    while True:
+        am = _ATTRFIND.match(raw, k)
+        if not am:
+            break
+        name, rest, value = am.group(1), am.group(2), am.group(3)
+        if not rest:
+            value = None
+        elif (
+            value[:1] == "'" == value[-1:]
+            or value[:1] == '"' == value[-1:]
+        ):
+            value = value[1:-1]
+        if value:
+            value = _unescape_attr_value(value)
+        attrs.append((name.lower(), value))
+        k = am.end()
+    return attrs
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -245,14 +354,18 @@ class _TreeBuilder(HTMLParser):
     # -- HTMLParser callbacks --
     def handle_starttag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
         self._implied_close(tag)
-        el = Element(tag, attrs)
+        # attribute-mode entity decoding (see _attrs_from_raw): the
+        # values in ``attrs`` were text-mode-unescaped by html.parser
+        el = Element(tag, _attrs_from_raw(self.get_starttag_text()) or attrs)
         self._top.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
         self._implied_close(tag)
-        self._top.append(Element(tag, attrs))
+        self._top.append(
+            Element(tag, _attrs_from_raw(self.get_starttag_text()) or attrs)
+        )
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:

@@ -519,7 +519,12 @@ def minhash_lsh_pairs_incremental(
         newb, state_dir, n_parts, params=_minhash_params(num_hashes, bands, k)
     )
     new_old = (
-        hits.select(
+        # Self-hits (id_new == id_old) only occur when the state
+        # already holds rows of the CURRENT batch — the torn-append
+        # replay window.  A doc is never a near-dup of itself; without
+        # this guard a replayed round would emit (x, x) pairs.
+        hits.where(F.col("id_new") != F.col("id_old"))
+        .select(
             F.least("id_new", "id_old").alias("id_a"),
             F.greatest("id_new", "id_old").alias("id_b"),
         )
@@ -672,7 +677,10 @@ def simhash_near_dups_incremental(
         params=_simhash_params(max_hamming),
     )
     new_old = (
-        hits.select(
+        # self-hit guard: only reachable via the torn-append replay
+        # window (state already holding this batch's rows)
+        hits.where(F.col("id_new") != F.col("id_old"))
+        .select(
             F.least("id_new", "id_old").alias("id_a"),
             F.greatest("id_new", "id_old").alias("id_b"),
             hamming64(F.col("sh_new"), F.col("sh_old")).alias("hamming"),
@@ -1121,6 +1129,10 @@ def exact_ingest_round(
     ).persist()
     hits = (
         bucket_state_probe(b, state_dir, n_parts, params=_exact_params())
+        # Self-hits only occur when a torn append left the CURRENT
+        # batch's rows in state — a replayed doc must not be flagged
+        # as a duplicate of itself.
+        .where(F.col("id_new") != F.col("id_old"))
         # one stored row per bucket by construction; the min-agg makes
         # the join safe even if a torn append ever left siblings
         .groupBy("id_new")

@@ -477,6 +477,85 @@ class TestHtml5libDivergences:
         assert len(evaluate(doc, "//i")) == 1  # html5lib: 2
         assert evaluate(doc, "//p")[0].text_content() == "12345"
 
+    def test_residual_style_misnesting_inside_table_row(self):
+        """<tr><td>a</td><b><td>two</td></b></tr>: html5lib
+        foster-parents the stray <b> to BEFORE the table (residual
+        style: an empty <b> outside, the second <td> joins the row as
+        a normal cell). This DOM keeps the <b> inside the row wrapping
+        the cell. Pinned consequences: //tr/b matches here, never on
+        the reference substrate (field maps must not use it); the
+        RENDERED text is identical either way — both cells' text in
+        document order — so the byte-identity extraction contract is
+        unaffected."""
+        h = (
+            "<html><body><table><tr><td>a</td><b><td>two</td></b>"
+            "</tr></table><p>after</p></body></html>"
+        )
+        doc = parse(h)
+        assert evaluate(doc, "//table")[0].serialize() == (
+            "<table><tr><td>a</td><b><td>two</td></b></tr></table>"
+        )  # html5lib: <b></b><table>…<td>a</td><td>two</td>…
+        assert [e.serialize() for e in evaluate(doc, "//tr/b")] == [
+            "<b><td>two</td></b>"
+        ]
+        assert convert_html_to_text(h) == "a two\nafter"
+
+    def test_select_option_scope_rules(self):
+        """<select><option>one<option>two<optgroup><option>three:
+        html5lib closes an open <option> at the next <option> AND at
+        <optgroup> ('in select' insertion mode), yielding three
+        sibling-ish options ('one','two','three'). This DOM's implied-
+        end table closes option at option but not at optgroup, so the
+        optgroup (and option 'three') nest INSIDE option 'two' —
+        //option text_content diverges ('twothree' vs 'two'). Also
+        pinned: a non-option element inside <select> (<div>) is kept
+        as an element here; html5lib drops the tags and keeps only the
+        character data. Rendered text is identical on both substrates
+        in each case."""
+        h = (
+            "<html><body><select><option>one<option>two"
+            "<optgroup label='g'><option>three</select>"
+            "<p>after</p></body></html>"
+        )
+        doc = parse(h)
+        assert [e.text_content() for e in evaluate(doc, "//option")] == [
+            "one", "twothree", "three",
+        ]  # html5lib: ['one', 'two', 'three']
+        assert len(evaluate(doc, "//optgroup")) == 1
+        d2 = parse(
+            "<html><body><select><div>boom</div><option>one</option>"
+            "</select></body></html>"
+        )
+        assert [e.serialize() for e in evaluate(d2, "//select/div")] == [
+            "<div>boom</div>"
+        ]  # html5lib: no div element, 'boom' as select-level text
+        assert evaluate(d2, "//select")[0].text_content() == "boomone"
+
+    def test_attribute_entity_no_semicolon_spec_rules(self):
+        """NO divergence — pinned as agreement with html5lib/browsers
+        after the attribute-mode decode fix (dom.py::_attrs_from_raw):
+        inside an ATTRIBUTE value a legacy named reference without its
+        semicolon does NOT decode when followed by '=' or an
+        alphanumeric (HTML5 13.2.5.73). html.parser's text-mode
+        unescape would corrupt real-world query strings ('&not=2' →
+        '¬=2', '&notify=1' → '¬ify=1') — mangled harvested urls and a
+        diverged frontier. Semicolon'd references and numeric
+        references decode as before; TEXT content keeps the legacy
+        longest-prefix behavior."""
+        doc = parse(
+            '<html><body><a href="/x?a=1&not=2&ampy&notify=1&amp;ok=3"'
+            ' title="&times;&timesb &#x41;">t</a>'
+            "<p>&notareal;</p></body></html>"
+        )
+        a = evaluate(doc, "//a")[0]
+        assert a.attrs["href"] == "/x?a=1&not=2&ampy&notify=1&ok=3"
+        assert a.attrs["title"] == "×&timesb A"
+        # end-of-value legacy ref still decodes (next char is none)
+        d2 = parse("<html><body><a href='f?x=1&not'>e</a></body></html>")
+        assert evaluate(d2, "//a")[0].attrs["href"] == "f?x=1\xac"
+        # text mode unchanged: longest-prefix applies even mid-word
+        assert evaluate(doc, "//p")[0].text_content() == "\xacareal;"
+
     def test_clean_is_stable_on_divergent_markup(self):
         """Whatever the tree shape, the cleaning pipeline must be
         deterministic and idempotent over the divergence fixtures."""
@@ -493,6 +572,9 @@ class TestHtml5libDivergences:
             "<template><p>tpl</p></template><p>real</p>",
             "<a href=1>one<div>two</a>three</div>",
             "<p>1<b>2<i>3</b>4</i>5</p>",
+            "<table><tr><td>a</td><b><td>two</td></b></tr></table>",
+            "<select><option>one<option>two<optgroup><option>3</select>",
+            '<a href="/x?a=1&not=2&notify=1&amp;ok=3">t</a>',
         ):
             once = clean_html_for_extraction(h)
             assert clean_html_for_extraction(h) == once  # deterministic

@@ -620,3 +620,198 @@ def test_exact_incremental_crawl_order_first_occurrence(spark, tmp_path):
     assert got == want
     # state holds one row per distinct content (7 texts + NULL group)
     assert bucket_state_rows(spark, state).count() == 8
+
+
+# -- kill-window / torn-append replay (the crash class the streaming
+# -- ingest documents: a round that died INSIDE the state append and
+# -- was replayed in full) ---------------------------------------------------
+
+
+def test_minhash_replay_after_partial_append_no_self_pairs(
+    spark, tmp_path
+):
+    """Kill mid-append, replay the round: the state already holds part
+    of the batch's own band rows, so the probe sees the batch as its
+    own 'old' side. The replayed round must emit NO (x, x) self-pairs,
+    and the pair SET (dedup by ids — within-batch pairs may appear
+    through both the batch path and the probe path in this documented
+    2PC-gap window) must still equal the uninterrupted derivation."""
+    from langscrape_spark.operators.dedup import minhash_band_buckets
+    from langscrape_spark.operators.incremental import (
+        bucket_state_compact,
+        bucket_state_rows,
+        minhash_ingest_round,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _mk_docs(spark, n=60)
+    r0 = docs.where(F.col("doc_id") < 30)
+    r1 = docs.where(F.col("doc_id") >= 30)
+    state_ok = str(tmp_path / "mh_ok")
+    state_torn = str(tmp_path / "mh_torn")
+
+    # uninterrupted reference (id pairs — the 2PC-gap window only
+    # promises set semantics, see docstring)
+    want_ids = _pairs_set(minhash_ingest_round(r0, state_ok, n_parts=4))
+    want_ids |= _pairs_set(minhash_ingest_round(r1, state_ok, n_parts=4))
+
+    # torn run: round 0 commits, round 1 dies mid-append (half the
+    # batch's band rows land in state), then the round replays fully
+    got = _pairs_set(minhash_ingest_round(r0, state_torn, n_parts=4))
+    from langscrape_spark.operators.incremental import (
+        _minhash_params,
+        bucket_state_append,
+    )
+
+    partial = minhash_band_buckets(
+        r1.where(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    bucket_state_append(
+        partial, state_torn, n_parts=4, params=_minhash_params(16, 4, 3)
+    )
+    replay = minhash_ingest_round(r1, state_torn, n_parts=4)
+    rows = replay.collect()
+    assert all(r.id_a != r.id_b for r in rows), "self-pair leaked"
+    got |= {(r.id_a, r.id_b) for r in rows}
+    assert got == want_ids
+
+    # compaction heals the duplicate state rows; a later round then
+    # behaves exactly as in the uninterrupted state
+    bucket_state_compact(spark, state_torn, n_parts=4)
+    n_ok = bucket_state_rows(spark, state_ok).count()
+    n_torn = bucket_state_rows(spark, state_torn).count()
+    assert n_ok == n_torn
+    probe_docs = _mk_docs(spark, n=70).where(F.col("doc_id") >= 60)
+    after_ok = _pairs_set(
+        minhash_lsh_pairs_incremental(probe_docs, state_ok, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    after_torn = _pairs_set(
+        minhash_lsh_pairs_incremental(probe_docs, state_torn, n_parts=4),
+        extra=("n_shared_bands",),
+    )
+    assert after_ok == after_torn
+
+
+def test_semantic_replay_after_partial_append_kill_window(
+    spark, tmp_path
+):
+    """Semantic sibling of the minhash kill-window test, with the
+    frozen-centroid geometry: round 1 dies mid-append (half its
+    (cluster, id, vec) rows committed), replays fully, and the final
+    pair-id set still equals the uninterrupted run; no self-pairs; a
+    compaction plus one more round behaves identically to the clean
+    state."""
+    from langscrape_spark.operators.ann import ivf_assign, ivf_centroids
+    from langscrape_spark.operators.incremental import (
+        _semantic_params,
+        bucket_state_append,
+        bucket_state_compact,
+        bucket_state_rows,
+        semantic_ingest_round,
+        semantic_pairs_incremental,
+    )
+
+    emb = _mk_emb(spark, n=90)
+    cents = ivf_centroids(emb, k=5, iterations=2)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"),
+        F.col("bucket").alias("cluster"),
+        F.col("embedding").alias("vec"),
+    )
+    thr = 0.9
+    r0 = assigned.where(F.col("id") < 45)
+    r1 = assigned.where((F.col("id") >= 45) & (F.col("id") < 80))
+    r2 = assigned.where(F.col("id") >= 80)
+    state_ok = str(tmp_path / "sem_ok")
+    state_torn = str(tmp_path / "sem_torn")
+
+    want = set()
+    for b in (r0, r1):
+        want |= {
+            (p.id_a, p.id_b)
+            for p in semantic_ingest_round(
+                b, state_ok, threshold=thr, k=5, n_parts=4
+            ).collect()
+        }
+
+    got = {
+        (p.id_a, p.id_b)
+        for p in semantic_ingest_round(
+            r0, state_torn, threshold=thr, k=5, n_parts=4
+        ).collect()
+    }
+    partial = r1.where(F.col("id") % 2 == 0).select(
+        F.col("cluster").cast("int").cast("string").alias("bucket"),
+        "id",
+        "vec",
+    )
+    bucket_state_append(
+        partial, state_torn, n_parts=4, params=_semantic_params(thr, 5)
+    )
+    rows = semantic_ingest_round(
+        r1, state_torn, threshold=thr, k=5, n_parts=4
+    ).collect()
+    assert all(p.id_a != p.id_b for p in rows), "self-pair leaked"
+    got |= {(p.id_a, p.id_b) for p in rows}
+    assert got == want
+
+    bucket_state_compact(spark, state_torn, n_parts=4)
+    assert (
+        bucket_state_rows(spark, state_ok).count()
+        == bucket_state_rows(spark, state_torn).count()
+    )
+    after_ok = {
+        (p.id_a, p.id_b, p.sim)
+        for p in semantic_pairs_incremental(
+            r2, state_ok, thr, 5, n_parts=4
+        ).collect()
+    }
+    after_torn = {
+        (p.id_a, p.id_b, p.sim)
+        for p in semantic_pairs_incremental(
+            r2, state_torn, thr, 5, n_parts=4
+        ).collect()
+    }
+    assert after_ok == after_torn and after_ok
+
+
+def test_exact_replay_after_partial_append_not_self_dup(spark, tmp_path):
+    """Exact-state kill window: a torn append that committed some of
+    the round's first-occurrence rows must not make the replayed round
+    flag those docs as duplicates OF THEMSELVES; cross-round duplicate
+    detection is unaffected."""
+    from langscrape_spark.operators.incremental import (
+        _exact_params,
+        bucket_state_append,
+        exact_ingest_round,
+    )
+
+    rows = [(i, f"t{i % 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "ex_torn")
+    r0 = docs.where(F.col("doc_id") < 10)
+    r1 = docs.where(F.col("doc_id") >= 10)
+    out0 = {
+        r.id: (r.is_dup, r.first_id)
+        for r in exact_ingest_round(r0, state, n_parts=4).collect()
+    }
+    # torn: half of round 1's first-occurrence rows land in state
+    partial = r1.where(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("bucket"),
+        F.col("doc_id").alias("id"),
+    )
+    bucket_state_append(partial, state, n_parts=4, params=_exact_params())
+    out1 = {
+        r.id: (r.is_dup, r.first_id)
+        for r in exact_ingest_round(r1, state, n_parts=4).collect()
+    }
+    got = {**out0, **out1}
+    first, want = {}, {}
+    for i, t in rows:
+        if t in first:
+            want[i] = (True, first[t])
+        else:
+            first[t] = i
+            want[i] = (False, None)
+    assert got == want
