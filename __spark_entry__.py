@@ -8152,9 +8152,11 @@ def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
 # runs ALL oracled queries at sf0.01).  Per the round-4 brief, each
 # round rotates 50 never-driver-checked names to the front so the
 # independent check accumulates full coverage: this round the head is
-# the entirely-unchecked q165-q185 block (mirrors, DUST, as-of,
-# bow-tie, IP-CIDR, media fingerprints) followed by the q52-q94
-# stragglers.  Names and bodies are unchanged -- only dict insertion
+# the two NEW integration queries (q210 crawl+dedup, q211 PQ-payload
+# semantic state) then the entirely-unchecked q165-q185 block
+# (mirrors, DUST, as-of, bow-tie, IP-CIDR, media fingerprints)
+# followed by the q52-q83 stragglers — 50 names never independently
+# verified before.  Names and bodies are unchanged -- only dict insertion
 # order moves.  The tail keeps the rest of the never-checked set in
 # numeric order (useful if the window ever widens), then
 # _family_interleaved appends all previously-verified names in their
@@ -8210,9 +8212,10 @@ _PRIORITY_ORDER = [
     "q81_winnow_overlap",
     "q82_zipf_stats",
     "q83_tfidf_keywords",
+    # --- beyond the 50-name window (q210/q211 at the head shifted the
+    # --- cut to q83): remaining never-checked, numeric order ---
     "q85_bpe_encode",
     "q86_pq_ann",
-    # --- beyond the 50-name window: remaining never-checked ---
     "q88_kneser_ney",
     "q90_entropy_profile",
     "q91_query_likelihood",

@@ -167,11 +167,17 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
     run clean) still inflates the ratio. Two mitigations: (a) if a
     level's legs disagree >25% on extract rate, or any leg started at
     1-min load avg > 2, ONE extra interleaved pass of both levels
-    runs; (b) the result self-reports ``suspect_load`` (true when a
+    runs; (b) if the spread persists past the retry pass, a DECIDING
+    interleaved pair runs with the corpus DOUBLED — the per-round
+    fixed cost (JVM spin-up, checkpoint I/O) is what magnifies
+    scheduler jitter at toy corpus sizes, and halving its share per
+    measured url converges the legs; the cleaner leg set wins and
+    both ship in the artifact; (c) the result self-reports
+    ``suspect_load`` (true when a
     level's surviving legs still spread >2x or the best legs started
     loaded) plus per-leg rates and start loads in ``all_legs``, so an
     inflated or depressed ratio is visible in the artifact instead of
-    silent; (c) each leg waits (90s cap) for the 1-min load average to
+    silent; (d) each leg waits (90s cap) for the 1-min load average to
     drain below 2.0 first — the in-bench legs otherwise start inside
     the load shadow of the just-finished 32-thread suite and
     ``suspect_load`` fires even on an idle box. Disable with
@@ -195,17 +201,17 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         while os.getloadavg()[0] > target and time.monotonic() < deadline:
             time.sleep(3.0)
 
-    def one_pass() -> None:
+    def one_pass(into: dict, pages: int) -> None:
         for cpus in levels:
             drain_load()
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_SHUFFLE="32",
-                SPARK_GRAFT_BENCH_PAGES=str(n_pages),
+                SPARK_GRAFT_BENCH_PAGES=str(pages),
                 SPARK_GRAFT_BENCH_ROUNDS="2",
-                SPARK_GRAFT_BENCH_BATCH=str(n_pages // 2),
-                SPARK_GRAFT_BENCH_SEEDS=str(n_pages // 8),
+                SPARK_GRAFT_BENCH_BATCH=str(pages // 2),
+                SPARK_GRAFT_BENCH_SEEDS=str(pages // 8),
                 SPARK_GRAFT_BENCH_DELAY_DIV="500",
                 SPARK_GRAFT_BENCH_SCALING="0",  # no recursion
             )
@@ -225,14 +231,27 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
             except Exception:  # noqa: BLE001
                 continue
             leg["load_at_leg_start"] = load0
-            legs[cpus].append(leg)
+            into[cpus].append(leg)
 
     def spread(runs: list[dict]) -> float:
         rates = [r["extract_urls_per_sec"] for r in runs]
         return max(rates) / min(rates) if rates and min(rates) > 0 else 1.0
 
-    one_pass()
-    one_pass()
+    def spread_top2(runs: list[dict]) -> float:
+        """Ratio of the two BEST legs. The all-legs spread is monotone
+        non-decreasing (a single early jittery leg keeps it raised
+        forever), so it can trigger the retry but must not decide
+        whether the retry CONVERGED: best-of keeps the top rate, and
+        that rate is corroborated iff the runner-up agrees."""
+        rates = sorted(
+            (r["extract_urls_per_sec"] for r in runs), reverse=True
+        )
+        if len(rates) < 2 or rates[1] <= 0:
+            return 1.0
+        return rates[0] / rates[1]
+
+    one_pass(legs, n_pages)
+    one_pass(legs, n_pages)
     retried = False
     if any(
         not runs
@@ -241,7 +260,35 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
         for runs in legs.values()
     ):
         retried = True
-        one_pass()
+        one_pass(legs, n_pages)
+    # Escalation: if the two BEST legs of some level STILL disagree
+    # >25% after the retry pass (top-2 spread — the all-legs spread
+    # cannot decide this, a single early jittery leg keeps it raised
+    # forever), the per-round fixed cost (JVM spin-up, checkpoint I/O)
+    # is magnifying scheduler jitter at this corpus size — run one
+    # deciding interleaved pair with the corpus DOUBLED (halves the
+    # fixed-cost share per measured url) and prefer it when its legs
+    # are the cleaner set. Both leg sets ship in the artifact either
+    # way (all_legs_small_corpus / all_legs_2x_corpus).
+    escalated = False
+    pages_used = n_pages
+    legs_other = None
+    legs_other_key = None
+    if any(runs and spread_top2(runs) > 1.25 for runs in legs.values()):
+        escalated = True
+        legs2: dict[int, list[dict]] = {c: [] for c in levels}
+        one_pass(legs2, n_pages * 2)
+        one_pass(legs2, n_pages * 2)
+        if all(legs2.get(c) for c in levels) and max(
+            spread_top2(r) for r in legs2.values()
+        ) < max(spread_top2(r) for r in legs.values() if r):
+            legs_other, legs_other_key = legs, "all_legs_small_corpus"
+            legs = legs2
+            pages_used = n_pages * 2
+        else:
+            # rejected 2x legs still ship — a reader must be able to
+            # see why the escalation was not adopted
+            legs_other, legs_other_key = legs2, "all_legs_2x_corpus"
     missing = [c for c in levels if not legs.get(c)]
     if missing:
         return {"error": f"no successful leg at levels {missing}"}
@@ -264,12 +311,13 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
     )
     n, n4 = levels
     ratio = n4 / n
-    return {
+    out = {
         "protocol": (
-            f"same {n_pages}-page crawl, 2 rounds, fresh JVM per leg,"
+            f"same {pages_used}-page crawl, 2 rounds, fresh JVM per leg,"
             " 2 interleaved passes per level (retry pass on >25% leg"
-            " disagreement or loaded start), load drained <2.0 before"
-            " each leg (90s cap), best rate per level"
+            " disagreement or loaded start; deciding pass at 2x corpus"
+            " if spread persists), load drained <2.0 before each leg"
+            " (90s cap), best rate per level"
         ),
         "cores": list(levels),
         "extract_urls_per_sec": [
@@ -286,6 +334,8 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
             best[n4]["urls_per_sec"] / best[n]["urls_per_sec"] / ratio, 3
         ),
         "retried": retried,
+        "escalated_2x_corpus": escalated,
+        "n_pages_used": pages_used,
         "suspect_load": suspect_load,
         "leg_spread": {str(c): round(spread(runs), 3) for c, runs in legs.items()},
         "all_legs": {
@@ -297,6 +347,18 @@ def bench_scaling(n_pages: int, levels=(2, 8)) -> dict:
             for c, runs in legs.items()
         },
     }
+    if legs_other is not None:
+        # the superseded small-corpus legs OR the rejected 2x legs —
+        # whichever set did not decide the ratio, for the record
+        out[legs_other_key] = {
+            str(c): [
+                [r["extract_urls_per_sec"], r["urls_per_sec"],
+                 r["load_at_leg_start"]]
+                for r in runs
+            ]
+            for c, runs in legs_other.items()
+        }
+    return out
 
 
 def main(argv) -> None:
@@ -404,6 +466,7 @@ def main(argv) -> None:
             for k in (
                 "cores", "extract_eff", "crawl_eff",
                 "extract_urls_per_sec", "suspect_load", "retried",
+                "escalated_2x_corpus", "n_pages_used",
             )
         }
     elif scaling is not None:

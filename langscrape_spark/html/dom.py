@@ -252,6 +252,12 @@ from html.entities import html5 as _HTML5_ENTITIES
 _CHARREF_ATTR = re.compile(
     r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)"
 )
+# The spec's "ASCII alphanumeric" — NOT str.isalnum(), which is
+# Unicode-wide: '&noté' must DECODE (é is not ASCII alnum, so the
+# reference is interpreted), while '&notx' must not.
+_ASCII_ALNUM = frozenset(
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
 _INVALID_CHARREFS = {
     0x00: "�", 0x0D: "\r", 0x80: "€", 0x81: "\x81",
     0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…",
@@ -283,13 +289,13 @@ def _replace_charref_attr(m) -> str:
     if s in _HTML5_ENTITIES:  # full match (with or without ';')
         if not s.endswith(";"):
             nxt = m.string[m.end() : m.end() + 1]
-            if nxt == "=" or nxt.isalnum():
+            if nxt == "=" or nxt in _ASCII_ALNUM:
                 return "&" + s
         return _HTML5_ENTITIES[s]
     # legacy longest prefix — attribute rule checks the char AFTER it
     for x in range(len(s) - 1, 1, -1):
         if s[:x] in _HTML5_ENTITIES:
-            if s[x] == "=" or s[x].isalnum():
+            if s[x] == "=" or s[x] in _ASCII_ALNUM:
                 return "&" + s
             return _HTML5_ENTITIES[s[:x]] + s[x:]
     return "&" + s

@@ -79,6 +79,9 @@ def stream_dedup_ingest(
     micro-batch's pairs (new docs vs everything already ingested plus
     within-batch) go to ``sink(pairs_df, batch_id)`` and its band
     buckets append to the on-disk bucket-partitioned state.
+    ``sink`` must fully consume the frame during the call
+    (write/collect); the frame's storage is released once the batch
+    commits, so a retained handle fails on any later action.
 
     One code path for batch rounds AND streaming ingest, so the
     union-equivalence contract (per-round pairs union EXACTLY to the
@@ -158,6 +161,13 @@ def stream_dedup_ingest(
         # lifetime.  Safe here: both consumers (sink, state append)
         # have completed; a failure above replays the whole batch and
         # recomputes pairs from the untouched pre-batch state.
+        # SINK CONTRACT (changed by this release): the sink must fully
+        # consume the frame DURING its call (write/collect/count) —
+        # retaining the DataFrame for use after the batch returns now
+        # fails ("checkpoint block not found": the lineage was severed
+        # by localCheckpoint, so the freed blocks cannot be
+        # recomputed).  A sink that needs the rows later should
+        # materialize them itself (collect or write) inside the call.
         pairs.unpersist()
         os.makedirs(marker_dir, exist_ok=True)
         tmp = marker + ".tmp"

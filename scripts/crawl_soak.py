@@ -100,6 +100,76 @@ def main() -> None:
         state = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
         wall = round(time.perf_counter() - t0, 2)
 
+        # Optional third leg: per-round incremental dedup over the
+        # crawl's own fetched batches (argv[3] == "dedup") — the q210
+        # composition at soak scale. Each round's scheduled urls join
+        # back to the pages table for text and flow through
+        # minhash_ingest_round against ONE accumulated state; the
+        # union of the rounds' pairs must equal the batch LSH
+        # derivation over the full fetched corpus, and per-round dedup
+        # time is reported next to the crawl phases (flatness = the
+        # probe never rescans the accumulated state).
+        dedup_report = None
+        if len(sys.argv) > 3 and sys.argv[3] == "dedup":
+            from langscrape_spark.operators.dedup import (
+                grouped_bucket_pairs,
+                minhash_band_buckets,
+            )
+            from langscrape_spark.operators.incremental import (
+                minhash_ingest_round,
+            )
+
+            docs = pages.select(
+                F.regexp_extract("url", "article-(\\d+)", 1)
+                .cast("long").alias("doc_id"),
+                "url", "text",
+            )
+            sched_df = state.schedule.select("round", "url").cache()
+            rounds_list = sorted(
+                r["round"]
+                for r in sched_df.select("round").distinct().collect()
+            )
+            mh_state = os.path.join(tmp, "mh_state")
+            dedup_times, got = [], set()
+            for rno in rounds_list:
+                batch = (
+                    sched_df.where(F.col("round") == rno)
+                    .join(docs, "url")
+                    .select("doc_id", "text")
+                )
+                td = time.perf_counter()
+                pairs = minhash_ingest_round(
+                    batch, mh_state, "text", "doc_id",
+                    num_hashes=16, bands=4, k=3, n_parts=32,
+                )
+                got |= {
+                    (p["id_a"], p["id_b"]) for p in pairs.collect()
+                }
+                dedup_times.append(round(time.perf_counter() - td, 2))
+            fetched_docs = sched_df.join(docs, "url").select(
+                "doc_id", "text"
+            )
+            want = {
+                (p["id_a"], p["id_b"])
+                for p in grouped_bucket_pairs(
+                    minhash_band_buckets(
+                        fetched_docs, "text", "doc_id", 16, 4, 3
+                    ),
+                    "bigint",
+                    None,
+                ).collect()
+            }
+            d = dedup_times[1:]
+            dedup_report = {
+                "union_equals_batch": got == want,
+                "pairs": len(got),
+                "round_secs": dedup_times,
+                "flat_ratio": round(
+                    (sum(d[-3:]) / 3) / (sum(d[:3]) / 3), 3
+                ) if len(d) >= 6 else None,
+            }
+            sched_df.unpersist()
+
         sched = state.schedule.orderBy("round", "seq").select(
             "round", "seq", "url"
         ).collect()
@@ -137,6 +207,7 @@ def main() -> None:
                         for m in state.metrics
                     ],
                     "catalog": footprint,
+                    **({"dedup": dedup_report} if dedup_report else {}),
                 }
             )
         )

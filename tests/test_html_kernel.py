@@ -553,6 +553,16 @@ class TestHtml5libDivergences:
         # end-of-value legacy ref still decodes (next char is none)
         d2 = parse("<html><body><a href='f?x=1&not'>e</a></body></html>")
         assert evaluate(d2, "//a")[0].attrs["href"] == "f?x=1\xac"
+        # the blocking class is ASCII alnum specifically, not Unicode
+        # isalnum(): a following non-ASCII letter/digit does NOT block
+        # the reference (spec "ASCII alphanumeric")
+        d3 = parse(
+            "<html><body><a href='/x?v=&not\xe9' title='&amp٣'>"
+            "e</a></body></html>"
+        )
+        a3 = evaluate(d3, "//a")[0]
+        assert a3.attrs["href"] == "/x?v=\xac\xe9"
+        assert a3.attrs["title"] == "&٣"
         # text mode unchanged: longest-prefix applies even mid-word
         assert evaluate(doc, "//p")[0].text_content() == "\xacareal;"
 
