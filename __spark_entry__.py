@@ -7865,12 +7865,15 @@ def q210_crawl_dedup(spark, sf):
         [(synth.url_of(i), 0) for i in range(0, n_pages, 85)],
         "url string, depth int",
     )
-    # Flat politeness (crawl_delay 0.25 → k=16/host/round) so the
-    # crawl exhausts in ~7 rounds; site19 stays robots-disallowed so
-    # the closure proof keeps the exclusion path live.
+    # Flat politeness (crawl_delay 0.1 → k=40/host/round) so the
+    # crawl exhausts in ~4 rounds (per-round driver fixed cost is the
+    # dominant term at this corpus size; the oracle is round-structure
+    # invisible, so fewer-but-larger rounds test the same contract);
+    # site19 stays robots-disallowed so the closure proof keeps the
+    # exclusion path live.
     robots = spark.createDataFrame(
         [
-            (f"www.site{i}.example", [], 0.25, i != 19)
+            (f"www.site{i}.example", [], 0.1, i != 19)
             for i in range(synth.N_HOSTS)
         ],
         "host string, disallow_prefixes array<string>, "
