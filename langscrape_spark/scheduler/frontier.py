@@ -839,6 +839,69 @@ def _bucket_probe_anti_join(
     )
 
 
+def sweep_revisit(
+    spark: SparkSession,
+    catalog: Catalog,
+    due: DataFrame,
+    robots: DataFrame,
+    host_rank: DataFrame,
+) -> int:
+    """Between-submission revisit sweep — the production consumer of
+    ``revisit_schedule`` (q48) and the north rule's "re-admit pages
+    due for revisit": inject the due urls back into the COMMITTED
+    frontier so the next ``run_crawl`` submission fetches them again
+    under normal politeness.  Returns the number of urls injected.
+
+    Semantics (why injection, not seen-set deletion): the seen table
+    is append-only by design (per-round deltas, compaction — a
+    tombstone mechanism would complicate every membership path), and
+    a revisit means "fetch this KNOWN url once more", not "forget it
+    was ever seen".  Injecting into the frontier achieves exactly
+    that: politeness admits the url again, its re-fetch re-harvests
+    links, and any link-rediscovery of the url while it waits in the
+    frontier is correctly suppressed by the (unchanged) seen check.
+    The deletion-capable cuckoo prefilter (scheduler/cuckoo.py, q187)
+    exists for the stronger design where the seen set itself revokes
+    entries; this sweep does not need it.
+
+    Idempotent and crash-safe: urls are normalized with the crawl's
+    own kernel, restricted to urls actually in the seen set (an
+    unknown url belongs in a seed list, not a revisit sweep), and
+    anti-joined against the current frontier, so re-running the sweep
+    (or crashing between the frontier write and the caller's next
+    submission) injects nothing twice.  The frontier snapshot write
+    is the catalog's usual write-then-atomic-publish; the injected
+    frame is materialized (localCheckpoint) before the overwrite
+    because it derives from the very files being replaced."""
+    round_no = catalog.committed_round()
+    if round_no is None:
+        raise ValueError(
+            "sweep_revisit needs a committed crawl (seed run_crawl first)"
+        )
+    frontier = catalog.read("frontier", round_no)
+    seen = catalog.read_appended("seen", round_no)
+    if frontier is None or seen is None:
+        raise ValueError(f"catalog has no frontier/seen at round {round_no}")
+    due_n = (
+        due.select(normalize_url_udf(F.col("url")).alias("url"))
+        .where(F.col("url").isNotNull())
+        .dropDuplicates(["url"])
+    )
+    inject = (
+        due_n.join(seen.select("url"), "url", "inner")
+        .join(frontier.select("url"), "url", "left_anti")
+        .withColumn("depth", F.lit(0))
+    )
+    entries = _with_policy_columns(inject, robots, host_rank)
+    new_frontier = frontier.unionByName(
+        entries.select(*frontier.columns)
+    ).localCheckpoint(eager=True)
+    n_injected = entries.count()
+    catalog.write("frontier", new_frontier, round_no)
+    new_frontier.unpersist()
+    return int(n_injected)
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,

@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
+from langscrape_spark.scheduler.frontier import (
+    CrawlConfig,
+    run_crawl,
+    sweep_revisit,
+)
 from langscrape_spark.sources.catalog import Catalog
 
 
@@ -33,6 +37,13 @@ def main() -> None:
     ap.add_argument("--catalog", required=True)
     ap.add_argument("--pages", required=True)
     ap.add_argument("--seeds", help="seed list (parquet: url, depth); only needed on the first submission")
+    ap.add_argument(
+        "--revisit",
+        help="revisit-due list (parquet: url) — swept into the committed "
+        "frontier BEFORE this submission's rounds (see "
+        "frontier.sweep_revisit; produce the list with "
+        "sources/sitemap.py::revisit_schedule)",
+    )
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1_000_000)
     ap.add_argument("--max-depth", type=int, default=4)
@@ -60,6 +71,15 @@ def main() -> None:
     host_rank = catalog.read("host_rank")
     if host_rank is None:
         host_rank = spark.createDataFrame([], "host string, rank double")
+
+    if args.revisit:
+        if committed is None:
+            raise SystemExit("--revisit needs a committed crawl to sweep")
+        n = sweep_revisit(
+            spark, catalog, spark.read.parquet(args.revisit),
+            robots, host_rank,
+        )
+        print({"revisit_injected": n})
 
     cfg = CrawlConfig(
         batch_size=args.batch_size,

@@ -360,6 +360,85 @@ def test_trap_filter_simulator_equivalence(spark, corpus, tmp_path):
     assert baseline_urls & flagged  # the trap WAS reachable unfiltered
 
 
+def test_revisit_sweep_reschedules_due_urls_once(spark, tmp_path):
+    """sweep_revisit (the q48 revisit_schedule consumer): after a
+    crawl runs to exhaustion, sweeping a due list re-injects exactly
+    the known due urls into the committed frontier, the next
+    submission fetches each exactly once more under normal politeness,
+    the sweep is idempotent, and unknown urls are refused injection
+    (they belong in a seed list)."""
+    from langscrape_spark.scheduler.frontier import sweep_revisit
+
+    n_pages = 60
+    pages = synth.build_pages_df(spark, n_pages, partitions=2)
+    seeds = spark.createDataFrame(
+        [(synth.url_of(i), 0) for i in range(0, n_pages, 11)],
+        "url string, depth int",
+    )
+    robots = spark.createDataFrame(
+        [(f"www.site{i}.example", [], 0.1, i != 19)
+         for i in range(synth.N_HOSTS)],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay double, allowed boolean",
+    )
+    host_rank = synth.host_rank_df(spark)
+    catalog = Catalog(spark, str(tmp_path / "revcat"))
+    cfg = CrawlConfig(batch_size=30, max_depth=2, max_rounds=20,
+                      seen_partitions=4)
+    state1 = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
+    first = [r["url"] for r in state1.schedule.select("url").collect()]
+    assert len(first) == len(set(first))  # each url once
+    fetched = sorted(set(first))
+    # due list drawn from article pages (nav fetch-misses like /about
+    # are also scheduled once but have no outlinks to re-open)
+    due_urls = [u for u in fetched if "article-" in u][::7]
+    due = spark.createDataFrame(
+        [(u,) for u in due_urls]
+        + [("https://www.site1.example/never/crawled-99999.html",)],
+        "url string",
+    )
+    n = sweep_revisit(spark, catalog, due, robots, host_rank)
+    assert n == len(due_urls)  # the unknown url was refused
+    # idempotent: a re-run (crash-replay) injects nothing
+    assert sweep_revisit(spark, catalog, due, robots, host_rank) == 0
+
+    cfg2 = CrawlConfig(batch_size=30, max_depth=2, max_rounds=40,
+                       seen_partitions=4)
+    state2 = run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg2)
+    from collections import Counter
+
+    counts = Counter(
+        r["url"] for r in state2.schedule.select("url").collect()
+    )
+    for u in fetched:
+        assert counts[u] == (2 if u in set(due_urls) else 1), u
+    # Re-injection happens at depth 0, so urls that were depth-clipped
+    # in the first crawl become admissible again — every newly
+    # discovered url must be fetched exactly once and lie within the
+    # re-opened depth-2 BFS neighborhood of a due page (article
+    # outlinks plus the per-host /about and /subscribe nav links each
+    # fetched page emits; depth-2 pages' own links exceed max_depth).
+    new_urls = set(counts) - set(fetched)
+    due_ids = {int(u.rsplit("-", 1)[1][:8]) for u in due_urls}
+
+    def navs(i):
+        h = synth.host_of(i)
+        return {f"https://{h}/about", f"https://{h}/subscribe"}
+
+    reopened = set()
+    lvl1 = {t for i in due_ids for t in synth.out_link_ids(i, n_pages)}
+    for i in due_ids:
+        reopened |= navs(i)
+    for t in lvl1:
+        reopened.add(synth.url_of(t))
+        reopened |= navs(t)
+        for t2 in synth.out_link_ids(t, n_pages):
+            reopened.add(synth.url_of(t2))
+    for u in new_urls:
+        assert counts[u] == 1, u
+        assert u in reopened, u
+
+
 def test_ucb_rank_table_drives_a_crawl_round(spark, tmp_path):
     """ucb_rank_table output satisfies the policy host-rank contract
     (max-normalized [0,1]) and plugs straight into run_crawl as the
