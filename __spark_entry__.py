@@ -7986,6 +7986,81 @@ def q211_semantic_incremental_pq(spark, sf):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def q212_revisit_sweep(spark, sf):
+    """Revisit sweep end-to-end (scheduler/frontier.py::sweep_revisit
+    — the production consumer of q48's revisit_schedule and the north
+    rule's "re-admit pages due for revisit"): q210's crawl runs to
+    exhaustion, every fetched article with page_id % 9 == 0 is swept
+    back into the committed frontier, and a second submission resumes
+    from the checkpoint.  Output: (page_id, n_scheduled) per article
+    page — due pages must schedule EXACTLY twice, everything else
+    once, including the pages newly reachable only through the
+    re-opened depth-2 neighborhood of the due set.  The oracle
+    derives all three sets from the frozen raw link graph alone: the
+    q210 closure (first submission's fetch set), its %9 subset (the
+    due list), and a second recursive closure seeded from the due
+    pages (what the re-fetch may re-open) — no scheduler code on
+    either side of the comparison."""
+    import shutil
+    import tempfile
+
+    from langscrape_spark import synth
+    from langscrape_spark.scheduler.frontier import (
+        CrawlConfig,
+        run_crawl,
+        sweep_revisit,
+    )
+    from langscrape_spark.sources.catalog import Catalog
+
+    n_pages = 512
+    pages = synth.build_pages_df(spark, n_pages, partitions=8)
+    seeds = spark.createDataFrame(
+        [(synth.url_of(i), 0) for i in range(0, n_pages, 85)],
+        "url string, depth int",
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"www.site{i}.example", [], 0.1, i != 19)
+            for i in range(synth.N_HOSTS)
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay double, allowed boolean",
+    )
+    host_rank = synth.host_rank_df(spark)
+    cat_dir = tempfile.mkdtemp(prefix="q212_cat_")
+    try:
+        catalog = Catalog(spark, cat_dir)
+        cfg = CrawlConfig(
+            batch_size=192, max_depth=2, max_rounds=30, seen_partitions=8
+        )
+        run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
+        pid = F.regexp_extract("url", "article-(\\d+)", 1)
+        sched1 = catalog.read_appended("schedule")
+        due = (
+            sched1.select("url")
+            .where((pid != "") & (pid.cast("long") % 9 == 0))
+            .distinct()
+        )
+        sweep_revisit(spark, catalog, due, robots, host_rank)
+        cfg2 = CrawlConfig(
+            batch_size=192, max_depth=2, max_rounds=60, seen_partitions=8
+        )
+        run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg2)
+        out = (
+            catalog.read_appended("schedule")
+            .select(pid.alias("pid"))
+            .where(F.col("pid") != "")
+            .select(F.col("pid").cast("long").alias("page_id"))
+            .groupBy("page_id")
+            .agg(F.count(F.lit(1)).alias("n_scheduled"))
+            .orderBy("page_id")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(cat_dir, ignore_errors=True)
+
+
 def _path_entropy_oracle() -> str:
     return """
         -- Conditional path entropy replay: same md5-draw segments,
@@ -8167,6 +8242,7 @@ def _sa_corpus_sql(pred: str, cap: int, text_expr: str) -> str:
 _PRIORITY_ORDER = [
     "q210_crawl_dedup",
     "q211_semantic_incremental_pq",
+    "q212_revisit_sweep",
     "q165_mirror_hosts",
     "q166_dust_rules",
     "q167_param_significance",
@@ -8214,9 +8290,9 @@ _PRIORITY_ORDER = [
     "q80_winnow_fingerprints",
     "q81_winnow_overlap",
     "q82_zipf_stats",
+    # --- beyond the 50-name window (q210/q211/q212 at the head
+    # --- shifted the cut to q82): remaining never-checked, numeric ---
     "q83_tfidf_keywords",
-    # --- beyond the 50-name window (q210/q211 at the head shifted the
-    # --- cut to q83): remaining never-checked, numeric order ---
     "q85_bpe_encode",
     "q86_pq_ann",
     "q88_kneser_ney",
@@ -8517,6 +8593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_path_entropy": q209_path_entropy,
         "q210_crawl_dedup": q210_crawl_dedup,
         "q211_semantic_incremental_pq": q211_semantic_incremental_pq,
+        "q212_revisit_sweep": q212_revisit_sweep,
     })
 
 
@@ -13849,6 +13926,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id_a, id_b, cluster, sim FROM kept_cross
             ORDER BY id_a, id_b
+        """,
+        "q212_revisit_sweep": f"""
+            -- Revisit-sweep equivalence from the raw graph alone:
+            -- seen1 = the q210 closure (first submission's fetched
+            -- articles); due = its %9 subset; newr = the depth<=2
+            -- closure re-seeded from due but expanding ONLY through
+            -- pages NOT in seen1 -- an already-seen link target is
+            -- suppressed by membership, never refetched, so its
+            -- outlinks are NOT re-harvested (the model error a naive
+            -- full re-closure makes).  Due pages schedule exactly
+            -- twice (first crawl + sweep), every other reachable page
+            -- once -- including NEW %9 pages, which were never swept.
+            -- CTEs are MATERIALIZED: a recursive CTE re-scanned by a
+            -- later recursive CTE otherwise re-evaluates and emits
+            -- duplicate rows.  Spark: q212_revisit_sweep
+            -- (run_crawl -> sweep_revisit -> run_crawl resume).
+            WITH RECURSIVE g AS MATERIALIZED (
+              SELECT * FROM read_parquet(
+                '{_fixture("q210_crawl_graph.parquet")}')),
+            reach1(page_id, depth) AS (
+                SELECT page_id, 0 FROM g
+                WHERE page_id % 85 = 0
+                  AND host <> 'www.site19.example'
+              UNION
+                SELECT tgt.t, r.depth + 1
+                FROM reach1 r
+                JOIN g ON g.page_id = r.page_id,
+                UNNEST(g.out_ids) AS tgt(t)
+                JOIN g g2 ON g2.page_id = tgt.t
+                WHERE r.depth < 2
+                  AND g2.host <> 'www.site19.example'),
+            seen1 AS MATERIALIZED (
+              SELECT DISTINCT page_id FROM reach1),
+            due AS MATERIALIZED (
+              SELECT page_id FROM seen1 WHERE page_id % 9 = 0),
+            newr(page_id, depth) AS (
+                SELECT tgt.t, 1
+                FROM due d JOIN g ON g.page_id = d.page_id,
+                UNNEST(g.out_ids) AS tgt(t)
+                JOIN g g2 ON g2.page_id = tgt.t
+                WHERE g2.host <> 'www.site19.example'
+                  AND tgt.t NOT IN (SELECT page_id FROM seen1)
+              UNION
+                SELECT tgt.t, r.depth + 1
+                FROM newr r JOIN g ON g.page_id = r.page_id,
+                UNNEST(g.out_ids) AS tgt(t)
+                JOIN g g2 ON g2.page_id = tgt.t
+                WHERE r.depth < 2
+                  AND g2.host <> 'www.site19.example'
+                  AND tgt.t NOT IN (SELECT page_id FROM seen1))
+            SELECT page_id,
+                   CAST(CASE WHEN page_id % 9 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_scheduled
+            FROM seen1
+            UNION ALL
+            SELECT page_id, CAST(1 AS BIGINT) AS n_scheduled
+            FROM (SELECT DISTINCT page_id FROM newr)
+            ORDER BY page_id
         """,
         "q210_crawl_dedup": f"""
             -- Crawl+dedup integration, derived with NEITHER machine:
