@@ -7829,6 +7829,45 @@ def q209_path_entropy(spark, sf):
     )
 
 
+# Shared crawl fixture for the q210/q212 integration queries.  The
+# corpus size, seed stride, and robots policy are LOAD-BEARING in the
+# DuckDB oracles (the recursive closures hard-code `page_id % 85 = 0`
+# seeds and the site19 exclusion over the 512-page frozen graph), so
+# both queries must draw them from one place — a drift between the
+# two Spark fixtures would silently desynchronize one of the oracles.
+_Q210_N_PAGES = 512
+_Q210_SEED_STRIDE = 85
+
+
+def _crawl_fixture(spark):
+    """(pages, seeds, robots, host_rank) for the frozen 512-page
+    crawl graph (tests/fixtures/q210_crawl_graph.parquet).  Flat
+    politeness (crawl_delay 0.1 → k=40/host/round) exhausts the
+    frontier in few rounds — per-round driver fixed cost dominates at
+    this corpus size and the oracles are round-structure invisible;
+    site19 stays robots-disallowed so the closure proofs keep the
+    exclusion path live."""
+    from langscrape_spark import synth
+
+    pages = synth.build_pages_df(spark, _Q210_N_PAGES, partitions=8)
+    seeds = spark.createDataFrame(
+        [
+            (synth.url_of(i), 0)
+            for i in range(0, _Q210_N_PAGES, _Q210_SEED_STRIDE)
+        ],
+        "url string, depth int",
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"www.site{i}.example", [], 0.1, i != 19)
+            for i in range(synth.N_HOSTS)
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay double, allowed boolean",
+    )
+    return pages, seeds, robots, synth.host_rank_df(spark)
+
+
 def q210_crawl_dedup(spark, sf):
     """End-to-end crawl + incremental-dedup integration: run_crawl()
     (scheduler/frontier.py) drives a synthetic 512-page corpus to
@@ -7854,31 +7893,11 @@ def q210_crawl_dedup(spark, sf):
     import shutil
     import tempfile
 
-    from langscrape_spark import synth
     from langscrape_spark.operators.incremental import minhash_ingest_round
     from langscrape_spark.scheduler.frontier import CrawlConfig, run_crawl
     from langscrape_spark.sources.catalog import Catalog
 
-    n_pages = 512
-    pages = synth.build_pages_df(spark, n_pages, partitions=8)
-    seeds = spark.createDataFrame(
-        [(synth.url_of(i), 0) for i in range(0, n_pages, 85)],
-        "url string, depth int",
-    )
-    # Flat politeness (crawl_delay 0.1 → k=40/host/round) so the
-    # crawl exhausts in ~4 rounds (per-round driver fixed cost is the
-    # dominant term at this corpus size; the oracle is round-structure
-    # invisible, so fewer-but-larger rounds test the same contract);
-    # site19 stays robots-disallowed so the closure proof keeps the
-    # exclusion path live.
-    robots = spark.createDataFrame(
-        [
-            (f"www.site{i}.example", [], 0.1, i != 19)
-            for i in range(synth.N_HOSTS)
-        ],
-        "host string, disallow_prefixes array<string>, "
-        "crawl_delay double, allowed boolean",
-    )
+    pages, seeds, robots, host_rank = _crawl_fixture(spark)
     cat_dir = tempfile.mkdtemp(prefix="q210_cat_")
     state = tempfile.mkdtemp(prefix="q210_mh_state_")
     try:
@@ -7886,10 +7905,7 @@ def q210_crawl_dedup(spark, sf):
         cfg = CrawlConfig(
             batch_size=128, max_depth=2, max_rounds=60, seen_partitions=8
         )
-        run_crawl(
-            spark, pages, seeds, robots, synth.host_rank_df(spark),
-            catalog, cfg,
-        )
+        run_crawl(spark, pages, seeds, robots, host_rank, catalog, cfg)
         sched = catalog.read_appended("schedule")
         docs = pages.select(
             F.regexp_extract("url", "article-(\\d+)", 1)
@@ -8004,7 +8020,6 @@ def q212_revisit_sweep(spark, sf):
     import shutil
     import tempfile
 
-    from langscrape_spark import synth
     from langscrape_spark.scheduler.frontier import (
         CrawlConfig,
         run_crawl,
@@ -8012,21 +8027,7 @@ def q212_revisit_sweep(spark, sf):
     )
     from langscrape_spark.sources.catalog import Catalog
 
-    n_pages = 512
-    pages = synth.build_pages_df(spark, n_pages, partitions=8)
-    seeds = spark.createDataFrame(
-        [(synth.url_of(i), 0) for i in range(0, n_pages, 85)],
-        "url string, depth int",
-    )
-    robots = spark.createDataFrame(
-        [
-            (f"www.site{i}.example", [], 0.1, i != 19)
-            for i in range(synth.N_HOSTS)
-        ],
-        "host string, disallow_prefixes array<string>, "
-        "crawl_delay double, allowed boolean",
-    )
-    host_rank = synth.host_rank_df(spark)
+    pages, seeds, robots, host_rank = _crawl_fixture(spark)
     cat_dir = tempfile.mkdtemp(prefix="q212_cat_")
     try:
         catalog = Catalog(spark, cat_dir)

@@ -845,6 +845,7 @@ def sweep_revisit(
     due: DataFrame,
     robots: DataFrame,
     host_rank: DataFrame,
+    cycle_id: Optional[str] = None,
 ) -> int:
     """Between-submission revisit sweep — the production consumer of
     ``revisit_schedule`` (q48) and the north rule's "re-admit pages
@@ -864,15 +865,32 @@ def sweep_revisit(
     exists for the stronger design where the seen set itself revokes
     entries; this sweep does not need it.
 
-    Idempotent and crash-safe: urls are normalized with the crawl's
-    own kernel, restricted to urls actually in the seen set (an
-    unknown url belongs in a seed list, not a revisit sweep), and
-    anti-joined against the current frontier, so re-running the sweep
-    (or crashing between the frontier write and the caller's next
-    submission) injects nothing twice.  The frontier snapshot write
-    is the catalog's usual write-then-atomic-publish; the injected
-    frame is materialized (localCheckpoint) before the overwrite
-    because it derives from the very files being replaced."""
+    Idempotent and crash-safe, at THREE levels:
+
+    - within one sweep attempt: urls are normalized with the crawl's
+      own kernel, restricted to urls actually in the seen set (an
+      unknown url belongs in a seed list, not a revisit sweep), and
+      anti-joined against the current frontier, so a crash-replay of
+      the sweep itself injects nothing twice;
+    - the frontier snapshot edit uses ``Catalog.write_replace`` — the
+      sweep rewrites the COMMITTED version (unlike the round loop,
+      which always writes round+1), and a plain overwrite would
+      delete the only copy of the committed crawl state before the
+      new files land; write_replace stages, renames, and heals, so
+      no crash point loses the frontier;
+    - across a crashed-and-resubmitted *submission*: a cycle marker
+      (``revisit/_applied_<cycle_id>``) records that this revisit
+      cycle was already swept at some committed round.  Without it,
+      "sweep then N rounds then crash then resubmit the identical
+      command" would re-inject urls the earlier rounds already
+      refetched (they are no longer in the frontier, so the
+      anti-join alone cannot know).  ``cycle_id`` defaults to a
+      content fingerprint of the due set (count + order-independent
+      hash sum); pass an explicit id (e.g. the sweep date) when the
+      SAME url list is legitimately re-swept in a later cycle."""
+    import hashlib
+    import json as _json
+
     round_no = catalog.committed_round()
     if round_no is None:
         raise ValueError(
@@ -887,19 +905,45 @@ def sweep_revisit(
         .where(F.col("url").isNotNull())
         .dropDuplicates(["url"])
     )
+    if cycle_id is None:
+        # bit_xor: order-independent AND overflow-free (a sum of
+        # xxhash64 values overflows int64 under ANSI mode)
+        fp = due_n.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(url))").alias("h"),
+        ).collect()[0]
+        cycle_id = hashlib.md5(
+            f"{fp['n']}:{fp['h']}".encode()
+        ).hexdigest()[:16]
+    marker_dir = os.path.join(catalog.root, "revisit")
+    marker = os.path.join(marker_dir, f"_applied_{cycle_id}")
+    if os.path.exists(marker):
+        return 0
     inject = (
         due_n.join(seen.select("url"), "url", "inner")
         .join(frontier.select("url"), "url", "left_anti")
         .withColumn("depth", F.lit(0))
     )
-    entries = _with_policy_columns(inject, robots, host_rank)
-    new_frontier = frontier.unionByName(
-        entries.select(*frontier.columns)
+    # One materialization feeds union AND count (the pipeline above —
+    # normalize UDF + seen join + anti-join + policy joins — is the
+    # sweep's dominant cost and must not run twice).
+    entries = _with_policy_columns(inject, robots, host_rank).select(
+        *frontier.columns
     ).localCheckpoint(eager=True)
-    n_injected = entries.count()
-    catalog.write("frontier", new_frontier, round_no)
+    n_injected = int(entries.count())
+    new_frontier = frontier.unionByName(entries).localCheckpoint(eager=True)
+    catalog.write_replace("frontier", new_frontier, round_no)
+    # Marker AFTER the frontier write: a crash before it replays the
+    # sweep, where the anti-join (frontier now holds the urls) makes
+    # the replay a no-op; a crash after it is the no-op fast path.
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"round": round_no, "injected": n_injected}, f)
+    os.replace(tmp, marker)
     new_frontier.unpersist()
-    return int(n_injected)
+    entries.unpersist()
+    return n_injected
 
 
 def run_crawl(

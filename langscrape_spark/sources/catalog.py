@@ -91,6 +91,55 @@ class Catalog:
                 if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= version - keep:
                     shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
 
+    def write_replace(self, name: str, df: DataFrame, version: int) -> None:
+        """Replace an EXISTING committed snapshot version in place,
+        crash-safely — the primitive the revisit sweep needs (it edits
+        the already-committed frontier, unlike the round loop, which
+        only ever writes version round+1 and so always has the prior
+        intact version to fall back to).
+
+        Plain ``write`` is not safe here: Spark's overwrite deletes
+        the target dir before the new files land, so a crash mid-write
+        destroys the only copy of the committed state.  Protocol:
+        write the full new snapshot to ``v{N}__new``, rename the old
+        dir to ``v{N}__old``, promote ``__new``, delete ``__old``.
+        Every crash point is recoverable: before the first rename the
+        old data is untouched (a stray ``__new`` is ignored/replaced);
+        between the renames the target is missing but ``__new`` is
+        complete — ``read`` heals by promoting it; after promotion the
+        leftover ``__old`` is swept on the next replace."""
+        path = self._data_dir(name, version)
+        if not os.path.isdir(path):
+            self._heal_replace(name, version)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"write_replace targets an existing snapshot; "
+                f"{name} v{version} does not exist"
+            )
+        new_dir, old_dir = path + "__new", path + "__old"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        df.write.mode("overwrite").parquet(new_dir)
+        os.rename(path, old_dir)
+        os.rename(new_dir, path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        self._commit(name, version)
+
+    def _heal_replace(self, name: str, version: int) -> None:
+        """Complete a ``write_replace`` interrupted between its two
+        renames: the target dir is missing but the fully-written
+        ``__new`` (or the untouched ``__old``) sibling exists."""
+        path = self._data_dir(name, version)
+        for cand in (path + "__new", path + "__old"):
+            if os.path.isdir(cand):
+                os.rename(cand, path)
+                other = (
+                    path + "__old" if cand.endswith("__new")
+                    else path + "__new"
+                )
+                shutil.rmtree(other, ignore_errors=True)
+                return
+
     def read(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
         """Read snapshot ``version`` (default: the table's own latest
         pointer). Passing an explicit version pins a re-executed round
@@ -100,7 +149,11 @@ class Catalog:
             version = self.latest_version(name)
         if version is None:
             return None
-        return self.spark.read.parquet(self._data_dir(name, version))
+        path = self._data_dir(name, version)
+        if not os.path.isdir(path):
+            # a write_replace may have died between its renames
+            self._heal_replace(name, version)
+        return self.spark.read.parquet(path)
 
     def append(
         self,

@@ -44,6 +44,13 @@ def main() -> None:
         "frontier.sweep_revisit; produce the list with "
         "sources/sitemap.py::revisit_schedule)",
     )
+    ap.add_argument(
+        "--revisit-cycle-id",
+        help="identifier for this revisit cycle (e.g. the sweep date); "
+        "defaults to a fingerprint of the due set. A resubmission of a "
+        "crashed invocation reuses the same id and the sweep no-ops; "
+        "pass a new id to legitimately re-sweep an identical url list",
+    )
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1_000_000)
     ap.add_argument("--max-depth", type=int, default=4)
@@ -77,7 +84,7 @@ def main() -> None:
             raise SystemExit("--revisit needs a committed crawl to sweep")
         n = sweep_revisit(
             spark, catalog, spark.read.parquet(args.revisit),
-            robots, host_rank,
+            robots, host_rank, cycle_id=args.revisit_cycle_id,
         )
         print({"revisit_injected": n})
 

@@ -399,8 +399,13 @@ def test_revisit_sweep_reschedules_due_urls_once(spark, tmp_path):
     )
     n = sweep_revisit(spark, catalog, due, robots, host_rank)
     assert n == len(due_urls)  # the unknown url was refused
-    # idempotent: a re-run (crash-replay) injects nothing
+    # idempotent: a re-run (crash-replay) injects nothing — both via
+    # the cycle marker (same default cycle_id) and, with a fresh
+    # cycle id, via the frontier anti-join (urls still enqueued)
     assert sweep_revisit(spark, catalog, due, robots, host_rank) == 0
+    assert sweep_revisit(
+        spark, catalog, due, robots, host_rank, cycle_id="fresh"
+    ) == 0
 
     cfg2 = CrawlConfig(batch_size=30, max_depth=2, max_rounds=40,
                        seen_partitions=4)
@@ -437,6 +442,41 @@ def test_revisit_sweep_reschedules_due_urls_once(spark, tmp_path):
     for u in new_urls:
         assert counts[u] == 1, u
         assert u in reopened, u
+
+    # Crashed-submission replay (the run_round.py recovery procedure):
+    # re-sweeping the SAME due list after its urls were already
+    # refetched must be a no-op — the cycle marker, not the frontier
+    # anti-join, is what knows this (the urls left the frontier when
+    # they were admitted).
+    assert sweep_revisit(spark, catalog, due, robots, host_rank) == 0
+    # A genuinely new cycle (explicit id) re-injects.
+    assert sweep_revisit(
+        spark, catalog, due, robots, host_rank, cycle_id="cycle-2"
+    ) == len(due_urls)
+
+
+def test_frontier_write_replace_heals_interrupted_rename(spark, tmp_path):
+    """Catalog.write_replace (the revisit sweep's frontier edit): a
+    crash between its two renames leaves the target dir missing but
+    the fully-written __new sibling present — read() must heal by
+    promoting it, never losing the committed snapshot."""
+    import os
+    import shutil
+
+    cat = Catalog(spark, str(tmp_path / "wrcat"))
+    df1 = spark.createDataFrame([(1,), (2,)], "x long")
+    cat.write("t", df1, 0)
+    df2 = spark.createDataFrame([(3,), (4,), (5,)], "x long")
+    cat.write_replace("t", df2, 0)
+    assert cat.read("t", 0).count() == 3
+    # simulate the crash window: stage a __new, remove the target
+    base = str(tmp_path / "wrcat" / "t")
+    shutil.copytree(os.path.join(base, "v0"), os.path.join(base, "v0__new"))
+    shutil.rmtree(os.path.join(base, "v0"))
+    healed = cat.read("t", 0)
+    assert healed.count() == 3
+    assert os.path.isdir(os.path.join(base, "v0"))
+    assert not os.path.isdir(os.path.join(base, "v0__new"))
 
 
 def test_ucb_rank_table_drives_a_crawl_round(spark, tmp_path):
