@@ -21,6 +21,9 @@ import sys
 import tempfile
 import time
 
+# runnable from any cwd, like the sibling soak scripts
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def one_run(spark, n_pages, max_rounds, batch_size, prefilter):
     from pyspark.sql import functions as F
