@@ -8042,7 +8042,7 @@ def q212_revisit_sweep(spark, sf):
             .where((pid != "") & (pid.cast("long") % 9 == 0))
             .distinct()
         )
-        sweep_revisit(spark, catalog, due, robots, host_rank)
+        sweep_revisit(spark, catalog, due, robots, host_rank, cycle_id="q212-cycle-1")
         cfg2 = CrawlConfig(
             batch_size=192, max_depth=2, max_rounds=60, seen_partitions=8
         )

@@ -845,7 +845,7 @@ def sweep_revisit(
     due: DataFrame,
     robots: DataFrame,
     host_rank: DataFrame,
-    cycle_id: Optional[str] = None,
+    cycle_id: str,
 ) -> int:
     """Between-submission revisit sweep — the production consumer of
     ``revisit_schedule`` (q48) and the north rule's "re-admit pages
@@ -878,24 +878,29 @@ def sweep_revisit(
       delete the only copy of the committed crawl state before the
       new files land; write_replace stages, renames, and heals, so
       no crash point loses the frontier;
-    - across a crashed-and-resubmitted *submission*: a cycle marker
-      (``revisit/_applied_<cycle_id>``) records that this revisit
-      cycle was already swept at some committed round.  Without it,
-      "sweep then N rounds then crash then resubmit the identical
-      command" would re-inject urls the earlier rounds already
-      refetched (they are no longer in the frontier, so the
-      anti-join alone cannot know).  ``cycle_id`` defaults to a
-      content fingerprint of the due set (count + order-independent
-      hash sum); pass an explicit id (e.g. the sweep date) when the
-      SAME url list is legitimately re-swept in a later cycle."""
-    import hashlib
-    import json as _json
-
+    - across a crashed-and-resubmitted *submission*: the REQUIRED
+      ``cycle_id`` names this revisit cycle, and an applied-cycle
+      marker (``Catalog.put_marker``) records that the cycle was
+      already swept.  Without it, "sweep then N rounds then crash
+      then resubmit the identical command" would re-inject urls the
+      earlier rounds already refetched (they are no longer in the
+      frontier, so the anti-join alone cannot know).  The id must be
+      explicit because no default is safe in both directions: a
+      content fingerprint of the due set would turn legitimate
+      periodic re-sweeps of an identical url list into silent
+      permanent no-ops, while no marker at all re-injects on every
+      crashed resubmission.  Use the schedule's ``as_of`` date
+      (``sources/sitemap.py::revisit_schedule`` already has one) —
+      a retry of a crashed submission naturally reuses it, the next
+      week's cycle naturally gets a new one."""
     round_no = catalog.committed_round()
     if round_no is None:
         raise ValueError(
             "sweep_revisit needs a committed crawl (seed run_crawl first)"
         )
+    marker = f"revisit_applied_{cycle_id}"
+    if catalog.has_marker(marker):  # validates cycle_id spelling too
+        return 0
     frontier = catalog.read("frontier", round_no)
     seen = catalog.read_appended("seen", round_no)
     if frontier is None or seen is None:
@@ -905,20 +910,6 @@ def sweep_revisit(
         .where(F.col("url").isNotNull())
         .dropDuplicates(["url"])
     )
-    if cycle_id is None:
-        # bit_xor: order-independent AND overflow-free (a sum of
-        # xxhash64 values overflows int64 under ANSI mode)
-        fp = due_n.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(url))").alias("h"),
-        ).collect()[0]
-        cycle_id = hashlib.md5(
-            f"{fp['n']}:{fp['h']}".encode()
-        ).hexdigest()[:16]
-    marker_dir = os.path.join(catalog.root, "revisit")
-    marker = os.path.join(marker_dir, f"_applied_{cycle_id}")
-    if os.path.exists(marker):
-        return 0
     inject = (
         due_n.join(seen.select("url"), "url", "inner")
         .join(frontier.select("url"), "url", "left_anti")
@@ -926,22 +917,23 @@ def sweep_revisit(
     )
     # One materialization feeds union AND count (the pipeline above —
     # normalize UDF + seen join + anti-join + policy joins — is the
-    # sweep's dominant cost and must not run twice).
+    # sweep's dominant cost and must not run twice).  The union
+    # itself needs NO checkpoint: write_replace stages into a sibling
+    # dir, so the frontier files it reads stay intact for the whole
+    # staging write.
     entries = _with_policy_columns(inject, robots, host_rank).select(
         *frontier.columns
     ).localCheckpoint(eager=True)
     n_injected = int(entries.count())
-    new_frontier = frontier.unionByName(entries).localCheckpoint(eager=True)
-    catalog.write_replace("frontier", new_frontier, round_no)
+    if n_injected:
+        catalog.write_replace(
+            "frontier", frontier.unionByName(entries), round_no
+        )
     # Marker AFTER the frontier write: a crash before it replays the
     # sweep, where the anti-join (frontier now holds the urls) makes
-    # the replay a no-op; a crash after it is the no-op fast path.
-    os.makedirs(marker_dir, exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"round": round_no, "injected": n_injected}, f)
-    os.replace(tmp, marker)
-    new_frontier.unpersist()
+    # the replay an empty injection — and the n_injected guard above
+    # then skips the frontier-sized rewrite on that replay path.
+    catalog.put_marker(marker)
     entries.unpersist()
     return n_injected
 

@@ -23,10 +23,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+_MARKER_NAME = re.compile(r"[A-Za-z0-9._-]+")
 
 
 class Catalog:
@@ -128,17 +131,51 @@ class Catalog:
     def _heal_replace(self, name: str, version: int) -> None:
         """Complete a ``write_replace`` interrupted between its two
         renames: the target dir is missing but the fully-written
-        ``__new`` (or the untouched ``__old``) sibling exists."""
+        ``__new`` (or the untouched ``__old``) sibling exists.  A
+        ``__new`` without Spark's ``_SUCCESS`` marker is a TRUNCATED
+        staging write (crash mid-parquet-write) — promoting it would
+        serve partial data as committed state, so it is discarded and
+        ``__old`` (if any) restored instead."""
         path = self._data_dir(name, version)
-        for cand in (path + "__new", path + "__old"):
+        new_dir, old_dir = path + "__new", path + "__old"
+        if os.path.isdir(new_dir) and not os.path.exists(
+            os.path.join(new_dir, "_SUCCESS")
+        ):
+            shutil.rmtree(new_dir, ignore_errors=True)
+        for cand in (new_dir, old_dir):
             if os.path.isdir(cand):
                 os.rename(cand, path)
-                other = (
-                    path + "__old" if cand.endswith("__new")
-                    else path + "__new"
-                )
+                other = old_dir if cand == new_dir else new_dir
                 shutil.rmtree(other, ignore_errors=True)
                 return
+
+    # -- idempotence markers -------------------------------------------------
+    def put_marker(self, name: str) -> None:
+        """Atomically record a named idempotence marker (e.g. an
+        applied revisit cycle).  Keeping marker layout and atomicity
+        inside Catalog preserves the module's portability contract
+        (the implementation swaps to Iceberg snapshots in production;
+        callers only see Catalog)."""
+        if not _MARKER_NAME.fullmatch(name):
+            raise ValueError(
+                f"marker name {name!r} must match [A-Za-z0-9._-]+ "
+                "(it becomes a file name)"
+            )
+        d = os.path.join(self.root, "markers")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("applied")
+        os.replace(tmp, path)
+
+    def has_marker(self, name: str) -> bool:
+        if not _MARKER_NAME.fullmatch(name):
+            raise ValueError(
+                f"marker name {name!r} must match [A-Za-z0-9._-]+ "
+                "(it becomes a file name)"
+            )
+        return os.path.exists(os.path.join(self.root, "markers", name))
 
     def read(self, name: str, version: Optional[int] = None) -> Optional[DataFrame]:
         """Read snapshot ``version`` (default: the table's own latest
@@ -153,6 +190,13 @@ class Catalog:
         if not os.path.isdir(path):
             # a write_replace may have died between its renames
             self._heal_replace(name, version)
+        else:
+            # GC orphans from an abandoned write_replace (crash during
+            # the staging write, sweep never retried): the target is
+            # intact, so any lingering siblings are superseded garbage
+            # that would otherwise leak a snapshot-sized dir each.
+            for sib in (path + "__new", path + "__old"):
+                shutil.rmtree(sib, ignore_errors=True)
         return self.spark.read.parquet(path)
 
     def append(

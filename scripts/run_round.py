@@ -46,10 +46,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--revisit-cycle-id",
-        help="identifier for this revisit cycle (e.g. the sweep date); "
-        "defaults to a fingerprint of the due set. A resubmission of a "
-        "crashed invocation reuses the same id and the sweep no-ops; "
-        "pass a new id to legitimately re-sweep an identical url list",
+        help="REQUIRED with --revisit: identifier for this revisit cycle "
+        "(use the schedule's as_of date). A resubmission of a crashed "
+        "invocation reuses the same id and the sweep no-ops; the next "
+        "cycle's new id re-sweeps even an identical url list",
     )
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1_000_000)
@@ -82,6 +82,8 @@ def main() -> None:
     if args.revisit:
         if committed is None:
             raise SystemExit("--revisit needs a committed crawl to sweep")
+        if not args.revisit_cycle_id:
+            raise SystemExit("--revisit requires --revisit-cycle-id")
         n = sweep_revisit(
             spark, catalog, spark.read.parquet(args.revisit),
             robots, host_rank, cycle_id=args.revisit_cycle_id,

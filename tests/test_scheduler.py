@@ -397,12 +397,13 @@ def test_revisit_sweep_reschedules_due_urls_once(spark, tmp_path):
         + [("https://www.site1.example/never/crawled-99999.html",)],
         "url string",
     )
-    n = sweep_revisit(spark, catalog, due, robots, host_rank)
+    n = sweep_revisit(spark, catalog, due, robots, host_rank, "week-1")
     assert n == len(due_urls)  # the unknown url was refused
     # idempotent: a re-run (crash-replay) injects nothing — both via
-    # the cycle marker (same default cycle_id) and, with a fresh
-    # cycle id, via the frontier anti-join (urls still enqueued)
-    assert sweep_revisit(spark, catalog, due, robots, host_rank) == 0
+    # the cycle marker (same cycle id) and, with a fresh cycle id,
+    # via the frontier anti-join (urls still enqueued)
+    assert sweep_revisit(spark, catalog, due, robots, host_rank,
+                         "week-1") == 0
     assert sweep_revisit(
         spark, catalog, due, robots, host_rank, cycle_id="fresh"
     ) == 0
@@ -444,15 +445,19 @@ def test_revisit_sweep_reschedules_due_urls_once(spark, tmp_path):
         assert u in reopened, u
 
     # Crashed-submission replay (the run_round.py recovery procedure):
-    # re-sweeping the SAME due list after its urls were already
+    # re-sweeping under the SAME cycle id after its urls were already
     # refetched must be a no-op — the cycle marker, not the frontier
     # anti-join, is what knows this (the urls left the frontier when
     # they were admitted).
-    assert sweep_revisit(spark, catalog, due, robots, host_rank) == 0
-    # A genuinely new cycle (explicit id) re-injects.
+    assert sweep_revisit(spark, catalog, due, robots, host_rank,
+                         "week-1") == 0
+    # A genuinely new cycle (new id) re-injects the identical list.
     assert sweep_revisit(
-        spark, catalog, due, robots, host_rank, cycle_id="cycle-2"
+        spark, catalog, due, robots, host_rank, cycle_id="week-2"
     ) == len(due_urls)
+    # a path-unsafe id is refused before any state is touched
+    with pytest.raises(ValueError):
+        sweep_revisit(spark, catalog, due, robots, host_rank, "a/b")
 
 
 def test_frontier_write_replace_heals_interrupted_rename(spark, tmp_path):
